@@ -1,0 +1,94 @@
+"""Text-analysis expressions: tokenization, language ID, quality, fingerprints.
+
+Generalizes the reference's keyword/entity/intent analysis
+(backend/services/chunking.py:97-171, backend/services/rag.py:229-243) into
+the operators a large-scale training-data pipeline needs (BASELINE.json
+north star): token counting, n-gram shingling, language identification,
+quality scoring, document fingerprinting. All pure column expressions —
+at 100 TB these run inside whole-stage codegen with zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English stopword list — mirrors the reference's STOPWORDS usage for
+# keyword-overlap scoring (backend/services/rag.py:238-241). Kept tiny and
+# sorted so the oracle SQL embeds the identical list.
+STOPWORDS: tuple[str, ...] = ("a", "an", "and", "in", "is", "of", "or", "the", "to")
+
+# BPE-ish token pattern: runs of word chars (latin+Thai) OR single
+# non-space symbol — the regex-token-count analog of a subword tokenizer.
+TOKEN_PATTERN = "[A-Za-z0-9฀-๿]+|[^A-Za-z0-9฀-๿\\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization with empty-token filtering (portable to the
+    oracle: list_filter(string_split(...)))."""
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+def regex_token_count(col: Column) -> Column:
+    """Count of TOKEN_PATTERN matches — the 'token count' a BPE-ish
+    tokenizer would report, as a pure regex expression."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), 0))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column: shingle i joins tokens
+    [i, i+n). Empty array when the doc has fewer than n tokens."""
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        )
+    )
+
+
+def thai_char_ratio(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, "[^฀-๿]", "")) / F.greatest(
+        F.length(col), F.lit(1)
+    )
+
+
+def stopword_ratio(toks: Column) -> Column:
+    """Fraction of tokens that are stopwords — language-ID + quality signal
+    (array_intersect-style set math, reference A6 analog)."""
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_id(col: Column, toks: Column) -> Column:
+    """Heuristic language ID: Thai script dominance → 'th'; English
+    stopword presence → 'en'; else 'unk'."""
+    return (
+        F.when(thai_char_ratio(col) > 0.3, F.lit("th"))
+        .when(stopword_ratio(toks) > 0.02, F.lit("en"))
+        .otherwise(F.lit("unk"))
+    )
+
+
+def quality_score(col: Column, toks: Column) -> Column:
+    """Composite document-quality score in [0,1] — the reference's
+    noise-filter heuristics (ingestion/cleaner.py:62-84: too short, symbol
+    runs, no real words) recast as a graded score:
+
+      0.4 · length_ok (≥ 20 tokens, saturating)
+    + 0.3 · alpha ratio (word chars / all chars)
+    + 0.3 · stopword signal (ratio ≥ 2%, saturating at 10%)
+    """
+    n_tok = F.size(toks)
+    length_ok = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    alpha = F.length(F.regexp_replace(col, "[^A-Za-z0-9฀-๿]", "")) / (
+        F.greatest(F.length(col), F.lit(1))
+    )
+    stop_sig = F.least(stopword_ratio(toks) / F.lit(0.1), F.lit(1.0))
+    return length_ok * 0.4 + alpha * 0.3 + stop_sig * 0.3
+
+
+def fingerprint(col: Column) -> Column:
+    """Content-addressed document fingerprint: md5 over the
+    whitespace-collapsed lowercase text — the reference's chunk-fingerprint
+    construction (backend/services/chunking.py:401-415) applied doc-level."""
+    return F.md5(F.lower(F.regexp_replace(col, "\\s+", " ")))

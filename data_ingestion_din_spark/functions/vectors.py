@@ -1,0 +1,78 @@
+"""Vector expressions over ``array<float>`` embedding columns.
+
+The reference delegates vector math to Chroma + sentence-transformers
+(backend/services/vector_store.py:263-341, backend/services/embeddings.py);
+here cosine similarity is a native column expression (``zip_with`` +
+``aggregate``) so Catalyst keeps it JVM-side — no Python in the hot path.
+
+Two arithmetic modes:
+
+- ``cosine`` — plain double math; fastest, for production ranking.
+- ``cosine_exact`` — cross-engine-deterministic: each element is quantized
+  to a 1e-6-scaled BIGINT (``floor(x * 1e6)`` — float→double is exact and
+  double×1e6 + floor are IEEE-deterministic, so both engines produce the
+  identical integer). Dot products over 64-dim quantized vectors stay
+  < 2^53, so the integer sums are exact in either engine regardless of
+  summation order; the final divide/sqrt are deterministic double ops.
+  This is the oracle-comparable variant — double summation order differs
+  between engines, integer summation cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _quant(x: Column) -> Column:
+    return F.floor(x.cast("double") * QUANT)
+
+
+def _dot_quant(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _quant(x) * _quant(y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    """Cross-engine-deterministic cosine similarity (see module doc)."""
+    d = _dot_quant(a, b).cast("double")
+    na = F.sqrt(_dot_quant(a, a).cast("double"))
+    nb = F.sqrt(_dot_quant(b, b).cast("double"))
+    return d / (na * nb)
+
+
+def cosine_exact_sql(a: str, b: str, dims: int = 64) -> str:
+    """DuckDB oracle twin of :func:`cosine_exact` (correlated over a pair
+    of FLOAT[] columns): quantized-integer dot/norms, double divide."""
+
+    def q(x: str) -> str:
+        return f"CAST(floor(CAST({x} AS DOUBLE) * {QUANT}) AS BIGINT)"
+
+    def dot_sql(x: str, y: str) -> str:
+        return (
+            f"(SELECT CAST(sum({q(x + '[i]')} * {q(y + '[i]')}) AS DOUBLE) "
+            f"FROM range(1, {dims + 1}) r(i))"
+        )
+
+    return f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"

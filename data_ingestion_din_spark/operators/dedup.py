@@ -1,0 +1,206 @@
+"""Deduplication operators: exact, normalized-key, MinHash, SimHash, n-gram
+Jaccard, embedding near-dup.
+
+Generalizes the reference's two dedup sites — content-hash table dedup
+(ingestion/table_extractor.py:98-108, J2) and chunk fingerprint dedup
+(backend/services/chunking.py:394-412, U4) — into the full near-dup family
+a training-data pipeline needs (BASELINE.json north star).
+
+Scale notes (100 TB posture):
+
+- Exact/normalized dedup is one hash-partitioned shuffle on the key; the
+  winner is chosen with ``row_number`` over an explicit priority ordering
+  (NOT ``dropDuplicates``, whose kept row is partition-order-dependent —
+  SURVEY.md §7.4.2 first-match-wins).
+- MinHash signatures are pure array expressions (no shuffle, no UDF);
+  LSH banding turns O(n²) near-dup search into a groupBy on band keys —
+  each band shuffle carries only (key, doc_id).
+- The inverted-index Jaccard join shuffles on shingle; a frequency cap on
+  hot shingles (stop-shingle pruning) bounds skew — the same reasoning as
+  salting a hot join key.
+- Embedding near-dup at scale goes through the LSH/IVF candidates from
+  operators/similarity.py; the all-pairs form here is the correctness
+  baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from data_ingestion_din_spark.functions.analysis import fingerprint, tokens
+from data_ingestion_din_spark.functions.hashing import minhash
+from data_ingestion_din_spark.functions.vectors import cosine_exact
+
+SIMHASH_BITS = 16
+
+
+def keep_first_by(df: DataFrame, key, order_cols: list) -> DataFrame:
+    """Deterministic keep-first dedup: one row per ``key``, winner = first
+    under ``order_cols`` (explicit priority — J2's first-seen semantics)."""
+    w = W.partitionBy(key).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup on the content fingerprint (md5 of normalized text),
+    lowest doc_id wins."""
+    keyed = docs.withColumn("fp", fingerprint(F.col("text")))
+    return keep_first_by(keyed, F.col("fp"), [F.col("doc_id")])
+
+
+def wordset_key(text_col) -> F.Column:
+    """Normalized dedup key: md5 over the sorted distinct word set —
+    catches bag-of-words duplicates that exact hashing misses."""
+    toks = tokens(text_col)
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
+def wordset_dedup(docs: DataFrame) -> DataFrame:
+    keyed = docs.withColumn("wk", wordset_key(F.col("text")))
+    return keep_first_by(keyed, F.col("wk"), [F.col("doc_id")])
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 4) -> DataFrame:
+    """Per-doc MinHash signature over the distinct-word shingle set.
+
+    Distinct single-word shingles make signature equality ⇔ (w.h.p.)
+    word-set equality, which is exactly the duplicate class the fixture
+    corpus contains; word n-gram shingles (functions/analysis.word_shingles)
+    plug into the same construction for order-sensitive near-dup.
+    """
+    sh = F.array_distinct(tokens(F.col("text")))
+    return docs.select("doc_id", *minhash(sh, n_hashes))
+
+
+def minhash_dup_groups(docs: DataFrame, n_hashes: int = 4) -> DataFrame:
+    """LSH with one band of width ``n_hashes``: docs agreeing on the whole
+    signature form a candidate duplicate group. Returns groups with >1 doc
+    (band_key, group_size, member doc_ids sorted)."""
+    sigs = minhash_signatures(docs, n_hashes)
+    band = F.md5(F.concat_ws(",", *[F.col(f"mh{i}") for i in range(n_hashes)]))
+    return (
+        sigs.withColumn("band_key", band)
+        .groupBy("band_key")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over the token multiset: per bit, sign of Σ(±1) across token
+    hashes; bits assemble into an integer fingerprint. Implemented as
+    explode → one groupBy(doc_id) with ``bits`` conditional sums — a single
+    shuffle keyed by doc_id, all JVM-side.
+    """
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).withColumn("h", h64(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    summed = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return summed.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def simhash_dup_groups(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Candidate near-dup groups = identical simhash (Hamming distance 0;
+    banding over bit-slices generalizes to distance ≤ k)."""
+    return (
+        simhash(docs, bits)
+        .groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, max_shingle_freq: int | None = None
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via inverted-index join (no cartesian):
+    explode distinct shingles → self-join on shingle → |A∩B| = pair count,
+    |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_shingle_freq`` drops shingles occurring in more than that many
+    docs (stop-shingle pruning) — the standard skew guard at scale; None
+    keeps exact semantics for oracle comparison.
+    """
+    from data_ingestion_din_spark.functions.analysis import word_shingles
+
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), n))
+        ).alias("shingle"),
+    )
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-dup pairs above ``threshold`` (exact decimal
+    arithmetic — oracle-comparable). All-pairs baseline; the LSH/IVF path
+    in operators/similarity.py supplies candidates at scale."""
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        cosine_exact(F.col("ea"), F.col("eb")).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns: exact top-k + partitioned ANN.
+
+Replaces the reference's Chroma kNN (backend/services/vector_store.py:263-341,
+O3) with DataFrame-native search:
+
+- ``brute_force_topk`` — broadcast the query vector, score every row with a
+  JVM-side cosine expression, TakeOrdered top-k. Exact; the correctness
+  baseline. At 100 TB this is one narrow scan + a cheap global top-k (no
+  wide shuffle — Spark's sort-limit pushes partial top-k into each task).
+- ``ivf_topk`` — IVF-style coarse partition pruning: restrict the scan to
+  the query's partition (fixture ``label`` column stands in for a learned
+  centroid assignment). At scale the partition column is the Parquet/Delta
+  partition key, so pruning happens at the file-listing level — the scan
+  never reads non-candidate partitions.
+- ``lsh_bucket`` — random-hyperplane signatures for LSH bucketing; planes
+  are derived deterministically from md5 so both engines (and reruns)
+  agree. Bucket-join candidates → exact re-rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_ingestion_din_spark.functions.hashing import h64
+from data_ingestion_din_spark.functions.vectors import cosine, cosine_exact
+
+
+def _score(emb: DataFrame, qvec: Column, exact: bool) -> DataFrame:
+    fn = cosine_exact if exact else cosine
+    return emb.withColumn("cos_sim", fn(F.col("embedding"), qvec))
+
+
+def brute_force_topk(
+    emb: DataFrame, qvec: Column, k: int = 10, exact: bool = True
+) -> DataFrame:
+    """Exact cosine top-k against a literal/broadcast query vector.
+    Ordering includes vec_id so ties are deterministic."""
+    return (
+        _score(emb, qvec, exact)
+        .select("vec_id", "label", "cos_sim")
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    qvec: Column,
+    partition_col: str,
+    partition_value,
+    k: int = 10,
+    exact: bool = True,
+) -> DataFrame:
+    """Coarse-quantization ANN: scan only the query's coarse partition.
+    The filter sits directly on the scan → partition pruning at scale."""
+    pruned = emb.filter(F.col(partition_col) == F.lit(partition_value))
+    return brute_force_topk(pruned, qvec, k, exact)
+
+
+def lsh_bucket(emb: DataFrame, n_planes: int = 8, seed: str = "lsh") -> DataFrame:
+    """Random-hyperplane LSH signature: bit b = sign(e · plane_b) where
+    plane_b[d] = (h64(seed:b:d) mod 2001 − 1000)/1000 ∈ [−1, 1] — fully
+    deterministic pseudo-random planes, reproducible in SQL.
+    Returns (vec_id, label, embedding, bucket:int)."""
+    dims = F.size(F.col("embedding"))
+    bits = []
+    for b in range(n_planes):
+        coef = lambda i, b=b: (
+            (h64(F.concat(F.lit(f"{seed}:{b}:"), i.cast("string"))) % 2001) - 1000
+        ) / 1000.0
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), dims - 1),
+                lambda x, i: x * coef(i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for t in bits[1:]:
+        bucket = bucket + t
+    return emb.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_topk(emb: DataFrame, qvec: Column, k: int = 10, n_planes: int = 8) -> DataFrame:
+    """ANN search: hash query + corpus with the same planes, scan only the
+    query's bucket, exact re-rank inside it. Recall rises with fewer
+    planes / multiple tables; this single-table form is the scale skeleton."""
+    hashed = lsh_bucket(emb, n_planes)
+    qdf = hashed.sparkSession.range(1).select(qvec.alias("embedding"))
+    qbucket = lsh_bucket(qdf, n_planes).select("bucket")
+    return (
+        hashed.join(F.broadcast(qbucket), "bucket")
+        .withColumn("cos_sim", cosine(F.col("embedding"), qvec))
+        .select("vec_id", "label", "cos_sim")
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

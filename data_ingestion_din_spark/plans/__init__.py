@@ -1,0 +1,14 @@
+"""Query plans: named, oracle-checked dataflows over the fixture tables.
+
+Importing the submodules populates the registry (``QUERIES`` / ``ORACLES``)
+consumed by ``__spark_entry__.py``.
+"""
+
+from data_ingestion_din_spark.plans.registry import ORACLES, QUERIES, query  # noqa: F401
+
+# Import for registration side effects.
+from data_ingestion_din_spark.plans import relational  # noqa: F401,E402
+from data_ingestion_din_spark.plans import events  # noqa: F401,E402
+from data_ingestion_din_spark.plans import text_pipeline  # noqa: F401,E402
+from data_ingestion_din_spark.plans import dedup_queries  # noqa: F401,E402
+from data_ingestion_din_spark.plans import similarity_queries  # noqa: F401,E402

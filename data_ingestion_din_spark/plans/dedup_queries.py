@@ -1,0 +1,257 @@
+"""Oracle-checked dedup queries over the ``documents`` / ``embeddings``
+fixtures, wrapping operators/dedup.py. See that module for scale notes.
+
+Oracle construction notes:
+- member lists are emitted as a comma-joined string (`string_agg ... ORDER
+  BY`) so value hashing never depends on array encoding;
+- all integer hashes are the portable md5-based ``h64`` (functions/hashing);
+- the simhash oracle SQL is generated programmatically (16 bit-sum columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_din_spark.functions.hashing import h64_sql
+from data_ingestion_din_spark.operators import dedup as D
+from data_ingestion_din_spark.plans.registry import query
+from data_ingestion_din_spark.sources.tables import load_table
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+_FP_SQL = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+_N_MINHASH = 4
+
+
+# --------------------------------------------------------------------------
+# dedup_exact — J2/U4 generalized: md5-fingerprint dedup, lowest doc_id
+# wins (explicit priority — SURVEY.md §7.4.2 first-match-wins).
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp
+    FROM (SELECT doc_id, {_FP_SQL} AS fp FROM documents)
+    GROUP BY fp
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.exact_dedup(docs)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "fp")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_wordset — normalized-key dedup: sorted distinct word set. The
+# fixture corpus contains genuine word-set duplicates (probe: Jaccard-1.0
+# pairs), so this removes rows that exact dedup keeps.
+# --------------------------------------------------------------------------
+_WORDSET_KEY_SQL = (
+    f"md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' '))"
+)
+
+
+@query(
+    "dedup_wordset",
+    oracle=f"""
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, wk
+    FROM (SELECT doc_id, {_WORDSET_KEY_SQL} AS wk FROM documents)
+    GROUP BY wk
+    ORDER BY doc_id
+    """,
+)
+def dedup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.wordset_dedup(docs)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "wk")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# minhash_signatures — per-doc MinHash signature (4 seeded hash slots over
+# the distinct-word shingle set).
+# --------------------------------------------------------------------------
+def _mh_sql(i: int) -> str:
+    return f"CAST(min({h64_sql('tok', f'mh{i}:')}) AS BIGINT) AS mh{i}"
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents
+    )
+    SELECT doc_id, {", ".join(_mh_sql(i) for i in range(_N_MINHASH))}
+    FROM tok
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, _N_MINHASH).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_groups — LSH band over the full signature: candidate
+# duplicate groups (group_size > 1).
+# --------------------------------------------------------------------------
+_SIG_CTE = f"""
+    tok AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, {", ".join(_mh_sql(i) for i in range(_N_MINHASH))}
+      FROM tok GROUP BY doc_id
+    )
+"""
+
+_BAND_SQL = (
+    "md5("
+    + " || ',' || ".join(f"CAST(mh{i} AS VARCHAR)" for i in range(_N_MINHASH))
+    + ")"
+)
+
+
+@query(
+    "dedup_minhash_groups",
+    oracle=f"""
+    WITH {_SIG_CTE}
+    SELECT band_key,
+           CAST(count(*) AS BIGINT) AS group_size,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+    FROM (SELECT doc_id, {_BAND_SQL} AS band_key FROM sig)
+    GROUP BY band_key
+    HAVING count(*) > 1
+    ORDER BY band_key
+    """,
+)
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    groups = D.minhash_dup_groups(docs, _N_MINHASH)
+    return (
+        groups.select(
+            "band_key",
+            "group_size",
+            F.array_join(
+                F.transform(F.col("members"), lambda m: m.cast("string")), ","
+            ).alias("members"),
+        )
+        .orderBy("band_key")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash_groups — 16-bit SimHash over the token multiset; groups of
+# identical fingerprints are near-dup candidates.
+# --------------------------------------------------------------------------
+_BITS = D.SIMHASH_BITS
+_BIT_SUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_BITS)
+)
+_BIT_ASSEMBLE = " + ".join(
+    f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(_BITS)
+)
+
+
+@query(
+    "dedup_simhash_groups",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    h AS (SELECT doc_id, {h64_sql('tok')} AS h FROM tok),
+    s AS (SELECT doc_id, {_BIT_SUMS} FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, CAST({_BIT_ASSEMBLE} AS BIGINT) AS simhash FROM s)
+    SELECT simhash,
+           CAST(count(*) AS BIGINT) AS group_size,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+    FROM sh
+    GROUP BY simhash
+    HAVING count(*) > 1
+    ORDER BY simhash
+    """,
+)
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    groups = D.simhash_dup_groups(docs, _BITS)
+    return (
+        groups.select(
+            "simhash",
+            "group_size",
+            F.array_join(
+                F.transform(F.col("members"), lambda m: m.cast("string")), ","
+            ).alias("members"),
+        )
+        .orderBy("simhash")
+    )
+
+
+# --------------------------------------------------------------------------
+# ngram_jaccard_top20 — 3-gram shingle Jaccard, top-20 most similar pairs
+# via the inverted-index join (no cartesian product).
+# --------------------------------------------------------------------------
+@query(
+    "ngram_jaccard_top20",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.ngram_jaccard_pairs(docs, n=3)
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_near_dup — embedding-cosine near-duplicate pairs (≥ 0.4;
+# fixture max ≈ 0.51). Exact decimal dot products on both sides.
+# --------------------------------------------------------------------------
+from data_ingestion_din_spark.functions.vectors import cosine_exact_sql  # noqa: E402
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {cosine_exact_sql('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {cosine_exact_sql('a.embedding', 'b.embedding')} >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        D.embedding_near_dup_pairs(emb, threshold=0.4)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,275 @@
+"""Event-stream operators in batch form: windows, sessions, JSON, pivot.
+
+The reference has no streaming surface (SURVEY.md §2.11) — these are the
+net-new stream-table operators required by the north star, expressed here
+as batch plans over the ``events`` fixture so the DuckDB oracle can check
+them; `streaming/windows.py` runs the same logic as Structured Streaming
+with watermarks.
+
+Windows are epoch-aligned (Spark `F.window` semantics); the oracles
+reproduce the alignment arithmetic explicitly with integer-microsecond
+math (`unix_micros`/`epoch_us`) so both engines bucket identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from data_ingestion_din_spark.plans._exact import dec_to_double
+from data_ingestion_din_spark.plans.registry import query
+from data_ingestion_din_spark.sources.tables import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _dec2(c):
+    return F.col(c).cast("decimal(12,2)")
+
+
+# --------------------------------------------------------------------------
+# events_tumbling_5min — tumbling-window aggregate (streaming §2.11 analog).
+# Spark: F.window(ts, "5 minutes"); oracle reproduces epoch alignment.
+# --------------------------------------------------------------------------
+@query(
+    "events_tumbling_5min",
+    oracle="""
+    SELECT
+      make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
+      event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      (CAST((sum(CAST(value AS DECIMAL(12,2)))) * 100 AS BIGINT) / 100.0) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_to_double(F.sum(_dec2("value")), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_sliding_10min — sliding window (10 min length, 5 min slide): each
+# event lands in exactly two windows. Oracle materializes both candidate
+# starts per event (s1 = floor(t/300)*300, s2 = s1-300).
+# --------------------------------------------------------------------------
+@query(
+    "events_sliding_10min",
+    oracle="""
+    WITH expanded AS (
+      SELECT make_timestamp((((epoch_us(ts) // 300000000) - off) * 300) * 1000000)
+               AS window_start,
+             value
+      FROM events, (VALUES (0), (1)) AS offs(off)
+    )
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (CAST((sum(CAST(value AS DECIMAL(12,2)))) * 100 AS BIGINT) / 100.0) AS total_value
+    FROM expanded
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_to_double(F.sum(_dec2("value")), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_sessionized — sessionization via lag + cumulative break-flag sum
+# (the same pattern as the reference's adjacent-block merge W4,
+# ingestion/pdf_parser.py:184-254, and chunk grouping W5,
+# backend/services/chunking.py:216-298). Gap threshold 30 minutes.
+# --------------------------------------------------------------------------
+@query(
+    "events_sessionized",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, value,
+             sum(brk) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (CAST((sum(CAST(value AS DECIMAL(12,2)))) * 100 AS BIGINT) / 100.0) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_ord))
+    flagged = ev.withColumn(
+        "brk",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("brk").over(w_run))
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dec_to_double(F.sum(_dec2("value")), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("bigint").alias("session_seq"),
+            "session_start",
+            "session_end",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_json_props — JSON property extraction (`props` bag ↔ reference
+# `extra: Dict[str,Any]` open property bag, ingestion/schema.py:114).
+# --------------------------------------------------------------------------
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object(F.col("props"), "$.k").cast("bigint")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_type_pivot — pivot to one column per event type (reference has no
+# pivot; SURVEY.md §2.5 notes it comes free with Spark SQL).
+# --------------------------------------------------------------------------
+@query(
+    "events_type_pivot",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    cols = [F.col("user_bucket")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in EVENT_TYPES
+    ]
+    return pivoted.select(*cols).orderBy("user_bucket")
+
+
+# --------------------------------------------------------------------------
+# clicks_on_error_free_days — per-key anti join: click events on (user, day)
+# pairs with no error event. Direct analog of the reference's J1
+# camelot-vs-vision conflict resolution (keep vision tables only on pages
+# where Camelot found nothing, ingestion/table_extractor.py:785-806).
+# --------------------------------------------------------------------------
+@query(
+    "clicks_on_error_free_days",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_clicks
+    FROM events e
+    WHERE event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events x
+        WHERE x.event_type = 'error'
+          AND x.user_id = e.user_id
+          AND date_trunc('day', x.ts) = date_trunc('day', e.ts)
+      )
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def clicks_on_error_free_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .distinct()
+    )
+    return (
+        clicks.join(errors, ["user_id", "day"], "left_anti")
+        .groupBy("day", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .select("day", "user_id", "n_clicks")
+        .orderBy("day", "user_id")
+    )

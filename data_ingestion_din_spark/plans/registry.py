@@ -1,0 +1,52 @@
+"""Registry of named queries and their DuckDB oracle SQL.
+
+Every operator the engine claims (SURVEY.md §2) is declared here as a
+``(spark, sf_dir) -> DataFrame`` callable plus, where SQL-expressible, an
+equivalent ANSI-SQL oracle the driver runs in DuckDB at sf0.01. Column names
+are aliased identically on both sides — the driver's compare sorts columns
+by name before hashing values.
+
+Cross-engine determinism rules (applied consistently in both formulations):
+
+- **Money/metric aggregates go through DECIMAL.** Double summation is
+  order-dependent, so two engines summing in different orders drift in the
+  low bits. Casting inputs to ``DECIMAL(18,4)`` (and products to
+  ``DECIMAL(30,8)``) makes the arithmetic exact and associative — both
+  engines produce bit-identical results; the final value is cast to DOUBLE
+  (deterministic) and rounded.
+- **Counts are cast to BIGINT** (DuckDB sums of INTEGER return HUGEINT).
+- **Top-k / LIMIT always orders by a complete key** (unique tiebreaker) so
+  ties cannot make results engine-dependent.
+- **Portable hashing** uses ``md5`` (identical hex in both engines);
+  numeric hashes take the first 15 hex chars as a 60-bit integer
+  (Spark ``conv(_,16,10)``, DuckDB ``('0x'||_)::BIGINT``).
+- **Timestamps**: Spark session TZ pinned to UTC; sub-second math uses
+  integer microseconds (``unix_micros`` / ``epoch_us``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query; ``oracle`` is DuckDB SQL over the fixture
+    views, or None for genuinely non-SQL-expressible ops (driver then does a
+    weaker rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco

@@ -1,0 +1,417 @@
+"""Relational core: scans, joins, aggregations, windows, top-k, set ops.
+
+The reference has no general relational engine — its aggregations are
+pandas folds over one extracted table at a time (``compute_from_table``,
+ingestion/table_extractor.py:824-848) and its "joins" are keyed merges
+(SURVEY.md §2.4-2.5). Spark SQL provides the general surface; these plans
+declare it over the fixture star schema so the whole family (hash/broadcast
+joins, partial aggregation, window frames, anti/semi joins, rollup) is
+exercised and oracle-checked.
+
+Determinism: decimal-exact aggregation with the plans/_exact.py conversion
+recipe, complete ordering keys, BIGINT counts (see plans/registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from data_ingestion_din_spark.plans._exact import dec_to_double, dec_to_double_sql
+from data_ingestion_din_spark.plans.registry import query
+from data_ingestion_din_spark.sources.tables import load_table
+
+
+def _dec2(c):  # money/quantity columns (2 true decimals in fixtures)
+    return F.col(c).cast("decimal(12,2)")
+
+
+def _fac(expr):  # (1 ± x) factors — also 2-decimal in fixtures
+    return expr.cast("decimal(8,2)")
+
+
+_D2 = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_DISC = "CAST(1 - l_discount AS DECIMAL(8,2))"
+_TAX = "CAST(1 + l_tax AS DECIMAL(8,2))"
+# product scales: price(s2) × fac(s2) → s4; × fac(s2) → s6
+_REV_SQL = dec_to_double_sql(f"sum({_D2} * {_DISC})", 4)
+
+
+# --------------------------------------------------------------------------
+# q1_pricing_summary — TPC-H Q1 shape: the canonical wide aggregate.
+# Exercises: parquet scan w/ predicate pushdown, map-side partial agg,
+# 2-key groupBy, decimal-exact sums (SURVEY.md §2.5 A2 generalized).
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {dec_to_double_sql("sum(CAST(l_quantity AS DECIMAL(12,2)))", 2)} AS sum_qty,
+      {dec_to_double_sql(f"sum({_D2})", 2)} AS sum_base_price,
+      {dec_to_double_sql(f"sum({_D2} * {_DISC})", 4)} AS sum_disc_price,
+      {dec_to_double_sql(f"sum(({_D2} * {_DISC}) * {_TAX})", 6)} AS sum_charge,
+      {dec_to_double_sql("sum(CAST(l_quantity AS DECIMAL(12,2)))", 2)}
+        / CAST(count(*) AS BIGINT) AS avg_qty,
+      {dec_to_double_sql(f"sum({_D2})", 2)}
+        / CAST(count(*) AS BIGINT) AS avg_price,
+      CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec2("l_extendedprice") * _fac(F.lit(1) - F.col("l_discount"))
+    charge = disc_price * _fac(F.lit(1) + F.col("l_tax"))
+    agg = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec2("l_quantity")).alias("_sq"),
+            F.sum(_dec2("l_extendedprice")).alias("_sp"),
+            F.sum(disc_price).alias("_sd"),
+            F.sum(charge).alias("_sc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        dec_to_double(F.col("_sq"), 2).alias("sum_qty"),
+        dec_to_double(F.col("_sp"), 2).alias("sum_base_price"),
+        dec_to_double(F.col("_sd"), 4).alias("sum_disc_price"),
+        dec_to_double(F.col("_sc"), 6).alias("sum_charge"),
+        (dec_to_double(F.col("_sq"), 2) / F.col("count_order")).alias("avg_qty"),
+        (dec_to_double(F.col("_sp"), 2) / F.col("count_order")).alias("avg_price"),
+        F.col("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+# --------------------------------------------------------------------------
+# q3_shipping_priority — TPC-H Q3 shape: selective 3-way join + top-k.
+# customer is small → broadcast; revenue is decimal-exact so the top-10
+# cut is identical across engines (full ordering key incl. o_orderkey).
+# --------------------------------------------------------------------------
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT
+      l_orderkey,
+      {_REV_SQL} AS revenue,
+      o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    revenue = _dec2("l_extendedprice") * _fac(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_to_double(F.sum(revenue), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q5_region_revenue — TPC-H Q5 shape: star join through two dims.
+# region/nation/supplier are tiny → broadcast chain; one shuffle for the
+# final groupBy. At 100 TB the only large shuffle is lineitem⋈orders.
+# --------------------------------------------------------------------------
+@query(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT
+      n_name,
+      {_REV_SQL} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dec2("l_extendedprice") * _fac(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_to_double(F.sum(revenue), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# top_customers_per_nation — grouped top-k (reference W9/O4 rank-by-score,
+# backend/services/rag.py:384-397, generalized): row_number window ≤ k.
+# --------------------------------------------------------------------------
+@query(
+    "top_customers_per_nation",
+    oracle="""
+    SELECT n_name, c_name,
+           CAST(c_acctbal AS DOUBLE) AS acctbal,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT n_name, c_name, c_acctbal,
+             row_number() OVER (
+               PARTITION BY n_name
+               ORDER BY c_acctbal DESC, c_custkey
+             ) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    WHERE rn <= 3
+    ORDER BY n_name, rn
+    """,
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "n_name",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+        .orderBy("n_name", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# customer_running_revenue — running-total window frame (reference O6
+# context-budget accumulation, backend/services/rag.py:273-299, as a
+# relational frame). Decimal cumulative sum → exact in both engines.
+# --------------------------------------------------------------------------
+@query(
+    "customer_running_revenue",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           {dec_to_double_sql('''sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )''', 2)} AS running_spend
+    FROM orders
+    WHERE o_custkey <= 100
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.withColumn(
+            "running_spend", dec_to_double(F.sum(_dec2("o_totalprice")).over(w), 2)
+        )
+        .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend")
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# parts_never_discounted — anti join (reference J1 conflict resolution,
+# ingestion/table_extractor.py:785-806: keep left rows with no match on the
+# keyed right side).
+# --------------------------------------------------------------------------
+@query(
+    "parts_never_discounted",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_partkey NOT IN (
+      SELECT l_partkey FROM lineitem WHERE l_discount > 0.08
+    )
+    ORDER BY p_partkey
+    """,
+)
+def parts_never_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    discounted = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.08)
+        .select("l_partkey")
+    )
+    return (
+        part.join(discounted, part.p_partkey == discounted.l_partkey, "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# late_shipment_orders — semi join (TPC-H Q4 shape; reference F6 metadata
+# post-filter "doc_id ∈ set", backend/services/vector_store.py:212-260,
+# as a relational EXISTS).
+# --------------------------------------------------------------------------
+@query(
+    "late_shipment_orders",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late_orders = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late_orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# nation_customer_rollup — ROLLUP grouping sets (absent from the reference
+# — SURVEY.md §2.5 note — native in Spark SQL; exercised for completeness).
+# --------------------------------------------------------------------------
+@query(
+    "nation_customer_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           CAST(count(c_custkey) AS BIGINT) AS n_customers,
+           {dec_to_double_sql("sum(CAST(c_acctbal AS DECIMAL(12,2)))", 2)}
+             AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def nation_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            dec_to_double(F.sum(_dec2("c_acctbal")), 2).alias("total_acctbal"),
+        )
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# segment_median_order — exact median via window (reference A1 page-median
+# font size, ingestion/pdf_parser.py:297-305). Implemented with
+# row_number + middle-row average instead of percentile_approx so both
+# engines compute the identical exact value.
+# --------------------------------------------------------------------------
+@query(
+    "segment_median_order",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT c_mktsegment,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             row_number() OVER (
+               PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey
+             ) AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_mktsegment,
+           {dec_to_double_sql("sum(price)", 2)} / CAST(count(*) AS BIGINT)
+             AS median_price
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def segment_median_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w_rank = W.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    w_all = W.partitionBy("c_mktsegment")
+    ranked = joined.select(
+        "c_mktsegment",
+        _dec2("o_totalprice").alias("price"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    middle = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return (
+        middle.groupBy("c_mktsegment")
+        .agg(
+            (dec_to_double(F.sum("price"), 2) / F.count(F.lit(1))).alias(
+                "median_price"
+            )
+        )
+        .orderBy("c_mktsegment")
+    )

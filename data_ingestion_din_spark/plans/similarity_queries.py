@@ -1,0 +1,138 @@
+"""Oracle-checked similarity-search queries over ``embeddings``, wrapping
+operators/similarity.py (the DataFrame-native replacement for the
+reference's Chroma kNN, backend/services/vector_store.py:263-341).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_din_spark.functions.vectors import cosine_exact, cosine_exact_sql
+from data_ingestion_din_spark.plans.registry import query
+from data_ingestion_din_spark.sources.tables import load_table
+
+
+def _with_query_vec(emb: DataFrame, query_id: int) -> DataFrame:
+    """Attach the query vector (row ``query_id``) to every row via a
+    broadcast single-row cross join — no driver-side collect, same shape
+    the engine uses when the query vector arrives from an embedding UDF."""
+    q = (
+        emb.filter(F.col("vec_id") == query_id)
+        .select(
+            F.col("embedding").alias("q_embedding"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    return emb.crossJoin(F.broadcast(q))
+
+
+# --------------------------------------------------------------------------
+# similarity_topk — exact brute-force cosine top-10 for query vec_id=0
+# (reference O3 vector top-k). TakeOrderedAndProject: per-task heaps, no
+# global sort.
+# --------------------------------------------------------------------------
+@query(
+    "similarity_topk",
+    oracle=f"""
+    SELECT e.vec_id, e.label,
+           {cosine_exact_sql('e.embedding', 'q.embedding')} AS cos_sim
+    FROM embeddings e,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = _with_query_vec(emb, 0).filter(F.col("vec_id") != 0)
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            cosine_exact(F.col("embedding"), F.col("q_embedding")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity_ivf_label — IVF-style coarse pruning: search only the query's
+# label partition. At scale the label is a Parquet partition key → the
+# scan skips every other partition at file-listing time.
+# --------------------------------------------------------------------------
+@query(
+    "similarity_ivf_label",
+    oracle=f"""
+    SELECT e.vec_id, e.label,
+           {cosine_exact_sql('e.embedding', 'q.embedding')} AS cos_sim
+    FROM embeddings e,
+         (SELECT embedding, label FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0 AND e.label = q.label
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = (
+        _with_query_vec(emb, 0)
+        .filter((F.col("vec_id") != 0) & (F.col("label") == F.col("q_label")))
+    )
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            cosine_exact(F.col("embedding"), F.col("q_embedding")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_label_centroids — per-label centroid components (the k-means
+# E-step / IVF training aggregate): posexplode dims → decimal-exact mean
+# per (label, dim). One shuffle keyed by (label, dim).
+# --------------------------------------------------------------------------
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH d AS (
+      SELECT label, embedding, unnest(range(1, 65)) AS dim FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           (CAST(sum(CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000)
+                          AS BIGINT)) AS DOUBLE) / 1000000.0)
+             / CAST(count(*) AS BIGINT) AS centroid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM d
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).select("label", (F.col("pos") + 1).cast("int").alias("dim"), "val")
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.sum(
+                F.floor(F.col("val").cast("double") * 1_000_000).cast("bigint")
+            ).alias("_s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "dim",
+            ((F.col("_s").cast("double") / F.lit(1_000_000.0)) / F.col("n")).alias(
+                "centroid"
+            ),
+            "n",
+        )
+        .orderBy("label", "dim")
+    )

@@ -1,0 +1,231 @@
+"""Document text pipeline: cleaning, token stats, language ID, quality,
+chunking, word frequency — over the ``documents`` fixture table.
+
+These are the Spark-first restatement of the reference's text path
+(clean → analyze → chunk; SURVEY.md §3.1) plus the training-data text
+analysis the north star requires. Everything is a column expression; the
+per-doc work needs no shuffle at all (narrow), the corpus-level word
+frequency is one shuffle on the token.
+
+Oracle note: tokenization is `string_split` + empty filter on both sides;
+all ratios divide integers (deterministic doubles); fingerprints are md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_din_spark.functions.analysis import (
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    tokens,
+)
+from data_ingestion_din_spark.functions.text import clean_text, clean_text_sql
+from data_ingestion_din_spark.plans.registry import query
+from data_ingestion_din_spark.sources.tables import load_table
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+_STOP_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+# --------------------------------------------------------------------------
+# doc_token_stats — token counting + fingerprinting (north-star text
+# analysis; reference A6 token-set math generalized). Pure array
+# expressions: no explode, no shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / CAST(len(toks) AS BIGINT) AS avg_token_len,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+        (sum_len.cast("double") / F.size(toks)).alias("avg_token_len"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# doc_language_quality — language ID + quality scoring (north-star text
+# analysis; generalizes the reference's noise heuristics,
+# ingestion/cleaner.py:62-84). Expression structure mirrors the oracle
+# exactly so double arithmetic is bit-identical.
+# --------------------------------------------------------------------------
+@query(
+    "doc_language_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             len(list_filter(toks, x -> list_contains({_STOP_LIST_SQL}, x)))
+               AS n_stop,
+             length(regexp_replace(text, '[^A-Za-z0-9฀-๿]', '', 'g'))
+               AS n_word,
+             length(regexp_replace(text, '[^฀-๿]', '', 'g')) AS n_thai,
+             length(text) AS n_chars
+      FROM t
+    )
+    SELECT doc_id,
+           CASE
+             WHEN n_thai / greatest(n_chars, 1) > 0.3 THEN 'th'
+             WHEN n_stop / greatest(n_tok, 1) > 0.02 THEN 'en'
+             ELSE 'unk'
+           END AS lang_guess,
+           least(n_tok / 20.0, 1.0) * 0.4
+             + (n_word / greatest(n_chars, 1)) * 0.3
+             + least((n_stop / greatest(n_tok, 1)) / 0.1, 1.0) * 0.3
+             AS quality
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def doc_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        lang_id(F.col("text"), toks).alias("lang_guess"),
+        quality_score(F.col("text"), toks).alias("quality"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# doc_clean_roundtrip — the unified clean_text chain (F1/F3, four
+# duplicated implementations in the reference — SURVEY.md §2.9) proven on
+# deliberately dirtied input: tab prefix, doubled spaces, trailing newline
+# runs. Output is the cleaned-text fingerprint + length.
+# --------------------------------------------------------------------------
+_DIRTY_SQL = (
+    "chr(9) || replace(text, ' ', '  ') || chr(10)||chr(10)||chr(10)||chr(10) || 'x'"
+)
+
+
+@query(
+    "doc_clean_roundtrip",
+    oracle=f"""
+    SELECT doc_id,
+           md5({clean_text_sql(_DIRTY_SQL)}) AS clean_fp,
+           CAST(length({clean_text_sql(_DIRTY_SQL)}) AS BIGINT) AS clean_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_clean_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("\t"),
+        F.regexp_replace(F.col("text"), " ", "  "),
+        F.lit("\n\n\n\n"),
+        F.lit("x"),
+    )
+    cleaned = clean_text(dirty, thai=False)
+    return docs.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_fp"),
+        F.length(cleaned).cast("bigint").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# doc_fixed_chunks — the minimum-slice chunker (SURVEY.md §7.2; simplified
+# W5): fixed 50-token chunks, content-addressed chunk ids in the
+# reference's `{doc_id}::{md5[:8]}` format
+# (backend/services/chunking.py:401-415). sequence → explode keeps the
+# token slicing JVM-side; no Python, no shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "doc_fixed_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 50.0) AS BIGINT))) AS chunk_idx
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, chunk_idx,
+             array_to_string(
+               list_slice(toks, chunk_idx * 50 + 1, chunk_idx * 50 + 50), ' '
+             ) AS content
+      FROM idx
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(doc_id AS VARCHAR) || '::' || substr(md5(content), 1, 8)
+             AS chunk_id,
+           CAST(length(content) AS BIGINT) AS n_chars
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_fixed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(50.0)).cast("bigint")
+    exploded = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    content = F.concat_ws(
+        " ",
+        F.slice(F.col("toks"), (F.col("chunk_idx") * 50 + 1).cast("int"), F.lit(50)),
+    )
+    return (
+        exploded.select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("::"),
+                F.substring(F.md5(content), 1, 8),
+            ).alias("chunk_id"),
+            F.length(content).cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_word_freq — corpus-level top-50 word frequency (the one text op
+# that genuinely shuffles; token-keyed, map-side partial agg first).
+# --------------------------------------------------------------------------
+@query(
+    "corpus_word_freq",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok
+    GROUP BY tok
+    ORDER BY cnt DESC, tok
+    LIMIT 50
+    """,
+)
+def corpus_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(50)
+    )

@@ -1,0 +1,60 @@
+"""Parquet table catalog for the synthetic fixture star schema.
+
+The driver generates TPC-H-ish tables plus ``events`` (stream fixture),
+``documents`` (parsed-document stand-in — reference ``TextBlock.content``,
+ingestion/schema.py:109) and ``embeddings`` (chunk-embedding records —
+reference backend/services/embeddings.py:74-110). See TESTDATA.md.
+
+At 100 TB these would be partitioned/Delta tables; the loader is the single
+place that changes — every downstream operator is a pure DataFrame function.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Plain parquet scan → full predicate pushdown
+    and column pruning apply to everything built on top.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as a
+    nanosecond LONG (``spark.sql.legacy.parquet.nanosAsLong``, set in
+    session.py); converted here to a microsecond TimestampType (the fixture
+    generator emits µs-aligned values, so the truncation is lossless)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load all fixture tables; optionally register each as a temp view so
+    SQL-form plans can refer to them by name."""
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs
