@@ -1,0 +1,97 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced to full materialization with the noop sink (all
+columns computed, nothing collected to the driver). Session startup is
+excluded; a small warmup query amortizes JVM/codegen cost so the numbers
+reflect steady-state plan execution.
+
+Query selection: every operator family with a scale story — wide agg,
+join+top-k, star join, windows, sessionization, dedup (exact/normalized/
+minhash/simhash), text analysis, chunking, similarity. The all-pairs
+near-dup baselines (O(n²) by definition) are excluded from the headline
+timing — their scale path is the LSH/IVF variants, which are included.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customers_per_nation",
+    "customer_running_revenue",
+    "parts_never_discounted",
+    "late_shipment_orders",
+    "nation_customer_rollup",
+    "segment_median_order",
+    "events_tumbling_5min",
+    "events_sliding_10min",
+    "events_sessionized",
+    "events_json_props",
+    "events_type_pivot",
+    "clicks_on_error_free_days",
+    "doc_token_stats",
+    "doc_language_quality",
+    "doc_clean_roundtrip",
+    "doc_fixed_chunks",
+    "corpus_word_freq",
+    "dedup_exact",
+    "dedup_wordset",
+    "minhash_signatures",
+    "dedup_minhash_groups",
+    "dedup_simhash_groups",
+    "similarity_topk",
+    "similarity_ivf_label",
+    "embedding_label_centroids",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from data_ingestion_din_spark.plans import QUERIES
+    from data_ingestion_din_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("q1_pricing_summary")  # warmup (JVM + codegen + parquet footer cache)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
