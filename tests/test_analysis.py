@@ -1,0 +1,81 @@
+"""Unit tests for text analysis + hashing expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_din_spark.functions.analysis import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    regex_token_count,
+    tokens,
+    word_shingles,
+)
+from data_ingestion_din_spark.functions.hashing import h64, minhash
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("a b  c d",), ("x",), ("",)], ["x"])
+    toks = df.select(tokens(F.col("x")).alias("t"))
+    assert [r.t for r in toks.collect()] == [["a", "b", "c", "d"], ["x"], []]
+    sh = df.select(word_shingles(tokens(F.col("x")), 3).alias("s"))
+    assert [r.s for r in sh.collect()] == [["a b c", "b c d"], [], []]
+
+
+def test_regex_token_count(spark):
+    df = spark.createDataFrame([("hello, world! ไทย 42",)], ["x"])
+    # tokens: hello , world ! ไทย 42  → 6
+    assert df.select(regex_token_count(F.col("x"))).collect()[0][0] == 6
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",),
+         ("ข้อมูลการเงินของกระทรวง",),
+         ("zzz qqq www",)],
+        ["x"],
+    )
+    out = [r[0] for r in df.select(lang_id(F.col("x"), tokens(F.col("x")))).collect()]
+    assert out == ["en", "th", "unk"]
+
+
+def test_quality_score_monotonicity(spark):
+    good = "the value of a part is the sum of the line items in the order " * 3
+    bad = "@@ ## !!"
+    df = spark.createDataFrame([(good,), (bad,)], ["x"])
+    out = [
+        r[0]
+        for r in df.select(
+            quality_score(F.col("x"), tokens(F.col("x")))
+        ).collect()
+    ]
+    assert out[0] > 0.8 and out[1] < 0.3
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame([("A  B\tC",), ("a b c",)], ["x"])
+    fps = [r[0] for r in df.select(fingerprint(F.col("x"))).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_h64_known_value(spark):
+    # Cross-engine anchor: DuckDB CAST(('0x'||substr(md5('mh0:spark'),1,15))
+    # AS BIGINT) = 523004158102432530.
+    v = spark.range(1).select(h64(F.lit("spark"), "mh0:")).collect()[0][0]
+    assert v == 523004158102432530
+
+
+def test_minhash_seeds_differ(spark):
+    # Regression for the transform-lambda arity bug: each slot must use its
+    # own seed, so slots must (w.h.p.) differ on the same input.
+    df = spark.createDataFrame([(["a", "b", "c"],)], ["sh"])
+    row = df.select(*minhash(F.col("sh"), 4)).collect()[0]
+    assert len({row.mh0, row.mh1, row.mh2, row.mh3}) == 4
+
+
+def test_minhash_permutation_invariance(spark):
+    # MinHash is a set signature: order must not matter.
+    df = spark.createDataFrame([(["a", "b", "c"],), (["c", "a", "b"],)], ["sh"])
+    rows = df.select(*minhash(F.col("sh"), 2)).collect()
+    assert rows[0] == rows[1]

@@ -1,0 +1,72 @@
+"""Operator tests for the dedup family on crafted micro-corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_din_spark.operators import dedup as D
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_keeps_lowest_doc_id(spark):
+    docs = _docs(spark, ["same text", "same  TEXT", "other"])
+    # fingerprint normalizes whitespace+case → docs 0,1 collide; 0 wins.
+    out = D.exact_dedup(docs).select("doc_id").orderBy("doc_id")
+    assert [r.doc_id for r in out.collect()] == [0, 2]
+
+
+def test_wordset_dedup_is_order_and_multiplicity_invariant(spark):
+    docs = _docs(spark, ["a b c", "c b a", "a a b c c", "a b d"])
+    out = D.wordset_dedup(docs).select("doc_id").orderBy("doc_id")
+    assert [r.doc_id for r in out.collect()] == [0, 3]
+
+
+def test_minhash_groups_find_wordset_dups(spark):
+    docs = _docs(spark, ["a b c", "c b a", "x y z"])
+    groups = D.minhash_dup_groups(docs, n_hashes=4).collect()
+    assert len(groups) == 1
+    assert groups[0].members == [0, 1]
+
+
+def test_simhash_equal_for_identical_multisets(spark):
+    docs = _docs(spark, ["a b c c", "c a b c", "q w e r t y u i o p"])
+    sims = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert sims[0] == sims[1]
+    assert sims[0] != sims[2]
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    docs = _docs(spark, ["a b c d e", "a b c d e", "a b c x e"])
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, n=3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    # docs 0 and 2 share only the first shingle "a b c": |∩|=1, |∪|=5.
+    assert abs(pairs[(0, 2)] - 1 / 5) < 1e-12
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    docs = _docs(spark, ["a b c", "a b c", "a b c", "z z z"])
+    # "a b c" occurs in 3 docs; cap at 2 removes it → no candidate pairs.
+    assert D.ngram_jaccard_pairs(docs, n=3, max_shingle_freq=2).count() == 0
+
+
+def test_embedding_near_dup_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.001, 0.0]),   # ~same direction as 0
+            (2, [0.0, 1.0, 0.0]),     # orthogonal
+        ],
+        ["vec_id", "embedding"],
+    )
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<float>"))
+    pairs = D.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+    assert pairs[0].cos_sim > 0.999
