@@ -1,0 +1,126 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+Arrow-batched (mapInPandas) decode/feature stages.
+
+The reference handles images as files on disk re-referenced by path
+(ingestion/docling_parser.py:32-93, ingestion/image_extractor.py) and
+sends them one-at-a-time to a vision model with 15 s sleeps
+(ingestion/image_extractor.py:64-103,150-158). The Spark-native design:
+``spark.read.format("binaryFile")`` → a ``content: binary`` column flows
+through the DataFrame like any other; decode / resize / feature-extract
+are ``mapInPandas`` stages that see Arrow record batches, with the heavy
+library loaded once per executor — no per-item process spawn, no sleeps,
+batch-size-bounded memory.
+
+The image/audio codec libraries are NOT in this container, so the decode
+kernel is stubbed (clearly marked): ``decode_stub=True`` derives
+deterministic fake metadata from the payload bytes; ``decode_stub=False``
+raises NotImplementedError where Pillow/librosa would be called. The
+Spark-side plumbing — schema, batch iteration, partitioning, UDF
+signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+_MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"GIF8": "gif",
+    b"RIFF": "riff",
+}
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """binaryFile scan: (path, modificationTime, length, content). Pushdown
+    applies to path/length filters; content stays columnar until a decode
+    stage touches it."""
+    return (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
+
+
+def _sniff_format(payload: bytes) -> str:
+    for magic, name in _MAGIC.items():
+        if payload[: len(magic)] == magic:
+            return name
+    return "unknown"
+
+
+def decode_media(
+    binary_df: DataFrame, decode_stub: bool = True, feature_dims: int = 8
+) -> DataFrame:
+    """Decode/feature-extract stage over a binaryFile DataFrame.
+
+    STUB: with ``decode_stub=True`` (default — codec libs absent in this
+    image) width/height/feature are derived deterministically from the
+    payload's md5, so tests exercise the full Arrow round-trip with stable
+    outputs. With ``decode_stub=False`` this is where PIL.Image.open /
+    soundfile.read would run per Arrow batch — one import per executor.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        if not decode_stub:
+            raise NotImplementedError(
+                "real media decode requires Pillow/librosa, absent in this "
+                "image; run with decode_stub=True"
+            )
+        for pdf in it:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                payload = bytes(content)
+                h = hashlib.md5(payload).digest()
+                out.append(
+                    {
+                        "path": path,
+                        "media_id": h.hex()[:16],
+                        "n_bytes": len(payload),
+                        "format": _sniff_format(payload),
+                        "width": 1 + h[0],
+                        "height": 1 + h[1],
+                        "feature": [
+                            (h[2 + (i % 12)] - 128.0) / 128.0
+                            for i in range(feature_dims)
+                        ],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA_META_SCHEMA])
+
+    return binary_df.select("path", "content").mapInPandas(
+        batches, schema=MEDIA_META_SCHEMA
+    )
+
+
+def frame_sample_plan(media_meta: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video columns: one row per sampled
+    frame index (explode of a sequence — JVM-side), ready for a per-frame
+    decode stage. Frame count is stubbed as height (deterministic stand-in
+    until a real container parser is wired in)."""
+    return media_meta.select(
+        "media_id",
+        "path",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("height") - 1, F.lit(0)), F.lit(every_n)
+            )
+        ).alias("frame_idx"),
+    )

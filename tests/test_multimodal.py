@@ -1,0 +1,61 @@
+"""Multimodal plumbing tests: binaryFile scan → mapInPandas decode stub →
+frame sampling. Exercises the real Arrow batch path; only the codec call
+itself is stubbed (absent in this image)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from data_ingestion_din_spark.sources.binary import (
+    decode_media,
+    frame_sample_plan,
+    read_binary_dir,
+)
+
+
+@pytest.fixture(scope="module")
+def media_dir():
+    d = tempfile.mkdtemp(prefix="media_")
+    Path(d, "a.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"fakepngdata" * 100)
+    Path(d, "b.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"fakejpeg" * 50)
+    Path(d, "c.bin").write_bytes(b"justbytes")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_binary_scan_and_decode_stub(spark, media_dir):
+    raw = read_binary_dir(spark, media_dir)
+    assert raw.count() == 3
+    meta = decode_media(raw).orderBy("path")
+    rows = meta.collect()
+    by_fmt = {r.path.rsplit("/", 1)[-1]: r for r in rows}
+    assert by_fmt["a.png"].format == "png"
+    assert by_fmt["b.jpg"].format == "jpeg"
+    assert by_fmt["c.bin"].format == "unknown"
+    for r in rows:
+        assert r.n_bytes > 0 and len(r.feature) == 8
+        assert 1 <= r.width <= 256 and 1 <= r.height <= 256
+    # deterministic: same payload → same media_id across runs
+    again = {r.path: r.media_id for r in decode_media(raw).collect()}
+    assert again == {r.path: r.media_id for r in rows}
+
+
+def test_decode_without_stub_raises(spark, media_dir):
+    raw = read_binary_dir(spark, media_dir)
+    with pytest.raises(Exception, match="NotImplementedError|decode_stub"):
+        decode_media(raw, decode_stub=False).collect()
+
+
+def test_frame_sampling(spark, media_dir):
+    meta = decode_media(read_binary_dir(spark, media_dir))
+    frames = frame_sample_plan(meta, every_n=10)
+    pdf = frames.toPandas()
+    heights = {r.media_id: r.height for r in meta.collect()}
+    for mid, grp in pdf.groupby("media_id"):
+        expected = (max(heights[mid] - 1, 0)) // 10 + 1
+        assert len(grp) == expected
+        assert list(grp.frame_idx)[:2] in ([0], [0, 10])

@@ -1,0 +1,126 @@
+"""Structured Streaming tests: windowed aggregates driven through a real
+file-source stream (memory sink, availableNow), and the incremental
+ingest pipeline's exactly-once merge."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_din_spark.sources.tables import load_table
+from data_ingestion_din_spark.streaming.ingest import (
+    DOCUMENTS_SCHEMA,
+    chunk_documents,
+    start_ingest_stream,
+)
+from data_ingestion_din_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """Events fixture re-written with µs timestamps so a schema-declared
+    file stream can read it."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, SF, "events").write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = _run_stream(spark, tumbling_counts(stream), "tumbling_out")
+    batch = tumbling_counts(spark.read.parquet(events_dir))
+    # append mode emits only windows the watermark has closed; every
+    # emitted row must match the batch computation exactly.
+    emitted = out.count()
+    assert emitted > 0
+    joined = out.join(
+        batch, ["window_start", "event_type", "n_events", "total_value"]
+    )
+    assert joined.count() == emitted
+
+
+def test_sliding_stream_runs(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = _run_stream(spark, sliding_counts(stream), "sliding_out")
+    assert out.count() > 0
+
+
+def test_session_stream_matches_batch_sessionize(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = _run_stream(spark, session_counts(stream), "session_out")
+    assert out.count() > 0
+    # cross-check a sample of closed sessions against the batch
+    # lag+cumsum sessionizer (operators/sessionize.py)
+    from data_ingestion_din_spark.operators.sessionize import sessionize_by_gap
+
+    batch = (
+        sessionize_by_gap(
+            spark.read.parquet(events_dir),
+            ["user_id"],
+            "ts",
+            gap="30 minutes",
+            order_tiebreak=["event_id"],
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n"))
+    )
+    joined = out.join(batch, ["user_id", "session_start"])
+    mismatched = joined.filter(F.col("n_events") != F.col("n")).count()
+    assert joined.count() > 0 and mismatched == 0
+
+
+def test_ingest_stream_is_incremental_and_idempotent(spark):
+    base = tempfile.mkdtemp(prefix="ingest_")
+    landing, corpus, ckpt = f"{base}/landing", f"{base}/corpus", f"{base}/ckpt"
+    docs1 = spark.createDataFrame(
+        [(1, "alpha beta gamma " * 20, "en", "s1", 0),
+         (2, "delta epsilon " * 30, "en", "s1", 0)],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    docs1.write.mode("overwrite").parquet(landing)
+    start_ingest_stream(spark, landing, corpus, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(corpus).count()
+    expected1 = chunk_documents(docs1).dropDuplicates(["chunk_id"]).count()
+    assert n1 == expected1 > 0
+
+    # second batch: one new doc + a re-upload (same content, same doc id)
+    docs2 = spark.createDataFrame(
+        [(1, "alpha beta gamma " * 20, "en", "s1", 0),
+         (3, "zeta eta theta " * 25, "en", "s2", 0)],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    docs2.write.mode("append").parquet(landing)
+    start_ingest_stream(spark, landing, corpus, ckpt).awaitTermination(120)
+    out = spark.read.parquet(corpus)
+    # re-uploaded doc 1 chunks are deduped by content-addressed id;
+    # only doc 3's chunks are new.
+    assert out.count() == n1 + chunk_documents(
+        docs2.filter("doc_id = 3")
+    ).dropDuplicates(["chunk_id"]).count()
+    assert out.select("chunk_id").distinct().count() == out.count()
+    shutil.rmtree(base, ignore_errors=True)
