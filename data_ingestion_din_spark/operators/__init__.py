@@ -1,1 +1,9 @@
-from data_ingestion_din_spark.operators import dedup, sessionize, similarity, topk  # noqa: F401
+from data_ingestion_din_spark.operators import (  # noqa: F401
+    blocks,
+    dedup,
+    sessionize,
+    similarity,
+    tables_ops,
+    topk,
+    validate,
+)

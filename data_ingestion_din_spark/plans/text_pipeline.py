@@ -158,7 +158,8 @@ def doc_clean_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
     idx AS (
       SELECT doc_id, toks,
-             unnest(range(0, CAST(ceil(len(toks) / 50.0) AS BIGINT))) AS chunk_idx
+             unnest(range(0, greatest(CAST(ceil(len(toks) / 50.0) AS BIGINT), 1)))
+               AS chunk_idx
       FROM t
     ),
     c AS (
@@ -180,7 +181,11 @@ def doc_clean_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fixed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    n_chunks = F.ceil(F.size(toks) / F.lit(50.0)).cast("bigint")
+    # greatest(…, 1): sequence(0, -1) would be a DESCENDING [0, -1] in
+    # Spark, so a zero-token doc must still yield one (empty) chunk.
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(50.0)).cast("bigint"), F.lit(1)
+    )
     exploded = docs.select(
         "doc_id",
         toks.alias("toks"),

@@ -39,7 +39,12 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 50) -> DataFrame:
     """The batch transform applied per micro-batch: clean → fixed-size
     chunks → content-addressed chunk_id (idempotency key)."""
     toks = tokens(clean_text(F.col("text"), thai=False))
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("bigint")
+    # greatest(…, 1): Spark's sequence(0, -1) is descending, so a
+    # zero-token doc must still map to one (empty) chunk.
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("bigint"),
+        F.lit(1),
+    )
     exploded = docs.select(
         "doc_id",
         "source",
