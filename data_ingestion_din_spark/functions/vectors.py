@@ -46,6 +46,28 @@ def _quant(x: Column) -> Column:
     return F.floor(x.cast("double") * QUANT)
 
 
+def quantize(a: Column) -> Column:
+    """Quantized integer copy of a float vector (precompute once per row
+    when the vector participates in many dot products)."""
+    return F.transform(a, _quant)
+
+
+def quant_dot(qa: Column, qb: Column) -> Column:
+    """Integer dot product of two pre-quantized vectors."""
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quant_norm(a: Column) -> Column:
+    """sqrt(quantized self-dot) as double — identical arithmetic to the
+    norms inside :func:`cosine_exact`, factored out for reuse."""
+    q = quantize(a)
+    return F.sqrt(quant_dot(q, q).cast("double"))
+
+
 def _dot_quant(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: _quant(x) * _quant(y)),

@@ -239,13 +239,30 @@ def ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 from data_ingestion_din_spark.functions.vectors import cosine_exact_sql  # noqa: E402
 
 
+_PAIR_DOT = "CAST((SELECT sum(a.qv[i] * b.qv[i]) FROM range(1, 65) r(i)) AS DOUBLE)"
+
+
 @query(
     "embedding_near_dup",
     oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv,
+             sqrt(CAST((SELECT sum(qv[i] * qv[i]) FROM range(1, 65) r(i))
+                       AS DOUBLE)) AS nrm
+      FROM q
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {cosine_exact_sql('a.embedding', 'b.embedding')} AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {cosine_exact_sql('a.embedding', 'b.embedding')} >= 0.4
+           {_PAIR_DOT} / (a.nrm * b.nrm) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_PAIR_DOT} / (a.nrm * b.nrm) >= 0.4
     ORDER BY id_a, id_b
     """,
 )
