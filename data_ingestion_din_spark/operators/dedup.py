@@ -196,7 +196,11 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFram
 
     Each side's quantized vector and norm are computed ONCE before the
     pair join (3× fewer dot products than a naive per-pair cosine)."""
-    from data_ingestion_din_spark.functions.vectors import quantize, quant_dot, quant_norm
+    from data_ingestion_din_spark.functions.vectors import (
+        quant_dot,
+        quant_norm,
+        quantize,
+    )
 
     q = emb.select(
         "vec_id",

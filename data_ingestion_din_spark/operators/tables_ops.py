@@ -71,7 +71,12 @@ def pad_and_prune(tables: DataFrame) -> DataFrame:
         pad(F.col("columns")).alias("columns"),
         F.transform("rows", pad).alias("rows"),
     )
-    # a column index is kept if its header or any cell is non-empty
+    # a column index is kept if its header or any cell is non-empty.
+    # NB: `keep` is materialized as its own projection (`_ki`) BEFORE being
+    # referenced by the pruning transforms — embedding this filter+exists
+    # expression twice inside outer transform lambdas collides the nested
+    # lambda variable names during analysis and silently mis-binds the
+    # index (observed on Spark 4.1: a non-empty column got pruned).
     keep = F.filter(
         _range1(F.size("columns")),
         lambda i: (F.trim(F.element_at(F.col("columns"), i)) != "")
@@ -79,14 +84,15 @@ def pad_and_prune(tables: DataFrame) -> DataFrame:
             F.col("rows"), lambda r: F.trim(F.element_at(r, i)) != ""
         ),
     )
-    pruned = padded.select(
+    with_ki = padded.withColumn("_ki", keep)
+    pruned = with_ki.select(
         *others,
-        F.transform(keep, lambda i: F.element_at(F.col("columns"), i)).alias(
+        F.transform("_ki", lambda i: F.element_at(F.col("columns"), i)).alias(
             "columns"
         ),
         F.transform(
             F.col("rows"),
-            lambda r: F.transform(keep, lambda i: F.element_at(r, i)),
+            lambda r: F.transform("_ki", lambda i: F.element_at(r, i)),
         ).alias("rows"),
     )
     return pruned.withColumn(
@@ -218,10 +224,11 @@ def content_hash(tables: DataFrame) -> DataFrame:
     (ingestion/table_extractor.py:98-108): md5 of all cells joined with
     whitespace removed; header NOT included (the reference dedups tables
     whose headers differ but rows match)."""
-    joined = F.array_join(
-        F.transform(F.col("rows"), lambda r: F.array_join(r, "")),
-        "",
-    )
+    # NB: delimiter-free join via flatten -- no per-row lambda needed, and
+    # immune to the invisible-delimiter corruption this site once had (the
+    # "empty" delimiters in an earlier revision were literal \x01/\x02
+    # control bytes, which \s+ does not strip -- every hash was wrong).
+    joined = F.concat_ws("", F.flatten(F.col("rows")))
     return tables.withColumn(
         "content_hash", F.md5(F.regexp_replace(joined, "\\s+", ""))
     )
