@@ -14,3 +14,5 @@ from data_ingestion_din_spark.plans import dedup_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import similarity_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import doc_blocks  # noqa: F401,E402
 from data_ingestion_din_spark.plans import table_queries  # noqa: F401,E402
+from data_ingestion_din_spark.plans import retrieval_queries  # noqa: F401,E402
+from data_ingestion_din_spark.plans import asof_range  # noqa: F401,E402

@@ -1,0 +1,276 @@
+"""Validation, retrieval scoring and Q&A extraction queries
+(SURVEY.md §5.1 constraint checks, §2.5 A6/A7, §2.3 F8, §2.7 O6, §2.1 S13).
+
+The retrieval path of the reference (keyword overlap, boost scoring,
+relevance guard, context budget) and its Q&A regex source are restated as
+pure column expressions over ``documents``; the validator becomes
+constraint queries over the derived entity tables (validation-as-data:
+the issues table distributes with the corpus)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from data_ingestion_din_spark.functions.analysis import STOPWORDS, tokens
+from data_ingestion_din_spark.functions.hashing import h64, h64_sql
+from data_ingestion_din_spark.operators.validate import validate_all
+from data_ingestion_din_spark.plans.registry import query
+from data_ingestion_din_spark.sources.entities import (
+    TABLE_BLOCKS_CTES,
+    TEXT_BLOCKS_CTES,
+    table_blocks,
+    text_blocks,
+)
+from data_ingestion_din_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# validation_issues — the constraint suite over derived doc_meta + entities
+# --------------------------------------------------------------------------
+
+_H_META = h64_sql("'meta:' || CAST(doc_id AS VARCHAR)")
+
+
+def _doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived document metadata: ~1/7 docs get an empty file_name
+    (MISSING_DOC_FIELDS) and page_count in 1..3 that under-declares some
+    multi-page docs (PAGE_RANGE_MISMATCH)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = h64(F.concat(F.lit("meta:"), F.col("doc_id").cast("string")))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(h % 7 == 0, F.lit(""))
+        .otherwise(
+            F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".pdf"))
+        )
+        .alias("file_name"),
+        (1 + h % 3).cast("int").alias("page_count"),
+    )
+
+
+@query(
+    "validation_issues",
+    oracle=f"""WITH {TEXT_BLOCKS_CTES}, {TABLE_BLOCKS_CTES},
+    dm AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             CASE WHEN {_H_META} % 7 = 0 THEN ''
+                  ELSE 'doc_' || CAST(doc_id AS VARCHAR) || '.pdf' END
+               AS file_name,
+             CAST(1 + {_H_META} % 3 AS INT) AS page_count
+      FROM documents
+    ),
+    missing AS (
+      SELECT 'error' AS level, 'MISSING_DOC_FIELDS' AS code,
+             'doc_id or file_name missing' AS message,
+             doc_id, doc_id AS entity_id
+      FROM dm
+      WHERE doc_id IS NULL OR trim(doc_id) = ''
+         OR file_name IS NULL OR trim(file_name) = ''
+    ),
+    observed AS (
+      SELECT doc_id, min(page) AS min_page, max(page) AS max_page
+      FROM text_blocks GROUP BY doc_id
+    ),
+    pagerange AS (
+      SELECT 'warning' AS level, 'PAGE_RANGE_MISMATCH' AS code,
+             'blocks span pages ' || CAST(min_page AS VARCHAR) || '..'
+               || CAST(max_page AS VARCHAR) || ' but page_count='
+               || CAST(page_count AS VARCHAR) AS message,
+             dm.doc_id, dm.doc_id AS entity_id
+      FROM dm JOIN observed USING (doc_id)
+      WHERE max_page > page_count OR min_page < 1
+    ),
+    ragged AS (
+      SELECT 'warning' AS level, 'RAGGED_TABLE_ROWS' AS code,
+             'row length mismatches header width' AS message,
+             doc_id, id AS entity_id
+      FROM table_blocks
+      WHERE len(list_filter(rows, r -> len(r) <> len(columns))) > 0
+    )
+    SELECT * FROM missing
+    UNION ALL SELECT * FROM pagerange
+    UNION ALL SELECT * FROM ragged
+    ORDER BY code, doc_id, entity_id
+    """,
+)
+def validation_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§5.1 — the validator as constraint queries; issues are data."""
+    issues = validate_all(
+        _doc_meta(spark, sf_dir),
+        text_blocks(spark, sf_dir),
+        table_blocks(spark, sf_dir),
+    )
+    return issues.select("level", "code", "message", "doc_id", "entity_id").orderBy(
+        "code", "doc_id", "entity_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# keyword_relevance — A6 overlap + A7 boost + F8 guard + W9 top-k
+# --------------------------------------------------------------------------
+
+QUERY_TEXT = "table scan join group value"
+# U5: stopword difference applied to the query tokens, computed once
+# driver-side (same constant list both engines).
+QUERY_TERMS = tuple(t for t in QUERY_TEXT.split() if t not in STOPWORDS)
+_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in QUERY_TERMS) + "]"
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@query(
+    "keyword_relevance",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(list_intersect(list_distinct({_TOKS_SQL}), {_TERMS_SQL}))
+                  AS BIGINT) AS overlap,
+             CAST({" + ".join(f"(CASE WHEN contains(text, '{t}') THEN 1 ELSE 0 END)" for t in QUERY_TERMS)}
+                  + (CASE WHEN contains(text, '{QUERY_TEXT}') THEN 3 ELSE 0 END)
+                  AS BIGINT) AS boost
+      FROM documents
+    )
+    SELECT doc_id, overlap, boost
+    FROM s
+    WHERE overlap >= 1
+    ORDER BY overlap + boost DESC, doc_id
+    LIMIT 20
+    """,
+)
+def keyword_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 token-set overlap (backend/services/rag.py:229-243) + A7 keyword
+    boost (rag.py:341-360: +1 per term present, +3 whole phrase) + F8
+    overlap guard (rag.py:245-267) + W9 top-k. One narrow pass — no
+    shuffle until the final top-k (TakeOrdered)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    overlap = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(t) for t in QUERY_TERMS])
+        )
+    ).cast("bigint")
+    boost = sum(
+        [
+            F.when(F.col("text").contains(t), 1).otherwise(0)
+            for t in QUERY_TERMS
+        ],
+        F.when(F.col("text").contains(QUERY_TEXT), 3).otherwise(F.lit(0)),
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", overlap.alias("overlap"), boost.alias("boost"))
+        .filter(F.col("overlap") >= 1)
+        .orderBy(F.desc(F.col("overlap") + F.col("boost")), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# context_budget_cut — O6 running char budget over score-ordered docs
+# --------------------------------------------------------------------------
+@query(
+    "context_budget_cut",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_intersect(list_distinct({_TOKS_SQL}), {_TERMS_SQL}))
+                  AS BIGINT) AS score
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, score,
+             sum(n_chars) OVER (ORDER BY score DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_chars
+      FROM s WHERE score >= 1
+    )
+    SELECT doc_id, score, CAST(cum_chars AS BIGINT) AS cum_chars
+    FROM r WHERE cum_chars <= 4000
+    ORDER BY score DESC, doc_id
+    """,
+)
+def context_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 (backend/services/rag.py:273-299): accumulate sources in score
+    order until the ~4000-char context budget; running sum over a
+    score-ordered window. The global window is fine here because the
+    budget cut only ever examines the head of one ranked list (top-k
+    scale, not corpus scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    score = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(t) for t in QUERY_TERMS])
+        )
+    ).cast("bigint")
+    s = docs.select("doc_id", "n_chars", score.alias("score")).filter(
+        F.col("score") >= 1
+    )
+    w = W.orderBy(F.desc("score"), "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        s.withColumn("cum_chars", F.sum("n_chars").over(w).cast("bigint"))
+        .filter(F.col("cum_chars") <= 4000)
+        .select("doc_id", "score", "cum_chars")
+        .orderBy(F.desc("score"), "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# qna_pairs_extract — S13 Q&A pair source (regex over doc text)
+# --------------------------------------------------------------------------
+
+_H_QA = h64_sql("'qa:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "qna_pairs_extract",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN {_H_QA} % 3 = 0
+                  THEN text || ' ถาม: ' || string_split(text, ' ')[1]
+                       || ' หรือไม่ ตอบ: ' || string_split(text, ' ')[-1] || ' ครับ'
+                  ELSE text END AS qtext
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_extract(qtext, 'ถาม: (.*) ตอบ:', 1)) AS question,
+           trim(regexp_extract(qtext, 'ตอบ: (.*)$', 1)) AS answer
+    FROM t
+    WHERE contains(qtext, 'ถาม:') AND contains(qtext, 'ตอบ:')
+    ORDER BY doc_id
+    """,
+)
+def qna_pairs_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 (backend/services/rag.py:81-87,403-429): regex-scan doc text
+    for Thai ถาม:/ตอบ: (Q/A) pairs — computed once at ingest into a
+    ``qna_pairs`` table instead of per-query with an LRU cache. ~1/3 of
+    fixture docs get a deterministic injected pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = h64(F.concat(F.lit("qa:"), F.col("doc_id").cast("string")))
+    toks = tokens(F.col("text"))
+    qtext = F.when(
+        h % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" ถาม: "),
+            F.element_at(toks, 1),
+            F.lit(" หรือไม่ ตอบ: "),
+            F.element_at(toks, -1),
+            F.lit(" ครับ"),
+        ),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", qtext.alias("qtext"))
+    return (
+        t.filter(
+            F.col("qtext").contains("ถาม:") & F.col("qtext").contains("ตอบ:")
+        )
+        .select(
+            "doc_id",
+            F.trim(F.regexp_extract("qtext", "ถาม: (.*) ตอบ:", 1)).alias(
+                "question"
+            ),
+            F.trim(F.regexp_extract("qtext", "ตอบ: (.*)$", 1)).alias("answer"),
+        )
+        .orderBy("doc_id")
+    )

@@ -61,12 +61,19 @@ _ROWS_FP = (
 @query(
     "tables_clean_shape",
     oracle=f"""WITH {TABLE_BLOCKS_CTES},
+    raw_kept AS (
+      SELECT id, columns, rows FROM table_blocks
+      WHERE len(columns) >= 2 AND len(rows) >= 2
+        AND len(list_filter(rows,
+              r -> len(list_filter(r,
+                         c -> regexp_matches(c, '[A-Za-z0-9฀-๿]'))) > 0)) > 0
+    ),
     w AS (
       SELECT id, columns, rows,
              greatest(len(columns),
                       coalesce(list_max(list_transform(rows, r -> len(r))), 0))
                AS width
-      FROM table_blocks
+      FROM raw_kept
     ),
     padded AS MATERIALIZED (
       SELECT id,
@@ -91,25 +98,21 @@ _ROWS_FP = (
                list_transform(rows, r -> list_transform(ki, i -> r[i])),
                r -> len(list_filter(r, c -> trim(c) <> '')) > 0) AS rows
       FROM keep
-    ),
-    kept AS (
-      SELECT * FROM projected
-      WHERE len(columns) >= 2 AND len(rows) >= 2
-        AND len(list_filter(rows,
-              r -> len(list_filter(r,
-                         c -> regexp_matches(c, '[A-Za-z0-9฀-๿]'))) > 0)) > 0
     )
     SELECT id,
            CAST(len(columns) AS BIGINT) AS n_cols,
            CAST(len(rows) AS BIGINT) AS n_rows,
            md5(array_to_string(columns, '|')) AS cols_fp,
            {_ROWS_FP} AS rows_fp
-    FROM kept
+    FROM projected
     ORDER BY id
     """,
 )
 def tables_clean_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = junk_filter(pad_and_prune(table_blocks(spark, sf_dir)))
+    # junk filter (F5) runs at extraction, BEFORE cleaning (F4) — the
+    # reference's order, and it keeps the filter predicate on the scanned
+    # entity instead of re-deriving the pruned projection per row
+    t = pad_and_prune(junk_filter(table_blocks(spark, sf_dir)))
     rows_fp = F.md5(
         F.concat_ws(";", F.transform("rows", lambda r: F.concat_ws("|", r)))
     )

@@ -276,10 +276,14 @@ def _table_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     b = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.explode(F.sequence(F.lit(0), F.lit(TABLES_PER_DOC - 1))).alias("t"),
+        F.explode(F.sequence(F.lit(0), F.lit(TABLES_PER_DOC))).alias("t"),
     )
     th = h64(F.concat(F.col("doc_id"), F.lit(":t"), F.col("t").cast("string")))
-    b = b.select("doc_id", "t", th.alias("th"))
+    # t = TABLES_PER_DOC is a degenerate 1×1 mini-table emitted for ~1/4 of
+    # docs — junk-filter (F5) fodder
+    b = b.select("doc_id", "t", th.alias("th")).filter(
+        (F.col("t") < TABLES_PER_DOC) | (F.col("th") % 4 == 0)
+    )
     # duplicate-row-content pairs: table 1 reuses table 0's row content
     tsrc = F.when((F.col("t") == 1) & (F.col("th") % 4 == 0), F.lit(0)).otherwise(
         F.col("t")
@@ -322,10 +326,14 @@ def _table_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(header_en)
         ),
     ).otherwise(F.array().cast("array<array<string>>"))
-    rows = F.concat(prefix, data_rows)
+    junk = F.col("t") == TABLES_PER_DOC
+    rows = F.when(
+        junk, F.array(F.array(F.concat(F.lit("x"), F.col("doc_id"))))
+    ).otherwise(F.concat(prefix, data_rows))
 
     columns = (
-        F.when(mode == 0, F.array(*[F.lit(hdr) for hdr in HEADERS_TH]))
+        F.when(junk, F.array(F.lit("note")))
+        .when(mode == 0, F.array(*[F.lit(hdr) for hdr in HEADERS_TH]))
         .when(mode == 1, header_en)
         .otherwise(F.array_repeat(F.lit(""), WIDTH))
     )
@@ -363,7 +371,7 @@ _HDR_EN = "['" + "', '".join(HEADERS_EN) + "']"
 
 TABLE_BLOCKS_CTES = f"""
 xt_seed AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest([0, 1]) AS t
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest([0, 1, 2]) AS t
   FROM documents
 ),
 xt_h AS (
@@ -373,6 +381,7 @@ xt_src AS (
   SELECT doc_id, t, th,
          CASE WHEN t = 1 AND th % 4 = 0 THEN 0 ELSE t END AS tsrc
   FROM xt_h
+  WHERE t < 2 OR th % 4 = 0
 ),
 xt_sh AS (
   SELECT doc_id, t, th, tsrc, {_SH} AS sh FROM xt_src
@@ -400,10 +409,11 @@ table_blocks AS MATERIALIZED (
   SELECT 'tbl_' || doc_id || '_' || CAST(t AS VARCHAR) AS id,
          doc_id,
          CAST(1 + th % 2 AS INT) AS page,
-         CASE WHEN th % 3 = 0 THEN {_HDR_TH}
+         CASE WHEN t = 2 THEN ['note']
+              WHEN th % 3 = 0 THEN {_HDR_TH}
               WHEN th % 3 = 1 THEN {_HDR_EN}
               ELSE ['', '', '', '', ''] END AS columns,
-         rows,
+         CASE WHEN t = 2 THEN [['x' || doc_id]] ELSE rows END AS rows,
          CASE WHEN th % 3 = 0 THEN 'vision' ELSE 'camelot' END AS source,
          CASE WHEN th % 3 = 0 THEN 'low' ELSE 'high' END AS numeric_trust,
          CASE WHEN th % 3 = 0 THEN 0 ELSE 1 END AS source_priority
