@@ -63,6 +63,12 @@ BENCH_QUERIES = [
     "qna_pairs_extract",
     "events_asof_attribution",
     "events_error_burst",
+    "doc_semantic_chunks",
+    "multimodal_media_stats",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q22_idle_customers",
 ]
 
 
