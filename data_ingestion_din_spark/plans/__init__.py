@@ -20,3 +20,4 @@ from data_ingestion_din_spark.plans import chunk_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import multimodal_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import relational_ext  # noqa: F401,E402
 from data_ingestion_din_spark.plans import enrichment_queries  # noqa: F401,E402
+from data_ingestion_din_spark.plans import analytic_ext  # noqa: F401,E402

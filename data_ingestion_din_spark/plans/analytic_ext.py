@@ -1,0 +1,270 @@
+"""Extended analytic surface: batch kNN, grouping sets/cube, ranked
+distribution windows, set operations, sanitize pipeline.
+
+These complete the "free with Spark SQL" families SURVEY.md §2.5/§2.8
+notes the reference lacks (grouping sets, intersect/except, ntile) and
+the batch form of retrieval (many query vectors at once — the realistic
+serving shape for the reference's /ask endpoint under load)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from data_ingestion_din_spark.functions.text import (
+    normalize_section_title,
+    sanitize_doc_id,
+    sanitize_html,
+)
+from data_ingestion_din_spark.functions.vectors import cosine_exact, cosine_exact_sql
+from data_ingestion_din_spark.functions.hashing import h64, h64_sql
+from data_ingestion_din_spark.plans._exact import dec_to_double, dec_to_double_sql
+from data_ingestion_din_spark.plans.registry import query
+from data_ingestion_din_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# similarity_batch_topk — k queries × corpus in ONE job (the /ask-under-
+# load shape): broadcast the probe set, per-query rank window, top-3 each
+# --------------------------------------------------------------------------
+N_PROBES = 5
+TOP_K = 3
+
+
+@query(
+    "similarity_batch_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id, e.label,
+             {cosine_exact_sql('e.embedding', 'q.embedding')} AS cos_sim
+      FROM embeddings e
+      JOIN embeddings q ON q.vec_id < {N_PROBES}
+      WHERE e.vec_id >= {N_PROBES}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, label, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN: the probe set broadcasts (tiny), the corpus scans once,
+    per-query ranks come from one window on query_id — corpus is read and
+    scored in a single pass regardless of probe count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_PROBES)
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "query_id",
+        "vec_id",
+        "label",
+        cosine_exact(F.col("embedding"), F.col("q_embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("query_id", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# revenue_cube — GROUPING SETS/cube over (nation, segment): the grouping
+# machinery SURVEY §2.5 notes the reference has none of
+# --------------------------------------------------------------------------
+@query(
+    "revenue_cube",
+    oracle=f"""
+    SELECT coalesce(n.n_name, '<all>') AS nation,
+           coalesce(c.c_mktsegment, '<all>') AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {dec_to_double_sql("sum(CAST(o.o_totalprice AS DECIMAL(12,2)))", 2)}
+             AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY GROUPING SETS ((n.n_name, c.c_mktsegment), (n.n_name), ())
+    ORDER BY nation, segment
+    """,
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    rolled = joined.rollup("n_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dec_to_double(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2
+        ).alias("revenue"),
+    )
+    return rolled.select(
+        F.coalesce(F.col("n_name"), F.lit("<all>")).alias("nation"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("<all>")).alias("segment"),
+        "n_orders",
+        "revenue",
+    ).orderBy("nation", "segment")
+
+
+# --------------------------------------------------------------------------
+# events_value_quartiles — ntile + exact-rank distribution per event type
+# --------------------------------------------------------------------------
+@query(
+    "events_value_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, event_id, value,
+             ntile(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS quartile
+      FROM events
+    )
+    SELECT event_type, CAST(quartile AS INT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(value) AS DOUBLE) AS lo,
+           CAST(max(value) AS DOUBLE) AS hi
+    FROM t
+    GROUP BY event_type, quartile
+    ORDER BY event_type, quartile
+    """,
+)
+def events_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window (complete ordering key so bucket boundaries are
+    engine-independent) + per-bucket min/max — the ranked-distribution
+    shape of quality-score binning over a training corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    t = ev.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+    return (
+        t.groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+        .orderBy("event_type", "quartile")
+    )
+
+
+# --------------------------------------------------------------------------
+# repeat_buyers_96_not_97 — INTERSECT / EXCEPT at table granularity
+# (SURVEY §2.8: absent from the reference, native in Spark)
+# --------------------------------------------------------------------------
+@query(
+    "repeat_buyers_96_not_97",
+    oracle="""
+    WITH y96 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    y95 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    y97 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_custkey FROM (
+      SELECT * FROM y95 INTERSECT SELECT * FROM y96
+      EXCEPT
+      SELECT * FROM y97
+    )
+    ORDER BY o_custkey
+    """,
+)
+def repeat_buyers_96_not_97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def buyers(y: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    return (
+        buyers(1995)
+        .intersect(buyers(1996))
+        .subtract(buyers(1997))
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_sanitize_normalize — HTML sanitization + section-title normalization
+# + doc-id sanitization (§2.9 families) on injected dirty inputs
+# --------------------------------------------------------------------------
+_H_SAN = h64_sql("'san:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "doc_sanitize_normalize",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN {_H_SAN} % 3 = 0
+               THEN '<div onclick=evil() href="javascript:x()">'
+                    || '<script>bad()</script>ok</div>'
+               ELSE '<p>plain</p>' END AS html,
+             '  2.1) ' || upper(substr(text, 1, 40)) || '   extra  ' AS title,
+             'Doc ' || CAST(doc_id AS VARCHAR) || ' ภาษาไทย #' AS raw_id
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(html, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+               '(?i)\\son\\w+\\s*=', ' data-blocked=', 'g'),
+             '(?i)javascript:', '', 'g') AS clean_html,
+           substr(trim(regexp_replace(
+             regexp_replace(title, '^\\s*(\\d+(\\.\\d+)*|[A-Z])[\\.\\)]\\s*', ''),
+             '\\s+', ' ', 'g')), 1, 150) AS norm_title,
+           regexp_replace(
+             regexp_replace(lower(trim(raw_id)), '\\s+', '_', 'g'),
+             '[^a-z0-9_\\-฀-๿]', '', 'g') AS clean_id
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def doc_sanitize_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: script/event-handler/javascript: neutralization (duplicated
+    twice in the reference), leading-numbering strip + 150-char truncate
+    for section titles, and the thrice-duplicated doc-id sanitizer —
+    one expression each, exercised on injected dirty inputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = h64(F.concat(F.lit("san:"), F.col("doc_id").cast("string")))
+    html = F.when(
+        h % 3 == 0,
+        F.lit(
+            '<div onclick=evil() href="javascript:x()">'
+            "<script>bad()</script>ok</div>"
+        ),
+    ).otherwise(F.lit("<p>plain</p>"))
+    title = F.concat(
+        F.lit("  2.1) "),
+        F.upper(F.substring("text", 1, 40)),
+        F.lit("   extra  "),
+    )
+    raw_id = F.concat(
+        F.lit("Doc "), F.col("doc_id").cast("string"), F.lit(" ภาษาไทย #")
+    )
+    return docs.select(
+        "doc_id",
+        sanitize_html(html).alias("clean_html"),
+        normalize_section_title(title).alias("norm_title"),
+        sanitize_doc_id(raw_id).alias("clean_id"),
+    ).orderBy("doc_id")

@@ -124,3 +124,65 @@ def test_ingest_stream_is_incremental_and_idempotent(spark):
     ).dropDuplicates(["chunk_id"]).count()
     assert out.select("chunk_id").distinct().count() == out.count()
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_watermark_drops_late_rows(spark):
+    """A row older than the watermark, arriving in a later RUN of the
+    stream (watermark state restored from the checkpoint), must NOT
+    appear in streaming output — it would in batch mode."""
+    import os
+    import time
+    from datetime import datetime
+
+    d = tempfile.mkdtemp(prefix="late_events_")
+    data_dir = os.path.join(d, "data")
+    ckpt = os.path.join(d, "ckpt")
+    out_dir = os.path.join(d, "out")
+    os.makedirs(data_dir)
+    schema = "ts timestamp, user_id long, event_type string, value double"
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(data_dir, name)
+        )
+        time.sleep(1.1)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(data_dir + "/*")
+        q = (
+            tumbling_counts(stream, "5 minutes", "10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("b1", [
+        (t("2024-01-01 10:00:30"), 1, "click", 1.0),
+        (t("2024-01-01 10:05:30"), 1, "click", 1.0),
+        (t("2024-01-01 10:18:00"), 1, "click", 1.0),
+    ])
+    run_once()  # watermark after run 1: 10:18 - 10min = 10:08
+    write_batch("b2", [
+        (t("2024-01-01 09:50:10"), 1, "click", 99.0),  # late: < 10:08
+        (t("2024-01-01 11:00:00"), 1, "click", 1.0),  # advances watermark
+    ])
+    run_once()
+
+    out = spark.read.parquet(out_dir)
+    starts = {r["window_start"].strftime("%H:%M") for r in out.collect()}
+    # finalized on-time windows present; the late 09:50 window dropped
+    assert {"10:00", "10:05", "10:15"} <= starts
+    assert "09:50" not in starts
+    # batch mode over the same files DOES include the late row
+    batch = spark.read.schema(schema).parquet(data_dir + "/*")
+    batch_starts = {
+        r["window_start"].strftime("%H:%M")
+        for r in tumbling_counts(batch, "5 minutes", "10 minutes").collect()
+    }
+    assert "09:50" in batch_starts
+    shutil.rmtree(d, ignore_errors=True)
