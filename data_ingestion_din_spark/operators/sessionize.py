@@ -45,8 +45,10 @@ def sessionize_by_gap(
     """Gap-based sessionization (batch twin of streaming
     ``session_window``): a new session starts when the time since the
     previous row exceeds ``gap``."""
+    # Accept both singular and plural units — streaming session_window's
+    # interval grammar allows "1 minute", so the batch twin must too.
     n, unit = gap.split()
-    per = {"seconds": 1, "minutes": 60, "hours": 3600}[unit]
+    per = {"second": 1, "minute": 60, "hour": 3600}[unit.rstrip("s")]
     gap_us = int(n) * per * 1_000_000
     order = [F.col(ts_col), *[F.col(c) for c in order_tiebreak]]
     w_ord = W.partitionBy(*partition_cols).orderBy(*order)

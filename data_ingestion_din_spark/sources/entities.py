@@ -255,11 +255,14 @@ def _cell_sql(ch: str) -> str:
 # inline the whole tree per reference (exponential analysis time).
 # localCheckpoint materializes the derived entity once and truncates the
 # lineage — the production shape too (entities are a staged table).
-_ENTITY_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_ENTITY_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _cached(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    # Keyed on applicationId (unique per SparkContext lifetime), not
+    # id(spark): a stopped session's address can be reused by a new one,
+    # which would resurrect a checkpointed DataFrame bound to a dead context.
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     if key not in _ENTITY_CACHE:
         _ENTITY_CACHE[key] = build().localCheckpoint(eager=True)
     return _ENTITY_CACHE[key]

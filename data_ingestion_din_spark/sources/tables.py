@@ -37,9 +37,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and column pruning apply to everything built on top.
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as a
-    nanosecond LONG (``spark.sql.legacy.parquet.nanosAsLong``, set in
-    session.py); converted here to a microsecond TimestampType (the fixture
-    generator emits µs-aligned values, so the truncation is lossless)."""
+    nanosecond LONG (``spark.sql.legacy.parquet.nanosAsLong``); converted
+    here to a microsecond TimestampType (the fixture generator emits
+    µs-aligned values, so the truncation is lossless). The conf is set at
+    runtime so query functions are self-sufficient on ANY SparkSession —
+    not just the one session.py builds (it is an idempotent runtime conf;
+    without it the read throws PARQUET_TYPE_ILLEGAL)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

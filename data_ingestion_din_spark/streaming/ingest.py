@@ -60,8 +60,13 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 50) -> DataFrame:
         ),
     )
     return exploded.select(
+        # chunk_idx is part of the id: two chunks of one doc with identical
+        # content (repeated spans, multiple empty tails) must NOT collide —
+        # merge_chunks' dedup would silently drop positions otherwise.
         F.concat(
             F.col("doc_id").cast("string"),
+            F.lit("::"),
+            F.col("chunk_idx").cast("string"),
             F.lit("::"),
             F.substring(F.md5(content), 1, 8),
         ).alias("chunk_id"),
