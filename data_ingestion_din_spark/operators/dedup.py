@@ -120,6 +120,97 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return summed.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+def minhash_banded_pairs(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Multi-band MinHash LSH over word n-gram shingles with an exact
+    Jaccard verify stage — the real near-dup construction (b bands × r
+    rows; single-band ``minhash_dup_groups`` only finds whole-signature
+    matches).
+
+    Pipeline (all JVM-side):
+      1. signature: ``n_hashes`` seeded min-hashes over the distinct
+         n-gram shingle set (pure array expressions, no shuffle);
+      2. banding: each doc emits ``bands`` keys, band j = md5 over its
+         r = n_hashes/bands signature slots (explode → one groupBy-free
+         self-equi-join on band_key; each band row carries only
+         (band_key, doc_id));
+      3. candidates: distinct (doc_a < doc_b) pairs sharing ≥1 band —
+         P[candidate] = 1−(1−j^r)^b, so near-dups at j≥0.8 are found
+         w.h.p. while low-j pairs are never joined (no cartesian);
+      4. verify: exact shingle-set Jaccard via two hash-joins back to the
+         per-doc shingle arrays; keep pairs ≥ ``threshold``.
+
+    At 100 TB the band join shuffles only (16-byte key, doc_id) rows and
+    the verify join touches only candidate docs — the standard
+    MinHash-LSH scale shape. Returns (doc_a, doc_b, jaccard).
+    """
+    from data_ingestion_din_spark.functions.analysis import word_shingles
+
+    r = n_hashes // bands
+    if r * bands != n_hashes:
+        raise ValueError("bands must divide n_hashes")
+    sh_arr = F.array_distinct(word_shingles(tokens(F.col("text")), shingle_n))
+    sigs = (
+        docs.select("doc_id", sh_arr.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh", *minhash(F.col("sh"), n_hashes))
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(f"b{j}"),
+                    *[F.col(f"mh{j * r + i}").cast("string") for i in range(r)],
+                )
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh_sets = sigs.select("doc_id", "sh")
+    verified = (
+        cand.join(
+            sh_sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sh_sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
 def simhash_dup_groups(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Candidate near-dup groups = identical simhash (Hamming distance 0;
     banding over bit-slices generalizes to distance ≤ k)."""
@@ -131,6 +222,62 @@ def simhash_dup_groups(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
             F.array_sort(F.collect_list("doc_id")).alias("members"),
         )
         .filter(F.col("group_size") > 1)
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    n_bands: int = 4,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ``max_hamming`` via
+    bit-slice banding (``simhash_dup_groups`` is distance-0 only).
+
+    The fingerprint is sliced into ``n_bands`` contiguous bit bands; a pair
+    within Hamming distance ≤ n_bands−1 must agree on ≥1 whole band
+    (pigeonhole), so the band equi-join finds every such pair without a
+    cartesian product. An exact popcount filter (``bit_count(a XOR b)``)
+    then keeps pairs ≤ ``max_hamming``.
+
+    At 100 TB: each band row is (band_idx:value, doc_id, simhash) — a
+    narrow shuffle; dense 4-bit bands are skew-prone at corpus scale, so
+    production uses 64-bit simhash with 16-bit bands (same construction,
+    wider keys). Returns (doc_a, doc_b, hamming).
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError("banding only guarantees recall for k <= n_bands-1")
+    width = bits // n_bands
+    sh = simhash(docs, bits)
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{j}:"),
+                F.shiftright(F.col("simhash"), j * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .cast("string"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    banded = sh.select(
+        "doc_id", "simhash", F.explode(band_keys).alias("band_key")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
     )
 
 

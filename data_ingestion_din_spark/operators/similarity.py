@@ -58,26 +58,48 @@ def ivf_topk(
     return brute_force_topk(pruned, qvec, k, exact)
 
 
-def lsh_bucket(emb: DataFrame, n_planes: int = 8, seed: str = "lsh") -> DataFrame:
+def lsh_bucket(
+    emb: DataFrame, n_planes: int = 8, seed: str = "lsh", exact: bool = False
+) -> DataFrame:
     """Random-hyperplane LSH signature: bit b = sign(e · plane_b) where
     plane_b[d] = (h64(seed:b:d) mod 2001 − 1000)/1000 ∈ [−1, 1] — fully
     deterministic pseudo-random planes, reproducible in SQL.
+
+    ``exact=True`` computes each projection in quantized-integer
+    arithmetic (floor(x·1e6) · integer coefficient — |sum| < 2^43, exact
+    BIGINT): double summation order can differ across engines and flip a
+    near-zero sign, integer summation cannot. Use for oracle-checked
+    plans; the double path is the production default.
     Returns (vec_id, label, embedding, bucket:int)."""
     dims = F.size(F.col("embedding"))
     bits = []
     for b in range(n_planes):
-        coef = lambda i, b=b: (
-            (h64(F.concat(F.lit(f"{seed}:{b}:"), i.cast("string"))) % 2001) - 1000
-        ) / 1000.0
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.sequence(F.lit(0), dims - 1),
-                lambda x, i: x * coef(i),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        icoef = lambda i, b=b: (
+            h64(F.concat(F.lit(f"{seed}:{b}:"), i.cast("string"))) % 2001
+        ) - 1000
+        if exact:
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.sequence(F.lit(0), dims - 1),
+                    lambda x, i: F.floor(x.cast("double") * 1_000_000).cast(
+                        "bigint"
+                    )
+                    * icoef(i),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+        else:
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.sequence(F.lit(0), dims - 1),
+                    lambda x, i: x * (icoef(i) / 1000.0),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
         bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
     bucket = bits[0]
     for t in bits[1:]:

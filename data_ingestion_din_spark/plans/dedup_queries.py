@@ -147,10 +147,7 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# dedup_simhash_groups — 16-bit SimHash over the token multiset; groups of
-# identical fingerprints are near-dup candidates.
-# --------------------------------------------------------------------------
+# SimHash oracle building blocks (shared by dedup_simhash_near/_groups).
 _BITS = D.SIMHASH_BITS
 _BIT_SUMS = ", ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -161,6 +158,122 @@ _BIT_ASSEMBLE = " + ".join(
 )
 
 
+# --------------------------------------------------------------------------
+# dedup_minhash_banded — b×r MinHash LSH over 3-gram shingles + exact
+# Jaccard verify: the real near-dup construction (finds pairs at j≈0.9
+# that whole-signature equality misses). 8 hashes, 4 bands × 2 rows.
+# --------------------------------------------------------------------------
+_NB_HASHES, _NB_BANDS = 8, 4
+_NB_R = _NB_HASHES // _NB_BANDS
+
+
+def _mh_sh_sql(i: int) -> str:
+    return f"CAST(min({h64_sql('shingle', f'mh{i}:')}) AS BIGINT) AS mh{i}"
+
+
+def _band_sql(j: int) -> str:
+    slots = " || ',' || ".join(
+        f"CAST(mh{j * _NB_R + i} AS VARCHAR)" for i in range(_NB_R)
+    )
+    return f"md5('b{j}' || ',' || {slots})"
+
+
+_BANDS_UNION = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {_band_sql(j)} AS band_key FROM sig"
+    for j in range(_NB_BANDS)
+)
+
+
+@query(
+    "dedup_minhash_banded",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+      FROM idx
+    ),
+    sig AS (
+      SELECT doc_id, {", ".join(_mh_sh_sql(i) for i in range(_NB_HASHES))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_BANDS_UNION}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.minhash_banded_pairs(
+            docs, n_hashes=_NB_HASHES, bands=_NB_BANDS, shingle_n=3, threshold=0.5
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash_near — bit-slice banded SimHash: pairs within Hamming
+# distance ≤ 1 (4 bands × 4 bits guarantee recall for distance ≤ 3;
+# exact popcount filter keeps ≤ 1). Distance-0-only grouping is
+# dedup_simhash_groups.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_simhash_near",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    h AS (SELECT doc_id, {h64_sql('tok')} AS h FROM tok),
+    s AS (SELECT doc_id, {_BIT_SUMS} FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, CAST({_BIT_ASSEMBLE} AS BIGINT) AS simhash FROM s),
+    bands AS (
+      SELECT doc_id, simhash,
+             CAST(j AS VARCHAR) || ':'
+               || CAST((simhash >> (j * 4)) & 15 AS VARCHAR) AS band_key
+      FROM sh, range(0, 4) t(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+             b.doc_id AS doc_b, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(CAST(xor(sim_a, sim_b) AS BIT)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(CAST(xor(sim_a, sim_b) AS BIT)) <= 1
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.simhash_near_pairs(docs, bits=_BITS, n_bands=4, max_hamming=1)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash_groups — 16-bit SimHash over the token multiset; groups of
+# identical fingerprints are near-dup candidates.
+# --------------------------------------------------------------------------
 @query(
     "dedup_simhash_groups",
     oracle=f"""

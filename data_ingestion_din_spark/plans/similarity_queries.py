@@ -93,6 +93,77 @@ def similarity_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# similarity_lsh_topk — LSH-bucket ANN end to end: random-hyperplane
+# signatures (operators/similarity.lsh_bucket, exact integer arithmetic)
+# hash both corpus and query; only the query's bucket is scanned, then
+# exact-cosine re-ranked. The oracle recomputes the same hyperplane signs
+# in SQL, so the candidates→rerank composition itself is checked — the
+# 100 TB ANN path (bucket = partition key at scale), not just documented.
+# --------------------------------------------------------------------------
+_N_PLANES = 8
+
+
+def _lsh_bucket_sql(e: str, seed: str = "lsh") -> str:
+    """DuckDB twin of lsh_bucket(exact=True): per plane b, sign of
+    Σ_i floor(e[i]·1e6) · ((h64('{seed}:b:'||i) % 2001) − 1000)."""
+    terms = []
+    for b in range(_N_PLANES):
+        h = (
+            f"CAST(('0x' || substr(md5('{seed}:{b}:' || CAST(i - 1 AS VARCHAR)"
+            f"), 1, 15)) AS BIGINT)"
+        )
+        proj = (
+            f"(SELECT sum(CAST(floor(CAST({e}[i] AS DOUBLE) * 1000000) AS BIGINT)"
+            f" * (({h}) % 2001 - 1000)) FROM range(1, 65) r(i))"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << b} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+@query(
+    "similarity_lsh_topk",
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id, label, embedding,
+             {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT embedding AS q_embedding, bucket AS q_bucket FROM h
+      WHERE vec_id = 0
+    )
+    SELECT h.vec_id, h.label,
+           {cosine_exact_sql('h.embedding', 'q.q_embedding')} AS cos_sim
+    FROM h, q
+    WHERE h.vec_id <> 0 AND h.bucket = q.q_bucket
+    ORDER BY cos_sim DESC, h.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.operators.similarity import lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hashed = lsh_bucket(emb, n_planes=_N_PLANES, exact=True)
+    q = hashed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"), "bucket"
+    )
+    return (
+        hashed.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "bucket")
+        .select(
+            "vec_id",
+            "label",
+            cosine_exact(F.col("embedding"), F.col("q_embedding")).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding_label_centroids — per-label centroid components (the k-means
 # E-step / IVF training aggregate): posexplode dims → decimal-exact mean
 # per (label, dim). One shuffle keyed by (label, dim).
