@@ -217,7 +217,7 @@ _BANDS_UNION = "\n      UNION ALL ".join(
     JOIN sizes sa ON sa.doc_id = c.doc_a
     JOIN sizes sb ON sb.doc_id = c.doc_b
     WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
-    ORDER BY doc_a, doc_b
+    ORDER BY 1, 2
     """,
 )
 def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
