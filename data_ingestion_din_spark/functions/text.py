@@ -95,6 +95,44 @@ def parse_money(col: Column) -> Column:
     return F.try_to_number(c, F.lit("MI99999999999999D99"))
 
 
+def lev_ratio(a: Column, b: Column) -> Column:
+    """String similarity in [0, 1] as a normalized Levenshtein ratio
+    ``1 - lev(a,b)/max(len(a),len(b),1)`` — the engine's JVM-native
+    analogue of the reference's ``difflib.SequenceMatcher.ratio``
+    (backend/services/rag.py:432-433). Same orientation (1 = identical,
+    0 = disjoint); exact values differ (see ``seq_ratio`` for the
+    bit-parity twin and tests/test_text_functions.py for the golden-pair
+    ordering comparison). Stays inside whole-stage codegen — use this in
+    the hot path."""
+    return F.lit(1.0) - F.levenshtein(a, b).cast("double") / F.greatest(
+        F.length(a), F.length(b), F.lit(1)
+    )
+
+
+def seq_ratio(a: Column, b: Column) -> Column:
+    """Bit-exact ``difflib.SequenceMatcher(None, a, b).ratio()`` as an
+    Arrow-batched pandas UDF — reference parity for
+    backend/services/rag.py:432-433 when exact score reproduction
+    matters (e.g. replaying the reference's 0.75 Q&A gate decisions).
+    Python-boundary cost: use ``lev_ratio`` unless parity is required."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s1, s2):
+        from difflib import SequenceMatcher
+
+        import pandas as pd
+
+        return pd.Series(
+            [
+                SequenceMatcher(None, x or "", y or "").ratio()
+                for x, y in zip(s1, s2)
+            ]
+        )
+
+    return _ratio(a, b)
+
+
 def meaningful_text(col: Column, min_chars: int = 2) -> Column:
     """Predicate F1: at least ``min_chars`` word characters (latin digits
     letters or Thai) — ingestion/pdf_parser.py:71,81-85 and variants."""

@@ -222,6 +222,35 @@ def context_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 _H_QA = h64_sql("'qa:' || CAST(doc_id AS VARCHAR)")
 
 
+def _qna_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, question, answer, text) Q&A pairs derived from doc text —
+    the shared S13 extraction (see ``qna_pairs_extract``)."""
+    h = h64(F.concat(F.lit("qa:"), F.col("doc_id").cast("string")))
+    toks = tokens(F.col("text"))
+    qtext = F.when(
+        h % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" ถาม: "),
+            F.element_at(toks, 1),
+            F.lit(" หรือไม่ ตอบ: "),
+            F.element_at(toks, -1),
+            F.lit(" ครับ"),
+        ),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", "text", qtext.alias("qtext"))
+    return t.filter(
+        F.col("qtext").contains("ถาม:") & F.col("qtext").contains("ตอบ:")
+    ).select(
+        "doc_id",
+        F.trim(F.regexp_extract("qtext", "ถาม: (.*) ตอบ:", 1)).alias(
+            "question"
+        ),
+        F.trim(F.regexp_extract("qtext", "ตอบ: (.*)$", 1)).alias("answer"),
+        "text",
+    )
+
+
 @query(
     "qna_pairs_extract",
     oracle=f"""
@@ -247,30 +276,114 @@ def qna_pairs_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``qna_pairs`` table instead of per-query with an LRU cache. ~1/3 of
     fixture docs get a deterministic injected pair."""
     docs = load_table(spark, sf_dir, "documents")
-    h = h64(F.concat(F.lit("qa:"), F.col("doc_id").cast("string")))
-    toks = tokens(F.col("text"))
-    qtext = F.when(
-        h % 3 == 0,
-        F.concat(
-            F.col("text"),
-            F.lit(" ถาม: "),
-            F.element_at(toks, 1),
-            F.lit(" หรือไม่ ตอบ: "),
-            F.element_at(toks, -1),
-            F.lit(" ครับ"),
-        ),
-    ).otherwise(F.col("text"))
-    t = docs.select("doc_id", qtext.alias("qtext"))
+    return _qna_pairs(docs).select("doc_id", "question", "answer").orderBy(
+        "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# qna_best_match — J6 Q&A best-match (broadcast query × pairs → argmax)
+# --------------------------------------------------------------------------
+
+QNA_QUERY = "table หรือไม่"
+
+
+@query(
+    "qna_best_match",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN {_H_QA} % 3 = 0
+                  THEN text || ' ถาม: ' || string_split(text, ' ')[1]
+                       || ' หรือไม่ ตอบ: ' || string_split(text, ' ')[-1] || ' ครับ'
+                  ELSE text END AS qtext,
+             text
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id,
+             trim(regexp_extract(qtext, 'ถาม: (.*) ตอบ:', 1)) AS question,
+             trim(regexp_extract(qtext, 'ตอบ: (.*)$', 1)) AS answer,
+             text
+      FROM t WHERE contains(qtext, 'ถาม:') AND contains(qtext, 'ตอบ:')
+    ),
+    scored AS (
+      SELECT doc_id, question, answer,
+             1.0 - CAST(levenshtein('{QNA_QUERY}', question) AS DOUBLE)
+                 / greatest(length('{QNA_QUERY}'), length(question), 1)
+               AS score
+      FROM pairs
+      WHERE contains(text, 'table')
+    )
+    SELECT doc_id, question, answer, score
+    FROM scored WHERE score >= 0.75
+    ORDER BY score DESC, doc_id LIMIT 1
+    """,
+)
+def qna_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (backend/services/rag.py:436-486): among the Q&A pairs of the
+    retrieved docs (F8 relevance guard: doc text contains the query
+    keyword), score each pair's question against the user query and
+    return the single best match above the reference's 0.75
+    high-confidence threshold.
+
+    Shape: the 1-row query side is broadcast across the pairs
+    (BroadcastNestedLoopJoin over a constant — zero shuffle), scoring is
+    a JVM expression, and the argmax is a global top-1
+    (TakeOrderedAndProject: per-task heads, no full sort) — the
+    distributed restatement of the reference's driver-side
+    ``for p in all_pairs: best = max(...)`` loop.
+
+    Similarity: the reference's ``SequenceMatcher.ratio`` fallback
+    (rag.py:432-433) is modeled as a normalized Levenshtein ratio
+    ``1 - lev/max(len)`` — same [0,1] orientation, available natively in
+    both engines (see tests/test_functions.py SequenceMatcher-parity
+    test). Cross-engine note: DuckDB's levenshtein counts bytes, Spark's
+    counts code points; the fixture's questions share an identical Thai
+    suffix, so edits are confined to the ASCII prefix where both agree.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.range(1).select(F.lit(QNA_QUERY).alias("q"))
+    pairs = _qna_pairs(docs).filter(F.col("text").contains("table"))
+    score = (
+        F.lit(1.0)
+        - F.levenshtein(F.col("q"), F.col("question")).cast("double")
+        / F.greatest(F.length("q"), F.length("question"), F.lit(1))
+    ).alias("score")
     return (
-        t.filter(
-            F.col("qtext").contains("ถาม:") & F.col("qtext").contains("ตอบ:")
-        )
+        pairs.crossJoin(F.broadcast(qdf))
+        .select("doc_id", "question", "answer", score)
+        .filter(F.col("score") >= 0.75)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(1)
+    )
+
+
+@query("qna_best_match_seq")  # no oracle: difflib is not SQL-expressible
+def qna_best_match_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 bit-parity variant: same retrieval + argmax pipeline as
+    ``qna_best_match`` but scored with ``seq_ratio`` — the Arrow-batched
+    pandas-UDF twin of the reference's ``SequenceMatcher.ratio``
+    (backend/services/rag.py:432-433) — so the 0.75 high-confidence gate
+    reproduces the reference's decisions exactly (the normalized-
+    Levenshtein gate can flip near the threshold; see
+    tests/test_text_functions.py::test_lev_ratio_vs_difflib_divergence).
+    Python boundary is one vectorized batch per partition of the
+    (already guard-filtered, small) candidate set."""
+    from data_ingestion_din_spark.functions.text import seq_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.range(1).select(F.lit(QNA_QUERY).alias("q"))
+    pairs = _qna_pairs(docs).filter(F.col("text").contains("table"))
+    return (
+        pairs.crossJoin(F.broadcast(qdf))
         .select(
             "doc_id",
-            F.trim(F.regexp_extract("qtext", "ถาม: (.*) ตอบ:", 1)).alias(
-                "question"
-            ),
-            F.trim(F.regexp_extract("qtext", "ตอบ: (.*)$", 1)).alias("answer"),
+            "question",
+            "answer",
+            seq_ratio(F.col("q"), F.col("question")).alias("score"),
         )
-        .orderBy("doc_id")
+        .filter(F.col("score") >= 0.75)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(1)
     )

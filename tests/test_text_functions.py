@@ -111,3 +111,80 @@ def test_meaningful_text(spark):
     # F1 predicate: ≥2 word chars incl. Thai (ingestion/pdf_parser.py:71).
     out = _apply(spark, lambda c: meaningful_text(c, 2), ["ab", "a", "--", "ไทย", "a-b"])
     assert out == [True, False, False, True, True]
+
+
+# --------------------------------------------------------------------------
+# String similarity: SequenceMatcher parity (backend/services/rag.py:432-433)
+# --------------------------------------------------------------------------
+
+# Golden pairs spanning the regimes the Q&A matcher sees: identical,
+# one-token edit, prefix edit with shared Thai suffix, disjoint.
+_SIM_PAIRS = [
+    ("table หรือไม่", "table หรือไม่"),
+    ("table หรือไม่", "tables หรือไม่"),
+    ("table หรือไม่", "stream หรือไม่"),
+    ("table scan join", "table scan joins"),
+    ("group by key", "order by key"),
+    ("abc", "xyz"),
+    ("", "anything"),
+]
+
+
+def test_seq_ratio_matches_difflib(spark):
+    """seq_ratio is the bit-exact difflib twin."""
+    from difflib import SequenceMatcher
+
+    from data_ingestion_din_spark.functions.text import seq_ratio
+
+    df = spark.createDataFrame(_SIM_PAIRS, ["a", "b"])
+    got = [
+        r[0]
+        for r in df.select(seq_ratio(F.col("a"), F.col("b"))).collect()
+    ]
+    want = [SequenceMatcher(None, a, b).ratio() for a, b in _SIM_PAIRS]
+    assert got == want
+
+
+def test_lev_ratio_vs_difflib_divergence(spark):
+    """Characterizes exactly where the JVM-native lev_ratio agrees with
+    and diverges from the reference's SequenceMatcher.ratio
+    (backend/services/rag.py:432-433) on a J6-style candidate set (one
+    query vs many questions):
+
+    - AGREE on the argmax (an exact match dominates both measures) and
+      on the extremes (1.0 identical, low for disjoint strings);
+    - DIVERGE in the mid-range: SequenceMatcher's 2M/(len_a+len_b)
+      rewards short candidates ('a หรือไม่' → 0.82 vs lev 0.69) and its
+      gate decision can flip ('key หรือไม่' → exactly 0.75, passing the
+      reference's high-confidence gate, while lev_ratio scores 0.62).
+
+    The divergence is material at the 0.75 gate → ``seq_ratio`` exists
+    as the bit-exact pandas-UDF twin for replaying reference decisions.
+    """
+    from difflib import SequenceMatcher
+
+    from data_ingestion_din_spark.functions.text import lev_ratio
+
+    query = "table หรือไม่"
+    candidates = [
+        f"{t} หรือไม่"
+        for t in ["table", "tables", "stream", "batch", "a", "filter", "key"]
+    ]
+    df = spark.createDataFrame([(query, c) for c in candidates], ["a", "b"])
+    lev = [
+        r[0]
+        for r in df.select(lev_ratio(F.col("a"), F.col("b"))).collect()
+    ]
+    ref = [SequenceMatcher(None, query, c).ratio() for c in candidates]
+
+    # argmax agreement: both pick the exact match, with a clear margin
+    assert max(range(len(lev)), key=lambda i: lev[i]) == 0
+    assert max(range(len(ref)), key=lambda i: ref[i]) == 0
+    assert lev[0] == ref[0] == 1.0
+
+    # documented divergences (golden values, both engines deterministic)
+    a_idx, key_idx = candidates.index("a หรือไม่"), candidates.index(
+        "key หรือไม่"
+    )
+    assert abs(ref[a_idx] - 0.8182) < 1e-3 and abs(lev[a_idx] - 0.6923) < 1e-3
+    assert ref[key_idx] >= 0.75 > lev[key_idx]  # the gate flip
