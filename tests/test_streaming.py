@@ -186,3 +186,73 @@ def test_watermark_drops_late_rows(spark):
     }
     assert "09:50" in batch_starts
     shutil.rmtree(d, ignore_errors=True)
+
+
+def _frames_equal(a, b) -> bool:
+    """Order-insensitive multiset equality of two DataFrames with equal
+    schemas: per-row counts joined full-outer must agree everywhere.
+    (Avoids exceptAll, which trips a Catalyst binding bug downstream of
+    dropDuplicates in Spark 4.1.)"""
+    cols = a.columns
+    ca = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_a"))
+    cb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_b"))
+    diff = ca.join(cb, cols, "full_outer").filter(
+        ~(F.col("n_a") == F.col("n_b"))
+    )
+    return diff.count() == 0
+
+
+def test_ingest_stream_equals_batch_frame(spark):
+    """Full-frame equivalence: the streamed corpus (availableNow over the
+    documents fixture) is EXACTLY the batch transform of the same input —
+    multiset-equal frames, not just row presence."""
+    base = tempfile.mkdtemp(prefix="ingest_eq_")
+    landing, corpus, ckpt = f"{base}/landing", f"{base}/corpus", f"{base}/ckpt"
+    docs = (
+        load_table(spark, SF, "documents")
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.lit("fixture").alias("source"),
+            "n_chars",
+        )
+    )
+    docs.write.mode("overwrite").parquet(landing)
+    start_ingest_stream(spark, landing, corpus, ckpt).awaitTermination(120)
+
+    streamed = spark.read.parquet(corpus)
+    batch = chunk_documents(
+        spark.read.parquet(landing)
+    ).dropDuplicates(["chunk_id"])
+    assert _frames_equal(streamed, batch)
+    assert streamed.count() == batch.count() > 0
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_tumbling_stream_equals_batch_on_closed_windows(spark, events_dir):
+    """Frame equality for the windowed aggregate: with a far-future
+    sentinel event appended, the watermark passes every fixture window,
+    so streaming append-mode output == batch output on the real data
+    (the sentinel's own still-open window is the only difference)."""
+    import os
+    from datetime import datetime
+
+    d = tempfile.mkdtemp(prefix="events_closed_")
+    ev = spark.read.parquet(events_dir)
+    sentinel = spark.createDataFrame(
+        [(-1, datetime(2030, 1, 1), -1, "__sentinel__", 0.0, "{}")],
+        ev.schema,
+    )
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(
+        os.path.join(d, "data")
+    )
+
+    stream = spark.readStream.schema(ev.schema).parquet(os.path.join(d, "data"))
+    out = _run_stream(
+        spark, tumbling_counts(stream), "tumbling_closed_out"
+    ).filter(F.col("event_type") != "__sentinel__")
+    batch = tumbling_counts(ev)  # batch over the REAL events only
+    assert _frames_equal(out, batch)
+    assert out.count() == batch.count() > 0
+    shutil.rmtree(d, ignore_errors=True)
