@@ -1,0 +1,123 @@
+"""HTML table parsing as pure Spark expressions (§2.9 scalar family 16).
+
+The reference parses LLM/vision-produced HTML ``<table>`` markup with a
+stdlib ``HTMLParser`` subclass into ``(columns, rows)`` plus structural
+trust flags (ingestion/table_extractor.py:115-268). Exact contract,
+verified against the reference parser on golden cases
+(tests/test_html_tables.py):
+
+- the FIRST ``<tr>`` with cells is the header, wherever it sits
+  (thead/tbody — vision OCR is messy); cell-less ``<tr>``s are skipped;
+- body rows are normalized to the header width (truncate long, pad
+  short with ``""``);
+- span attributes are judged by TERRITORY: while no body row has been
+  collected yet (i.e. in the header row AND the first body row), a
+  ``rowspan>1`` sets ``has_complex_header`` and ``colspan`` is
+  acceptable; from the second body row on, any ``rowspan/colspan>1``
+  sets ``has_complex_body``;
+- ``has_complex_body`` output is forced True for a header with zero
+  body rows ("lossy structure"), and any complex body forces the
+  structured output EMPTY (``[], []``) — downstream trust gating (A2)
+  keys off this;
+- no table / no cells at all → ``([], [], false, false)``.
+
+This engine restates that state machine as regexp + higher-order array
+expressions — fully JVM-side (whole-stage codegen, no Python boundary),
+so it runs inside any projection at scan speed. Row extraction:
+``<tr>…</tr>`` blocks via ``regexp_extract_all`` (non-greedy, DOTALL);
+cells per row the same over ``<th>/<td>``. The well-formed-markup subset
+the regexes accept covers machine-generated HTML (the reference's input
+domain); genuinely malformed markup lands in the same lossy bucket as
+the reference's ``except`` branch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (?is): case-insensitive + DOTALL — same syntax in Java regex (Spark)
+# and RE2 (DuckDB), so the oracle reuses these patterns verbatim.
+TR_RE = "(?is)<tr[^>]*>(.*?)</tr>"
+CELL_RE = "(?is)<t[hd][^>]*>(.*?)</t[hd]>"
+# rowspan / any-span attribute with numeric value >= 2
+ROWSPAN_GT1_RE = '(?is)rowspan\\s*=\\s*"?0*[2-9][0-9]*'
+SPAN_GT1_RE = '(?is)(row|col)span\\s*=\\s*"?0*[2-9][0-9]*'
+
+
+def parse_html_tables(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Append the reference's ``parse_html_table`` output columns:
+
+    ``columns array<string>, rows array<array<string>>,
+    has_complex_body boolean, has_complex_header boolean``
+    """
+    html = F.col(html_col)
+    trs = F.regexp_extract_all(html, F.lit(TR_RE), F.lit(1))
+    # cells per <tr>, trimmed (reference: ''.join(text).strip())
+    cell_arrays = F.transform(
+        trs,
+        lambda tr: F.transform(
+            F.regexp_extract_all(tr, F.lit(CELL_RE), F.lit(1)),
+            lambda c: F.trim(c),
+        ),
+    )
+    # 1-based indices of <tr>s that actually contain cells (the parser
+    # skips cell-less rows entirely: current_row stays empty)
+    ne_idx = F.filter(
+        F.transform(
+            cell_arrays,
+            lambda c, i: F.when(F.size(c) > 0, i + 1),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    hi = F.get(ne_idx, 0)  # header = first tr with cells (1-based)
+    bi = F.get(ne_idx, 1)  # first body row (1-based), null if none
+
+    raw_cols = F.coalesce(
+        F.get(cell_arrays, hi - 1), F.array().cast("array<string>")
+    )
+    raw_rows = F.transform(
+        F.slice(ne_idx, 2, F.greatest(F.size(ne_idx) - 1, F.lit(0))),
+        lambda j: F.get(cell_arrays, j - 1),
+    )
+
+    # span territory: everything up to and including the FIRST body row
+    # is "header territory" (the parser checks `not self.rows`, which
+    # only becomes true after that row's </tr>); later trs are body.
+    territory_end = F.coalesce(bi, F.size(trs))
+    header_zone = F.slice(trs, 1, F.coalesce(territory_end, F.lit(0)))
+    body_zone = F.when(bi.isNull(), F.array().cast("array<string>")).otherwise(
+        F.slice(trs, bi + 1, F.greatest(F.size(trs) - bi, F.lit(0)))
+    )
+
+    has_complex_header = F.exists(
+        header_zone, lambda tr: tr.rlike(ROWSPAN_GT1_RE)
+    )
+    body_complex_raw = F.exists(body_zone, lambda tr: tr.rlike(SPAN_GT1_RE))
+    # forced-lossy normalization: complex body OR header-without-rows
+    has_complex_body = body_complex_raw | (
+        (F.size(raw_cols) > 0) & (F.size(raw_rows) == 0)
+    )
+
+    # normalize rows to header width: truncate long, pad short with ""
+    ncols = F.size(raw_cols)
+    norm_rows = F.transform(
+        raw_rows,
+        lambda r: F.transform(
+            F.sequence(F.lit(1), ncols),
+            lambda i: F.coalesce(F.get(r, i - 1), F.lit("")),
+        ),
+    )
+
+    drop = has_complex_body | (F.size(raw_cols) == 0)
+    return df.select(
+        "*",
+        F.when(drop, F.array().cast("array<string>"))
+        .otherwise(raw_cols)
+        .alias("columns"),
+        F.when(drop, F.array().cast("array<array<string>>"))
+        .otherwise(norm_rows)
+        .alias("rows"),
+        has_complex_body.alias("has_complex_body"),
+        has_complex_header.alias("has_complex_header"),
+    )

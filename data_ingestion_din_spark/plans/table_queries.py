@@ -357,3 +357,224 @@ def table_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_to_double(F.col("amount_out"), 2).alias("amount_out"),
         dec_to_double(F.col("balance"), 2).alias("balance"),
     ).orderBy("table_id", "row_idx")
+
+
+# --------------------------------------------------------------------------
+# html_tables_parse — §2.9 family 16: the HTML <table> parser as expressions
+# --------------------------------------------------------------------------
+
+from data_ingestion_din_spark.functions.analysis import tokens  # noqa: E402
+from data_ingestion_din_spark.functions.hashing import h64, h64_sql  # noqa: E402
+from data_ingestion_din_spark.operators.html_tables import (  # noqa: E402
+    CELL_RE,
+    ROWSPAN_GT1_RE,
+    SPAN_GT1_RE,
+    TR_RE,
+    parse_html_tables,
+)
+
+_H_HTML = h64_sql("'html:' || CAST(doc_id AS VARCHAR)")
+_HTML_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@query(
+    "html_tables_parse",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_H_HTML} % 5 AS v,
+             coalesce({_HTML_TOKS}[1], 'x') AS t1,
+             coalesce({_HTML_TOKS}[2], 'x') AS t2,
+             coalesce({_HTML_TOKS}[3], 'x') AS t3,
+             coalesce({_HTML_TOKS}[4], 'x') AS t4,
+             coalesce({_HTML_TOKS}[5], 'x') AS t5,
+             coalesce({_HTML_TOKS}[6], 'x') AS t6
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, v,
+        '<table>'
+        || CASE WHEN v = 1
+             THEN '<tr><th rowspan="2">' || t1 || '</th><th>' || t2 || '</th></tr>'
+             ELSE '<tr><th>' || t1 || '</th><th>' || t2 || '</th></tr>' END
+        || CASE WHEN v = 4 THEN ''
+             ELSE (CASE WHEN v = 3
+                     THEN '<tr><td>' || t3 || '</td><td>' || t4 || '</td><td>extra</td></tr>'
+                     ELSE '<tr><td>' || t3 || '</td><td>' || t4 || '</td></tr>' END)
+               || (CASE WHEN v = 2
+                     THEN '<tr><td colspan="2">' || t5 || '</td></tr>'
+                     WHEN v = 3
+                     THEN '<tr><td>' || t5 || '</td></tr>'
+                     ELSE '<tr><td>' || t5 || '</td><td>' || t6 || '</td></tr>' END)
+           END
+        || '</table>' AS html
+      FROM base
+    ),
+    p2 AS (
+      SELECT doc_id, v,
+             regexp_extract_all(html, '{TR_RE}', 1) AS trs,
+             list_transform(
+               regexp_extract_all(html, '{TR_RE}', 1),
+               tr -> list_transform(
+                 regexp_extract_all(tr, '{CELL_RE}', 1), c -> trim(c))
+             ) AS cells
+      FROM h
+    ),
+    p3 AS (
+      SELECT *,
+             list_filter(
+               list_transform(cells, (c, i) -> CASE WHEN len(c) > 0 THEN i END),
+               x -> x IS NOT NULL) AS ne
+      FROM p2
+    ),
+    p4 AS (
+      SELECT doc_id, v, trs, cells, ne,
+             coalesce(cells[ne[1]], CAST([] AS VARCHAR[])) AS raw_cols,
+             list_transform(ne[2:], j -> cells[j]) AS raw_rows,
+             trs[1:coalesce(ne[2], len(trs))] AS header_zone,
+             CASE WHEN ne[2] IS NULL THEN CAST([] AS VARCHAR[])
+                  ELSE trs[ne[2]+1:] END AS body_zone
+      FROM p3
+    ),
+    p5 AS (
+      SELECT doc_id, v, raw_cols, raw_rows,
+             len(list_filter(header_zone,
+                 tr -> regexp_matches(tr, '{ROWSPAN_GT1_RE}'))) > 0
+               AS has_complex_header,
+             (len(list_filter(body_zone,
+                  tr -> regexp_matches(tr, '{SPAN_GT1_RE}'))) > 0
+              OR (len(raw_cols) > 0 AND len(raw_rows) = 0))
+               AS has_complex_body
+      FROM p4
+    ),
+    p6 AS (
+      SELECT doc_id, v, has_complex_body, has_complex_header,
+             CASE WHEN has_complex_body OR len(raw_cols) = 0
+                  THEN CAST([] AS VARCHAR[]) ELSE raw_cols END AS columns,
+             CASE WHEN has_complex_body OR len(raw_cols) = 0
+                  THEN CAST([] AS VARCHAR[][])
+                  ELSE list_transform(raw_rows,
+                    r -> list_transform(range(1, len(raw_cols) + 1),
+                                        i -> coalesce(r[i], ''))) END AS rows
+      FROM p5
+    )
+    SELECT doc_id, CAST(v AS INT) AS variant,
+           CAST(len(columns) AS INT) AS n_cols,
+           CAST(len(rows) AS INT) AS n_rows,
+           has_complex_body, has_complex_header,
+           coalesce(array_to_string(columns, '|'), '') AS cols_str,
+           coalesce(array_to_string(
+             list_transform(rows, r -> coalesce(array_to_string(r, '|'), '')),
+             '~'), '') AS rows_str
+    FROM p6
+    ORDER BY doc_id
+    """,
+)
+def html_tables_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 family 16 (ingestion/table_extractor.py:115-268): the HTML
+    <table> → (columns, rows, complexity flags) parser restated as pure
+    regexp + higher-order array expressions (operators/html_tables.py) —
+    JVM-side, codegen-friendly, no Python boundary; behavioral parity
+    with the reference parser is pinned by tests/test_html_tables.py.
+
+    Fixture: each doc derives one HTML table from its first 6 tokens in
+    one of 5 variants — well-formed / header-rowspan (complex header) /
+    body-colspan (complex body → forced empty) / ragged rows
+    (truncate+pad) / header-only (lossy) — exercising every branch of
+    the parser in both engines.
+    """
+    from data_ingestion_din_spark.sources.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    tk = lambda i: F.coalesce(F.get(toks, i - 1), F.lit("x"))  # noqa: E731
+    v = (
+        h64(F.concat(F.lit("html:"), F.col("doc_id").cast("string"))) % 5
+    ).alias("v")
+    header = F.when(
+        F.col("v") == 1,
+        F.concat(
+            F.lit('<tr><th rowspan="2">'),
+            F.col("t1"),
+            F.lit("</th><th>"),
+            F.col("t2"),
+            F.lit("</th></tr>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<tr><th>"),
+            F.col("t1"),
+            F.lit("</th><th>"),
+            F.col("t2"),
+            F.lit("</th></tr>"),
+        )
+    )
+    tr2 = F.when(
+        F.col("v") == 3,
+        F.concat(
+            F.lit("<tr><td>"),
+            F.col("t3"),
+            F.lit("</td><td>"),
+            F.col("t4"),
+            F.lit("</td><td>extra</td></tr>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<tr><td>"),
+            F.col("t3"),
+            F.lit("</td><td>"),
+            F.col("t4"),
+            F.lit("</td></tr>"),
+        )
+    )
+    tr3 = (
+        F.when(
+            F.col("v") == 2,
+            F.concat(
+                F.lit('<tr><td colspan="2">'), F.col("t5"), F.lit("</td></tr>")
+            ),
+        )
+        .when(
+            F.col("v") == 3,
+            F.concat(F.lit("<tr><td>"), F.col("t5"), F.lit("</td></tr>")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<tr><td>"),
+                F.col("t5"),
+                F.lit("</td><td>"),
+                F.col("t6"),
+                F.lit("</td></tr>"),
+            )
+        )
+    )
+    body = F.when(F.col("v") == 4, F.lit("")).otherwise(F.concat(tr2, tr3))
+    base = docs.select(
+        "doc_id",
+        v,
+        tk(1).alias("t1"),
+        tk(2).alias("t2"),
+        tk(3).alias("t3"),
+        tk(4).alias("t4"),
+        tk(5).alias("t5"),
+        tk(6).alias("t6"),
+    )
+    h = base.select(
+        "doc_id",
+        "v",
+        F.concat(F.lit("<table>"), header, body, F.lit("</table>")).alias(
+            "html"
+        ),
+    )
+    parsed = parse_html_tables(h)
+    return parsed.select(
+        "doc_id",
+        F.col("v").cast("int").alias("variant"),
+        F.size("columns").cast("int").alias("n_cols"),
+        F.size("rows").cast("int").alias("n_rows"),
+        "has_complex_body",
+        "has_complex_header",
+        F.array_join("columns", "|").alias("cols_str"),
+        F.array_join(
+            F.transform("rows", lambda r: F.array_join(r, "|")), "~"
+        ).alias("rows_str"),
+    ).orderBy("doc_id")

@@ -1,0 +1,107 @@
+"""Golden-parity tests for the expression-based HTML table parser.
+
+Expected tuples were produced by running the REFERENCE parser
+(ingestion/table_extractor.py:115-268 ``parse_html_table``) on each case —
+behavioral parity, including its span-territory quirk (spans in the first
+body row count as header territory because ``self.rows`` is still empty
+when its cells are processed) and the forced-empty lossy normalization.
+"""
+
+from __future__ import annotations
+
+from data_ingestion_din_spark.operators.html_tables import parse_html_tables
+
+# case -> (html, (columns, rows, has_complex_body, has_complex_header))
+CASES = {
+    "well_formed": (
+        '<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr>'
+        '<tr><td>3</td><td>4</td></tr></table>',
+        (["A", "B"], [["1", "2"], ["3", "4"]], False, False),
+    ),
+    "thead_tbody": (
+        '<table><thead><tr><th>A</th><th>B</th></tr></thead>'
+        '<tbody><tr><td>1</td><td>2</td></tr></tbody></table>',
+        (["A", "B"], [["1", "2"]], False, False),
+    ),
+    "hdr_rowspan": (
+        '<table><tr><th rowspan="2">A</th><th>B</th></tr>'
+        '<tr><td>1</td><td>2</td></tr><tr><td>3</td><td>4</td></tr></table>',
+        (["A", "B"], [["1", "2"], ["3", "4"]], False, True),
+    ),
+    "hdr_colspan": (  # colspan in header is acceptable for flat extraction
+        '<table><tr><th colspan="2">A</th></tr>'
+        '<tr><td>1</td><td>2</td></tr><tr><td>3</td><td>4</td></tr></table>',
+        (["A"], [["1"], ["3"]], False, False),
+    ),
+    "tr2_colspan": (  # first body row is still "header territory"
+        '<table><tr><th>A</th><th>B</th></tr><tr><td colspan="2">x</td></tr>'
+        '<tr><td>3</td><td>4</td></tr></table>',
+        (["A", "B"], [["x", ""], ["3", "4"]], False, False),
+    ),
+    "tr2_rowspan": (
+        '<table><tr><th>A</th><th>B</th></tr>'
+        '<tr><td rowspan="2">x</td><td>y</td></tr>'
+        '<tr><td>3</td><td>4</td></tr></table>',
+        (["A", "B"], [["x", "y"], ["3", "4"]], False, True),
+    ),
+    "body_colspan": (  # complex body -> forced empty
+        '<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr>'
+        '<tr><td colspan="2">x</td></tr></table>',
+        ([], [], True, False),
+    ),
+    "body_rowspan": (
+        '<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr>'
+        '<tr><td rowspan="3">x</td><td>y</td></tr></table>',
+        ([], [], True, False),
+    ),
+    "ragged_long": (  # truncate to header width
+        '<table><tr><th>A</th><th>B</th></tr>'
+        '<tr><td>1</td><td>2</td><td>3</td></tr>'
+        '<tr><td>5</td><td>6</td></tr></table>',
+        (["A", "B"], [["1", "2"], ["5", "6"]], False, False),
+    ),
+    "ragged_short": (  # pad to header width
+        '<table><tr><th>A</th><th>B</th></tr><tr><td>1</td></tr>'
+        '<tr><td>5</td><td>6</td></tr></table>',
+        (["A", "B"], [["1", ""], ["5", "6"]], False, False),
+    ),
+    "header_only": (  # header but no rows -> lossy
+        '<table><tr><th>A</th><th>B</th></tr></table>',
+        ([], [], True, False),
+    ),
+    "empty_table": ('<table></table>', ([], [], False, False)),
+    "no_table": ('just text, no markup', ([], [], False, False)),
+    "empty_row_mid": (  # cell-less <tr> skipped entirely
+        '<table><tr><th>A</th><th>B</th></tr><tr></tr>'
+        '<tr><td>1</td><td>2</td></tr></table>',
+        (["A", "B"], [["1", "2"]], False, False),
+    ),
+    "whitespace": (
+        '<table> <tr> <th> A </th><th>B</th></tr><tr><td> 1 </td><td>2</td>'
+        '</tr><tr><td>3</td><td>4</td></tr></table>',
+        (["A", "B"], [["1", "2"], ["3", "4"]], False, False),
+    ),
+    "multiline": (
+        '<table>\n<tr>\n<th>A</th>\n<th>B</th>\n</tr>\n<tr>\n<td>1</td>\n'
+        '<td>2</td>\n</tr>\n<tr><td>3</td><td>4</td></tr>\n</table>',
+        (["A", "B"], [["1", "2"], ["3", "4"]], False, False),
+    ),
+}
+
+
+def test_parse_html_tables_reference_parity(spark):
+    names = list(CASES)
+    df = spark.createDataFrame(
+        [(n, CASES[n][0]) for n in names], ["name", "html"]
+    )
+    out = {
+        r["name"]: (
+            list(r["columns"]),
+            [list(x) for x in r["rows"]],
+            r["has_complex_body"],
+            r["has_complex_header"],
+        )
+        for r in parse_html_tables(df).collect()
+    }
+    for n in names:
+        assert out[n] == CASES[n][1], f"case {n}: {out[n]} != {CASES[n][1]}"
