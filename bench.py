@@ -69,6 +69,22 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "q19_bracket_revenue",
     "q22_idle_customers",
+    # round 2: banded/bit-sliced near-dup, LSH ANN, batch kNN, Q&A argmax,
+    # HTML parse, grouping sets, quartiles, set-ops, enrichment cascade
+    "dedup_minhash_banded",
+    "dedup_simhash_near",
+    "embedding_near_dup_lsh",
+    "similarity_lsh_topk",
+    "similarity_batch_topk",
+    "qna_best_match",
+    "html_tables_parse",
+    "revenue_cube",
+    "events_value_quartiles",
+    "repeat_buyers_96_not_97",
+    "doc_enrichment",
+    "doc_classification",
+    "doc_sanitize_normalize",
+    "block_type_detection",
 ]
 
 

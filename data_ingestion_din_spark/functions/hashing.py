@@ -34,17 +34,84 @@ def h64_sql(expr: str, seed: str = "") -> str:
     return f"CAST(('0x' || substr(md5({seeded}), 1, 15)) AS BIGINT)"
 
 
-def minhash(shingles: Column, n_hashes: int) -> list[Column]:
-    """MinHash signature: for each of ``n_hashes`` seeded hash functions,
-    the minimum hash over the shingle set. All JVM-side array expressions —
-    no shuffle, no UDF. Returns one Column per signature slot."""
-    # NB: the per-slot lambda must take exactly ONE argument — PySpark
-    # treats a two-arg lambda in `transform` as (element, index).
-    def _hasher(i: int):
-        seed = f"mh{i}:"
-        return lambda s: h64(s, seed)
+# --------------------------------------------------------------------------
+# MinHash permutation family: ONE md5 per shingle (32-bit base), then an
+# affine map (a_i * h + b_i) mod (2^31 - 1) per signature slot — 8× less
+# hashing than md5-per-(seed, shingle) and still bit-identical in DuckDB
+# (pure BIGINT arithmetic; a_i < 2^30 keeps a_i * h < 2^62, no overflow
+# under ANSI mode in either engine).
+# --------------------------------------------------------------------------
 
+MH_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
+# fixed (a, b) per slot: arbitrary odd multipliers < 2^30, offsets < 2^31
+MH_AB = [
+    (536870909, 1000000007),
+    (477218579, 1618033988),
+    (368140581, 209248165),
+    (297121507, 1382774917),
+    (198491317, 786433213),
+    (165580141, 1200000041),
+    (102334155, 433494437),
+    (86267571, 1650011087),
+    (63245985, 225851433),
+    (54018521, 1134903170),
+    (39088169, 701408733),
+    (24157817, 1548008755),
+    (14930351, 365435296),
+    (9227465, 1836311903),
+    (5702887, 267914296),
+    (3524577, 1771128657),
+]
+
+
+def h32(col: Column) -> Column:
+    """32-bit integer hash (first 8 md5 hex chars) — the MinHash base."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def h32_sql(expr: str) -> str:
+    """DuckDB oracle twin of :func:`h32`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _mh_slot(a: int, b: int):
+    # NB: the lambda must take exactly ONE argument — PySpark treats a
+    # two-arg lambda in `transform` as (element, index).
+    return lambda h: (a * h + b) % MH_MOD
+
+
+def minhash_cols(hashed: Column, n_hashes: int) -> list[Column]:
+    """Signature slots over a PRE-HASHED int array column (see
+    :func:`with_minhash` for why the hashed array must be its own
+    projection). One Column per slot."""
+    if n_hashes > len(MH_AB):
+        raise ValueError(f"at most {len(MH_AB)} minhash slots supported")
     return [
-        F.array_min(F.transform(shingles, _hasher(i))).alias(f"mh{i}")
+        F.array_min(F.transform(hashed, _mh_slot(*MH_AB[i]))).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
+
+
+def with_minhash(
+    df, shingles: Column, n_hashes: int, keep: list[str] | None = None
+):
+    """Append MinHash signature columns ``mh0..mh{n-1}`` (plus ``keep``
+    columns) for the ``shingles`` string-array expression.
+
+    Two projections on purpose: the md5-hashed int array is materialized
+    as its OWN column first, then the n affine slot-mins read it.
+    Inlining ``transform(sh, h32)`` into every slot would re-run the md5
+    pass n× (measured 42 s vs 8 s for n=8 at sf0.1 — CollapseProject
+    keeps this barrier because the hashed array is non-cheap and
+    multiply referenced)."""
+    keep = keep if keep is not None else df.columns
+    staged = df.select(*keep, F.transform(shingles, h32).alias("_hb"))
+    return staged.select(*keep, *minhash_cols(F.col("_hb"), n_hashes))
+
+
+def minhash_slot_sql(i: int, base_expr: str = "hb") -> str:
+    """DuckDB twin of slot ``i``: ``min((a_i * base + b_i) % MH_MOD)`` —
+    use over a CTE that computes ``base_expr`` = :func:`h32_sql` once per
+    shingle."""
+    a, b = MH_AB[i]
+    return f"CAST(min(({a} * {base_expr} + {b}) % {MH_MOD}) AS BIGINT) AS mh{i}"

@@ -84,6 +84,26 @@ def cosine_exact(a: Column, b: Column) -> Column:
     return d / (na * nb)
 
 
+def lsh_bucket_sql(
+    e: str, seed: str = "lsh", n_planes: int = 8, dims: int = 64
+) -> str:
+    """DuckDB twin of ``operators.similarity.lsh_bucket(exact=True)``:
+    per plane b, sign of Σ_i floor(e[i]·1e6) · ((h64('{seed}:b:'||i) %
+    2001) − 1000), assembled into an n_planes-bit bucket int."""
+    terms = []
+    for b in range(n_planes):
+        h = (
+            f"CAST(('0x' || substr(md5('{seed}:{b}:' || CAST(i - 1 AS VARCHAR)"
+            f"), 1, 15)) AS BIGINT)"
+        )
+        proj = (
+            f"(SELECT sum(CAST(floor(CAST({e}[i] AS DOUBLE) * {QUANT}) AS BIGINT)"
+            f" * (({h}) % 2001 - 1000)) FROM range(1, {dims + 1}) r(i))"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << b} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
 def cosine_exact_sql(a: str, b: str, dims: int = 64) -> str:
     """DuckDB oracle twin of :func:`cosine_exact` (correlated over a pair
     of FLOAT[] columns): quantized-integer dot/norms, double divide."""

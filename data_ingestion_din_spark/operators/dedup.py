@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from data_ingestion_din_spark.functions.analysis import fingerprint, tokens
-from data_ingestion_din_spark.functions.hashing import minhash
+from data_ingestion_din_spark.functions.hashing import with_minhash
+from data_ingestion_din_spark.sources.tables import scan_parallel
 from data_ingestion_din_spark.functions.vectors import cosine_exact
 
 SIMHASH_BITS = 16
@@ -75,7 +76,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 4) -> DataFrame:
     plug into the same construction for order-sensitive near-dup.
     """
     sh = F.array_distinct(tokens(F.col("text")))
-    return docs.select("doc_id", *minhash(sh, n_hashes))
+    return with_minhash(scan_parallel(docs), sh, n_hashes, keep=["doc_id"])
 
 
 def minhash_dup_groups(docs: DataFrame, n_hashes: int = 4) -> DataFrame:
@@ -103,7 +104,7 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """
     from data_ingestion_din_spark.functions.hashing import h64
 
-    tok = docs.select(
+    tok = scan_parallel(docs).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     ).withColumn("h", h64(F.col("tok")))
     bit_sums = [
@@ -155,10 +156,18 @@ def minhash_banded_pairs(
     if r * bands != n_hashes:
         raise ValueError("bands must divide n_hashes")
     sh_arr = F.array_distinct(word_shingles(tokens(F.col("text")), shingle_n))
+    sh_base = scan_parallel(docs).select("doc_id", sh_arr.alias("sh")).filter(
+        F.size("sh") > 0
+    )
     sigs = (
-        docs.select("doc_id", sh_arr.alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", "sh", *minhash(F.col("sh"), n_hashes))
+        with_minhash(sh_base, F.col("sh"), n_hashes)
+        # materialize once: the signature scan feeds FOUR plan branches
+        # (both sides of the band self-join and both sides of the verify
+        # join); without staging, Spark recomputes the shingle+minhash
+        # pipeline per branch (measured 4× cost at sf0.1). At cluster
+        # scale this is the staged-table / dataset-cache production
+        # shape; localCheckpoint is its single-JVM equivalent.
+        .localCheckpoint(eager=False)
     )
     band_keys = F.array(
         *[
@@ -294,7 +303,7 @@ def ngram_jaccard_pairs(
     """
     from data_ingestion_din_spark.functions.analysis import word_shingles
 
-    sh = docs.select(
+    sh = scan_parallel(docs).select(
         "doc_id",
         F.explode(
             F.array_distinct(word_shingles(tokens(F.col("text")), n))
@@ -332,6 +341,92 @@ def ngram_jaccard_pairs(
                 / (F.col("na") + F.col("nb") - F.col("inter"))
             ).alias("jaccard"),
         )
+    )
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_tables: int = 4,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs via multi-table random-hyperplane LSH —
+    the scale path for :func:`embedding_near_dup_pairs` (reference has no
+    ANN at all; Chroma kNN is backend/services/vector_store.py:263-341).
+
+    Pipeline:
+      1. hash every vector with ``n_tables`` independent hyperplane
+         tables (``n_planes`` bits each, exact integer projections so the
+         oracle reproduces the signs bit-for-bit);
+      2. candidates: pairs agreeing on ≥1 whole table's bucket — an
+         equi-join on (table, bucket), never a cartesian. For cosine s,
+         P[candidate] = 1 − (1 − p^n_planes)^n_tables with
+         p = 1 − arccos(s)/π, so true near-dups (s ≥ 0.9) are found
+         w.h.p. while unrelated pairs rarely collide;
+      3. verify: exact quantized cosine ≥ ``threshold`` on candidates
+         only (each side's quantized vector + norm computed once,
+         pre-join).
+
+    At 100 TB the bucket join shuffles only (table:bucket, vec_id) rows
+    and the verify join touches candidates only — same shape as
+    minhash_banded_pairs. Returns (id_a, id_b, cos_sim).
+    """
+    from data_ingestion_din_spark.functions.vectors import (
+        quant_dot,
+        quant_norm,
+        quantize,
+    )
+    from data_ingestion_din_spark.operators.similarity import lsh_bucket
+
+    h = scan_parallel(emb)
+    for t in range(n_tables):
+        h = lsh_bucket(h, n_planes, seed=f"lsh{t}", exact=True)
+        h = h.withColumnRenamed("bucket", f"bkt{t}")
+    staged = h.select(
+        "vec_id",
+        quantize(F.col("embedding")).alias("qv"),
+        quant_norm(F.col("embedding")).alias("nrm"),
+        *[f"bkt{t}" for t in range(n_tables)],
+        # one hash+quantize pass feeds three branches (both join sides of
+        # the band self-join and the verify lookups)
+    ).localCheckpoint(eager=False)
+    band_keys = F.array(
+        *[
+            F.concat(F.lit(f"{t}:"), F.col(f"bkt{t}").cast("string"))
+            for t in range(n_tables)
+        ]
+    )
+    banded = staged.select("vec_id", F.explode(band_keys).alias("band_key"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band_key")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sides = staged.select("vec_id", "qv", "nrm")
+    pairs = cand.join(
+        sides.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("qv").alias("qa"),
+            F.col("nrm").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        sides.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("qv").alias("qb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "id_b",
+    )
+    cos = quant_dot(F.col("qa"), F.col("qb")).cast("double") / (
+        F.col("na") * F.col("nb")
+    )
+    return pairs.select("id_a", "id_b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
     )
 
 

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_din_spark.functions.hashing import h64_sql
+from data_ingestion_din_spark.functions.hashing import (
+    h32_sql,
+    h64_sql,
+    minhash_slot_sql,
+)
 from data_ingestion_din_spark.operators import dedup as D
 from data_ingestion_din_spark.plans.registry import query
 from data_ingestion_din_spark.sources.tables import load_table
@@ -77,17 +81,15 @@ def dedup_wordset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # minhash_signatures — per-doc MinHash signature (4 seeded hash slots over
 # the distinct-word shingle set).
 # --------------------------------------------------------------------------
-def _mh_sql(i: int) -> str:
-    return f"CAST(min({h64_sql('tok', f'mh{i}:')}) AS BIGINT) AS mh{i}"
-
-
 @query(
     "minhash_signatures",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents
+      SELECT doc_id, {h32_sql("unnest(list_distinct({}))".format(_TOKS_SQL))}
+               AS hb
+      FROM documents
     )
-    SELECT doc_id, {", ".join(_mh_sql(i) for i in range(_N_MINHASH))}
+    SELECT doc_id, {", ".join(minhash_slot_sql(i) for i in range(_N_MINHASH))}
     FROM tok
     GROUP BY doc_id
     ORDER BY doc_id
@@ -104,10 +106,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _SIG_CTE = f"""
     tok AS (
-      SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents
+      SELECT doc_id, {h32_sql("unnest(list_distinct({}))".format(_TOKS_SQL))}
+               AS hb
+      FROM documents
     ),
     sig AS (
-      SELECT doc_id, {", ".join(_mh_sql(i) for i in range(_N_MINHASH))}
+      SELECT doc_id, {", ".join(minhash_slot_sql(i) for i in range(_N_MINHASH))}
       FROM tok GROUP BY doc_id
     )
 """
@@ -168,7 +172,7 @@ _NB_R = _NB_HASHES // _NB_BANDS
 
 
 def _mh_sh_sql(i: int) -> str:
-    return f"CAST(min({h64_sql('shingle', f'mh{i}:')}) AS BIGINT) AS mh{i}"
+    return minhash_slot_sql(i)
 
 
 def _band_sql(j: int) -> str:
@@ -194,9 +198,10 @@ _BANDS_UNION = "\n      UNION ALL ".join(
              t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
       FROM idx
     ),
+    shh AS (SELECT doc_id, {h32_sql("shingle")} AS hb FROM sh),
     sig AS (
       SELECT doc_id, {", ".join(_mh_sh_sql(i) for i in range(_NB_HASHES))}
-      FROM sh GROUP BY doc_id
+      FROM shh GROUP BY doc_id
     ),
     bands AS ({_BANDS_UNION}),
     cand AS (
@@ -385,3 +390,58 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.embedding_near_dup_pairs(emb, threshold=0.4)
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_near_dup_lsh — the SCALE path for embedding near-dup: 4
+# independent random-hyperplane tables × 4 bits bucket the vectors, pairs
+# sharing ≥1 bucket are exact-cosine verified (≥ 0.4). The oracle
+# recomputes the same hyperplane signs and quantized cosine in SQL, so the
+# candidates→verify composition itself is checked — this (not the
+# all-pairs embedding_near_dup) is what runs at 100 TB.
+# --------------------------------------------------------------------------
+from data_ingestion_din_spark.functions.vectors import lsh_bucket_sql  # noqa: E402
+
+_ND_TABLES = 4
+_ND_PLANES = 4
+
+_ND_BUCKETS = ",\n             ".join(
+    f"{lsh_bucket_sql('embedding', f'lsh{t}', _ND_PLANES)} AS bkt{t}"
+    for t in range(_ND_TABLES)
+)
+_ND_ANY_BAND = " OR ".join(
+    f"a.bkt{t} = b.bkt{t}" for t in range(_ND_TABLES)
+)
+
+
+@query(
+    "embedding_near_dup_lsh",
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv,
+             {_ND_BUCKETS}
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv,
+             sqrt(CAST((SELECT sum(qv[i] * qv[i]) FROM range(1, 65) r(i))
+                       AS DOUBLE)) AS nrm,
+             bkt0, bkt1, bkt2, bkt3
+      FROM h
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_PAIR_DOT} / (a.nrm * b.nrm) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id AND ({_ND_ANY_BAND})
+    WHERE {_PAIR_DOT} / (a.nrm * b.nrm) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_lsh(
+        emb, threshold=0.4, n_tables=_ND_TABLES, n_planes=_ND_PLANES
+    ).orderBy("id_a", "id_b")

@@ -172,7 +172,7 @@ def doc_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id",
         F.array_join(F.slice(intents, 1, 5), ",").alias("intents"),
-        F.coalesce(F.element_at(intents, 1), F.lit("none")).alias(
+        F.coalesce(F.get(intents, 0), F.lit("none")).alias(
             "primary_intent"
         ),
         F.array_join(monies, ",").alias("money_entities"),

@@ -232,9 +232,11 @@ def _qna_pairs(docs: DataFrame) -> DataFrame:
         F.concat(
             F.col("text"),
             F.lit(" ถาม: "),
-            F.element_at(toks, 1),
+            # null-safe under ANSI: empty-token docs yield NULL → whole
+            # concat NULL → filtered (same as DuckDB's NULL propagation)
+            F.get(toks, 0),
             F.lit(" หรือไม่ ตอบ: "),
-            F.element_at(toks, -1),
+            F.try_element_at(toks, F.lit(-1)),
             F.lit(" ครับ"),
         ),
     ).otherwise(F.col("text"))

@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_din_spark.functions.vectors import cosine_exact, cosine_exact_sql
+from data_ingestion_din_spark.functions.vectors import (
+    cosine_exact,
+    cosine_exact_sql,
+    lsh_bucket_sql,
+)
 from data_ingestion_din_spark.plans.registry import query
 from data_ingestion_din_spark.sources.tables import load_table
 
@@ -104,20 +108,7 @@ _N_PLANES = 8
 
 
 def _lsh_bucket_sql(e: str, seed: str = "lsh") -> str:
-    """DuckDB twin of lsh_bucket(exact=True): per plane b, sign of
-    Σ_i floor(e[i]·1e6) · ((h64('{seed}:b:'||i) % 2001) − 1000)."""
-    terms = []
-    for b in range(_N_PLANES):
-        h = (
-            f"CAST(('0x' || substr(md5('{seed}:{b}:' || CAST(i - 1 AS VARCHAR)"
-            f"), 1, 15)) AS BIGINT)"
-        )
-        proj = (
-            f"(SELECT sum(CAST(floor(CAST({e}[i] AS DOUBLE) * 1000000) AS BIGINT)"
-            f" * (({h}) % 2001 - 1000)) FROM range(1, 65) r(i))"
-        )
-        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << b} ELSE 0 END)")
-    return "CAST(" + " + ".join(terms) + " AS INT)"
+    return lsh_bucket_sql(e, seed, _N_PLANES)
 
 
 @query(

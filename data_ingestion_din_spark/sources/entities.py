@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_din_spark.functions.hashing import h64, h64_sql
-from data_ingestion_din_spark.sources.tables import load_table
+from data_ingestion_din_spark.sources.tables import load_table, scan_parallel
 
 # --------------------------------------------------------------------------
 # text_blocks
@@ -47,8 +47,16 @@ PAGE_HEIGHT = 842.0
 
 def text_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the ``text_blocks`` entity table (FIXTURES.md B.1 subset:
-    id, doc_id, page, content, bbox, font_size, intent)."""
-    docs = load_table(spark, sf_dir, "documents")
+    id, doc_id, page, content, bbox, font_size, intent) — staged via the
+    entity cache like ``table_blocks`` (one md5-heavy derivation per
+    (app, sf_dir), then every consumer reads the materialized table)."""
+    return _cached(
+        spark, sf_dir, "text_blocks", lambda: _text_blocks(spark, sf_dir)
+    )
+
+
+def _text_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"))
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     n_blocks = F.greatest(
         F.ceil(F.size(toks) / F.lit(float(TOKENS_PER_BLOCK))).cast("bigint"),
@@ -276,7 +284,7 @@ def table_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _table_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_parallel(load_table(spark, sf_dir, "documents"))
     b = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.explode(F.sequence(F.lit(0), F.lit(TABLES_PER_DOC))).alias("t"),

@@ -50,6 +50,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scan_parallel(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Restore parallelism after a non-splittable small-file scan.
+
+    The local fixtures are single-row-group parquet files, so Spark maps
+    each scan to ONE task no matter what ``maxPartitionBytes`` says
+    (parquet splits only at row-group boundaries) — any expression-heavy
+    operator downstream then runs single-threaded. This helper shuffles
+    to the session's default parallelism ONLY when the scan produced
+    fewer partitions; on a production multi-file / multi-row-group table
+    (the 100 TB shape) it is a no-op, so plans keep their shuffle-free
+    scans at scale. Use it in compute-bound operators (hashing,
+    signatures, per-cell parsing), not cheap projections."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True
 ) -> dict[str, DataFrame]:

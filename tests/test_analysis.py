@@ -12,7 +12,7 @@ from data_ingestion_din_spark.functions.analysis import (
     tokens,
     word_shingles,
 )
-from data_ingestion_din_spark.functions.hashing import h64, minhash
+from data_ingestion_din_spark.functions.hashing import h32, h64, with_minhash
 
 
 def test_tokens_and_shingles(spark):
@@ -66,16 +66,34 @@ def test_h64_known_value(spark):
     assert v == 523004158102432530
 
 
-def test_minhash_seeds_differ(spark):
-    # Regression for the transform-lambda arity bug: each slot must use its
-    # own seed, so slots must (w.h.p.) differ on the same input.
+def test_minhash_slots_differ(spark):
+    # Each slot uses its own (a, b) affine map, so slots must (w.h.p.)
+    # differ on the same input.
     df = spark.createDataFrame([(["a", "b", "c"],)], ["sh"])
-    row = df.select(*minhash(F.col("sh"), 4)).collect()[0]
+    row = with_minhash(df, F.col("sh"), 4, keep=[]).collect()[0]
     assert len({row.mh0, row.mh1, row.mh2, row.mh3}) == 4
 
 
 def test_minhash_permutation_invariance(spark):
     # MinHash is a set signature: order must not matter.
     df = spark.createDataFrame([(["a", "b", "c"],), (["c", "a", "b"],)], ["sh"])
-    rows = df.select(*minhash(F.col("sh"), 2)).collect()
+    rows = with_minhash(df, F.col("sh"), 2, keep=[]).collect()
     assert rows[0] == rows[1]
+
+
+def test_minhash_matches_manual_affine(spark):
+    # Bit-for-bit parity with the documented construction: md5-based 32-bit
+    # base hash, then min((a*h + b) % (2^31 - 1)) per slot.
+    from data_ingestion_din_spark.functions.hashing import MH_AB, MH_MOD
+
+    df = spark.createDataFrame([(["a", "b", "c"],)], ["sh"])
+    row = with_minhash(df, F.col("sh"), 2, keep=[]).collect()[0]
+    bases = [
+        r[0]
+        for r in df.select(F.explode("sh").alias("t"))
+        .select(h32(F.col("t")))
+        .collect()
+    ]
+    for i in range(2):
+        a, b = MH_AB[i]
+        assert row[f"mh{i}"] == min((a * h + b) % MH_MOD for h in bases)
