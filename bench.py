@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "dedup_minhash_banded",
     "dedup_simhash_near",
     "embedding_near_dup_lsh",
+    "corpus_curation",
     "similarity_lsh_topk",
     "similarity_batch_topk",
     "qna_best_match",

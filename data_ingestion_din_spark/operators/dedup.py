@@ -348,7 +348,7 @@ def embedding_near_dup_lsh(
     emb: DataFrame,
     threshold: float = 0.4,
     n_tables: int = 4,
-    n_planes: int = 4,
+    n_planes: int = 6,
 ) -> DataFrame:
     """Embedding near-dup pairs via multi-table random-hyperplane LSH —
     the scale path for :func:`embedding_near_dup_pairs` (reference has no
@@ -371,22 +371,64 @@ def embedding_near_dup_lsh(
     and the verify join touches candidates only — same shape as
     minhash_banded_pairs. Returns (id_a, id_b, cos_sim).
     """
-    from data_ingestion_din_spark.functions.vectors import (
-        quant_dot,
-        quant_norm,
-        quantize,
+    from data_ingestion_din_spark.functions.vectors import quant_dot, quantize
+    from data_ingestion_din_spark.operators.similarity import (
+        _plane_coefs,
+        int_matrix_lit,
     )
-    from data_ingestion_din_spark.operators.similarity import lsh_bucket
 
-    h = scan_parallel(emb)
-    for t in range(n_tables):
-        h = lsh_bucket(h, n_planes, seed=f"lsh{t}", exact=True)
-        h = h.withColumnRenamed("bucket", f"bkt{t}")
-    staged = h.select(
+    # All n_tables × n_planes hyperplanes as ONE 2D literal matrix and ONE
+    # projection pass: the quantized vector is staged first (projection
+    # barrier — multi-referenced non-cheap alias), so each projection is
+    # a zip_with over two attribute arrays. Fusing beats n_tables separate
+    # lsh_bucket passes: one expression tree, one quantize, no repeated
+    # codegen of near-identical projections.
+    coefs = [
+        _plane_coefs(f"lsh{t}", b, 64)
+        for t in range(n_tables)
+        for b in range(n_planes)
+    ]
+    base = scan_parallel(emb).select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    projected = base.select(
         "vec_id",
-        quantize(F.col("embedding")).alias("qv"),
-        quant_norm(F.col("embedding")).alias("nrm"),
-        *[f"bkt{t}" for t in range(n_tables)],
+        "qv",
+        F.transform(
+            int_matrix_lit(coefs),
+            lambda row: F.aggregate(
+                # coalesce: sub-64-dim vectors pad with NULL in zip_with;
+                # trailing coefficients contribute 0 (dims upper bound)
+                F.zip_with(
+                    F.col("qv"),
+                    row,
+                    lambda x, c: F.coalesce(
+                        x * c, F.lit(0).cast("bigint")
+                    ),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ),
+        ).alias("_pj"),
+    )
+
+    def bkt(t: int):
+        bits = [
+            F.when(
+                F.get(F.col("_pj"), t * n_planes + b) >= 0, F.lit(1 << b)
+            ).otherwise(F.lit(0))
+            for b in range(n_planes)
+        ]
+        total = bits[0]
+        for x in bits[1:]:
+            total = total + x
+        return total.cast("int").alias(f"bkt{t}")
+
+    staged = projected.select(
+        "vec_id",
+        "qv",
+        F.sqrt(quant_dot(F.col("qv"), F.col("qv")).cast("double")).alias("nrm"),
+        *[bkt(t) for t in range(n_tables)],
         # one hash+quantize pass feeds three branches (both join sides of
         # the band self-join and the verify lookups)
     ).localCheckpoint(eager=False)

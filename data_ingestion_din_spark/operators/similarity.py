@@ -42,6 +42,29 @@ def _plane_coefs(seed: str, b: int, dims: int) -> list[int]:
     return [(_h64_py(f"{seed}:{b}:{i}") % 2001) - 1000 for i in range(dims)]
 
 
+def int_array_lit(vals: list[int]) -> Column:
+    """BIGINT array literal built as ONE parsed SQL expression —
+    ``F.lit(list)`` issues a py4j call per element (a 1,536-element
+    nested literal cost 3.5 s of driver time to build)."""
+    return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
+
+
+def int_matrix_lit(rows: list[list[int]]) -> Column:
+    """2-D BIGINT array literal, same single-expression construction."""
+    inner = ",".join(
+        "array(" + ",".join(f"{v}L" for v in r) + ")" for r in rows
+    )
+    return F.expr(f"array({inner})")
+
+
+def double_array_lit(vals: list[float]) -> Column:
+    """DOUBLE array literal via one parsed expression; ``repr`` of a
+    Python float round-trips to the identical double."""
+    return F.expr(
+        "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + ")"
+    )
+
+
 def _score(emb: DataFrame, qvec: Column, exact: bool) -> DataFrame:
     fn = cosine_exact if exact else cosine
     return emb.withColumn("cos_sim", fn(F.col("embedding"), qvec))
@@ -100,15 +123,20 @@ def lsh_bucket(
     bits = []
     for b in range(n_planes):
         coefs = _plane_coefs(seed, b, dims)
+        # coalesce(…, 0): when the vector has fewer than ``dims`` elements
+        # zip_with pads with NULL — trailing plane coefficients must
+        # contribute 0, not nullify the projection (``dims`` is an upper
+        # bound; 64-dim production vectors never hit the pad path).
         if exact:
             proj = F.aggregate(
                 F.zip_with(
                     F.col("embedding"),
-                    F.lit(coefs),
-                    lambda x, c: F.floor(x.cast("double") * 1_000_000).cast(
-                        "bigint"
-                    )
-                    * c,
+                    int_array_lit(coefs),
+                    lambda x, c: F.coalesce(
+                        F.floor(x.cast("double") * 1_000_000).cast("bigint")
+                        * c,
+                        F.lit(0).cast("bigint"),
+                    ),
                 ),
                 F.lit(0).cast("bigint"),
                 lambda acc, v: acc + v,
@@ -117,8 +145,8 @@ def lsh_bucket(
             proj = F.aggregate(
                 F.zip_with(
                     F.col("embedding"),
-                    F.lit([c / 1000.0 for c in coefs]),
-                    lambda x, c: x * c,
+                    double_array_lit([c / 1000.0 for c in coefs]),
+                    lambda x, c: F.coalesce(x * c, F.lit(0.0)),
                 ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,

@@ -403,7 +403,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 from data_ingestion_din_spark.functions.vectors import lsh_bucket_sql  # noqa: E402
 
 _ND_TABLES = 4
-_ND_PLANES = 4
+# 6 bits/table: random-pair candidate rate ≈ n_tables/2^6 ≈ 6% (measured
+# 112k of 2M pairs at sf0.1) while true near-dups (cos ≥ 0.9, p ≥ 0.85
+# per bit) are caught with P ≈ 1−(1−0.85^6)^4 ≈ 86%. 4 bits barely
+# pruned (23% candidate rate → verify-bound); the fixture's low-cos
+# (≈0.45) pairs are deliberately hard — recall on them is the knob this
+# parameter trades, and the oracle checks whatever construction is set.
+_ND_PLANES = 6
 
 _ND_BUCKETS = ",\n             ".join(
     f"{lsh_bucket_sql('embedding', f'lsh{t}', _ND_PLANES)} AS bkt{t}"

@@ -238,3 +238,105 @@ def corpus_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "tok")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_curation — the flagship training-data curation pipeline, composing
+# the oracle-checked pieces end to end: quality gate → language filter →
+# exact-fingerprint dedup (deterministic winner) → per-language token
+# budget (highest-quality docs first). This is the query a 100 TB corpus
+# actually runs before pretraining: narrow per-doc scoring (no shuffle),
+# one hash shuffle for dedup, one per-language window for the budget —
+# three shuffles total regardless of corpus size.
+# --------------------------------------------------------------------------
+_CUR_BUDGET = 50_000  # tokens per language
+
+
+@query(
+    "corpus_curation",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             len(list_filter(toks, x -> list_contains({_STOP_LIST_SQL}, x)))
+               AS n_stop,
+             length(regexp_replace(text, '[^A-Za-z0-9฀-๿]', '', 'g'))
+               AS n_word,
+             length(regexp_replace(text, '[^฀-๿]', '', 'g')) AS n_thai,
+             length(text) AS n_chars,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, fp,
+             CAST(n_tok AS BIGINT) AS n_tokens,
+             CASE
+               WHEN n_thai / greatest(n_chars, 1) > 0.3 THEN 'th'
+               WHEN n_stop / greatest(n_tok, 1) > 0.02 THEN 'en'
+               ELSE 'unk'
+             END AS lang_guess,
+             least(n_tok / 20.0, 1.0) * 0.4
+               + (n_word / greatest(n_chars, 1)) * 0.3
+               + least((n_stop / greatest(n_tok, 1)) / 0.1, 1.0) * 0.3
+               AS quality
+      FROM s
+    ),
+    gated AS (
+      SELECT * FROM scored WHERE quality >= 0.5 AND lang_guess <> 'unk'
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    budgeted AS (
+      SELECT doc_id, lang_guess, quality, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang_guess
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM deduped
+    )
+    SELECT doc_id, lang_guess, quality, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM budgeted
+    WHERE cum_tokens <= {_CUR_BUDGET}
+    ORDER BY lang_guess, cum_tokens
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        lang_id(F.col("text"), toks).alias("lang_guess"),
+        quality_score(F.col("text"), toks).alias("quality"),
+    )
+    gated = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_guess") != "unk")
+    )
+    w_dedup = W.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    w_budget = (
+        W.partitionBy("lang_guess")
+        .orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        deduped.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w_budget).cast("bigint")
+        )
+        .filter(F.col("cum_tokens") <= _CUR_BUDGET)
+        .orderBy("lang_guess", "cum_tokens")
+    )

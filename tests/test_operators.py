@@ -95,6 +95,10 @@ def test_lsh_bucket_deterministic_and_topk_recall(spark):
     b1 = {r.vec_id: r.bucket for r in lsh_bucket(emb).collect()}
     b2 = {r.vec_id: r.bucket for r in lsh_bucket(emb).collect()}
     assert b1 == b2  # deterministic planes
+    # sub-64-dim vectors must still project through the literal plane
+    # coefficients (null-safe pad), not degenerate into one bucket
+    assert len(set(b1.values())) > 1
+    assert all(b is not None for b in b1.values())
     q = F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))
     got = [r.vec_id for r in lsh_topk(emb, q, k=3, n_planes=4).collect()]
     assert got and got[0] == 0  # nearest vector shares the query's bucket
