@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "dedup_simhash_near",
     "embedding_near_dup_lsh",
     "corpus_curation",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
     "similarity_lsh_topk",
     "similarity_batch_topk",
     "qna_best_match",

@@ -415,3 +415,118 @@ def segment_median_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# q6_forecast_revenue — TPC-H Q6 shape: pure scan-side filter + single
+# decimal-exact aggregate. Every predicate reaches the parquet reader
+# (PushedFilters: shipdate range, discount band, quantity cap) — at 100 TB
+# this query is I/O-bound on row-group pruning, zero shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dec_to_double_sql(
+        f"sum({_D2} * CAST(l_discount AS DECIMAL(8,2)))", 4)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec2("l_extendedprice") * _fac(F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dec_to_double(F.sum(rev), 4).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q10_returned_items — TPC-H Q10 shape: fact-side filters, broadcast
+# dimension chain (customer → nation), revenue top-20. One shuffle (the
+# groupBy on custkey); orders/lineitem never co-shuffle because the date
+# filter reduces orders before its join is planned (AQE broadcasts it).
+# --------------------------------------------------------------------------
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name, {_REV_SQL} AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = _dec2("l_extendedprice") * _fac(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dec_to_double(F.sum(rev), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q17_small_quantity_revenue — TPC-H Q17 shape: correlated scalar
+# subquery (per-part 20%-of-average quantity threshold). Spark expresses
+# the decorrelated form directly — per-part threshold aggregate joined
+# back to the fact — which is exactly what Catalyst rewrites the
+# correlated SQL into; the DuckDB oracle keeps the correlated form, so
+# the decorrelation itself is what parity checks. avg(l_quantity) is
+# exact in both engines (integer-valued doubles, sum < 2^53).
+# --------------------------------------------------------------------------
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT {dec_to_double_sql(f"sum({_D2})", 2)} / 7.0 AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT avg(l_quantity) * 0.2 FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    th = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(th, li.l_partkey == th.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (dec_to_double(F.sum(_dec2("l_extendedprice")), 2) / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
