@@ -256,3 +256,48 @@ def test_tumbling_stream_equals_batch_on_closed_windows(spark, events_dir):
     assert _frames_equal(out, batch)
     assert out.count() == batch.count() > 0
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_first_seen_stream_dedups_across_microbatches(spark):
+    """applyInPandasWithState first-seen filter: duplicate content arriving
+    in a LATER micro-batch must be suppressed by state persisted across
+    triggers (maxFilesPerTrigger=1 forces one micro-batch per file)."""
+    import os
+    from datetime import datetime
+
+    from data_ingestion_din_spark.streaming.stateful import first_seen_stream
+
+    base = tempfile.mkdtemp(prefix="first_seen_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    schema = "doc_id LONG, fp STRING, text STRING"
+    # batch 1: A, B, plus an in-batch duplicate of A
+    spark.createDataFrame(
+        [(1, "fpA", "a"), (2, "fpB", "b"), (3, "fpA", "a dup in-batch")],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    # batch 2: cross-batch duplicate of A + fresh C
+    spark.createDataFrame(
+        [(4, "fpA", "a dup cross-batch"), (5, "fpC", "c")], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        first_seen_stream(stream, key_col="fp")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("first_seen_out")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT fp FROM first_seen_out").collect()
+    # exactly one row per distinct fingerprint, regardless of how many
+    # micro-batches its duplicates were spread over
+    assert sorted(r.fp for r in rows) == ["fpA", "fpB", "fpC"]
+    shutil.rmtree(base, ignore_errors=True)
