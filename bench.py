@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "dedup_simhash_near",
     "embedding_near_dup_lsh",
     "corpus_curation",
+    "ngram_jaccard_capped",
     "q6_forecast_revenue",
     "q10_returned_items",
     "q17_small_quantity_revenue",

@@ -351,6 +351,62 @@ def ngram_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ngram_jaccard_capped — the SKEW-GUARDED form of the inverted-index
+# Jaccard join: shingles appearing in more than ``max_shingle_freq`` docs
+# are dropped before the self-join (stop-shingle pruning — the same
+# reasoning as salting a hot key, except the hot key carries no near-dup
+# signal, so pruning beats salting). This is the form that runs at
+# 100 TB: the per-shingle join fan-out is bounded by the cap, so
+# worst-case cost is linear in corpus size, not quadratic in hot-shingle
+# document frequency. The oracle applies the identical cap, so the
+# guard's exact semantics (not just "it runs") are what parity checks.
+# --------------------------------------------------------------------------
+_JC_CAP = 50
+
+
+@query(
+    "ngram_jaccard_capped",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+    ),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+      FROM idx
+    ),
+    hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {_JC_CAP}
+    ),
+    sh AS (
+      SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """.format(toks=_TOKS_SQL),
+)
+def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.ngram_jaccard_pairs(docs, n=3, max_shingle_freq=_JC_CAP)
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding_near_dup — embedding-cosine near-duplicate pairs (≥ 0.4;
 # fixture max ≈ 0.51). Exact decimal dot products on both sides.
 # --------------------------------------------------------------------------
