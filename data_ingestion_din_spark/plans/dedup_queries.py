@@ -237,21 +237,40 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # dedup_simhash_near — bit-slice banded SimHash: pairs within Hamming
-# distance ≤ 1 (4 bands × 4 bits guarantee recall for distance ≤ 3;
+# distance ≤ 1 (4 bands × 8 bits guarantee recall for distance ≤ 3;
 # exact popcount filter keeps ≤ 1). Distance-0-only grouping is
-# dedup_simhash_groups.
+# dedup_simhash_groups. 32-bit fingerprints with 8-bit bands (vs the
+# 16-bit groups fingerprint): 256 values per band bounds the band
+# self-join fan-out — at 5k docs the 4-bit banding built ~6M candidate
+# pairs, 8-bit builds ~200k (the production ratio; 64-bit/16-bit bands
+# is the same construction wider).
 # --------------------------------------------------------------------------
+_NEAR_BITS = 32
+_NEAR_BAND_W = 8
+_NEAR_BIT_SUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_NEAR_BITS)
+)
+_NEAR_BIT_ASSEMBLE = " + ".join(
+    f"(CASE WHEN s{b} >= 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+    for b in range(_NEAR_BITS)
+)
+
+
 @query(
     "dedup_simhash_near",
     oracle=f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
     h AS (SELECT doc_id, {h64_sql('tok')} AS h FROM tok),
-    s AS (SELECT doc_id, {_BIT_SUMS} FROM h GROUP BY doc_id),
-    sh AS (SELECT doc_id, CAST({_BIT_ASSEMBLE} AS BIGINT) AS simhash FROM s),
+    s AS (SELECT doc_id, {_NEAR_BIT_SUMS} FROM h GROUP BY doc_id),
+    sh AS (
+      SELECT doc_id, CAST({_NEAR_BIT_ASSEMBLE} AS BIGINT) AS simhash FROM s
+    ),
     bands AS (
       SELECT doc_id, simhash,
              CAST(j AS VARCHAR) || ':'
-               || CAST((simhash >> (j * 4)) & 15 AS VARCHAR) AS band_key
+               || CAST((simhash >> (j * {_NEAR_BAND_W}))
+                       & {(1 << _NEAR_BAND_W) - 1} AS VARCHAR) AS band_key
       FROM sh, range(0, 4) t(j)
     ),
     cand AS (
@@ -270,7 +289,7 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        D.simhash_near_pairs(docs, bits=_BITS, n_bands=4, max_hamming=1)
+        D.simhash_near_pairs(docs, bits=_NEAR_BITS, n_bands=4, max_hamming=1)
         .orderBy("doc_a", "doc_b")
     )
 
