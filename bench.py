@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "corpus_curation",
     "ngram_jaccard_capped",
     "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "events_hourly_rollup",
     "q10_returned_items",
     "q17_small_quantity_revenue",
     "similarity_lsh_topk",

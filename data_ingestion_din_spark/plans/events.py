@@ -273,3 +273,55 @@ def clicks_on_error_free_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "user_id", "n_clicks")
         .orderBy("day", "user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# events_hourly_rollup — multi-resolution continuous-aggregate pattern
+# (the "hypertable rollup"): the HOURLY aggregate is computed FROM the
+# 5-minute partials, not from raw events. Decimal sums re-aggregate
+# exactly (associative integer arithmetic), so rollup-of-partials ==
+# direct-from-raw bit-for-bit — which is precisely what the oracle
+# checks (it aggregates raw events straight to the hour). At 100 TB this
+# is the incremental-maintenance shape: each new 5-min window lands as
+# one partial row; the hour/day tiers re-aggregate partials at 1/12th /
+# 1/288th the input volume, never rescanning raw history.
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT
+      make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+        AS window_start,
+      event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      (CAST((sum(CAST(value AS DECIMAL(12,2)))) * 100 AS BIGINT) / 100.0)
+        AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    partials_5min = ev.groupBy(
+        F.window("ts", "5 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("pv"),
+    )
+    return (
+        partials_5min.groupBy(
+            F.window(F.col("w.start"), "1 hour").alias("h"), "event_type"
+        )
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            dec_to_double(F.sum("pv"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("h.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -530,3 +530,44 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q14_promo_revenue — TPC-H Q14 shape: conditional aggregate ratio
+# (promo-type revenue share in one month). part is broadcast; both sums
+# come out decimal-exact and the ratio is one deterministic double divide.
+# --------------------------------------------------------------------------
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    WITH j AS (
+      SELECT p_type, {_D2} * {_DISC} AS rev
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    )
+    SELECT 100.0 * {dec_to_double_sql(
+        "sum(CASE WHEN p_type = 'PROMO' THEN rev END)", 4)}
+      / {dec_to_double_sql("sum(rev)", 4)} AS promo_pct
+    FROM j
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec2("l_extendedprice") * _fac(F.lit(1) - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_type", rev.alias("rev")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")))
+    return j.agg(
+        (
+            F.lit(100.0)
+            * dec_to_double(promo, 4)
+            / dec_to_double(F.sum("rev"), 4)
+        ).alias("promo_pct")
+    )
