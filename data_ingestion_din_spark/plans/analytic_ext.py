@@ -17,7 +17,7 @@ from data_ingestion_din_spark.functions.text import (
     sanitize_doc_id,
     sanitize_html,
 )
-from data_ingestion_din_spark.functions.vectors import cosine_exact, cosine_exact_sql
+from data_ingestion_din_spark.functions.vectors import cosine_exact_sql
 from data_ingestion_din_spark.functions.hashing import h64, h64_sql
 from data_ingestion_din_spark.plans._exact import dec_to_double, dec_to_double_sql
 from data_ingestion_din_spark.plans.registry import query
@@ -54,17 +54,39 @@ TOP_K = 3
 def similarity_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN: the probe set broadcasts (tiny), the corpus scans once,
     per-query ranks come from one window on query_id — corpus is read and
-    scored in a single pass regardless of probe count."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    scored in a single pass regardless of probe count.
+
+    Each side's quantized vector and norm are computed ONCE before the
+    probe cross join (inlining cosine_exact would quantize + self-dot the
+    corpus vector per probe — 3× the array passes); the per-pair work is
+    a single integer dot product. Identical arithmetic to cosine_exact,
+    so the oracle is unchanged."""
+    from data_ingestion_din_spark.functions.vectors import (
+        quant_dot,
+        quant_norm,
+        quantize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        quantize(F.col("embedding")).alias("qv"),
+        quant_norm(F.col("embedding")).alias("nrm"),
+    )
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("pqv"),
+        F.col("nrm").alias("pnrm"),
     )
     corpus = emb.filter(F.col("vec_id") >= N_PROBES)
     scored = corpus.crossJoin(F.broadcast(probes)).select(
         "query_id",
         "vec_id",
         "label",
-        cosine_exact(F.col("embedding"), F.col("q_embedding")).alias("cos_sim"),
+        (
+            quant_dot(F.col("qv"), F.col("pqv")).cast("double")
+            / (F.col("nrm") * F.col("pnrm"))
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
