@@ -40,9 +40,11 @@ from pyspark.sql import functions as F
 # and RE2 (DuckDB), so the oracle reuses these patterns verbatim.
 TR_RE = "(?is)<tr[^>]*>(.*?)</tr>"
 CELL_RE = "(?is)<t[hd][^>]*>(.*?)</t[hd]>"
-# rowspan / any-span attribute with numeric value >= 2
-ROWSPAN_GT1_RE = '(?is)rowspan\\s*=\\s*"?0*[2-9][0-9]*'
-SPAN_GT1_RE = '(?is)(row|col)span\\s*=\\s*"?0*[2-9][0-9]*'
+# rowspan / any-span attribute with numeric value >= 2 (the reference
+# flags any int > 1): a single digit 2-9, OR two-plus digits with a
+# nonzero lead (10, 12, 100, ...). Plain [2-9][0-9]* would miss 10-19.
+ROWSPAN_GT1_RE = '(?is)rowspan\\s*=\\s*"?0*(?:[2-9]|[1-9][0-9]+)'
+SPAN_GT1_RE = '(?is)(row|col)span\\s*=\\s*"?0*(?:[2-9]|[1-9][0-9]+)'
 
 
 def parse_html_tables(df: DataFrame, html_col: str = "html") -> DataFrame:

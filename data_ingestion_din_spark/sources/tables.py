@@ -36,17 +36,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain parquet scan → full predicate pushdown
     and column pruning apply to everything built on top.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as a
-    nanosecond LONG (``spark.sql.legacy.parquet.nanosAsLong``); converted
-    here to a microsecond TimestampType (the fixture generator emits
-    µs-aligned values, so the truncation is lossless). The conf is set at
-    runtime so query functions are self-sufficient on ANY SparkSession —
-    not just the one session.py builds (it is an idempotent runtime conf;
-    without it the read throws PARQUET_TYPE_ILLEGAL)."""
+    ``events.ts`` is normalized to a session-timezone TimestampType (LTZ)
+    whatever the fixture generation wrote:
+
+    - TIMESTAMP(NANOS) (fixtures through round 2): Spark reads it as a
+      nanosecond LONG under ``spark.sql.legacy.parquet.nanosAsLong``
+      (set at runtime so query functions are self-sufficient on ANY
+      session; without it the read throws PARQUET_TYPE_ILLEGAL) and the
+      long is converted to µs timestamps (generator emits µs-aligned
+      values — lossless).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round-3 fixtures): Spark
+      reads TIMESTAMP_NTZ; cast to LTZ. Sessions here run with UTC
+      session timezone (session.py), so the naive values are interpreted
+      as UTC — exactly how the DuckDB oracle reads the same file — and
+      the cast round-trips losslessly under any session timezone
+      (interpret and render use the same zone).
+
+    Downstream operators therefore always see TimestampType and may use
+    LTZ-only expressions (``unix_micros``, ``window``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

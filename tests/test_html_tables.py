@@ -86,6 +86,32 @@ CASES = {
         '<td>2</td>\n</tr>\n<tr><td>3</td><td>4</td></tr>\n</table>',
         (["A", "B"], [["1", "2"], ["3", "4"]], False, False),
     ),
+    "body_colspan_10": (  # two-digit span value still complex (int > 1)
+        '<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr>'
+        '<tr><td colspan="10">x</td></tr></table>',
+        ([], [], True, False),
+    ),
+    "hdr_rowspan_12": (
+        '<table><tr><th rowspan="12">A</th><th>B</th></tr>'
+        '<tr><td>1</td><td>2</td></tr><tr><td>3</td><td>4</td></tr></table>',
+        (["A", "B"], [["1", "2"], ["3", "4"]], False, True),
+    ),
+    "body_rowspan_100": (
+        '<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr>'
+        '<tr><td rowspan="100">x</td><td>y</td></tr></table>',
+        ([], [], True, False),
+    ),
+    "span_eq_1": (  # rowspan/colspan = 1 is NOT complex
+        '<table><tr><th rowspan="1">A</th><th>B</th></tr>'
+        '<tr><td>1</td><td>2</td></tr>'
+        '<tr><td colspan="1">3</td><td>4</td></tr></table>',
+        (["A", "B"], [["1", "2"], ["3", "4"]], False, False),
+    ),
+    "span_eq_01": (  # leading zeros: 01 is still 1, not complex
+        '<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr>'
+        '<tr><td colspan="01">3</td><td>4</td></tr></table>',
+        (["A", "B"], [["1", "2"], ["3", "4"]], False, False),
+    ),
 }
 
 
