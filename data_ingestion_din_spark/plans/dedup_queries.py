@@ -5,7 +5,8 @@ Oracle construction notes:
 - member lists are emitted as a comma-joined string (`string_agg ... ORDER
   BY`) so value hashing never depends on array encoding;
 - all integer hashes are the portable md5-based ``h64`` (functions/hashing);
-- the simhash oracle SQL is generated programmatically (16 bit-sum columns).
+- the simhash oracle SQL is generated programmatically (bit-sum columns:
+  16 for the groups fingerprint, 64 for the banded near-pair fingerprint).
 """
 
 from __future__ import annotations
@@ -15,7 +16,6 @@ from pyspark.sql import functions as F
 
 from data_ingestion_din_spark.functions.hashing import (
     h32_sql,
-    h64_sql,
     minhash_slot_sql,
 )
 from data_ingestion_din_spark.operators import dedup as D
@@ -152,13 +152,36 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # SimHash oracle building blocks (shared by dedup_simhash_near/_groups).
+# Bit sources mirror operators/dedup.simhash: two 32-bit halves of ONE md5
+# per token (h_lo = hex[1:9), h_hi = hex[9:17)) — 64 independent bits.
+_H2_SQL = (
+    "SELECT doc_id,"
+    " CAST(('0x' || substr(m, 1, 8)) AS BIGINT) AS h_lo,"
+    " CAST(('0x' || substr(m, 9, 8)) AS BIGINT) AS h_hi"
+    " FROM (SELECT doc_id, md5(tok) AS m FROM tok)"
+)
+
+
+def _bit_src(b: int) -> str:
+    return f"(h_lo >> {b}) & 1" if b < 32 else f"(h_hi >> {b - 32}) & 1"
+
+
+def _bit_weight(b: int) -> str:
+    # bit 63 of a signed BIGINT is the sign bit: two's complement weight
+    # is -2^63 (identical in Spark — see operators/dedup.simhash).
+    if b == 63:
+        return "(-9223372036854775807 - 1)"
+    return f"{1 << b}::BIGINT"
+
+
 _BITS = D.SIMHASH_BITS
 _BIT_SUMS = ", ".join(
-    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    f"sum(CASE WHEN {_bit_src(b)} = 1 THEN 1 ELSE -1 END) AS s{b}"
     for b in range(_BITS)
 )
 _BIT_ASSEMBLE = " + ".join(
-    f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(_BITS)
+    f"(CASE WHEN s{b} >= 0 THEN {_bit_weight(b)} ELSE 0 END)"
+    for b in range(_BITS)
 )
 
 
@@ -237,22 +260,25 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # dedup_simhash_near — bit-slice banded SimHash: pairs within Hamming
-# distance ≤ 1 (4 bands × 8 bits guarantee recall for distance ≤ 3;
+# distance ≤ 1 (4 bands × 16 bits guarantee recall for distance ≤ 3;
 # exact popcount filter keeps ≤ 1). Distance-0-only grouping is
-# dedup_simhash_groups. 32-bit fingerprints with 8-bit bands (vs the
-# 16-bit groups fingerprint): 256 values per band bounds the band
-# self-join fan-out — at 5k docs the 4-bit banding built ~6M candidate
-# pairs, 8-bit builds ~200k (the production ratio; 64-bit/16-bit bands
-# is the same construction wider).
+# dedup_simhash_groups. 64-bit fingerprints with 16-bit bands — the
+# production ratio. Measured candidate fan-out at sf0.01 (500 docs,
+# 124,750 possible pairs): 1,844 pairs (1.5%) at 16-bit bands vs
+# 39,329 (32%) at 8-bit bands on the same 64-bit fingerprints — band
+# width is the knob that keeps the self-join linear-ish at corpus
+# scale. Bit 63 is the BIGINT sign bit (weight −2^63, two's
+# complement) — band extraction masks after the arithmetic shift,
+# identical in both engines.
 # --------------------------------------------------------------------------
-_NEAR_BITS = 32
-_NEAR_BAND_W = 8
+_NEAR_BITS = 64
+_NEAR_BAND_W = 16
 _NEAR_BIT_SUMS = ", ".join(
-    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    f"sum(CASE WHEN {_bit_src(b)} = 1 THEN 1 ELSE -1 END) AS s{b}"
     for b in range(_NEAR_BITS)
 )
 _NEAR_BIT_ASSEMBLE = " + ".join(
-    f"(CASE WHEN s{b} >= 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+    f"(CASE WHEN s{b} >= 0 THEN {_bit_weight(b)} ELSE 0 END)"
     for b in range(_NEAR_BITS)
 )
 
@@ -261,7 +287,7 @@ _NEAR_BIT_ASSEMBLE = " + ".join(
     "dedup_simhash_near",
     oracle=f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
-    h AS (SELECT doc_id, {h64_sql('tok')} AS h FROM tok),
+    h AS ({_H2_SQL}),
     s AS (SELECT doc_id, {_NEAR_BIT_SUMS} FROM h GROUP BY doc_id),
     sh AS (
       SELECT doc_id, CAST({_NEAR_BIT_ASSEMBLE} AS BIGINT) AS simhash FROM s
@@ -302,7 +328,7 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash_groups",
     oracle=f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
-    h AS (SELECT doc_id, {h64_sql('tok')} AS h FROM tok),
+    h AS ({_H2_SQL}),
     s AS (SELECT doc_id, {_BIT_SUMS} FROM h GROUP BY doc_id),
     sh AS (SELECT doc_id, CAST({_BIT_ASSEMBLE} AS BIGINT) AS simhash FROM s)
     SELECT simhash,
