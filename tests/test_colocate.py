@@ -114,3 +114,86 @@ def test_salted_partials_actually_split(spark):
         .count()
     )
     assert n_partials > 3  # more partial groups than distinct keys
+
+
+def test_q3_bucketed_plan_has_no_shuffle(spark):
+    """The registered q3_bucketed_colocated query must plan with ZERO
+    shuffle Exchange: the fact-fact join reads co-located buckets, the
+    groupBy key set contains the bucket key, and the top-k is
+    TakeOrderedAndProject. Only the customer broadcast may exchange.
+    Auto-broadcast is disabled so the fact-fact join exercises the
+    bucketed sort-merge path even at test scale (at real scale the
+    planner picks it naturally)."""
+    from data_ingestion_din_spark.plans import QUERIES
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["q3_bucketed_colocated"](spark, SF)
+        plan = _executed_plan(df)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+        assert "SelectedBucketsCount" in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert df.count() <= 10
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_salt_spreads_single_input_partition(spark):
+    """A single-partition upstream (the small-file scan case) must still
+    spread a hot key across salts — the spark_partition_id salt
+    degenerated to one salt value here."""
+    from data_ingestion_din_spark.operators.colocate import salt_col
+
+    one_part = load_table(spark, SF, "lineitem").coalesce(1)
+    n_salts = (
+        one_part.select(salt_col(F.col("l_returnflag"), 7).alias("s"))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 7
+
+
+def test_salted_agg_on_skewed_fixture(spark):
+    """Salted vs direct aggregation on a deliberately skewed key
+    (~5/6 of all rows collapse onto one hot key): identical sums, and
+    the hot key's partial groups each carry a bounded share of its rows
+    (no single reducer task sees the whole hot key)."""
+    li = load_table(spark, SF, "lineitem")
+    skewed = li.withColumn(
+        "skey",
+        F.when(F.col("l_orderkey") % 6 != 0, F.lit("HOT")).otherwise(
+            F.col("l_returnflag")
+        ),
+    )
+    direct = {
+        r.skey: r.q
+        for r in skewed.groupBy("skey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    from data_ingestion_din_spark.operators.colocate import (
+        salt_col,
+        salted_agg_sum,
+    )
+
+    salted = {
+        r.skey: r.l_quantity
+        for r in salted_agg_sum(skewed, ["skey"], ["l_quantity"], n_salts=8)
+        .collect()
+    }
+    assert set(direct) == set(salted)
+    for k in direct:
+        assert abs(direct[k] - salted[k]) < 1e-6
+    hot_total = skewed.filter(F.col("skey") == "HOT").count()
+    partial_sizes = [
+        r.n
+        for r in skewed.withColumn("_salt", salt_col(F.col("skey"), 8))
+        .filter(F.col("skey") == "HOT")
+        .groupBy("_salt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(partial_sizes) > 1
+    assert max(partial_sizes) < hot_total
