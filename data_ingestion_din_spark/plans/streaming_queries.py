@@ -1,0 +1,110 @@
+"""Streaming ingest under the oracle hash gate (SURVEY.md §2.11).
+
+The ``availableNow`` ingest stream (streaming/ingest.py — the Spark
+replacement for the reference's per-upload subprocess pipeline,
+backend/main.py:233-332) is run over the fixture ``documents`` table
+split into TWO incremental landing batches (doc_id parity), with the
+checkpoint carried across runs. The resulting content-addressed corpus
+is read back as the query result; the DuckDB oracle computes the same
+clean → tokenize → fixed-50-token-chunk → md5 transform over
+``documents`` in one shot. Row/schema/value-hash parity therefore proves
+the incremental two-run merge produced EXACTLY the batch answer —
+exactly-once, no duplicates, no loss — under the same gate as every
+batch query (stream==batch frame equality also unit-tested in
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_din_spark.functions.text import clean_text_sql
+from data_ingestion_din_spark.plans.registry import query
+from data_ingestion_din_spark.sources.tables import load_table
+from data_ingestion_din_spark.streaming.ingest import start_ingest_stream
+
+# One stream run per (SparkContext lifetime, sf_dir) — the corpus dir is
+# the durable artifact; reruns of the query in the same session read it.
+_INGEST_DONE: set[tuple[str, str]] = set()
+
+
+def _ingested_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
+    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_stream", app, tag)
+    corpus = os.path.join(base, "corpus")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _INGEST_DONE:
+        return corpus
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", F.lit("fixture").alias("source"), "n_chars"
+    )
+    # batch 1 lands, stream drains it; batch 2 lands, a second availableNow
+    # run (same checkpoint) processes ONLY the new files.
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(landing, "b1")
+    )
+    start_ingest_stream(
+        spark, os.path.join(landing, "*"), corpus, ckpt
+    ).awaitTermination(240)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
+        os.path.join(landing, "b2")
+    )
+    start_ingest_stream(
+        spark, os.path.join(landing, "*"), corpus, ckpt
+    ).awaitTermination(240)
+    _INGEST_DONE.add(key)
+    return corpus
+
+
+_CLEAN_TOKS = (
+    f"list_filter(string_split({clean_text_sql('text')}, ' '), x -> x <> '')"
+)
+
+
+@query(
+    "streaming_ingest_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_CLEAN_TOKS} AS toks FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(CAST(ceil(len(toks) / 50.0) AS BIGINT), 1)))
+               AS chunk_idx
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, chunk_idx,
+             array_to_string(
+               list_slice(toks, chunk_idx * 50 + 1, chunk_idx * 50 + 50), ' '
+             ) AS content
+      FROM idx
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(doc_id AS VARCHAR) || '::' || CAST(chunk_idx AS VARCHAR)
+             || '::' || substr(md5(content), 1, 8) AS chunk_id,
+           CAST(length(content) AS BIGINT) AS n_chars,
+           md5(content) AS content_fp
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def streaming_ingest_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _ingested_corpus_dir(spark, sf_dir)
+    out = spark.read.parquet(corpus)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk_id",
+        F.length("content").cast("bigint").alias("n_chars"),
+        F.md5("content").alias("content_fp"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -49,3 +49,43 @@ def test_entry_contract(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_qna_best_match_seq_golden_vs_difflib(spark):
+    """Driver-side golden check for the one registered query with no
+    DuckDB oracle: recompute the J6 argmax with plain-Python
+    ``difflib.SequenceMatcher`` over the collected candidate set (small
+    by construction — the F8 guard filters first) and pin the query's
+    (doc_id, score) to it bit-for-bit."""
+    import difflib
+
+    from data_ingestion_din_spark.plans.retrieval_queries import (
+        QNA_QUERY,
+        _qna_pairs,
+    )
+    from data_ingestion_din_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    cands = (
+        _qna_pairs(docs)
+        .filter(F.col("text").contains("table"))
+        .select("doc_id", "question")
+        .collect()
+    )
+    assert 0 < len(cands) <= 2000  # guard keeps the set small
+    scored = [
+        (difflib.SequenceMatcher(None, QNA_QUERY, r.question).ratio(), r.doc_id)
+        for r in cands
+    ]
+    gated = [(s, d) for s, d in scored if s >= 0.75]
+    expected = max(gated, key=lambda t: (t[0], -t[1])) if gated else None
+
+    out = QUERIES["qna_best_match_seq"](spark, sf).collect()
+    if expected is None:
+        assert out == []
+    else:
+        assert len(out) == 1
+        assert out[0].doc_id == expected[1]
+        assert out[0].score == pytest.approx(expected[0], abs=0.0)

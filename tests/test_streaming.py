@@ -196,8 +196,11 @@ def _frames_equal(a, b) -> bool:
     cols = a.columns
     ca = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_a"))
     cb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_b"))
+    # null-safe: a row present in only ONE frame leaves the other count
+    # NULL; plain != evaluates to NULL there and the row would vanish
+    # from the diff, falsely passing one-sided differences.
     diff = ca.join(cb, cols, "full_outer").filter(
-        ~(F.col("n_a") == F.col("n_b"))
+        ~F.col("n_a").eqNullSafe(F.col("n_b"))
     )
     return diff.count() == 0
 
