@@ -46,6 +46,58 @@ CELL_RE = "(?is)<t[hd][^>]*>(.*?)</t[hd]>"
 ROWSPAN_GT1_RE = '(?is)rowspan\\s*=\\s*"?0*(?:[2-9]|[1-9][0-9]+)'
 SPAN_GT1_RE = '(?is)(row|col)span\\s*=\\s*"?0*(?:[2-9]|[1-9][0-9]+)'
 
+# Cell text normalization. The reference's HTMLParser collects only text
+# nodes (nested markup like <b> disappears) and unescapes entities
+# (convert_charrefs), then applies the ``_clean_thai_text`` regex chain
+# (table_extractor.py:72-83) to every header/cell. Each step below is a
+# (pattern, replacement) applied in order in BOTH engines
+# (cell_clean_sql mirrors it verbatim):
+#   1. strip nested tags (text-node collection);
+#   2. one-pass entity unescape for the named/apos forms machine HTML
+#      emits — ``&amp;`` deliberately LAST so ``&amp;lt;`` decodes to
+#      ``&lt;`` exactly like a single html.unescape pass (numeric
+#      charrefs beyond &#39; are out of the well-formed subset);
+#   3-5. the _clean_thai_text chain: newline→space, whitespace
+#      collapse, '...'-run removal.
+# The reference's remaining rule — delete newlines BETWEEN Thai
+# characters — needs lookaround, which DuckDB's RE2 lacks; it is applied
+# Spark-side only (THAI_JOIN_RE below, before step 3) and is a no-op
+# unless a literal newline sits between Thai characters, which the
+# oracle fixture's generated cells never contain.
+CELL_CLEAN_STEPS: tuple[tuple[str, str], ...] = (
+    ("<[^>]*>", ""),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("[\\r\\n]+", " "),
+    ("\\s+", " "),
+    ("\\.{3,}", ""),
+)
+THAI_JOIN_RE = "(?<=[฀-๿])\\s*[\\r\\n]+\\s*(?=[฀-๿])"
+
+
+def clean_cell(col):
+    """Reference-parity cell text cleanup (see CELL_CLEAN_STEPS)."""
+    for i, (pat, rep) in enumerate(CELL_CLEAN_STEPS):
+        if i == 8:  # before newline collapse: the Thai-join rule
+            col = F.regexp_replace(col, THAI_JOIN_RE, "")
+        col = F.regexp_replace(col, pat, rep)
+    return F.trim(col)
+
+
+def cell_clean_sql(expr: str) -> str:
+    """DuckDB twin of :func:`clean_cell` (minus the lookaround-only
+    Thai-join rule — see CELL_CLEAN_STEPS note)."""
+    for pat, rep in CELL_CLEAN_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr})"
+
 
 def parse_html_tables(df: DataFrame, html_col: str = "html") -> DataFrame:
     """Append the reference's ``parse_html_table`` output columns:
@@ -55,12 +107,13 @@ def parse_html_tables(df: DataFrame, html_col: str = "html") -> DataFrame:
     """
     html = F.col(html_col)
     trs = F.regexp_extract_all(html, F.lit(TR_RE), F.lit(1))
-    # cells per <tr>, trimmed (reference: ''.join(text).strip())
+    # cells per <tr>, tag-stripped / unescaped / _clean_thai_text-cleaned
+    # exactly as the reference does (CELL_CLEAN_STEPS)
     cell_arrays = F.transform(
         trs,
         lambda tr: F.transform(
             F.regexp_extract_all(tr, F.lit(CELL_RE), F.lit(1)),
-            lambda c: F.trim(c),
+            lambda c: clean_cell(c),
         ),
     )
     # 1-based indices of <tr>s that actually contain cells (the parser

@@ -119,6 +119,16 @@ def lsh_bucket(
     BIGINT): double summation order can differ across engines and flip a
     near-zero sign, integer summation cannot. Use for oracle-checked
     plans; the double path is the production default.
+
+    ``dims`` is BOTH a pad bound and a TRUNCATION bound: vectors shorter
+    than ``dims`` project as if zero-padded (the coalesce below), and
+    vectors LONGER than ``dims`` have their trailing dimensions excluded
+    from every projection — still a valid hyperplane family (projection
+    through the leading-``dims`` subspace, consistent across all rows
+    and the query side), but with reduced discrimination. Set ``dims``
+    to the corpus's true dimensionality (the fixture's is 64); there is
+    no schema-level array length to derive it from, and a per-row size
+    assertion does not belong in this hot path.
     Returns input columns + bucket:int."""
     bits = []
     for b in range(n_planes):

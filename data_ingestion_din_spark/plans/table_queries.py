@@ -370,6 +370,7 @@ from data_ingestion_din_spark.operators.html_tables import (  # noqa: E402
     ROWSPAN_GT1_RE,
     SPAN_GT1_RE,
     TR_RE,
+    cell_clean_sql,
     parse_html_tables,
 )
 
@@ -415,7 +416,8 @@ _HTML_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
              list_transform(
                regexp_extract_all(html, '{TR_RE}', 1),
                tr -> list_transform(
-                 regexp_extract_all(tr, '{CELL_RE}', 1), c -> trim(c))
+                 regexp_extract_all(tr, '{CELL_RE}', 1),
+                 c -> {cell_clean_sql('c')})
              ) AS cells
       FROM h
     ),

@@ -112,6 +112,44 @@ CASES = {
         '<tr><td colspan="01">3</td><td>4</td></tr></table>',
         (["A", "B"], [["1", "2"], ["3", "4"]], False, False),
     ),
+    # --- cell-text cleaning parity (_clean_thai_text + HTMLParser
+    # text-node collection / entity unescape); goldens from the
+    # reference parser ---
+    "nested_bold": (  # nested markup disappears, text survives
+        '<table><tr><th><b>A</b></th><th>B</th></tr>'
+        '<tr><td><i>1</i></td><td>2</td></tr></table>',
+        (["A", "B"], [["1", "2"]], False, False),
+    ),
+    "entities": (
+        '<table><tr><th>A&amp;B</th><th>&lt;C&gt;</th></tr>'
+        '<tr><td>x&#39;y</td><td>&quot;q&quot;</td></tr></table>',
+        (["A&B", "<C>"], [["x'y", '"q"']], False, False),
+    ),
+    "double_escape": (  # one-pass unescape: &amp;lt; -> &lt;, NOT <
+        '<table><tr><th>A</th><th>B</th></tr>'
+        '<tr><td>&amp;lt;tag&amp;gt;</td><td>2</td></tr></table>',
+        (["A", "B"], [["&lt;tag&gt;", "2"]], False, False),
+    ),
+    "newlines_spaces": (  # newline -> space, whitespace collapse, trim
+        '<table><tr><th>A  \n B</th><th>B</th></tr>'
+        '<tr><td>1\r\n2</td><td>  2  </td></tr></table>',
+        (["A B", "B"], [["1 2", "2"]], False, False),
+    ),
+    "dot_runs": (  # '...'-runs removed; decimal points untouched
+        '<table><tr><th>A</th><th>B</th></tr>'
+        '<tr><td>x....</td><td>1.5</td></tr></table>',
+        (["A", "B"], [["x", "1.5"]], False, False),
+    ),
+    "nbsp": (
+        '<table><tr><th>A&nbsp;B</th><th>C</th></tr>'
+        '<tr><td>1</td><td>2</td></tr></table>',
+        (["A B", "C"], [["1", "2"]], False, False),
+    ),
+    "thai_newline": (  # newline BETWEEN Thai chars joins without a space
+        '<table><tr><th>ก\nข</th><th>B</th></tr>'
+        '<tr><td>1</td><td>2</td></tr></table>',
+        (["กข", "B"], [["1", "2"]], False, False),
+    ),
 }
 
 
