@@ -28,6 +28,10 @@ _DRIVER_PRIORITY: list[str] = [
     # New this round.
     "q3_bucketed_colocated",
     "streaming_ingest_chunks",
+    "corpus_decontaminate",
+    "pii_redaction",
+    "doc_repetition_quality",
+    "corpus_stratified_sample",
     "dedup_simhash_near",
     "dedup_simhash_groups",
     # Registered in round 2, never driver-sampled (green locally).

@@ -92,8 +92,14 @@ BENCH_QUERIES = [
     "doc_classification",
     "doc_sanitize_normalize",
     "block_type_detection",
-    # round 3: bucketed co-located fact join (layout staged in setup)
+    # round 3: bucketed co-located fact join (layout staged in setup),
+    # corpus-curation passes (decontamination, PII, repetition quality,
+    # stratified sampling)
     "q3_bucketed_colocated",
+    "corpus_decontaminate",
+    "pii_redaction",
+    "doc_repetition_quality",
+    "corpus_stratified_sample",
 ]
 
 

@@ -1,0 +1,160 @@
+"""Training-corpus curation operators beyond the reference's pipeline:
+benchmark decontamination, PII redaction, repetition-based quality
+signals, and deterministic stratified sampling.
+
+The reference curates per-document at ingest time only (noise filters,
+ingestion/pdf_parser.py; dedup, table_extractor.py:98-108); a pretraining
+pipeline additionally curates at CORPUS level before training. These four
+are the standard corpus-level passes, each expressed Spark-first:
+
+- **Decontamination** (eval-set n-gram overlap): the corpus side explodes
+  to (shingle, doc_id) and joins a broadcast eval-shingle set — at 100 TB
+  the eval side (benchmarks) is tiny by construction, so the join is a
+  map-side broadcast hash join over the corpus scan: no corpus shuffle at
+  all. One groupBy(doc_id) counts hits.
+- **PII redaction**: pure ``regexp_replace``/``regexp_extract_all``
+  chains (RE2-compatible, no lookaround) — runs inside whole-stage
+  codegen at scan speed; counts + redacted fingerprint per doc, narrow.
+- **Repetition quality** (Gopher-style): duplicate-3-gram fraction,
+  top-token dominance, mean token length — all higher-order array
+  expressions per doc, shuffle-free; dominance is O(u·n) per doc over
+  arrays, embarrassingly parallel.
+- **Stratified sampling**: hash-gate ``h64('sample:'||doc_id) % 1000 <
+  per-stratum rate`` — deterministic, reproducible, join-free and
+  shuffle-free (vs ``ORDER BY rand()`` which is a full sort, or
+  ``sample()`` which is irreproducible across engines); the shape used
+  for domain-mixture weighting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_ingestion_din_spark.functions.analysis import tokens, word_shingles
+from data_ingestion_din_spark.functions.hashing import h64
+from data_ingestion_din_spark.sources.tables import scan_parallel
+
+# RE2-compatible (Spark Java regex + DuckDB) — no lookaround, no
+# backrefs. Order matters: URLs first (an email-like token inside a URL
+# must redact as part of the URL), then emails, then phone numbers.
+URL_RE = "https?://[^ ]+"
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "0[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+
+PII_STEPS: tuple[tuple[str, str], ...] = (
+    (URL_RE, "[URL]"),
+    (EMAIL_RE, "[EMAIL]"),
+    (PHONE_RE, "[PHONE]"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Redact URLs / emails / phone numbers with typed placeholders."""
+    for pat, rep in PII_STEPS:
+        col = F.regexp_replace(col, pat, rep)
+    return col
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind match counts (computed BEFORE redaction)."""
+    return {
+        "n_urls": F.size(F.regexp_extract_all(col, F.lit(URL_RE), F.lit(0))),
+        "n_emails": F.size(
+            F.regexp_extract_all(col, F.lit(EMAIL_RE), F.lit(0))
+        ),
+        "n_phones": F.size(
+            F.regexp_extract_all(col, F.lit(PHONE_RE), F.lit(0))
+        ),
+    }
+
+
+def decontaminate_hits(
+    corpus: DataFrame, eval_docs: DataFrame, n: int = 8
+) -> DataFrame:
+    """Corpus docs sharing ≥1 word ``n``-gram with the eval set:
+    (doc_id, n_hits = #distinct overlapping shingles). The caller
+    anti-joins these ids to drop contaminated docs.
+
+    eval shingles are distinct + broadcast (benchmarks are tiny relative
+    to any training corpus); the corpus side is explode → broadcast-join
+    → groupBy(doc_id): the only shuffle carries (doc_id, partial count).
+    """
+    sh = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), n))
+        ).alias("shingle"),
+    )
+    eval_sh = sh(eval_docs).select("shingle").distinct()
+    return (
+        sh(scan_parallel(corpus))
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style per-doc repetition/quality signals, shuffle-free:
+
+    - ``dup_3gram_frac``: 1 − distinct/total word 3-grams (0 when the doc
+      has <3 tokens);
+    - ``top_tok_frac``: frequency of the most common token / n_tokens;
+    - ``mean_tok_len``: mean token length.
+
+    A doc is ``keep``-worthy when dup_3gram_frac ≤ 0.5 AND top_tok_frac
+    ≤ 0.2 — repeated-boilerplate and keyword-stuffed docs fail.
+    """
+    toks = tokens(F.col("text"))
+    base = scan_parallel(docs).select(
+        "doc_id", toks.alias("tk"), word_shingles(toks, 3).alias("tri")
+    )
+    n_tok = F.size("tk")
+    n_tri = F.size("tri")
+    dup_frac = F.when(n_tri > 0, 1.0 - F.size(F.array_distinct("tri")) / n_tri
+                      ).otherwise(F.lit(0.0))
+    # mode frequency over the token array: count each distinct token's
+    # occurrences with array HOFs (no explode, no shuffle)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("tk"),
+            lambda t: F.size(F.filter(F.col("tk"), lambda x: x == t)),
+        )
+    )
+    top_frac = F.when(
+        n_tok > 0, top_cnt.cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(
+            F.col("tk"), F.lit(0), lambda a, t: a + F.length(t)
+        ).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(dup_frac, 6).alias("dup_3gram_frac"),
+        F.round(top_frac, 6).alias("top_tok_frac"),
+        F.round(mean_len, 6).alias("mean_tok_len"),
+        ((dup_frac <= 0.5) & (top_frac <= 0.2)).alias("keep"),
+    )
+
+
+def stratified_sample_flag(
+    stratum: Column, id_col: Column, rates_per_mille: dict[str, int],
+    default_rate: int = 250, seed: str = "sample",
+) -> Column:
+    """Deterministic per-stratum inclusion flag:
+    ``h64(seed || id) % 1000 < rate(stratum)``. Reproducible across
+    engines and runs, join-free, and exact-in-expectation — the
+    domain-mixture sampling shape (rate in ‰)."""
+    rate = None
+    for k, v in sorted(rates_per_mille.items()):
+        cond = F.when(stratum == k, F.lit(v))
+        rate = cond if rate is None else rate.when(stratum == k, F.lit(v))
+    rate = rate.otherwise(F.lit(default_rate)) if rate is not None else F.lit(
+        default_rate
+    )
+    return F.pmod(h64(F.concat(F.lit(seed + ":"), id_col.cast("string"))),
+                  F.lit(1000)) < rate

@@ -1,0 +1,235 @@
+"""Corpus-curation queries (operators/curation.py) under the oracle gate:
+benchmark decontamination, PII redaction, repetition quality, and
+deterministic stratified sampling over the ``documents`` fixture.
+
+Oracle notes: shingles join tokens with a single space on both sides;
+hash gates use the portable md5-based ``h64``; PII fixtures are GENERATED
+deterministically on both sides (the raw corpus contains no PII — the
+same generate-then-operate pattern as the HTML-parse and clean-roundtrip
+oracles), so the redaction chain's exact semantics are what parity
+checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_din_spark.functions.hashing import h64_sql
+from data_ingestion_din_spark.operators import curation as C
+from data_ingestion_din_spark.plans.registry import query
+from data_ingestion_din_spark.sources.tables import load_table
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+# --------------------------------------------------------------------------
+# corpus_decontaminate — eval-set 8-gram overlap: corpus docs sharing any
+# 8-gram with the held-out eval slice (doc_id % 7 = 0 — the fixture's
+# near-dups make this non-degenerate). At 100 TB: broadcast eval
+# shingles, zero corpus shuffle before the (doc_id, count) groupBy.
+# --------------------------------------------------------------------------
+_DC_N = 8
+_DC_SHINGLE = " || ' ' || ".join(f"tk[i+{j}]" for j in range(_DC_N))
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    idx AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk) - {_DC_N - 2})) AS i
+      FROM t WHERE len(tk) >= {_DC_N}
+    ),
+    sh AS (SELECT DISTINCT doc_id, {_DC_SHINGLE} AS shingle FROM idx),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM sh
+    WHERE doc_id % 7 <> 0 AND shingle IN (SELECT shingle FROM ev)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return (
+        C.decontaminate_hits(corpus, eval_docs, n=_DC_N)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# pii_redaction — URL/email/phone scrubbing. The fixture corpus has no
+# PII, so a deterministic tail is appended per doc_id residue (generated
+# IDENTICALLY in both engines) and the query must find and redact
+# exactly it: counts + redacted fingerprint are hash-compared.
+# --------------------------------------------------------------------------
+_PII_TAIL_SQL = """CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 08-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-4567 now.'
+      WHEN 1 THEN ' See https://example.org/d/' || CAST(doc_id AS VARCHAR)
+                  || ' for details.'
+      ELSE '' END"""
+
+
+def _pii_tail_spark() -> F.Column:
+    d = F.col("doc_id")
+    return (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" Contact user"),
+                d.cast("string"),
+                F.lit("@example.com or 08-"),
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit("-4567 now."),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit(" See https://example.org/d/"),
+                d.cast("string"),
+                F.lit(" for details."),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+
+
+# DuckDB standard strings are backslash-literal (no escape processing),
+# so regex patterns embed verbatim — only quotes need doubling.
+def _pii_sql_chain(expr: str) -> str:
+    for pat, rep in C.PII_STEPS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    return expr
+
+
+_EMAIL_RE_SQL = C.EMAIL_RE.replace("'", "''")
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text || {_PII_TAIL_SQL} AS ptext FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(ptext, '{C.URL_RE}')) AS BIGINT)
+             AS n_urls,
+           CAST(len(regexp_extract_all(ptext, '{_EMAIL_RE_SQL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(ptext, '{C.PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           md5({_pii_sql_chain('ptext')}) AS redacted_fp
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ptext = F.concat(F.col("text"), _pii_tail_spark())
+    staged = docs.select("doc_id", ptext.alias("ptext"))
+    counts = C.pii_counts(F.col("ptext"))
+    return staged.select(
+        "doc_id",
+        counts["n_urls"].cast("bigint").alias("n_urls"),
+        counts["n_emails"].cast("bigint").alias("n_emails"),
+        counts["n_phones"].cast("bigint").alias("n_phones"),
+        F.md5(C.redact_pii(F.col("ptext"))).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# doc_repetition_quality — Gopher-style repetition signals + keep flag.
+# --------------------------------------------------------------------------
+@query(
+    "doc_repetition_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    tri AS (
+      SELECT doc_id, tk,
+             CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END
+               AS tri
+      FROM t
+    ),
+    sig AS (
+      SELECT doc_id,
+             len(tk) AS n_tok,
+             CASE WHEN len(tri) > 0
+                  THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+                  ELSE 0.0 END AS dup_frac,
+             CASE WHEN len(tk) > 0
+                  THEN CAST(list_max(list_transform(list_distinct(tk),
+                       u -> len(list_filter(tk, x -> x = u)))) AS DOUBLE)
+                       / len(tk)
+                  ELSE 0.0 END AS top_frac,
+             CASE WHEN len(tk) > 0
+                  THEN CAST(list_sum(list_transform(tk, x -> length(x)))
+                            AS DOUBLE) / len(tk)
+                  ELSE 0.0 END AS mean_len
+      FROM tri
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           round(dup_frac, 6) AS dup_3gram_frac,
+           round(top_frac, 6) AS top_tok_frac,
+           round(mean_len, 6) AS mean_tok_len,
+           (dup_frac <= 0.5 AND top_frac <= 0.2) AS keep
+    FROM sig
+    ORDER BY doc_id
+    """,
+)
+def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.repetition_signals(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# corpus_stratified_sample — deterministic hash-gated per-language
+# sampling (domain-mixture weighting): en kept at 100‰, zh at 500‰,
+# default 250‰. Output = per-stratum totals so the achieved rates are
+# hash-checked, not just "it runs".
+# --------------------------------------------------------------------------
+_RATES = {"en": 100, "zh": 500}
+_DEFAULT_RATE = 250
+_GATE_H64 = h64_sql("'sample:' || CAST(doc_id AS VARCHAR)")
+_GATE_SQL = (
+    _GATE_H64
+    + " % 1000 < CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 500 ELSE 250 END"
+)
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN {_GATE_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flag = C.stratified_sample_flag(
+        F.col("lang"), F.col("doc_id"), _RATES, _DEFAULT_RATE
+    )
+    return (
+        docs.withColumn("_in", flag)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("_in"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
