@@ -32,6 +32,9 @@ _DRIVER_PRIORITY: list[str] = [
     "pii_redaction",
     "doc_repetition_quality",
     "corpus_stratified_sample",
+    "q12_priority_shipping",
+    "q16_supplier_part_variety",
+    "q21_waiting_suppliers",
     "dedup_simhash_near",
     "dedup_simhash_groups",
     # Registered in round 2, never driver-sampled (green locally).

@@ -100,6 +100,11 @@ BENCH_QUERIES = [
     "pii_redaction",
     "doc_repetition_quality",
     "corpus_stratified_sample",
+    "q12_priority_shipping",
+    "q16_supplier_part_variety",
+    "q21_waiting_suppliers",
+    # streaming_ingest_chunks is correctness-gated but not benched: its
+    # cost is the one-time incremental stream, not a repeatable plan
 ]
 
 

@@ -126,15 +126,19 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         src = F.col("h_lo") if b < 32 else F.col("h_hi")
         return F.shiftright(src, b % 32).bitwiseAND(1)
 
-    bit_sums = [
-        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    summed = tok.groupBy("doc_id").agg(*bit_sums)
+    # sum raw bits (no per-row CASE) plus one token count; the classic
+    # sign test sum(±1) ≥ 0 is exactly 2·sum(bit) ≥ n — same integers,
+    # ``bits`` fewer branch expressions per row.
+    bit_sums = [F.sum(bit(b)).alias(f"s{b}") for b in range(bits)]
+    summed = tok.groupBy("doc_id").agg(
+        *bit_sums, F.count(F.lit(1)).alias("n")
+    )
     sim = None
     for b in range(bits):
         weight = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
-        term = F.when(F.col(f"s{b}") >= 0, weight).otherwise(F.lit(0))
+        term = F.when(
+            F.col(f"s{b}") * 2 >= F.col("n"), weight
+        ).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return summed.select("doc_id", sim.cast("bigint").alias("simhash"))
 

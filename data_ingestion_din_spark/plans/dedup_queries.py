@@ -174,13 +174,14 @@ def _bit_weight(b: int) -> str:
     return f"{1 << b}::BIGINT"
 
 
+# raw-bit sums + one count; sign test sum(±1) ≥ 0 ⇔ 2·sum(bit) ≥ n
+# (mirrors operators/dedup.simhash exactly)
 _BITS = D.SIMHASH_BITS
 _BIT_SUMS = ", ".join(
-    f"sum(CASE WHEN {_bit_src(b)} = 1 THEN 1 ELSE -1 END) AS s{b}"
-    for b in range(_BITS)
-)
+    f"sum({_bit_src(b)}) AS s{b}" for b in range(_BITS)
+) + ", count(*) AS n"
 _BIT_ASSEMBLE = " + ".join(
-    f"(CASE WHEN s{b} >= 0 THEN {_bit_weight(b)} ELSE 0 END)"
+    f"(CASE WHEN 2 * s{b} >= n THEN {_bit_weight(b)} ELSE 0 END)"
     for b in range(_BITS)
 )
 
@@ -274,11 +275,10 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEAR_BITS = 64
 _NEAR_BAND_W = 16
 _NEAR_BIT_SUMS = ", ".join(
-    f"sum(CASE WHEN {_bit_src(b)} = 1 THEN 1 ELSE -1 END) AS s{b}"
-    for b in range(_NEAR_BITS)
-)
+    f"sum({_bit_src(b)}) AS s{b}" for b in range(_NEAR_BITS)
+) + ", count(*) AS n"
 _NEAR_BIT_ASSEMBLE = " + ".join(
-    f"(CASE WHEN s{b} >= 0 THEN {_bit_weight(b)} ELSE 0 END)"
+    f"(CASE WHEN 2 * s{b} >= n THEN {_bit_weight(b)} ELSE 0 END)"
     for b in range(_NEAR_BITS)
 )
 
