@@ -35,6 +35,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q12_priority_shipping",
     "q16_supplier_part_variety",
     "q21_waiting_suppliers",
+    "events_5min_gapfill",
+    "events_daily_retention",
+    "events_funnel",
     "dedup_simhash_near",
     "dedup_simhash_groups",
     # Registered in round 2, never driver-sampled (green locally).

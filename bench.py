@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "q12_priority_shipping",
     "q16_supplier_part_variety",
     "q21_waiting_suppliers",
+    "events_5min_gapfill",
+    "events_daily_retention",
+    "events_funnel",
     # streaming_ingest_chunks is correctness-gated but not benched: its
     # cost is the one-time incremental stream, not a repeatable plan
 ]

@@ -74,17 +74,10 @@ def h32_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
-def h32_at(col: Column, pos: int) -> Column:
-    """32-bit integer hash from md5 hex chars [pos, pos+8). Two calls at
-    pos=1 and pos=9 yield 64 independent bits from ONE md5 — the 64-bit
-    SimHash bit source (h64 is only 60 bits, which would leave 4 dead
-    fingerprint bits)."""
-    return F.conv(F.substring(F.md5(col), pos, 8), 16, 10).cast("bigint")
-
-
-def h32_at_sql(expr: str, pos: int) -> str:
-    """DuckDB oracle twin of :func:`h32_at`."""
-    return f"CAST(('0x' || substr(md5({expr}), {pos}, 8)) AS BIGINT)"
+# 64-bit bit source: two 32-bit halves of ONE md5 (hex [1,9) and [9,17))
+# give 64 independent bits — used by operators/dedup.simhash, which
+# stages the md5 in its own projection so it is computed once per token
+# (h64 is only 60 bits, which would leave 4 dead fingerprint bits).
 
 
 def _mh_slot(a: int, b: int):

@@ -108,17 +108,20 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     signed BIGINT is the sign bit: its term is −2^63 (two's complement),
     mirrored exactly in the DuckDB oracle.
     """
-    from data_ingestion_din_spark.functions.hashing import h32_at
-
     if bits > 64:
         raise ValueError("simhash supports at most 64 bits")
     tok = (
         scan_parallel(docs)
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        # md5 staged as its OWN projection: both halves read it, and
+        # CollapseProject keeps the barrier for a non-cheap multiply-
+        # referenced expression (PLANS.md rule 8) — one md5 per token,
+        # not two.
+        .select("doc_id", F.md5(F.col("tok")).alias("m"))
         .select(
             "doc_id",
-            h32_at(F.col("tok"), 1).alias("h_lo"),
-            h32_at(F.col("tok"), 9).alias("h_hi"),
+            F.conv(F.substring("m", 1, 8), 16, 10).cast("bigint").alias("h_lo"),
+            F.conv(F.substring("m", 9, 8), 16, 10).cast("bigint").alias("h_hi"),
         )
     )
 

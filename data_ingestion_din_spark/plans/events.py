@@ -325,3 +325,185 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# events_5min_gapfill — time-series resample with gap filling + forward
+# fill (the hypertable `time_bucket_gapfill`/`locf` shape). Per event
+# type: complete 5-min grid between the type's first and last bucket
+# (sequence → explode; grid size = time span / 5 min, independent of
+# event volume), left join observed bucket aggregates, 0-fill counts,
+# forward-fill the running value with last(ignorenulls) over the single
+# (type, bucket) ordering. One shuffle for the bucket agg, one for the
+# grid join — the ffill window reuses the join partitioning.
+# --------------------------------------------------------------------------
+_B5 = 300_000_000  # 5 minutes in microseconds
+
+
+@query(
+    "events_5min_gapfill",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) // {_B5} AS k,
+             CAST(value AS DECIMAL(12,2)) AS v
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, k, count(*) AS n, sum(v) AS tv
+      FROM b GROUP BY 1, 2
+    ),
+    spans AS (SELECT event_type, min(k) AS k0, max(k) AS k1 FROM b GROUP BY 1),
+    grid AS (SELECT event_type, unnest(range(k0, k1 + 1)) AS k FROM spans),
+    j AS (
+      SELECT g.event_type, g.k, coalesce(a.n, 0) AS n, a.tv
+      FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.k = g.k
+    )
+    SELECT event_type,
+           make_timestamp(k * {_B5}) AS bucket_start,
+           CAST(n AS BIGINT) AS n_events,
+           (CAST(last_value(tv IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY k) * 100 AS BIGINT)
+            / 100.0) AS filled_value
+    FROM j
+    ORDER BY event_type, k
+    """,
+)
+def events_5min_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_B5}").alias("k"),
+        _dec2("value").alias("v"),
+    )
+    agg = b.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("tv")
+    )
+    grid = (
+        b.groupBy("event_type")
+        .agg(F.min("k").alias("k0"), F.max("k").alias("k1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("k0"), F.col("k1"))).alias("k"),
+        )
+    )
+    j = grid.join(agg, ["event_type", "k"], "left")
+    ffill = W.partitionBy("event_type").orderBy("k").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        j.select(
+            "event_type",
+            F.timestamp_micros(F.col("k") * _B5).alias("bucket_start"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            dec_to_double(
+                F.last("tv", ignorenulls=True).over(ffill), 2
+            ).alias("filled_value"),
+            "k",
+        )
+        .orderBy("event_type", "k")
+        .drop("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_daily_retention — cohort retention (first-seen day × day
+# offset): the standard activation analytics shape. Two shuffles (per-
+# user cohort, then the (cohort, offset) count); the activity set is
+# day-distinct first, so the join carries (user, day), not raw events.
+# --------------------------------------------------------------------------
+@query(
+    "events_daily_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    coh AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY 1)
+    SELECT coh.cohort AS cohort_day,
+           CAST(date_diff('day', coh.cohort, act.d) AS INT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act JOIN coh ON act.user_id = coh.user_id
+    WHERE date_diff('day', coh.cohort, act.d) <= 7
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    offset = F.datediff(F.col("d"), F.col("cohort"))
+    return (
+        act.join(coh, "user_id")
+        .filter(offset <= 7)
+        .groupBy(
+            F.col("cohort").alias("cohort_day"),
+            offset.cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_funnel — strictly-ordered 3-stage funnel (view → click →
+# purchase, each stage after the previous user's first qualifying
+# event). Single shuffle on user_id: three Window passes share the one
+# partitioning (each stage's threshold is a column, so "click after
+# first view" needs no self-join), then one global conditional count.
+# The joins-per-stage formulation would shuffle events once PER stage.
+# --------------------------------------------------------------------------
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = W.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = ev.withColumn(
+        "t1", F.min(F.when(is_("view"), F.col("ts"))).over(w)
+    )
+    staged = staged.withColumn(
+        "t2",
+        F.min(
+            F.when(is_("click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        ).over(w),
+    )
+    staged = staged.withColumn(
+        "t3",
+        F.min(
+            F.when(is_("purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+        ).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.col("t1")).cast("bigint").alias("n_view"),
+        F.count(F.col("t2")).cast("bigint").alias("n_view_click"),
+        F.count(F.col("t3")).cast("bigint").alias("n_full_funnel"),
+    )
