@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "events_5min_gapfill",
     "events_daily_retention",
     "events_funnel",
+    "events_kmv_distinct",
     # streaming_ingest_chunks is correctness-gated but not benched: its
     # cost is the one-time incremental stream, not a repeatable plan
 ]

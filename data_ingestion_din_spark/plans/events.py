@@ -507,3 +507,77 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("t2")).cast("bigint").alias("n_view_click"),
         F.count(F.col("t3")).cast("bigint").alias("n_full_funnel"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_kmv_distinct — a SKETCH under the hash gate: K-minimum-values
+# distinct-count estimation (k = 64) of users per event type, next to
+# the exact count. Unlike HLL, KMV over the portable md5-derived h64 is
+# bit-deterministic, so the ESTIMATE itself is oracle-checked — the
+# sketch-capability demonstration that approx_count_distinct can't give
+# (engine-specific HLL state). At scale the k smallest hashes per group
+# come from a partial TakeOrderedAndProject-style agg; the estimator
+# reads ONE row per group: est = (k−1) / (h_k / 2^60), or the exact
+# count when the group has fewer than k distinct values.
+# --------------------------------------------------------------------------
+_KMV_K = 64
+_H60 = float(1 << 60)
+
+
+@query(
+    "events_kmv_distinct",
+    oracle=f"""
+    WITH uh AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_h
+      FROM uh
+    ),
+    kth AS (
+      SELECT event_type, h, n_h FROM ranked
+      WHERE rn = least({_KMV_K}, n_h)
+    )
+    SELECT event_type,
+           CAST(n_h AS BIGINT) AS n_exact,
+           round(CASE WHEN n_h < {_KMV_K} THEN CAST(n_h AS DOUBLE)
+                      ELSE {_KMV_K - 1}.0 * {_H60!r} / CAST(h AS DOUBLE) END,
+                 4) AS kmv_estimate
+    FROM kth
+    ORDER BY event_type
+    """,
+)
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    ev = load_table(spark, sf_dir, "events")
+    uh = ev.select(
+        "event_type",
+        h64(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias(
+            "h"
+        ),
+    ).distinct()
+    wn = W.partitionBy("event_type").orderBy("h")
+    wc = W.partitionBy("event_type")
+    ranked = uh.select(
+        "event_type",
+        "h",
+        F.row_number().over(wn).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_h"),
+    )
+    kth = ranked.filter(F.col("rn") == F.least(F.lit(_KMV_K), F.col("n_h")))
+    est = F.when(
+        F.col("n_h") < _KMV_K, F.col("n_h").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(_H60) / F.col("h").cast("double")
+    )
+    return kth.select(
+        "event_type",
+        F.col("n_h").cast("bigint").alias("n_exact"),
+        F.round(est, 4).alias("kmv_estimate"),
+    ).orderBy("event_type")
