@@ -1,0 +1,77 @@
+"""Unit tests for operators/curation.py (the oracle gate covers the
+registered queries; these pin operator-level edge semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_din_spark.operators.curation import (
+    decontaminate_hits,
+    redact_pii,
+    repetition_signals,
+    stratified_sample_flag,
+)
+
+
+def _one(spark, text):
+    return (
+        spark.range(1)
+        .select(F.lit(text).alias("t"))
+        .select(redact_pii(F.col("t")).alias("r"))
+        .first()
+        .r
+    )
+
+
+def test_redact_pii_order_and_kinds(spark):
+    # email inside a URL is part of the URL match (URLs redact first)
+    assert (
+        _one(spark, "go to https://x.io/a@b.com?q=1 now")
+        == "go to [URL] now"
+    )
+    assert _one(spark, "mail a.b+c@d-e.org!") == "mail [EMAIL]!"
+    assert _one(spark, "call 081-234-5678.") == "call [PHONE]."
+    assert _one(spark, "clean text stays") == "clean text stays"
+
+
+def test_repetition_signals_flags_boilerplate(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),  # dominance 1.0
+        (2, "the quick brown fox jumps over a lazy dog today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[1].keep is False and out[1].top_tok_frac == 1.0
+    assert out[2].keep is True and out[2].dup_3gram_frac == 0.0
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    shared = "one two three four five six seven eight"
+    corpus = spark.createDataFrame(
+        [(10, f"prefix {shared} suffix words here"),
+         (11, "totally different content with no overlap at all ok")],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(99, f"held out {shared} benchmark")], "doc_id long, text string"
+    )
+    hits = {r.doc_id: r.n_hits for r in
+            decontaminate_hits(corpus, eval_docs, n=8).collect()}
+    assert 10 in hits and 11 not in hits
+
+
+def test_stratified_flag_deterministic_and_stratified(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    flag = stratified_sample_flag(
+        F.col("lang"), F.col("doc_id"), {"en": 100, "zh": 500}
+    )
+    a = df.filter(flag).groupBy("lang").count().collect()
+    b = df.filter(flag).groupBy("lang").count().collect()  # rerun: identical
+    ra = {r.lang: r["count"] for r in a}
+    assert ra == {r.lang: r["count"] for r in b}
+    # 1000 docs per stratum at 10% vs 50%: rates must separate clearly
+    assert 50 < ra["en"] < 200
+    assert 400 < ra["zh"] < 600
