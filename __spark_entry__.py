@@ -39,6 +39,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_daily_retention",
     "events_funnel",
     "events_kmv_distinct",
+    "dedup_clusters",
     "dedup_simhash_near",
     "dedup_simhash_groups",
     # Registered in round 2, never driver-sampled (green locally).

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "events_daily_retention",
     "events_funnel",
     "events_kmv_distinct",
+    "dedup_clusters",
     # streaming_ingest_chunks is correctness-gated but not benched: its
     # cost is the one-time incremental stream, not a repeatable plan
 ]

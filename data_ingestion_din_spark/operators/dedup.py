@@ -501,6 +501,63 @@ def embedding_near_dup_lsh(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation (cluster_id = smallest
+    member id). This is the step every production dedup needs after LSH
+    — pairs (a,b),(b,c) must collapse to ONE surviving doc, which
+    pairwise winners alone cannot decide.
+
+    Each iteration: label(node) ← min(label(node), min over neighbors'
+    labels) — two hash joins + a groupBy(node), materialized with
+    localCheckpoint to truncate lineage (iterative-algorithm shape;
+    at cluster scale this is the standard large-scale CC loop, converging
+    in O(component diameter) rounds — near-dup clusters are shallow, so
+    typically 2-4). The driver-side loop is iteration control, not data
+    movement: per round it reads ONE count (the convergence check).
+
+    Returns (node, cluster_id) for every node appearing in ``pairs``.
+    """
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    adj = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr = adj.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node"), F.col("label").alias("cluster_id")
+    )
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-dup pairs above ``threshold`` (quantized
     integer arithmetic — oracle-comparable, see functions/vectors.py).

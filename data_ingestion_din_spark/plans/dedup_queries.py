@@ -212,10 +212,9 @@ _BANDS_UNION = "\n      UNION ALL ".join(
 )
 
 
-@query(
-    "dedup_minhash_banded",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+# shared by dedup_minhash_banded and dedup_clusters (which resolves the
+# same pairs into connected components)
+_BANDED_CTES = f"""toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
     idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
     sh AS (
       SELECT DISTINCT doc_id,
@@ -238,15 +237,23 @@ _BANDS_UNION = "\n      UNION ALL ".join(
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT c.doc_a, c.doc_b,
-           CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
-    FROM cand c
-    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-    JOIN sizes sa ON sa.doc_id = c.doc_a
-    JOIN sizes sb ON sb.doc_id = c.doc_b
-    WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
-    ORDER BY 1, 2
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+      FROM cand c
+      JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+    )"""
+
+
+@query(
+    "dedup_minhash_banded",
+    oracle=f"""
+    WITH {_BANDED_CTES}
+    SELECT doc_a, doc_b, jaccard FROM verified ORDER BY 1, 2
     """,
 )
 def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,3 +559,49 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_lsh(
         emb, threshold=0.4, n_tables=_ND_TABLES, n_planes=_ND_PLANES
     ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# dedup_clusters — pair→cluster resolution: connected components over the
+# banded-minhash near-dup pairs (cluster_id = smallest member). Spark
+# runs iterative min-label propagation (operators/dedup.py
+# connected_components — the one legitimately iterative algorithm in the
+# engine); the oracle computes the same components with a RECURSIVE CTE
+# (transitive closure + min over reachable set), so the fixpoint itself
+# is hash-checked, not just "it converges".
+# --------------------------------------------------------------------------
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_BANDED_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM verified
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM verified
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT e.s AS node, r.r FROM edges e JOIN reach r ON r.node = e.d
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach
+    GROUP BY node
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_banded_pairs(
+        docs, n_hashes=_NB_HASHES, bands=_NB_BANDS, shingle_n=3, threshold=0.5
+    )
+    return (
+        D.connected_components(pairs)
+        .select(
+            F.col("node").cast("bigint").alias("doc_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
