@@ -40,6 +40,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_funnel",
     "events_kmv_distinct",
     "dedup_clusters",
+    "doc_bpe_token_stats",
+    "events_trailing_hour",
     "dedup_simhash_near",
     "dedup_simhash_groups",
     # Registered in round 2, never driver-sampled (green locally).

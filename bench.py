@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_kmv_distinct",
     "dedup_clusters",
+    "doc_bpe_token_stats",
+    "events_trailing_hour",
     # streaming_ingest_chunks is correctness-gated but not benched: its
     # cost is the one-time incremental stream, not a repeatable plan
 ]

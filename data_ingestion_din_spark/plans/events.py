@@ -581,3 +581,50 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_h").cast("bigint").alias("n_exact"),
         F.round(est, 4).alias("kmv_estimate"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# events_trailing_hour — event-time RANGE window frame (trailing 1 hour
+# per event type): every event annotated with the count and decimal-
+# exact value sum of the preceding hour. RANGE frames bound by TIME, not
+# row count — the rate-limit / rolling-load shape that ROWS frames get
+# wrong under uneven event density. Ordering key is integer µs on both
+# engines so frame edges are bit-identical.
+# --------------------------------------------------------------------------
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "events_trailing_hour",
+    oracle=f"""
+    SELECT event_id,
+           event_type,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           (CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w * 100 AS BIGINT)
+            / 100.0) AS value_last_hour
+    FROM events
+    WINDOW w AS (
+      PARTITION BY event_type ORDER BY epoch_us(ts)
+      RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW
+    )
+    ORDER BY event_id
+    """,
+)
+def events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+            dec_to_double(F.sum(_dec2("value")).over(w), 2).alias(
+                "value_last_hour"
+            ),
+        )
+        .orderBy("event_id")
+    )

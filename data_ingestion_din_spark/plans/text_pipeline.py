@@ -340,3 +340,48 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _CUR_BUDGET)
         .orderBy("lang_guess", "cum_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# doc_bpe_token_stats — BPE-ish regex tokenization next to whitespace
+# tokenization (the two token-count lenses a training pipeline budgets
+# with). The pattern is the GPT-2 pre-tokenizer with its lookahead
+# dropped (RE2 has no lookaround; Java honors the same leftmost-first
+# alternation): contractions | space?letters | space?digits |
+# space?punct-runs | whitespace runs. Pure regexp_extract_all — narrow,
+# codegen, no shuffle.
+# --------------------------------------------------------------------------
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
+
+
+@query(
+    "doc_bpe_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe,
+             len({_TOKS_SQL}) AS n_ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+           CAST(n_ws AS BIGINT) AS n_ws_tokens,
+           round(CASE WHEN n_ws > 0 THEN CAST(n_bpe AS DOUBLE) / n_ws
+                      ELSE 0.0 END, 6) AS bpe_per_word
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+    n_ws = F.size(tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        n_ws.cast("bigint").alias("n_ws_tokens"),
+        F.round(
+            F.when(n_ws > 0, n_bpe.cast("double") / n_ws).otherwise(0.0), 6
+        ).alias("bpe_per_word"),
+    ).orderBy("doc_id")
