@@ -42,6 +42,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_clusters",
     "doc_bpe_token_stats",
     "events_trailing_hour",
+    "corpus_pack_sequences",
     "dedup_simhash_near",
     "dedup_simhash_groups",
     # Registered in round 2, never driver-sampled (green locally).

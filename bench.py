@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "doc_bpe_token_stats",
     "events_trailing_hour",
+    "corpus_pack_sequences",
     # streaming_ingest_chunks is correctness-gated but not benched: its
     # cost is the one-time incremental stream, not a repeatable plan
 ]

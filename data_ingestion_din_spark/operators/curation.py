@@ -158,3 +158,76 @@ def stratified_sample_flag(
     )
     return F.pmod(h64(F.concat(F.lit(seed + ":"), id_col.cast("string"))),
                   F.lit(1000)) < rate
+
+
+PACK_SCHEMA = "lang string, seq_id int, n_docs bigint, total_tokens bigint"
+
+
+def pack_sequences(docs: DataFrame, budget: int = 1024) -> DataFrame:
+    """Greedy sequence packing for pretraining batches: documents in
+    doc_id order are packed per language stratum into training sequences
+    whose token counts fill (and never straddle) ``budget`` — a doc that
+    would overflow starts the next sequence; an over-budget doc gets its
+    own sequence. Returns one row per packed sequence
+    (lang, seq_id, n_docs, total_tokens).
+
+    The running budget RESETS at breaks the accumulator itself decides,
+    so (like W5 semantic chunking) this is not a plain window: the
+    engine's second ``mapInPandas`` walk — repartition by the stratum,
+    sort within partitions, stream thousands of strata per partition
+    with state carried across Arrow batches. The fixture packs per
+    language (5 strata); production packs per (stratum, shard) so
+    parallelism is bounded by shard count, not stratum count — same
+    walker, finer key.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    base = docs.select(
+        "lang", "doc_id", F.size(tokens(F.col("text"))).alias("n")
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = {"lang": None, "seq": 0, "cum": 0, "docs": 0}
+        out: list[dict] = []
+
+        def flush() -> None:
+            if state["docs"]:
+                out.append(
+                    {
+                        "lang": state["lang"],
+                        "seq_id": state["seq"],
+                        "n_docs": state["docs"],
+                        "total_tokens": state["cum"],
+                    }
+                )
+            state["cum"], state["docs"] = 0, 0
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.lang != state["lang"]:
+                    flush()
+                    state.update(lang=row.lang, seq=0)
+                n = int(row.n)
+                if state["docs"] and state["cum"] + n > budget:
+                    flush()
+                if not state["docs"]:
+                    state["seq"] += 1
+                state["cum"] += n
+                state["docs"] += 1
+            if len(out) >= 10_000:
+                yield pd.DataFrame(
+                    out, columns=["lang", "seq_id", "n_docs", "total_tokens"]
+                )
+                out = []
+        flush()
+        yield pd.DataFrame(
+            out, columns=["lang", "seq_id", "n_docs", "total_tokens"]
+        )
+
+    return (
+        base.repartition("lang")
+        .sortWithinPartitions("lang", "doc_id")
+        .mapInPandas(walk, schema=PACK_SCHEMA)
+    )

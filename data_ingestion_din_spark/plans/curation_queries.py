@@ -233,3 +233,51 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_pack_sequences — greedy per-language training-sequence packing
+# (budget 1024 whitespace tokens). The accumulator resets at breaks it
+# decides itself (not a plain window — W5's pattern), so Spark runs the
+# mapInPandas walk and the oracle re-walks the same order with a
+# RECURSIVE CTE carrying (seq, cum) — bit-exact packing parity.
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 1024
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH numbered AS MATERIALIZED (
+      SELECT lang, doc_id, len({_TOKS_SQL}) AS n,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk AS (
+      WITH RECURSIVE w AS (
+        SELECT lang, rn, n, 1 AS seq, n AS cum
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT b.lang, b.rn, b.n,
+               CASE WHEN w.cum + b.n > {_PACK_BUDGET}
+                    THEN w.seq + 1 ELSE w.seq END,
+               CASE WHEN w.cum + b.n > {_PACK_BUDGET}
+                    THEN b.n ELSE w.cum + b.n END
+        FROM w JOIN numbered b ON b.lang = w.lang AND b.rn = w.rn + 1
+      )
+      SELECT * FROM w
+    )
+    SELECT lang,
+           CAST(seq AS INT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens
+    FROM walk
+    GROUP BY lang, seq
+    ORDER BY lang, seq
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, budget=_PACK_BUDGET).orderBy(
+        "lang", "seq_id"
+    )
