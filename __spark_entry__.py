@@ -43,6 +43,8 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_bpe_token_stats",
     "events_trailing_hour",
     "corpus_pack_sequences",
+    "customer_spend_quartiles",
+    "events_pivot_unpivot",
     "dedup_simhash_near",
     "dedup_simhash_groups",
     # Registered in round 2, never driver-sampled (green locally).

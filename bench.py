@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "doc_bpe_token_stats",
     "events_trailing_hour",
     "corpus_pack_sequences",
+    "customer_spend_quartiles",
+    "events_pivot_unpivot",
     # streaming_ingest_chunks is correctness-gated but not benched: its
     # cost is the one-time incremental stream, not a repeatable plan
 ]

@@ -628,3 +628,44 @@ def events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# events_pivot_unpivot — wide⇄long round trip: pivot daily totals to one
+# column per event type, then UNPIVOT back to long form. The oracle is
+# the direct long-form aggregation — parity proves the round trip is
+# lossless (decimal-exact cells; absent combinations surface as NULL
+# cells and are dropped on the way back, exactly the rows the direct
+# aggregation never had).
+# --------------------------------------------------------------------------
+@query(
+    "events_pivot_unpivot",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           event_type,
+           (CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) / 100.0)
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.sum(_dec2("value")))
+    )
+    long = pivoted.unpivot(
+        ["day"], list(EVENT_TYPES), "event_type", "total"
+    )
+    return (
+        long.filter(F.col("total").isNotNull())
+        .select(
+            "day",
+            "event_type",
+            dec_to_double(F.col("total"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -431,3 +431,54 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# customer_spend_quartiles — ntile + percent_rank ranking functions over
+# per-nation customer spend (the remaining window-function family beyond
+# row_number/rank/lag/median/RANGE frames). Ties are impossible under
+# the complete (total DESC, c_custkey) ordering, so both engines bucket
+# identically.
+# --------------------------------------------------------------------------
+@query(
+    "customer_spend_quartiles",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c_custkey, c_nationkey,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_custkey,
+           CAST(c_nationkey AS INT) AS nation,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           {dec_to_double_sql("total", 2)} AS total_spend
+    FROM spend
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY total DESC, c_custkey)
+    ORDER BY nation, quartile, c_custkey
+    """,
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(_dec2("o_totalprice")).alias("total"))
+    )
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("total"), "c_custkey")
+    return (
+        spend.select(
+            "c_custkey",
+            F.col("c_nationkey").cast("int").alias("nation"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            dec_to_double(F.col("total"), 2).alias("total_spend"),
+        )
+        .orderBy("nation", "quartile", "c_custkey")
+    )
