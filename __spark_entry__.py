@@ -45,6 +45,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_pack_sequences",
     "customer_spend_quartiles",
     "events_pivot_unpivot",
+    "embedding_kmeans",
     "dedup_simhash_near",
     "dedup_simhash_groups",
     # Registered in round 2, never driver-sampled (green locally).

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "corpus_pack_sequences",
     "customer_spend_quartiles",
     "events_pivot_unpivot",
+    "embedding_kmeans",
     # streaming_ingest_chunks is correctness-gated but not benched: its
     # cost is the one-time incremental stream, not a repeatable plan
 ]

@@ -182,3 +182,72 @@ def lsh_topk(emb: DataFrame, qvec: Column, k: int = 10, n_planes: int = 8) -> Da
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Lloyd's k-means over quantized-integer vectors, exact enough to
+    hash-check: assignments use integer squared distances (no float
+    order sensitivity), centroids are TRUNCATED integer per-dimension
+    means (DuckDB ``//`` semantics, mirrored driver-side), seeds are the
+    ``k`` lowest-vec_id vectors — every step deterministic in both
+    engines, so the oracle unrolls the same ``iters`` iterations in SQL
+    and the final assignment is bit-compared (the IVF training loop
+    under the same gate as everything else).
+
+    Physical shape per iteration: the k×dims centroid matrix is tiny, so
+    it is collected and re-broadcast as a LITERAL (the standard
+    k-means-on-Spark shape — MLlib does the same); assignment is then a
+    narrow argmin expression over the staged quantized vectors, and the
+    M-step is one (cluster, dim) shuffle of integer partial sums.
+    Driver traffic per iteration = k·dims ints — iteration control, not
+    data movement."""
+    from data_ingestion_din_spark.functions.vectors import quantize
+
+    base = (
+        emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        .localCheckpoint(eager=True)
+    )
+    dims = len(base.select("qv").first().qv)
+    cents = [list(r.qv) for r in base.orderBy("vec_id").limit(k).collect()]
+
+    def tdiv(s: int, n: int) -> int:  # truncating div (DuckDB `//`)
+        return s // n if (s >= 0) == (n >= 0) or s % n == 0 else s // n + 1
+
+    assigned = None
+    for _ in range(iters):
+        m = int_matrix_lit(cents)
+        dist = F.transform(
+            m,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("qv"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        staged = base.select("vec_id", "qv", dist.alias("_d"))
+        # argmin, lowest cluster wins ties (array_position = first match)
+        assigned = staged.select(
+            "vec_id",
+            "qv",
+            F.array_position(F.col("_d"), F.array_min(F.col("_d")))
+            .cast("int")
+            .alias("cluster"),
+        )
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("qv").alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {c: [0] * dims for c in range(1, k + 1)}
+        seen = set()
+        for r in sums:
+            new[r.cluster][r.dim] = tdiv(int(r.s), int(r.n))
+            seen.add(r.cluster)
+        # empty cluster: keep its previous centroid (deterministic)
+        cents = [
+            new[c] if c in seen else cents[c - 1] for c in range(1, k + 1)
+        ]
+    return assigned.select("vec_id", "cluster")

@@ -198,3 +198,65 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_kmeans — TWO full Lloyd iterations (k = 8, seeds = lowest
+# vec_ids) with integer squared distances and truncated-integer
+# centroids, final assignment hash-compared against the oracle's
+# unrolled SQL of the same two iterations (operators/similarity.py
+# kmeans_assign). The IVF training loop — an iterative algorithm — under
+# the same bit-exact gate as the one-shot queries; empty clusters keep
+# their previous centroid on both sides.
+# --------------------------------------------------------------------------
+_KM_DIST = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> (q.qv[i] - s.qv[i]) * (q.qv[i] - s.qv[i])))"
+)
+
+
+@query(
+    "embedding_kmeans",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster, qv
+      FROM q ORDER BY vec_id LIMIT 8
+    ),
+    a1 AS (
+      SELECT q.vec_id, q.qv, s.cluster
+      FROM q CROSS JOIN seeds s
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) = 1
+    ),
+    m1 AS (
+      SELECT cluster, i AS dim, sum(qv[i]) // count(*) AS c
+      FROM a1, range(1, 65) t(i)
+      GROUP BY cluster, i
+    ),
+    c1 AS (SELECT cluster, list(c ORDER BY dim) AS qv FROM m1 GROUP BY cluster),
+    c1f AS (
+      SELECT s.cluster, coalesce(c.qv, s.qv) AS qv
+      FROM seeds s LEFT JOIN c1 c ON s.cluster = c.cluster
+    ),
+    a2 AS (
+      SELECT q.vec_id, s.cluster
+      FROM q CROSS JOIN c1f s
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) = 1
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a2 ORDER BY vec_id
+    """,
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, iters=2).orderBy("vec_id")
