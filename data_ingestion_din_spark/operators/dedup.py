@@ -32,7 +32,6 @@ from pyspark.sql.window import Window as W
 from data_ingestion_din_spark.functions.analysis import fingerprint, tokens
 from data_ingestion_din_spark.functions.hashing import with_minhash
 from data_ingestion_din_spark.sources.tables import scan_parallel
-from data_ingestion_din_spark.functions.vectors import cosine_exact
 
 SIMHASH_BITS = 16
 
