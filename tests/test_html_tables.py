@@ -169,3 +169,52 @@ def test_parse_html_tables_reference_parity(spark):
     }
     for n in names:
         assert out[n] == CASES[n][1], f"case {n}: {out[n]} != {CASES[n][1]}"
+
+
+# ---------------------------------------------------------------------------
+# Fuzzed parity: 24 randomized tables (spans 1/2/10/15/120, nested tags,
+# entities, dot runs, whitespace, cell-less rows, header-less tables),
+# goldens produced by RUNNING the reference parser
+# (ingestion/table_extractor.py parse_html_table, seed 42). Catches any
+# regex-vs-HTMLParser divergence the hand-picked cases miss.
+# ---------------------------------------------------------------------------
+# Generated by fuzzing the REFERENCE parser (seed 42); baked-in goldens.
+FUZZ_CASES = [
+    ('<table><tr><th rowspan="1">bb</th><th>p...q</th></tr></table>', ([], [], True, False)),
+    ('<table><tr><th rowspan="2">a</th><th>bb</th><th>a</th></tr><tr><td rowspan="120">&amp;</td><td>x1</td><td>a</td><td>bb</td></tr><tr><td rowspan="10">x1</td><td rowspan="1">a</td></tr><tr><td colspan="2">m  n</td><td rowspan="1">m  n</td></tr><tr><td>a</td><td rowspan="10">&amp;</td><td>m  n</td><td colspan="1">m  n</td></tr></table>', ([], [], True, True)),
+    ('<table><tr><th colspan="1">m  n</th></tr></table>', ([], [], True, False)),
+    ('<table><tr><th>x1</th><th colspan="2">m  n</th><th rowspan="10">x1</th></tr><tr></tr></table>', ([], [], True, True)),
+    ('<table><tr><th>bb</th></tr><tr><td>p...q</td><td>bb</td></tr><tr></tr><tr><td rowspan="10">m  n</td></tr><tr><td rowspan="120">x1</td><td colspan="15">p...q</td><td colspan="15">&amp;</td></tr></table>', ([], [], True, False)),
+    ('<table><tr><th rowspan="120">bb</th><th colspan="15"><b>t</b></th></tr><tr><td colspan="1"><b>t</b></td><td>bb</td><td>a</td></tr><tr></tr><tr><td rowspan="1">p...q</td></tr></table>', (['bb', 't'], [['t', 'bb'], ['pq', '']], False, True)),
+    ('<table><tr><th>&amp;</th><th>&amp;</th><th><b>t</b></th></tr><tr></tr><tr></tr><tr><td colspan="15">m  n</td><td rowspan="1">x1</td><td>bb</td><td>p...q</td></tr><tr><td><b>t</b></td><td><b>t</b></td></tr></table>', (['&', '&', 't'], [['m n', 'x1', 'bb'], ['t', 't', '']], False, False)),
+    ('<table><tr><th>x1</th></tr><tr><td>m  n</td><td>a</td><td rowspan="10">&amp;</td><td>m  n</td></tr><tr><td rowspan="120">a</td></tr></table>', ([], [], True, True)),
+    ('<table><tr><th rowspan="120">m  n</th><th rowspan="1">m  n</th><th rowspan="120"><b>t</b></th></tr></table>', ([], [], True, True)),
+    ('<table><tr><td><b>t</b></td></tr><tr><td colspan="15">p...q</td></tr><tr><td>&amp;</td><td rowspan="2">&amp;</td></tr><tr></tr><tr><td>a</td><td>bb</td></tr></table>', ([], [], True, False)),
+    ('<table><tr></tr></table>', ([], [], False, False)),
+    ('<table><tr></tr><tr><td>a</td><td>x1</td></tr></table>', ([], [], True, False)),
+    ('<table><tr><th>bb</th><th>m  n</th><th rowspan="1">a</th></tr><tr><td>&amp;</td><td>m  n</td></tr></table>', (['bb', 'm n', 'a'], [['&', 'm n', '']], False, False)),
+    ('<table><tr><th colspan="1">p...q</th><th rowspan="120">bb</th><th rowspan="2">&amp;</th></tr></table>', ([], [], True, True)),
+    ('<table><tr><td>m  n</td></tr><tr><td>m  n</td><td rowspan="120"><b>t</b></td><td rowspan="1">m  n</td></tr><tr><td>bb</td></tr></table>', (['m n'], [['m n'], ['bb']], False, True)),
+    ('<table><tr><th rowspan="1">a</th><th colspan="2">&amp;</th><th>x1</th></tr><tr><td>p...q</td><td rowspan="2">bb</td><td>a</td><td rowspan="10"><b>t</b></td></tr><tr></tr><tr></tr></table>', (['a', '&', 'x1'], [['pq', 'bb', 'a']], False, True)),
+    ('<table><tr><td>a</td></tr><tr></tr><tr><td>a</td></tr><tr><td rowspan="120">&amp;</td></tr><tr><td><b>t</b></td></tr></table>', ([], [], True, False)),
+    ('<table><tr><th>p...q</th><th colspan="2"><b>t</b></th><th>bb</th></tr><tr><td colspan="1">bb</td><td>p...q</td></tr><tr><td>x1</td><td rowspan="120">a</td><td><b>t</b></td></tr><tr></tr><tr><td>bb</td><td>bb</td><td>a</td><td colspan="2">x1</td></tr></table>', ([], [], True, False)),
+    ('<table><tr></tr><tr><td>x1</td><td>a</td><td colspan="1">bb</td><td>p...q</td></tr><tr><td>x1</td><td colspan="15">p...q</td></tr><tr><td><b>t</b></td><td rowspan="1">m  n</td></tr><tr><td rowspan="2">a</td><td>p...q</td></tr></table>', ([], [], True, False)),
+    ('<table><tr><td rowspan="1"><b>t</b></td><td>p...q</td><td rowspan="10"><b>t</b></td></tr><tr><td rowspan="2"><b>t</b></td><td colspan="1">a</td><td rowspan="2">x1</td><td rowspan="120">p...q</td></tr></table>', (['t', 'pq', 't'], [['t', 'a', 'x1']], False, True)),
+    ('<table><tr><th rowspan="2">m  n</th></tr><tr><td rowspan="10">a</td><td>m  n</td><td>m  n</td></tr><tr><td rowspan="1">x1</td></tr><tr><td rowspan="1">m  n</td><td rowspan="1">bb</td><td colspan="1">x1</td></tr></table>', (['m n'], [['a'], ['x1'], ['m n']], False, True)),
+    ('<table><tr><th colspan="1">&amp;</th></tr><tr><td>x1</td><td>&amp;</td></tr></table>', (['&'], [['x1']], False, False)),
+    ('<table><tr></tr><tr></tr><tr><td>bb</td><td rowspan="120">x1</td></tr><tr><td>x1</td><td>x1</td><td rowspan="120"><b>t</b></td></tr><tr><td rowspan="1">x1</td></tr></table>', (['bb', 'x1'], [['x1', 'x1'], ['x1', '']], False, True)),
+    ('<table><tr><th rowspan="10">&amp;</th><th colspan="1"><b>t</b></th></tr></table>', ([], [], True, True)),
+]
+
+
+def test_fuzzed_reference_parity(spark):
+    rows = [(i, html) for i, (html, _) in enumerate(FUZZ_CASES)]
+    df = spark.createDataFrame(rows, "case_id int, html string")
+    out = {r.case_id: r for r in parse_html_tables(df).collect()}
+    for i, (_, exp) in enumerate(FUZZ_CASES):
+        cols, rws, cbody, chdr = exp
+        r = out[i]
+        assert list(r.columns) == cols, (i, r.columns, cols)
+        assert [list(x) for x in r.rows] == rws, (i, r.rows, rws)
+        assert r.has_complex_body == cbody, (i, "body")
+        assert r.has_complex_header == chdr, (i, "hdr")

@@ -102,3 +102,23 @@ def test_lsh_bucket_deterministic_and_topk_recall(spark):
     q = F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))
     got = [r.vec_id for r in lsh_topk(emb, q, k=3, n_planes=4).collect()]
     assert got and got[0] == 0  # nearest vector shares the query's bucket
+
+
+def test_operators_tolerate_empty_input(spark):
+    """Zero-row inputs must produce zero-row outputs, not errors —
+    the empty-partition / empty-micro-batch case every operator hits
+    at scale."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_din_spark.operators import dedup as D
+    from data_ingestion_din_spark.operators.curation import (
+        repetition_signals,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert D.exact_dedup(empty_docs).count() == 0
+    assert D.simhash(empty_docs, 64).count() == 0
+    assert D.minhash_banded_pairs(empty_docs).count() == 0
+    assert repetition_signals(empty_docs).count() == 0
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert D.connected_components(empty_pairs).count() == 0
