@@ -46,6 +46,8 @@ _DRIVER_PRIORITY: list[str] = [
     "customer_spend_quartiles",
     "events_pivot_unpivot",
     "embedding_kmeans",
+    "similarity_ivf_kmeans",
+    "similarity_lsh_recall",
     "dedup_simhash_near",
     "dedup_simhash_groups",
     # Registered in round 2, never driver-sampled (green locally).

@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "customer_spend_quartiles",
     "events_pivot_unpivot",
     "embedding_kmeans",
+    "similarity_ivf_kmeans",
+    "similarity_lsh_recall",
     # streaming_ingest_chunks is correctness-gated but not benched: its
     # cost is the one-time incremental stream, not a repeatable plan
 ]

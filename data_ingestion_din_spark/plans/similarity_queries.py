@@ -215,10 +215,7 @@ _KM_DIST = (
 )
 
 
-@query(
-    "embedding_kmeans",
-    oracle=f"""
-    WITH q AS (
+_KM_CTES = f"""q AS (
       SELECT vec_id,
              list_transform(
                embedding,
@@ -252,6 +249,13 @@ _KM_DIST = (
       QUALIFY row_number() OVER (
         PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) = 1
     )
+    """
+
+
+@query(
+    "embedding_kmeans",
+    oracle=f"""
+    WITH {_KM_CTES}
     SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a2 ORDER BY vec_id
     """,
 )
@@ -260,3 +264,106 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=8, iters=2).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# similarity_ivf_kmeans — the IVF story end to end: cells TRAINED by the
+# verified k-means (embedding_kmeans), probe routed to its nearest cell,
+# exact cosine top-10 within that cell only. At scale `cluster` is the
+# table's partition key, so this plan scans one cell's files — IVF
+# training + serving under one hash gate.
+# --------------------------------------------------------------------------
+@query(
+    "similarity_ivf_kmeans",
+    oracle=f"""
+    WITH {_KM_CTES},
+    pc AS (SELECT cluster FROM a2 WHERE vec_id = 0)
+    SELECT e.vec_id,
+           CAST(a.cluster AS INT) AS cluster,
+           {cosine_exact_sql('e.embedding', 'qq.embedding')} AS cos_sim
+    FROM embeddings e
+    JOIN a2 a ON a.vec_id = e.vec_id
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qq
+    CROSS JOIN pc
+    WHERE e.vec_id <> 0 AND a.cluster = pc.cluster
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, k=8, iters=2)
+    probe_cell = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("cluster").alias("pc")
+    )
+    cands = (
+        emb.join(assigned, "vec_id")
+        .join(F.broadcast(probe_cell), F.col("cluster") == F.col("pc"))
+        .filter(F.col("vec_id") != 0)
+    )
+    scored = cands.crossJoin(
+        F.broadcast(
+            emb.filter(F.col("vec_id") == 0).select(
+                F.col("embedding").alias("q_embedding")
+            )
+        )
+    )
+    return (
+        scored.select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            cosine_exact(F.col("embedding"), F.col("q_embedding")).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity_lsh_recall — ANN quality MEASURED under the gate: overlap of
+# the LSH top-k with the exact top-10 for the same probe, as counts + a
+# recall ratio. Both sides are deterministic, so even the quality metric
+# hash-matches — "measure, don't guess" applied to the ANN path itself.
+# --------------------------------------------------------------------------
+from data_ingestion_din_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+
+_EXACT_SQL = _ORACLES["similarity_topk"]
+_LSHK_SQL = _ORACLES["similarity_lsh_topk"]
+
+
+@query(
+    "similarity_lsh_recall",
+    oracle=f"""
+    WITH exact AS ({_EXACT_SQL}),
+    lsh AS ({_LSHK_SQL}),
+    ov AS (SELECT e.vec_id FROM exact e JOIN lsh l ON e.vec_id = l.vec_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+           (SELECT CAST(count(*) AS BIGINT) FROM ov) AS n_overlap,
+           round(CAST((SELECT count(*) FROM ov) AS DOUBLE)
+                 / (SELECT count(*) FROM exact), 6) AS recall
+    """,
+)
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = similarity_topk(spark, sf_dir).select("vec_id")
+    lsh = similarity_lsh_topk(spark, sf_dir).select("vec_id")
+    ov = exact.join(lsh, "vec_id")
+    return (
+        exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh")))
+        .crossJoin(
+            ov.agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+        )
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
