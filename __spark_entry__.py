@@ -48,6 +48,9 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_kmeans",
     "similarity_ivf_kmeans",
     "similarity_lsh_recall",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q15_top_supplier",
     "dedup_simhash_near",
     "dedup_simhash_groups",
     # Registered in round 2, never driver-sampled (green locally).

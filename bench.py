@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "similarity_ivf_kmeans",
     "similarity_lsh_recall",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q15_top_supplier",
     # streaming_ingest_chunks is correctness-gated but not benched: its
     # cost is the one-time incremental stream, not a repeatable plan
 ]
