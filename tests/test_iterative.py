@@ -1,0 +1,57 @@
+"""Unit tests for the two iterative operators (connected components,
+k-means) — the oracle gate checks them end to end on the fixtures; these
+pin the iteration semantics on crafted graphs/point sets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_din_spark.operators.dedup import connected_components
+from data_ingestion_din_spark.operators.similarity import kmeans_assign
+
+
+def test_connected_components_chain_and_pair(spark):
+    # chain 1-2-3 (transitive), isolated pair 8-9, crossing edge order
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (9, 8)], "doc_a long, doc_b long"
+    )
+    out = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph 0-1-2-...-9: diameter 9 needs several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    out = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert set(out.values()) == {0} and len(out) == 10
+
+
+def test_kmeans_separates_two_blobs(spark):
+    # two tight 4-point blobs far apart in 64-d; k=2 must split them,
+    # with cluster 1 seeded from the lowest vec_id (blob A)
+    def vec(base):
+        return [float(base)] * 64
+
+    rows = [(i, vec(0.001 * i)) for i in range(4)] + [
+        (10 + i, vec(5.0 + 0.001 * i)) for i in range(4)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.cluster for r in kmeans_assign(emb, k=2, iters=2).collect()}
+    blob_a = {out[i] for i in range(4)}
+    blob_b = {out[10 + i] for i in range(4)}
+    assert blob_a == {1} and blob_b == {2}
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    from data_ingestion_din_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted(
+        (r.vec_id, r.cluster) for r in kmeans_assign(emb, 4, 2).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster) for r in kmeans_assign(emb, 4, 2).collect()
+    )
+    assert a == b and len(a) > 0
