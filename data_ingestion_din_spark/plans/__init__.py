@@ -23,3 +23,4 @@ from data_ingestion_din_spark.plans import enrichment_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import analytic_ext  # noqa: F401,E402
 from data_ingestion_din_spark.plans import streaming_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import curation_queries  # noqa: F401,E402
+from data_ingestion_din_spark.plans import partsupp_queries  # noqa: F401,E402
