@@ -25,6 +25,13 @@ from pyspark.sql import functions as F
 
 QUANT = 1_000_000
 
+# Fixture/corpus embedding dimensionality — the ONE place the dimension
+# lives: lsh_bucket's default projection width, the k-means oracle SQL
+# builder (plans/similarity_queries.py), and the quantized-dot overflow
+# bound above all derive from it, so a dims change fails loudly in one
+# obvious place instead of silently breaking parity.
+EMBED_DIMS = 64
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -85,7 +92,7 @@ def cosine_exact(a: Column, b: Column) -> Column:
 
 
 def lsh_bucket_sql(
-    e: str, seed: str = "lsh", n_planes: int = 8, dims: int = 64
+    e: str, seed: str = "lsh", n_planes: int = 8, dims: int = EMBED_DIMS
 ) -> str:
     """DuckDB twin of ``operators.similarity.lsh_bucket(exact=True)``:
     per plane b, sign of Σ_i floor(e[i]·1e6) · ((h64('{seed}:b:'||i) %
@@ -104,7 +111,7 @@ def lsh_bucket_sql(
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
-def cosine_exact_sql(a: str, b: str, dims: int = 64) -> str:
+def cosine_exact_sql(a: str, b: str, dims: int = EMBED_DIMS) -> str:
     """DuckDB oracle twin of :func:`cosine_exact` (correlated over a pair
     of FLOAT[] columns): quantized-integer dot/norms, double divide."""
 

@@ -56,6 +56,26 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def cleanup_stale_app_dirs(root: str, keep: str) -> None:
+    """Delete per-application artifact directories under ``root`` left by
+    PREVIOUS Spark applications (``keep`` is the current applicationId's
+    sanitized dir name). Session-scoped staging otherwise accumulates
+    unboundedly across sessions — each app writes a fresh dir and nothing
+    ever removed the old ones. Called on first staging use per session;
+    failures are ignored (another live session may own a dir — worst case
+    its staging is re-materialized, never corrupted, because each app
+    only ever reads its OWN dir)."""
+    import shutil
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for d in entries:
+        if d != keep:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
 # Layout staging cache, keyed like sources/entities._ENTITY_CACHE: the
 # applicationId is unique per SparkContext lifetime (id(spark) is not —
 # a stopped session's address can be reused).
@@ -83,7 +103,9 @@ def bucketed_fact_tables(
     from data_ingestion_din_spark.sources.tables import load_table
 
     app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed", app, tag)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
+    cleanup_stale_app_dirs(root, app)
+    base = os.path.join(root, app, tag)
     for src, tbl, key in (
         ("orders", names[0], "o_orderkey"),
         ("lineitem", names[1], "l_orderkey"),

@@ -161,54 +161,77 @@ def stratified_sample_flag(
 
 
 PACK_SCHEMA = "lang string, seq_id int, n_docs bigint, total_tokens bigint"
+PACK_SCHEMA_SHARDED = (
+    "lang string, shard bigint, seq_id int, n_docs bigint, "
+    "total_tokens bigint"
+)
 
 
-def pack_sequences(docs: DataFrame, budget: int = 1024) -> DataFrame:
+def pack_sequences(
+    docs: DataFrame, budget: int = 1024, shard_col: str | None = None
+) -> DataFrame:
     """Greedy sequence packing for pretraining batches: documents in
-    doc_id order are packed per language stratum into training sequences
-    whose token counts fill (and never straddle) ``budget`` — a doc that
-    would overflow starts the next sequence; an over-budget doc gets its
-    own sequence. Returns one row per packed sequence
-    (lang, seq_id, n_docs, total_tokens).
+    doc_id order are packed per stratum into training sequences whose
+    token counts fill (and never straddle) ``budget`` — a doc that would
+    overflow starts the next sequence; an over-budget doc gets its own
+    sequence. Returns one row per packed sequence
+    (lang[, shard], seq_id, n_docs, total_tokens).
 
     The running budget RESETS at breaks the accumulator itself decides,
     so (like W5 semantic chunking) this is not a plain window: the
-    engine's second ``mapInPandas`` walk — repartition by the stratum,
+    engine's second ``mapInPandas`` walk — repartition by the walk key,
     sort within partitions, stream thousands of strata per partition
-    with state carried across Arrow batches. The fixture packs per
-    language (5 strata); production packs per (stratum, shard) so
-    parallelism is bounded by shard count, not stratum count — same
-    walker, finer key.
+    with state carried across Arrow batches.
+
+    ``shard_col`` is the production scale lever: packing per ``lang``
+    alone bounds parallelism by stratum count (5 languages = 5 busy
+    tasks no matter the cluster). Passing an integer shard column packs
+    per ``(lang, shard)`` — parallelism tracks shard count, each shard
+    packs independently (the walker key is the pair), and every doc is
+    still packed exactly once (tests/test_curation.py asserts the
+    per-stratum doc/token totals are invariant to shard count).
     """
     from collections.abc import Iterator
 
     import pandas as pd
 
-    base = docs.select(
-        "lang", "doc_id", F.size(tokens(F.col("text"))).alias("n")
-    )
+    sharded = shard_col is not None
+    if sharded:
+        base = docs.select(
+            "lang",
+            F.col(shard_col).cast("bigint").alias("shard"),
+            "doc_id",
+            F.size(tokens(F.col("text"))).alias("n"),
+        )
+        keys, schema = ["lang", "shard"], PACK_SCHEMA_SHARDED
+    else:
+        base = docs.select(
+            "lang", "doc_id", F.size(tokens(F.col("text"))).alias("n")
+        )
+        keys, schema = ["lang"], PACK_SCHEMA
+    cols = keys + ["seq_id", "n_docs", "total_tokens"]
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        state = {"lang": None, "seq": 0, "cum": 0, "docs": 0}
+        state = {"key": None, "seq": 0, "cum": 0, "docs": 0}
         out: list[dict] = []
 
         def flush() -> None:
             if state["docs"]:
-                out.append(
-                    {
-                        "lang": state["lang"],
-                        "seq_id": state["seq"],
-                        "n_docs": state["docs"],
-                        "total_tokens": state["cum"],
-                    }
+                row = dict(zip(keys, state["key"]))
+                row.update(
+                    seq_id=state["seq"],
+                    n_docs=state["docs"],
+                    total_tokens=state["cum"],
                 )
+                out.append(row)
             state["cum"], state["docs"] = 0, 0
 
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                if row.lang != state["lang"]:
+                key = tuple(getattr(row, k) for k in keys)
+                if key != state["key"]:
                     flush()
-                    state.update(lang=row.lang, seq=0)
+                    state.update(key=key, seq=0)
                 n = int(row.n)
                 if state["docs"] and state["cum"] + n > budget:
                     flush()
@@ -217,17 +240,13 @@ def pack_sequences(docs: DataFrame, budget: int = 1024) -> DataFrame:
                 state["cum"] += n
                 state["docs"] += 1
             if len(out) >= 10_000:
-                yield pd.DataFrame(
-                    out, columns=["lang", "seq_id", "n_docs", "total_tokens"]
-                )
+                yield pd.DataFrame(out, columns=cols)
                 out = []
         flush()
-        yield pd.DataFrame(
-            out, columns=["lang", "seq_id", "n_docs", "total_tokens"]
-        )
+        yield pd.DataFrame(out, columns=cols)
 
     return (
-        base.repartition("lang")
-        .sortWithinPartitions("lang", "doc_id")
-        .mapInPandas(walk, schema=PACK_SCHEMA)
+        base.repartition(*keys)
+        .sortWithinPartitions(*keys, "doc_id")
+        .mapInPandas(walk, schema=schema)
     )

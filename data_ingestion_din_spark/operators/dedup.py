@@ -319,7 +319,10 @@ def simhash_near_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, max_shingle_freq: int | None = None
+    docs: DataFrame,
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via inverted-index join (no cartesian):
     explode distinct shingles → self-join on shingle → |A∩B| = pair count,
@@ -327,9 +330,20 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_freq`` drops shingles occurring in more than that many
     docs (stop-shingle pruning) — the standard skew guard at scale; None
-    keeps exact semantics for oracle comparison.
+    keeps exact semantics for oracle comparison BUT leaves posting lists
+    unbounded (quadratic on hot shingles), so the uncapped form refuses
+    inputs larger than ``max_rows`` (default ``ALL_PAIRS_MAX_ROWS``;
+    capped runs skip the guard — their candidate set is bounded by
+    construction).
     """
     from data_ingestion_din_spark.functions.analysis import word_shingles
+
+    if max_shingle_freq is None:
+        _refuse_all_pairs(
+            docs,
+            ALL_PAIRS_MAX_ROWS if max_rows is None else max_rows,
+            "ngram_jaccard_pairs(max_shingle_freq=...) — the capped path",
+        )
 
     sh = scan_parallel(docs).select(
         "doc_id",
@@ -520,6 +534,12 @@ def connected_components(
     typically 2-4). The driver-side loop is iteration control, not data
     movement: per round it reads ONE count (the convergence check).
 
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds — a chain longer than ``max_iter`` hops (e.g.
+    boilerplate chains at corpus scale) would otherwise return silently
+    WRONG cluster ids, violating the engine's exactness contract. Bump
+    ``max_iter`` (cost is O(diameter), not O(n)) when that fires.
+
     Returns (node, cluster_id) for every node appearing in ``pairs``.
     """
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -532,6 +552,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=False)
     )
+    changed = -1  # for the max_iter=0 degenerate case
     for _ in range(max_iter):
         nbr = adj.join(
             labels.withColumnRenamed("node", "dst"), "dst"
@@ -552,19 +573,49 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"iterations ({changed} labels still changing) — component "
+            "diameter exceeds max_iter; raise max_iter"
+        )
     return labels.select(
         F.col("node"), F.col("label").alias("cluster_id")
     )
 
 
-def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+ALL_PAIRS_MAX_ROWS = 20_000
+
+
+def _refuse_all_pairs(df: DataFrame, max_rows: int, scale_path: str) -> None:
+    """Refuse O(n²) baselines above ``max_rows`` input rows instead of
+    silently launching a quadratic job (the classic cluster-killer).
+    Costs one column-pruned count() action — negligible next to the
+    quadratic join it is guarding, and these baselines exist only for
+    oracle comparison at small SF anyway."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"all-pairs baseline refused: {n} input rows > cap {max_rows} "
+            f"(O(n²) at this size); use {scale_path} instead, or raise "
+            "max_rows explicitly if you really mean it"
+        )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    max_rows: int = ALL_PAIRS_MAX_ROWS,
+) -> DataFrame:
     """Embedding-cosine near-dup pairs above ``threshold`` (quantized
     integer arithmetic — oracle-comparable, see functions/vectors.py).
     All-pairs baseline; the LSH/IVF path in operators/similarity.py
-    supplies candidates at scale.
+    supplies candidates at scale. Refuses inputs larger than
+    ``max_rows`` (see :func:`_refuse_all_pairs`).
 
     Each side's quantized vector and norm are computed ONCE before the
     pair join (3× fewer dot products than a naive per-pair cosine)."""
+    _refuse_all_pairs(emb, max_rows, "embedding_near_dup_lsh")
     from data_ingestion_din_spark.functions.vectors import (
         quant_dot,
         quant_norm,

@@ -24,7 +24,11 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_ingestion_din_spark.functions.vectors import cosine, cosine_exact
+from data_ingestion_din_spark.functions.vectors import (
+    EMBED_DIMS,
+    cosine,
+    cosine_exact,
+)
 
 
 def _h64_py(s: str) -> int:
@@ -102,7 +106,7 @@ def lsh_bucket(
     n_planes: int = 8,
     seed: str = "lsh",
     exact: bool = False,
-    dims: int = 64,
+    dims: int = EMBED_DIMS,
 ) -> DataFrame:
     """Random-hyperplane LSH signature: bit b = sign(e · plane_b) where
     plane_b[d] = (h64(seed:b:d) mod 2001 − 1000)/1000 ∈ [−1, 1] — fully
@@ -120,15 +124,15 @@ def lsh_bucket(
     near-zero sign, integer summation cannot. Use for oracle-checked
     plans; the double path is the production default.
 
-    ``dims`` is BOTH a pad bound and a TRUNCATION bound: vectors shorter
-    than ``dims`` project as if zero-padded (the coalesce below), and
-    vectors LONGER than ``dims`` have their trailing dimensions excluded
-    from every projection — still a valid hyperplane family (projection
-    through the leading-``dims`` subspace, consistent across all rows
-    and the query side), but with reduced discrimination. Set ``dims``
-    to the corpus's true dimensionality (the fixture's is 64); there is
-    no schema-level array length to derive it from, and a per-row size
-    assertion does not belong in this hot path.
+    ``dims`` is a pad bound only: vectors shorter than ``dims`` project
+    as if zero-padded (the coalesce below), while a vector LONGER than
+    ``dims`` RAISES at execution — silently excluding trailing
+    dimensions from every projection would degrade discrimination with
+    no visible symptom. The guard is one ``size()`` comparison per row
+    folded into the bucket expression (no extra pass/action). Spark's
+    array-length metadata does not exist at schema level, so ``dims``
+    defaults to the corpus constant ``EMBED_DIMS``
+    (functions/vectors.py) — change it there, not here.
     Returns input columns + bucket:int."""
     bits = []
     for b in range(n_planes):
@@ -165,7 +169,19 @@ def lsh_bucket(
     bucket = bits[0]
     for t in bits[1:]:
         bucket = bucket + t
-    return emb.withColumn("bucket", bucket.cast("int"))
+    guarded = F.when(
+        F.size(F.col("embedding")) > dims,
+        F.raise_error(
+            F.format_string(
+                "lsh_bucket: embedding has %s dims > projection width "
+                + str(dims)
+                + " — raise `dims` (EMBED_DIMS) to the corpus "
+                "dimensionality",
+                F.size(F.col("embedding")).cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(bucket.cast("int"))
+    return emb.withColumn("bucket", guarded)
 
 
 def lsh_topk(emb: DataFrame, qvec: Column, k: int = 10, n_planes: int = 8) -> DataFrame:
@@ -207,8 +223,13 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
         emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
         .localCheckpoint(eager=True)
     )
-    dims = len(base.select("qv").first().qv)
     cents = [list(r.qv) for r in base.orderBy("vec_id").limit(k).collect()]
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans_assign: need at least k={k} vectors, got {len(cents)}"
+        )
+    # dims from the already-collected seeds — no extra driver action
+    dims = len(cents[0])
 
     def tdiv(s: int, n: int) -> int:  # truncating div (DuckDB `//`)
         return s // n if (s >= 0) == (n >= 0) or s % n == 0 else s // n + 1

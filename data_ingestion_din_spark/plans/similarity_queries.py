@@ -9,10 +9,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_din_spark.functions.vectors import (
+    EMBED_DIMS,
     cosine_exact,
     cosine_exact_sql,
     lsh_bucket_sql,
 )
+
+# DuckDB range(1, N+1) bound for per-dimension unrolling — derived from
+# the shared constant so a dims change fails in one obvious place
+# (functions/vectors.py) instead of silently breaking k-means parity.
+_DIMS_UB = EMBED_DIMS + 1
 from data_ingestion_din_spark.plans.registry import query
 from data_ingestion_din_spark.sources.tables import load_table
 
@@ -161,9 +167,10 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "embedding_label_centroids",
-    oracle="""
+    oracle=f"""
     WITH d AS (
-      SELECT label, embedding, unnest(range(1, 65)) AS dim FROM embeddings
+      SELECT label, embedding, unnest(range(1, {_DIMS_UB})) AS dim
+      FROM embeddings
     )
     SELECT label, CAST(dim AS INT) AS dim,
            (CAST(sum(CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000)
@@ -210,7 +217,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # their previous centroid on both sides.
 # --------------------------------------------------------------------------
 _KM_DIST = (
-    "list_sum(list_transform(range(1, 65),"
+    f"list_sum(list_transform(range(1, {_DIMS_UB}),"
     " i -> (q.qv[i] - s.qv[i]) * (q.qv[i] - s.qv[i])))"
 )
 
@@ -235,7 +242,7 @@ _KM_CTES = f"""q AS (
     ),
     m1 AS (
       SELECT cluster, i AS dim, sum(qv[i]) // count(*) AS c
-      FROM a1, range(1, 65) t(i)
+      FROM a1, range(1, {_DIMS_UB}) t(i)
       GROUP BY cluster, i
     ),
     c1 AS (SELECT cluster, list(c ORDER BY dim) AS qv FROM m1 GROUP BY cluster),

@@ -37,11 +37,17 @@ _INGEST_DONE: set[tuple[str, str]] = set()
 def _ingested_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
     tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_stream", app, tag)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_stream")
+    base = os.path.join(root, app, tag)
     corpus = os.path.join(base, "corpus")
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _INGEST_DONE:
         return corpus
+    from data_ingestion_din_spark.operators.colocate import (
+        cleanup_stale_app_dirs,
+    )
+
+    cleanup_stale_app_dirs(root, app)  # bound cross-session disk growth
     shutil.rmtree(base, ignore_errors=True)
     landing = os.path.join(base, "landing")
     ckpt = os.path.join(base, "ckpt")

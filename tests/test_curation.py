@@ -75,3 +75,51 @@ def test_stratified_flag_deterministic_and_stratified(spark):
     # 1000 docs per stratum at 10% vs 50%: rates must separate clearly
     assert 50 < ra["en"] < 200
     assert 400 < ra["zh"] < 600
+
+
+def test_pack_sequences_sharding_invariants(spark):
+    from data_ingestion_din_spark.operators.curation import pack_sequences
+    from data_ingestion_din_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    unsharded = pack_sequences(docs, budget=512)
+    base_totals = {
+        r.lang: (r.docs, r.toks)
+        for r in unsharded.groupBy("lang")
+        .agg(
+            F.sum("n_docs").alias("docs"), F.sum("total_tokens").alias("toks")
+        )
+        .collect()
+    }
+    for n_shards in (1, 4):
+        sharded = pack_sequences(
+            docs.withColumn("shard", F.col("doc_id") % n_shards),
+            budget=512,
+            shard_col="shard",
+        )
+        # every doc packed exactly once whatever the shard count
+        totals = {
+            r.lang: (r.docs, r.toks)
+            for r in sharded.groupBy("lang")
+            .agg(
+                F.sum("n_docs").alias("docs"),
+                F.sum("total_tokens").alias("toks"),
+            )
+            .collect()
+        }
+        assert totals == base_totals
+        # no multi-doc sequence straddles the budget
+        assert (
+            sharded.filter(
+                (F.col("n_docs") > 1) & (F.col("total_tokens") > 512)
+            ).count()
+            == 0
+        )
+    # single-shard packing ≡ unsharded packing, row for row
+    one = pack_sequences(
+        docs.withColumn("shard", F.lit(0)), budget=512, shard_col="shard"
+    ).drop("shard")
+    assert one.exceptAll(unsharded).count() == 0
+    assert unsharded.exceptAll(one).count() == 0

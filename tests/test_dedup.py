@@ -111,3 +111,28 @@ def test_ngram_jaccard_skew_guard_preserves_top20(spark):
         ]
 
     assert top20(mf) == top20(None)
+
+
+def test_all_pairs_baselines_refuse_oversized_input(spark):
+    import pytest
+
+    from data_ingestion_din_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="all-pairs baseline refused"):
+        embedding_near_dup_pairs(emb, max_rows=3)
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(5)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="all-pairs baseline refused"):
+        ngram_jaccard_pairs(docs, max_rows=3)
+    # the capped (scale) path is exempt — bounded candidates by construction
+    assert ngram_jaccard_pairs(
+        docs, max_shingle_freq=10, max_rows=3
+    ).count() >= 0

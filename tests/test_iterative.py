@@ -55,3 +55,28 @@ def test_kmeans_deterministic_across_runs(spark):
         (r.vec_id, r.cluster) for r in kmeans_assign(emb, 4, 2).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    import pytest
+
+    # diameter-9 path cannot converge in 2 min-label rounds — must raise,
+    # not silently return wrong labels (ADVICE r3)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+
+
+def test_kmeans_raises_on_degenerate_input(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_assign(empty, k=2, iters=1)
+    one = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_assign(one, k=2, iters=1)

@@ -122,3 +122,20 @@ def test_operators_tolerate_empty_input(spark):
     assert repetition_signals(empty_docs).count() == 0
     empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert D.connected_components(empty_pairs).count() == 0
+
+
+def test_lsh_bucket_raises_on_oversized_vectors(spark):
+    import pytest
+
+    from data_ingestion_din_spark.operators.similarity import lsh_bucket
+
+    emb = spark.createDataFrame(
+        [(0, [0.5] * 80)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="projection width"):
+        lsh_bucket(emb, n_planes=2, dims=64).collect()
+    # shorter-than-dims vectors still pad cleanly
+    short = spark.createDataFrame(
+        [(0, [0.5] * 8)], "vec_id long, embedding array<float>"
+    )
+    assert lsh_bucket(short, n_planes=2, dims=64).count() == 1
