@@ -580,3 +580,135 @@ def html_tables_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("rows", lambda r: F.array_join(r, "|")), "~"
         ).alias("rows_str"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# table_transactions_dated — §2.9 date handling, the declared engine
+# upgrade over the reference's raw ``date_raw`` passthrough
+# (ingestion/semantic_enricher.py:557-567): a try_to_date-style chain
+# over ISO / d/M/yyyy / Thai-month forms with Buddhist-era (> 2400)
+# years shifted −543. The fixture only carries ISO dates, so the query
+# deterministically SYNTHESIZES the other forms (md5-selected variant
+# per row, identical expression both engines) and parses them back —
+# the hash gate then proves the chain recovers the original date from
+# every format. Pure regexp + integer arithmetic, whole-stage codegen.
+# --------------------------------------------------------------------------
+from data_ingestion_din_spark.functions.dates import (  # noqa: E402
+    parse_date_any,
+    parse_date_any_sql,
+    thai_month_name,
+    thai_month_name_sql,
+)
+
+_DK, _DI = parse_date_any_sql("date_variant")
+_ISO_Y = "CAST(nullif(regexp_extract(date_raw, '^(\\d{4})-(\\d{2})-(\\d{2})$', 1), '') AS INT)"
+_ISO_M = "CAST(nullif(regexp_extract(date_raw, '^(\\d{4})-(\\d{2})-(\\d{2})$', 2), '') AS INT)"
+_ISO_D = "CAST(nullif(regexp_extract(date_raw, '^(\\d{4})-(\\d{2})-(\\d{2})$', 3), '') AS INT)"
+
+
+@query(
+    "table_transactions_dated",
+    oracle=f"""{_CELLS_CTES},
+    tx AS (
+      SELECT table_id, CAST(row_idx AS BIGINT) AS row_idx,
+             max(CASE WHEN canon_name = 'date' THEN value END) AS date_raw
+      FROM named
+      WHERE canon_name IS NOT NULL
+      GROUP BY table_id, row_idx
+    ),
+    dv AS (
+      SELECT table_id, row_idx, date_raw,
+             {h64_sql("'dt:' || table_id || ':' || CAST(row_idx AS VARCHAR)")} % 4 AS v,
+             {_ISO_Y} AS yy, {_ISO_M} AS mm, {_ISO_D} AS dd
+      FROM tx
+    ),
+    var AS (
+      SELECT table_id, row_idx, date_raw,
+             CASE
+               WHEN yy IS NULL THEN date_raw
+               WHEN v = 1 THEN CAST(dd AS VARCHAR) || '/' || CAST(mm AS VARCHAR)
+                              || '/' || CAST(yy AS VARCHAR)
+               WHEN v = 2 THEN CAST(dd AS VARCHAR) || ' '
+                              || {thai_month_name_sql("mm")} || ' '
+                              || CAST(yy + 543 AS VARCHAR)
+               WHEN v = 3 THEN CAST(yy + 543 AS VARCHAR) || '-'
+                              || substr(date_raw, 6, 5)
+               ELSE date_raw
+             END AS date_variant
+      FROM dv
+    )
+    SELECT table_id, row_idx, date_raw, date_variant,
+           {_DK} AS parse_kind, {_DI} AS parsed_date
+    FROM var
+    ORDER BY table_id, row_idx
+    """,
+)
+def table_transactions_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = elect_header(table_blocks(spark, sf_dir))
+    tx = extract_transactions(table_cells(t)).select(
+        "table_id",
+        F.col("row_idx").cast("bigint").alias("row_idx"),
+        "date_raw",
+    )
+    iso_part = lambda g: F.nullif(  # noqa: E731
+        F.regexp_extract(F.col("date_raw"), r"^(\d{4})-(\d{2})-(\d{2})$", g),
+        F.lit(""),
+    ).cast("int")
+    dv = tx.select(
+        "table_id",
+        "row_idx",
+        "date_raw",
+        (
+            h64(
+                F.concat(
+                    F.lit("dt:"),
+                    F.col("table_id"),
+                    F.lit(":"),
+                    F.col("row_idx").cast("string"),
+                )
+            )
+            % 4
+        ).alias("v"),
+        iso_part(1).alias("yy"),
+        iso_part(2).alias("mm"),
+        iso_part(3).alias("dd"),
+    )
+    s = lambda c: c.cast("string")  # noqa: E731
+    variant = (
+        F.when(F.col("yy").isNull(), F.col("date_raw"))
+        .when(
+            F.col("v") == 1,
+            F.concat(
+                s(F.col("dd")), F.lit("/"), s(F.col("mm")), F.lit("/"),
+                s(F.col("yy")),
+            ),
+        )
+        .when(
+            F.col("v") == 2,
+            F.concat(
+                s(F.col("dd")), F.lit(" "),
+                thai_month_name(F.col("mm")), F.lit(" "),
+                s(F.col("yy") + 543),
+            ),
+        )
+        .when(
+            F.col("v") == 3,
+            F.concat(
+                s(F.col("yy") + 543), F.lit("-"),
+                F.substring(F.col("date_raw"), 6, 5),
+            ),
+        )
+        .otherwise(F.col("date_raw"))
+    )
+    var = dv.select(
+        "table_id", "row_idx", "date_raw", variant.alias("date_variant")
+    )
+    parsed = parse_date_any(F.col("date_variant"))
+    return var.select(
+        "table_id",
+        "row_idx",
+        "date_raw",
+        "date_variant",
+        parsed.getField("kind").alias("parse_kind"),
+        parsed.getField("iso").alias("parsed_date"),
+    ).orderBy("table_id", "row_idx")
