@@ -1,0 +1,119 @@
+"""Plan-assertion tests for the most expensive registered queries —
+PLANS.md's prose claims (shuffle counts, broadcast choices, no
+cartesians) turned into enforced invariants, generalizing
+tests/test_colocate.py's zero-Exchange check. A future edit that
+degrades a plan (drops a broadcast hint, adds an Exchange, introduces a
+CartesianProduct) fails here before it ever reaches a bench run.
+
+Counts are taken from the ADAPTIVE INITIAL plan (explain "simple") at
+local[4]: Exchange bounds are ≤ (AQE can only remove, the bound catches
+additions), required broadcasts are ≥, cartesian/nested-loop joins must
+be absent except where a documented 1-row/constant-side probe exists.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from data_ingestion_din_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan_stats(df) -> dict[str, int]:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    lines = buf.getvalue().splitlines()
+
+    def n(tok: str) -> int:
+        return sum(1 for ln in lines if tok in ln)
+
+    return {
+        "exchange": n("Exchange"),
+        "bhj": n("BroadcastHashJoin"),
+        "cartesian": n("CartesianProduct") + n("BroadcastNestedLoopJoin"),
+        "map_in_pandas": n("MapInPandas"),
+        "smj": n("SortMergeJoin"),
+    }
+
+
+def _stats(name: str, spark) -> dict[str, int]:
+    return _plan_stats(QUERIES[name](spark, SF))
+
+
+def test_embedding_near_dup_lsh_plan(spark):
+    s = _stats("embedding_near_dup_lsh", spark)
+    # multi-table LSH: banded candidates only — never all-pairs
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 5, s
+    assert s["bhj"] >= 1, s
+
+
+def test_ngram_jaccard_capped_plan(spark):
+    s = _stats("ngram_jaccard_capped", spark)
+    # inverted-index join; the stop-shingle cap keeps it equi-join-only
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 22, s
+
+
+def test_dedup_simhash_near_plan(spark):
+    s = _stats("dedup_simhash_near", spark)
+    # 16-bit band equi-join, Hamming verify on candidates only
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 6, s
+
+
+def test_doc_semantic_chunks_plan(spark):
+    s = _stats("doc_semantic_chunks", spark)
+    # exactly ONE Python boundary (the stateful partition walk)
+    assert s["map_in_pandas"] == 1, s
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 5, s
+
+
+def test_q21_waiting_suppliers_plan(spark):
+    s = _stats("q21_waiting_suppliers", spark)
+    # EXISTS/NOT-EXISTS decorrelated to hash semi/anti joins — no
+    # correlated re-execution, no nested loop
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 7, s
+    assert s["bhj"] >= 1, s
+
+
+def test_events_funnel_plan(spark):
+    s = _stats("events_funnel", spark)
+    # the 1-shuffle funnel: user partitioning + final singleton agg
+    assert s["exchange"] <= 2, s
+    assert s["cartesian"] == 0, s
+
+
+def test_corpus_decontaminate_plan(spark):
+    s = _stats("corpus_decontaminate", spark)
+    # eval shingles are the BROADCAST side; corpus never shuffles
+    # before the contamination count
+    assert s["bhj"] >= 1, s
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 5, s
+
+
+def test_q9_product_profit_plan(spark):
+    s = _stats("q9_product_profit", spark)
+    # the only nested-loop joins are the partsupp derivation's
+    # documented broadcast constant sides (4-row range, 1-row count)
+    assert s["cartesian"] <= 2, s
+    assert s["bhj"] >= 3, s
+    assert s["exchange"] <= 11, s
+
+
+def test_blocks_merged_plan(spark):
+    s = _stats("blocks_merged", spark)
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 5, s
+
+
+def test_validation_issues_plan(spark):
+    s = _stats("validation_issues", spark)
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 7, s
