@@ -152,3 +152,38 @@ def salted_agg_sum(
     return partial.groupBy(*key_cols).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
+
+
+# Partition-pruned corpus layout: the scan-layout lever next to
+# bucketing. Written once per (application, sf_dir), like the bucketed
+# facts above.
+_PARTITIONED_DOCS: dict[tuple[str, str], str] = {}
+
+
+def partitioned_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the ``documents`` table partitioned by ``lang``
+    (hive-style ``lang=xx/`` directories) once per session; returns the
+    path. A language-filtered query over this layout prunes at FILE
+    LISTING time — the scan node's PartitionFilters carries the
+    predicate and non-matching directories are never opened
+    (plan-asserted in tests/test_colocate.py). At 100 TB this is the
+    difference between reading one language's share and reading the
+    whole corpus to filter it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PARTITIONED_DOCS:
+        return _PARTITIONED_DOCS[key]
+    from data_ingestion_din_spark.sources.tables import load_table
+
+    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_partdocs")
+    cleanup_stale_app_dirs(root, app)
+    path = os.path.join(root, app, tag)
+    (
+        load_table(spark, sf_dir, "documents")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    _PARTITIONED_DOCS[key] = path
+    return path

@@ -281,3 +281,44 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pack_sequences(docs, budget=_PACK_BUDGET).orderBy(
         "lang", "seq_id"
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_lang_pruned_stats — the partition-pruning layout lever as a
+# registered query: per-source stats for ONE language over the
+# lang-partitioned corpus layout (operators/colocate.partitioned_documents).
+# The lang predicate lands in the scan's PartitionFilters (asserted in
+# tests/test_colocate.py), so non-English directories are never listed,
+# let alone read — the scan-layout twin of the bucketed fact join. The
+# oracle computes the identical answer from the raw table: layout must
+# not change semantics.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_lang_pruned_stats",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_lang_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.operators.colocate import (
+        partitioned_documents,
+    )
+
+    path = partitioned_documents(spark, sf_dir)
+    docs = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("source")
+    )

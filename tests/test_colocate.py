@@ -197,3 +197,23 @@ def test_salted_agg_on_skewed_fixture(spark):
     ]
     assert len(partial_sizes) > 1
     assert max(partial_sizes) < hot_total
+
+
+def test_partitioned_documents_prunes_at_scan(spark):
+    from data_ingestion_din_spark.operators.colocate import (
+        partitioned_documents,
+    )
+
+    path = partitioned_documents(spark, SF)
+    pruned = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = _executed_plan(pruned)
+    # the lang predicate must reach the scan as a PartitionFilter (file
+    # listing prunes non-en directories), not a post-scan Filter
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "lang" in seg, seg
+    # pruned read only sees en rows; full read sees every language
+    full = spark.read.parquet(path)
+    n_en = pruned.count()
+    assert 0 < n_en < full.count()
+    assert pruned.select("lang").distinct().collect()[0].lang == "en"

@@ -304,3 +304,97 @@ def test_first_seen_stream_dedups_across_microbatches(spark):
     # micro-batches its duplicates were spread over
     assert sorted(r.fp for r in rows) == ["fpA", "fpB", "fpC"]
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_watermark_drop_set_matches_batch_predicate(spark):
+    """Exact late-data semantics under the gate: the streamed output
+    multiset must EQUAL the batch twin computed over only the rows the
+    watermark predicate keeps — i.e. the drop set is derived
+    independently (pure Python re-statement of Spark's rule: a row in
+    run r is dropped iff its window END ≤ the watermark carried out of
+    run r−1; a window is emitted iff its end ≤ the final watermark) and
+    the two engines' outputs are compared row for row, not spot-checked.
+    Boundary case included (window end == watermark ⇒ dropped)."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    d = tempfile.mkdtemp(prefix="late_exact_")
+    data_dir = os.path.join(d, "data")
+    ckpt = os.path.join(d, "ckpt")
+    out_dir = os.path.join(d, "out")
+    os.makedirs(data_dir)
+    schema = "ts timestamp, user_id long, event_type string, value double"
+    t = lambda s: datetime.fromisoformat("2024-01-01 " + s)  # noqa: E731
+    W = timedelta(minutes=10)  # watermark delay
+    WIN = timedelta(minutes=5)
+
+    runs = [
+        # run 1: on-time rows; carries watermark 10:18 − 10m = 10:08
+        [(t("10:00:30"), 1), (t("10:05:30"), 1), (t("10:18:00"), 2)],
+        # run 2 vs wm 10:08: 09:50 (end 09:55 ≤ wm → DROP),
+        # 10:02 (end 10:05 ≤ wm → DROP),
+        # 10:06 (end 10:10 > wm → KEPT, merges into the 10:05 window),
+        # 11:00 advances wm to 10:50
+        [(t("09:50:10"), 3), (t("10:02:00"), 3), (t("10:06:00"), 1),
+         (t("11:00:00"), 1)],
+        # run 3 vs wm 10:50: 10:49 (end 10:50 == wm → DROP, boundary),
+        # 10:52 (end 10:55 > wm → KEPT); 12:00 advances wm to 11:50
+        [(t("10:49:00"), 4), (t("10:52:00"), 4), (t("12:00:00"), 1)],
+    ]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(data_dir + "/*")
+        q = (
+            tumbling_counts(stream, "5 minutes", "10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # independent derivation of kept rows + final watermark
+    def win_end(ts):
+        epoch = datetime(1970, 1, 1)
+        k = (ts - epoch) // WIN
+        return epoch + (k + 1) * WIN
+
+    wm, max_seen, kept, dropped = None, None, [], []
+    for i, rows in enumerate(runs):
+        batch = [(ts, uid, "click", 1.0) for ts, uid in rows]
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            os.path.join(data_dir, f"b{i}")
+        )
+        time.sleep(1.1)
+        run_once()
+        for ts, uid, et, v in batch:
+            (dropped if wm is not None and win_end(ts) <= wm else kept).append(
+                (ts, uid, et, v)
+            )
+        bmax = max(ts for ts, *_ in batch)
+        max_seen = bmax if max_seen is None else max(max_seen, bmax)
+        wm = max_seen - W
+    assert len(dropped) == 3  # the crafted drop set, boundary row included
+
+    expected = tumbling_counts(
+        spark.createDataFrame(kept, schema), "5 minutes", "10 minutes"
+    ).filter(F.col("window_start") + F.expr("INTERVAL 5 MINUTES") <= F.lit(wm))
+    got = spark.read.parquet(out_dir).select(expected.columns)
+    assert _frames_equal(got, expected), (
+        sorted(got.collect()),
+        sorted(expected.collect()),
+    )
+    # windows fed ONLY by dropped rows never appear (ones that also have
+    # on-time contributions appear WITHOUT the dropped rows' counts —
+    # already proven by the frame equality above)
+    kept_windows = {win_end(ts) - WIN for ts, *_ in kept}
+    only_dropped = {
+        win_end(ts) - WIN for ts, *_ in dropped
+    } - kept_windows
+    assert only_dropped  # the fixture does craft such windows
+    for start in only_dropped:
+        assert got.filter(F.col("window_start") == F.lit(start)).count() == 0
+    shutil.rmtree(d, ignore_errors=True)
