@@ -15,67 +15,69 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestion_din_spark.plans import ORACLES, QUERIES
 
-# Queries the per-round correctness driver has not yet sampled (or whose last
-# sample predates a fix) are listed first so a bounded driver window covers
-# them before re-checking already-green entries. Names not in the registry
-# are ignored; registered queries not listed here follow in registration
-# order.
+# Queries the per-round correctness driver has not yet sampled (or whose
+# last sample is oldest) are listed first so a bounded driver window covers
+# them before re-checking recently-green entries. Names not in the registry
+# are ignored; registered queries not listed here (all sampled green in
+# round 3) follow in registration order.
 _DRIVER_PRIORITY: list[str] = [
-    # Last driver row is a stale round-1 FAIL (events nanos read, fixed in
-    # round 2; green under scripts/verify_local.py) — need a fresh row.
-    "events_asof_attribution",
-    "events_error_burst",
-    # New this round.
-    "q3_bucketed_colocated",
-    "streaming_ingest_chunks",
-    "corpus_decontaminate",
-    "pii_redaction",
-    "doc_repetition_quality",
-    "corpus_stratified_sample",
-    "q12_priority_shipping",
-    "q16_supplier_part_variety",
-    "q21_waiting_suppliers",
-    "events_5min_gapfill",
-    "events_daily_retention",
-    "events_funnel",
-    "events_kmv_distinct",
-    "dedup_clusters",
-    "doc_bpe_token_stats",
-    "events_trailing_hour",
-    "corpus_pack_sequences",
-    "customer_spend_quartiles",
-    "events_pivot_unpivot",
-    "embedding_kmeans",
-    "similarity_ivf_kmeans",
-    "similarity_lsh_recall",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q15_top_supplier",
-    "dedup_simhash_near",
-    "dedup_simhash_groups",
-    # Registered in round 2, never driver-sampled (green locally).
-    "qna_best_match",
-    "html_tables_parse",
-    "similarity_batch_topk",
-    "revenue_cube",
-    "doc_classification",
-    "doc_enrichment",
-    "events_value_quartiles",
-    "repeat_buyers_96_not_97",
-    "q22_idle_customers",
-    "doc_sanitize_normalize",
-    "block_type_detection",
-    "qna_best_match_seq",
-    # Green in round 1 only; not re-sampled since.
-    "context_budget_cut",
-    "doc_semantic_chunks",
-    "keyword_relevance",
-    "multimodal_media_stats",
-    "q13_customer_distribution",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "qna_pairs_extract",
-    "validation_issues",
+    # Round-4 additions — never driver-sampled.
+    "table_transactions_dated",
+    "corpus_lang_pruned_stats",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    # Oldest driver sample is round 2 (round 3 re-sampled the other 50);
+    # oldest-first rotation per VERDICT r3 next-round #10.
+    "blocks_merged",
+    "blocks_reading_order",
+    "blocks_sections",
+    "clicks_on_error_free_days",
+    "corpus_curation",
+    "corpus_word_freq",
+    "customer_running_revenue",
+    "dedup_exact",
+    "dedup_minhash_banded",
+    "dedup_minhash_groups",
+    "dedup_wordset",
+    "doc_clean_roundtrip",
+    "doc_fixed_chunks",
+    "doc_language_quality",
+    "doc_token_stats",
+    "embedding_label_centroids",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "events_hourly_rollup",
+    "events_json_props",
+    "events_sessionized",
+    "events_sliding_10min",
+    "events_tumbling_5min",
+    "events_type_pivot",
+    "late_shipment_orders",
+    "minhash_signatures",
+    "nation_customer_rollup",
+    "ngram_jaccard_capped",
+    "ngram_jaccard_top20",
+    "parts_never_discounted",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "segment_median_order",
+    "similarity_ivf_label",
+    "similarity_lsh_topk",
+    "similarity_topk",
+    "table_transactions",
+    "table_trust_aggregate",
+    "tables_clean_shape",
+    "tables_dedup_conflicts",
+    "tables_header_election",
+    "tables_subtable_split",
+    "top_customers_per_nation",
 ]
 
 
