@@ -594,8 +594,8 @@ def html_tables_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every format. Pure regexp + integer arithmetic, whole-stage codegen.
 # --------------------------------------------------------------------------
 from data_ingestion_din_spark.functions.dates import (  # noqa: E402
-    parse_date_any,
     parse_date_any_sql,
+    parse_date_any_staged,
     thai_month_name,
     thai_month_name_sql,
 )
@@ -703,12 +703,6 @@ def table_transactions_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = dv.select(
         "table_id", "row_idx", "date_raw", variant.alias("date_variant")
     )
-    parsed = parse_date_any(F.col("date_variant"))
-    return var.select(
-        "table_id",
-        "row_idx",
-        "date_raw",
-        "date_variant",
-        parsed.getField("kind").alias("parse_kind"),
-        parsed.getField("iso").alias("parsed_date"),
+    return parse_date_any_staged(
+        var, "date_variant", "parse_kind", "parsed_date"
     ).orderBy("table_id", "row_idx")
