@@ -22,6 +22,11 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # round 3) follow in registration order.
 _DRIVER_PRIORITY: list[str] = [
     # Round-4 additions — never driver-sampled.
+    "dedup_keep_best",
+    "chunk_level_dedup",
+    "corpus_length_buckets",
+    "corpus_mixture_epochs",
+    "corpus_distinctive_terms",
     "table_transactions_dated",
     "corpus_lang_pruned_stats",
     "q2_min_cost_supplier",

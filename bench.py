@@ -128,6 +128,11 @@ BENCH_QUERIES = [
     "q20_potential_promotion",
     "table_transactions_dated",
     "corpus_lang_pruned_stats",
+    "dedup_keep_best",
+    "chunk_level_dedup",
+    "corpus_length_buckets",
+    "corpus_mixture_epochs",
+    "corpus_distinctive_terms",
     # streaming_ingest_chunks is correctness-gated but not benched: its
     # cost is the one-time incremental stream, not a repeatable plan
 ]

@@ -322,3 +322,209 @@ def corpus_lang_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_length_buckets — sequence-length bucketing for batch assembly:
+# each doc goes to the smallest power-of-two bucket ≥ its token count
+# (clamped to [32, 1024], over-long docs truncate to the cap), and the
+# per-(lang, bucket) report carries the padding waste the bucket choice
+# costs — the numbers a training-batch planner actually reads. Pure
+# integer CASE arithmetic, one shuffle for the 2-key groupBy.
+# --------------------------------------------------------------------------
+_LB_SQL = """
+      CASE WHEN n_tok_c <= 32 THEN 32 WHEN n_tok_c <= 64 THEN 64
+           WHEN n_tok_c <= 128 THEN 128 WHEN n_tok_c <= 256 THEN 256
+           WHEN n_tok_c <= 512 THEN 512 ELSE 1024 END
+"""
+
+
+@query(
+    "corpus_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             least(len(list_filter(string_split(text, ' '), x -> x <> '')),
+                   1024) AS n_tok_c
+      FROM documents
+    )
+    SELECT lang, CAST({_LB_SQL} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok_c) AS BIGINT) AS total_tokens,
+           CAST(sum({_LB_SQL} - n_tok_c) AS BIGINT) AS total_padding
+    FROM t
+    GROUP BY lang, bucket
+    ORDER BY lang, bucket
+    """,
+)
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok_c = F.least(F.size(tokens(F.col("text"))), F.lit(1024))
+    bucket = (
+        F.when(F.col("n_tok_c") <= 32, 32)
+        .when(F.col("n_tok_c") <= 64, 64)
+        .when(F.col("n_tok_c") <= 128, 128)
+        .when(F.col("n_tok_c") <= 256, 256)
+        .when(F.col("n_tok_c") <= 512, 512)
+        .otherwise(1024)
+        .cast("bigint")
+    )
+    return (
+        docs.select("lang", n_tok_c.alias("n_tok_c"))
+        .select("lang", "n_tok_c", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok_c").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("bucket") - F.col("n_tok_c"))
+            .cast("bigint")
+            .alias("total_padding"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_mixture_epochs — deterministic domain-mixture upsampling: each
+# language stratum is repeated by a fixed epoch factor (the data-mixing
+# step of pretraining recipes); every emitted instance gets a stable
+# md5-derived shuffle key so downstream interleaving is reproducible
+# run-to-run and engine-to-engine. The explode is a narrow per-row
+# sequence — no shuffle until the final per-lang rollup; the min/max
+# mix_key columns are the determinism checksum the hash gate pins.
+# --------------------------------------------------------------------------
+_EPOCHS = {"en": 1, "de": 2, "es": 2, "fr": 3, "zh": 3}
+_EP_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_EPOCHS.items())
+) + " ELSE 1 END"
+
+
+@query(
+    "corpus_mixture_epochs",
+    oracle=f"""
+    WITH inst AS (
+      SELECT lang, doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tok,
+             unnest(range(1, {_EP_SQL} + 1)) AS epoch
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_instances,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(min({h64_sql("'mix:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)")}) AS BIGINT) AS min_mix_key,
+           CAST(max({h64_sql("'mix:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)")}) AS BIGINT) AS max_mix_key
+    FROM inst
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    epochs = None
+    for k, v in sorted(_EPOCHS.items()):
+        cond = F.when(F.col("lang") == k, F.lit(v))
+        epochs = cond if epochs is None else epochs.when(
+            F.col("lang") == k, F.lit(v)
+        )
+    epochs = epochs.otherwise(F.lit(1))
+    inst = docs.select(
+        "lang",
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        F.explode(F.sequence(F.lit(1), epochs)).alias("epoch"),
+    )
+    mix_key = h64(
+        F.concat(
+            F.lit("mix:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    return (
+        inst.select("lang", "doc_id", "n_tok", mix_key.alias("mk"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_instances"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("mk").cast("bigint").alias("min_mix_key"),
+            F.max("mk").cast("bigint").alias("max_mix_key"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_distinctive_terms — per-language distinctive vocabulary: a
+# TF-IDF-shaped score kept integer-exact (score = tf · N_lang // df —
+# no libm log, so both engines agree to the bit), top-10 per language
+# by (score, term). Two aggregation levels + a window top-k: the
+# "what does this stratum talk about" report every corpus audit runs.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_distinctive_terms",
+    oracle="""
+    WITH terms AS (
+      SELECT lang, doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT lang, term,
+             CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM terms GROUP BY lang, term
+    ),
+    sizes AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    scored AS (
+      SELECT s.lang, s.term, s.tf, s.df,
+             (s.tf * z.n_docs) // s.df AS score,
+             row_number() OVER (
+               PARTITION BY s.lang
+               ORDER BY (s.tf * z.n_docs) // s.df DESC, s.term
+             ) AS rk
+      FROM stats s JOIN sizes z ON z.lang = s.lang
+    )
+    SELECT lang, term, tf, df, CAST(score AS BIGINT) AS score
+    FROM scored WHERE rk <= 10
+    ORDER BY lang, score DESC, term
+    """,
+)
+def corpus_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "lang", "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    stats = terms.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.count_distinct("doc_id").cast("bigint").alias("df"),
+    )
+    sizes = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    scored = stats.join(F.broadcast(sizes), "lang").withColumn(
+        "score", F.expr("(tf * n_docs) div df")
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "term", "tf", "df", F.col("score").cast("bigint").alias("score"))
+        .orderBy("lang", F.desc("score"), "term")
+    )

@@ -605,3 +605,159 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_keep_best — the decision step after clustering: keep ONE member
+# per near-dup cluster chosen by QUALITY (longest text wins, min doc_id
+# breaks ties), not merely the smallest id — the policy real curation
+# uses (the longest member is usually the most complete copy). Spark:
+# iterative CC over the banded pairs → broadcast-join doc lengths →
+# per-cluster argmax window. Oracle: the RECURSIVE-CTE components +
+# the same window, so the keep/drop decision itself is hash-checked.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_BANDED_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM verified
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM verified
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT e.s AS node, r.r FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, c.doc_id
+             ) AS rk
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           rk = 1 AS keep
+    FROM ranked
+    ORDER BY cluster_id, doc_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_banded_pairs(
+        docs, n_hashes=_NB_HASHES, bands=_NB_BANDS, shingle_n=3, threshold=0.5
+    )
+    clusters = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    sized = clusters.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        sized.withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            (F.col("rk") == 1).alias("keep"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# chunk_level_dedup — boilerplate removal at sub-document granularity
+# (the CommonCrawl-style pass): split every doc into fixed 32-token
+# chunks, fingerprint each, keep only the FIRST occurrence corpus-wide
+# (min (doc_id, chunk_idx) wins), and report per-doc survival. One
+# shuffle on the fingerprint for the argmin, one on doc_id for the
+# rollup — no pairwise comparison anywhere.
+# --------------------------------------------------------------------------
+_CH_N = 32
+
+
+@query(
+    "chunk_level_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(t[(i * {_CH_N}) + 1 : (i + 1) * {_CH_N}], ' ')
+               AS chunk
+      FROM toks, range(0, 64) r(i)
+      WHERE i * {_CH_N} < len(t)
+    ),
+    fp AS (SELECT doc_id, chunk_idx, md5(chunk) AS fp FROM chunks),
+    first_seen AS (
+      SELECT fp, min(doc_id * 1000 + chunk_idx) AS first_key
+      FROM fp GROUP BY fp
+    )
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN f.doc_id * 1000 + f.chunk_idx = s.first_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM fp f JOIN first_seen s ON f.fp = s.fp
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+)
+def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    # chunk_idx bounded by 64 on both sides (fixture docs are far
+    # shorter; the bound keeps the oracle's range() finite)
+    chunks = (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.least(
+                            F.lit(63),
+                            ((F.size("t") - 1) / _CH_N).cast("int"),
+                        ),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.col("t"), i * _CH_N + 1, _CH_N), " "
+                    ),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+    )
+    fp = chunks.select(
+        "doc_id", "chunk_idx", F.md5(F.col("chunk")).alias("fp")
+    )
+    first_seen = fp.groupBy("fp").agg(
+        F.min(F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("first_key")
+    )
+    return (
+        fp.join(first_seen, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") * 1000 + F.col("chunk_idx")
+                    == F.col("first_key"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
