@@ -27,6 +27,8 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_length_buckets",
     "corpus_mixture_epochs",
     "corpus_distinctive_terms",
+    "doc_cdc_chunks",
+    "doc_winnow_fingerprints",
     "table_transactions_dated",
     "corpus_lang_pruned_stats",
     "q2_min_cost_supplier",

@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "corpus_length_buckets",
     "corpus_mixture_epochs",
     "corpus_distinctive_terms",
+    "doc_cdc_chunks",
+    "doc_winnow_fingerprints",
     # streaming_ingest_chunks is correctness-gated but not benched: its
     # cost is the one-time incremental stream, not a repeatable plan
 ]

@@ -761,3 +761,158 @@ def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# doc_cdc_chunks — content-defined chunking (Rabin-style rolling-hash
+# boundaries): a position ends a chunk when the hash of its trailing
+# 4-token window ≡ 0 (mod 16), so boundaries move WITH content — insert
+# a sentence and only the chunks around it change fingerprint, which is
+# why CDC beats fixed-size chunking for incremental dedup/sync. All
+# array expressions (whole-stage codegen, shuffle-free until the final
+# orderBy); md5 fingerprints per chunk, min/max pinned by the gate.
+# --------------------------------------------------------------------------
+_CDC_T = "filter(split(text, ' '), x -> x != '')"
+_CDC_SPARK = f"""
+  CASE WHEN size(t) >= 5 THEN
+    filter(sequence(4, size(t) - 1),
+           i -> cast(conv(substring(md5(array_join(slice(t, i - 3, 4), ' ')),
+                          1, 8), 16, 10) as bigint) % 16 = 0)
+  ELSE array() END
+"""
+
+
+@query(
+    "doc_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    bounds AS (
+      SELECT doc_id, t,
+             list_filter(range(4, len(t)),
+                         i -> {h32_sql("array_to_string(t[i-3:i], ' ')")}
+                              % 16 = 0) AS bd
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, t,
+             list_concat(list_concat([0], bd), [len(t)]) AS b
+      FROM bounds
+    ),
+    fps AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             list_transform(
+               range(1, len(b)),
+               j -> md5(array_to_string(t[b[j] + 1 : b[j + 1]], ' '))
+             ) AS fp
+      FROM spans
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(fp) AS BIGINT) AS n_chunks,
+           list_aggregate(fp, 'min') AS min_fp,
+           list_aggregate(fp, 'max') AS max_fp
+    FROM fps
+    ORDER BY doc_id
+    """,
+)
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.expr(_CDC_T).alias("t")
+    ).select("doc_id", "t", F.expr(_CDC_SPARK).alias("bd"))
+    spans = staged.select(
+        "doc_id",
+        "t",
+        F.expr(
+            "concat(array(0), bd, array(size(t)))"
+        ).alias("b"),
+    )
+    fps = spans.select(
+        "doc_id",
+        F.expr("size(t)").alias("n_tokens"),
+        F.expr(
+            "transform(sequence(1, size(b) - 1),"
+            " j -> md5(array_join(slice(t, element_at(b, j) + 1,"
+            " element_at(b, j + 1) - element_at(b, j)), ' ')))"
+        ).alias("fp"),
+    )
+    return fps.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("size(fp)").cast("bigint").alias("n_chunks"),
+        F.expr("array_min(fp)").alias("min_fp"),
+        F.expr("array_max(fp)").alias("max_fp"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# doc_winnow_fingerprints — winnowing document fingerprints (the MOSS
+# algorithm, Schleimer et al. 2003): hash every 4-token k-gram, slide a
+# w=8 window over the hash sequence, keep each window's MINIMUM —
+# guaranteed to select at least one fingerprint per w-gram span while
+# keeping the selected set sparse and position-robust. Documents shorter
+# than one window contribute their single global min. Distinct selected
+# hashes per doc, extremes pinned by the gate.
+# --------------------------------------------------------------------------
+_WN_SPARK_G = """
+  CASE WHEN size(t) >= 4 THEN
+    transform(sequence(1, size(t) - 3),
+              i -> cast(conv(substring(md5(array_join(slice(t, i, 4), ' ')),
+                             1, 8), 16, 10) as bigint))
+  ELSE array() END
+"""
+_WN_SPARK_W = """
+  CASE WHEN size(g) >= 8 THEN
+    transform(sequence(1, size(g) - 7), j -> array_min(slice(g, j, 8)))
+  WHEN size(g) > 0 THEN array(array_min(g))
+  ELSE array() END
+"""
+
+
+@query(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, len(t) AS n_tok,
+             list_transform(range(1, greatest(len(t) - 2, 1)),
+                            i -> {h32_sql("array_to_string(t[i:i+3], ' ')")})
+               AS g
+      FROM toks
+    ),
+    wins AS (
+      SELECT doc_id, n_tok, len(g) AS n_grams,
+             CASE WHEN len(g) >= 8 THEN
+               list_transform(range(1, len(g) - 6),
+                              j -> list_aggregate(g[j:j+7], 'min'))
+             WHEN len(g) > 0 THEN [list_aggregate(g, 'min')]
+             ELSE [] END AS w
+      FROM grams
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_fingerprints,
+           CAST(list_aggregate(w, 'min') AS BIGINT) AS min_fp,
+           CAST(list_aggregate(w, 'max') AS BIGINT) AS max_fp
+    FROM wins
+    ORDER BY doc_id
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.expr(_CDC_T).alias("t")
+    ).select("doc_id", F.expr(_WN_SPARK_G).alias("g"))
+    wins = grams.select(
+        "doc_id",
+        F.expr("size(g)").alias("n_grams"),
+        F.expr(_WN_SPARK_W).alias("w"),
+    )
+    return wins.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.expr("size(array_distinct(w))").cast("bigint").alias(
+            "n_fingerprints"
+        ),
+        F.expr("array_min(w)").cast("bigint").alias("min_fp"),
+        F.expr("array_max(w)").cast("bigint").alias("max_fp"),
+    ).orderBy("doc_id")
