@@ -29,6 +29,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_distinctive_terms",
     "doc_cdc_chunks",
     "doc_winnow_fingerprints",
+    "streaming_first_seen",
     "table_transactions_dated",
     "corpus_lang_pruned_stats",
     "q2_min_cost_supplier",

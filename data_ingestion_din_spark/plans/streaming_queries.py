@@ -114,3 +114,107 @@ def streaming_ingest_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content").cast("bigint").alias("n_chars"),
         F.md5("content").alias("content_fp"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# streaming_first_seen — the STATEFUL streaming operator under the hash
+# gate: applyInPandasWithState first-seen dedup (streaming/stateful.py)
+# run over two incremental landing batches with the checkpoint carried
+# across runs, so the fingerprint state provably survives restarts. Each
+# landing batch is pre-deduped (min doc_id per fp within the batch), so
+# the stream's winner per fingerprint is fully deterministic: the
+# batch-1 candidate if the fp appeared there, else the batch-2 one —
+# which the oracle restates as argmin by (doc_id parity, doc_id).
+# Parity therefore proves cross-micro-batch state correctness, not just
+# "a" dedup. The key is the WORDSET fingerprint (sorted distinct
+# tokens), under which the fixture has 21 duplicated keys and 11 that
+# span both batches — the raw-text md5 has zero duplicates, which would
+# leave the state untested.
+# --------------------------------------------------------------------------
+_WORDSET_FP_SQL = (
+    "md5(array_to_string(list_sort(list_distinct("
+    "list_filter(string_split(text, ' '), x -> x <> ''))), ' '))"
+)
+_FIRST_SEEN_DONE: dict[tuple[str, str], str] = {}
+
+
+def _first_seen_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _FIRST_SEEN_DONE:
+        return _FIRST_SEEN_DONE[key]
+    from data_ingestion_din_spark.operators.colocate import (
+        cleanup_stale_app_dirs,
+    )
+    from data_ingestion_din_spark.operators.dedup import keep_first_by
+    from data_ingestion_din_spark.streaming.stateful import first_seen_stream
+
+    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_firstseen")
+    cleanup_stale_app_dirs(root, app)
+    base = os.path.join(root, app, tag)
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(tokens(F.col("text")))), " "
+            )
+        ).alias("fp"),
+    )
+    schema = "doc_id bigint, fp string"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(landing + "/*")
+        q = (
+            first_seen_stream(stream, "fp")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    for i, parity in enumerate((0, 1)):
+        batch = keep_first_by(
+            docs.filter(F.col("doc_id") % 2 == parity),
+            F.col("fp"),
+            [F.col("doc_id")],
+        )
+        batch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(landing, f"b{i}")
+        )
+        run_once()
+    _FIRST_SEEN_DONE[key] = out
+    return out
+
+
+@query(
+    "streaming_first_seen",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, {_WORDSET_FP_SQL} AS fp,
+             row_number() OVER (
+               PARTITION BY {_WORDSET_FP_SQL} ORDER BY doc_id % 2, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, fp
+    FROM ranked WHERE rk = 1
+    ORDER BY doc_id
+    """,
+)
+def streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _first_seen_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "fp")
+        .orderBy("doc_id")
+    )
