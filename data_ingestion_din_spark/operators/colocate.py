@@ -56,24 +56,58 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
-def cleanup_stale_app_dirs(root: str, keep: str) -> None:
+# A sibling dir younger than this is treated as potentially LIVE and
+# never deleted: sessions here run minutes-to-hours, so 6 h of slack
+# protects every concurrent bench/pytest/verify combination while still
+# bounding cross-day disk growth.
+STALE_AGE_SEC = 6 * 3600
+
+
+def cleanup_stale_app_dirs(
+    root: str, keep: str, max_age_sec: float = STALE_AGE_SEC
+) -> None:
     """Delete per-application artifact directories under ``root`` left by
     PREVIOUS Spark applications (``keep`` is the current applicationId's
     sanitized dir name). Session-scoped staging otherwise accumulates
-    unboundedly across sessions — each app writes a fresh dir and nothing
-    ever removed the old ones. Called on first staging use per session;
-    failures are ignored (another live session may own a dir — worst case
-    its staging is re-materialized, never corrupted, because each app
-    only ever reads its OWN dir)."""
+    unboundedly across sessions. Called on first staging use per session.
+
+    Deletion is AGE-GATED: a sibling dir is removed only when its mtime
+    is older than ``max_age_sec`` — a fresh dir belongs to a concurrently
+    LIVE session whose in-memory staging caches still point at it, and
+    deleting it would break that session for its remaining lifetime (the
+    round-4 reproduced race). As a second line of defense every staging
+    materializer also re-checks its directory on cache hit and
+    re-materializes if it vanished (:func:`_dir_ok`)."""
     import shutil
+    import time
 
     try:
         entries = os.listdir(root)
     except OSError:
         return
+    now = time.time()
     for d in entries:
-        if d != keep:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        if d == keep:
+            continue
+        p = os.path.join(root, d)
+        try:
+            if now - os.path.getmtime(p) <= max_age_sec:
+                continue
+        except OSError:
+            continue  # raced away already
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _dir_ok(path: str) -> bool:
+    """True when a staged artifact directory still exists and is
+    non-empty — the cache-hit revalidation guard: an in-memory staging
+    cache entry whose files were deleted externally (stale-dir cleanup
+    by an aggressive sibling, manual tmp wipe) must trigger
+    re-materialization, not a FileNotFoundException mid-query."""
+    try:
+        return bool(os.listdir(path))
+    except OSError:
+        return False
 
 
 # Layout staging cache, keyed like sources/entities._ENTITY_CACHE: the
@@ -98,14 +132,16 @@ def bucketed_fact_tables(
     tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
     names = (f"orders_bkt_{tag}", f"lineitem_bkt_{tag}")
     cache_key = (spark.sparkContext.applicationId, sf_dir, n_buckets)
-    if cache_key in _BUCKETED_FACTS:
-        return names
-    from data_ingestion_din_spark.sources.tables import load_table
-
     app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
     root = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
-    cleanup_stale_app_dirs(root, app)
     base = os.path.join(root, app, tag)
+    if cache_key in _BUCKETED_FACTS:
+        if all(_dir_ok(os.path.join(base, t)) for t in names):
+            return names
+        _BUCKETED_FACTS.discard(cache_key)  # staged files vanished
+    from data_ingestion_din_spark.sources.tables import load_table
+
+    cleanup_stale_app_dirs(root, app)
     for src, tbl, key in (
         ("orders", names[0], "o_orderkey"),
         ("lineitem", names[1], "l_orderkey"),
@@ -171,7 +207,9 @@ def partitioned_documents(spark: SparkSession, sf_dir: str) -> str:
     whole corpus to filter it."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _PARTITIONED_DOCS:
-        return _PARTITIONED_DOCS[key]
+        if _dir_ok(_PARTITIONED_DOCS[key]):
+            return _PARTITIONED_DOCS[key]
+        del _PARTITIONED_DOCS[key]  # staged files vanished
     from data_ingestion_din_spark.sources.tables import load_table
 
     app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)

@@ -34,6 +34,19 @@ from data_ingestion_din_spark.streaming.ingest import start_ingest_stream
 _INGEST_DONE: set[tuple[str, str]] = set()
 
 
+def _await_or_raise(q, timeout_sec: int = 240) -> None:
+    """``awaitTermination`` returns False on timeout; treating that as
+    success would let the NEXT availableNow run start against the same
+    checkpoint/output while this stream is still active — nondeterministic
+    parquet state under the hash gate. Fail loudly instead."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query did not finish within {timeout_sec}s; "
+            "stopped to avoid concurrent runs on one checkpoint"
+        )
+
+
 def _ingested_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
     tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
@@ -42,7 +55,11 @@ def _ingested_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     corpus = os.path.join(base, "corpus")
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _INGEST_DONE:
-        return corpus
+        from data_ingestion_din_spark.operators.colocate import _dir_ok
+
+        if _dir_ok(corpus):
+            return corpus
+        _INGEST_DONE.discard(key)  # staged corpus vanished; re-ingest
     from data_ingestion_din_spark.operators.colocate import (
         cleanup_stale_app_dirs,
     )
@@ -59,15 +76,15 @@ def _ingested_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
         os.path.join(landing, "b1")
     )
-    start_ingest_stream(
-        spark, os.path.join(landing, "*"), corpus, ckpt
-    ).awaitTermination(240)
+    _await_or_raise(
+        start_ingest_stream(spark, os.path.join(landing, "*"), corpus, ckpt)
+    )
     docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
         os.path.join(landing, "b2")
     )
-    start_ingest_stream(
-        spark, os.path.join(landing, "*"), corpus, ckpt
-    ).awaitTermination(240)
+    _await_or_raise(
+        start_ingest_stream(spark, os.path.join(landing, "*"), corpus, ckpt)
+    )
     _INGEST_DONE.add(key)
     return corpus
 
@@ -141,7 +158,11 @@ _FIRST_SEEN_DONE: dict[tuple[str, str], str] = {}
 def _first_seen_out_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _FIRST_SEEN_DONE:
-        return _FIRST_SEEN_DONE[key]
+        from data_ingestion_din_spark.operators.colocate import _dir_ok
+
+        if _dir_ok(_FIRST_SEEN_DONE[key]):
+            return _FIRST_SEEN_DONE[key]
+        del _FIRST_SEEN_DONE[key]  # staged output vanished; re-run
     from data_ingestion_din_spark.operators.colocate import (
         cleanup_stale_app_dirs,
     )
@@ -180,7 +201,7 @@ def _first_seen_out_dir(spark: SparkSession, sf_dir: str) -> str:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(240)
+        _await_or_raise(q)
 
     for i, parity in enumerate((0, 1)):
         batch = keep_first_by(

@@ -217,3 +217,93 @@ def test_partitioned_documents_prunes_at_scan(spark):
     n_en = pruned.count()
     assert 0 < n_en < full.count()
     assert pruned.select("lang").distinct().collect()[0].lang == "en"
+
+
+def test_cleanup_age_gate_spares_live_dirs(tmp_path):
+    """A fresh sibling dir (concurrently LIVE session) must survive
+    cleanup; only dirs past the staleness age are removed (the round-4
+    race: deleting a live sibling's staging broke it for the rest of its
+    session)."""
+    import os
+
+    from data_ingestion_din_spark.operators.colocate import (
+        cleanup_stale_app_dirs,
+    )
+
+    root = str(tmp_path)
+    for name in ("app_current", "app_live", "app_stale"):
+        os.makedirs(os.path.join(root, name, "t"))
+    old = os.path.join(root, "app_stale")
+    os.utime(old, (1, 1))  # mtime = epoch → far past any threshold
+    cleanup_stale_app_dirs(root, "app_current")
+    left = sorted(os.listdir(root))
+    assert left == ["app_current", "app_live"], left
+
+
+def test_bucketed_cache_rematerializes_after_deletion(spark):
+    """If a sibling (or tmp wipe) deletes this session's staged bucketed
+    tables, the cache hit must detect the loss and re-materialize instead
+    of failing with FileNotFoundException for the session's lifetime."""
+    import shutil
+
+    from data_ingestion_din_spark.operators import colocate
+
+    o_tbl, l_tbl = colocate.bucketed_fact_tables(spark, SF)
+    n_before = spark.table(l_tbl).count()
+    # simulate the victim side of the race: staged files vanish while the
+    # in-memory cache still claims they exist
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {l_tbl}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]
+        .data_type
+    ).removeprefix("file:")
+    shutil.rmtree(loc, ignore_errors=True)
+    o2, l2 = colocate.bucketed_fact_tables(spark, SF)
+    assert (o2, l2) == (o_tbl, l_tbl)
+    assert spark.table(l2).count() == n_before
+
+
+def test_partitioned_docs_rematerialize_after_deletion(spark):
+    import shutil
+
+    from data_ingestion_din_spark.operators.colocate import (
+        partitioned_documents,
+    )
+
+    path = partitioned_documents(spark, SF)
+    n = spark.read.parquet(path).count()
+    shutil.rmtree(path, ignore_errors=True)
+    path2 = partitioned_documents(spark, SF)
+    assert spark.read.parquet(path2).count() == n
+
+
+def test_staging_growth_bounded_across_sessions(spark, tmp_path,
+                                                monkeypatch):
+    """Hygiene: a second session's first staging use removes PAST-AGE
+    session dirs, so artifact growth across sequential sessions is
+    bounded (one live-age window's worth), never unbounded."""
+    import os
+    import tempfile as _tf
+
+    from data_ingestion_din_spark.operators import colocate
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+    root = os.path.join(str(tmp_path), "spark_graft_bucketed")
+    # fake remnant of a long-dead session
+    dead = os.path.join(root, "app_dead_session", "sf")
+    os.makedirs(dead)
+    os.utime(os.path.dirname(dead), (1, 1))
+    os.utime(dead, (1, 1))
+    colocate._BUCKETED_FACTS.clear()
+    try:
+        colocate.bucketed_fact_tables(spark, SF)
+        apps = sorted(os.listdir(root))
+        assert "app_dead_session" not in apps, apps
+        assert len(apps) == 1, apps  # exactly the current session's dir
+    finally:
+        # restore real-tempdir staging so later tests' cache hits don't
+        # point at pytest's transient tmp_path
+        monkeypatch.undo()
+        colocate._BUCKETED_FACTS.clear()
+        colocate.bucketed_fact_tables(spark, SF)
