@@ -18,62 +18,17 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # Queries the per-round correctness driver has not yet sampled (or whose
 # last sample is oldest) are listed first so a bounded driver window covers
 # them before re-checking recently-green entries. Names not in the registry
-# are ignored; registered queries not listed here (all sampled green in
-# round 3) follow in registration order.
+# are ignored; registered queries not listed here follow in registration
+# order. Rotation state after round 4: the round-4 block was sampled
+# green (CORRECTNESS_r04); the 12 queries below are the only ones whose
+# latest driver sample is still round 2 — they lead, then the
+# round-3-sampled block oldest-first (VERDICT r4 next-round #6).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-4 additions — never driver-sampled.
-    "dedup_keep_best",
-    "chunk_level_dedup",
-    "corpus_length_buckets",
-    "corpus_mixture_epochs",
-    "corpus_distinctive_terms",
-    "doc_cdc_chunks",
-    "doc_winnow_fingerprints",
-    "streaming_first_seen",
-    "table_transactions_dated",
-    "corpus_lang_pruned_stats",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q20_potential_promotion",
-    # Oldest driver sample is round 2 (round 3 re-sampled the other 50);
-    # oldest-first rotation per VERDICT r3 next-round #10.
-    "blocks_merged",
-    "blocks_reading_order",
-    "blocks_sections",
-    "clicks_on_error_free_days",
-    "corpus_curation",
-    "corpus_word_freq",
-    "customer_running_revenue",
-    "dedup_exact",
-    "dedup_minhash_banded",
-    "dedup_minhash_groups",
-    "dedup_wordset",
-    "doc_clean_roundtrip",
-    "doc_fixed_chunks",
-    "doc_language_quality",
-    "doc_token_stats",
-    "embedding_label_centroids",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "events_hourly_rollup",
-    "events_json_props",
-    "events_sessionized",
-    "events_sliding_10min",
-    "events_tumbling_5min",
-    "events_type_pivot",
-    "late_shipment_orders",
-    "minhash_signatures",
-    "nation_customer_rollup",
-    "ngram_jaccard_capped",
-    "ngram_jaccard_top20",
-    "parts_never_discounted",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
+    # Round-5 additions — never driver-sampled.
+    "eval_judged_summary",
+    "overlay_boxes",
+    "corpus_pack_sequences_sharded",
+    # Latest sample is round 2.
     "q6_forecast_revenue",
     "segment_median_order",
     "similarity_ivf_label",
@@ -86,6 +41,56 @@ _DRIVER_PRIORITY: list[str] = [
     "tables_header_election",
     "tables_subtable_split",
     "top_customers_per_nation",
+    # Latest sample is round 3 (registration order within the block).
+    "validation_issues",
+    "keyword_relevance",
+    "context_budget_cut",
+    "qna_pairs_extract",
+    "qna_best_match",
+    "doc_enrichment",
+    "doc_classification",
+    "doc_sanitize_normalize",
+    "block_type_detection",
+    "doc_semantic_chunks",
+    "doc_bpe_token_stats",
+    "corpus_decontaminate",
+    "pii_redaction",
+    "doc_repetition_quality",
+    "corpus_stratified_sample",
+    "corpus_pack_sequences",
+    "customer_spend_quartiles",
+    "events_pivot_unpivot",
+    "embedding_kmeans",
+    "similarity_ivf_kmeans",
+    "similarity_lsh_recall",
+    "similarity_batch_topk",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "events_5min_gapfill",
+    "events_daily_retention",
+    "events_funnel",
+    "events_kmv_distinct",
+    "events_trailing_hour",
+    "events_asof_attribution",
+    "events_error_burst",
+    "events_value_quartiles",
+    "dedup_clusters",
+    "dedup_simhash_groups",
+    "dedup_simhash_near",
+    "html_tables_parse",
+    "revenue_cube",
+    "repeat_buyers_96_not_97",
+    "multimodal_media_stats",
+    "streaming_ingest_chunks",
+    "q3_bucketed_colocated",
 ]
 
 

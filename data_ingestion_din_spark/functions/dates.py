@@ -63,6 +63,21 @@ def _ce_year(y: Column) -> Column:
     return F.when(y > BE_THRESHOLD, y - 543).otherwise(y)
 
 
+def _days_in_month(y: Column, m: Column) -> Column:
+    """Calendar day count for (CE year, month) — the month-aware bound
+    the ``valid`` guard needs: a d-in-1..31 check alone lets '30/2/2567'
+    through, where Spark's non-ANSI make_date returns NULL but DuckDB's
+    make_date RAISES, crashing the oracle query (cross-engine
+    divergence). Both twins bound d by this same count so calendar-
+    invalid inputs yield kind='none' identically."""
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    return (
+        F.when(m.isin(1, 3, 5, 7, 8, 10, 12), F.lit(31))
+        .when(m.isin(4, 6, 9, 11), F.lit(30))
+        .when(m == 2, F.when(leap, F.lit(29)).otherwise(F.lit(28)))
+    )
+
+
 def parse_date_any_staged(df, src: str, kind_col: str, iso_col: str):
     """Hot-path form of :func:`parse_date_any`: the nine
     ``regexp_extract`` fields are materialized ONCE in their own
@@ -116,7 +131,7 @@ def parse_date_any_staged(df, src: str, kind_col: str, iso_col: str):
         & m.isNotNull()
         & d.isNotNull()
         & m.between(1, 12)
-        & d.between(1, 31)
+        & d.between(1, _days_in_month(y, m))
     )
     kind = (
         F.when(iso_y.isNotNull() & valid, F.lit("iso"))
@@ -166,7 +181,7 @@ def parse_date_any(s: Column) -> Column:
         & m.isNotNull()
         & d.isNotNull()
         & m.between(1, 12)
-        & d.between(1, 31)
+        & d.between(1, _days_in_month(y, m))
     )
     kind = (
         F.when(iso_y.isNotNull() & valid, F.lit("iso"))
@@ -216,9 +231,17 @@ def parse_date_any_sql(s: str) -> tuple[str, str]:
     y = _sql_ce(pick(iso_y, dmy_y, th_y))
     m = pick(iso_m, dmy_m, th_m)
     d = pick(iso_d, dmy_d, th_d)
+    leap = (
+        f"(({y} % 4 = 0 AND {y} % 100 <> 0) OR {y} % 400 = 0)"
+    )
+    dim = (
+        f"(CASE WHEN {m} IN (1,3,5,7,8,10,12) THEN 31 "
+        f"WHEN {m} IN (4,6,9,11) THEN 30 "
+        f"WHEN {m} = 2 THEN (CASE WHEN {leap} THEN 29 ELSE 28 END) END)"
+    )
     valid = (
         f"({y} IS NOT NULL AND {m} IS NOT NULL AND {d} IS NOT NULL "
-        f"AND {m} BETWEEN 1 AND 12 AND {d} BETWEEN 1 AND 31)"
+        f"AND {m} BETWEEN 1 AND 12 AND {d} BETWEEN 1 AND {dim})"
     )
     kind = (
         f"(CASE WHEN {iso_y} IS NOT NULL AND {valid} THEN 'iso' "

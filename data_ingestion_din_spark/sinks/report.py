@@ -3,8 +3,9 @@
 The reference's eval pipeline collects judge scores into pandas, computes
 per-level averages + a total percentage + a grade, and renders an HTML
 report. Engine restatement: the AGGREGATION is a DataFrame plan
-(per-level decimal-exact averages, overall percentage, the same
-80/70/50 grade thresholds); only the final render collects — a report is
+(exact integer sum/count partials per level, double only in the final
+avg/percentage division, the same 80/70/50 grade thresholds); only the
+final render collects — a report is
 a driver artifact by definition, and what is collected is the k-row
 summary plus the capped detail rows, never the corpus.
 
@@ -28,8 +29,11 @@ GRADES = [(80.0, "Excellent"), (70.0, "Good"), (50.0, "Fair")]
 
 def eval_summary(eval_df: DataFrame) -> DataFrame:
     """One row per level plus an ``__all__`` row: n, avg score (of 5),
-    percentage, grade. Decimal-exact aggregation (sum of int scores /
-    count), one shuffle on the tiny level key."""
+    percentage, grade. The partials are exact integer sum/count; only
+    the final per-group avg/percentage divisions are double. One shuffle
+    on the tiny level key. An EMPTY input yields the single ``__all__``
+    row with n=0, avg/percentage 0.0, grade 'Poor' (the sum's NULL is
+    coalesced so the report renderer never formats a None)."""
     base = eval_df.select(
         "level", F.col("score_correctness").cast("bigint").alias("s")
     )
@@ -39,9 +43,10 @@ def eval_summary(eval_df: DataFrame) -> DataFrame:
     overall = base.agg(
         F.lit("__all__").alias("level"),
         F.count(F.lit(1)).alias("n"),
-        F.sum("s").alias("tot"),
+        F.coalesce(F.sum("s"), F.lit(0)).alias("tot"),
     )
-    pct = (F.col("tot") / F.col("n") / F.lit(5.0)) * 100
+    avg = F.when(F.col("n") > 0, F.col("tot") / F.col("n")).otherwise(0.0)
+    pct = avg / F.lit(5.0) * 100
     grade = (
         F.when(pct >= GRADES[0][0], GRADES[0][1])
         .when(pct >= GRADES[1][0], GRADES[1][1])
@@ -53,7 +58,7 @@ def eval_summary(eval_df: DataFrame) -> DataFrame:
         .select(
             "level",
             F.col("n").cast("bigint").alias("n"),
-            (F.col("tot") / F.col("n")).alias("avg_score"),
+            avg.alias("avg_score"),
             pct.alias("percentage"),
             grade.alias("grade"),
         )
@@ -101,8 +106,8 @@ def write_eval_report(
         "<!DOCTYPE html><html><head><meta charset='utf-8'>"
         "<title>RAG Evaluation Report</title></head><body>"
         f"<h1>RAG Evaluation Report</h1>"
-        f"<h2>Total: {total.get('percentage', 0):.2f}% "
-        f"({total.get('grade', 'n/a')})</h2>"
+        f"<h2>Total: {total.get('percentage') or 0:.2f}% "
+        f"({total.get('grade') or 'n/a'})</h2>"
         "<table border=1><tr><th>Level</th><th>Question</th>"
         "<th>Ground truth</th><th>Answer</th><th>Score</th></tr>"
         f"{body}</table></body></html>"

@@ -48,3 +48,50 @@ def test_parse_date_any_formats_and_be(spark):
         ("none", None),
         ("none", None),
     ]
+
+
+def test_calendar_invalid_dates_rejected_both_twins(spark):
+    """Month-aware validity: Feb 30 / Apr 31 / non-leap Feb 29 must come
+    back kind='none' on BOTH engines — Spark's non-ANSI make_date would
+    return NULL for these while DuckDB's make_date raises, so letting
+    them reach make_date is a cross-engine crash, not just a wrong row."""
+    cases = [
+        ("30/2/2567", ("none", None)),    # Feb 30 (BE year)
+        ("2023-02-29", ("none", None)),   # non-leap Feb 29
+        ("2024-02-29", ("iso", "2024-02-29")),  # leap Feb 29 valid
+        ("31/4/2024", ("none", None)),    # Apr 31
+        ("31/12/2024", ("dmy", "2024-12-31")),
+        ("29 ก.พ. 2567", ("iso_or_none", None)),  # BE 2567 → CE 2024 leap
+    ]
+    # last case: CE 2024 IS a leap year → valid thai parse
+    cases[-1] = ("29 ก.พ. 2567", ("thai", "2024-02-29"))
+    out = _parse(spark, [c for c, _ in cases])
+    assert out == [e for _, e in cases]
+
+    # DuckDB twin agrees row-for-row (and, crucially, does not raise)
+    import duckdb
+
+    from data_ingestion_din_spark.functions.dates import parse_date_any_sql
+
+    kind, iso = parse_date_any_sql("s")
+    con = duckdb.connect()
+    vals = ", ".join(f"('{c}')" for c, _ in cases)
+    got = con.execute(
+        f"SELECT {kind}, {iso} FROM (VALUES {vals}) t(s)"
+    ).fetchall()
+    assert [tuple(r) for r in got] == [e for _, e in cases]
+
+
+def test_staged_matches_single_expression(spark):
+    from data_ingestion_din_spark.functions.dates import parse_date_any_staged
+
+    vals = [
+        "2024-03-15", "30/2/2567", "2023-02-29", "2024-02-29",
+        "31/4/2024", "15 มี.ค. 2567", "junk", "",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    staged = [
+        (r.kind, r.iso)
+        for r in parse_date_any_staged(df, "s", "kind", "iso").collect()
+    ]
+    assert staged == _parse(spark, vals)

@@ -60,3 +60,19 @@ def test_is_general_intent(spark):
         r.g for r in df.select(is_general_intent(F.col("q")).alias("g")).collect()
     ]
     assert got == [e for _, e in rows]
+
+
+def test_write_eval_report_empty_input(spark):
+    """Empty eval set: one __all__ row (n=0, 0.0%, Poor) and a report
+    that renders instead of raising on a None percentage."""
+    df = spark.createDataFrame([], SCHEMA)
+    rows = eval_summary(df).collect()
+    assert [r.level for r in rows] == ["__all__"]
+    assert rows[0].n == 0
+    assert rows[0].avg_score == 0.0 and rows[0].percentage == 0.0
+    assert rows[0].grade == "Poor"
+    d = tempfile.mkdtemp(prefix="evalrep_empty_")
+    summary = write_eval_report(df, d)
+    assert summary["total"]["percentage"] == 0.0
+    html = open(os.path.join(d, "report.html")).read()
+    assert "0.00% (Poor)" in html
