@@ -24,3 +24,5 @@ from data_ingestion_din_spark.plans import analytic_ext  # noqa: F401,E402
 from data_ingestion_din_spark.plans import streaming_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import curation_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import partsupp_queries  # noqa: F401,E402
+from data_ingestion_din_spark.plans import overlay_queries  # noqa: F401,E402
+from data_ingestion_din_spark.plans import eval_queries  # noqa: F401,E402

@@ -680,9 +680,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chunk_level_dedup — boilerplate removal at sub-document granularity
 # (the CommonCrawl-style pass): split every doc into fixed 32-token
 # chunks, fingerprint each, keep only the FIRST occurrence corpus-wide
-# (min (doc_id, chunk_idx) wins), and report per-doc survival. One
-# shuffle on the fingerprint for the argmin, one on doc_id for the
-# rollup — no pairwise comparison anywhere.
+# (min (doc_id, chunk_idx) wins — a row_number over the true tuple, not
+# an arithmetic encoding that would silently mis-key past 1000 chunks
+# per doc), and report per-doc survival. One shuffle on the fingerprint
+# for the per-fp rank, one on doc_id for the rollup — no join, no
+# pairwise comparison anywhere; fp groups are tiny (mostly singletons)
+# so the within-group sort is O(1) per fingerprint at any corpus size.
 # --------------------------------------------------------------------------
 _CH_N = 32
 
@@ -698,25 +701,34 @@ _CH_N = 32
       FROM toks, range(0, 64) r(i)
       WHERE i * {_CH_N} < len(t)
     ),
-    fp AS (SELECT doc_id, chunk_idx, md5(chunk) AS fp FROM chunks),
-    first_seen AS (
-      SELECT fp, min(doc_id * 1000 + chunk_idx) AS first_key
-      FROM fp GROUP BY fp
+    ranked AS (
+      SELECT doc_id, chunk_idx,
+             row_number() OVER (
+               PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx
+             ) AS rn
+      FROM chunks
     )
-    SELECT f.doc_id,
+    SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_chunks,
-           CAST(sum(CASE WHEN f.doc_id * 1000 + f.chunk_idx = s.first_key
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-    FROM fp f JOIN first_seen s ON f.fp = s.fp
-    GROUP BY f.doc_id
-    ORDER BY f.doc_id
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
     """,
 )
 def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
     from data_ingestion_din_spark.functions.analysis import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    # the size-guard filter also keeps the twins aligned on zero-token
+    # documents: without it sequence(0, least(63, cast(-0.03 as int)))
+    # yields [0] — one phantom empty chunk the oracle's WHERE never emits
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
     # chunk_idx bounded by 64 on both sides (fixture docs are far
     # shorter; the bound keeps the oracle's range() finite)
     chunks = (
@@ -741,21 +753,13 @@ def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = chunks.select(
         "doc_id", "chunk_idx", F.md5(F.col("chunk")).alias("fp")
     )
-    first_seen = fp.groupBy("fp").agg(
-        F.min(F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("first_key")
-    )
+    w = W.partitionBy("fp").orderBy("doc_id", "chunk_idx")
     return (
-        fp.join(first_seen, "fp")
+        fp.withColumn("rn", F.row_number().over(w))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-            F.sum(
-                F.when(
-                    F.col("doc_id") * 1000 + F.col("chunk_idx")
-                    == F.col("first_key"),
-                    1,
-                ).otherwise(0)
-            )
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
             .cast("bigint")
             .alias("n_kept"),
         )
