@@ -145,9 +145,10 @@ BENCH_QUERIES = [
     "corpus_distinctive_terms",
     "doc_cdc_chunks",
     "doc_winnow_fingerprints",
-    # round 5: K8 overlay geometry, L12 judge pipeline
+    # round 5: K8 overlay geometry, L12 judge pipeline, sharded packing
     "overlay_boxes",
     "eval_judged_summary",
+    "corpus_pack_sequences_sharded",
     # streaming_ingest_chunks is correctness-gated but not benched: its
     # cost is the one-time incremental stream, not a repeatable plan
 ]

@@ -283,6 +283,58 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sharded variant — the PRODUCTION form: packing per (lang, shard)
+# keeps parallelism proportional to shard count instead of language
+# count (5 langs = 5 busy tasks at any cluster size without it). The
+# walker key is the pair, every doc packs exactly once, and the oracle
+# re-walks each (lang, shard) stream, so the scale-out form itself is
+# hash-checked, not just unit-tested for total invariance.
+_PACK_SHARDS = 4
+
+
+@query(
+    "corpus_pack_sequences_sharded",
+    oracle=f"""
+    WITH numbered AS MATERIALIZED (
+      SELECT lang, doc_id % {_PACK_SHARDS} AS shard, doc_id,
+             len({_TOKS_SQL}) AS n,
+             row_number() OVER (PARTITION BY lang, doc_id % {_PACK_SHARDS}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk AS (
+      WITH RECURSIVE w AS (
+        SELECT lang, shard, rn, n, 1 AS seq, n AS cum
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT b.lang, b.shard, b.rn, b.n,
+               CASE WHEN w.cum + b.n > {_PACK_BUDGET}
+                    THEN w.seq + 1 ELSE w.seq END,
+               CASE WHEN w.cum + b.n > {_PACK_BUDGET}
+                    THEN b.n ELSE w.cum + b.n END
+        FROM w JOIN numbered b
+          ON b.lang = w.lang AND b.shard = w.shard AND b.rn = w.rn + 1
+      )
+      SELECT * FROM w
+    )
+    SELECT lang, CAST(shard AS BIGINT) AS shard,
+           CAST(seq AS INT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens
+    FROM walk
+    GROUP BY lang, shard, seq
+    ORDER BY lang, shard, seq
+    """,
+)
+def corpus_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", F.col("doc_id") % _PACK_SHARDS
+    )
+    return C.pack_sequences(
+        docs, budget=_PACK_BUDGET, shard_col="shard"
+    ).orderBy("lang", "shard", "seq_id")
+
+
 # --------------------------------------------------------------------------
 # corpus_lang_pruned_stats — the partition-pruning layout lever as a
 # registered query: per-source stats for ONE language over the

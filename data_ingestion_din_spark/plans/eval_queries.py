@@ -250,5 +250,12 @@ def eval_judged_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def eval_judged_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K7∘L12: the judge pipeline feeding the eval-report aggregation
     (run_eval.py:170-178 / sinks/report.eval_summary) — per-level and
-    overall score averages, percentage, 80/70/50 grade."""
-    return eval_summary(judged_eval(spark, sf_dir))
+    overall score averages, percentage, 80/70/50 grade.
+
+    The judged frame is STAGED (localCheckpoint) before the summary:
+    eval_summary unions a per-level and an overall branch, and without
+    staging each branch re-runs the judge inference — the one stage
+    that is network-bound against a real model endpoint (the
+    with_minhash staging mechanism; plan-asserted to one MapInPandas in
+    tests/test_plan_assertions.py)."""
+    return eval_summary(judged_eval(spark, sf_dir).localCheckpoint(eager=False))

@@ -117,3 +117,83 @@ def test_validation_issues_plan(spark):
     s = _stats("validation_issues", spark)
     assert s["cartesian"] == 0, s
     assert s["exchange"] <= 7, s
+
+
+# ---- round-4 additions (VERDICT r4 ask #7) ----
+
+
+def test_dedup_keep_best_plan(spark):
+    s = _stats("dedup_keep_best", spark)
+    # CC over banded candidates + broadcast-joined length argmax: the
+    # doc-length side broadcasts, nothing goes cartesian
+    assert s["cartesian"] == 0, s
+    assert s["bhj"] >= 1, s
+    assert s["exchange"] <= 4, s
+
+
+def test_chunk_level_dedup_plan(spark):
+    s = _stats("chunk_level_dedup", spark)
+    # exactly the two data shuffles: fp-rank window, per-doc rollup
+    # (+ the final presentation sort)
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 3, s
+    assert s["smj"] == 0, s  # join-free since the row_number rewrite
+
+
+def test_table_transactions_dated_plan(spark):
+    s = _stats("table_transactions_dated", spark)
+    # pure regexp+integer chain past the entity derivation: NO joins
+    assert s["cartesian"] == 0 and s["bhj"] == 0 and s["smj"] == 0, s
+    assert s["exchange"] <= 2, s
+
+
+def test_corpus_mixture_epochs_plan(spark):
+    s = _stats("corpus_mixture_epochs", spark)
+    # per-row epoch explode + small-key groupBy — no joins
+    assert s["cartesian"] == 0 and s["smj"] == 0, s
+    assert s["exchange"] <= 3, s
+
+
+def test_corpus_distinctive_terms_plan(spark):
+    s = _stats("corpus_distinctive_terms", spark)
+    # one (lang, term) shuffle chain + broadcast 5-row lang sizes
+    assert s["cartesian"] == 0, s
+    assert s["bhj"] >= 1, s
+    assert s["exchange"] <= 6, s
+
+
+# ---- round-5 additions ----
+
+
+def test_overlay_boxes_plan(spark):
+    s = _stats("overlay_boxes", spark)
+    # three narrow entity scans unioned: zero joins, only the
+    # presentation sort exchanges
+    assert s["cartesian"] == 0 and s["bhj"] == 0 and s["smj"] == 0, s
+    assert s["exchange"] <= 1, s
+
+
+def test_eval_judged_scores_plan(spark):
+    s = _stats("eval_judged_scores", spark)
+    # exactly ONE Python boundary: the judge inference stage
+    assert s["map_in_pandas"] == 1, s
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 1, s
+
+
+def test_eval_judged_summary_plan(spark):
+    s = _stats("eval_judged_summary", spark)
+    # judged frame is STAGED (localCheckpoint) so the summary's two
+    # union branches do NOT each re-run the judge — the plan reads the
+    # staged result (0 visible MapInPandas; the stage runs once at
+    # checkpoint materialization)
+    assert s["map_in_pandas"] == 0, s
+    assert s["exchange"] <= 3, s
+
+
+def test_corpus_pack_sequences_sharded_plan(spark):
+    s = _stats("corpus_pack_sequences_sharded", spark)
+    # one (lang, shard) repartition + the single walker boundary
+    assert s["map_in_pandas"] == 1, s
+    assert s["cartesian"] == 0 and s["smj"] == 0, s
+    assert s["exchange"] <= 2, s
