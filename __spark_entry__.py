@@ -26,8 +26,11 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 _DRIVER_PRIORITY: list[str] = [
     # Round-5 additions — never driver-sampled.
     "eval_judged_summary",
+    "eval_judged_scores",
     "overlay_boxes",
     "corpus_pack_sequences_sharded",
+    "retrieval_hybrid_rrf",
+    "doc_rare_token_ratio",
     # Latest sample is round 2.
     "q6_forecast_revenue",
     "segment_median_order",

@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "overlay_boxes",
     "eval_judged_summary",
     "corpus_pack_sequences_sharded",
+    "retrieval_hybrid_rrf",
+    "doc_rare_token_ratio",
     # streaming_ingest_chunks is correctness-gated but not benched: its
     # cost is the one-time incremental stream, not a repeatable plan
 ]

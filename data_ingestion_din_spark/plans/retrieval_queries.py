@@ -15,6 +15,7 @@ from pyspark.sql.window import Window as W
 
 from data_ingestion_din_spark.functions.analysis import STOPWORDS, tokens
 from data_ingestion_din_spark.functions.hashing import h64, h64_sql
+from data_ingestion_din_spark.functions.vectors import cosine_exact_sql
 from data_ingestion_din_spark.operators.validate import validate_all
 from data_ingestion_din_spark.plans.registry import query
 from data_ingestion_din_spark.sources.entities import (
@@ -389,3 +390,131 @@ def qna_best_match_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(1)
     )
+
+
+# --------------------------------------------------------------------------
+# retrieval_hybrid_rrf — hybrid retrieval with reciprocal-rank fusion,
+# the production RAG retrieval shape the reference's keyword boost + 
+# vector top-k pair (A7/O3, backend/services/rag.py retrieval path)
+# composes into: a lexical ranking (stopword-filtered query-term overlap)
+# and a dense ranking (exact cosine against the query embedding) are
+# each cut to their top-N with TakeOrderedAndProject (per-task heaps, no
+# global sort), ranked by a window that therefore only ever sees N rows,
+# and fused with the standard RRF formula 1/(k + rank), k=60
+# (Cormack/Clarke/Buettcher 2009). A doc found by only one side scores
+# with the other contribution 0 (full outer join).
+#
+# Scale: both candidate generators are the bounded forms used elsewhere
+# (keyword guard F8, brute-force/ANN O3); the global windows run AFTER
+# the top-N cut so the single-partition sort is O(N), not O(corpus).
+# Fusion is a tiny outer join of two ≤N-row sides.
+# --------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_N = 50
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents WHERE doc_id <> 0
+    ),
+    kw AS (
+      SELECT doc_id,
+             CAST(len(list_intersect(list_distinct(t), {_TERMS_SQL}))
+                  AS BIGINT) AS score_kw
+      FROM toks
+    ),
+    kwr AS (
+      SELECT doc_id, score_kw,
+             row_number() OVER (ORDER BY score_kw DESC, doc_id) AS rank_kw
+      FROM kw WHERE score_kw >= 1
+    ),
+    vec AS (
+      SELECT e.vec_id AS doc_id,
+             {cosine_exact_sql('e.embedding', 'q.embedding')} AS cos_sim
+      FROM embeddings e,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+    ),
+    vecr AS (
+      SELECT doc_id, cos_sim,
+             row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank_vec
+      FROM vec
+    ),
+    fused AS (
+      SELECT coalesce(k.doc_id, v.doc_id) AS doc_id,
+             CAST(k.rank_kw AS INT) AS rank_kw,
+             CAST(v.rank_vec AS INT) AS rank_vec,
+             coalesce(1.0 / ({_RRF_K} + k.rank_kw), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + v.rank_vec), 0.0) AS rrf_score
+      FROM (SELECT * FROM kwr WHERE rank_kw <= {_RRF_N}) k
+      FULL OUTER JOIN (SELECT * FROM vecr WHERE rank_vec <= {_RRF_N}) v
+        ON k.doc_id = v.doc_id
+    )
+    SELECT doc_id, rank_kw, rank_vec, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.vectors import cosine_exact
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    toks = tokens(F.col("text"))
+    kw = docs.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(t) for t in QUERY_TERMS]),
+            )
+        )
+        .cast("bigint")
+        .alias("score_kw"),
+    ).filter(F.col("score_kw") >= 1)
+    kw_top = kw.orderBy(F.desc("score_kw"), "doc_id").limit(_RRF_N)
+    # windows run on the ≤N-row survivors of TakeOrderedAndProject, so
+    # the single-partition sort is bounded by N, never the corpus
+    kw_ranked = kw_top.withColumn(
+        "rank_kw",
+        F.row_number().over(W.orderBy(F.desc("score_kw"), "doc_id")),
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_exact(F.col("embedding"), F.col("q_embedding")).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    vec_top = vec.orderBy(F.desc("cos_sim"), "doc_id").limit(_RRF_N)
+    vec_ranked = vec_top.withColumn(
+        "rank_vec",
+        F.row_number().over(W.orderBy(F.desc("cos_sim"), "doc_id")),
+    )
+
+    k = kw_ranked.select(F.col("doc_id").alias("k_id"), "rank_kw")
+    v = vec_ranked.select(F.col("doc_id").alias("v_id"), "rank_vec")
+    fused = k.join(v, F.col("k_id") == F.col("v_id"), "full_outer").select(
+        F.coalesce(F.col("k_id"), F.col("v_id")).alias("doc_id"),
+        F.col("rank_kw").cast("int").alias("rank_kw"),
+        F.col("rank_vec").cast("int").alias("rank_vec"),
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_kw")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_vec")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)

@@ -385,3 +385,69 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n_ws > 0, n_bpe.cast("double") / n_ws).otherwise(0.0), 6
         ).alias("bpe_per_word"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# doc_rare_token_ratio — OOV-rate quality signal: the share of a doc's
+# DISTINCT vocabulary that is rare corpus-wide (document frequency < 3).
+# High ratios flag gibberish/OCR noise/boilerplate-free junk the way an
+# LM-perplexity filter would, but with integer-exact corpus statistics
+# (no libm log, so the oracle hash covers it bit-for-bit — the
+# engine-native stand-in for the KenLM stage of CCNet-style pipelines).
+#
+# Scale: one shuffle on token for the document-frequency table, one
+# token-key shuffle join back (the df side is the long tail — far too
+# big to broadcast, this IS the scale shape), one doc_id rollup. The
+# df table would be reused across quality passes at production
+# (staged-table shape, like the entity cache).
+# --------------------------------------------------------------------------
+_RARE_DF = 3
+
+
+@query(
+    "doc_rare_token_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    dt AS (
+      SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t
+    ),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok
+    ),
+    j AS (SELECT d.doc_id, f.df FROM dt d JOIN df f USING (tok))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN df < {_RARE_DF} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           CAST(sum(CASE WHEN df < {_RARE_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS rare_ratio
+    FROM j
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    j = dt.join(dfreq, "tok")
+    rare = F.sum(F.when(F.col("df") < _RARE_DF, 1).otherwise(0))
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            rare.cast("bigint").alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct",
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_distinct")).alias(
+                "rare_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -197,3 +197,28 @@ def test_corpus_pack_sequences_sharded_plan(spark):
     assert s["map_in_pandas"] == 1, s
     assert s["cartesian"] == 0 and s["smj"] == 0, s
     assert s["exchange"] <= 2, s
+
+
+def test_retrieval_hybrid_rrf_plan(spark):
+    s = _stats("retrieval_hybrid_rrf", spark)
+    buf_df = QUERIES["retrieval_hybrid_rrf"](spark, SF)
+    plan = _plan_stats(buf_df)
+    # the only nested-loop is the broadcast 1-row query-vector attach;
+    # candidate cuts are TakeOrderedAndProject (per-task heaps), fusion
+    # joins two <=N-row sides
+    assert s["cartesian"] <= 1, s
+    assert s["exchange"] <= 2, s
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        buf_df.explain(mode="simple")
+    assert buf.getvalue().count("TakeOrderedAndProject") >= 3
+
+
+def test_doc_rare_token_ratio_plan(spark):
+    s = _stats("doc_rare_token_ratio", spark)
+    # token-df shuffle + join-back + doc rollup: equi-joins only
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 5, s
