@@ -31,6 +31,8 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_pack_sequences_sharded",
     "retrieval_hybrid_rrf",
     "doc_rare_token_ratio",
+    "streaming_stream_join",
+    "corpus_cms_heavy_hitters",
     # Latest sample is round 2.
     "q6_forecast_revenue",
     "segment_median_order",

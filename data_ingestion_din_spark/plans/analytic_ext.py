@@ -290,3 +290,108 @@ def doc_sanitize_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_section_title(title).alias("norm_title"),
         sanitize_doc_id(raw_id).alias("clean_id"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# corpus_cms_heavy_hitters — Count-Min-Sketch frequency estimation, the
+# frequency-sketch sibling of the KMV distinct sketch
+# (events_kmv_distinct): d=4 seeded hash rows × w=256 buckets; every
+# token occurrence increments one counter per row; a token's estimate is
+# the MIN over its d counters (Cormac & Muthukrishnan 2005 — always an
+# OVERestimate, never under). The sketch here is built FROM the exact
+# per-token counts (explode d rows per distinct token, sum counts into
+# (row, bucket)) — identical counters to streaming per-occurrence
+# increments, one shuffle cheaper — then probed for the exact top-30
+# tokens so the gate checks estimate >= exact and the exact collision
+# structure of the seeded hashes, bit-for-bit in both engines.
+#
+# Scale: the sketch is d*w = 1024 rows regardless of corpus size — the
+# point of CMS. Building it is one (row, bucket) shuffle over distinct
+# tokens; at 100 TB the same plan holds (partial aggregation does the
+# heavy lifting map-side), and the probe join broadcasts the 1024-row
+# sketch.
+# --------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 256
+_CMS_TOPK = 30
+_TOKS_CMS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@query(
+    "corpus_cms_heavy_hitters",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_CMS_SQL} AS toks FROM documents),
+    occ AS (SELECT unnest(toks) AS tok FROM t),
+    exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n FROM occ GROUP BY tok
+    ),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+      SELECT r.r, {h64_sql("'cms' || CAST(r.r AS VARCHAR) || ':' || e.tok")}
+               % {_CMS_W} AS bucket,
+             e.tok, e.n
+      FROM exact e, rows_ r
+    ),
+    cms AS (
+      SELECT r, bucket, CAST(sum(n) AS BIGINT) AS counter
+      FROM cells GROUP BY r, bucket
+    ),
+    probe AS (
+      SELECT tok, n FROM exact ORDER BY n DESC, tok LIMIT {_CMS_TOPK}
+    ),
+    est AS (
+      SELECT p.tok, p.n, min(c.counter) AS cms_estimate
+      FROM probe p
+      JOIN cells pc ON pc.tok = p.tok
+      JOIN cms c ON c.r = pc.r AND c.bucket = pc.bucket
+      GROUP BY p.tok, p.n
+    )
+    SELECT tok, n AS exact_count, CAST(cms_estimate AS BIGINT) AS cms_estimate
+    FROM est
+    ORDER BY exact_count DESC, tok
+    """,
+)
+def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cells = exact.select(
+        "tok",
+        "n",
+        F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r"),
+    ).select(
+        "tok",
+        "n",
+        "r",
+        F.pmod(
+            h64(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("tok"),
+                )
+            ),
+            F.lit(_CMS_W),
+        ).alias("bucket"),
+    )
+    cms = cells.groupBy("r", "bucket").agg(
+        F.sum("n").cast("bigint").alias("counter")
+    )
+    probe = exact.orderBy(F.desc("n"), "tok").limit(_CMS_TOPK)
+    est = (
+        probe.join(cells.select("tok", "r", "bucket"), "tok")
+        .join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("tok", "n")
+        .agg(F.min("counter").cast("bigint").alias("cms_estimate"))
+    )
+    return est.select(
+        "tok",
+        F.col("n").alias("exact_count"),
+        "cms_estimate",
+    ).orderBy(F.desc("exact_count"), "tok")

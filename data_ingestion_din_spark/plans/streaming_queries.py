@@ -239,3 +239,136 @@ def streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "fp")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_stream_join — STREAM-STREAM event-time interval join under
+# the hash gate (§2.11 depth): clicks ⋈ errors per user where the error
+# lands within 1 hour after the click, both sides watermarked 10 min.
+# The click stream lands entirely in run 1; the error stream lands in
+# TWO batches split at the corpus time midpoint with the checkpoint
+# carried across availableNow runs — at sf0.01, 15 of the 37 output
+# pairs match a second-run error against click state buffered in the
+# FIRST run's state store, so row/hash parity with the batch interval
+# join proves cross-restart join-state correctness, not just the join
+# predicate. Watermarks are real (10 min on both sides drives state
+# eviction); each landing batch is one micro-batch, so no event is
+# dropped as late and the exact batch answer is the correct output.
+# --------------------------------------------------------------------------
+_SJOIN_WINDOW_US = 3_600_000_000  # 1 hour
+_STREAM_JOIN_DONE: dict[tuple[str, str], str] = {}
+
+
+def _stream_join_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _STREAM_JOIN_DONE:
+        from data_ingestion_din_spark.operators.colocate import _dir_ok
+
+        if _dir_ok(_STREAM_JOIN_DONE[key]):
+            return _STREAM_JOIN_DONE[key]
+        del _STREAM_JOIN_DONE[key]
+    from data_ingestion_din_spark.operators.colocate import (
+        cleanup_stale_app_dirs,
+    )
+
+    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_sjoin")
+    cleanup_stale_app_dirs(root, app)
+    base = os.path.join(root, app, tag)
+    shutil.rmtree(base, ignore_errors=True)
+    landing_c = os.path.join(base, "clicks")
+    landing_e = os.path.join(base, "errors")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = lo + (hi - lo) // 2  # setup-stage scalar (layout prep, 1 row)
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    errors = ev.filter(F.col("event_type") == "error").drop("event_type")
+
+    def run_once() -> None:
+        schema = "event_id bigint, ts timestamp, user_id bigint"
+        c = (
+            spark.readStream.schema(schema)
+            .parquet(landing_c + "/*")
+            .withWatermark("ts", "10 minutes")
+            .alias("c")
+        )
+        e = (
+            spark.readStream.schema(schema)
+            .parquet(landing_e + "/*")
+            .withWatermark("ts", "10 minutes")
+            .alias("e")
+        )
+        joined = c.join(
+            e,
+            F.expr(
+                "c.user_id = e.user_id AND e.ts >= c.ts "
+                "AND e.ts <= c.ts + interval 1 hour"
+            ),
+        ).select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("e.event_id").alias("error_id"),
+            F.col("c.user_id").alias("user_id"),
+            F.unix_micros(F.col("c.ts")).alias("click_us"),
+            F.unix_micros(F.col("e.ts")).alias("error_us"),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+
+    clicks.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(landing_c, "b0")
+    )
+    errors.filter(F.unix_micros("ts") < mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(landing_e, "b0"))
+    run_once()
+    errors.filter(F.unix_micros("ts") >= mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(landing_e, "b1"))
+    run_once()
+    _STREAM_JOIN_DONE[key] = out
+    return out
+
+
+@query(
+    "streaming_stream_join",
+    oracle=f"""
+    SELECT CAST(c.event_id AS BIGINT) AS click_id,
+           CAST(e.event_id AS BIGINT) AS error_id,
+           CAST(c.user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+           CAST(epoch_us(e.ts) AS BIGINT) AS error_us
+    FROM events c JOIN events e
+      ON c.event_type = 'click' AND e.event_type = 'error'
+     AND e.user_id = c.user_id AND e.ts >= c.ts
+     AND epoch_us(e.ts) <= epoch_us(c.ts) + {_SJOIN_WINDOW_US}
+    ORDER BY click_id, error_id
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _stream_join_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.col("click_id").cast("bigint").alias("click_id"),
+            F.col("error_id").cast("bigint").alias("error_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("click_us").cast("bigint").alias("click_us"),
+            F.col("error_us").cast("bigint").alias("error_us"),
+        )
+        .orderBy("click_id", "error_id")
+    )

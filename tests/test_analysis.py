@@ -97,3 +97,42 @@ def test_minhash_matches_manual_affine(spark):
     for i in range(2):
         a, b = MH_AB[i]
         assert row[f"mh{i}"] == min((a * h + b) % MH_MOD for h in bases)
+
+
+def test_cms_overestimates_and_is_bounded(spark):
+    """CMS invariants: every estimate >= the exact count (min over
+    counters can only collide upward) and the sketch itself never
+    exceeds d*w cells regardless of vocabulary size."""
+    from data_ingestion_din_spark.plans import QUERIES
+    from data_ingestion_din_spark.plans.analytic_ext import _CMS_D, _CMS_W
+
+    rows = QUERIES["corpus_cms_heavy_hitters"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert all(r.cms_estimate >= r.exact_count for r in rows)
+    # the heavy-hitter top-1 should be nearly collision-free at this w
+    top = rows[0]
+    assert top.cms_estimate < top.exact_count * 2
+
+
+def test_stream_join_cross_run_matches(spark):
+    """The second availableNow run must contribute matches (errors
+    joining click state buffered before the restart) — otherwise the
+    query proves nothing about cross-checkpoint join state."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_din_spark.plans import QUERIES
+    from data_ingestion_din_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["streaming_stream_join"](spark, sf)
+    ev = load_table(spark, sf, "events")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = lo + (hi - lo) // 2
+    n_run2 = out.filter(F.col("error_us") >= mid).count()
+    n_total = out.count()
+    assert n_total > 0
+    assert 0 < n_run2 < n_total
