@@ -33,6 +33,8 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_rare_token_ratio",
     "streaming_stream_join",
     "corpus_cms_heavy_hitters",
+    "corpus_train_val_split",
+    "embedding_hard_negatives",
     # Latest sample is round 2.
     "q6_forecast_revenue",
     "segment_median_order",

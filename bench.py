@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "retrieval_hybrid_rrf",
     "doc_rare_token_ratio",
     "corpus_cms_heavy_hitters",
+    "corpus_train_val_split",
+    "embedding_hard_negatives",
     # streaming_stream_join is correctness-gated but not benched (one-time
     # incremental stream cost, like streaming_ingest_chunks)
     # streaming_ingest_chunks is correctness-gated but not benched: its

@@ -580,3 +580,63 @@ def corpus_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "term", "tf", "df", F.col("score").cast("bigint").alias("score"))
         .orderBy("lang", F.desc("score"), "term")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_train_val_split — deterministic hash-based 80/10/10 split with
+# per-stratum accounting, the last step of every training-data pipeline:
+# membership is a pure function of doc_id (reproducible across runs,
+# engines and cluster sizes — never random()), and the output audits the
+# split: docs + token mass per (lang, split). Join-free; one shuffle on
+# the tiny (lang, split) key.
+# --------------------------------------------------------------------------
+_SPLIT_SEED = "split:"
+
+
+@query(
+    "corpus_train_val_split",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id, len({_TOKS_SQL}) AS n,
+             {h64_sql("CAST(doc_id AS VARCHAR)", _SPLIT_SEED)} % 100 AS b
+      FROM documents
+    ),
+    s AS (
+      SELECT lang,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+             n
+      FROM t
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens
+    FROM s
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.pmod(
+        h64(F.col("doc_id").cast("string"), _SPLIT_SEED), F.lit(100)
+    )
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            "lang",
+            split.alias("split"),
+            F.size(tokens(F.col("text"))).alias("n"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang", "split")
+    )

@@ -374,3 +374,95 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_hard_negatives — contrastive-pair mining for embedding
+# training: for each anchor, the top-3 most-similar vectors with a
+# DIFFERENT label ("hard negatives" — the pairs that actually teach a
+# contrastive loss something; random negatives are trivially separable).
+# Anchors are a bounded batch (vec_id < 20 here — in production the
+# anchor batch is whatever minibatch is being mined for), broadcast
+# against the corpus, exact-cosine scored, then per-anchor top-3 via a
+# window whose partitions are single anchors.
+#
+# Scale: broadcast(20-row anchors) ⋈ corpus is one shuffle-free pass;
+# the per-anchor window shuffles on anchor_id (bounded by batch size ×
+# corpus candidates; with an ANN pre-cut — similarity_lsh_topk's bucket
+# path — the candidate set per anchor is constant-sized).
+# --------------------------------------------------------------------------
+_HN_ANCHORS = 20
+_HN_K = 3
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             embedding AS a_emb
+      FROM embeddings WHERE vec_id < {_HN_ANCHORS}
+    ),
+    c AS (
+      SELECT a.anchor_id, a.anchor_label, e.vec_id AS neg_id,
+             e.label AS neg_label,
+             {cosine_exact_sql('a.a_emb', 'e.embedding')} AS cos_sim
+      FROM a JOIN embeddings e
+        ON e.vec_id <> a.anchor_id AND e.label <> a.anchor_label
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY anchor_id ORDER BY cos_sim DESC, neg_id
+             ) AS rk
+      FROM c
+    )
+    SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+           CAST(anchor_label AS INT) AS anchor_label,
+           CAST(neg_id AS BIGINT) AS neg_id,
+           CAST(neg_label AS INT) AS neg_label,
+           cos_sim,
+           CAST(rk AS INT) AS neg_rank
+    FROM r WHERE rk <= {_HN_K}
+    ORDER BY anchor_id, neg_rank
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.vectors import cosine_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    cand = (
+        F.broadcast(anchors)
+        .join(
+            emb,
+            (F.col("vec_id") != F.col("anchor_id"))
+            & (F.col("label") != F.col("anchor_label")),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            cosine_exact(F.col("a_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), "neg_id")
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= _HN_K)
+        .select(
+            F.col("anchor_id").cast("bigint").alias("anchor_id"),
+            F.col("anchor_label").cast("int").alias("anchor_label"),
+            F.col("neg_id").cast("bigint").alias("neg_id"),
+            F.col("neg_label").cast("int").alias("neg_label"),
+            "cos_sim",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )
