@@ -307,3 +307,44 @@ def test_staging_growth_bounded_across_sessions(spark, tmp_path,
         monkeypatch.undo()
         colocate._BUCKETED_FACTS.clear()
         colocate.bucketed_fact_tables(spark, SF)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The third shuffle-skew lever next to bucketing and salting: AQE's
+    runtime skew-join split. A join whose left side collapses ~90% of
+    rows onto one key must execute as SortMergeJoin(skew=true) with the
+    hot partition split across tasks (AQEShuffleRead ... skewed) once
+    the skew thresholds see it — the lever that saves a 100 TB join
+    from one straggler task, verified against the EXECUTED adaptive
+    plan, not the static one."""
+    left = spark.range(0, 2_000_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        agg = left.join(right, "k").groupBy().count()
+        assert agg.collect()[0]["count"] == 1_805_000
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:800]
+        assert "skewed" in plan, plan[:800]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
