@@ -35,6 +35,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_cms_heavy_hitters",
     "corpus_train_val_split",
     "embedding_hard_negatives",
+    "dedup_incremental_batch",
     # Latest sample is round 2.
     "q6_forecast_revenue",
     "segment_median_order",

@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "corpus_cms_heavy_hitters",
     "corpus_train_val_split",
     "embedding_hard_negatives",
+    "dedup_incremental_batch",
     # streaming_stream_join is correctness-gated but not benched (one-time
     # incremental stream cost, like streaming_ingest_chunks)
     # streaming_ingest_chunks is correctness-gated but not benched: its

@@ -644,3 +644,97 @@ def embedding_near_dup_pairs(
     return pairs.select("id_a", "id_b", cos.alias("cos_sim")).filter(
         F.col("cos_sim") >= threshold
     )
+
+
+def minhash_banded_pairs_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incoming-batch vs existing-corpus near-dup pairs — the NIGHTLY
+    INCREMENTAL shape :func:`minhash_banded_pairs` is missing: when a
+    new ingest lands, the corpus must never be self-joined again.
+    Candidates here are band-key matches strictly BETWEEN the two sides
+    (batch bands ⋈ corpus bands), so the per-ingest cost is
+    O(batch·bands + matched corpus band rows) and the corpus side is
+    touched only through the band-key equi-join — at 100 TB the corpus
+    band table is a materialized artifact keyed by band_key, and each
+    night's batch probes it like an index.
+
+    Same signature/band/verify machinery as the full self-join form;
+    returns (batch_id, corpus_id, jaccard ≥ ``threshold``).
+    """
+    from data_ingestion_din_spark.functions.analysis import word_shingles
+
+    r = n_hashes // bands
+    if r * bands != n_hashes:
+        raise ValueError("bands must divide n_hashes")
+    tagged = batch.select(
+        "doc_id", F.lit(True).alias("is_batch"), "text"
+    ).unionByName(
+        corpus.select("doc_id", F.lit(False).alias("is_batch"), "text")
+    )
+    sh_arr = F.array_distinct(word_shingles(tokens(F.col("text")), shingle_n))
+    sh_base = scan_parallel(tagged).select(
+        "doc_id", "is_batch", sh_arr.alias("sh")
+    ).filter(F.size("sh") > 0)
+    sigs = with_minhash(sh_base, F.col("sh"), n_hashes).localCheckpoint(
+        eager=False
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(f"b{j}"),
+                    *[F.col(f"mh{j * r + i}").cast("string") for i in range(r)],
+                )
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "is_batch", F.explode(band_keys).alias("band_key")
+    )
+    cand = (
+        banded.filter(F.col("is_batch"))
+        .select(F.col("doc_id").alias("batch_id"), "band_key")
+        .join(
+            banded.filter(~F.col("is_batch")).select(
+                F.col("doc_id").alias("corpus_id"), "band_key"
+            ),
+            "band_key",
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    sh_sets = sigs.select("doc_id", "sh")
+    verified = (
+        cand.join(
+            sh_sets.select(
+                F.col("doc_id").alias("batch_id"), F.col("sh").alias("sh_a")
+            ),
+            "batch_id",
+        )
+        .join(
+            sh_sets.select(
+                F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_b")
+            ),
+            "corpus_id",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        )
+        .select(
+            "batch_id",
+            "corpus_id",
+            (
+                F.col("inter").cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)

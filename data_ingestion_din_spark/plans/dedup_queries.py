@@ -920,3 +920,100 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("array_min(w)").cast("bigint").alias("min_fp"),
         F.expr("array_max(w)").cast("bigint").alias("max_fp"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# dedup_incremental_batch — the nightly-ingest dedup decision: an
+# incoming batch (doc_id % 10 = 0 plays the new ingest) is checked
+# against the EXISTING corpus without ever self-joining the corpus —
+# band keys are matched strictly batch ⋈ corpus
+# (operators/dedup.minhash_banded_pairs_incremental), then each batch
+# doc gets its best verified match (argmax jaccard) or a clean bill.
+# At 100 TB the corpus band table is a materialized index the batch
+# probes; per-night cost scales with the batch, not the corpus.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+      FROM idx
+    ),
+    shh AS (SELECT doc_id, {h32_sql("shingle")} AS hb FROM sh),
+    sig AS (
+      SELECT doc_id, {", ".join(_mh_sh_sql(i) for i in range(_NB_HASHES))}
+      FROM shh GROUP BY doc_id
+    ),
+    bands AS ({_BANDS_UNION}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key
+       AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+             count(*) AS inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle
+       AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT c.batch_id, c.corpus_id,
+             CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+      FROM cand c
+      JOIN inter i
+        ON i.batch_id = c.batch_id AND i.corpus_id = c.corpus_id
+      JOIN sizes sa ON sa.doc_id = c.batch_id
+      JOIN sizes sb ON sb.doc_id = c.corpus_id
+      WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+    ),
+    best AS (
+      SELECT batch_id, corpus_id, jaccard,
+             row_number() OVER (
+               PARTITION BY batch_id ORDER BY jaccard DESC, corpus_id
+             ) AS rk
+      FROM verified
+    )
+    SELECT d.doc_id,
+           (b.corpus_id IS NOT NULL) AS is_dup,
+           CAST(b.corpus_id AS BIGINT) AS matched_doc,
+           b.jaccard
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.batch_id = d.doc_id
+    WHERE d.doc_id % 10 = 0
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    pairs = D.minhash_banded_pairs_incremental(
+        batch, corpus, n_hashes=_NB_HASHES, bands=_NB_BANDS,
+        shingle_n=3, threshold=0.5,
+    )
+    w = W.partitionBy("batch_id").orderBy(F.desc("jaccard"), "corpus_id")
+    best = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+    return (
+        batch.select("doc_id")
+        .join(best, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            F.col("corpus_id").isNotNull().alias("is_dup"),
+            F.col("corpus_id").cast("bigint").alias("matched_doc"),
+            "jaccard",
+        )
+        .orderBy("doc_id")
+    )

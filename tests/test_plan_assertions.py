@@ -222,3 +222,11 @@ def test_doc_rare_token_ratio_plan(spark):
     # token-df shuffle + join-back + doc rollup: equi-joins only
     assert s["cartesian"] == 0, s
     assert s["exchange"] <= 5, s
+
+
+def test_dedup_incremental_batch_plan(spark):
+    s = _stats("dedup_incremental_batch", spark)
+    # batch bands probe corpus bands via equi-join only — no corpus
+    # self-join, no cartesian; verify + argmax + left join bounded
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 9, s
