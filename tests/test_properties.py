@@ -1,0 +1,102 @@
+"""Cross-engine property tests (hypothesis): expression twins that feed
+the hash gate must agree on ARBITRARY inputs, not just fixture shapes.
+This is the divergence class round reviews kept finding by hand (e.g.
+calendar-invalid dates NULLing in Spark while crashing DuckDB); these
+tests hunt it automatically.
+
+Each example evaluates a whole generated batch in ONE Spark job + one
+DuckDB query, so a handful of examples covers hundreds of adversarial
+strings without per-row job overhead.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_ingestion_din_spark.functions.dates import (
+    THAI_MONTHS,
+    parse_date_any,
+    parse_date_any_sql,
+)
+from data_ingestion_din_spark.functions.hashing import h64, h64_sql
+from data_ingestion_din_spark.functions.text import clean_text, clean_text_sql
+
+# NUL is not representable in DuckDB VARCHAR literals/operations the
+# same way; everything else (incl. astral plane, Thai, combining marks)
+# must round-trip identically through both engines.
+_chars = st.characters(blacklist_characters="\x00")
+_texts = st.text(alphabet=_chars, max_size=40)
+
+date_ish = st.one_of(
+    _texts,
+    st.builds(
+        lambda d, m, y: f"{d}/{m}/{y}",
+        st.integers(0, 40),
+        st.integers(0, 20),
+        st.integers(1000, 3000),
+    ),
+    st.builds(
+        lambda y, m, d: f"{y:04d}-{m:02d}-{d:02d}",
+        st.integers(1, 9999),
+        st.integers(0, 99),
+        st.integers(0, 99),
+    ),
+    st.builds(
+        lambda d, mn, y: f"{d} {mn} {y}",
+        st.integers(0, 40),
+        st.sampled_from(THAI_MONTHS + ["xxx", "ก.พ"]),
+        st.integers(1800, 2800),
+    ),
+)
+
+
+def _duck(vals: list[str], select_exprs: str) -> list[tuple]:
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"s": pd.Series(vals, dtype="object")}))
+    return con.execute(f"SELECT {select_exprs} FROM t").fetchall()
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(date_ish, min_size=20, max_size=40))
+def test_date_parse_twins_agree(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    p = parse_date_any(F.col("s"))
+    got = [
+        (r.kind, r.iso)
+        for r in df.select(
+            p.getField("kind").alias("kind"), p.getField("iso").alias("iso")
+        ).collect()
+    ]
+    kind, iso = parse_date_any_sql("s")
+    want = _duck(vals, f"{kind}, {iso}")
+    assert got == [tuple(w) for w in want]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_texts, min_size=20, max_size=40))
+def test_clean_text_twins_agree(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [
+        r.c for r in df.select(clean_text(F.col("s")).alias("c")).collect()
+    ]
+    want = [w[0] for w in _duck(vals, clean_text_sql("s"))]
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_texts.filter(lambda s: s != ""), min_size=20, max_size=40))
+def test_h64_three_way_agreement(spark, vals):
+    """The portable hash must agree Spark == DuckDB == the Python twin
+    the L12 judge client uses (ai/judge._h64) — the whole oracle-gated
+    judge pipeline rests on this three-way identity."""
+    from data_ingestion_din_spark.ai.judge import _h64 as py_h64
+
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r.h for r in df.select(h64(F.col("s")).alias("h")).collect()]
+    want = [w[0] for w in _duck(vals, h64_sql("s"))]
+    assert got == want
+    assert got == [py_h64(v) for v in vals]
