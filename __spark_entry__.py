@@ -36,6 +36,8 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_train_val_split",
     "embedding_hard_negatives",
     "dedup_incremental_batch",
+    "events_latest_snapshot",
+    "corpus_bigram_lm",
     # Latest sample is round 2.
     "q6_forecast_revenue",
     "segment_median_order",

@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "corpus_train_val_split",
     "embedding_hard_negatives",
     "dedup_incremental_batch",
+    "events_latest_snapshot",
+    "corpus_bigram_lm",
     # streaming_stream_join is correctness-gated but not benched (one-time
     # incremental stream cost, like streaming_ingest_chunks)
     # streaming_ingest_chunks is correctness-gated but not benched: its

@@ -669,3 +669,50 @@ def events_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# events_latest_snapshot — CDC/upsert compaction: the LATEST event per
+# (user_id, event_type) key, ties on ts broken by event_id (the
+# SCD-type-1 "current state" materialization every change-log consumer
+# runs). One shuffle on the key; row_number + rk=1, which Spark executes
+# as a partial top-1 per key inside the window — at changelog scale this
+# is the standard log→snapshot compaction and partitions by the same
+# key the downstream upsert join uses.
+# --------------------------------------------------------------------------
+@query(
+    "events_latest_snapshot",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC
+             ) AS rk
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           value
+    FROM ranked WHERE rk = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def events_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "event_type",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+        .orderBy("user_id", "event_type")
+    )

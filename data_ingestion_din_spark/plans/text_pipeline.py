@@ -451,3 +451,89 @@ def doc_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_bigram_lm — n-gram LM count tables, the classic massive-corpus
+# job (KenLM/CCNet training stage): bigram counts grouped by head
+# token, conditional probability as exact-count ratio, top-3
+# continuations per head for heads seen >= 50 times. One shuffle on the
+# (head, next) pair (map-side partial counts do the heavy lifting),
+# head totals via a window over the already-partitioned head — no
+# second scan of the corpus. NB Spark array subscripts are 0-based vs
+# DuckDB's 1-based: the twins index accordingly.
+# --------------------------------------------------------------------------
+_LM_MIN_HEAD = 50
+_LM_TOPK = 3
+
+
+@query(
+    "corpus_bigram_lm",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    prs AS (
+      SELECT t[i] AS head, t[i + 1] AS next
+      FROM t, unnest(range(1, len(t))) r(i)
+      WHERE i < len(t)
+    ),
+    pc AS (
+      SELECT head, next, CAST(count(*) AS BIGINT) AS pair_n
+      FROM prs GROUP BY head, next
+    ),
+    hn AS (
+      SELECT *, CAST(sum(pair_n) OVER (PARTITION BY head) AS BIGINT)
+                  AS head_n
+      FROM pc
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY head ORDER BY pair_n DESC, next
+             ) AS rk
+      FROM hn WHERE head_n >= {_LM_MIN_HEAD}
+    )
+    SELECT head, next, pair_n, head_n,
+           CAST(pair_n AS DOUBLE) / head_n AS cond_p,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_LM_TOPK}
+    ORDER BY head, rk
+    """,
+)
+def corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    # size >= 2 guard: sequence(1, size-1) DESCENDS for shorter docs
+    # ([1,0,-1] for size 0) and ANSI array indexing would throw; the
+    # oracle's WHERE i < len(t) is the same guard on the DuckDB side
+    t = docs.select(tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    prs = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS head, t[i] AS next))"
+            )
+        ).alias("p")
+    ).select("p.head", "p.next")
+    pc = prs.groupBy("head", "next").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_n")
+    )
+    hn = pc.withColumn(
+        "head_n",
+        F.sum("pair_n").over(W.partitionBy("head")).cast("bigint"),
+    ).filter(F.col("head_n") >= _LM_MIN_HEAD)
+    ranked = hn.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("head").orderBy(F.desc("pair_n"), "next")
+        ),
+    ).filter(F.col("rk") <= _LM_TOPK)
+    return ranked.select(
+        "head",
+        "next",
+        "pair_n",
+        "head_n",
+        (F.col("pair_n").cast("double") / F.col("head_n")).alias("cond_p"),
+        F.col("rk").cast("int").alias("rk"),
+    ).orderBy("head", "rk")
