@@ -38,6 +38,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_incremental_batch",
     "events_latest_snapshot",
     "corpus_bigram_lm",
+    "streaming_session_windows",
     # Latest sample is round 2.
     "q6_forecast_revenue",
     "segment_median_order",

@@ -372,3 +372,175 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id", "error_id")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_session_windows — native session_window aggregation under
+# the hash gate, the canonical MERGING stateful operator (§2.11): 30-min
+# gap sessions per user, 30-min watermark, append mode. The landing is
+# split at a timestamp chosen INSIDE the corpus's largest session, so
+# that session's state must survive the checkpointed availableNow
+# restart and MERGE with second-run events to produce one row — the
+# batch answer (the lag/cumsum sessionization oracle) is only
+# reproducible if cross-run session merging is exact. A single sentinel
+# event (user_id = -1, far past the last real event) lands last to push
+# the GLOBAL event-time watermark beyond every real session's close;
+# the sentinel's own session stays unemitted in state and is excluded
+# from the read-back.
+# --------------------------------------------------------------------------
+_SESSION_GAP = "30 minutes"
+_SESSION_GAP_US = 1_800_000_000
+_SESSION_WIN_DONE: dict[tuple[str, str], str] = {}
+
+
+def _session_windows_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SESSION_WIN_DONE:
+        from data_ingestion_din_spark.operators.colocate import _dir_ok
+
+        if _dir_ok(_SESSION_WIN_DONE[key]):
+            return _SESSION_WIN_DONE[key]
+        del _SESSION_WIN_DONE[key]
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.operators.colocate import (
+        cleanup_stale_app_dirs,
+    )
+
+    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_sesswin")
+    cleanup_stale_app_dirs(root, app)
+    base = os.path.join(root, app, tag)
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # setup-stage scalars: the largest session's midpoint (split there so
+    # one session provably spans the restart) and the corpus max ts
+    w_ord = W.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_ord))
+    s = ev.withColumn(
+        "brk",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0),
+    ).withColumn(
+        "seq",
+        F.sum("brk").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    big = (
+        s.groupBy("user_id", "seq")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("st"),
+            F.max(F.unix_micros("ts")).alias("en"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.desc("n"), "user_id", "st")
+        .first()
+    )
+    split_us = (big["st"] + big["en"]) // 2
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp, value double")
+            .parquet(landing + "/*")
+            .withWatermark("ts", _SESSION_GAP)
+        )
+        agg = (
+            stream.groupBy(
+                F.session_window("ts", _SESSION_GAP).alias("sw"), "user_id"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)")).alias("tot"),
+            )
+            .select(
+                "user_id",
+                F.unix_micros(F.col("sw.start")).alias("start_us"),
+                F.unix_micros(F.col("sw.end")).alias("end_us"),
+                "n_events",
+                "tot",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+
+    for i, frame in enumerate(
+        (
+            ev.filter(F.unix_micros("ts") < split_us),
+            ev.filter(F.unix_micros("ts") >= split_us),
+            spark.range(1).select(
+                F.lit(-1).cast("bigint").alias("user_id"),
+                F.timestamp_micros(
+                    F.lit(max_us + 3 * _SESSION_GAP_US)
+                ).alias("ts"),
+                F.lit(0.0).alias("value"),
+            ),
+        )
+    ):
+        frame.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(landing, f"b{i}")
+        )
+        run_once()
+    _SESSION_WIN_DONE[key] = out
+    return out
+
+
+@query(
+    "streaming_session_windows",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts)
+                       > {_SESSION_GAP_US}
+                  OR lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS seq
+      FROM flagged
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+           CAST(max(epoch_us(ts)) + {_SESSION_GAP_US} AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (CAST((sum(CAST(value AS DECIMAL(12,2)))) * 100 AS BIGINT)
+              / 100.0) AS total_value
+    FROM s
+    GROUP BY user_id, seq
+    ORDER BY user_id, start_us
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.plans._exact import dec_to_double
+
+    out = _session_windows_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)  # sentinel never emits; defensive
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("start_us").cast("bigint").alias("start_us"),
+            F.col("end_us").cast("bigint").alias("end_us"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            dec_to_double(F.col("tot"), 2).alias("total_value"),
+        )
+        .orderBy("user_id", "start_us")
+    )

@@ -398,3 +398,54 @@ def test_watermark_drop_set_matches_batch_predicate(spark):
     for start in only_dropped:
         assert got.filter(F.col("window_start") == F.lit(start)).count() == 0
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_session_windows_split_session_straddles_restart(spark):
+    """The landing split must fall INSIDE the largest session (its
+    events are divided between the two checkpointed runs) — otherwise
+    the query's parity would not prove cross-restart session merging."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.plans import QUERIES
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _SESSION_GAP_US,
+    )
+    from data_ingestion_din_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["streaming_session_windows"](spark, sf)
+    # recompute the split the staging helper chose
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    w_ord = W.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_ord))
+    s = ev.withColumn(
+        "brk", F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    ).withColumn(
+        "seq",
+        F.sum("brk").over(
+            w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    big = (
+        s.groupBy("user_id", "seq")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("st"),
+            F.max(F.unix_micros("ts")).alias("en"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.desc("n"), "user_id", "st")
+        .first()
+    )
+    assert big["n"] >= 2, "fixture has no multi-event session"
+    split_us = (big["st"] + big["en"]) // 2
+    assert big["st"] < split_us <= big["en"]
+    # the straddling session must appear ONCE in the output, whole
+    row = out.filter(
+        (F.col("user_id") == big["user_id"])
+        & (F.col("start_us") == big["st"])
+    ).collect()
+    assert len(row) == 1
+    assert row[0].n_events == big["n"]
+    # and no sentinel leakage
+    assert out.filter(F.col("user_id") < 0).count() == 0
