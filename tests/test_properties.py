@@ -100,3 +100,51 @@ def test_h64_three_way_agreement(spark, vals):
     want = [w[0] for w in _duck(vals, h64_sql("s"))]
     assert got == want
     assert got == [py_h64(v) for v in vals]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(_texts.filter(bool), min_size=1, max_size=12),
+        min_size=5,
+        max_size=15,
+    )
+)
+def test_minhash_signature_twins_agree(spark, shingle_sets):
+    """MinHash slots (md5 base hash + affine permutations) must agree
+    Spark vs DuckDB for arbitrary shingle sets — every LSH dedup oracle
+    rests on this."""
+    from data_ingestion_din_spark.functions.hashing import (
+        h32_sql,
+        minhash_slot_sql,
+        with_minhash,
+    )
+
+    n = 4
+    rows = [(i, s) for i, s in enumerate(shingle_sets)]
+    df = spark.createDataFrame(rows, "doc_id int, sh array<string>")
+    got = {
+        r.doc_id: tuple(r[f"mh{i}"] for i in range(n))
+        for r in with_minhash(df, F.col("sh"), n, keep=["doc_id"]).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "e",
+        pd.DataFrame(
+            {
+                "doc_id": [i for i, s in rows for _ in s],
+                "shingle": pd.Series(
+                    [x for _, s in rows for x in s], dtype="object"
+                ),
+            }
+        ),
+    )
+    slots = ", ".join(minhash_slot_sql(i) for i in range(n))
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            f"""WITH h AS (SELECT doc_id, {h32_sql("shingle")} AS hb FROM e)
+            SELECT doc_id, {slots} FROM h GROUP BY doc_id"""
+        ).fetchall()
+    }
+    assert got == want
