@@ -39,6 +39,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_latest_snapshot",
     "corpus_bigram_lm",
     "streaming_session_windows",
+    "corpus_length_percentiles",
+    "events_anomaly_zscore",
     # Latest sample is round 2.
     "q6_forecast_revenue",
     "segment_median_order",

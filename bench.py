@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "dedup_incremental_batch",
     "events_latest_snapshot",
     "corpus_bigram_lm",
+    "corpus_length_percentiles",
+    "events_anomaly_zscore",
     # streaming_stream_join is correctness-gated but not benched (one-time
     # incremental stream cost, like streaming_ingest_chunks)
     # streaming_ingest_chunks is correctness-gated but not benched: its

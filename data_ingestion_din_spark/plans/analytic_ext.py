@@ -395,3 +395,129 @@ def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("exact_count"),
         "cms_estimate",
     ).orderBy(F.desc("exact_count"), "tok")
+
+
+# --------------------------------------------------------------------------
+# corpus_length_percentiles — EXACT per-language length percentiles
+# (p25/p50/p75/p95) by middle-rank selection over the sorted stratum
+# (the same exact-median mechanism as blocks_sections' page-median font,
+# generalized to arbitrary ranks) — no approx_percentile, whose sketch
+# state is engine-specific and could never pass the hash gate. One
+# shuffle on lang; rank windows reuse that partitioning.
+# Rank convention: the lower-nearest rank ceil(p·n) clamped to [1, n] on
+# both engines.
+# --------------------------------------------------------------------------
+_PCTS = (25, 50, 75, 95)
+
+
+def _pct_rank_sql(p: int) -> str:
+    return f"greatest(1, CAST(ceil(n * {p} / 100.0) AS BIGINT))"
+
+
+@query(
+    "corpus_length_percentiles",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS len FROM documents
+    ),
+    ranked AS (
+      SELECT lang, len,
+             row_number() OVER (PARTITION BY lang ORDER BY len) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM t
+    )
+    SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+           {", ".join(
+             f"CAST(max(CASE WHEN rk = {_pct_rank_sql(p)} THEN len END) "
+             f"AS BIGINT) AS p{p}" for p in _PCTS
+           )}
+    FROM ranked
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def corpus_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", F.col("n_chars").cast("bigint").alias("len"))
+    wp = W.partitionBy("lang")
+    ranked = t.select(
+        "lang",
+        "len",
+        F.row_number().over(wp.orderBy("len")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def pick(p: int):
+        target = F.greatest(
+            F.lit(1), F.ceil(F.col("n") * p / 100.0).cast("bigint")
+        )
+        return (
+            F.max(F.when(F.col("rk") == target, F.col("len")))
+            .cast("bigint")
+            .alias(f"p{p}")
+        )
+
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            *[pick(p) for p in _PCTS],
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_anomaly_zscore — per-type z-score outliers: mean/std from
+# decimal-exact sums (variance = (Σx² − (Σx)²/n)/(n−1) over
+# DECIMAL(30,8) partials, so both engines compute the IDENTICAL double
+# before the IEEE-exact sqrt/division), flag |z| > 3. The shape every
+# metrics pipeline runs; one shuffle on event_type for the stats, the
+# corpus re-scan joins the tiny stats table broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,4))
+                      * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    ),
+    s2 AS (
+      SELECT event_type, n, sx / n AS mean,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS std
+      FROM stats WHERE n > 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.mean) / s.std AS z
+    FROM events e JOIN s2 s ON s.event_type = e.event_type
+    WHERE abs((e.value - s.mean) / s.std) > 3
+    ORDER BY e.event_id
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,4)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d).cast("double").alias("sx"),
+        F.sum(d * d).cast("double").alias("sxx"),
+    )
+    s2 = stats.filter(F.col("n") > 1).select(
+        "event_type",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(s2), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3)
+        .orderBy("event_id")
+    )
