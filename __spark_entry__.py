@@ -41,6 +41,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_session_windows",
     "corpus_length_percentiles",
     "events_anomaly_zscore",
+    "corpus_langid_confusion",
     # Latest sample is round 2.
     "q6_forecast_revenue",
     "segment_median_order",

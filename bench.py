@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "corpus_bigram_lm",
     "corpus_length_percentiles",
     "events_anomaly_zscore",
+    "corpus_langid_confusion",
     # streaming_stream_join is correctness-gated but not benched (one-time
     # incremental stream cost, like streaming_ingest_chunks)
     # streaming_ingest_chunks is correctness-gated but not benched: its

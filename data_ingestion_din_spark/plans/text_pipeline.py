@@ -537,3 +537,121 @@ def corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pair_n").cast("double") / F.col("head_n")).alias("cond_p"),
         F.col("rk").cast("int").alias("rk"),
     ).orderBy("head", "rk")
+
+
+# --------------------------------------------------------------------------
+# corpus_langid_confusion — n-gram-profile language ID (Cavnar-Trenkle
+# shape), evaluated as a confusion matrix against the fixture's true
+# lang labels: per-language profiles = top-50 char trigrams by document
+# frequency; a doc's predicted language = argmax of |doc's distinct
+# trigrams ∩ profile| (ties → lang asc, no-hit docs → 'none'). All
+# counts integer-exact, so the trained profiles AND the per-doc argmax
+# decisions are under the hash gate.
+#
+# Scale: one (lang, trigram) shuffle for profile training; profiles are
+# k·|langs| rows → broadcast for scoring, so the corpus is scanned once
+# more with no shuffle before the per-doc argmax on doc_id.
+# --------------------------------------------------------------------------
+_LID_K = 50
+_LID_N = 3
+
+
+@query(
+    "corpus_langid_confusion",
+    oracle=f"""
+    WITH tri AS (
+      SELECT DISTINCT doc_id, lang, substr(text, i, {_LID_N}) AS tg
+      FROM documents, unnest(range(1, length(text) - {_LID_N - 2})) r(i)
+      WHERE length(text) >= {_LID_N}
+    ),
+    df AS (
+      SELECT lang, tg, CAST(count(*) AS BIGINT) AS n
+      FROM tri GROUP BY lang, tg
+    ),
+    prof AS (
+      SELECT lang AS plang, tg FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY lang ORDER BY n DESC, tg
+               ) AS rk
+        FROM df
+      ) WHERE rk <= {_LID_K}
+    ),
+    hits AS (
+      SELECT t.doc_id, t.lang, p.plang, CAST(count(*) AS BIGINT) AS hit
+      FROM tri t JOIN prof p ON p.tg = t.tg
+      GROUP BY t.doc_id, t.lang, p.plang
+    ),
+    pred AS (
+      SELECT doc_id, lang, plang AS predicted FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY hit DESC, plang
+               ) AS rk
+        FROM hits
+      ) WHERE rk = 1
+    ),
+    all_docs AS (
+      SELECT d.doc_id, d.lang, coalesce(p.predicted, 'none') AS predicted
+      FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id
+    )
+    SELECT lang AS actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM all_docs
+    GROUP BY lang, predicted
+    ORDER BY actual, predicted
+    """,
+)
+def corpus_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tri = (
+        docs.filter(F.length("text") >= _LID_N)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {_LID_N - 1}), "
+                    f"i -> substring(text, i, {_LID_N}))"
+                )
+            ).alias("tg"),
+        )
+        .distinct()
+    )
+    df = tri.groupBy("lang", "tg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    prof = (
+        df.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.desc("n"), "tg")
+            ),
+        )
+        .filter(F.col("rk") <= _LID_K)
+        .select(F.col("lang").alias("plang"), "tg")
+    )
+    hits = (
+        tri.join(F.broadcast(prof), "tg")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hit"))
+    )
+    pred = (
+        hits.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.desc("hit"), "plang")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("plang").alias("predicted"))
+    )
+    all_docs = docs.select("doc_id", "lang").join(
+        pred, "doc_id", "left"
+    ).select(
+        "lang", F.coalesce(F.col("predicted"), F.lit("none")).alias("predicted")
+    )
+    return (
+        all_docs.groupBy(F.col("lang").alias("actual"), "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
