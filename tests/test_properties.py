@@ -26,9 +26,14 @@ from data_ingestion_din_spark.functions.hashing import h64, h64_sql
 from data_ingestion_din_spark.functions.text import clean_text, clean_text_sql
 
 # NUL is not representable in DuckDB VARCHAR literals/operations the
-# same way; everything else (incl. astral plane, Thai, combining marks)
-# must round-trip identically through both engines.
-_chars = st.characters(blacklist_characters="\x00")
+# same way, and lone surrogates (category Cs) are not valid Unicode
+# scalar values at all — Java strings carry them as UTF-16 artifacts but
+# they cannot round-trip through UTF-8, so they are outside any engine's
+# contract. Everything else (astral plane, Thai, combining marks) must
+# round-trip identically through both engines.
+_chars = st.characters(
+    blacklist_characters="\x00", blacklist_categories=("Cs",)
+)
 _texts = st.text(alphabet=_chars, max_size=40)
 
 date_ish = st.one_of(
