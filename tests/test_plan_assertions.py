@@ -230,3 +230,40 @@ def test_dedup_incremental_batch_plan(spark):
     # self-join, no cartesian; verify + argmax + left join bounded
     assert s["cartesian"] == 0, s
     assert s["exchange"] <= 9, s
+
+
+def test_events_latest_snapshot_plan(spark):
+    s = _stats("events_latest_snapshot", spark)
+    # one shuffle on the upsert key + presentation sort; join-free
+    assert s["cartesian"] == 0 and s["smj"] == 0 and s["bhj"] == 0, s
+    assert s["exchange"] <= 2, s
+
+
+def test_corpus_bigram_lm_plan(spark):
+    s = _stats("corpus_bigram_lm", spark)
+    # one (head, next) shuffle; head totals via window on the same
+    # partitioning — join-free
+    assert s["cartesian"] == 0 and s["smj"] == 0 and s["bhj"] == 0, s
+    assert s["exchange"] <= 3, s
+
+
+def test_corpus_length_percentiles_plan(spark):
+    s = _stats("corpus_length_percentiles", spark)
+    assert s["cartesian"] == 0 and s["smj"] == 0 and s["bhj"] == 0, s
+    assert s["exchange"] <= 2, s
+
+
+def test_events_anomaly_zscore_plan(spark):
+    s = _stats("events_anomaly_zscore", spark)
+    # per-type stats re-join the corpus BROADCAST, never shuffled
+    assert s["bhj"] >= 1 and s["smj"] == 0, s
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 3, s
+
+
+def test_corpus_langid_confusion_plan(spark):
+    s = _stats("corpus_langid_confusion", spark)
+    # the only nested-loop is the broadcast 5-row profile-array attach;
+    # scoring itself is explode-free (no corpus-sized hits shuffle)
+    assert s["cartesian"] <= 1, s
+    assert s["exchange"] <= 7, s
