@@ -42,6 +42,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_length_percentiles",
     "events_anomaly_zscore",
     "corpus_langid_confusion",
+    "corpus_curation_funnel",
     # Latest sample is round 2.
     "q6_forecast_revenue",
     "segment_median_order",

@@ -673,3 +673,133 @@ def corpus_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("actual", "predicted")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_curation_funnel — the operational audit next to corpus_curation:
+# docs and token mass surviving each stage (input → quality/lang gate →
+# exact dedup → per-language budget). Every production curation run
+# ships this table to its operators; a silent stage collapse (gate too
+# tight, dedup eating the corpus) shows here before training does. The
+# scored frame is staged once; each stage is an aggregate branch over
+# it (no corpus re-scan per stage).
+# --------------------------------------------------------------------------
+@query(
+    "corpus_curation_funnel",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             len(list_filter(toks, x -> list_contains({_STOP_LIST_SQL}, x)))
+               AS n_stop,
+             length(regexp_replace(text, '[^A-Za-z0-9฀-๿]', '', 'g'))
+               AS n_word,
+             length(regexp_replace(text, '[^฀-๿]', '', 'g')) AS n_thai,
+             length(text) AS n_chars,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, fp,
+             CAST(n_tok AS BIGINT) AS n_tokens,
+             CASE
+               WHEN n_thai / greatest(n_chars, 1) > 0.3 THEN 'th'
+               WHEN n_stop / greatest(n_tok, 1) > 0.02 THEN 'en'
+               ELSE 'unk'
+             END AS lang_guess,
+             least(n_tok / 20.0, 1.0) * 0.4
+               + (n_word / greatest(n_chars, 1)) * 0.3
+               + least((n_stop / greatest(n_tok, 1)) / 0.1, 1.0) * 0.3
+               AS quality
+      FROM s
+    ),
+    gated AS (
+      SELECT * FROM scored WHERE quality >= 0.5 AND lang_guess <> 'unk'
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    budgeted AS (
+      SELECT * FROM (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (
+                 PARTITION BY lang_guess
+                 ORDER BY quality DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM deduped
+      ) WHERE cum_tokens <= {_CUR_BUDGET}
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage_ord, 'input' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens
+      FROM scored
+      UNION ALL
+      SELECT 1, 'quality_lang_gate', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM gated
+      UNION ALL
+      SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM deduped
+      UNION ALL
+      SELECT 3, 'token_budget', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM budgeted
+    )
+    ORDER BY stage_ord
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        lang_id(F.col("text"), toks).alias("lang_guess"),
+        quality_score(F.col("text"), toks).alias("quality"),
+    ).localCheckpoint(eager=False)
+    gated = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("lang_guess") != "unk")
+    )
+    deduped = (
+        gated.withColumn(
+            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    budgeted = (
+        deduped.withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                W.partitionBy("lang_guess")
+                .orderBy(F.desc("quality"), "doc_id")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .filter(F.col("cum_tokens") <= _CUR_BUDGET)
+    )
+
+    def stage(ord_: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(ord_).alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+
+    return (
+        stage(0, "input", scored)
+        .unionByName(stage(1, "quality_lang_gate", gated))
+        .unionByName(stage(2, "exact_dedup", deduped))
+        .unionByName(stage(3, "token_budget", budgeted))
+        .orderBy("stage_ord")
+    )
