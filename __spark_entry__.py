@@ -43,6 +43,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_anomaly_zscore",
     "corpus_langid_confusion",
     "corpus_curation_funnel",
+    "similarity_lsh_multiprobe",
     # Latest sample is round 2.
     "q6_forecast_revenue",
     "segment_median_order",

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "events_anomaly_zscore",
     "corpus_langid_confusion",
     "corpus_curation_funnel",
+    "similarity_lsh_multiprobe",
     # streaming_stream_join is correctness-gated but not benched (one-time
     # incremental stream cost, like streaming_ingest_chunks)
     # streaming_ingest_chunks is correctness-gated but not benched: its

@@ -466,3 +466,72 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# similarity_lsh_multiprobe — multi-probe LSH (Lv et al. 2007): besides
+# the query's own bucket, probe the 8 buckets that differ in exactly
+# ONE hyperplane sign (bucket XOR 2^i) — the buckets a near neighbor
+# most likely fell into when it landed just across one plane. Recall
+# rises toward exact top-k at ~9 bucket scans instead of doubling
+# table count (the memory-free recall knob next to similarity_lsh_topk's
+# single probe and the multi-table construction in
+# embedding_near_dup_lsh); tests/test_analysis.py pins that multiprobe
+# recall >= single-probe recall on the fixture. Probe set is 9 rows →
+# broadcast; the corpus is scanned once with a bucket equi-join.
+# --------------------------------------------------------------------------
+_MP_MASKS = [0] + [1 << i for i in range(_N_PLANES)]
+
+
+@query(
+    "similarity_lsh_multiprobe",
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id, label, embedding,
+             {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT embedding AS q_embedding, bucket AS q_bucket FROM h
+      WHERE vec_id = 0
+    ),
+    probes AS (
+      SELECT q_embedding, xor(q_bucket, m) AS bucket
+      FROM q, unnest({_MP_MASKS}) t(m)
+    )
+    SELECT h.vec_id, h.label,
+           {cosine_exact_sql('h.embedding', 'p.q_embedding')} AS cos_sim
+    FROM h JOIN probes p ON h.bucket = p.bucket
+    WHERE h.vec_id <> 0
+    ORDER BY cos_sim DESC, h.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.operators.similarity import lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hashed = lsh_bucket(emb, n_planes=_N_PLANES, exact=True)
+    q = hashed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("qb")
+    )
+    probes = q.select(
+        "q_embedding",
+        "qb",
+        F.explode(F.array(*[F.lit(m) for m in _MP_MASKS])).alias("m"),
+    ).select(
+        "q_embedding", F.col("qb").bitwiseXOR(F.col("m")).alias("bucket")
+    )
+    return (
+        hashed.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), "bucket")
+        .select(
+            "vec_id",
+            "label",
+            cosine_exact(F.col("embedding"), F.col("q_embedding")).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )

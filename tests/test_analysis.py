@@ -136,3 +136,24 @@ def test_stream_join_cross_run_matches(spark):
     n_total = out.count()
     assert n_total > 0
     assert 0 < n_run2 < n_total
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe candidates are a superset of the single bucket's, so
+    its recall vs the exact top-10 can never be lower — and on the
+    fixture it should actually find at least as many true neighbors."""
+    from data_ingestion_din_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r.vec_id for r in QUERIES["similarity_topk"](spark, sf).collect()
+    }
+    single = {
+        r.vec_id for r in QUERIES["similarity_lsh_topk"](spark, sf).collect()
+    }
+    multi = {
+        r.vec_id
+        for r in QUERIES["similarity_lsh_multiprobe"](spark, sf).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    assert single <= multi or len(multi) == 10  # superset candidates
