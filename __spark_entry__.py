@@ -44,6 +44,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_langid_confusion",
     "corpus_curation_funnel",
     "similarity_lsh_multiprobe",
+    "tables_column_profile",
     # Latest sample is round 2.
     "q6_forecast_revenue",
     "segment_median_order",

@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "corpus_langid_confusion",
     "corpus_curation_funnel",
     "similarity_lsh_multiprobe",
+    "tables_column_profile",
     # streaming_stream_join is correctness-gated but not benched (one-time
     # incremental stream cost, like streaming_ingest_chunks)
     # streaming_ingest_chunks is correctness-gated but not benched: its

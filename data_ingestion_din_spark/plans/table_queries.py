@@ -706,3 +706,90 @@ def table_transactions_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_date_any_staged(
         var, "date_variant", "parse_kind", "parsed_date"
     ).orderBy("table_id", "row_idx")
+
+
+# --------------------------------------------------------------------------
+# tables_column_profile — data profiling over the extracted-cell view
+# (the "describe" every ingestion pipeline ships): per canonical column,
+# cell count, empty rate, numeric-shaped count, distinct cardinality and
+# the modal value (deterministic tie-break). One shuffle on
+# (canon_name, value) with map-side partials; the per-column rollup and
+# argmax reuse that partitioning's output — profile cost is bounded by
+# distinct (column, value) pairs, not raw cells.
+# --------------------------------------------------------------------------
+_NUMERIC_CELL_RE = r"^\(?-?[0-9][0-9,]*(\.[0-9]+)?\)?( บาท)?$"
+
+
+@query(
+    "tables_column_profile",
+    oracle=f"""{_CELLS_CTES},
+    vc AS (
+      SELECT canon_name, value, CAST(count(*) AS BIGINT) AS n
+      FROM named GROUP BY canon_name, value
+    ),
+    prof AS (
+      SELECT canon_name,
+             CAST(sum(n) AS BIGINT) AS n_cells,
+             CAST(sum(CASE WHEN trim(value) = '' THEN n ELSE 0 END)
+                  AS BIGINT) AS n_empty,
+             CAST(sum(CASE WHEN regexp_matches(value,
+                  '{_NUMERIC_CELL_RE}') THEN n ELSE 0 END)
+                  AS BIGINT) AS n_numeric,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM vc GROUP BY canon_name
+    ),
+    top AS (
+      SELECT canon_name, value AS top_value, n AS top_n FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY canon_name ORDER BY n DESC, value
+               ) AS rk
+        FROM vc
+      ) WHERE rk = 1
+    )
+    SELECT p.canon_name, p.n_cells, p.n_empty, p.n_numeric, p.n_distinct,
+           t.top_value, t.top_n
+    FROM prof p JOIN top t USING (canon_name)
+    ORDER BY canon_name
+    """,
+)
+def tables_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.operators.tables_ops import (
+        elect_header,
+        table_cells,
+    )
+
+    cells = table_cells(
+        elect_header(table_blocks(spark, sf_dir))
+    ).select("canon_name", "value")
+    vc = cells.groupBy("canon_name", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).localCheckpoint(eager=False)  # feeds the rollup AND the argmax
+    prof = vc.groupBy("canon_name").agg(
+        F.sum("n").cast("bigint").alias("n_cells"),
+        F.sum(F.when(F.trim("value") == "", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_empty"),
+        F.sum(
+            F.when(F.col("value").rlike(_NUMERIC_CELL_RE), F.col("n")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_numeric"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    top = (
+        vc.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("canon_name").orderBy(F.desc("n"), "value")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "canon_name",
+            F.col("value").alias("top_value"),
+            F.col("n").alias("top_n"),
+        )
+    )
+    return prof.join(top, "canon_name").orderBy("canon_name")
