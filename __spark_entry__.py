@@ -45,6 +45,8 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_curation_funnel",
     "similarity_lsh_multiprobe",
     "tables_column_profile",
+    "events_cohort_ltv",
+    "dedup_cluster_size_hist",
     # Latest sample is round 2.
     "q6_forecast_revenue",
     "segment_median_order",

@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "corpus_curation_funnel",
     "similarity_lsh_multiprobe",
     "tables_column_profile",
+    "events_cohort_ltv",
+    "dedup_cluster_size_hist",
     # streaming_stream_join is correctness-gated but not benched (one-time
     # incremental stream cost, like streaming_ingest_chunks)
     # streaming_ingest_chunks is correctness-gated but not benched: its

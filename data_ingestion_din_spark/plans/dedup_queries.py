@@ -1017,3 +1017,77 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_cluster_size_hist — the dedup-tuning observability table: the
+# near-dup cluster size distribution (how much of the corpus collapses,
+# and into how-big clusters), including the singleton bucket for docs
+# with no near-dup at all. Reading this histogram is how a curation
+# operator picks thresholds before committing to a corpus-wide delete;
+# cost on top of the CC pipeline is one tiny groupBy on cluster_id then
+# on size.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_cluster_size_hist",
+    oracle=f"""
+    WITH RECURSIVE {_BANDED_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM verified
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM verified
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT e.s AS node, r.r FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    csizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM clusters GROUP BY cluster_id
+    ),
+    hist AS (
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+      FROM csizes GROUP BY cluster_size
+      UNION ALL
+      SELECT CAST(1 AS BIGINT),
+             (SELECT CAST(count(*) AS BIGINT) FROM documents)
+               - (SELECT CAST(coalesce(count(*), 0) AS BIGINT) FROM clusters)
+    )
+    SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+    FROM hist
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_banded_pairs(
+        docs, n_hashes=_NB_HASHES, bands=_NB_BANDS, shingle_n=3, threshold=0.5
+    )
+    clusters = D.connected_components(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    n_docs = docs.count()  # iteration-control scalar, like the CC rounds
+    n_clustered = clusters.count()
+    singletons = (
+        docs.sparkSession.range(1)
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            F.lit(n_docs - n_clustered).cast("bigint").alias("n_clusters"),
+        )
+    )
+    return (
+        hist.unionByName(singletons)
+        .groupBy("cluster_size")
+        .agg(F.sum("n_clusters").cast("bigint").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )

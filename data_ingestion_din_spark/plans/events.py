@@ -716,3 +716,68 @@ def events_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# events_cohort_ltv — weekly-cohort revenue (the LTV table next to the
+# count-based retention above): users grouped by first-seen week, then
+# purchase revenue accumulated per (cohort week, week offset) with
+# decimal-exact sums. Same two-shuffle shape as retention — the cohort
+# map is per-user (broadcastable at any realistic user count), revenue
+# rows join it without re-shuffling on anything wider than user_id.
+# --------------------------------------------------------------------------
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH coh AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events
+      GROUP BY user_id
+    ),
+    rev AS (
+      SELECT e.user_id, coh.cohort,
+             CAST(date_diff('week', coh.cohort,
+                            date_trunc('week', e.ts)) AS INT) AS week_offset,
+             CAST(e.value AS DECIMAL(12,2)) AS v
+      FROM events e JOIN coh ON coh.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT cohort AS cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+           (CAST(sum(v) * 100 AS BIGINT) / 100.0) AS revenue
+    FROM rev
+    GROUP BY cohort, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.plans._exact import dec_to_double
+
+    ev = load_table(spark, sf_dir, "events")
+    coh = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(coh), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        )
+    )
+    return (
+        rev.groupBy(F.col("cohort").alias("cohort_week"), "week_offset")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.countDistinct("user_id").cast("bigint").alias("n_buyers"),
+            dec_to_double(F.sum("v"), 2).alias("revenue"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
