@@ -47,6 +47,7 @@ _DRIVER_PRIORITY: list[str] = [
     "tables_column_profile",
     "events_cohort_ltv",
     "dedup_cluster_size_hist",
+    "dedup_minhash_estimate_audit",
     # Latest sample is round 2.
     "q6_forecast_revenue",
     "segment_median_order",

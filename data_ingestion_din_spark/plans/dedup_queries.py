@@ -1091,3 +1091,109 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_clusters").cast("bigint").alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_estimate_audit — estimator-vs-truth: for every banded
+# candidate pair, the signature-based Jaccard ESTIMATE (fraction of
+# matching minhash slots — what a production pipeline would trust at
+# scale to skip the exact verify) next to the exact shingle Jaccard and
+# the signed error. This is the table that justifies (or refutes)
+# dropping the verify stage at a given signature width; 8 slots is
+# deliberately coarse so the fixture shows real estimator error. Cost on
+# top of the banded join: two signature-table lookups per candidate.
+# --------------------------------------------------------------------------
+_EST_SLOT_MATCHES = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(_NB_HASHES)
+)
+
+
+@query(
+    "dedup_minhash_estimate_audit",
+    oracle=f"""
+    WITH {_BANDED_CTES},
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(({_EST_SLOT_MATCHES}) AS DOUBLE) / {_NB_HASHES}
+               AS est_jaccard
+      FROM cand c
+      JOIN sig a ON a.doc_id = c.doc_a
+      JOIN sig b ON b.doc_id = c.doc_b
+    ),
+    ex AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(coalesce(i.inter, 0) AS DOUBLE)
+               / (sa.n + sb.n - coalesce(i.inter, 0)) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard,
+           e.est_jaccard - x.jaccard AS err
+    FROM est e JOIN ex x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+    ORDER BY e.doc_a, e.doc_b
+    """,
+)
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import (
+        tokens,
+        word_shingles,
+    )
+    from data_ingestion_din_spark.functions.hashing import with_minhash
+    from data_ingestion_din_spark.sources.tables import scan_parallel
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh_arr = F.array_distinct(word_shingles(tokens(F.col("text")), 3))
+    sh_base = scan_parallel(docs).select(
+        "doc_id", sh_arr.alias("sh")
+    ).filter(F.size("sh") > 0)
+    sigs = with_minhash(sh_base, F.col("sh"), _NB_HASHES).localCheckpoint(
+        eager=False
+    )
+    r = _NB_HASHES // _NB_BANDS
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(f"b{j}"),
+                    *[F.col(f"mh{j * r + i}").cast("string") for i in range(r)],
+                )
+            )
+            for j in range(_NB_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    side = lambda suf: sigs.select(
+        F.col("doc_id").alias(f"doc_{suf}"),
+        F.col("sh").alias(f"sh_{suf}"),
+        *[F.col(f"mh{i}").alias(f"mh{i}_{suf}") for i in range(_NB_HASHES)],
+    )
+    joined = cand.join(side("a"), "doc_a").join(side("b"), "doc_b")
+    slot_matches = None
+    for i in range(_NB_HASHES):
+        t = F.when(F.col(f"mh{i}_a") == F.col(f"mh{i}_b"), 1).otherwise(0)
+        slot_matches = t if slot_matches is None else slot_matches + t
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    )
+    est = slot_matches.cast("double") / _NB_HASHES
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        est.alias("est_jaccard"),
+        jac.alias("jaccard"),
+        (est - jac).alias("err"),
+    ).orderBy("doc_a", "doc_b")
