@@ -48,6 +48,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_cohort_ltv",
     "dedup_cluster_size_hist",
     "dedup_minhash_estimate_audit",
+    "events_dau_wau",
     # Latest sample is round 2.
     "q6_forecast_revenue",
     "segment_median_order",

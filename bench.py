@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "events_cohort_ltv",
     "dedup_cluster_size_hist",
     "dedup_minhash_estimate_audit",
+    "events_dau_wau",
     # streaming_stream_join is correctness-gated but not benched (one-time
     # incremental stream cost, like streaming_ingest_chunks)
     # streaming_ingest_chunks is correctness-gated but not benched: its

@@ -781,3 +781,78 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# events_dau_wau — daily actives + trailing-7-day actives (the DAU/WAU
+# engagement pair). WAU needs a DISTINCT over a sliding window, which no
+# window frame expresses directly; the scalable restatement: each
+# (user, active day) row CONTRIBUTES to the 7 calendar days it is
+# inside, so explode the contribution range and count distinct users
+# per day. Shuffle volume is |user-days| × 7 narrow rows — independent
+# of raw event volume (the distinct-by-day compaction runs first).
+# Trailing days beyond the last activity day are clipped so every
+# reported day is a real calendar day of the fixture.
+# --------------------------------------------------------------------------
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    bounds AS (SELECT max(d) AS dmax FROM act),
+    contrib AS (
+      SELECT a.user_id, a.d + to_days(CAST(o AS INT)) AS day
+      FROM act a, unnest(range(0, 7)) t(o), bounds b
+      WHERE a.d + to_days(CAST(o AS INT)) <= b.dmax
+    ),
+    wau AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM contrib GROUP BY day
+    ),
+    dau AS (
+      SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY d
+    )
+    SELECT w.day, coalesce(d.dau, 0) AS dau, w.wau,
+           CAST(coalesce(d.dau, 0) AS DOUBLE) / w.wau AS stickiness
+    FROM wau w LEFT JOIN dau d ON d.day = w.day
+    ORDER BY w.day
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    dmax = act.agg(F.max("d")).first()[0]  # setup scalar (1 row)
+    contrib = (
+        act.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+            "d",
+        )
+        .select(
+            "user_id",
+            F.date_add(F.col("d"), F.col("o")).cast("timestamp").alias("day"),
+        )
+        .filter(F.col("day") <= F.lit(dmax))
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    dau = act.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("bigint").alias("dau"),
+            "wau",
+            (
+                F.coalesce(F.col("dau"), F.lit(0)).cast("double")
+                / F.col("wau")
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
