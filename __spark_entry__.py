@@ -25,6 +25,12 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # round-3-sampled block oldest-first (VERDICT r4 next-round #6).
 _DRIVER_PRIORITY: list[str] = [
     # Round-5 additions — never driver-sampled.
+    "similarity_pq_topk",
+    "similarity_pq_recall",
+    "dedup_semantic_kmeans",
+    "events_hll_distinct",
+    "doc_bigram_lm_score",
+    "corpus_bpe_merge_step",
     "eval_judged_summary",
     "eval_judged_scores",
     "overlay_boxes",

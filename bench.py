@@ -167,6 +167,12 @@ BENCH_QUERIES = [
     "dedup_cluster_size_hist",
     "dedup_minhash_estimate_audit",
     "events_dau_wau",
+    "similarity_pq_topk",
+    "similarity_pq_recall",
+    "dedup_semantic_kmeans",
+    "events_hll_distinct",
+    "doc_bigram_lm_score",
+    "corpus_bpe_merge_step",
     # streaming_stream_join is correctness-gated but not benched (one-time
     # incremental stream cost, like streaming_ingest_chunks)
     # streaming_ingest_chunks is correctness-gated but not benched: its

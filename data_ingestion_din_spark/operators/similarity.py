@@ -272,3 +272,124 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
             new[c] if c in seen else cents[c - 1] for c in range(1, k + 1)
         ]
     return assigned.select("vec_id", "cluster")
+
+
+def pq_assign(
+    emb: DataFrame, n_sub: int = 4, k: int = 4, iters: int = 1
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """Product quantization (Jégou et al. 2011) code assignment: split
+    each quantized vector into ``n_sub`` equal subvectors, train a
+    ``k``-code codebook per subspace with the same integer-exact Lloyd
+    machinery as :func:`kmeans_assign` (seeds = the ``k`` lowest-vec_id
+    rows' subvectors, truncated-integer centroid means, argmin with
+    lowest-code tie-break), and return
+
+    - a DataFrame ``(vec_id, m, code)`` — one row per (vector, subspace),
+    - the trained codebooks ``cb[m][code] = centroid ints`` for building
+      ADC (asymmetric distance computation) lookup tables driver-side.
+
+    Every step is deterministic in integer arithmetic, so the oracle SQL
+    can unroll the identical training and the CODES themselves sit under
+    the hash gate. Physical shape per iteration: codebooks are
+    n_sub·k·(dims/n_sub) ints — collected and re-broadcast as literals
+    (iteration control, not data); assignment is a narrow argmin
+    expression; the M-step is one (m, code, dim) integer-partial shuffle.
+    """
+    from data_ingestion_din_spark.functions.vectors import quantize
+
+    base = (
+        emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        .localCheckpoint(eager=True)
+    )
+    seed_rows = base.orderBy("vec_id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"pq_assign: need at least k={k} vectors, got {len(seed_rows)}"
+        )
+    dims = len(seed_rows[0].qv)
+    if dims % n_sub != 0:
+        raise ValueError(
+            f"pq_assign: dims={dims} not divisible by n_sub={n_sub}"
+        )
+    d_sub = dims // n_sub
+    # cb[m][code] = subvector slice of the code-th lowest-vec_id row
+    cb = [
+        [list(r.qv)[m * d_sub : (m + 1) * d_sub] for r in seed_rows]
+        for m in range(n_sub)
+    ]
+    sub = base.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_sub - 1}), "
+                f"m -> struct(m AS m, slice(qv, m * {d_sub} + 1, {d_sub})"
+                " AS sv))"
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.m").alias("m"), F.col("x.sv").alias("sv"))
+
+    def _cb_lit(cbm: list[list[list[int]]]) -> Column:
+        return F.expr(
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(
+                    "array(" + ",".join(f"{v}L" for v in c) + ")"
+                    for c in codes
+                )
+                + ")"
+                for codes in cbm
+            )
+            + ")"
+        )
+
+    def _assign(cbm: list[list[list[int]]]) -> DataFrame:
+        dists = F.transform(
+            F.element_at(_cb_lit(cbm), F.col("m") + 1),
+            lambda c: F.aggregate(
+                F.zip_with(F.col("sv"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        staged = sub.select("vec_id", "m", "sv", dists.alias("_d"))
+        return staged.select(
+            "vec_id",
+            "m",
+            "sv",
+            F.array_position(F.col("_d"), F.array_min(F.col("_d")))
+            .cast("int")
+            .alias("code"),
+        )
+
+    def tdiv(s: int, n: int) -> int:  # truncating div (DuckDB `//`)
+        return s // n if (s >= 0) == (n >= 0) or s % n == 0 else s // n + 1
+
+    assigned = None
+    for _ in range(iters):
+        assigned = _assign(cb)
+        sums = (
+            assigned.select("m", "code", F.posexplode("sv").alias("dim", "v"))
+            .groupBy("m", "code", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {
+            (m, c): [0] * d_sub
+            for m in range(n_sub)
+            for c in range(1, k + 1)
+        }
+        seen = set()
+        for r in sums:
+            new[(r.m, r.code)][r.dim] = tdiv(int(r.s), int(r.n))
+            seen.add((r.m, r.code))
+        # empty code: keep its previous centroid (deterministic)
+        cb = [
+            [
+                new[(m, c)] if (m, c) in seen else cb[m][c - 1]
+                for c in range(1, k + 1)
+            ]
+            for m in range(n_sub)
+        ]
+        assigned = _assign(cb)
+    return assigned.select("vec_id", "m", "code"), cb

@@ -856,3 +856,115 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# events_hll_distinct — HyperLogLog distinct-count estimation per event
+# type, the second sketch family next to events_kmv_distinct. Spark's
+# approx_count_distinct is HLL++ with engine-private state, so instead
+# the sketch is built from the portable md5-derived h64: bucket = low 6
+# bits (m = 64 registers), register = max leading-zero rank of the
+# remaining 54 bits. Ranks come from length(bin(w)) — identical minimal
+# binary rendering in both engines — so the REGISTERS are integer-exact,
+# and the harmonic mean is computed as a scaled-integer sum
+# S = Σ 2^(32 − min(rank, 32)) (≤ 64·2^32, exact BIGINT in any
+# summation order) with ONE final double division: the estimate itself
+# sits under the hash gate. Raw HLL estimator, no small-range linear
+# counting (that correction needs libm ln — documented exclusion, same
+# rationale as sigmoid).
+#
+# Scale: the groupBy carries m·ranks integer state with map-side
+# partial max — constant size per group regardless of cardinality; the
+# rollup reads 64 rows per group. This is the shape approx_count_
+# distinct executes, with every bit reproducible.
+# --------------------------------------------------------------------------
+_HLL_M = 64  # registers (p = 6)
+# alpha_64 * m^2 * 2^32 — the estimator numerator, one double literal
+_HLL_NUM = 0.709 * 64.0 * 64.0 * 4294967296.0
+
+
+@query(
+    "events_hll_distinct",
+    oracle=f"""
+    WITH uh AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    br AS (
+      SELECT event_type,
+             h % {_HLL_M} AS bucket,
+             CASE WHEN h // {_HLL_M} = 0 THEN 55
+                  ELSE 55 - length(bin(h // {_HLL_M})) END AS rnk
+      FROM uh
+    ),
+    reg AS (
+      SELECT event_type, bucket, max(rnk) AS r
+      FROM br GROUP BY event_type, bucket
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             sum(CAST(1 AS BIGINT) << (32 - least(r, 32)))
+               + ({_HLL_M} - count(*)) * 4294967296 AS s_scaled
+      FROM reg GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, ex.n_exact, s.n_buckets,
+           CAST(s.s_scaled AS BIGINT) AS s_scaled,
+           round({_HLL_NUM!r} / CAST(s.s_scaled AS DOUBLE), 4)
+             AS hll_estimate
+    FROM s JOIN ex ON s.event_type = ex.event_type
+    ORDER BY s.event_type
+    """,
+)
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    ev = load_table(spark, sf_dir, "events")
+    uh = ev.select(
+        "event_type",
+        h64(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))).alias(
+            "h"
+        ),
+    ).distinct()
+    # `h div m`, NOT h/m-and-cast: the double division would round a
+    # 60-bit hash above 2^53 before the floor.
+    w = F.expr(f"h div {_HLL_M}")
+    br = uh.select(
+        "event_type",
+        F.pmod(F.col("h"), F.lit(_HLL_M)).alias("bucket"),
+        F.when(w == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(w)))
+        .alias("rnk"),
+    )
+    reg = br.groupBy("event_type", "bucket").agg(F.max("rnk").alias("r"))
+    s = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 32 - least(r, 32))"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(4294967296)
+        )
+        .cast("bigint")
+        .alias("s_scaled"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_exact")
+    )
+    return (
+        s.join(ex, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_buckets",
+            "s_scaled",
+            F.round(
+                F.lit(_HLL_NUM) / F.col("s_scaled").cast("double"), 4
+            ).alias("hll_estimate"),
+        )
+        .orderBy("event_type")
+    )

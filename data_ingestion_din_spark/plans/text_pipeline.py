@@ -803,3 +803,154 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(3, "token_budget", budgeted))
         .orderBy("stage_ord")
     )
+
+
+# --------------------------------------------------------------------------
+# doc_bigram_lm_score — per-document LM familiarity, the perplexity-
+# bucketing quality signal (CCNet's KenLM stage) restated with integer-
+# exact corpus statistics: each document's bigrams are scored by their
+# corpus-wide frequency, rolled up to a per-doc average and a
+# common-bigram ratio. No libm log — the two ratios are single divisions
+# of exact integers, so the signal sits fully under the hash gate
+# (doc_rare_token_ratio is the unigram lens; this is the bigram/fluency
+# lens a perplexity filter approximates).
+#
+# Scale: one (head, next) shuffle for the corpus pair counts (map-side
+# partials carry it), one pair-key shuffle join back (the count table is
+# the bigram long tail — NOT broadcastable, honestly so), one doc_id
+# rollup. At production the pair-count table is staged once and reused
+# across quality passes, exactly like the df table in
+# doc_rare_token_ratio.
+# --------------------------------------------------------------------------
+_LMS_COMMON = 5  # a bigram seen >= this often corpus-wide is "common"
+
+
+@query(
+    "doc_bigram_lm_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    prs AS (
+      SELECT doc_id, t[i] AS head, t[i + 1] AS next
+      FROM t, unnest(range(1, len(t))) r(i)
+      WHERE i < len(t)
+    ),
+    pc AS (
+      SELECT head, next, CAST(count(*) AS BIGINT) AS pair_n
+      FROM prs GROUP BY head, next
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(c.pair_n) AS BIGINT) AS freq_sum,
+           CAST(sum(c.pair_n) AS DOUBLE) / count(*) AS avg_pair_freq,
+           CAST(sum(CASE WHEN c.pair_n >= {_LMS_COMMON} THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS common_ratio
+    FROM prs p JOIN pc c ON p.head = c.head AND p.next = c.next
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # size >= 2 guard: sequence() descends for shorter docs (see
+    # corpus_bigram_lm); the oracle's WHERE i < len(t) matches.
+    t = docs.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 2)
+    prs = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS head, t[i] AS next))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.head", "p.next")
+    pc = prs.groupBy("head", "next").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_n")
+    )
+    n = F.count(F.lit(1))
+    return (
+        prs.join(pc, ["head", "next"])
+        .groupBy("doc_id")
+        .agg(
+            n.cast("bigint").alias("n_bigrams"),
+            F.sum("pair_n").cast("bigint").alias("freq_sum"),
+            (F.sum("pair_n").cast("double") / n).alias("avg_pair_freq"),
+            (
+                F.sum(
+                    F.when(F.col("pair_n") >= _LMS_COMMON, 1).otherwise(0)
+                ).cast("double")
+                / n
+            ).alias("common_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_bpe_merge_step — one step of BPE tokenizer TRAINING: the
+# corpus-wide frequency of every adjacent character pair inside words
+# (weighted by word frequency), ranked — the statistic whose argmax is
+# the merge a BPE trainer commits each round (Sennrich et al. 2016;
+# doc_bpe_token_stats applies a trained tokenizer, this trains one).
+# Counts are integers end to end, so the merge DECISION itself is
+# hash-checked.
+#
+# Scale: the pair counting runs over the DISTINCT-word table (one token
+# shuffle, vocabulary-sized — orders of magnitude smaller than the
+# corpus), then one (pair) shuffle of integer partials; top-k is a
+# TakeOrdered, not a global sort.
+# --------------------------------------------------------------------------
+_BPE_TOPK = 20
+
+
+@query(
+    "corpus_bpe_merge_step",
+    oracle=f"""
+    WITH w AS (SELECT unnest({_TOKS_SQL}) AS w FROM documents),
+    wn AS (SELECT w, count(*) AS wn FROM w GROUP BY w),
+    p AS (
+      SELECT substr(w, i, 2) AS pair, wn
+      FROM wn, unnest(range(1, length(w))) r(i)
+      WHERE length(w) >= 2 AND i < length(w)
+    ),
+    pc AS (SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p GROUP BY pair),
+    ranked AS (
+      SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk
+      FROM pc
+    )
+    SELECT pair, n, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_BPE_TOPK}
+    ORDER BY rk
+    """,
+)
+def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    wn = words.groupBy("w").agg(F.count(F.lit(1)).alias("wn"))
+    pairs = (
+        wn.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substr(w, i, 2))"
+                )
+            ).alias("pair"),
+            "wn",
+        )
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("wn").cast("bigint").alias("n"))
+    # top-k via TakeOrderedAndProject (per-task heaps) BEFORE the rank
+    # window, so the single-partition window sees exactly k rows at any
+    # corpus size (the retrieval_hybrid_rrf pattern).
+    top = pc.orderBy(F.desc("n"), F.asc("pair")).limit(_BPE_TOPK)
+    ranked = top.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.desc("n"), F.asc("pair"))),
+    )
+    return ranked.select(
+        "pair", "n", F.col("rk").cast("int").alias("rk")
+    ).orderBy("rk")

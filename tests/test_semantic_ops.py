@@ -1,0 +1,147 @@
+"""Invariant tests for the round-5 semantic/sketch additions: product
+quantization, SemDeDup pruning, HLL distinct estimation, bigram LM
+familiarity, and the BPE merge-step statistic. Oracle parity runs in
+scripts/verify_local.py; these pin the operator-level semantics with an
+independent reformulation (division-based cosine vs the queries'
+multiplicative test, driver-side ADC recompute, estimator error bounds).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data_ingestion_din_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_pq_codes_complete_and_bounded(spark):
+    from data_ingestion_din_spark.operators.similarity import pq_assign
+    from data_ingestion_din_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    codes, cb = pq_assign(emb, n_sub=4, k=4, iters=1)
+    rows = codes.collect()
+    assert len(rows) == n * 4
+    assert all(1 <= r.code <= 4 for r in rows)
+    assert len(cb) == 4 and all(len(c) == 4 for c in cb)
+    assert all(len(cent) == 16 for c in cb for cent in c)
+
+
+def test_pq_adc_dist_matches_driver_recompute(spark):
+    """adc_dist from the query = Σ_m ||q0_m − cb[m][code_m(v)]||²
+    recomputed in plain Python from the collected codes/codebooks."""
+    from data_ingestion_din_spark.operators.similarity import pq_assign
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    codes, cb = pq_assign(emb, n_sub=4, k=4, iters=1)
+    q0 = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(quantize(F.col("embedding")).alias("qv"))
+        .collect()[0]
+        .qv
+    )
+    code_map = {
+        (r.vec_id, r.m): r.code for r in codes.collect()
+    }
+    expected = {}
+    vec_ids = {v for v, _ in code_map}
+    for v in vec_ids:
+        if v == 0:
+            continue
+        expected[v] = sum(
+            sum(
+                (int(q0[m * 16 + i]) - cb[m][code_map[(v, m)] - 1][i]) ** 2
+                for i in range(16)
+            )
+            for m in range(4)
+        )
+    rows = QUERIES["similarity_pq_topk"](spark, SF).collect()
+    assert rows  # top-10 non-empty
+    for r in rows:
+        assert expected[r.vec_id] == r.adc_dist
+    # exact-cosine rerank ordering, descending with vec_id tiebreak
+    keys = [(-r.cos_sim, r.vec_id) for r in rows]
+    assert keys == sorted(keys)
+    # every returned vec sits inside the ADC shortlist (top-50 by
+    # (adc_dist, vec_id))
+    shortlist = {
+        v for v, _ in sorted(expected.items(), key=lambda kv: (kv[1], kv[0]))[:50]
+    }
+    assert all(r.vec_id in shortlist for r in rows)
+
+
+def test_semdedup_prune_agrees_with_exact_cosine(spark):
+    """Re-derive keep/prune with the division-based exact cosine: a vec
+    is pruned iff some lower-id same-cluster member has cos >= 0.4."""
+    from data_ingestion_din_spark.functions.vectors import cosine_exact
+    from data_ingestion_din_spark.operators.similarity import kmeans_assign
+    from data_ingestion_din_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    out = {
+        r.vec_id: (r.cluster, r.n_close, r.keep)
+        for r in QUERIES["dedup_semantic_kmeans"](spark, SF).collect()
+    }
+    assigned = kmeans_assign(emb, k=8, iters=2)
+    v = assigned.join(emb, "vec_id")
+    a = v.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cluster").alias("ac"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cluster").alias("bc"),
+        F.col("embedding").alias("b_emb"),
+    )
+    close = (
+        a.join(b, (F.col("ac") == F.col("bc")) & (F.col("a_id") < F.col("b_id")))
+        .withColumn("cos", cosine_exact(F.col("a_emb"), F.col("b_emb")))
+        .filter(F.col("cos") >= 0.4)
+        .groupBy("b_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    expect_n = {r.b_id: r.n for r in close}
+    for vec_id, (_, n_close, keep) in out.items():
+        assert n_close == expect_n.get(vec_id, 0)
+        assert keep == (n_close == 0)
+    # clusters in the output match the verified k-means assignment
+    clusters = {r.vec_id: r.cluster for r in assigned.collect()}
+    for vec_id, (cluster, _, _) in out.items():
+        assert clusters[vec_id] == cluster
+
+
+def test_hll_estimate_error_bounded(spark):
+    """m=64 registers → standard error 1.04/√64 = 13%; assert every
+    per-type estimate is within 3σ (≈40%) of the exact count."""
+    rows = QUERIES["events_hll_distinct"](spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert r.n_buckets <= 64
+        rel = abs(r.hll_estimate - r.n_exact) / r.n_exact
+        assert rel < 0.4, f"{r.event_type}: {r.hll_estimate} vs {r.n_exact}"
+
+
+def test_bigram_lm_score_bounds(spark):
+    rows = QUERIES["doc_bigram_lm_score"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # every doc bigram occurs at least once corpus-wide (itself)
+        assert r.freq_sum >= r.n_bigrams
+        assert r.avg_pair_freq >= 1.0
+        assert 0.0 <= r.common_ratio <= 1.0
+
+
+def test_bpe_merge_step_ranking(spark):
+    rows = QUERIES["corpus_bpe_merge_step"](spark, SF).collect()
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    assert all(len(r.pair) == 2 for r in rows)
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert len({r.pair for r in rows}) == len(rows)
