@@ -267,3 +267,43 @@ def test_corpus_langid_confusion_plan(spark):
     # scoring itself is explode-free (no corpus-sized hits shuffle)
     assert s["cartesian"] <= 1, s
     assert s["exchange"] <= 7, s
+
+
+def test_dedup_semantic_kmeans_plan(spark):
+    s = _stats("dedup_semantic_kmeans", spark)
+    # cluster-local pairwise: cluster equi-join (sort-merge at scale),
+    # NEVER a cartesian all-pairs
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 5, s
+
+
+def test_similarity_pq_topk_plan(spark):
+    s = _stats("similarity_pq_topk", spark)
+    # ADC scoring is a narrow projection over codes; the only nested-loop
+    # is the documented broadcast 1-row probe-vector attach
+    assert s["cartesian"] <= 1, s
+    assert s["exchange"] <= 3, s
+    assert s["bhj"] >= 1, s
+
+
+def test_doc_bigram_lm_score_plan(spark):
+    s = _stats("doc_bigram_lm_score", spark)
+    # pair-count shuffle + pair-key join back + doc rollup
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 4, s
+
+
+def test_events_hll_distinct_plan(spark):
+    s = _stats("events_hll_distinct", spark)
+    # register build: distinct + (type, bucket) max + type rollup; exact
+    # side joins back — constant sketch state per group, no cartesian
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 6, s
+
+
+def test_corpus_bpe_merge_step_plan(spark):
+    s = _stats("corpus_bpe_merge_step", spark)
+    # word-vocab shuffle + pair shuffle; top-k is TakeOrdered before the
+    # 20-row rank window
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 2, s
