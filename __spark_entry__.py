@@ -31,6 +31,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_hll_distinct",
     "doc_bigram_lm_score",
     "corpus_bpe_merge_step",
+    "corpus_phrase_mining",
     "eval_judged_summary",
     "eval_judged_scores",
     "overlay_boxes",

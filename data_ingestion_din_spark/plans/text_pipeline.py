@@ -954,3 +954,117 @@ def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "pair", "n", F.col("rk").cast("int").alias("rk")
     ).orderBy("rk")
+
+
+# --------------------------------------------------------------------------
+# corpus_phrase_mining — collocation / phrase detection with the
+# word2vec phrase score (Mikolov et al. 2013, §4): for each adjacent
+# token pair, score = (pair_n − δ) · N / (head_n · next_n), where δ=5
+# discounts rare pairs and N is the corpus token count; high scores mark
+# pairs that co-occur far more than their unigram frequencies predict
+# ("New York"-style units a tokenizer should fuse). Every count is an
+# exact integer; the score is one double division of exact products
+# (pair_n·N ≤ 1e6·1e9 and head_n·next_n ≤ 1e18 both fit BIGINT at any
+# realistic corpus), so the mined phrase list is hash-gated.
+#
+# Scale: one (head, next) pair shuffle with map-side partials, unigram
+# counts joined back on the token key (vocabulary long tail — the same
+# honest non-broadcast shape as doc_rare_token_ratio), top-30 by
+# TakeOrderedAndProject before the rank window.
+# --------------------------------------------------------------------------
+_PH_DELTA = 5
+_PH_MIN = 10  # pair support floor: below this the score is noise
+_PH_TOPK = 30
+
+
+@query(
+    "corpus_phrase_mining",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    prs AS (
+      SELECT t[i] AS head, t[i + 1] AS next
+      FROM t, unnest(range(1, len(t))) r(i)
+      WHERE i < len(t)
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest({_TOKS_SQL}) AS w FROM documents
+      ) GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM uni),
+    pc AS (
+      SELECT head, next, CAST(count(*) AS BIGINT) AS pair_n
+      FROM prs GROUP BY head, next
+    ),
+    scored AS (
+      SELECT p.head, p.next, p.pair_n, h.n AS head_n, x.n AS next_n,
+             CAST((p.pair_n - {_PH_DELTA}) * t.big_n AS DOUBLE)
+               / CAST(h.n * x.n AS DOUBLE) AS score
+      FROM pc p
+      JOIN uni h ON h.w = p.head
+      JOIN uni x ON x.w = p.next
+      CROSS JOIN tot t
+      WHERE p.pair_n >= {_PH_MIN}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY score DESC, head, next) AS rk
+      FROM scored
+    )
+    SELECT head, next, pair_n, head_n, next_n, score, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_PH_TOPK}
+    ORDER BY rk
+    """,
+)
+def corpus_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    prs = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS head, t[i] AS next))"
+            )
+        ).alias("p")
+    ).select("p.head", "p.next")
+    uni = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = uni.agg(F.sum("n").cast("bigint").alias("big_n"))
+    pc = (
+        prs.groupBy("head", "next")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
+        .filter(F.col("pair_n") >= _PH_MIN)
+    )
+    scored = (
+        pc.join(uni.withColumnRenamed("w", "head").withColumnRenamed("n", "head_n"), "head")
+        .join(uni.withColumnRenamed("w", "next").withColumnRenamed("n", "next_n"), "next")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "head",
+            "next",
+            "pair_n",
+            "head_n",
+            "next_n",
+            (
+                ((F.col("pair_n") - _PH_DELTA) * F.col("big_n")).cast(
+                    "double"
+                )
+                / (F.col("head_n") * F.col("next_n")).cast("double")
+            ).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.desc("score"), "head", "next").limit(_PH_TOPK)
+    ranked = top.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.desc("score"), "head", "next")),
+    )
+    return ranked.select(
+        "head", "next", "pair_n", "head_n", "next_n", "score",
+        F.col("rk").cast("int").alias("rk"),
+    ).orderBy("rk")

@@ -145,3 +145,36 @@ def test_bpe_merge_step_ranking(spark):
     ns = [r.n for r in rows]
     assert ns == sorted(ns, reverse=True)
     assert len({r.pair for r in rows}) == len(rows)
+
+
+def test_phrase_mining_score_recompute(spark):
+    """Re-derive the Mikolov phrase score driver-side from raw token
+    streams and pin the top-k list (order and values)."""
+    import collections
+
+    from data_ingestion_din_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    uni: collections.Counter = collections.Counter()
+    pairs: collections.Counter = collections.Counter()
+    for r in docs:
+        toks = [t for t in r.text.split(" ") if t]
+        uni.update(toks)
+        pairs.update(zip(toks, toks[1:]))
+    big_n = sum(uni.values())
+    scored = [
+        (
+            (pn - 5) * big_n / (uni[h] * uni[x]),
+            h,
+            x,
+            pn,
+        )
+        for (h, x), pn in pairs.items()
+        if pn >= 10
+    ]
+    expect = sorted(scored, key=lambda s: (-s[0], s[1], s[2]))[:30]
+    rows = QUERIES["corpus_phrase_mining"](spark, SF).collect()
+    assert len(rows) == len(expect)
+    for r, (score, h, x, pn) in zip(rows, expect):
+        assert (r.head, r.next, r.pair_n) == (h, x, pn)
+        assert abs(r.score - score) < 1e-9
