@@ -32,6 +32,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_bigram_lm_score",
     "corpus_bpe_merge_step",
     "corpus_phrase_mining",
+    "corpus_textrank_keywords",
     "eval_judged_summary",
     "eval_judged_scores",
     "overlay_boxes",

@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "doc_bigram_lm_score",
     "corpus_bpe_merge_step",
     "corpus_phrase_mining",
+    "corpus_textrank_keywords",
     # streaming_stream_join is correctness-gated but not benched (one-time
     # incremental stream cost, like streaming_ingest_chunks)
     # streaming_ingest_chunks is correctness-gated but not benched: its

@@ -1068,3 +1068,150 @@ def corpus_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "head", "next", "pair_n", "head_n", "next_n", "score",
         F.col("rk").cast("int").alias("rk"),
     ).orderBy("rk")
+
+
+# --------------------------------------------------------------------------
+# corpus_textrank_keywords — TextRank keyword extraction (Mihalcea &
+# Tarau 2004): weighted PageRank over the token co-occurrence graph
+# (edges = adjacent-token pairs with support ≥ 5, symmetrized and
+# weight-merged), THREE power iterations, top-20 tokens by final rank.
+# The third iterative algorithm under the hash gate (after connected
+# components and k-means): ranks are 1e6-scaled integers, each
+# iteration is r' = 150000 + (85 · Σ_u (r(u)·w(u,v)) // S(u)) // 100
+# (d = 0.85 damping; S(u) = node u's total edge weight; `//` truncates
+# identically in both engines on non-negative operands), so every
+# iteration — and the final keyword ranking — is bit-exact.
+#
+# Scale: the graph lives at VOCABULARY size, not corpus size (one
+# (head, next) shuffle builds it); each iteration is one edge⋈rank
+# equi-join + one dst-key integer aggregation — the standard
+# Pregel-on-DataFrames step, with only the iteration COUNT controlled
+# driver-side (no data through the driver). Edges are staged once
+# (localCheckpoint) and reused by all iterations.
+# --------------------------------------------------------------------------
+_TR_EDGE_MIN = 5  # pair support floor for an edge
+_TR_ITERS = 3
+_TR_TOPK = 20
+_TR_SCALE = 1_000_000
+_TR_BASE = 150_000  # (1 − d)·scale, d = 0.85
+
+
+def _tr_iter_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+      SELECT e.dst AS token,
+             {_TR_BASE} + (85 * sum((r.r * e.w) // s.s)) // 100 AS r
+      FROM edges e
+      JOIN {prev} r ON r.token = e.src
+      JOIN s ON s.token = e.src
+      GROUP BY e.dst
+    )"""
+
+
+@query(
+    "corpus_textrank_keywords",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS t FROM documents),
+    prs AS (
+      SELECT t[i] AS head, t[i + 1] AS next
+      FROM t, unnest(range(1, len(t))) r(i)
+      WHERE i < len(t)
+    ),
+    pc AS (
+      SELECT head, next, CAST(count(*) AS BIGINT) AS pair_n
+      FROM prs GROUP BY head, next
+      HAVING count(*) >= {_TR_EDGE_MIN}
+    ),
+    edges AS (
+      SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+        SELECT head AS src, next AS dst, pair_n AS w FROM pc
+        UNION ALL
+        SELECT next AS src, head AS dst, pair_n AS w FROM pc
+      ) GROUP BY src, dst
+    ),
+    s AS (
+      SELECT src AS token, CAST(sum(w) AS BIGINT) AS s
+      FROM edges GROUP BY src
+    ),
+    r0 AS (SELECT token, CAST({_TR_SCALE} AS BIGINT) AS r FROM s),
+    {_tr_iter_sql('r0', 'r1')},
+    {_tr_iter_sql('r1', 'r2')},
+    {_tr_iter_sql('r2', 'r3')},
+    ranked AS (
+      SELECT token, CAST(r AS BIGINT) AS rank_scaled,
+             row_number() OVER (ORDER BY r DESC, token) AS rk
+      FROM r3
+    )
+    SELECT token, rank_scaled, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_TR_TOPK}
+    ORDER BY rk
+    """,
+)
+def corpus_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    prs = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS head, t[i] AS next))"
+            )
+        ).alias("p")
+    ).select("p.head", "p.next")
+    pc = (
+        prs.groupBy("head", "next")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
+        .filter(F.col("pair_n") >= _TR_EDGE_MIN)
+    )
+    edges = (
+        pc.select(
+            F.col("head").alias("src"),
+            F.col("next").alias("dst"),
+            F.col("pair_n").alias("w"),
+        )
+        .unionAll(
+            pc.select(
+                F.col("next").alias("src"),
+                F.col("head").alias("dst"),
+                F.col("pair_n").alias("w"),
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)  # staged: reused by every iteration
+    )
+    s = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("s"))
+    src_side = edges.join(s, "src")  # (src, dst, w, s)
+    r = s.select("src", F.lit(_TR_SCALE).cast("bigint").alias("r")).select(
+        F.col("src").alias("token"), "r"
+    )
+    for _ in range(_TR_ITERS):
+        r = (
+            src_side.join(r, src_side.src == r.token)
+            .select(
+                F.col("dst"),
+                F.expr("(r * w) div s").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(_TR_BASE)
+                    + F.expr("(85 * sum(contrib)) div 100")
+                )
+                .cast("bigint")
+                .alias("r")
+            )
+            .select(F.col("dst").alias("token"), "r")
+        )
+    top = r.orderBy(F.desc("r"), "token").limit(_TR_TOPK)
+    ranked = top.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("r"), "token"))
+    )
+    return ranked.select(
+        F.col("token"),
+        F.col("r").alias("rank_scaled"),
+        F.col("rk").cast("int").alias("rk"),
+    ).orderBy("rk")

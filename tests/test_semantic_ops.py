@@ -178,3 +178,35 @@ def test_phrase_mining_score_recompute(spark):
     for r, (score, h, x, pn) in zip(rows, expect):
         assert (r.head, r.next, r.pair_n) == (h, x, pn)
         assert abs(r.score - score) < 1e-9
+
+
+def test_textrank_matches_driver_recompute(spark):
+    """Re-run the three integer PageRank iterations in plain Python from
+    raw token streams and pin the top-20 (tokens, scaled ranks, order)."""
+    import collections
+
+    from data_ingestion_din_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    pairs: collections.Counter = collections.Counter()
+    for r in docs:
+        toks = [t for t in r.text.split(" ") if t]
+        pairs.update(zip(toks, toks[1:]))
+    edges: collections.Counter = collections.Counter()
+    for (h, x), n in pairs.items():
+        if n >= 5:
+            edges[(h, x)] += n
+            edges[(x, h)] += n
+    s: collections.Counter = collections.Counter()
+    for (src, _), w in edges.items():
+        s[src] += w
+    r_cur = {tok: 1_000_000 for tok in s}
+    for _ in range(3):
+        inc: collections.Counter = collections.Counter()
+        for (src, dst), w in edges.items():
+            inc[dst] += (r_cur[src] * w) // s[src]
+        r_cur = {tok: 150_000 + (85 * v) // 100 for tok, v in inc.items()}
+    expect = sorted(r_cur.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = QUERIES["corpus_textrank_keywords"](spark, SF).collect()
+    assert [(r.token, r.rank_scaled) for r in rows] == expect
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
