@@ -307,3 +307,19 @@ def test_corpus_bpe_merge_step_plan(spark):
     # 20-row rank window
     assert s["cartesian"] == 0, s
     assert s["exchange"] <= 2, s
+
+
+def test_corpus_phrase_mining_plan(spark):
+    s = _stats("corpus_phrase_mining", spark)
+    # pair + unigram count shuffles, token-key joins back; the only
+    # nested-loop is the broadcast 1-row corpus-total attach
+    assert s["cartesian"] <= 1, s
+    assert s["exchange"] <= 8, s
+
+
+def test_corpus_textrank_keywords_plan(spark):
+    s = _stats("corpus_textrank_keywords", spark)
+    # vocabulary-sized graph: 3 iterations of edge-rank equi-join +
+    # dst aggregation, no cartesian anywhere in the loop
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 13, s

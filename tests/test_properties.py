@@ -153,3 +153,42 @@ def test_minhash_signature_twins_agree(spark, shingle_sets):
         ).fetchall()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# HLL register rank: the events_hll_distinct gate rests on
+# length(bin(w)) rendering identically in Spark and DuckDB for ANY
+# 60-bit hash value. Property-check the full domain (not just fixture
+# user_ids) against the Python ground truth bit_length().
+# --------------------------------------------------------------------------
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, (1 << 60) - 1), min_size=1, max_size=120))
+def test_hll_rank_twins_agree(spark, hs):
+    expect = [
+        55 - (h >> 6).bit_length() if (h >> 6) > 0 else 55 for h in hs
+    ]
+    pdf = pd.DataFrame({"i": range(len(hs)), "h": hs})
+    sdf = spark.createDataFrame(pdf)
+    got_spark = [
+        r.rnk
+        for r in sdf.select(
+            "i",
+            F.when(F.expr("h div 64") == 0, F.lit(55))
+            .otherwise(F.lit(55) - F.length(F.bin(F.expr("h div 64"))))
+            .alias("rnk"),
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT CASE WHEN h // 64 = 0 THEN 55"
+            "            ELSE 55 - length(bin(h // 64)) END"
+            " FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert got_spark == expect
+    assert got_duck == expect
