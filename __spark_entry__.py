@@ -33,6 +33,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_bpe_merge_step",
     "corpus_phrase_mining",
     "corpus_textrank_keywords",
+    "streaming_hll_registers",
     "eval_judged_summary",
     "eval_judged_scores",
     "overlay_boxes",

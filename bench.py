@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "corpus_bpe_merge_step",
     "corpus_phrase_mining",
     "corpus_textrank_keywords",
+    # streaming_hll_registers is correctness-gated but not benched
+    # (one-time incremental stream cost, like the other streaming rows)
     # streaming_stream_join is correctness-gated but not benched (one-time
     # incremental stream cost, like streaming_ingest_chunks)
     # streaming_ingest_chunks is correctness-gated but not benched: its

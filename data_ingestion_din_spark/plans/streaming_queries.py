@@ -544,3 +544,163 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "start_us")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_hll_registers — SKETCH MAINTENANCE as a streaming operator:
+# the HLL registers of events_hll_distinct kept incrementally by a
+# stateful running-max stream (streaming/stateful.running_max_stream),
+# events landing in TWO batches split at the corpus time midpoint with
+# the checkpoint carried across availableNow runs. Registers are
+# per-(event_type, bucket) maxima — a monotone merge, so the stream's
+# final emission per key must equal the batch register exactly; the
+# oracle recomputes the batch sketch AND the estimate, proving the
+# real-time distinct-count surface converges bit-for-bit to the batch
+# one across a restart. State per key is one int; ≤ m rows per group
+# regardless of stream length.
+# --------------------------------------------------------------------------
+_HLL_DONE: dict[tuple[str, str], str] = {}
+_SHLL_M = 64
+_SHLL_NUM = 0.709 * 64.0 * 64.0 * 4294967296.0
+
+
+def _hll_register_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, bucket, rnk, ts) per distinct (type, user) — the same
+    h64-derived bucket/rank expressions as events_hll_distinct."""
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    ev = load_table(spark, sf_dir, "events")
+    h = h64(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    w = F.expr(f"h div {_SHLL_M}")
+    return (
+        ev.select("event_type", "ts", h.alias("h"))
+        .select(
+            "event_type",
+            "ts",
+            F.pmod(F.col("h"), F.lit(_SHLL_M)).cast("int").alias("bucket"),
+            F.when(w == 0, F.lit(55))
+            .otherwise(F.lit(55) - F.length(F.bin(w)))
+            .cast("int")
+            .alias("rnk"),
+        )
+    )
+
+
+def _hll_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        cleanup_stale_app_dirs,
+    )
+
+    if key in _HLL_DONE:
+        if _dir_ok(_HLL_DONE[key]):
+            return _HLL_DONE[key]
+        del _HLL_DONE[key]  # staged output vanished; re-run
+    from data_ingestion_din_spark.streaming.stateful import (
+        running_max_stream,
+    )
+
+    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_hll")
+    cleanup_stale_app_dirs(root, app)
+    base = os.path.join(root, app, tag)
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+
+    rows = _hll_register_rows(spark, sf_dir)
+    mid = rows.agg(
+        F.expr("timestamp_micros(cast(avg(unix_micros(ts)) as bigint))")
+    ).collect()[0][0]
+    schema = "event_type string, bucket int, rnk int"
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(landing + "/*")
+        q = (
+            running_max_stream(stream, ["event_type", "bucket"], "rnk")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+
+    for i, pred in enumerate(
+        (F.col("ts") <= F.lit(mid), F.col("ts") > F.lit(mid))
+    ):
+        rows.filter(pred).select(
+            "event_type", "bucket", "rnk"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(landing, f"b{i}")
+        )
+        run_once()
+    _HLL_DONE[key] = out
+    return out
+
+
+@query(
+    "streaming_hll_registers",
+    oracle=f"""
+    WITH uh AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    br AS (
+      SELECT event_type,
+             h % {_SHLL_M} AS bucket,
+             CASE WHEN h // {_SHLL_M} = 0 THEN 55
+                  ELSE 55 - length(bin(h // {_SHLL_M})) END AS rnk
+      FROM uh
+    ),
+    reg AS (
+      SELECT event_type, bucket, max(rnk) AS r
+      FROM br GROUP BY event_type, bucket
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             sum(CAST(1 AS BIGINT) << (32 - least(r, 32)))
+               + ({_SHLL_M} - count(*)) * 4294967296 AS s_scaled
+      FROM reg GROUP BY event_type
+    )
+    SELECT event_type, n_buckets,
+           CAST(s_scaled AS BIGINT) AS s_scaled,
+           round({_SHLL_NUM!r} / CAST(s_scaled AS DOUBLE), 4)
+             AS hll_estimate
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _hll_out_dir(spark, sf_dir)
+    # final register per key = last (max) emission; the monotone stream
+    # emits only increases, so max over emissions IS the final state
+    reg = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rnk").alias("r"))
+    )
+    s = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 32 - least(r, 32))"))
+            + (F.lit(_SHLL_M) - F.count(F.lit(1))) * F.lit(4294967296)
+        )
+        .cast("bigint")
+        .alias("s_scaled"),
+    )
+    return s.select(
+        "event_type",
+        "n_buckets",
+        "s_scaled",
+        F.round(F.lit(_SHLL_NUM) / F.col("s_scaled").cast("double"), 4).alias(
+            "hll_estimate"
+        ),
+    ).orderBy("event_type")

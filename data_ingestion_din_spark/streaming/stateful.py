@@ -72,3 +72,52 @@ def first_seen_stream(docs: DataFrame, key_col: str = "fp") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _make_running_max_fn(key_names: list[str], val_col: str):
+    def fn(
+        key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        """Emit the key's new running max when this micro-batch raises
+        it; emit nothing otherwise (monotone register semantics)."""
+        import pandas as pd
+
+        batch_max = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf[val_col].max())
+                batch_max = m if batch_max is None else max(batch_max, m)
+        if batch_max is None:
+            return
+        if state.exists and state.get[0] >= batch_max:
+            return
+        state.update((batch_max,))
+        yield pd.DataFrame(
+            [dict(zip(key_names, key)) | {val_col: batch_max}]
+        )
+
+    return fn
+
+
+def running_max_stream(
+    df: DataFrame, key_cols: list[str], val_col: str
+) -> DataFrame:
+    """Streaming monotone-register maintenance: per ``key_cols`` group,
+    emit a row whenever the lifetime max of ``val_col`` increases — the
+    incremental update pattern of register sketches (HLL registers are
+    per-bucket maxima, so the last emission per key IS the batch
+    register). State per key is ONE int; arbitrary key cardinality
+    partitions across the state store like first_seen_stream."""
+    import pyspark.sql.types as T
+
+    out_schema = StructType(
+        [df.schema[c] for c in key_cols]
+        + [T.StructField(val_col, T.IntegerType())]
+    )
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        _make_running_max_fn(key_cols, val_col),
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -449,3 +449,34 @@ def test_session_windows_split_session_straddles_restart(spark):
     assert row[0].n_events == big["n"]
     # and no sentinel leakage
     assert out.filter(F.col("user_id") < 0).count() == 0
+
+
+def test_streaming_hll_emissions_monotone_and_match_batch(spark):
+    """The running-max stream emits per key only on increase, so per-key
+    emissions must be strictly increasing in landing order, and the max
+    emission must equal the batch register."""
+    import pyspark.sql.functions as F
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _hll_out_dir,
+        _hll_register_rows,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = _hll_out_dir(spark, sf)
+    emitted = spark.read.parquet(out).collect()
+    per_key: dict = {}
+    for r in emitted:
+        per_key.setdefault((r.event_type, r.bucket), []).append(r.rnk)
+    # at most 2 emissions per key (2 landing batches), strictly rising
+    for vals in per_key.values():
+        assert len(vals) <= 2
+        assert len(set(vals)) == len(vals)
+    batch = {
+        (r.event_type, r.bucket): r.r
+        for r in _hll_register_rows(spark, sf)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rnk").alias("r"))
+        .collect()
+    }
+    assert {k: max(v) for k, v in per_key.items()} == batch
