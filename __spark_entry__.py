@@ -34,6 +34,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_phrase_mining",
     "corpus_textrank_keywords",
     "streaming_hll_registers",
+    "events_zorder_box",
     "eval_judged_summary",
     "eval_judged_scores",
     "overlay_boxes",

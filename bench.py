@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "corpus_bpe_merge_step",
     "corpus_phrase_mining",
     "corpus_textrank_keywords",
+    "events_zorder_box",
     # streaming_hll_registers is correctness-gated but not benched
     # (one-time incremental stream cost, like the other streaming rows)
     # streaming_stream_join is correctness-gated but not benched (one-time
@@ -234,6 +235,11 @@ def main() -> None:
     # lang-partitioned corpus layout: also a one-time layout cost, so
     # corpus_lang_pruned_stats times the pruned scan, not the write
     partitioned_documents(spark, sf_dir)
+    # z-ordered events layout: one-time layout cost, so events_zorder_box
+    # times the box scan, not the write
+    from data_ingestion_din_spark.operators.colocate import zordered_events
+
+    zordered_events(spark, sf_dir)
 
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from data_ingestion_din_spark.plans._exact import dec_to_double
+from data_ingestion_din_spark.plans._exact import dec_to_double, dec_to_double_sql
 from data_ingestion_din_spark.plans.registry import query
 from data_ingestion_din_spark.sources.tables import load_table
 
@@ -965,6 +965,80 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.lit(_HLL_NUM) / F.col("s_scaled").cast("double"), 4
             ).alias("hll_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_zorder_box — 2-D box query over the Z-ORDERED events layout
+# (operators/colocate.zordered_events): a narrow user_id slice × a wide
+# time slice, aggregated per event type with a decimal-exact value sum.
+# The RESULT is layout-independent (the oracle filters the raw table) —
+# what the layout changes is the SCAN: z-ordering makes each file's
+# (user_id, ts) min/max a tight box, so this predicate skips most files
+# on both dimensions where a time-sorted layout can only prune time
+# (tests/test_colocate.py reads the parquet footers of both layouts and
+# pins the skip-rate gap). Box bounds are integer fractions of the
+# corpus min/max — deterministic in both engines, no driver constants.
+# --------------------------------------------------------------------------
+@query(
+    "events_zorder_box",
+    oracle=f"""
+    WITH st AS (
+      SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+             min(epoch_us(ts)) AS lo_t, max(epoch_us(ts)) AS hi_t
+      FROM events
+    ),
+    box AS (
+      SELECT lo_u + (hi_u - lo_u) * 2 // 5 AS u_lo,
+             lo_u + (hi_u - lo_u) * 9 // 20 AS u_hi,
+             lo_t + (hi_t - lo_t) * 1 // 4 AS t_lo,
+             lo_t + (hi_t - lo_t) * 3 // 4 AS t_hi
+      FROM st
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {dec_to_double_sql("sum(CAST(value AS DECIMAL(18, 2)))", 2)}
+             AS value_sum
+    FROM events, box
+    WHERE user_id BETWEEN u_lo AND u_hi
+      AND epoch_us(ts) BETWEEN t_lo AND t_hi
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.operators.colocate import zordered_events
+    from data_ingestion_din_spark.plans._exact import dec_to_double
+
+    ev = spark.read.parquet(zordered_events(spark, sf_dir))
+    st = ev.agg(
+        F.min("user_id").alias("lo_u"),
+        F.max("user_id").alias("hi_u"),
+        F.min(F.unix_micros("ts")).alias("lo_t"),
+        F.max(F.unix_micros("ts")).alias("hi_t"),
+    )
+    box = st.select(
+        F.expr("lo_u + (hi_u - lo_u) * 2 div 5").alias("u_lo"),
+        F.expr("lo_u + (hi_u - lo_u) * 9 div 20").alias("u_hi"),
+        F.expr("lo_t + (hi_t - lo_t) * 1 div 4").alias("t_lo"),
+        F.expr("lo_t + (hi_t - lo_t) * 3 div 4").alias("t_hi"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(box))
+        .filter(
+            F.col("user_id").between(F.col("u_lo"), F.col("u_hi"))
+            & F.unix_micros(F.col("ts")).between(
+                F.col("t_lo"), F.col("t_hi")
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dec_to_double(
+                F.sum(F.col("value").cast("decimal(18,2)")), 2
+            ).alias("value_sum"),
         )
         .orderBy("event_type")
     )

@@ -45,6 +45,12 @@ def get_spark(
         # nanosecond timestamp type — read as long, converted to
         # microsecond timestamps in sources/tables.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write timestamps as INT64 TIMESTAMP_MICROS, not the deprecated
+        # INT96: INT96 column chunks carry NO min/max statistics, which
+        # silently disables row-group/file skipping on every timestamp
+        # predicate over engine-written layouts (the z-order file-skip
+        # test reads exactly these stats).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

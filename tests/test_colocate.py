@@ -348,3 +348,78 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_layout_skips_files_on_2d_box(spark):
+    """Read parquet footer statistics of the z-ordered events layout and
+    of a plain time-sorted layout, and prove the z-order claim: for the
+    events_zorder_box predicate (narrow user slice x wide time slice),
+    file-level (user_id, ts) min/max ranges let a reader skip MORE files
+    under z-order than under time-sort — where every file spans nearly
+    the full user range and only time prunes."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from data_ingestion_din_spark.operators.colocate import (
+        _Z_FILES,
+        zordered_events,
+    )
+    from data_ingestion_din_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    zpath = zordered_events(spark, sf)
+
+    ev = load_table(spark, sf, "events")
+    lo_u, hi_u, lo_t, hi_t = ev.select(
+        F.min("user_id"), F.max("user_id"),
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts")),
+    ).collect()[0]
+    u_lo = lo_u + (hi_u - lo_u) * 2 // 5
+    u_hi = lo_u + (hi_u - lo_u) * 9 // 20
+    t_lo = lo_t + (hi_t - lo_t) * 1 // 4
+    t_hi = lo_t + (hi_t - lo_t) * 3 // 4
+
+    tpath = os.path.join(
+        tempfile.mkdtemp(prefix="zorder_cmp_"), "time_sorted"
+    )
+    (
+        ev.repartitionByRange(_Z_FILES, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(tpath)
+    )
+
+    def files_needed(path: str) -> tuple[int, int]:
+        needed, total = 0, 0
+        for f in sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)):
+            md = pq.ParquetFile(f).metadata
+            schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+            iu = schema_names.index("user_id")
+            it = schema_names.index("ts")
+            mins_u, maxs_u, mins_t, maxs_t = [], [], [], []
+            for rg in range(md.num_row_groups):
+                su = md.row_group(rg).column(iu).statistics
+                stt = md.row_group(rg).column(it).statistics
+                mins_u.append(su.min); maxs_u.append(su.max)
+                mins_t.append(int(stt.min.timestamp() * 1e6))
+                maxs_t.append(int(stt.max.timestamp() * 1e6))
+            total += 1
+            if (
+                min(mins_u) <= u_hi and max(maxs_u) >= u_lo
+                and min(mins_t) <= t_hi and max(maxs_t) >= t_lo
+            ):
+                needed += 1
+        assert total >= _Z_FILES // 2  # layout really is multi-file
+        return needed, total
+
+    z_needed, z_total = files_needed(zpath)
+    t_needed, t_total = files_needed(tpath)
+    # time-sorted: the wide time slice intersects most files, and user
+    # stats can't prune; z-order must touch strictly fewer files
+    assert z_needed < t_needed, (z_needed, z_total, t_needed, t_total)
+    # and meaningfully so: at most half the files the time layout reads
+    assert z_needed * 2 <= t_needed, (z_needed, t_needed)
