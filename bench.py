@@ -180,6 +180,13 @@ BENCH_QUERIES = [
     "corpus_phrase_mining",
     "corpus_textrank_keywords",
     "events_zorder_box",
+    "blocks_reading_order",
+    "blocks_sections",
+    "context_budget_cut",
+    "table_trust_aggregate",
+    "tables_header_election",
+    "tables_subtable_split",
+    "eval_judged_scores",
     # streaming_hll_registers is correctness-gated but not benched
     # (one-time incremental stream cost, like the other streaming rows)
     # streaming_stream_join is correctness-gated but not benched (one-time
@@ -196,6 +203,10 @@ def main() -> None:
 
     from data_ingestion_din_spark.plans import QUERIES
     from data_ingestion_din_spark.session import get_spark
+
+    unknown = [n for n in BENCH_QUERIES if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"bench.py: unregistered queries {unknown}")
 
     spark = get_spark("bench")
 
