@@ -187,6 +187,10 @@ BENCH_QUERIES = [
     "tables_header_election",
     "tables_subtable_split",
     "eval_judged_scores",
+    "retrieval_bm25",
+    "bloom_join_prune",
+    "events_scd2_intervals",
+    "events_histogram_quantiles",
     # streaming_hll_registers is correctness-gated but not benched
     # (one-time incremental stream cost, like the other streaming rows)
     # streaming_stream_join is correctness-gated but not benched (one-time

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from data_ingestion_din_spark.functions.hashing import h64_sql
 from data_ingestion_din_spark.plans._exact import dec_to_double, dec_to_double_sql
 from data_ingestion_din_spark.plans.registry import query
 from data_ingestion_din_spark.sources.tables import load_table
@@ -1041,4 +1042,276 @@ def events_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_sum"),
         )
         .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_scd2_intervals — slowly-changing-dimension type-2 history build,
+# the interval sibling of events_latest_snapshot's type-1 compaction:
+# per user the event stream is change-detected on event_type (lag ≠
+# current opens a version), consecutive same-state events collapse into
+# one version row, and each version carries [valid_from, valid_to)
+# micro-second bounds (valid_to = next version's open, NULL = current).
+# This is the changelog→dimension-history materialization every
+# warehouse upsert pipeline runs.
+#
+# Scale: ONE shuffle on user_id serves the lag, the cumulative version
+# counter, and the lead — three window passes over the same partitioning
+# (Spark reuses the exchange), then a (user_id, version) aggregation
+# that is partition-local. Output is a deterministic 1/7 user sample
+# (h64 gate — the inspection slice; the full history is sink-bound at
+# corpus scale, same convention as corpus_stratified_sample).
+# --------------------------------------------------------------------------
+@query(
+    "events_scd2_intervals",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      FROM events
+      WHERE {h64_sql("'scd:' || CAST(user_id AS VARCHAR)")} % 7 = 0
+    ),
+    chg AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS opens
+      FROM sampled
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    ver AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             sum(opens) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+      FROM chg
+    ),
+    grp AS (
+      SELECT user_id, CAST(version AS INT) AS version,
+             any_value(event_type) AS state,
+             CAST(min(ts_us) AS BIGINT) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM ver GROUP BY user_id, version
+    )
+    SELECT user_id, version, state, valid_from,
+           CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                AS BIGINT) AS valid_to,
+           CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY version) IS NULL
+                THEN 1 ELSE 0 END AS is_current,
+           n_events
+    FROM grp
+    ORDER BY user_id, version
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    ev = load_table(spark, sf_dir, "events")
+    sampled = ev.filter(
+        h64(F.concat(F.lit("scd:"), F.col("user_id").cast("string"))) % 7
+        == 0
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = sampled.withColumn(
+        "opens",
+        F.when(
+            ~F.lag("event_type").over(wo).eqNullSafe(F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    ver = chg.withColumn(
+        "version",
+        F.sum("opens").over(wo.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    grp = ver.groupBy("user_id", F.col("version").cast("int").alias("version")).agg(
+        F.first("event_type").alias("state"),
+        F.min("ts_us").cast("bigint").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wv = W.partitionBy("user_id").orderBy("version")
+    return (
+        grp.select(
+            "user_id",
+            "version",
+            "state",
+            "valid_from",
+            F.lead("valid_from").over(wv).cast("bigint").alias("valid_to"),
+            F.when(F.lead("valid_from").over(wv).isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_histogram_quantiles — equi-width histogram quantile sketch, the
+# approximate-percentile shape of Spark's approx_percentile / DuckDB's
+# approx_quantile with every bit reproducible (both engines' native
+# sketches carry engine-private t-digest/GK state — same exclusion
+# rationale as the HLL/CMS/KMV family). Values go through the proven
+# DECIMAL(12,2) cast to integer cents; per event type a B=32-bucket
+# histogram over [lo, hi] cents is built with integer bucket indexing
+# ((v-lo)*B div span), and p50/p95/p99 are answered from the histogram
+# by cumulative-count bucket location + integer linear interpolation
+# inside the bucket. The exact order statistic (r-th smallest) rides
+# along so the sketch ERROR is itself under the hash gate.
+#
+# Scale: the sketch path is one (type, bucket) aggregation — ≤ B rows of
+# state per type with map-side partial counts, then a ≤B-row window; the
+# exact path needs the full per-type sort and exists only as the audit
+# column (at 100 TB you'd drop it and keep the histogram, which is the
+# point of the sketch).
+# --------------------------------------------------------------------------
+_HQ_B = 32  # buckets
+_HQ_PS = (50, 95, 99)
+
+
+@query(
+    "events_histogram_quantiles",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      FROM events
+    ),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             min(v) AS lo, max(v) AS hi, max(v) - min(v) + 1 AS span
+      FROM cents GROUP BY event_type
+    ),
+    hist AS (
+      SELECT c.event_type,
+             CAST(((c.v - st.lo) * {_HQ_B}) // st.span AS INT) AS idx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM cents c JOIN st USING (event_type)
+      GROUP BY c.event_type, idx
+    ),
+    cum AS (
+      SELECT event_type, idx, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY idx
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist
+    ),
+    targets AS (
+      SELECT st.event_type, st.n, st.lo, st.span, p.p,
+             (st.n * p.p + 99) // 100 AS r
+      FROM st CROSS JOIN (VALUES (50), (95), (99)) p(p)
+    ),
+    located AS (
+      SELECT t.event_type, t.p, t.n, t.r, c.idx, c.cnt,
+             c.cum - c.cnt AS cum_prev,
+             t.lo + (c.idx * t.span) // {_HQ_B} AS b_lo,
+             t.lo + ((c.idx + 1) * t.span) // {_HQ_B} AS b_hi
+      FROM targets t JOIN cum c
+        ON c.event_type = t.event_type
+       AND c.cum >= t.r AND c.cum - c.cnt < t.r
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v, event_id) AS rn
+      FROM cents
+    )
+    SELECT l.event_type, CAST(l.p AS INT) AS p, l.n, l.r,
+           CAST(l.idx AS INT) AS bucket,
+           CAST(l.b_lo + ((l.r - l.cum_prev) * (l.b_hi - l.b_lo)) // l.cnt
+                AS BIGINT) AS est_cents,
+           rk.v AS exact_cents,
+           round(CAST(l.b_lo + ((l.r - l.cum_prev) * (l.b_hi - l.b_lo))
+                        // l.cnt - rk.v AS DOUBLE) / 100, 2) AS err
+    FROM located l
+    JOIN ranked rk ON rk.event_type = l.event_type AND rk.rn = l.r
+    ORDER BY l.event_type, p
+    """,
+)
+def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        "event_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    )
+    st = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        (F.max("v") - F.min("v") + 1).alias("span"),
+    )
+    hist = (
+        cents.join(F.broadcast(st), "event_type")
+        .select(
+            "event_type",
+            F.expr(f"CAST(((v - lo) * {_HQ_B}) div span AS INT)").alias(
+                "idx"
+            ),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.partitionBy("event_type")
+            .orderBy("idx")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    targets = st.select(
+        "event_type",
+        "n",
+        "lo",
+        "span",
+        F.explode(F.array(*[F.lit(p) for p in _HQ_PS])).alias("p"),
+    ).withColumn("r", F.expr("(n * p + 99) div 100"))
+    located = targets.join(
+        cum.select(
+            F.col("event_type").alias("c_type"), "idx", "cnt", "cum"
+        ),
+        (F.col("c_type") == F.col("event_type"))
+        & (F.col("cum") >= F.col("r"))
+        & (F.col("cum") - F.col("cnt") < F.col("r")),
+    ).select(
+        "event_type",
+        "p",
+        "n",
+        "r",
+        "idx",
+        "cnt",
+        (F.col("cum") - F.col("cnt")).alias("cum_prev"),
+        F.expr(f"lo + (idx * span) div {_HQ_B}").alias("b_lo"),
+        F.expr(f"lo + ((idx + 1) * span) div {_HQ_B}").alias("b_hi"),
+    )
+    ranked = cents.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("v", "event_id")
+        ),
+    ).select(F.col("event_type").alias("r_type"), "v", "rn")
+    est = F.expr("b_lo + ((r - cum_prev) * (b_hi - b_lo)) div cnt")
+    return (
+        located.join(
+            ranked,
+            (F.col("r_type") == F.col("event_type"))
+            & (F.col("rn") == F.col("r")),
+        )
+        .select(
+            "event_type",
+            F.col("p").cast("int").alias("p"),
+            "n",
+            "r",
+            F.col("idx").cast("int").alias("bucket"),
+            est.cast("bigint").alias("est_cents"),
+            F.col("v").alias("exact_cents"),
+            F.round((est - F.col("v")).cast("double") / 100, 2).alias(
+                "err"
+            ),
+        )
+        .orderBy("event_type", "p")
     )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from data_ingestion_din_spark.functions.hashing import h64_sql
 from data_ingestion_din_spark.plans._exact import dec_to_double, dec_to_double_sql
 from data_ingestion_din_spark.plans.registry import query
 from data_ingestion_din_spark.sources.tables import load_table
@@ -703,4 +704,170 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
         .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# bloom_join_prune — Bloom-filter semi-join reduction (Bloom 1970; the
+# runtime-filter lever behind Spark's spark.sql.optimizer.runtime.
+# bloomFilter.enabled, reproduced here with portable bits so the FILTER
+# ITSELF sits under the hash gate, which the engine-private
+# BloomFilterAggregate state cannot). A bounded build side (the top-500
+# orders by price — the "selective dimension query feeds a runtime
+# filter" shape) sets k=3 md5-derived bit positions each in an m=8192-bit
+# filter; the lineitem probe keeps only keys with ALL k bits set, and the
+# exact semi-join on the survivors measures the false-positive cost.
+#
+# Scale: the probe side is never shuffled on the join key — each probe
+# row tests 3 positions against a broadcast ≤m-row bit set (m bits =
+# 1 KiB as a real bitmap), so a 100 TB fact scan is reduced map-side to
+# ~load^k of itself before any exchange; the build side is bounded by
+# the top-N cut (TakeOrderedAndProject), and m is sized to the build
+# (load = N*k/m ≈ 0.18 → fp ≈ 0.2%). The summary row reports exactly
+# what a runtime-filter planner would need: pass rate, fp rate, and the
+# surviving row count vs the true join size.
+# --------------------------------------------------------------------------
+_BF_M = 8192
+_BF_K = 3
+_BF_N = 500
+
+
+@query(
+    "bloom_join_prune",
+    oracle=f"""
+    WITH build AS (
+      SELECT o_orderkey FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT {_BF_N}
+    ),
+    bits AS (
+      SELECT DISTINCT
+             unnest([{", ".join(h64_sql("CAST(o_orderkey AS VARCHAR)", seed=f"bf{i}:") + f" % {_BF_M}" for i in range(_BF_K))}]) AS pos
+      FROM build
+    ),
+    probe AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    ppos AS (
+      SELECT l_orderkey, n_rows,
+             unnest([{", ".join(h64_sql("CAST(l_orderkey AS VARCHAR)", seed=f"bf{i}:") + f" % {_BF_M}" for i in range(_BF_K))}]) AS pos
+      FROM probe
+    ),
+    hits AS (
+      SELECT l_orderkey, any_value(n_rows) AS n_rows,
+             CAST(count(*) AS BIGINT) AS k_hit
+      FROM ppos JOIN bits USING (pos)
+      GROUP BY l_orderkey
+    ),
+    pass AS (
+      SELECT h.l_orderkey, h.n_rows,
+             CASE WHEN b.o_orderkey IS NULL THEN 0 ELSE 1 END AS is_true
+      FROM hits h LEFT JOIN build b ON h.l_orderkey = b.o_orderkey
+      WHERE h.k_hit = {_BF_K}
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM build) AS n_build,
+      (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+      (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_probe_keys,
+      CAST(count(*) AS BIGINT) AS n_pass_keys,
+      CAST(sum(is_true) AS BIGINT) AS n_true_keys,
+      CAST(count(*) - sum(is_true) AS BIGINT) AS n_false_pos,
+      CAST(sum(n_rows) AS BIGINT) AS n_pass_rows,
+      CAST(sum(n_rows * is_true) AS BIGINT) AS n_true_rows,
+      round(CAST(count(*) - sum(is_true) AS DOUBLE)
+            / (SELECT count(*) FROM probe), 6) AS fp_rate
+    FROM pass
+    """,
+)
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    build = (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(_BF_N)
+        .select("o_orderkey")
+    )
+
+    def positions(key: F.Column) -> F.Column:
+        return F.array(
+            *[
+                h64(key.cast("string"), seed=f"bf{i}:") % _BF_M
+                for i in range(_BF_K)
+            ]
+        )
+
+    bits = (
+        build.select(F.explode(positions(F.col("o_orderkey"))).alias("pos"))
+        .distinct()
+    )
+    probe = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    ppos = probe.select(
+        "l_orderkey",
+        "n_rows",
+        F.explode(positions(F.col("l_orderkey"))).alias("pos"),
+    )
+    # the filter is ≤m distinct positions — broadcast, so the probe side
+    # never shuffles on the join key
+    hits = (
+        ppos.join(F.broadcast(bits), "pos")
+        .groupBy("l_orderkey")
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("k_hit"),
+        )
+    )
+    passed = (
+        hits.filter(F.col("k_hit") == _BF_K)
+        .join(
+            F.broadcast(build.withColumn("is_true", F.lit(1))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .select(
+            "l_orderkey",
+            "n_rows",
+            F.coalesce(F.col("is_true"), F.lit(0)).alias("is_true"),
+        )
+    )
+    n_build = build.agg(F.count(F.lit(1)).cast("bigint").alias("n_build"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    n_probe = probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe_keys")
+    )
+    summary = passed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pass_keys"),
+        F.sum("is_true").cast("bigint").alias("n_true_keys"),
+        (F.count(F.lit(1)) - F.sum("is_true"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum("n_rows").cast("bigint").alias("n_pass_rows"),
+        F.sum(F.col("n_rows") * F.col("is_true"))
+        .cast("bigint")
+        .alias("n_true_rows"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(n_build))
+        .crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(n_probe))
+        .select(
+            "n_build",
+            "n_bits_set",
+            "n_probe_keys",
+            "n_pass_keys",
+            "n_true_keys",
+            "n_false_pos",
+            "n_pass_rows",
+            "n_true_rows",
+            F.round(
+                F.col("n_false_pos").cast("double") / F.col("n_probe_keys"),
+                6,
+            ).alias("fp_rate"),
+        )
     )

@@ -518,3 +518,131 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
+
+
+# --------------------------------------------------------------------------
+# retrieval_bm25 — Okapi BM25 lexical ranking (Robertson/Walker 1994), the
+# principled upgrade of the reference's raw keyword-overlap boost
+# (backend/services/rag.py keyword path; A6/A7). Cross-engine exactness
+# makes the classic formula hash-gatable with two substitutions, both in
+# the repo's house style:
+#
+# - idf is the integer log2 ``length(bin(N div df))`` = floor(log2(N/df))+1
+#   (libm ln is the documented sigmoid-class exclusion; Lucene likewise
+#   quantizes its norms, so a bucketed idf is standard practice, not a
+#   shortcut).
+# - the tf saturation term tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with
+#   k1=1.2, b=0.75 is cleared of fractions by multiplying through by
+#   10*T (T = total corpus tokens, avgdl = T/N): with integers tf, dl,
+#   N, T it is EXACTLY idf2*22*tf*T / (10*tf*T + 3*T + 9*dl*N). Each
+#   per-term score is floored to 1e6-scaled fixed point (integer div),
+#   so the per-doc sum is an associative BIGINT sum — summation order
+#   cannot flip a bit (same recipe as corpus_textrank_keywords).
+#
+# Scale: one tf aggregation shuffled on (doc_id, term) where term is in
+# the tiny query set (the explode is filtered BEFORE the shuffle), a
+# term-count df side small enough to broadcast (|query terms| rows), and
+# a corpus-stats scalar crossJoin — the probe corpus is scanned once.
+# At 100 TB the 10*tf*T products want T pre-scaled (production would
+# round avgdl to an integer instead of carrying T); at fixture scales
+# the BIGINT headroom is ~2^63 / (1e6*22*idf2*tf) ≈ 1e12 tokens.
+# --------------------------------------------------------------------------
+_BM25_SCALE = 1_000_000
+
+
+@query(
+    "retrieval_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tt
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      WHERE list_contains({_TERMS_SQL}, tok)
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    sc AS (
+      SELECT tf.doc_id, dl.dl,
+             (CAST({_BM25_SCALE} AS BIGINT)
+                * length(bin(st.n // df.df)) * 22 * tf.tf * st.tt)
+               // (10 * tf.tf * st.tt + 3 * st.tt + 9 * dl.dl * st.n) AS s
+      FROM tf
+      JOIN df USING (tok)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN st
+    )
+    SELECT doc_id, any_value(dl) AS dl,
+           CAST(count(*) AS BIGINT) AS n_terms_hit,
+           CAST(sum(s) AS BIGINT) AS bm25_scaled,
+           round(CAST(sum(s) AS DOUBLE) / {_BM25_SCALE}, 6) AS bm25
+    FROM sc
+    GROUP BY doc_id
+    ORDER BY bm25_scaled DESC, doc_id
+    LIMIT 20
+    """,
+)
+def retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    dl = toks.select(
+        "doc_id", F.size("t").cast("bigint").alias("dl")
+    )
+    st = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("tt"),
+    )
+    # filtered BEFORE the explode's downstream shuffle: only query-term
+    # occurrences reach the (doc_id, tok) aggregation
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .filter(F.col("tok").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    sc = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            "dl",
+            F.expr(
+                f"(CAST({_BM25_SCALE} AS BIGINT)"
+                " * length(bin(n div df)) * 22 * tf * tt)"
+                " div (10 * tf * tt + 3 * tt + 9 * dl * n)"
+            ).alias("s"),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.first("dl").alias("dl"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.sum("s").cast("bigint").alias("bm25_scaled"),
+        )
+        .select(
+            "doc_id",
+            "dl",
+            "n_terms_hit",
+            "bm25_scaled",
+            F.round(
+                F.col("bm25_scaled").cast("double") / _BM25_SCALE, 6
+            ).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25_scaled"), "doc_id")
+        .limit(20)
+    )
