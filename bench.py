@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "bloom_join_prune",
     "events_scd2_intervals",
     "events_histogram_quantiles",
+    # streaming_dedup_watermark is correctness-gated but not benched
+    # (one-shot incremental stream, like the other streaming rows)
     # streaming_hll_registers is correctness-gated but not benched
     # (one-time incremental stream cost, like the other streaming rows)
     # streaming_stream_join is correctness-gated but not benched (one-time

@@ -704,3 +704,139 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_estimate"
         ),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# streaming_dedup_watermark — the NATIVE dropDuplicatesWithinWatermark
+# operator under the hash gate (the built-in sibling of the custom
+# applyInPandasWithState first-seen dedup above): (user_id, event_type)
+# events land in two checkpointed availableNow batches (event_id
+# parity, each batch pre-reduced to one deterministic row per key so
+# within-batch processing order cannot pick a winner), watermark delay
+# 10 days over a 30-day fixture. Batch 2 therefore exercises every path
+# the operator has: rows below the batch-1 watermark are DROPPED AS
+# LATE, rows whose key has live batch-1 state (state expires at
+# event-time + delay) are DROPPED AS DUPLICATES, and the rest are
+# emitted — the oracle restates watermark arithmetic exactly
+# (millisecond-truncated event times, Spark's watermark granularity).
+# Parity proves the operator's cross-restart state AND its late/expiry
+# frontier, bit-for-bit.
+#
+# Scale: state is one (key → expiry) entry bounded by the delay window,
+# the exact shape RocksDB state stores hold at production fan-in.
+# --------------------------------------------------------------------------
+_DDW_DELAY_DAYS = 10
+_DDW_DONE: dict[tuple[str, str], str] = {}
+
+
+def _ddw_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _DDW_DONE:
+        from data_ingestion_din_spark.operators.colocate import _dir_ok
+
+        if _dir_ok(_DDW_DONE[key]):
+            return _DDW_DONE[key]
+        del _DDW_DONE[key]
+    from data_ingestion_din_spark.operators.colocate import (
+        cleanup_stale_app_dirs,
+    )
+
+    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_ddw")
+    cleanup_stale_app_dirs(root, app)
+    base = os.path.join(root, app, tag)
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    wk = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(
+            "user_id bigint, event_type string, ts timestamp, event_id bigint"
+        ).parquet(landing + "/*")
+        q = (
+            stream.withWatermark("ts", f"{_DDW_DELAY_DAYS} days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+
+    for i, parity in enumerate((0, 1)):
+        batch = (
+            ev.filter(F.col("event_id") % 2 == parity)
+            .withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        batch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(landing, f"b{i}")
+        )
+        run_once()
+    _DDW_DONE[key] = out
+    return out
+
+
+@query(
+    "streaming_dedup_watermark",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             event_id % 2 AS par,
+             row_number() OVER (PARTITION BY user_id, event_type, event_id % 2
+                                ORDER BY ts, event_id) AS rk
+      FROM events
+    ),
+    d AS (SELECT * FROM b WHERE rk = 1),
+    b1 AS (SELECT * FROM d WHERE par = 0),
+    b2 AS (SELECT * FROM d WHERE par = 1),
+    -- Spark tracks watermarks at millisecond granularity: wm after
+    -- batch 1 = ms-truncated max event time minus the delay
+    wm AS (
+      SELECT (max(ts_us) // 1000 - {_DDW_DELAY_DAYS * 86_400_000}) * 1000
+               AS wm_us
+      FROM b1
+    ),
+    keep2 AS (
+      SELECT b2.user_id, b2.event_type, b2.ts_us, b2.event_id
+      FROM b2 CROSS JOIN wm
+      LEFT JOIN b1 ON b1.user_id = b2.user_id
+                  AND b1.event_type = b2.event_type
+      WHERE b2.ts_us >= wm.wm_us        -- not late
+        AND (b1.user_id IS NULL          -- new key, or batch-1 state
+             OR b1.ts_us + CAST({_DDW_DELAY_DAYS * 86_400_000_000} AS BIGINT)
+                < wm.wm_us)              -- already expired at batch end
+    )
+    SELECT user_id, event_type, ts_us, CAST(event_id AS BIGINT) AS event_id
+    FROM (SELECT user_id, event_type, ts_us, event_id FROM b1
+          UNION ALL SELECT * FROM keep2)
+    ORDER BY user_id, event_type
+    """,
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back the two-run dropDuplicatesWithinWatermark output; the
+    fixture has no event on either watermark/expiry boundary (checked at
+    sf0.001/0.01), so the oracle's >=/< conventions are exact."""
+    out = _ddw_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id").cast("bigint").alias("event_id"),
+        )
+        .orderBy("user_id", "event_type")
+    )

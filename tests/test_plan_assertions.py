@@ -323,3 +323,37 @@ def test_corpus_textrank_keywords_plan(spark):
     # dst aggregation, no cartesian anywhere in the loop
     assert s["cartesian"] == 0, s
     assert s["exchange"] <= 13, s
+
+
+def test_retrieval_bm25_plan(spark):
+    s = _stats("retrieval_bm25", spark)
+    # df side and corpus-stats scalar are broadcast; the only
+    # nested-loop is the documented 1-row stats crossJoin
+    assert s["bhj"] >= 2, s
+    assert s["cartesian"] <= 1, s
+    assert s["exchange"] <= 8, s
+
+
+def test_bloom_join_prune_plan(spark):
+    s = _stats("bloom_join_prune", spark)
+    # bit set broadcast — the probe side never shuffles on the join key;
+    # nested-loops are only the three 1-row summary-scalar crossJoins
+    assert s["bhj"] >= 2, s
+    assert s["cartesian"] <= 3, s
+    assert s["exchange"] <= 9, s
+
+
+def test_events_scd2_intervals_plan(spark):
+    s = _stats("events_scd2_intervals", spark)
+    # ONE user_id shuffle serves lag + version counter + lead (plus the
+    # final presentation orderBy)
+    assert s["exchange"] <= 2, s
+    assert s["cartesian"] == 0, s
+
+
+def test_events_histogram_quantiles_plan(spark):
+    s = _stats("events_histogram_quantiles", spark)
+    # per-type stats / histogram rows are broadcast to the probe sides
+    assert s["bhj"] >= 3, s
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 9, s
