@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "tables_subtable_split",
     "eval_judged_scores",
     "retrieval_bm25",
+    "corpus_bpe_encode",
     "bloom_join_prune",
     "events_scd2_intervals",
     "events_histogram_quantiles",

@@ -1215,3 +1215,125 @@ def corpus_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("rank_scaled"),
         F.col("rk").cast("int").alias("rk"),
     ).orderBy("rk")
+
+
+# --------------------------------------------------------------------------
+# corpus_bpe_encode — BPE tokenizer ENCODING at scan speed: apply a
+# fixed ranked merge table (the artifact corpus_bpe_merge_step's
+# training loop commits) to every word and report the resulting subword
+# vocabulary. Each merge pass is a greedy left-to-right FOLD
+# (aggregate / list_reduce): append each token, collapsing the tail
+# when it forms the pass's (a,b) pair. The fold shape matters for cost,
+# not just style: it references the previous pass's array exactly ONCE,
+# so when either optimizer collapses the 8 chained projections the
+# expression grows linearly — a neighbor-indexed transform references
+# its input 3×, and inlining that chain explodes 3^8-fold (measured:
+# 75 s/19 s per side vs 2 s/0.3 s for the fold). Later merges consume
+# earlier outputs ((t,h) then (th,e)), which is exactly how a trained
+# BPE vocabulary nests.
+#
+# Scale: encoding runs over the DISTINCT-word table (vocabulary-sized)
+# and corpus counts attach by weight — the standard trick that makes
+# tokenizer application O(vocab) instead of O(corpus); the corpus-wide
+# rollup is one token shuffle of integer partials.
+# --------------------------------------------------------------------------
+_BPE_MERGES = (
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "n"),
+    ("an", "d"),
+    ("i", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+)
+_BPE_ENC_TOPK = 30
+
+
+def _bpe_pass_spark(col: str, a: str, b: str) -> str:
+    return (
+        f"aggregate({col}, CAST(array() AS ARRAY<STRING>), (acc, x) -> CASE"
+        f" WHEN try_element_at(acc, -1) = '{a}' AND x = '{b}'"
+        f" THEN concat(slice(acc, 1, size(acc) - 1), array('{a}{b}'))"
+        f" ELSE concat(acc, array(x)) END)"
+    )
+
+
+def _bpe_pass_duck(col: str, a: str, b: str) -> str:
+    # DuckDB 1.0 list_reduce has no initial-accumulator form, so fold
+    # over the list-of-singletons; acc[:-2] = all but last (inclusive
+    # slice bounds)
+    return (
+        f"list_reduce(list_transform({col}, t -> [t]), (acc, x) -> CASE"
+        f" WHEN acc[-1] = '{a}' AND x[1] = '{b}'"
+        f" THEN list_append(acc[:-2], '{a}{b}')"
+        f" ELSE list_concat(acc, x) END)"
+    )
+
+
+def _bpe_chain(col: str, passes) -> str:
+    expr = col
+    for a, b in _BPE_MERGES:
+        expr = passes(expr, a, b)
+    return expr
+
+
+@query(
+    "corpus_bpe_encode",
+    oracle=f"""
+    WITH w AS (SELECT unnest({_TOKS_SQL}) AS w FROM documents),
+    wn AS (SELECT w, CAST(count(*) AS BIGINT) AS wn FROM w GROUP BY w),
+    chars AS (
+      SELECT w, wn,
+             list_transform(range(1, length(w) + 1),
+                            i -> substr(w, i, 1)) AS c
+      FROM wn
+    ),
+    enc AS (
+      SELECT w, wn, {_bpe_chain('c', lambda c, a, b: _bpe_pass_duck(c, a, b))} AS toks
+      FROM chars
+    ),
+    tok AS (
+      SELECT unnest(toks) AS token, wn FROM enc
+    )
+    SELECT token,
+           CAST(length(token) AS INT) AS token_len,
+           CAST(count(*) AS BIGINT) AS n_word_slots,
+           CAST(sum(wn) AS BIGINT) AS total_occurrences
+    FROM tok
+    GROUP BY token
+    ORDER BY total_occurrences DESC, token
+    LIMIT {_BPE_ENC_TOPK}
+    """,
+)
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    wn = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("wn"))
+    enc = wn.withColumn(
+        "c", F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    )
+    # one projection per pass: textually nesting all 8 lambda chains in a
+    # single expression overruns the analyzer's resolution fixpoint;
+    # Catalyst still collapses these into one codegen span
+    cur = "c"
+    for step, (a, b) in enumerate(_BPE_MERGES):
+        nxt = f"c{step}"
+        enc = enc.withColumn(nxt, F.expr(_bpe_pass_spark(cur, a, b)))
+        cur = nxt
+    tok = enc.select(F.explode(cur).alias("token"), "wn")
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_word_slots"),
+            F.sum("wn").cast("bigint").alias("total_occurrences"),
+        )
+        .select(
+            "token",
+            F.length("token").cast("int").alias("token_len"),
+            "n_word_slots",
+            "total_occurrences",
+        )
+        .orderBy(F.desc("total_occurrences"), "token")
+        .limit(_BPE_ENC_TOPK)
+    )
