@@ -313,3 +313,51 @@ def zordered_events(spark: SparkSession, sf_dir: str) -> str:
     )
     _ZORDER_EVENTS[key] = path
     return path
+
+
+def _parquet_files(path: str) -> list[tuple[str, int]]:
+    out = []
+    for base, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(base, f)
+                try:
+                    out.append((p, os.path.getsize(p)))
+                except OSError:
+                    pass
+    return out
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Small-file compaction — the OPTIMIZE/maintenance operation every
+    streaming or per-batch writer eventually needs (each micro-batch /
+    task emits its own file; a 100 TB table fed by thousands of
+    micro-batches degrades every later scan with open/footer overhead
+    and tiny row groups). Reads the fragmented parquet directory,
+    re-writes it as ceil(total_bytes / target_bytes) files via
+    ``coalesce`` (a NARROW repartitioning: no shuffle — input splits are
+    concatenated into the target file count), and reports before/after
+    file counts and bytes.
+
+    Content is preserved exactly (row multiset — asserted in
+    tests/test_colocate.py via order-insensitive fingerprint); layout
+    metadata (file count, ordering within files) is not, which is the
+    contract of table-maintenance compaction everywhere (Delta OPTIMIZE,
+    Iceberg rewrite_data_files)."""
+    files = _parquet_files(src_dir)
+    total = sum(sz for _, sz in files)
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(src_dir)
+    df.coalesce(n_out).write.mode("overwrite").parquet(dst_dir)
+    after = _parquet_files(dst_dir)
+    return {
+        "files_before": len(files),
+        "bytes_before": total,
+        "files_after": len(after),
+        "bytes_after": sum(sz for _, sz in after),
+    }

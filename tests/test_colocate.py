@@ -423,3 +423,38 @@ def test_zorder_layout_skips_files_on_2d_box(spark):
     assert z_needed < t_needed, (z_needed, z_total, t_needed, t_total)
     # and meaningfully so: at most half the files the time layout reads
     assert z_needed * 2 <= t_needed, (z_needed, t_needed)
+
+
+def test_compact_small_files(spark, tmp_path):
+    from data_ingestion_din_spark.operators.colocate import (
+        compact_small_files,
+    )
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 10_000).selectExpr(
+        "id", "CAST(id % 97 AS STRING) AS k", "id * 3 AS v"
+    )
+    # simulate micro-batch debris: 64 files for a few hundred KB
+    df.repartition(64).write.parquet(src)
+    stats = compact_small_files(spark, src, dst, target_bytes=1 << 20)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 2
+
+    # row multiset preserved exactly: order-insensitive fingerprint
+    def fp(path):
+        import pyspark.sql.functions as F
+
+        return (
+            spark.read.parquet(path)
+            .select(
+                F.md5(F.concat_ws("|", "id", "k", "v")).alias("h")
+            )
+            .agg(F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")))
+            .collect()[0][0]
+        )
+
+    assert fp(src) == fp(dst)
+    # compaction must not lose bytes to more than metadata overhead
+    assert stats["bytes_after"] > 0
