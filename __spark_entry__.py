@@ -25,6 +25,15 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # round-3-sampled block oldest-first (VERDICT r4 next-round #6).
 _DRIVER_PRIORITY: list[str] = [
     # Round-5 additions — never driver-sampled.
+    "retrieval_bm25",
+    "bloom_join_prune",
+    "events_scd2_intervals",
+    "events_histogram_quantiles",
+    "streaming_dedup_watermark",
+    "corpus_bpe_encode",
+    "doc_tfidf_cosine_topk",
+    "ingest_quarantine",
+    "user_erasure",
     "similarity_pq_topk",
     "similarity_pq_recall",
     "dedup_semantic_kmeans",

@@ -192,6 +192,9 @@ BENCH_QUERIES = [
     "bloom_join_prune",
     "events_scd2_intervals",
     "events_histogram_quantiles",
+    "doc_tfidf_cosine_topk",
+    "ingest_quarantine",
+    "user_erasure",
     # streaming_dedup_watermark is correctness-gated but not benched
     # (one-shot incremental stream, like the other streaming rows)
     # streaming_hll_registers is correctness-gated but not benched

@@ -1197,3 +1197,116 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac.alias("jaccard"),
         (est - jac).alias("err"),
     ).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# doc_tfidf_cosine_topk — SPARSE lexical similarity, completing the
+# similarity matrix (dense embedding cosine exists exact + LSH + IVF +
+# PQ; set overlap exists as Jaccard/MinHash; this is the tf-idf
+# vector-space model in between): per-(doc, term) weights w = tf · idf2
+# with the integer log2 idf (same recipe as retrieval_bm25), pairwise
+# dot products accumulated through an inverted-index equi-join on the
+# term — never an all-pairs product — and cosine normalization applied
+# once per surviving pair. Weights/dots/norms² are exact BIGINTs; the
+# only float steps are two IEEE sqrts of exact integers, one multiply,
+# one divide — identical bit patterns in both engines.
+#
+# Scale: terms with df > 50 are dropped before the self-join (the
+# ngram_jaccard_capped stop-term guard — join fan-out bounded per term,
+# total cost linear in corpus size); doc norms join back on doc_id.
+# --------------------------------------------------------------------------
+_TFIDF_DF_CAP = 50
+
+
+@query(
+    "doc_tfidf_cosine_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    n_docs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ),
+    w AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * length(bin(n_docs.n // df.df)) AS w
+      FROM tf JOIN df USING (tok) CROSS JOIN n_docs
+      WHERE df.df <= {_TFIDF_DF_CAP}
+    ),
+    norms AS (
+      SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(a.w * b.w) AS BIGINT) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, dot,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    ORDER BY CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def doc_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    n_docs = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    w = (
+        tf.join(df_t.filter(F.col("df") <= _TFIDF_DF_CAP), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.expr("length(bin(n div df))")).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            F.round(cosine, 6).alias("cosine"),
+        )
+        .orderBy(F.desc(cosine), "doc_a", "doc_b")
+        .limit(20)
+    )

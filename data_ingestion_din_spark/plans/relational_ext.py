@@ -871,3 +871,109 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# user_erasure — right-to-be-forgotten delete cascade: a hash-designated
+# erasure set of customers is propagated through the schema (customer →
+# orders → lineitem by key lineage; events by subject id), and the audit
+# row per table reports before/deleted/after counts — the accounting a
+# GDPR/PDPA deletion job must emit. Deletion is expressed as anti-joins
+# (the only scalable form: DELETE at 100 TB IS an anti-join rewrite of
+# the table), with lineitem's membership resolved through a SEMI join on
+# the doomed orders so the fact table never materializes the dimension.
+#
+# Scale: the erased-key set is corpus-fraction-small (~1%) and hash-
+# derived — broadcast; each table is scanned once; counts are map-side
+# partial sums.
+# --------------------------------------------------------------------------
+_GDPR_H = h64_sql("'gdpr:' || CAST(c_custkey AS VARCHAR)")
+_GDPR_MOD = 101
+
+
+@query(
+    "user_erasure",
+    oracle=f"""
+    WITH doomed AS (
+      SELECT c_custkey FROM customer WHERE {_GDPR_H} % {_GDPR_MOD} = 0
+    ),
+    doomed_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM doomed)
+    ),
+    audit AS (
+      SELECT 'customer' AS table_name,
+             (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_before,
+             (SELECT CAST(count(*) AS BIGINT) FROM doomed) AS n_deleted
+      UNION ALL
+      SELECT 'orders',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders),
+             (SELECT CAST(count(*) AS BIGINT) FROM doomed_orders)
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_orders))
+      UNION ALL
+      SELECT 'events',
+             (SELECT CAST(count(*) AS BIGINT) FROM events),
+             (SELECT CAST(count(*) AS BIGINT) FROM events
+              WHERE {h64_sql("'gdpr:' || CAST(user_id AS VARCHAR)")}
+                    % {_GDPR_MOD} = 0)
+    )
+    SELECT table_name, n_before, n_deleted,
+           n_before - n_deleted AS n_after
+    FROM audit
+    ORDER BY table_name
+    """,
+)
+def user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def gdpr(col):
+        return (
+            h64(F.concat(F.lit("gdpr:"), col.cast("string"))) % _GDPR_MOD
+            == 0
+        )
+
+    doomed = cust.filter(gdpr(F.col("c_custkey"))).select("c_custkey")
+    doomed_orders = orders.join(
+        F.broadcast(doomed),
+        orders.o_custkey == doomed.c_custkey,
+        "left_semi",
+    ).select("o_orderkey")
+    doomed_li = li.join(
+        F.broadcast(doomed_orders),
+        li.l_orderkey == doomed_orders.o_orderkey,
+        "left_semi",
+    )
+
+    def audit(name, full_df, deleted_df):
+        n_b = full_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_before")
+        )
+        n_d = deleted_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_deleted")
+        )
+        return (
+            n_b.crossJoin(F.broadcast(n_d))
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_before",
+                "n_deleted",
+                (F.col("n_before") - F.col("n_deleted")).alias("n_after"),
+            )
+        )
+
+    rows = (
+        audit("customer", cust, doomed)
+        .unionByName(audit("orders", orders, doomed_orders))
+        .unionByName(audit("lineitem", li, doomed_li))
+        .unionByName(audit("events", ev, ev.filter(gdpr(F.col("user_id")))))
+    )
+    return rows.orderBy("table_name")

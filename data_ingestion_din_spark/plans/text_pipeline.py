@@ -23,6 +23,7 @@ from data_ingestion_din_spark.functions.analysis import (
     quality_score,
     tokens,
 )
+from data_ingestion_din_spark.functions.hashing import h64_sql
 from data_ingestion_din_spark.functions.text import clean_text, clean_text_sql
 from data_ingestion_din_spark.plans.registry import query
 from data_ingestion_din_spark.sources.tables import load_table
@@ -1336,4 +1337,101 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_occurrences"), "token")
         .limit(_BPE_ENC_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# ingest_quarantine — PERMISSIVE-parse ingestion with a corrupt-record
+# quarantine path, the source-level error handling a production feed
+# needs (bad upstream serializers must not kill the batch, and silently
+# dropping them is worse): a JSON document feed is derived from the
+# fixture (1/7 of rows hash-truncated mid-object), parsed with a typed
+# schema — Spark's from_json PERMISSIVE mode yields an all-NULL struct
+# for unparseable input, detected via the always-present id field; the
+# oracle's twin is NOT json_valid — and routed into per-partition
+# parsed/quarantined accounting. The quarantine keeps the partition
+# metadata (lang) that travels OUTSIDE the payload, which is what makes
+# a quarantine table reprocessable.
+#
+# Scale: parse + route is pure scan-speed column work; the accounting is
+# one small-cardinality groupBy.
+# --------------------------------------------------------------------------
+_QJ_H = h64_sql("'qjson:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "ingest_quarantine",
+    oracle=f"""
+    WITH feed AS (
+      SELECT doc_id, lang,
+             '{{"id": ' || CAST(doc_id AS VARCHAR) || ', "lang": "' || lang
+               || '", "n": ' || CAST(n_chars AS VARCHAR) || '}}' AS s0
+      FROM documents
+    ),
+    fed AS (
+      SELECT doc_id, lang,
+             CASE WHEN {_QJ_H} % 7 = 0
+                  THEN substr(s0, 1, length(s0) - 1) ELSE s0 END AS s
+      FROM feed
+    ),
+    parsed AS (
+      SELECT lang,
+             CASE WHEN json_valid(s) THEN 1 ELSE 0 END AS ok,
+             CASE WHEN json_valid(s)
+                  THEN CAST(json_extract(s, '$.n') AS BIGINT) END AS n_payload
+      FROM fed
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(ok) AS BIGINT) AS n_ok,
+           CAST(count(*) - sum(ok) AS BIGINT) AS n_quarantined,
+           CAST(sum(n_payload) AS BIGINT) AS sum_n_parsed
+    FROM parsed
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    s0 = F.concat(
+        F.lit('{"id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('", "n": '),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    h = h64(F.concat(F.lit("qjson:"), F.col("doc_id").cast("string")))
+    # build s0 as a real column first so the CASE can slice it
+    fed = docs.select(
+        "lang", s0.alias("s0"), h.alias("h")
+    ).select(
+        "lang",
+        F.when(
+            F.col("h") % 7 == 0,
+            F.expr("substr(s0, 1, length(s0) - 1)"),
+        )
+        .otherwise(F.col("s0"))
+        .alias("s"),
+    )
+    p = fed.select(
+        "lang",
+        F.from_json("s", "id bigint, lang string, n bigint").alias("p"),
+    ).select(
+        "lang",
+        F.when(F.col("p.id").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("ok"),
+        F.when(F.col("p.id").isNotNull(), F.col("p.n")).alias("n_payload"),
+    )
+    return (
+        p.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum("ok").cast("bigint").alias("n_ok"),
+            (F.count(F.lit(1)) - F.sum("ok")).cast("bigint").alias("n_quarantined"),
+            F.sum("n_payload").cast("bigint").alias("sum_n_parsed"),
+        )
+        .orderBy("lang")
     )
