@@ -1263,7 +1263,10 @@ def _bpe_pass_spark(col: str, a: str, b: str) -> str:
 def _bpe_pass_duck(col: str, a: str, b: str) -> str:
     # DuckDB 1.0 list_reduce has no initial-accumulator form, so fold
     # over the list-of-singletons; acc[:-2] = all but last (inclusive
-    # slice bounds)
+    # slice bounds). PRECONDITION: the input list is non-empty —
+    # list_reduce errors on []; holds by construction because the fold
+    # runs per distinct WORD and tokenization filters empty strings
+    # (property-tested in tests/test_properties.py)
     return (
         f"list_reduce(list_transform({col}, t -> [t]), (acc, x) -> CASE"
         f" WHEN acc[-1] = '{a}' AND x[1] = '{b}'"

@@ -192,3 +192,47 @@ def test_hll_rank_twins_agree(spark, hs):
     ]
     assert got_spark == expect
     assert got_duck == expect
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pass fold twins: the Spark aggregate() and DuckDB
+# list_reduce() formulations in corpus_bpe_encode must produce the same
+# token sequence for ARBITRARY words — including pathological runs
+# ("ththth", "aaan") where greedy left-to-right order is what defines
+# the answer.
+# ---------------------------------------------------------------------------
+# min_size=1: tokenization filters empty strings before the fold, and
+# DuckDB's list_reduce errors on an empty list (precondition documented
+# at _bpe_pass_duck)
+_bpe_words = st.text(
+    alphabet=st.sampled_from("theandinors"), min_size=1, max_size=14
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_bpe_words, min_size=10, max_size=30))
+def test_bpe_fold_twins_agree(spark, words):
+    from data_ingestion_din_spark.plans.text_pipeline import (
+        _bpe_chain,
+        _bpe_pass_duck,
+        _bpe_pass_spark,
+    )
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    enc = df.withColumn(
+        "c",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+    )
+    from data_ingestion_din_spark.plans.text_pipeline import _BPE_MERGES
+
+    cur = "c"
+    for step, (a, b) in enumerate(_BPE_MERGES):
+        nxt = f"c{step}"
+        enc = enc.withColumn(nxt, F.expr(_bpe_pass_spark(cur, a, b)))
+        cur = nxt
+    got = [r[0] for r in enc.select(cur).collect()]
+
+    chars = "list_transform(range(1, length(s) + 1), i -> substr(s, i, 1))"
+    chain = _bpe_chain(chars, lambda c, a, b: _bpe_pass_duck(c, a, b))
+    want = [r[0] for r in _duck(words, chain)]
+    assert [list(x) for x in got] == [list(x) for x in want]
