@@ -1281,6 +1281,10 @@ def doc_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
             (F.col("tf") * F.expr("length(bin(n div df))")).alias("w"),
         )
+        # staged: feeds three branches (norms + both join sides); without
+        # the checkpoint each branch recomputes the tf/df pipeline (plan
+        # audit showed 30 Exchanges -> 4 after staging)
+        .localCheckpoint(eager=True)
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")

@@ -357,3 +357,34 @@ def test_events_histogram_quantiles_plan(spark):
     assert s["bhj"] >= 3, s
     assert s["cartesian"] == 0, s
     assert s["exchange"] <= 9, s
+
+
+def test_corpus_bpe_encode_plan(spark):
+    s = _stats("corpus_bpe_encode", spark)
+    # vocabulary agg + token rollup only; the 8 fold passes are narrow
+    assert s["exchange"] <= 2, s
+    assert s["cartesian"] == 0, s
+
+
+def test_doc_tfidf_cosine_topk_plan(spark):
+    s = _stats("doc_tfidf_cosine_topk", spark)
+    # staged weight table feeds three branches; inverted-index equi-join
+    # only — never an all-pairs product
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 6, s
+
+
+def test_ingest_quarantine_plan(spark):
+    s = _stats("ingest_quarantine", spark)
+    # parse + route at scan speed; one small-cardinality agg
+    assert s["exchange"] <= 2, s
+    assert s["cartesian"] == 0, s
+
+
+def test_user_erasure_plan(spark):
+    s = _stats("user_erasure", spark)
+    # erased sets broadcast into semi-joins; nested loops are only the
+    # four 1-row audit-scalar crossJoins
+    assert s["bhj"] >= 3, s
+    assert s["cartesian"] <= 4, s
+    assert s["exchange"] <= 15, s
