@@ -34,6 +34,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_tfidf_cosine_topk",
     "ingest_quarantine",
     "user_erasure",
+    "corpus_bigram_generate",
     "similarity_pq_topk",
     "similarity_pq_recall",
     "dedup_semantic_kmeans",

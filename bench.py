@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "doc_tfidf_cosine_topk",
     "ingest_quarantine",
     "user_erasure",
+    "corpus_bigram_generate",
     # streaming_dedup_watermark is correctness-gated but not benched
     # (one-shot incremental stream, like the other streaming rows)
     # streaming_hll_registers is correctness-gated but not benched

@@ -1438,3 +1438,112 @@ def ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_bigram_generate — greedy LM DECODING as relational operators,
+# the serving half of corpus_bigram_lm's training half: seed with the
+# corpus's most frequent token, then repeatedly take the argmax
+# continuation from the bigram count table (ties broken
+# lexicographically, so the whole trajectory is deterministic and
+# hash-gated). Greedy decode loops are expected and preserved — that IS
+# argmax decoding; each step is evidence the conditional table, not the
+# sampler, drives the output.
+#
+# Scale: the bigram table is built once (one pair shuffle); each decode
+# step is a 1-row broadcast probe + TakeOrderedAndProject(1) — serving
+# cost is O(steps), independent of corpus size, the relational
+# restatement of an LM inference step over count tables.
+# --------------------------------------------------------------------------
+_GEN_STEPS = 6
+
+
+def _gen_oracle() -> str:
+    ctes = [
+        "t AS (SELECT doc_id, "
+        + _TOKS_SQL
+        + " AS t FROM documents)",
+        """prs AS (
+      SELECT t[i] AS head, t[i + 1] AS next
+      FROM t, unnest(range(1, len(t))) r(i)
+      WHERE i < len(t)
+    )""",
+        """pc AS (
+      SELECT head, next, CAST(count(*) AS BIGINT) AS pair_n
+      FROM prs GROUP BY head, next
+    )""",
+        """un AS (
+      SELECT unnest(t) AS tok FROM t
+    )""",
+        """s0 AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM un
+      GROUP BY tok ORDER BY cnt DESC, tok LIMIT 1
+    )""",
+    ]
+    for i in range(1, _GEN_STEPS + 1):
+        prev_tok = "tok" if i == 1 else "next"
+        ctes.append(
+            f"""s{i} AS (
+      SELECT pc.next, pc.pair_n AS cnt
+      FROM pc, s{i - 1} p WHERE pc.head = p.{prev_tok}
+      ORDER BY pc.pair_n DESC, pc.next LIMIT 1
+    )"""
+        )
+    selects = ["SELECT 0 AS step, tok AS token, cnt FROM s0"] + [
+        f"SELECT {i} AS step, next AS token, cnt FROM s{i}"
+        for i in range(1, _GEN_STEPS + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT CAST(step AS INT) AS step, token, cnt FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY step"
+    )
+
+
+@query("corpus_bigram_generate", oracle=_gen_oracle())
+def corpus_bigram_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    prs = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS head, t[i] AS next))"
+            )
+        ).alias("p")
+    ).select("p.head", "p.next")
+    pc = prs.groupBy("head", "next").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_n")
+    )
+    # staged: probed once per decode step
+    pc = pc.localCheckpoint(eager=True)
+    un = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    seed = (
+        un.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(1)
+        .select(F.col("tok").alias("token"), "cnt")
+    )
+    steps = [seed.select(F.lit(0).alias("step"), "token", "cnt")]
+    cur = seed
+    for i in range(1, _GEN_STEPS + 1):
+        probe = cur.select(F.col("token").alias("cur_tok"))
+        nxt = (
+            pc.join(F.broadcast(probe), F.col("head") == F.col("cur_tok"))
+            .orderBy(F.desc("pair_n"), "next")
+            .limit(1)
+            .select(F.col("next").alias("token"), F.col("pair_n").alias("cnt"))
+        )
+        steps.append(nxt.select(F.lit(i).alias("step"), "token", "cnt"))
+        cur = nxt
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        F.col("step").cast("int").alias("step"), "token", "cnt"
+    ).orderBy("step")
