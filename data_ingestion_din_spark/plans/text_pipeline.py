@@ -1252,10 +1252,38 @@ _BPE_ENC_TOPK = 30
 
 
 def _bpe_pass_spark(col: str, a: str, b: str) -> str:
+    return _bpe_fused_pass_spark(col, ((a, b),))
+
+
+def _bpe_fused_pass_spark(col: str, rules) -> str:
+    """One left-to-right fold applying several merge rules in a single
+    scan. Fusing sequential BPE passes into one scan is only valid when
+    the rules cannot interact: every (tail, x) combination triggers at
+    most one rule (the b-chars' tails are mutually exclusive) and the
+    only cross-rule effects are intended left-side cascades ((t,h) then
+    (th,e) — the merged token is already in the accumulator when the
+    next char arrives, so a single scan sees it exactly like the next
+    sequential pass would). The one genuine conflict in _BPE_MERGES is
+    (e,r) vs (r,e): sequential order gives (e,r) a lookahead win on
+    "rer" ([r, er]) that a single scan cannot reproduce ([re, r]), so
+    (r,e) runs as its own second scan. Equivalence of the {1..7}+{8}
+    grouping vs the 8 sequential passes is verified exhaustively up to
+    length 7 over the interacting alphabet plus randomized strings in
+    tests/test_properties.py (property: bpe fused == sequential).
+
+    Cost: each fold pass is interpreted per-element with an O(len)
+    array rebuild, so pass count is the dominant term — 8 chained
+    passes measured 12.4 s steady at sf0.1; the 2-scan fusion removes
+    6 of the 8 interpreted scans (PLANS.md r6).
+    """
+    whens = " ".join(
+        f"WHEN try_element_at(acc, -1) = '{a}' AND x = '{b}'"
+        f" THEN concat(slice(acc, 1, size(acc) - 1), array('{a}{b}'))"
+        for a, b in rules
+    )
     return (
         f"aggregate({col}, CAST(array() AS ARRAY<STRING>), (acc, x) -> CASE"
-        f" WHEN try_element_at(acc, -1) = '{a}' AND x = '{b}'"
-        f" THEN concat(slice(acc, 1, size(acc) - 1), array('{a}{b}'))"
+        f" {whens}"
         f" ELSE concat(acc, array(x)) END)"
     )
 
@@ -1317,15 +1345,17 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = wn.withColumn(
         "c", F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
     )
-    # one projection per pass: textually nesting all 8 lambda chains in a
-    # single expression overruns the analyzer's resolution fixpoint;
-    # Catalyst still collapses these into one codegen span
-    cur = "c"
-    for step, (a, b) in enumerate(_BPE_MERGES):
-        nxt = f"c{step}"
-        enc = enc.withColumn(nxt, F.expr(_bpe_pass_spark(cur, a, b)))
-        cur = nxt
-    tok = enc.select(F.explode(cur).alias("token"), "wn")
+    # Two fused scans instead of 8 sequential ones (see
+    # _bpe_fused_pass_spark for the interaction proof): rules 1-7 are
+    # non-interacting / left-cascading so one scan applies them all;
+    # (r,e) conflicts with (e,r) and runs as its own second scan. One
+    # projection per scan (textually nesting the chains in a single
+    # expression overruns the analyzer's resolution fixpoint); Catalyst
+    # still collapses these into one codegen span.
+    enc = enc.withColumn(
+        "c0", F.expr(_bpe_fused_pass_spark("c", _BPE_MERGES[:7]))
+    ).withColumn("c1", F.expr(_bpe_fused_pass_spark("c0", _BPE_MERGES[7:])))
+    tok = enc.select(F.explode("c1").alias("token"), "wn")
     return (
         tok.groupBy("token")
         .agg(
