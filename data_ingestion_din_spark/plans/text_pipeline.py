@@ -1532,6 +1532,25 @@ def _gen_oracle() -> str:
     )
 
 
+def _decode_step(pc: DataFrame, cur: DataFrame, stage: bool = True) -> DataFrame:
+    """One greedy decode step: broadcast the 1-row current token into an
+    equi-join probe of the staged bigram table, take the argmax
+    continuation (count desc, token asc). ``stage=False`` exposes the
+    raw probe plan for the plan-assertion test
+    (tests/test_plan_assertions.py pins broadcast + TakeOrderedAndProject(1),
+    never a shuffle join on the bigram table)."""
+    probe = cur.select(F.col("token").alias("cur_tok"))
+    nxt = (
+        pc.join(F.broadcast(probe), F.col("head") == F.col("cur_tok"))
+        .orderBy(F.desc("pair_n"), "next")
+        .limit(1)
+        .select(F.col("next").alias("token"), F.col("pair_n").alias("cnt"))
+    )
+    # each step staged eagerly: 1 row, and without it every later step's
+    # lineage re-inlines all earlier probes (O(steps²) plan)
+    return nxt.localCheckpoint(eager=True) if stage else nxt
+
+
 @query("corpus_bigram_generate", oracle=_gen_oracle())
 def corpus_bigram_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1558,17 +1577,17 @@ def corpus_bigram_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "tok")
         .limit(1)
         .select(F.col("tok").alias("token"), "cnt")
+        # staged: without this, every later step's lineage re-inlines the
+        # corpus-wide seed aggregation (the union'd plan held 7 copies of
+        # the token shuffle and 28 TakeOrderedAndProject branches —
+        # O(steps²) probes); each step below is likewise staged so the
+        # decode is genuinely O(steps) 1-row probes
+        .localCheckpoint(eager=True)
     )
     steps = [seed.select(F.lit(0).alias("step"), "token", "cnt")]
     cur = seed
     for i in range(1, _GEN_STEPS + 1):
-        probe = cur.select(F.col("token").alias("cur_tok"))
-        nxt = (
-            pc.join(F.broadcast(probe), F.col("head") == F.col("cur_tok"))
-            .orderBy(F.desc("pair_n"), "next")
-            .limit(1)
-            .select(F.col("next").alias("token"), F.col("pair_n").alias("cnt"))
-        )
+        nxt = _decode_step(pc, cur)
         steps.append(nxt.select(F.lit(i).alias("step"), "token", "cnt"))
         cur = nxt
     out = steps[0]

@@ -388,3 +388,33 @@ def test_user_erasure_plan(spark):
     assert s["bhj"] >= 3, s
     assert s["cartesian"] <= 4, s
     assert s["exchange"] <= 15, s
+
+
+def test_corpus_bigram_generate_plan(spark):
+    # Final plan: the seed agg and all 6 decode probes are staged 1-row
+    # localCheckpoints, so the union is 7 trivial scans + one ordering
+    # Exchange. Dropping the staging re-inlines every earlier step into
+    # every later one (measured: 28 Exchanges / 21 BroadcastHashJoins /
+    # 28 TakeOrderedAndProject with 7 copies of the corpus token
+    # shuffle) and fails the bounds here.
+    s = _stats("corpus_bigram_generate", spark)
+    assert s["exchange"] <= 2, s
+    assert s["bhj"] == 0, s
+    assert s["cartesian"] == 0, s
+    assert s["smj"] == 0, s
+
+    # Per-step probe shape (hidden behind the checkpoint in the final
+    # plan): 1-row broadcast probe equi-joined into the bigram table,
+    # argmax via TakeOrderedAndProject — never a shuffle join.
+    from pyspark.sql import functions as F
+
+    from data_ingestion_din_spark.plans.text_pipeline import _decode_step
+
+    pc = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 2)], "head string, next string, pair_n bigint"
+    )
+    cur = spark.createDataFrame([("a", 3)], "token string, cnt bigint")
+    p = _plan_stats(_decode_step(pc, cur, stage=False))
+    assert p["bhj"] >= 1, p
+    assert p["smj"] == 0, p
+    assert p["cartesian"] == 0, p
