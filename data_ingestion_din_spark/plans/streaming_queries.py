@@ -809,15 +809,25 @@ def _ddw_out_dir(spark: SparkSession, sf_dir: str) -> str:
                AS wm_us
       FROM b1
     ),
+    -- Boundary conventions pinned empirically against Spark 4.1.2
+    -- (tests/test_streaming.py::test_ddw_boundary_conventions): a row
+    -- exactly AT the watermark is dropped as late (keep iff ts > wm,
+    -- strict), and state is evicted AT equality (live iff event_us +
+    -- delay_us > wm, strict) computed from the UN-truncated event time
+    -- (an event whose ms-truncated expiry equals the watermark but
+    -- whose microsecond expiry exceeds it stays live). Because the
+    -- watermark is always whole milliseconds and equality evicts, the
+    -- microsecond comparison below is exact — indistinguishable from
+    -- any ceil-to-ms variant.
     keep2 AS (
       SELECT b2.user_id, b2.event_type, b2.ts_us, b2.event_id
       FROM b2 CROSS JOIN wm
       LEFT JOIN b1 ON b1.user_id = b2.user_id
                   AND b1.event_type = b2.event_type
-      WHERE b2.ts_us >= wm.wm_us        -- not late
+      WHERE b2.ts_us > wm.wm_us         -- not late (strict: wm row is late)
         AND (b1.user_id IS NULL          -- new key, or batch-1 state
              OR b1.ts_us + CAST({_DDW_DELAY_DAYS * 86_400_000_000} AS BIGINT)
-                < wm.wm_us)              -- already expired at batch end
+                <= wm.wm_us)             -- already expired at batch end
     )
     SELECT user_id, event_type, ts_us, CAST(event_id AS BIGINT) AS event_id
     FROM (SELECT user_id, event_type, ts_us, event_id FROM b1
@@ -826,9 +836,11 @@ def _ddw_out_dir(spark: SparkSession, sf_dir: str) -> str:
     """,
 )
 def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read back the two-run dropDuplicatesWithinWatermark output; the
-    fixture has no event on either watermark/expiry boundary (checked at
-    sf0.001/0.01), so the oracle's >=/< conventions are exact."""
+    """Read back the two-run dropDuplicatesWithinWatermark output. The
+    oracle's late/expiry boundary conventions (strict > for not-late,
+    <= for expired) are pinned by the boundary probe in
+    tests/test_streaming.py::test_ddw_boundary_conventions, so parity
+    holds even for fixtures with events exactly on a boundary."""
     out = _ddw_out_dir(spark, sf_dir)
     return (
         spark.read.parquet(out)

@@ -1380,9 +1380,16 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dropping them is worse): a JSON document feed is derived from the
 # fixture (1/7 of rows hash-truncated mid-object), parsed with a typed
 # schema — Spark's from_json PERMISSIVE mode yields an all-NULL struct
-# for unparseable input, detected via the always-present id field; the
-# oracle's twin is NOT json_valid — and routed into per-partition
-# parsed/quarantined accounting. The quarantine keeps the partition
+# for unparseable input, detected via the always-present id field — and
+# routed into per-partition parsed/quarantined accounting. The DuckDB
+# oracle detects corruption with json_valid; the two detections agree
+# only because from_json does NOT salvage fields from a record whose
+# top level is truncated — i.e. spark.sql.json.enablePartialResults
+# must not turn "id": N inside a truncated object into a non-NULL id.
+# True on Spark 4.1.2 and pinned by
+# tests/test_text_functions.py::test_from_json_truncated_record_yields_null_id
+# so an upgrade that changes partial-results behavior fails loudly
+# instead of silently breaking parity. The quarantine keeps the partition
 # metadata (lang) that travels OUTSIDE the payload, which is what makes
 # a quarantine table reprocessable.
 #

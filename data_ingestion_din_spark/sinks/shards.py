@@ -61,17 +61,25 @@ def write_training_shards(
         .collect()
     }
     manifest = []
-    for shard in sorted(counts):
+    # every shard id 0..n_shards-1 gets a manifest entry — a loader that
+    # maps one worker per shard id must see an explicit zero-row shard,
+    # not a missing one (no shard=N directory is written for empty
+    # shards, so absent ids are emitted as zeros)
+    for shard in range(n_shards):
         d = os.path.join(out_dir, f"shard={shard}")
-        files = [
-            os.path.join(d, f)
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
-        ]
+        files = (
+            [
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(d)
+            else []
+        )
         manifest.append(
             {
                 "shard": shard,
-                "n_rows": counts[shard],
+                "n_rows": counts.get(shard, 0),
                 "n_files": len(files),
                 "n_bytes": sum(os.path.getsize(f) for f in files),
             }

@@ -4,6 +4,8 @@ co-located joins (no Exchange) and salted skew-safe aggregation
 
 from __future__ import annotations
 
+from datetime import timezone
+
 from pyspark.sql import functions as F
 
 from data_ingestion_din_spark.operators.colocate import (
@@ -405,8 +407,16 @@ def test_zorder_layout_skips_files_on_2d_box(spark):
                 su = md.row_group(rg).column(iu).statistics
                 stt = md.row_group(rg).column(it).statistics
                 mins_u.append(su.min); maxs_u.append(su.max)
-                mins_t.append(int(stt.min.timestamp() * 1e6))
-                maxs_t.append(int(stt.max.timestamp() * 1e6))
+                # parquet timestamp stats are UTC instants but arrive as
+                # naive datetimes; naive .timestamp() would reinterpret
+                # them in the host's local timezone and shift the box
+                # bounds relative to unix_micros (ADVICE r5)
+                mins_t.append(
+                    int(stt.min.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+                )
+                maxs_t.append(
+                    int(stt.max.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+                )
             total += 1
             if (
                 min(mins_u) <= u_hi and max(maxs_u) >= u_lo

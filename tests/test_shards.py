@@ -36,3 +36,21 @@ def test_write_training_shards(spark, tmp_path):
     # re-export routes identically (stable resume/mix contract)
     manifest2 = write_training_shards(df, "doc_id", out, n_shards=8)
     assert manifest2 == manifest
+
+
+def test_write_training_shards_empty_shards_explicit(spark, tmp_path):
+    """A shard id with no rows still appears in the manifest as an
+    explicit zero entry (ADVICE r5): a loader mapping one worker per
+    shard id 0..n-1 must see n_rows=0, not a missing shard."""
+    out = str(tmp_path / "shards_sparse")
+    # 2 distinct keys cannot populate 8 shards
+    df = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    manifest = write_training_shards(df, "doc_id", out, n_shards=8)
+
+    assert [m["shard"] for m in manifest] == list(range(8))
+    assert sum(m["n_rows"] for m in manifest) == 2
+    empties = [m for m in manifest if m["n_rows"] == 0]
+    assert len(empties) >= 6
+    assert all(
+        m["n_files"] == 0 and m["n_bytes"] == 0 for m in empties
+    ), manifest

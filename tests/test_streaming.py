@@ -480,3 +480,83 @@ def test_streaming_hll_emissions_monotone_and_match_batch(spark):
         .collect()
     }
     assert {k: max(v) for k, v in per_key.items()} == batch
+
+
+def test_ddw_boundary_conventions(spark, tmp_path):
+    """Pin dropDuplicatesWithinWatermark's boundary arithmetic, which
+    the streaming_dedup_watermark oracle restates (ADVICE r5 asked for
+    exactly this probe):
+
+    - late-row filter is STRICT: a batch-2 row exactly AT the watermark
+      is dropped as late; one microsecond above survives.
+    - state eviction happens AT equality: batch-1 state whose expiry
+      (event time + delay) equals the watermark is already expired, so
+      the batch-2 duplicate is emitted.
+    - expiry uses the UN-truncated event time: a state row whose
+      ms-truncated expiry equals the watermark but whose microsecond
+      expiry exceeds it is still live (the duplicate is dropped) —
+      ms-truncating the event time in the oracle would be wrong.
+
+    Watermark here: max batch-1 event 00:01:00.000789, ms-truncated to
+    60.000 s, minus the 10 s delay = 50.000 s.
+    """
+    base = str(tmp_path)
+    landing, ckpt, out = [f"{base}/{d}" for d in ("landing", "ckpt", "out")]
+
+    def mk(rows, sub):
+        df = spark.createDataFrame(rows, "k string, ts string").select(
+            "k", F.col("ts").cast("timestamp").alias("ts")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{landing}/{sub}")
+
+    def run_once():
+        s = spark.readStream.schema("k string, ts timestamp").parquet(
+            landing + "/*"
+        )
+        q = (
+            s.withWatermark("ts", "10 seconds")
+            .dropDuplicatesWithinWatermark(["k"])
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    mk(
+        [
+            ("wm", "2024-01-01 00:01:00.000789"),
+            ("a", "2024-01-01 00:00:40.000"),  # expiry 50.000 == wm
+            ("b", "2024-01-01 00:00:39.999"),  # expiry 49.999 < wm
+            ("c", "2024-01-01 00:00:40.001"),  # expiry 50.001 > wm
+            # ms-truncated expiry == wm, microsecond expiry > wm
+            ("d", "2024-01-01 00:00:40.000500"),
+        ],
+        "b0",
+    )
+    run_once()
+    mk(
+        [(k, "2024-01-01 00:01:00.0") for k in "abcd"]
+        + [
+            ("e", "2024-01-01 00:00:50.000"),     # exactly wm -> late
+            ("f", "2024-01-01 00:00:49.999999"),  # below wm -> late
+            ("g", "2024-01-01 00:00:50.000001"),  # above wm -> kept
+        ],
+        "b1",
+    )
+    run_once()
+
+    from collections import Counter
+
+    emissions = Counter(r.k for r in spark.read.parquet(out).collect())
+    assert dict(emissions) == {
+        "wm": 1,
+        "a": 2,  # state expired AT equality -> duplicate emitted
+        "b": 2,  # state expired below wm -> duplicate emitted
+        "c": 1,  # state live -> duplicate dropped
+        "d": 1,  # un-truncated expiry live -> duplicate dropped
+        # e (exactly at wm) and f (below wm) dropped as late: absent
+        "g": 1,  # above wm, new key -> emitted
+    }

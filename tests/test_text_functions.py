@@ -188,3 +188,27 @@ def test_lev_ratio_vs_difflib_divergence(spark):
     )
     assert abs(ref[a_idx] - 0.8182) < 1e-3 and abs(lev[a_idx] - 0.6923) < 1e-3
     assert ref[key_idx] >= 0.75 > lev[key_idx]  # the gate flip
+
+
+def test_from_json_truncated_record_yields_null_id(spark):
+    """ingest_quarantine's Spark/oracle equivalence (all-NULL from_json
+    struct vs DuckDB json_valid) silently depends on from_json NOT
+    salvaging fields from a top-level-truncated record — i.e.
+    spark.sql.json.enablePartialResults must not recover "id" from a
+    string whose closing brace was cut (ADVICE r5 asked to pin this so
+    a Spark upgrade changing partial-results behavior fails loudly).
+    The strings here are exactly the quarantine feed's shape: a valid
+    object with the last character removed.
+    """
+    from pyspark.sql import functions as F
+
+    feed = [
+        '{"id": 7, "lang": "en", "n": 42',      # truncated closing brace
+        '{"id": 7, "lang": "en", "n": 4',        # truncated digit
+        '{"id": 7, "lang": "en", "n": 42}',      # intact control
+    ]
+    df = spark.createDataFrame([(s,) for s in feed], "s string").select(
+        F.from_json("s", "id bigint, lang string, n bigint").alias("p")
+    )
+    got = [r.p.id for r in df.collect()]
+    assert got == [None, None, 7], got
