@@ -640,3 +640,148 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+# --------------------------------------------------------------------------
+# training_shard_manifest — the shard EXPORT under the hash gate
+# end-to-end (VERDICT r5 ask #7): write the corpus through
+# sinks/shards.write_training_shards (hash-routed hive dirs, one
+# parquet file per non-empty shard, explicit zero entries for empty
+# ids), then verify the COMMITTED artifact, not the plan: the result
+# joins the returned manifest with a re-read of the written files and
+# reports per shard the manifest row count, file count, read-back doc
+# count, token total, and an order-independent content fingerprint
+# (sum of per-row h64, windowed to 40 bits so 10^9-row sums stay far
+# from BIGINT overflow in both engines). The oracle computes all of it
+# from the SOURCE table via the same shard_id arithmetic — parity
+# proves the export wrote every row exactly once to the shard its key
+# hashes to, with the manifest agreeing, i.e. the pipeline's terminal
+# contract.
+#
+# Scale: the export is one n_shards-way hash repartition + write; the
+# audit is one scan of the written files with a shard-local agg.
+# --------------------------------------------------------------------------
+_TSM_SHARDS = 8
+_TSM_FP_MOD = 1099511627776  # 2^40
+_TSM_DONE: dict[tuple[str, str], tuple[str, list]] = {}
+
+
+def _shard_export(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+    """Run the shard export once per (app, sf_dir); returns (out_dir,
+    manifest). Same staged-artifact pattern as the streaming landings
+    (plans/streaming_queries._ddw_out_dir): app-scoped temp root,
+    stale-dir cleanup, cache revalidation."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from data_ingestion_din_spark.functions.analysis import tokens
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        cleanup_stale_app_dirs,
+    )
+    from data_ingestion_din_spark.sinks.shards import write_training_shards
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TSM_DONE:
+        if _dir_ok(_TSM_DONE[key][0]):
+            return _TSM_DONE[key]
+        del _TSM_DONE[key]
+
+    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_shards")
+    cleanup_stale_app_dirs(root, app)
+    out = os.path.join(root, app, tag)
+    shutil.rmtree(out, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    manifest = write_training_shards(
+        docs, "doc_id", out, n_shards=_TSM_SHARDS
+    )
+    _TSM_DONE[key] = (out, manifest)
+    return _TSM_DONE[key]
+
+
+_TSM_H = h64_sql(
+    "'mfp:' || CAST(doc_id AS VARCHAR) || ':' || CAST(n_tok AS VARCHAR)"
+)
+
+
+@query(
+    "training_shard_manifest",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS n_tok,
+             {h64_sql("CAST(doc_id AS VARCHAR)", seed="shard:")}
+               % {_TSM_SHARDS} AS shard
+      FROM documents
+    ),
+    agg AS (
+      SELECT shard,
+             count(*) AS n,
+             sum(n_tok) AS tt,
+             sum({_TSM_H} % {_TSM_FP_MOD}) AS fp
+      FROM src GROUP BY shard
+    )
+    SELECT CAST(r.range AS INT) AS shard,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_rows_manifest,
+           CAST(CASE WHEN a.n IS NULL THEN 0 ELSE 1 END AS INT) AS n_files,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_docs,
+           CAST(coalesce(a.tt, 0) AS BIGINT) AS total_tokens,
+           CAST(coalesce(a.fp, 0) AS BIGINT) AS content_fp
+    FROM range({_TSM_SHARDS}) r LEFT JOIN agg a ON a.shard = r.range
+    ORDER BY shard
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    out, manifest = _shard_export(spark, sf_dir)
+    mdf = spark.createDataFrame(
+        [(m["shard"], m["n_rows"], m["n_files"]) for m in manifest],
+        "shard int, n_rows_manifest bigint, n_files int",
+    )
+    back = (
+        spark.read.parquet(out)
+        .select(
+            "shard",
+            "n_tok",
+            (
+                h64(
+                    F.concat(
+                        F.lit("mfp:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("n_tok").cast("string"),
+                    )
+                )
+                % _TSM_FP_MOD
+            ).alias("fph"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("fph").cast("bigint").alias("content_fp"),
+        )
+    )
+    return (
+        mdf.join(back, "shard", "left")
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            "n_rows_manifest",
+            "n_files",
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("total_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("total_tokens"),
+            F.coalesce("content_fp", F.lit(0))
+            .cast("bigint")
+            .alias("content_fp"),
+        )
+        .orderBy("shard")
+    )

@@ -124,3 +124,85 @@ def frame_sample_plan(media_meta: DataFrame, every_n: int = 10) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual hash (average-hash family) over the media column. A real
+# pHash decodes the image, resizes to an 8x8 luma grid, and thresholds
+# each cell against the mean — the decode/resize is the codec boundary
+# (stubbed here like decode_media). The stand-in "luma grid" samples a
+# fixed 64-position grid of code points from the payload text: position
+# i reads the character at (i * len) // 64, so the grid scales with
+# payload length exactly the way a resize scales with image size — a
+# small edit or length change moves few cells, which is what makes the
+# Hamming distance a near-dup signal (the same robustness property the
+# real aHash gets from resizing). Everything AFTER the stubbed decode —
+# mean threshold, 4x16-bit band packing, banded Hamming candidate join
+# (plans/multimodal_queries.media_phash_near_dup) — is the real,
+# portable integer arithmetic a production pHash dedup runs, and is
+# recomputed bit-for-bit by the DuckDB oracle.
+# --------------------------------------------------------------------------
+PHASH_CELLS = 64
+PHASH_BANDS = 4  # 16 bits per band
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("media_id", T.StringType()),
+        T.StructField("b0", T.IntegerType()),
+        T.StructField("b1", T.IntegerType()),
+        T.StructField("b2", T.IntegerType()),
+        T.StructField("b3", T.IntegerType()),
+    ]
+)
+
+
+def phash_media(binary_df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Arrow-batched pHash stage: (path, content) -> (path, media_id,
+    b0..b3) where b0..b3 are the four 16-bit bands of the 64-bit
+    average-hash. ``decode_stub=False`` is where PIL resize + grayscale
+    would produce the cell grid."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        if not decode_stub:
+            raise NotImplementedError(
+                "real pHash requires an image codec (Pillow), absent in "
+                "this image; run with decode_stub=True"
+            )
+        for pdf in it:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                payload = bytes(content)
+                s = payload.decode("utf-8")
+                n = len(s)
+                cells = [
+                    ord(s[(i * n) // PHASH_CELLS]) for i in range(PHASH_CELLS)
+                ]
+                total = sum(cells)
+                # integer threshold: cell > mean  <=>  cell * 64 > total
+                bits = [
+                    1 if c * PHASH_CELLS > total else 0 for c in cells
+                ]
+                bands = [
+                    sum(
+                        bits[16 * j + k] << k for k in range(16)
+                    )
+                    for j in range(PHASH_BANDS)
+                ]
+                out.append(
+                    {
+                        "path": path,
+                        "media_id": hashlib.md5(payload).hexdigest()[:16],
+                        "b0": bands[0],
+                        "b1": bands[1],
+                        "b2": bands[2],
+                        "b3": bands[3],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in PHASH_SCHEMA])
+
+    return binary_df.select("path", "content").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )

@@ -59,3 +59,43 @@ def test_frame_sampling(spark, media_dir):
         expected = (max(heights[mid] - 1, 0)) // 10 + 1
         assert len(grp) == expected
         assert list(grp.frame_idx)[:2] in ([0], [0, 10])
+
+
+def test_phash_media_bands_and_locality(spark):
+    """pHash stage plumbing: 4 x 16-bit bands, deterministic across
+    runs, and LOCALITY — a small payload edit moves few bits, while an
+    unrelated payload is ~32/64 away (what makes banded Hamming a
+    near-dup signal)."""
+    from data_ingestion_din_spark.sources.binary import phash_media
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    edited = base.replace("lazy", "hazy", 1)
+    other = "completely different payload contents " * 25
+    df = spark.createDataFrame(
+        [("a", bytearray(base.encode())),
+         ("b", bytearray(edited.encode())),
+         ("c", bytearray(other.encode()))],
+        "path string, content binary",
+    )
+    rows = {r.path: r for r in phash_media(df).collect()}
+    assert all(0 <= rows[p][f"b{j}"] < 65536 for p in "abc" for j in range(4))
+
+    def ham(x, y):
+        return sum(
+            bin(rows[x][f"b{j}"] ^ rows[y][f"b{j}"]).count("1")
+            for j in range(4)
+        )
+
+    assert ham("a", "b") <= 10, ham("a", "b")   # near-dup: few bits move
+    assert ham("a", "c") >= 16, ham("a", "c")   # unrelated: far apart
+    # deterministic re-run
+    rows2 = {r.path: r for r in phash_media(df).collect()}
+    assert {p: tuple(rows[p]) for p in rows} == {
+        p: tuple(rows2[p]) for p in rows2
+    }
+
+    # decode_stub=False is the documented codec boundary
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplemented|Pillow|codec"):
+        phash_media(df, decode_stub=False).collect()

@@ -418,3 +418,14 @@ def test_corpus_bigram_generate_plan(spark):
     assert p["bhj"] >= 1, p
     assert p["smj"] == 0, p
     assert p["cartesian"] == 0, p
+
+
+def test_media_phash_near_dup_plan(spark):
+    # banded Hamming candidate join: equi-join on (band_id, band_value)
+    # over the staged pHash table — never an all-pairs product; the one
+    # Python (Arrow) boundary runs at staging, so the final plan has no
+    # MapInPandas and only the explode/join/agg exchanges
+    s = _stats("media_phash_near_dup", spark)
+    assert s["cartesian"] == 0, s
+    assert s["map_in_pandas"] == 0, s  # staged before the self-join
+    assert s["exchange"] <= 6, s
