@@ -19,63 +19,17 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # last sample is oldest) are listed first so a bounded driver window covers
 # them before re-checking recently-green entries. Names not in the registry
 # are ignored; registered queries not listed here follow in registration
-# order. Rotation state after round 4: the round-4 block was sampled
-# green (CORRECTNESS_r04); the 12 queries below are the only ones whose
-# latest driver sample is still round 2 — they lead, then the
-# round-3-sampled block oldest-first (VERDICT r4 next-round #6).
+# order. Rotation state after round 5: all 44 round-5 additions plus the
+# first six of the round-2 block were sampled green (CORRECTNESS_r05);
+# the round-6 additions (never sampled) lead, then the six queries whose
+# latest driver sample is still round 2, then the round-3 block
+# oldest-first (VERDICT r5 next-round #2).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-5 additions — never driver-sampled.
-    "retrieval_bm25",
-    "bloom_join_prune",
-    "events_scd2_intervals",
-    "events_histogram_quantiles",
-    "streaming_dedup_watermark",
-    "corpus_bpe_encode",
-    "doc_tfidf_cosine_topk",
-    "ingest_quarantine",
-    "user_erasure",
-    "corpus_bigram_generate",
-    "similarity_pq_topk",
-    "similarity_pq_recall",
-    "dedup_semantic_kmeans",
-    "events_hll_distinct",
-    "doc_bigram_lm_score",
-    "corpus_bpe_merge_step",
-    "corpus_phrase_mining",
-    "corpus_textrank_keywords",
-    "streaming_hll_registers",
-    "events_zorder_box",
-    "eval_judged_summary",
-    "eval_judged_scores",
-    "overlay_boxes",
-    "corpus_pack_sequences_sharded",
-    "retrieval_hybrid_rrf",
-    "doc_rare_token_ratio",
-    "streaming_stream_join",
-    "corpus_cms_heavy_hitters",
-    "corpus_train_val_split",
-    "embedding_hard_negatives",
-    "dedup_incremental_batch",
-    "events_latest_snapshot",
-    "corpus_bigram_lm",
-    "streaming_session_windows",
-    "corpus_length_percentiles",
-    "events_anomaly_zscore",
-    "corpus_langid_confusion",
-    "corpus_curation_funnel",
-    "similarity_lsh_multiprobe",
-    "tables_column_profile",
-    "events_cohort_ltv",
-    "dedup_cluster_size_hist",
-    "dedup_minhash_estimate_audit",
-    "events_dau_wau",
+    # Round-6 additions — never driver-sampled.
+    "media_phash_near_dup",
+    "streaming_curation_funnel",
+    "training_shard_manifest",
     # Latest sample is round 2.
-    "q6_forecast_revenue",
-    "segment_median_order",
-    "similarity_ivf_label",
-    "similarity_lsh_topk",
-    "similarity_topk",
-    "table_transactions",
     "table_trust_aggregate",
     "tables_clean_shape",
     "tables_dedup_conflicts",

@@ -196,6 +196,12 @@ BENCH_QUERIES = [
     "ingest_quarantine",
     "user_erasure",
     "corpus_bigram_generate",
+    # round 6: perceptual-hash media near-dup (banded Hamming join),
+    # shard-manifest audit (export staged in setup, like the layouts)
+    "media_phash_near_dup",
+    "training_shard_manifest",
+    # streaming_curation_funnel is correctness-gated but not benched
+    # (one-time incremental stream cost, like the other streaming rows)
     # streaming_dedup_watermark is correctness-gated but not benched
     # (one-shot incremental stream, like the other streaming rows)
     # streaming_hll_registers is correctness-gated but not benched
@@ -262,6 +268,11 @@ def main() -> None:
     from data_ingestion_din_spark.operators.colocate import zordered_events
 
     zordered_events(spark, sf_dir)
+    # training-shard export: one-time sink cost (like a nightly export),
+    # so training_shard_manifest times the audit, not the write
+    from data_ingestion_din_spark.plans.curation_queries import _shard_export
+
+    _shard_export(spark, sf_dir)
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}

@@ -852,3 +852,307 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_curation_funnel — the batch curation funnel
+# (plans/text_pipeline.corpus_curation_funnel) run INCREMENTALLY, the
+# way production ingest actually runs it: each checkpointed availableNow
+# landing is scored and gated per batch, exact-deduped against the
+# CUMULATIVE seen-fingerprint table (a duplicate of anything previously
+# gated+deduped is dropped, even if the budget later cut the original),
+# and budget-admitted against the CUMULATIVE per-language token
+# consumption — greedy continuation, not a per-batch reset. State lives
+# in the sink's own parquet tables (seen fps, per-lang consumed), the
+# foreachBatch analog of the Delta/stateful pattern; restart recovery
+# is exercised because the two landings run as two separate streams
+# over one checkpoint.
+#
+# Conventions (restated exactly by the oracle): seen-fp state grows
+# from the post-gate, post-dedup stage (pre-budget); within-batch
+# dedup keeps min doc_id per fp; budget admission orders quality desc,
+# doc_id asc per language and admits while cumulative tokens (including
+# prior batches' consumption) stay <= the corpus budget.
+#
+# Scale: per batch this is one fp shuffle + a broadcast-able anti-join
+# against the fp state and a per-lang window — the batch funnel's
+# shape; state tables grow with corpus size but are touched only by
+# equi-joins.
+# --------------------------------------------------------------------------
+_SCF_DONE: dict[tuple[str, str], str] = {}
+
+
+def _scf_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.analysis import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        tokens,
+    )
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        cleanup_stale_app_dirs,
+    )
+    from data_ingestion_din_spark.plans.text_pipeline import _CUR_BUDGET
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SCF_DONE:
+        if _dir_ok(_SCF_DONE[key]):
+            return _SCF_DONE[key]
+        del _SCF_DONE[key]
+
+    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_scf")
+    cleanup_stale_app_dirs(root, app)
+    base = os.path.join(root, app, tag)
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    fp_state = os.path.join(base, "state_fps")
+    lang_state = os.path.join(base, "state_lang")
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        toks = tokens(F.col("text"))
+        scored = batch_df.select(
+            "doc_id",
+            (F.col("doc_id") % 2).cast("int").alias("batch_par"),
+            fingerprint(F.col("text")).alias("fp"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            lang_id(F.col("text"), toks).alias("lang_guess"),
+            quality_score(F.col("text"), toks).alias("quality"),
+        ).localCheckpoint(eager=True)
+        gated = scored.filter(
+            (F.col("quality") >= 0.5) & (F.col("lang_guess") != "unk")
+        )
+        within = (
+            gated.withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("fp").orderBy("doc_id")),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        spark_l = batch_df.sparkSession
+        if os.path.isdir(fp_state):
+            seen = spark_l.read.parquet(fp_state).select("fp")
+            deduped = within.join(
+                F.broadcast(seen), "fp", "left_anti"
+            ).localCheckpoint(eager=True)
+        else:
+            deduped = within.localCheckpoint(eager=True)
+        if os.path.isdir(lang_state):
+            consumed = {
+                r["lang_guess"]: r["consumed"]
+                for r in spark_l.read.parquet(lang_state).collect()
+            }
+        else:
+            consumed = {}
+        cons_expr = F.coalesce(
+            *(
+                [
+                    F.when(
+                        F.col("lang_guess") == lg, F.lit(c).cast("bigint")
+                    )
+                    for lg, c in sorted(consumed.items())
+                ]
+                + [F.lit(0).cast("bigint")]
+            )
+        )
+        budgeted = (
+            deduped.withColumn(
+                "cum_tokens",
+                F.sum("n_tokens").over(
+                    W.partitionBy("lang_guess")
+                    .orderBy(F.desc("quality"), "doc_id")
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+                + cons_expr,
+            )
+            .filter(F.col("cum_tokens") <= _CUR_BUDGET)
+            .localCheckpoint(eager=True)
+        )
+
+        # the landing batch is parity-homogeneous and never empty, so one
+        # driver-side scalar labels every stage row (a later stage CAN be
+        # empty — deriving the label from its own rows would emit NULL)
+        par_val = scored.agg(F.min("batch_par")).first()[0]
+
+        def stage(ord_: int, name: str, df: DataFrame) -> DataFrame:
+            return df.groupBy().agg(
+                F.lit(par_val).cast("int").alias("batch_par"),
+                F.lit(ord_).cast("int").alias("stage_ord"),
+                F.lit(name).alias("stage"),
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.coalesce(F.sum("n_tokens"), F.lit(0))
+                .cast("bigint")
+                .alias("n_tokens"),
+            )
+
+        audit = (
+            stage(0, "input", scored)
+            .unionByName(stage(1, "quality_lang_gate", gated))
+            .unionByName(stage(2, "exact_dedup_incr", deduped))
+            .unionByName(stage(3, "token_budget_incr", budgeted))
+        )
+        audit.coalesce(1).write.mode("append").parquet(out)
+        # state updates AFTER the audit is committed: seen fps grow from
+        # the deduped stage; per-lang consumption from the admitted one
+        deduped.select("fp").coalesce(1).write.mode("append").parquet(
+            fp_state
+        )
+        new_cons = {
+            r["lang_guess"]: r["t"]
+            for r in budgeted.groupBy("lang_guess")
+            .agg(F.sum("n_tokens").alias("t"))
+            .collect()
+        }
+        for lg, t in new_cons.items():
+            consumed[lg] = consumed.get(lg, 0) + t
+        spark_l.createDataFrame(
+            sorted(consumed.items()), "lang_guess string, consumed bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(lang_state + "_next")
+        shutil.rmtree(lang_state, ignore_errors=True)
+        os.rename(lang_state + "_next", lang_state)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run_once() -> None:
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+            landing + "/*"
+        )
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+
+    for i, parity in enumerate((0, 1)):
+        docs.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, f"b{i}"))
+        run_once()
+    _SCF_DONE[key] = out
+    return out
+
+
+def _scf_oracle() -> str:
+    from data_ingestion_din_spark.plans.text_pipeline import (
+        _CUR_BUDGET,
+        _STOP_LIST_SQL,
+        _TOKS_SQL,
+    )
+
+    def funnel_stage(par: int, ord_: int, name: str, src: str) -> str:
+        return (
+            f"SELECT {par} AS batch_par, {ord_} AS stage_ord,"
+            f" '{name}' AS stage,"
+            f" CAST(count(*) AS BIGINT) AS n_docs,"
+            f" CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens"
+            f" FROM {src}"
+        )
+
+    stages = []
+    for par in (0, 1):
+        stages += [
+            funnel_stage(par, 0, "input", f"(SELECT * FROM scored WHERE par = {par})"),
+            funnel_stage(par, 1, "quality_lang_gate", f"(SELECT * FROM gated WHERE par = {par})"),
+            funnel_stage(par, 2, "exact_dedup_incr", f"d{par}"),
+            funnel_stage(par, 3, "token_budget_incr", f"b{par}"),
+        ]
+    union = " UNION ALL ".join(stages)
+    return f"""
+    WITH t AS (SELECT doc_id, text, doc_id % 2 AS par, {_TOKS_SQL} AS toks
+               FROM documents),
+    s AS (
+      SELECT doc_id, par,
+             len(toks) AS n_tok,
+             len(list_filter(toks, x -> list_contains({_STOP_LIST_SQL}, x)))
+               AS n_stop,
+             length(regexp_replace(text, '[^A-Za-z0-9฀-๿]', '', 'g'))
+               AS n_word,
+             length(regexp_replace(text, '[^฀-๿]', '', 'g')) AS n_thai,
+             length(text) AS n_chars,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, par, fp,
+             CAST(n_tok AS BIGINT) AS n_tokens,
+             CASE
+               WHEN n_thai / greatest(n_chars, 1) > 0.3 THEN 'th'
+               WHEN n_stop / greatest(n_tok, 1) > 0.02 THEN 'en'
+               ELSE 'unk'
+             END AS lang_guess,
+             least(n_tok / 20.0, 1.0) * 0.4
+               + (n_word / greatest(n_chars, 1)) * 0.3
+               + least((n_stop / greatest(n_tok, 1)) / 0.1, 1.0) * 0.3
+               AS quality
+      FROM s
+    ),
+    gated AS (
+      SELECT * FROM scored WHERE quality >= 0.5 AND lang_guess <> 'unk'
+    ),
+    d0 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated WHERE par = 0
+      ) WHERE rn = 1
+    ),
+    b0 AS (
+      SELECT * FROM (
+        SELECT doc_id, lang_guess, n_tokens,
+               sum(n_tokens) OVER (
+                 PARTITION BY lang_guess
+                 ORDER BY quality DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM d0
+      ) WHERE cum <= {_CUR_BUDGET}
+    ),
+    d1 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated WHERE par = 1
+      ) WHERE rn = 1 AND fp NOT IN (SELECT fp FROM d0)
+    ),
+    cons AS (
+      SELECT lang_guess, sum(n_tokens) AS c FROM b0 GROUP BY lang_guess
+    ),
+    b1 AS (
+      SELECT * FROM (
+        SELECT d1.doc_id, d1.lang_guess, d1.n_tokens,
+               sum(d1.n_tokens) OVER (
+                 PARTITION BY d1.lang_guess
+                 ORDER BY d1.quality DESC, d1.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) + coalesce(cons.c, 0) AS cum
+        FROM d1 LEFT JOIN cons ON cons.lang_guess = d1.lang_guess
+      ) WHERE cum <= {_CUR_BUDGET}
+    )
+    SELECT CAST(batch_par AS INT) AS batch_par,
+           CAST(stage_ord AS INT) AS stage_ord,
+           stage, n_docs, n_tokens
+    FROM ({union})
+    ORDER BY batch_par, stage_ord
+    """
+
+
+@query("streaming_curation_funnel", oracle=_scf_oracle())
+def streaming_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back the two-batch incremental funnel audit; the oracle
+    re-walks both batch funnels with the same cumulative-dedup and
+    budget-continuation conventions (see _scf_out_dir), so parity
+    proves the foreachBatch state tables survived the checkpointed
+    restart between landings."""
+    out = _scf_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select("batch_par", "stage_ord", "stage", "n_docs", "n_tokens")
+        .orderBy("batch_par", "stage_ord")
+    )

@@ -1,0 +1,78 @@
+"""Opt-in bench-regression guard (VERDICT r5 ask #8): per-query steady
+budgets for the most expensive registered queries, pinned at ~1.5x the
+round-5/6 steady measurements (sf0.1, local[32]). A plan regression —
+dropped broadcast, un-staged re-execution, a new shuffle — fails HERE
+instead of waiting a round for the driver bench to notice.
+
+Skipped unless SPARK_GRAFT_BENCH_BUDGETS=1: the run needs the sf0.1
+fixture, the full local core count, and an otherwise-idle machine
+(budgets are wall-clock; a concurrent Spark session sharing the cores
+inflates every number — observed 1.6 s -> 6 s under a parallel verify
+sweep), and takes ~1 minute — it is a bench, not a unit test. Enable
+with:
+
+    SPARK_GRAFT_BENCH_BUDGETS=1 python -m pytest tests/test_bench_budgets.py -q
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_BENCH_BUDGETS") != "1",
+    reason="bench budgets are opt-in (SPARK_GRAFT_BENCH_BUDGETS=1)",
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# name -> steady budget in seconds = ~1.5x the measured best-of-two at
+# sf0.1 on local[32] (BENCH_r05 + the round-6 BPE fusion re-measure).
+# The 10+ most expensive queries; everything else is well under 2 s and
+# a regression there surfaces in the headline total.
+BUDGETS = {
+    "corpus_bpe_encode": 5.5,  # 3.5 s after the 2-scan fusion (was 12.4)
+    "dedup_semantic_kmeans": 6.5,  # 4.3 s: k-means + cluster-local pairs
+    "corpus_langid_confusion": 5.5,  # 3.5 s
+    "dedup_clusters": 4.5,  # 2.5-2.9 s steady (CC pipeline)
+    "table_transactions_dated": 3.2,  # 2.1 s
+    "dedup_cluster_size_hist": 3.2,  # 2.1 s (rides the CC pipeline)
+    "dedup_keep_best": 3.0,  # 2.0 s
+    "doc_winnow_fingerprints": 2.9,  # 1.9 s
+    "embedding_hard_negatives": 2.8,  # 1.8 s
+    "doc_cdc_chunks": 2.6,  # 1.7 s
+    "corpus_bigram_generate": 2.5,  # 1.6 s (staged 1-row probes)
+}
+
+
+@pytest.fixture(scope="module")
+def bench_spark():
+    from data_ingestion_din_spark.session import get_spark
+
+    # full local core count — budgets are calibrated on local[32]
+    yield get_spark("bench-budgets")
+
+
+def _steady(spark, name: str) -> float:
+    from data_ingestion_din_spark.plans import QUERIES
+
+    def once() -> float:
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
+    return min(once(), once())
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_query_within_steady_budget(bench_spark, name):
+    got = _steady(bench_spark, name)
+    assert got <= BUDGETS[name], (
+        f"{name}: steady {got:.2f}s exceeds budget {BUDGETS[name]}s "
+        f"(~1.5x the calibrated best-of-two) — check the plan for a "
+        f"regression before re-calibrating"
+    )

@@ -560,3 +560,34 @@ def test_ddw_boundary_conventions(spark, tmp_path):
         # e (exactly at wm) and f (below wm) dropped as late: absent
         "g": 1,  # above wm, new key -> emitted
     }
+
+
+def test_streaming_funnel_consistent_with_batch_funnel(spark):
+    """The incremental funnel must agree with the batch funnel where
+    their semantics provably coincide: gate counts are partition sums,
+    and cumulative exact-dedup admits exactly one doc per distinct
+    fingerprint overall (the representative may differ — first-batch
+    winner vs global min doc_id — but the COUNT equals the batch
+    funnel's dedup count). Budget admission is greedy-continuation, so
+    only the <= budget invariant is asserted there."""
+    from data_ingestion_din_spark.plans import QUERIES
+    from data_ingestion_din_spark.plans.text_pipeline import _CUR_BUDGET
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["stage"]): (r["n_docs"], r["n_tokens"])
+        for r in QUERIES["corpus_curation_funnel"](spark, sf).collect()
+    }
+    inc = QUERIES["streaming_curation_funnel"](spark, sf).collect()
+    by_stage: dict[str, int] = {}
+    for r in inc:
+        by_stage[r["stage"]] = by_stage.get(r["stage"], 0) + r["n_docs"]
+
+    assert by_stage["input"] == batch["input"][0]
+    assert by_stage["quality_lang_gate"] == batch["quality_lang_gate"][0]
+    assert by_stage["exact_dedup_incr"] == batch["exact_dedup"][0]
+    # budget: the two-batch greedy admission can never overshoot the
+    # per-language budget; token totals per batch stay under it too
+    for r in inc:
+        if r["stage"] == "token_budget_incr":
+            assert r["n_tokens"] <= 3 * _CUR_BUDGET  # <= #langs * budget
