@@ -27,6 +27,7 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 _DRIVER_PRIORITY: list[str] = [
     # Round-6 additions — never driver-sampled.
     "media_phash_near_dup",
+    "media_phash_clusters",
     "streaming_curation_funnel",
     "training_shard_manifest",
     # Latest sample is round 2.

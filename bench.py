@@ -1,8 +1,10 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: steady_sec}, "queries_cold": {name: first_run_sec},
-"sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print a
+full JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: steady_sec}, "queries_cold": {...}, "queries_warm":
+{...}, "sf": ...} followed by a compact final summary line ({metric,
+value, unit, n_queries, sf} only) so a tail-truncating log capture
+still records one complete JSON object.
 
 Each query is forced to full materialization with the noop sink (all
 columns computed, nothing collected to the driver). Session startup is
@@ -199,6 +201,7 @@ BENCH_QUERIES = [
     # round 6: perceptual-hash media near-dup (banded Hamming join),
     # shard-manifest audit (export staged in setup, like the layouts)
     "media_phash_near_dup",
+    "media_phash_clusters",
     "training_shard_manifest",
     # streaming_curation_funnel is correctness-gated but not benched
     # (one-time incremental stream cost, like the other streaming rows)

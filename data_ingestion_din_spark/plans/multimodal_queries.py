@@ -122,11 +122,10 @@ _PH_CELLS_SQL = (
     "i -> unicode(substr(payload, 1 + (i * n) // 64, 1)))"
 )
 
-
-@query(
-    "media_phash_near_dup",
-    oracle=f"""
-    WITH m AS (
+# shared CTE chain: media frame -> sampled cell grid -> mean-threshold
+# bits -> 4x16-bit bands -> banded candidates -> Hamming-verified pairs
+# (used by media_phash_near_dup and media_phash_clusters)
+_PH_CTES = f"""m AS (
       SELECT doc_id,
              'media/doc_' || CAST(doc_id AS VARCHAR)
                || (CASE WHEN {_H_MEDIA} % 4 = 0 THEN '.gif' ELSE '.bin' END)
@@ -169,20 +168,21 @@ _PH_CELLS_SQL = (
              b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
       FROM bands a JOIN bands b
         ON a.bid = b.bid AND a.bv = b.bv AND a.path < b.path
-    )
-    SELECT path_a, path_b,
-           CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
-              + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS INT)
-             AS hamming
-    FROM cand
-    WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
-        + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= {_PH_K}
-    ORDER BY path_a, path_b
-    """,
-)
-def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_ingestion_din_spark.sources.binary import phash_media
+    ),
+    hm AS (
+      SELECT path_a, path_b,
+             bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+               + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS hamming
+      FROM cand
+    ),
+    pairs AS (
+      SELECT path_a, path_b, hamming FROM hm WHERE hamming <= {_PH_K}
+    )"""
 
+
+def _media_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived media frame (path, content) shared by the pHash
+    queries — same construction as multimodal_media_stats."""
     docs = load_table(spark, sf_dir, "documents")
     h = h64(F.concat(F.lit("media:"), F.col("doc_id").cast("string")))
     is_gif = h % 4 == 0
@@ -197,7 +197,14 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
         F.when(is_gif, F.lit(".gif")).otherwise(F.lit(".bin")),
     )
-    binary_df = docs.select(path.alias("path"), payload.alias("content"))
+    return docs.select(path.alias("path"), payload.alias("content"))
+
+
+def _phash_pairs(binary_df: DataFrame) -> DataFrame:
+    """Banded Hamming near-dup pairs over the staged pHash table:
+    (path_a, path_b, hamming) with hamming <= _PH_K."""
+    from data_ingestion_din_spark.sources.binary import phash_media
+
     # staged: the Python (Arrow) boundary runs ONCE; both sides of the
     # band self-join read the checkpointed pHash table
     ph = phash_media(binary_df).localCheckpoint(eager=True)
@@ -239,5 +246,96 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= _PH_K)
         .select("path_a", "path_b", "hamming")
-        .orderBy("path_a", "path_b")
     )
+
+
+@query(
+    "media_phash_near_dup",
+    oracle=f"""
+    WITH {_PH_CTES}
+    SELECT path_a, path_b, CAST(hamming AS INT) AS hamming
+    FROM pairs
+    ORDER BY path_a, path_b
+    """,
+)
+def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _phash_pairs(_media_binary(spark, sf_dir)).orderBy(
+        "path_a", "path_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# media_phash_clusters — pair→cluster resolution for the MEDIA near-dups
+# plus the keep-best decision, mirroring dedup_clusters/dedup_keep_best
+# for the binary column: connected components over the pHash pairs
+# (cluster_id = lexicographically smallest member path — min-label
+# propagation is type-agnostic and ASCII paths order identically in
+# both engines), then keep the LARGEST payload per cluster (most
+# complete copy wins; n_bytes desc, path asc tiebreak). Spark runs the
+# iterative min-label CC (operators/dedup.connected_components); the
+# oracle recomputes the components with a RECURSIVE CTE, so the
+# fixpoint and the keep/drop policy are both hash-checked.
+#
+# Scale: CC iterations move only (node, label) pairs for nodes that
+# appear in pairs (near-dup members, a tiny fraction of the corpus);
+# payload sizes attach by one equi-join.
+# --------------------------------------------------------------------------
+@query(
+    "media_phash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PH_CTES},
+    edges AS (
+      SELECT path_a AS s, path_b AS d FROM pairs
+      UNION ALL
+      SELECT path_b AS s, path_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT e.s AS node, r.r FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    clusters AS (
+      SELECT node AS path, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    ranked AS (
+      SELECT c.path, c.cluster_id,
+             octet_length(encode(m.payload)) AS n_bytes,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY octet_length(encode(m.payload)) DESC, c.path
+             ) AS rk
+      FROM clusters c JOIN m ON m.path = c.path
+    )
+    SELECT path, cluster_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           rk = 1 AS keep
+    FROM ranked
+    ORDER BY cluster_id, path
+    """,
+)
+def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.operators.dedup import connected_components
+
+    binary_df = _media_binary(spark, sf_dir)
+    pairs = _phash_pairs(binary_df)
+    clusters = connected_components(pairs, a="path_a", b="path_b").select(
+        F.col("node").alias("path"), "cluster_id"
+    )
+    sizes = binary_df.select(
+        "path", F.length("content").cast("bigint").alias("n_bytes")
+    )
+    ranked = clusters.join(sizes, "path").withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(F.desc("n_bytes"), "path")
+        ),
+    )
+    return ranked.select(
+        "path",
+        "cluster_id",
+        "n_bytes",
+        (F.col("rk") == 1).alias("keep"),
+    ).orderBy("cluster_id", "path")

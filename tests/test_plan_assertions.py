@@ -429,3 +429,14 @@ def test_media_phash_near_dup_plan(spark):
     assert s["cartesian"] == 0, s
     assert s["map_in_pandas"] == 0, s  # staged before the self-join
     assert s["exchange"] <= 6, s
+
+
+def test_media_phash_clusters_plan(spark):
+    # CC output + one equi-join for payload sizes + the keep-best
+    # window; the iterative label propagation happens at construction
+    # (checkpointed), so the final plan carries no cartesian and no
+    # Python boundary
+    s = _stats("media_phash_clusters", spark)
+    assert s["cartesian"] == 0, s
+    assert s["map_in_pandas"] == 0, s
+    assert s["exchange"] <= 8, s
