@@ -882,7 +882,12 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCF_DONE: dict[tuple[str, str], str] = {}
 
 
-def _scf_out_dir(spark: SparkSession, sf_dir: str) -> str:
+def _funnel_processor(out: str, fp_state: str, lang_state: str):
+    """Build the foreachBatch funnel processor over the given audit/state
+    dirs. Module-level so the replay-idempotence test can drive it
+    directly (same batch + same epoch twice must leave audit and state
+    byte-identical — the exactly-once contract under foreachBatch's
+    at-least-once delivery)."""
     from pyspark.sql.window import Window as W
 
     from data_ingestion_din_spark.functions.analysis import (
@@ -891,29 +896,7 @@ def _scf_out_dir(spark: SparkSession, sf_dir: str) -> str:
         quality_score,
         tokens,
     )
-    from data_ingestion_din_spark.operators.colocate import (
-        _dir_ok,
-        cleanup_stale_app_dirs,
-    )
     from data_ingestion_din_spark.plans.text_pipeline import _CUR_BUDGET
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _SCF_DONE:
-        if _dir_ok(_SCF_DONE[key]):
-            return _SCF_DONE[key]
-        del _SCF_DONE[key]
-
-    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
-    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_scf")
-    cleanup_stale_app_dirs(root, app)
-    base = os.path.join(root, app, tag)
-    shutil.rmtree(base, ignore_errors=True)
-    landing = os.path.join(base, "landing")
-    ckpt = os.path.join(base, "ckpt")
-    out = os.path.join(base, "out")
-    fp_state = os.path.join(base, "state_fps")
-    lang_state = os.path.join(base, "state_lang")
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         toks = tokens(F.col("text"))
@@ -937,8 +920,24 @@ def _scf_out_dir(spark: SparkSession, sf_dir: str) -> str:
             .drop("rn")
         )
         spark_l = batch_df.sparkSession
-        if os.path.isdir(fp_state):
-            seen = spark_l.read.parquet(fp_state).select("fp")
+        # State layout is epoch-keyed for EXACTLY-ONCE under foreachBatch
+        # replay (at-least-once delivery): every write below is an
+        # idempotent overwrite of this epoch's own partition, and every
+        # read filters to epochs STRICTLY BEFORE the current one — a
+        # replayed batch neither double-counts its earlier failed
+        # attempt's state nor anti-joins against its own fingerprints.
+        def _prior_epochs(path: str, col: str):
+            if not os.path.isdir(path):
+                return None
+            return (
+                spark_l.read.option("basePath", path)
+                .parquet(path)
+                .filter(F.col("epoch") < epoch_id)
+                .select(col)
+            )
+
+        seen = _prior_epochs(fp_state, "fp")
+        if seen is not None:
             deduped = within.join(
                 F.broadcast(seen), "fp", "left_anti"
             ).localCheckpoint(eager=True)
@@ -946,8 +945,13 @@ def _scf_out_dir(spark: SparkSession, sf_dir: str) -> str:
             deduped = within.localCheckpoint(eager=True)
         if os.path.isdir(lang_state):
             consumed = {
-                r["lang_guess"]: r["consumed"]
-                for r in spark_l.read.parquet(lang_state).collect()
+                r["lang_guess"]: r["c"]
+                for r in spark_l.read.option("basePath", lang_state)
+                .parquet(lang_state)
+                .filter(F.col("epoch") < epoch_id)
+                .groupBy("lang_guess")
+                .agg(F.sum("consumed").alias("c"))
+                .collect()
             }
         else:
             consumed = {}
@@ -998,25 +1002,58 @@ def _scf_out_dir(spark: SparkSession, sf_dir: str) -> str:
             .unionByName(stage(2, "exact_dedup_incr", deduped))
             .unionByName(stage(3, "token_budget_incr", budgeted))
         )
-        audit.coalesce(1).write.mode("append").parquet(out)
-        # state updates AFTER the audit is committed: seen fps grow from
-        # the deduped stage; per-lang consumption from the admitted one
-        deduped.select("fp").coalesce(1).write.mode("append").parquet(
-            fp_state
+        # all three writes are per-epoch overwrites (idempotent on
+        # replay — a re-run of this epoch rewrites identical content):
+        # the audit partition, this epoch's new fingerprints, and this
+        # epoch's per-lang consumption INCREMENT (cumulative totals are
+        # derived by summing prior epochs at read time, so a replay
+        # cannot double-add)
+        ep = f"epoch={epoch_id}"
+        audit.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, ep)
         )
-        new_cons = {
-            r["lang_guess"]: r["t"]
+        deduped.select("fp").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(fp_state, ep)
+        )
+        new_cons = sorted(
+            (r["lang_guess"], r["t"])
             for r in budgeted.groupBy("lang_guess")
-            .agg(F.sum("n_tokens").alias("t"))
+            .agg(F.sum("n_tokens").cast("bigint").alias("t"))
             .collect()
-        }
-        for lg, t in new_cons.items():
-            consumed[lg] = consumed.get(lg, 0) + t
+        )
         spark_l.createDataFrame(
-            sorted(consumed.items()), "lang_guess string, consumed bigint"
-        ).coalesce(1).write.mode("overwrite").parquet(lang_state + "_next")
-        shutil.rmtree(lang_state, ignore_errors=True)
-        os.rename(lang_state + "_next", lang_state)
+            new_cons, "lang_guess string, consumed bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(lang_state, ep)
+        )
+
+    return _process
+
+
+def _scf_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        cleanup_stale_app_dirs,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SCF_DONE:
+        if _dir_ok(_SCF_DONE[key]):
+            return _SCF_DONE[key]
+        del _SCF_DONE[key]
+
+    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_scf")
+    cleanup_stale_app_dirs(root, app)
+    base = os.path.join(root, app, tag)
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    _process = _funnel_processor(
+        out, os.path.join(base, "state_fps"), os.path.join(base, "state_lang")
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
