@@ -29,6 +29,7 @@ _DRIVER_PRIORITY: list[str] = [
     "media_phash_near_dup",
     "media_phash_clusters",
     "streaming_curation_funnel",
+    "streaming_minhash_index",
     "training_shard_manifest",
     # Latest sample is round 2.
     "table_trust_aggregate",

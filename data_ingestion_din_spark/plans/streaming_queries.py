@@ -1193,3 +1193,284 @@ def streaming_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("batch_par", "stage_ord", "stage", "n_docs", "n_tokens")
         .orderBy("batch_par", "stage_ord")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_minhash_index — NEAR-dup dedup at ingest, the MinHash
+# sibling of the funnel's exact-fp dedup and the streaming twin of the
+# batch dedup_incremental_batch: each checkpointed availableNow landing
+# is signed (8-hash MinHash over 3-gram shingles), probed against the
+# cumulative SIGNATURE index built by the prior landings (band-key
+# equi-join, never all-pairs and never corpus-self-join), verified by
+# signature agreement (>= 4 of 8 slots == estimated Jaccard >= 0.5 —
+# the production index stores signatures, not texts, so the estimate IS
+# the verification it can run), and every batch doc gets a dup verdict
+# plus its signatures appended to the index. State is epoch-keyed
+# parquet with idempotent overwrites / prior-epoch reads, the same
+# exactly-once-under-replay layout as the curation funnel.
+#
+# Scale: per landing, cost is O(batch bands + matched index band rows);
+# the index grows with the corpus but is touched only through the
+# band_key equi-join — exactly how a nightly 100 TB ingest probes its
+# materialized band index.
+# --------------------------------------------------------------------------
+_SMI_HASHES, _SMI_BANDS = 8, 4
+_SMI_R = _SMI_HASHES // _SMI_BANDS
+_SMI_MIN_AGREE = 4  # >= 4/8 slots == estimated jaccard >= 0.5
+_SMI_DONE: dict[tuple[str, str], str] = {}
+
+
+def _smi_band_keys():
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(f"b{j}"),
+                    *[
+                        F.col(f"mh{j * _SMI_R + i}").cast("string")
+                        for i in range(_SMI_R)
+                    ],
+                )
+            )
+            for j in range(_SMI_BANDS)
+        ]
+    )
+
+
+def _minhash_index_processor(out: str, sig_state: str):
+    """foreachBatch processor over (decisions, signature-index) dirs —
+    module-level for the replay test, like _funnel_processor."""
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.analysis import (
+        tokens,
+        word_shingles,
+    )
+    from data_ingestion_din_spark.functions.hashing import with_minhash
+
+    mh_cols = [f"mh{i}" for i in range(_SMI_HASHES)]
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        sh_arr = F.array_distinct(
+            word_shingles(tokens(F.col("text")), 3)
+        )
+        sh_base = batch_df.select("doc_id", sh_arr.alias("sh")).filter(
+            F.size("sh") > 0
+        )
+        sigs = with_minhash(
+            sh_base, F.col("sh"), _SMI_HASHES, keep=["doc_id"]
+        ).localCheckpoint(eager=True)
+
+        if os.path.isdir(sig_state):
+            prior = (
+                spark_l.read.option("basePath", sig_state)
+                .parquet(sig_state)
+                .filter(F.col("epoch") < epoch_id)
+                .select("doc_id", *mh_cols)
+            )
+        else:
+            prior = None
+
+        if prior is not None:
+            b_bands = sigs.select(
+                F.col("doc_id").alias("batch_id"),
+                F.explode(_smi_band_keys()).alias("band_key"),
+            )
+            p_bands = prior.select(
+                F.col("doc_id").alias("corpus_id"),
+                F.explode(_smi_band_keys()).alias("band_key"),
+            )
+            cand = (
+                b_bands.join(p_bands, "band_key")
+                .select("batch_id", "corpus_id")
+                .distinct()
+            )
+            agree = sum(
+                F.when(
+                    F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1
+                ).otherwise(0)
+                for i in range(_SMI_HASHES)
+            )
+            ver = (
+                cand.join(
+                    sigs.select(
+                        F.col("doc_id").alias("batch_id"),
+                        *[F.col(m).alias(f"a_{m}") for m in mh_cols],
+                    ),
+                    "batch_id",
+                )
+                .join(
+                    prior.select(
+                        F.col("doc_id").alias("corpus_id"),
+                        *[F.col(m).alias(f"b_{m}") for m in mh_cols],
+                    ),
+                    "corpus_id",
+                )
+                .withColumn("n_agree", agree.cast("int"))
+                .filter(F.col("n_agree") >= _SMI_MIN_AGREE)
+            )
+            best = (
+                ver.withColumn(
+                    "rk",
+                    F.row_number().over(
+                        W.partitionBy("batch_id").orderBy(
+                            F.desc("n_agree"), "corpus_id"
+                        )
+                    ),
+                )
+                .filter(F.col("rk") == 1)
+                .select("batch_id", "corpus_id", "n_agree")
+            )
+        else:
+            best = spark_l.createDataFrame(
+                [], "batch_id bigint, corpus_id bigint, n_agree int"
+            )
+
+        decisions = (
+            batch_df.select("doc_id")
+            .join(best, F.col("doc_id") == F.col("batch_id"), "left")
+            .select(
+                "doc_id",
+                F.col("corpus_id").isNotNull().alias("is_dup"),
+                F.col("corpus_id").cast("bigint").alias("matched_doc"),
+                F.col("n_agree").cast("int").alias("n_agree"),
+            )
+        )
+        ep = f"epoch={epoch_id}"
+        decisions.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, ep)
+        )
+        sigs.select("doc_id", *mh_cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sig_state, ep))
+
+    return _process
+
+
+def _smi_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        cleanup_stale_app_dirs,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SMI_DONE:
+        if _dir_ok(_SMI_DONE[key]):
+            return _SMI_DONE[key]
+        del _SMI_DONE[key]
+
+    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_smi")
+    cleanup_stale_app_dirs(root, app)
+    base = os.path.join(root, app, tag)
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    _process = _minhash_index_processor(out, os.path.join(base, "sigs"))
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run_once() -> None:
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+            landing + "/*"
+        )
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+
+    for i, parity in enumerate((0, 1)):
+        docs.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, f"b{i}"))
+        run_once()
+    _SMI_DONE[key] = out
+    return out
+
+
+def _smi_oracle() -> str:
+    from data_ingestion_din_spark.functions.hashing import (
+        h32_sql,
+        minhash_slot_sql,
+    )
+
+    # minhash_slot_sql already carries its "AS mh{i}" alias
+    slots = ", ".join(minhash_slot_sql(i) for i in range(_SMI_HASHES))
+
+    def band_sql(j: int) -> str:
+        cols = " || ',' || ".join(
+            f"CAST(mh{j * _SMI_R + i} AS VARCHAR)" for i in range(_SMI_R)
+        )
+        return f"md5('b{j}' || ',' || {cols})"
+
+    bands_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {band_sql(j)} AS band_key FROM sig"
+        for j in range(_SMI_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(_SMI_HASHES)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+      FROM idx
+    ),
+    shh AS (SELECT doc_id, {h32_sql("shingle")} AS hb FROM sh),
+    sig AS (SELECT doc_id, {slots} FROM shh GROUP BY doc_id),
+    bands AS ({bands_union}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key
+       AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ),
+    ver AS (
+      SELECT c.batch_id, c.corpus_id, {agree} AS n_agree
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.batch_id
+      JOIN sig sb ON sb.doc_id = c.corpus_id
+      WHERE {agree} >= {_SMI_MIN_AGREE}
+    ),
+    best AS (
+      SELECT batch_id, corpus_id, n_agree,
+             row_number() OVER (
+               PARTITION BY batch_id ORDER BY n_agree DESC, corpus_id
+             ) AS rk
+      FROM ver
+    )
+    SELECT d.doc_id,
+           (b.corpus_id IS NOT NULL) AS is_dup,
+           CAST(b.corpus_id AS BIGINT) AS matched_doc,
+           CAST(b.n_agree AS INT) AS n_agree
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.batch_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query("streaming_minhash_index", oracle=_smi_oracle())
+def streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back the two-landing near-dup verdicts; the oracle restates
+    batch-2-vs-batch-1 band candidacy + signature-agreement verification
+    (batch-1 docs are all clean — the index was empty), so hash parity
+    proves the signature index survived the checkpointed restart."""
+    out = _smi_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "is_dup", "matched_doc", "n_agree")
+        .orderBy("doc_id")
+    )

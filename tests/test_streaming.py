@@ -649,3 +649,54 @@ def test_streaming_funnel_replay_idempotent(spark, tmp_path):
     assert dedup_rows[0] == 2  # both batch-0 docs unique
     assert dedup_rows[1] == 1  # doc 1 deduped against epoch-0 state
     assert len(seen) == 3  # 3 distinct fingerprints total
+
+
+def test_streaming_minhash_index_replay_idempotent(spark, tmp_path):
+    """Same exactly-once-under-replay contract as the funnel, for the
+    signature index: re-processing an epoch must leave decisions and
+    the signature state identical, and a replayed batch must not probe
+    its own failed attempt's signatures."""
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _minhash_index_processor,
+    )
+
+    out = str(tmp_path / "out")
+    sigs = str(tmp_path / "sigs")
+    process = _minhash_index_processor(out, sigs)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    b0 = spark.createDataFrame(
+        [(0, base), (2, "totally different words in this one doc " * 8)],
+        "doc_id bigint, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, base + "tiny edit"), (3, "unrelated third payload " * 10)],
+        "doc_id bigint, text string",
+    )
+
+    def snapshot():
+        dec = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "is_dup", "matched_doc", "n_agree")
+            .collect()
+        )
+        st = sorted(
+            tuple(r)
+            for r in spark.read.parquet(sigs)
+            .select("doc_id", "mh0", "mh7")
+            .collect()
+        )
+        return dec, st
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    dec = {r[0]: r for r in first[0]}
+    assert dec[0][1] is False and dec[2][1] is False  # empty index
+    assert dec[1][1] is True and dec[1][2] == 0  # near-dup of doc 0
+    assert dec[3][1] is False  # unrelated stays clean
