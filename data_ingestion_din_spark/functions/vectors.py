@@ -60,7 +60,17 @@ def quantize(a: Column) -> Column:
 
 
 def quant_dot(qa: Column, qb: Column) -> Column:
-    """Integer dot product of two pre-quantized vectors."""
+    """Integer dot product of two pre-quantized vectors.
+
+    The ``aggregate(zip_with(...))`` fold is the MEASURED-fastest form,
+    not a default: unrolling into a flat 64-term
+    ``qa[0]*qb[0] + ... + qa[63]*qb[63]`` expression — the trick that
+    cut the BPE encode 3.5x — made the pairwise-heavy consumers 3-6x
+    SLOWER (dedup_semantic_kmeans 4.6 s -> 26.6 s, near_dup_lsh
+    3.2 s -> 7.9 s at sf0.1): the 128 bound-checked GetArrayItems blow
+    past the codegen size limits and the whole projection falls back to
+    interpreted evaluation, which costs far more than the fold's
+    per-element lambda (PLANS.md r6, negative result)."""
     return F.aggregate(
         F.zip_with(qa, qb, lambda x, y: x * y),
         F.lit(0).cast("bigint"),
