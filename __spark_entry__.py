@@ -28,6 +28,7 @@ _DRIVER_PRIORITY: list[str] = [
     # Round-6 additions — never driver-sampled.
     "media_phash_near_dup",
     "media_phash_clusters",
+    "media_phash_recall",
     "streaming_curation_funnel",
     "streaming_minhash_index",
     "training_shard_manifest",

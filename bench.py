@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     # shard-manifest audit (export staged in setup, like the layouts)
     "media_phash_near_dup",
     "media_phash_clusters",
+    "media_phash_recall",
     "training_shard_manifest",
     # streaming_curation_funnel is correctness-gated but not benched
     # (one-time incremental stream cost, like the other streaming rows)

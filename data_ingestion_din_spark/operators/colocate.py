@@ -110,6 +110,25 @@ def _dir_ok(path: str) -> bool:
         return False
 
 
+def fresh_app_dir(spark: SparkSession, sf_dir: str, root_name: str) -> str:
+    """App-scoped staged-artifact base dir:
+    ``$TMPDIR/<root_name>/<sanitized app id>/<sanitized sf tag>`` with
+    the staging lifecycle applied — stale sibling-app dirs under the
+    root cleaned (age-gated), the base itself recreated empty. The one
+    place the scaffold lives: the streaming landings, the shard export
+    and any future staged artifact call this instead of repeating the
+    sanitize/cleanup/rmtree block (a lifecycle fix lands once)."""
+    import shutil
+
+    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    root = os.path.join(tempfile.gettempdir(), root_name)
+    cleanup_stale_app_dirs(root, app)
+    base = os.path.join(root, app, tag)
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
 # Layout staging cache, keyed like sources/entities._ENTITY_CACHE: the
 # applicationId is unique per SparkContext lifetime (id(spark) is not —
 # a stopped session's address can be reused).

@@ -651,8 +651,10 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # joins the returned manifest with a re-read of the written files and
 # reports per shard the manifest row count, file count, read-back doc
 # count, token total, and an order-independent content fingerprint
-# (sum of per-row h64, windowed to 40 bits so 10^9-row sums stay far
-# from BIGINT overflow in both engines). The oracle computes all of it
+# (bit_xor of the per-row 60-bit h64 — XOR is order-independent and
+# CANNOT overflow at any row count; the earlier windowed-sum form was
+# only safe to ~8M rows/shard before sum(bigint) overflowed, caught in
+# review). The oracle computes all of it
 # from the SOURCE table via the same shard_id arithmetic — parity
 # proves the export wrote every row exactly once to the shard its key
 # hashes to, with the manifest agreeing, i.e. the pipeline's terminal
@@ -662,24 +664,17 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # audit is one scan of the written files with a shard-local agg.
 # --------------------------------------------------------------------------
 _TSM_SHARDS = 8
-_TSM_FP_MOD = 1099511627776  # 2^40
 _TSM_DONE: dict[tuple[str, str], tuple[str, list]] = {}
 
 
 def _shard_export(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
     """Run the shard export once per (app, sf_dir); returns (out_dir,
-    manifest). Same staged-artifact pattern as the streaming landings
-    (plans/streaming_queries._ddw_out_dir): app-scoped temp root,
-    stale-dir cleanup, cache revalidation."""
-    import os
-    import re
-    import shutil
-    import tempfile
-
+    manifest). Uses the shared staged-artifact scaffold
+    (operators/colocate.fresh_app_dir) with cache revalidation."""
     from data_ingestion_din_spark.functions.analysis import tokens
     from data_ingestion_din_spark.operators.colocate import (
         _dir_ok,
-        cleanup_stale_app_dirs,
+        fresh_app_dir,
     )
     from data_ingestion_din_spark.sinks.shards import write_training_shards
 
@@ -689,13 +684,7 @@ def _shard_export(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
             return _TSM_DONE[key]
         del _TSM_DONE[key]
 
-    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
-    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_shards")
-    cleanup_stale_app_dirs(root, app)
-    out = os.path.join(root, app, tag)
-    shutil.rmtree(out, ignore_errors=True)
-
+    out = fresh_app_dir(spark, sf_dir, "spark_graft_shards")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tok")
     )
@@ -724,7 +713,7 @@ _TSM_H = h64_sql(
       SELECT shard,
              count(*) AS n,
              sum(n_tok) AS tt,
-             sum({_TSM_H} % {_TSM_FP_MOD}) AS fp
+             bit_xor({_TSM_H}) AS fp
       FROM src GROUP BY shard
     )
     SELECT CAST(r.range AS INT) AS shard,
@@ -750,23 +739,20 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "shard",
             "n_tok",
-            (
-                h64(
-                    F.concat(
-                        F.lit("mfp:"),
-                        F.col("doc_id").cast("string"),
-                        F.lit(":"),
-                        F.col("n_tok").cast("string"),
-                    )
+            h64(
+                F.concat(
+                    F.lit("mfp:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("n_tok").cast("string"),
                 )
-                % _TSM_FP_MOD
             ).alias("fph"),
         )
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
-            F.sum("fph").cast("bigint").alias("content_fp"),
+            F.bit_xor("fph").cast("bigint").alias("content_fp"),
         )
     )
     return (

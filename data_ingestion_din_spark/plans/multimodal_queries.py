@@ -99,10 +99,19 @@ def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same scale-with-size robustness; see the module comment there), and
 # this query runs the REAL scale path: split the hash into 4 x 16-bit
 # bands, equi-join on (band_id, band_value) so candidates are only
-# pairs agreeing exactly in >= 1 band (a Hamming-<=K pair must, by
-# pigeonhole with K < 4, agree in some band... K here allows up to 3
-# differing bands), then verify bit_count(xor) <= K — the
-# dedup_simhash_near shape applied to media.
+# pairs agreeing exactly in >= 1 band, then verify bit_count(xor) <= K
+# — the dedup_simhash_near shape applied to media. RECALL IS
+# PROBABILISTIC at this operating point: pigeonhole guarantees a
+# candidate only for Hamming <= bands-1 = 3, and at K=10 a pair whose
+# differing bits touch all four bands is never generated (measured at
+# sf0.01: 11 of 49 true <=10 pairs banded — P(candidate | d=10) ~ 24%,
+# the standard b/r LSH tradeoff; the same class of lossy recall as
+# MinHash banding, and like it the engine MEASURES it under the gate:
+# media_phash_recall below is the audit). Precision is exact (every
+# emitted pair is verified); the banded join is what keeps the shape
+# linear-ish at corpus scale — 16-bit bands cut candidate fan-out ~20x
+# vs 8-bit on the same fingerprints (see dedup_simhash_near's
+# measurement).
 #
 # Scale: never all-pairs — the candidate join is equi-join on band
 # buckets (shuffle keyed by 16-bit band value + id); the pHash table is
@@ -200,14 +209,30 @@ def _media_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(path.alias("path"), payload.alias("content"))
 
 
-def _phash_pairs(binary_df: DataFrame) -> DataFrame:
-    """Banded Hamming near-dup pairs over the staged pHash table:
-    (path_a, path_b, hamming) with hamming <= _PH_K."""
+# (applicationId, sf_dir) -> checkpointed pHash DataFrame. The Arrow
+# boundary (phash_media over the whole corpus) runs once per session,
+# not once per query invocation — media_phash_near_dup, _clusters and
+# _recall all read the same checkpointed table (the _TSM_DONE/_SCF_DONE
+# staging pattern, holding the DF instead of a path: localCheckpoint
+# blocks live for the SparkContext lifetime, and the app-id key expires
+# the entry with the context).
+_PH_DONE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_din_spark.sources.binary import phash_media
 
-    # staged: the Python (Arrow) boundary runs ONCE; both sides of the
-    # band self-join read the checkpointed pHash table
-    ph = phash_media(binary_df).localCheckpoint(eager=True)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PH_DONE:
+        _PH_DONE[key] = phash_media(
+            _media_binary(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    return _PH_DONE[key]
+
+
+def _phash_pairs(ph: DataFrame) -> DataFrame:
+    """Banded Hamming near-dup pairs over the staged pHash table:
+    (path_a, path_b, hamming) with hamming <= _PH_K."""
     cand = ph.select(
         "path",
         "b0",
@@ -259,7 +284,7 @@ def _phash_pairs(binary_df: DataFrame) -> DataFrame:
     """,
 )
 def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _phash_pairs(_media_binary(spark, sf_dir)).orderBy(
+    return _phash_pairs(_phash_table(spark, sf_dir)).orderBy(
         "path_a", "path_b"
     )
 
@@ -320,7 +345,7 @@ def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_din_spark.operators.dedup import connected_components
 
     binary_df = _media_binary(spark, sf_dir)
-    pairs = _phash_pairs(binary_df)
+    pairs = _phash_pairs(_phash_table(spark, sf_dir))
     clusters = connected_components(pairs, a="path_a", b="path_b").select(
         F.col("node").alias("path"), "cluster_id"
     )
@@ -339,3 +364,71 @@ def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         (F.col("rk") == 1).alias("keep"),
     ).orderBy("cluster_id", "path")
+
+
+# --------------------------------------------------------------------------
+# media_phash_recall — the banding recall AUDIT for the lossy K=10
+# operating point (the similarity_lsh_recall pattern applied to pHash):
+# all-pairs Hamming <= K is the ground truth (quadratic BY DEFINITION —
+# scale-guarded like every all-pairs baseline; the scale path is the
+# banded join it audits), banded pairs are the candidates, and the
+# one-row report carries both counts plus the recall ratio. Banded
+# pairs are a strict subset of true pairs (banding only restricts
+# candidacy; verification is identical), so found/true IS the recall.
+# --------------------------------------------------------------------------
+@query(
+    "media_phash_recall",
+    oracle=f"""
+    WITH {_PH_CTES},
+    allp AS (
+      SELECT a.path AS path_a, b.path AS path_b,
+             bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+               + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+               AS hamming
+      FROM ph a JOIN ph b ON a.path < b.path
+    ),
+    truth AS (SELECT * FROM allp WHERE hamming <= {_PH_K})
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_found,
+           round(CAST((SELECT count(*) FROM pairs) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM truth), 1), 6) AS recall
+    """,
+)
+def media_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.operators.dedup import _refuse_all_pairs
+
+    ph = _phash_table(spark, sf_dir)
+    _refuse_all_pairs(ph, 20_000, "media_phash_near_dup (banded join)")
+    a = ph.select(
+        F.col("path").alias("path_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],
+    )
+    b = ph.select(
+        F.col("path").alias("path_b"),
+        *[F.col(f"b{j}").alias(f"c{j}") for j in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"c{j}")))
+        for j in range(4)
+    )
+    truth = (
+        a.join(b, F.col("path_a") < F.col("path_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= _PH_K)
+    )
+    found = _phash_pairs(ph)
+    return (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        .crossJoin(
+            found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+        )
+        .select(
+            "n_true",
+            "n_found",
+            F.round(
+                F.col("n_found").cast("double")
+                / F.greatest(F.col("n_true"), F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+    )

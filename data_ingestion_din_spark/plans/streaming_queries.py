@@ -1030,31 +1030,15 @@ def _funnel_processor(out: str, fp_state: str, lang_state: str):
     return _process
 
 
-def _scf_out_dir(spark: SparkSession, sf_dir: str) -> str:
-    from data_ingestion_din_spark.operators.colocate import (
-        _dir_ok,
-        cleanup_stale_app_dirs,
-    )
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _SCF_DONE:
-        if _dir_ok(_SCF_DONE[key]):
-            return _SCF_DONE[key]
-        del _SCF_DONE[key]
-
-    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
-    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_scf")
-    cleanup_stale_app_dirs(root, app)
-    base = os.path.join(root, app, tag)
-    shutil.rmtree(base, ignore_errors=True)
+def _run_doc_parity_landings(
+    spark: SparkSession, sf_dir: str, base: str, process
+) -> None:
+    """Drive a foreachBatch ``process`` over the documents table split
+    into two parity landings, each its own checkpointed availableNow
+    run — the shared two-restart proof harness for the incremental
+    curation funnel and the MinHash signature index."""
     landing = os.path.join(base, "landing")
     ckpt = os.path.join(base, "ckpt")
-    out = os.path.join(base, "out")
-    _process = _funnel_processor(
-        out, os.path.join(base, "state_fps"), os.path.join(base, "state_lang")
-    )
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def run_once() -> None:
@@ -1062,7 +1046,7 @@ def _scf_out_dir(spark: SparkSession, sf_dir: str) -> str:
             landing + "/*"
         )
         q = (
-            stream.writeStream.foreachBatch(_process)
+            stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -1074,6 +1058,26 @@ def _scf_out_dir(spark: SparkSession, sf_dir: str) -> str:
             "overwrite"
         ).parquet(os.path.join(landing, f"b{i}"))
         run_once()
+
+
+def _scf_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SCF_DONE:
+        if _dir_ok(_SCF_DONE[key]):
+            return _SCF_DONE[key]
+        del _SCF_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_scf")
+    out = os.path.join(base, "out")
+    _process = _funnel_processor(
+        out, os.path.join(base, "state_fps"), os.path.join(base, "state_lang")
+    )
+    _run_doc_parity_landings(spark, sf_dir, base, _process)
     _SCF_DONE[key] = out
     return out
 
@@ -1352,7 +1356,7 @@ def _minhash_index_processor(out: str, sig_state: str):
 def _smi_out_dir(spark: SparkSession, sf_dir: str) -> str:
     from data_ingestion_din_spark.operators.colocate import (
         _dir_ok,
-        cleanup_stale_app_dirs,
+        fresh_app_dir,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1361,36 +1365,10 @@ def _smi_out_dir(spark: SparkSession, sf_dir: str) -> str:
             return _SMI_DONE[key]
         del _SMI_DONE[key]
 
-    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
-    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_smi")
-    cleanup_stale_app_dirs(root, app)
-    base = os.path.join(root, app, tag)
-    shutil.rmtree(base, ignore_errors=True)
-    landing = os.path.join(base, "landing")
-    ckpt = os.path.join(base, "ckpt")
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_smi")
     out = os.path.join(base, "out")
     _process = _minhash_index_processor(out, os.path.join(base, "sigs"))
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def run_once() -> None:
-        stream = spark.readStream.schema("doc_id bigint, text string").parquet(
-            landing + "/*"
-        )
-        q = (
-            stream.writeStream.foreachBatch(_process)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
-
-    for i, parity in enumerate((0, 1)):
-        docs.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(landing, f"b{i}"))
-        run_once()
+    _run_doc_parity_landings(spark, sf_dir, base, _process)
     _SMI_DONE[key] = out
     return out
 

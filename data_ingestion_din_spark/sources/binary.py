@@ -175,11 +175,20 @@ def phash_media(binary_df: DataFrame, decode_stub: bool = True) -> DataFrame:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 payload = bytes(content)
-                s = payload.decode("utf-8")
+                # total over arbitrary bytes: real media is not UTF-8
+                # (replace keeps the stage deterministic either way),
+                # and a 0-byte payload gets the all-zero grid instead
+                # of an IndexError killing the whole Arrow batch
+                s = payload.decode("utf-8", errors="replace")
                 n = len(s)
-                cells = [
-                    ord(s[(i * n) // PHASH_CELLS]) for i in range(PHASH_CELLS)
-                ]
+                cells = (
+                    [
+                        ord(s[(i * n) // PHASH_CELLS])
+                        for i in range(PHASH_CELLS)
+                    ]
+                    if n
+                    else [0] * PHASH_CELLS
+                )
                 total = sum(cells)
                 # integer threshold: cell > mean  <=>  cell * 64 > total
                 bits = [

@@ -99,3 +99,27 @@ def test_phash_media_bands_and_locality(spark):
 
     with pytest.raises(Exception, match="NotImplemented|Pillow|codec"):
         phash_media(df, decode_stub=False).collect()
+
+
+def test_phash_media_total_on_empty_and_binary_payloads(spark):
+    """The pHash stage must be total over arbitrary binary content
+    (review finding): a 0-byte payload gets the all-zero grid instead
+    of an IndexError killing the Arrow batch, and non-UTF-8 bytes
+    decode with replacement instead of raising."""
+    from data_ingestion_din_spark.sources.binary import phash_media
+
+    df = spark.createDataFrame(
+        [
+            ("empty", bytearray(b"")),
+            ("binary", bytearray(bytes([0xFF, 0xFE, 0x89, 0x50] * 40))),
+            ("text", bytearray(b"plain old ascii text " * 10)),
+        ],
+        "path string, content binary",
+    )
+    rows = {r.path: r for r in phash_media(df).collect()}
+    assert len(rows) == 3
+    # empty payload: all cells 0 -> every bit fails c*64 > 0 -> bands 0
+    assert all(rows["empty"][f"b{j}"] == 0 for j in range(4))
+    assert all(
+        0 <= rows[p][f"b{j}"] < 65536 for p in rows for j in range(4)
+    )
