@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 import re
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,8 +50,7 @@ def _ingested_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
     app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
     tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
     root = os.path.join(tempfile.gettempdir(), "spark_graft_stream")
-    base = os.path.join(root, app, tag)
-    corpus = os.path.join(base, "corpus")
+    corpus = os.path.join(root, app, tag, "corpus")
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _INGEST_DONE:
         from data_ingestion_din_spark.operators.colocate import _dir_ok
@@ -60,12 +58,10 @@ def _ingested_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
         if _dir_ok(corpus):
             return corpus
         _INGEST_DONE.discard(key)  # staged corpus vanished; re-ingest
-    from data_ingestion_din_spark.operators.colocate import (
-        cleanup_stale_app_dirs,
-    )
+    from data_ingestion_din_spark.operators.colocate import fresh_app_dir
 
-    cleanup_stale_app_dirs(root, app)  # bound cross-session disk growth
-    shutil.rmtree(base, ignore_errors=True)
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_stream")
+    corpus = os.path.join(base, "corpus")
     landing = os.path.join(base, "landing")
     ckpt = os.path.join(base, "ckpt")
     docs = load_table(spark, sf_dir, "documents").select(
@@ -163,18 +159,11 @@ def _first_seen_out_dir(spark: SparkSession, sf_dir: str) -> str:
         if _dir_ok(_FIRST_SEEN_DONE[key]):
             return _FIRST_SEEN_DONE[key]
         del _FIRST_SEEN_DONE[key]  # staged output vanished; re-run
-    from data_ingestion_din_spark.operators.colocate import (
-        cleanup_stale_app_dirs,
-    )
+    from data_ingestion_din_spark.operators.colocate import fresh_app_dir
     from data_ingestion_din_spark.operators.dedup import keep_first_by
     from data_ingestion_din_spark.streaming.stateful import first_seen_stream
 
-    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
-    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_firstseen")
-    cleanup_stale_app_dirs(root, app)
-    base = os.path.join(root, app, tag)
-    shutil.rmtree(base, ignore_errors=True)
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_firstseen")
     landing = os.path.join(base, "landing")
     ckpt = os.path.join(base, "ckpt")
     out = os.path.join(base, "out")
@@ -267,16 +256,9 @@ def _stream_join_out_dir(spark: SparkSession, sf_dir: str) -> str:
         if _dir_ok(_STREAM_JOIN_DONE[key]):
             return _STREAM_JOIN_DONE[key]
         del _STREAM_JOIN_DONE[key]
-    from data_ingestion_din_spark.operators.colocate import (
-        cleanup_stale_app_dirs,
-    )
+    from data_ingestion_din_spark.operators.colocate import fresh_app_dir
 
-    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
-    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_sjoin")
-    cleanup_stale_app_dirs(root, app)
-    base = os.path.join(root, app, tag)
-    shutil.rmtree(base, ignore_errors=True)
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_sjoin")
     landing_c = os.path.join(base, "clicks")
     landing_e = os.path.join(base, "errors")
     ckpt = os.path.join(base, "ckpt")
@@ -403,16 +385,9 @@ def _session_windows_out_dir(spark: SparkSession, sf_dir: str) -> str:
         del _SESSION_WIN_DONE[key]
     from pyspark.sql.window import Window as W
 
-    from data_ingestion_din_spark.operators.colocate import (
-        cleanup_stale_app_dirs,
-    )
+    from data_ingestion_din_spark.operators.colocate import fresh_app_dir
 
-    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
-    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_sesswin")
-    cleanup_stale_app_dirs(root, app)
-    base = os.path.join(root, app, tag)
-    shutil.rmtree(base, ignore_errors=True)
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_sesswin")
     landing = os.path.join(base, "landing")
     ckpt = os.path.join(base, "ckpt")
     out = os.path.join(base, "out")
@@ -590,7 +565,7 @@ def _hll_out_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     from data_ingestion_din_spark.operators.colocate import (
         _dir_ok,
-        cleanup_stale_app_dirs,
+        fresh_app_dir,
     )
 
     if key in _HLL_DONE:
@@ -601,12 +576,7 @@ def _hll_out_dir(spark: SparkSession, sf_dir: str) -> str:
         running_max_stream,
     )
 
-    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
-    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_hll")
-    cleanup_stale_app_dirs(root, app)
-    base = os.path.join(root, app, tag)
-    shutil.rmtree(base, ignore_errors=True)
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_hll")
     landing = os.path.join(base, "landing")
     ckpt = os.path.join(base, "ckpt")
     out = os.path.join(base, "out")
@@ -737,16 +707,9 @@ def _ddw_out_dir(spark: SparkSession, sf_dir: str) -> str:
         if _dir_ok(_DDW_DONE[key]):
             return _DDW_DONE[key]
         del _DDW_DONE[key]
-    from data_ingestion_din_spark.operators.colocate import (
-        cleanup_stale_app_dirs,
-    )
+    from data_ingestion_din_spark.operators.colocate import fresh_app_dir
 
-    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
-    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_ddw")
-    cleanup_stale_app_dirs(root, app)
-    base = os.path.join(root, app, tag)
-    shutil.rmtree(base, ignore_errors=True)
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_ddw")
     landing = os.path.join(base, "landing")
     ckpt = os.path.join(base, "ckpt")
     out = os.path.join(base, "out")
