@@ -31,6 +31,7 @@ _DRIVER_PRIORITY: list[str] = [
     "media_phash_recall",
     "streaming_curation_funnel",
     "streaming_minhash_index",
+    "streaming_scd2_maintenance",
     "training_shard_manifest",
     # Latest sample is round 2.
     "table_trust_aggregate",

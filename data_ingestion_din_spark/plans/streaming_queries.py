@@ -1415,3 +1415,226 @@ def streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "is_dup", "matched_doc", "n_agree")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_scd2_maintenance — incremental TYPE-2 DIMENSION MAINTENANCE,
+# the streaming twin of events_scd2_intervals' batch history build and
+# the warehouse MERGE pattern every CDC pipeline runs: the event stream
+# lands in two time-split checkpointed availableNow batches, and each
+# batch continues the dimension table instead of rebuilding it — the
+# per-key OPEN version (valid_to IS NULL) is read from state and seeded
+# into the batch's change detection as a zero-opens pseudo-event
+# carrying its accumulated n_events and version number, so a batch that
+# continues the same state EXTENDS the open version (no spurious
+# version bump at the batch boundary) and a batch that changes state
+# CLOSES it with the new version's valid_from.
+#
+# State is the emitted history itself, epoch-keyed like the funnel and
+# the signature index (idempotent overwrites, prior-epoch reads,
+# latest-epoch-wins per (user_id, version) at read time — closed rows
+# are never rewritten; only the inherited open row is superseded).
+#
+# THE PROOF: because the landings are time-ordered, incremental
+# maintenance must equal a from-scratch rebuild — the oracle IS
+# events_scd2_intervals' oracle, verbatim. Hash parity means the
+# incremental path produces the byte-identical dimension history the
+# batch path would, across a checkpointed restart.
+#
+# Scale: per batch, one user_id shuffle for the windows + a broadcast-
+# able open-rows seed join; history is touched only by the equi-join
+# on (user_id, version) at read time.
+# --------------------------------------------------------------------------
+from data_ingestion_din_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+
+_SCD2S_DONE: dict[tuple[str, str], str] = {}
+
+
+def _scd2_processor(out: str):
+    """foreachBatch SCD2 maintainer over the epoch-keyed history dir —
+    module-level for the replay test, like the funnel/index processors."""
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        ev = batch_df.filter(
+            h64(F.concat(F.lit("scd:"), F.col("user_id").cast("string")))
+            % 7
+            == 0
+        ).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        cols = "user_id bigint, version int, state string, valid_from bigint, valid_to bigint, is_current int, n_events bigint"
+        if os.path.isdir(out):
+            hist = (
+                spark_l.read.option("basePath", out)
+                .parquet(out)
+                .filter(F.col("epoch") < epoch_id)
+            )
+            latest = (
+                hist.withColumn(
+                    "rk",
+                    F.row_number().over(
+                        W.partitionBy("user_id", "version").orderBy(
+                            F.desc("epoch")
+                        )
+                    ),
+                )
+                .filter(F.col("rk") == 1)
+                .drop("rk", "epoch")
+            )
+            open_rows = latest.filter(F.col("valid_to").isNull())
+        else:
+            open_rows = spark_l.createDataFrame([], cols)
+
+        pseudo = open_rows.select(
+            "user_id",
+            F.lit(-1).cast("bigint").alias("event_id"),
+            F.col("state").alias("event_type"),
+            F.col("valid_from").alias("ts_us"),
+            F.col("n_events").alias("weight"),
+            F.col("version").cast("int").alias("base"),
+        )
+        real = ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts_us",
+            F.lit(1).cast("bigint").alias("weight"),
+            F.lit(None).cast("int").alias("base"),
+        )
+        comb = pseudo.unionByName(real)
+        wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        chg = comb.withColumn(
+            # the pseudo-event re-opens nothing: it IS the open version
+            "opens",
+            F.when(F.col("event_id") == -1, F.lit(0))
+            .when(
+                ~F.lag("event_type").over(wo).eqNullSafe(F.col("event_type")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0)),
+        ).withColumn(
+            "base_k",
+            F.coalesce(
+                F.max("base").over(W.partitionBy("user_id")), F.lit(0)
+            ),
+        )
+        ver = chg.withColumn(
+            "version",
+            (
+                F.col("base_k")
+                + F.sum("opens").over(wo.rowsBetween(W.unboundedPreceding, 0))
+            ).cast("int"),
+        )
+        grp = ver.groupBy("user_id", "version").agg(
+            F.first("event_type").alias("state"),
+            F.min("ts_us").cast("bigint").alias("valid_from"),
+            F.sum("weight").cast("bigint").alias("n_events"),
+        )
+        wv = W.partitionBy("user_id").orderBy("version")
+        rows = grp.select(
+            "user_id",
+            "version",
+            "state",
+            "valid_from",
+            F.lead("valid_from").over(wv).cast("bigint").alias("valid_to"),
+            F.when(F.lead("valid_from").over(wv).isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_current"),
+            "n_events",
+        )
+        rows.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"epoch={epoch_id}")
+        )
+
+    return _process
+
+
+def _scd2s_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SCD2S_DONE:
+        if _dir_ok(_SCD2S_DONE[key]):
+            return _SCD2S_DONE[key]
+        del _SCD2S_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_scd2s")
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    _process = _scd2_processor(out)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = lo + (hi - lo) // 2  # setup-stage scalar: time-split point
+
+    def run_once() -> None:
+        schema = (
+            "user_id bigint, event_id bigint, event_type string, ts timestamp"
+        )
+        stream = spark.readStream.schema(schema).parquet(landing + "/*")
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+
+    halves = (
+        ev.filter(F.unix_micros("ts") <= mid),
+        ev.filter(F.unix_micros("ts") > mid),
+    )
+    for i, half in enumerate(halves):
+        half.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(landing, f"b{i}")
+        )
+        run_once()
+    _SCD2S_DONE[key] = out
+    return out
+
+
+@query("streaming_scd2_maintenance", oracle=_ORACLES["events_scd2_intervals"])
+def streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back the incrementally maintained SCD2 history
+    (latest-epoch row per (user_id, version)); the oracle is the BATCH
+    rebuild's SQL verbatim — time-ordered landings make incremental
+    maintenance provably equal to a from-scratch build, and hash parity
+    enforces it across the checkpointed restart."""
+    from pyspark.sql.window import Window as W
+
+    out = _scd2s_out_dir(spark, sf_dir)
+    hist = spark.read.option("basePath", out).parquet(out)
+    latest = (
+        hist.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("user_id", "version").orderBy(F.desc("epoch"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "version",
+            "state",
+            "valid_from",
+            "valid_to",
+            "is_current",
+            "n_events",
+        )
+    )
+    return latest.orderBy("user_id", "version")

@@ -700,3 +700,95 @@ def test_streaming_minhash_index_replay_idempotent(spark, tmp_path):
     assert dec[0][1] is False and dec[2][1] is False  # empty index
     assert dec[1][1] is True and dec[1][2] == 0  # near-dup of doc 0
     assert dec[3][1] is False  # unrelated stays clean
+
+
+def test_streaming_scd2_replay_and_boundary(spark, tmp_path):
+    """SCD2 maintainer contract: (a) replaying an epoch is a no-op
+    (epoch-keyed idempotence); (b) a batch that CONTINUES the open
+    version's state extends it (no spurious version bump at the batch
+    boundary) while a state change closes it with the new version's
+    valid_from. user_id=7 hashes into the 1/7 scd sample gate."""
+    from datetime import datetime
+
+    from data_ingestion_din_spark.functions.hashing import h64
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _scd2_processor,
+    )
+    from pyspark.sql import functions as F2
+
+    # find two sampled user ids (h64('scd:'||uid) % 7 == 0)
+    uids = [
+        r.id
+        for r in spark.range(0, 60)
+        .filter(
+            h64(F2.concat(F2.lit("scd:"), F2.col("id").cast("string"))) % 7
+            == 0
+        )
+        .collect()
+    ][:2]
+    assert len(uids) == 2
+    u1, u2 = uids
+
+    out = str(tmp_path / "hist")
+    process = _scd2_processor(out)
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    schema = "user_id bigint, event_id bigint, event_type string, ts timestamp"
+
+    b0 = spark.createDataFrame(
+        [
+            (u1, 1, "view", t("2024-01-01 10:00:00")),
+            (u1, 2, "view", t("2024-01-01 10:01:00")),
+            (u1, 3, "click", t("2024-01-01 10:02:00")),
+            (u2, 4, "view", t("2024-01-01 10:03:00")),
+        ],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            # u1 CONTINUES 'click' -> open version extends, no bump
+            (u1, 5, "click", t("2024-01-01 11:00:00")),
+            # then changes -> version 3 opens, closing version 2
+            (u1, 6, "view", t("2024-01-01 11:30:00")),
+            # u2 changes immediately -> version 2
+            (u2, 7, "error", t("2024-01-01 11:45:00")),
+        ],
+        schema,
+    )
+
+    def snapshot():
+        from pyspark.sql.window import Window as W
+
+        hist = spark.read.option("basePath", out).parquet(out)
+        latest = (
+            hist.withColumn(
+                "rk",
+                F2.row_number().over(
+                    W.partitionBy("user_id", "version").orderBy(
+                        F2.desc("epoch")
+                    )
+                ),
+            )
+            .filter(F2.col("rk") == 1)
+            .drop("rk", "epoch")
+        )
+        return sorted(tuple(r) for r in latest.collect())
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first  # replay is a no-op
+
+    rows = {
+        (r[0], r[1]): r for r in first
+    }  # (user_id, version) -> full row
+    # u1: v1 view(2 events, closed), v2 click EXTENDED to 2 events
+    # (one each side of the boundary) then closed, v3 view open
+    assert rows[(u1, 1)][2] == "view" and rows[(u1, 1)][6] == 2
+    assert rows[(u1, 2)][2] == "click" and rows[(u1, 2)][6] == 2
+    assert rows[(u1, 2)][4] is not None  # closed by v3
+    assert rows[(u1, 3)][2] == "view" and rows[(u1, 3)][5] == 1  # current
+    # u2: v1 view closed, v2 error current
+    assert rows[(u2, 1)][2] == "view" and rows[(u2, 1)][4] is not None
+    assert rows[(u2, 2)][2] == "error" and rows[(u2, 2)][5] == 1
