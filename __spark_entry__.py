@@ -32,6 +32,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_curation_funnel",
     "streaming_minhash_index",
     "streaming_scd2_maintenance",
+    "streaming_latest_snapshot",
     "training_shard_manifest",
     # Latest sample is round 2.
     "table_trust_aggregate",

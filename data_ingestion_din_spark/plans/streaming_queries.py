@@ -1638,3 +1638,141 @@ def streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return latest.orderBy("user_id", "version")
+
+
+# --------------------------------------------------------------------------
+# streaming_latest_snapshot — incremental TYPE-1 upsert compaction, the
+# streaming twin of events_latest_snapshot (and the simpler sibling of
+# streaming_scd2_maintenance's type-2): each checkpointed landing
+# merges its per-key winners against the prior snapshot's rows FOR THE
+# KEYS IT TOUCHES ONLY (left-semi on the batch's keys — the upsert
+# delta; untouched keys' rows remain current via latest-epoch-wins at
+# read time). Unlike the SCD2 twin this proof needs NO time ordering:
+# argmax(ts, event_id) is associative-merge-able under any split, so
+# the landings split by event_id parity and the oracle is STILL
+# events_latest_snapshot's SQL verbatim.
+#
+# Scale: per batch one (user_id, event_type) shuffle for the batch
+# winners + an equi-join against the delta history; the full snapshot
+# is never rewritten per batch — the write is O(keys touched).
+# --------------------------------------------------------------------------
+_SNAP_DONE: dict[tuple[str, str], str] = {}
+
+
+def _snapshot_processor(out: str):
+    from pyspark.sql.window import Window as W
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        b = batch_df.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "event_type",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+        if os.path.isdir(out):
+            hist = (
+                spark_l.read.option("basePath", out)
+                .parquet(out)
+                .filter(F.col("epoch") < epoch_id)
+            )
+            prior = (
+                hist.withColumn(
+                    "rk",
+                    F.row_number().over(
+                        W.partitionBy("user_id", "event_type").orderBy(
+                            F.desc("epoch")
+                        )
+                    ),
+                )
+                .filter(F.col("rk") == 1)
+                .drop("rk", "epoch")
+            )
+            touched = b.select("user_id", "event_type").distinct()
+            cand = b.unionByName(
+                prior.join(touched, ["user_id", "event_type"], "left_semi")
+            )
+        else:
+            cand = b
+        wk = W.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts_us"), F.desc("event_id")
+        )
+        winners = (
+            cand.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        winners.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"epoch={epoch_id}")
+        )
+
+    return _process
+
+
+def _snap_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SNAP_DONE:
+        if _dir_ok(_SNAP_DONE[key]):
+            return _SNAP_DONE[key]
+        del _SNAP_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_snap")
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    _process = _snapshot_processor(out)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+
+    def run_once() -> None:
+        schema = (
+            "user_id bigint, event_id bigint, event_type string, "
+            "ts timestamp, value double"
+        )
+        stream = spark.readStream.schema(schema).parquet(landing + "/*")
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+
+    for i, parity in enumerate((0, 1)):
+        ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, f"b{i}"))
+        run_once()
+    _SNAP_DONE[key] = out
+    return out
+
+
+@query("streaming_latest_snapshot", oracle=_ORACLES["events_latest_snapshot"])
+def streaming_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back the incrementally merged snapshot (latest-epoch row per
+    key); the oracle is the batch compaction's SQL verbatim — argmax
+    merges associatively under any split, and hash parity enforces it
+    across the checkpointed restart."""
+    from pyspark.sql.window import Window as W
+
+    out = _snap_out_dir(spark, sf_dir)
+    hist = spark.read.option("basePath", out).parquet(out)
+    latest = (
+        hist.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("user_id", "event_type").orderBy(F.desc("epoch"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_type", "event_id", "ts_us", "value")
+    )
+    return latest.orderBy("user_id", "event_type")
