@@ -33,6 +33,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_minhash_index",
     "streaming_scd2_maintenance",
     "streaming_latest_snapshot",
+    "dq_expectations",
     "training_shard_manifest",
     # Latest sample is round 2.
     "table_trust_aggregate",

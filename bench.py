@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "media_phash_clusters",
     "media_phash_recall",
     "training_shard_manifest",
+    "dq_expectations",
     # streaming_curation_funnel is correctness-gated but not benched
     # (one-time incremental stream cost, like the other streaming rows)
     # streaming_dedup_watermark is correctness-gated but not benched

@@ -26,3 +26,4 @@ from data_ingestion_din_spark.plans import curation_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import partsupp_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import overlay_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import eval_queries  # noqa: F401,E402
+from data_ingestion_din_spark.plans import dq_queries  # noqa: F401,E402
