@@ -110,9 +110,20 @@ def _dir_ok(path: str) -> bool:
         return False
 
 
+def app_dir_path(spark: SparkSession, sf_dir: str, root_name: str) -> str:
+    """Pure path derivation for an app-scoped staged artifact —
+    ``$TMPDIR/<root_name>/<sanitized app id>/<sanitized sf tag>`` — with
+    NO filesystem side effects. Cache-hit revalidation paths must use
+    this (not a hand-rolled re.sub copy) so a layout change here cannot
+    leave a cache checking the old location while :func:`fresh_app_dir`
+    materializes to the new one."""
+    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    return os.path.join(tempfile.gettempdir(), root_name, app, tag)
+
+
 def fresh_app_dir(spark: SparkSession, sf_dir: str, root_name: str) -> str:
-    """App-scoped staged-artifact base dir:
-    ``$TMPDIR/<root_name>/<sanitized app id>/<sanitized sf tag>`` with
+    """App-scoped staged-artifact base dir (:func:`app_dir_path`) with
     the staging lifecycle applied — stale sibling-app dirs under the
     root cleaned (age-gated), the base itself recreated empty. The one
     place the scaffold lives: the streaming landings, the shard export
@@ -120,11 +131,11 @@ def fresh_app_dir(spark: SparkSession, sf_dir: str, root_name: str) -> str:
     sanitize/cleanup/rmtree block (a lifecycle fix lands once)."""
     import shutil
 
-    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
-    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
-    root = os.path.join(tempfile.gettempdir(), root_name)
+    base = app_dir_path(spark, sf_dir, root_name)
+    root, app = os.path.dirname(os.path.dirname(base)), os.path.basename(
+        os.path.dirname(base)
+    )
     cleanup_stale_app_dirs(root, app)
-    base = os.path.join(root, app, tag)
     shutil.rmtree(base, ignore_errors=True)
     return base
 

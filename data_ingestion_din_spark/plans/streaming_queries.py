@@ -47,18 +47,22 @@ def _await_or_raise(q, timeout_sec: int = 240) -> None:
 
 
 def _ingested_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
-    app = re.sub(r"[^A-Za-z0-9]+", "_", spark.sparkContext.applicationId)
-    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_stream")
-    corpus = os.path.join(root, app, tag, "corpus")
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        app_dir_path,
+        fresh_app_dir,
+    )
+
+    # cache-hit revalidation derives the path from the SAME helper that
+    # materializes it, so a layout change cannot desynchronize the two
+    corpus = os.path.join(
+        app_dir_path(spark, sf_dir, "spark_graft_stream"), "corpus"
+    )
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _INGEST_DONE:
-        from data_ingestion_din_spark.operators.colocate import _dir_ok
-
         if _dir_ok(corpus):
             return corpus
         _INGEST_DONE.discard(key)  # staged corpus vanished; re-ingest
-    from data_ingestion_din_spark.operators.colocate import fresh_app_dir
 
     base = fresh_app_dir(spark, sf_dir, "spark_graft_stream")
     corpus = os.path.join(base, "corpus")
@@ -993,21 +997,19 @@ def _funnel_processor(out: str, fp_state: str, lang_state: str):
     return _process
 
 
-def _run_doc_parity_landings(
-    spark: SparkSession, sf_dir: str, base: str, process
+def _run_split_landings(
+    spark: SparkSession, base: str, schema: str, halves, process
 ) -> None:
-    """Drive a foreachBatch ``process`` over the documents table split
-    into two parity landings, each its own checkpointed availableNow
-    run — the shared two-restart proof harness for the incremental
-    curation funnel and the MinHash signature index."""
+    """Write each split DataFrame as its own landing batch and drain it
+    with a checkpointed availableNow run of ``foreachBatch(process)`` —
+    the ONE multi-restart proof harness behind every incremental state
+    sink (curation funnel, MinHash index, SCD2 maintainer, snapshot
+    merger): a trigger/checkpoint fix lands once."""
     landing = os.path.join(base, "landing")
     ckpt = os.path.join(base, "ckpt")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def run_once() -> None:
-        stream = spark.readStream.schema("doc_id bigint, text string").parquet(
-            landing + "/*"
-        )
+        stream = spark.readStream.schema(schema).parquet(landing + "/*")
         q = (
             stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", ckpt)
@@ -1016,11 +1018,25 @@ def _run_doc_parity_landings(
         )
         _await_or_raise(q)
 
-    for i, parity in enumerate((0, 1)):
-        docs.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(landing, f"b{i}"))
+    for i, half in enumerate(halves):
+        half.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(landing, f"b{i}")
+        )
         run_once()
+
+
+def _run_doc_parity_landings(
+    spark: SparkSession, sf_dir: str, base: str, process
+) -> None:
+    """documents split by doc_id parity through _run_split_landings."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _run_split_landings(
+        spark,
+        base,
+        "doc_id bigint, text string",
+        [docs.filter(F.col("doc_id") % 2 == p) for p in (0, 1)],
+        process,
+    )
 
 
 def _scf_out_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -1450,6 +1466,32 @@ from data_ingestion_din_spark.plans.registry import ORACLES as _ORACLES  # noqa:
 _SCD2S_DONE: dict[tuple[str, str], str] = {}
 
 
+def _latest_epoch_rows(
+    spark_l: SparkSession, out: str, keys: list[str], before_epoch=None
+) -> DataFrame:
+    """Current rows of an epoch-keyed incremental state dir: per key
+    tuple, the row from the highest epoch (the one epoch-resolution
+    rule for every incremental state sink — SCD2, snapshot — so tie
+    handling / basePath semantics live once). ``before_epoch`` filters
+    to epochs strictly before it (the replay-safe processor-side read);
+    None reads all epochs (the query-side read)."""
+    from pyspark.sql.window import Window as W
+
+    hist = spark_l.read.option("basePath", out).parquet(out)
+    if before_epoch is not None:
+        hist = hist.filter(F.col("epoch") < before_epoch)
+    return (
+        hist.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy(*keys).orderBy(F.desc("epoch"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk", "epoch")
+    )
+
+
 def _scd2_processor(out: str):
     """foreachBatch SCD2 maintainer over the epoch-keyed history dir —
     module-level for the replay test, like the funnel/index processors."""
@@ -1471,24 +1513,19 @@ def _scd2_processor(out: str):
         )
         cols = "user_id bigint, version int, state string, valid_from bigint, valid_to bigint, is_current int, n_events bigint"
         if os.path.isdir(out):
-            hist = (
-                spark_l.read.option("basePath", out)
-                .parquet(out)
-                .filter(F.col("epoch") < epoch_id)
+            latest = _latest_epoch_rows(
+                spark_l, out, ["user_id", "version"], before_epoch=epoch_id
             )
-            latest = (
-                hist.withColumn(
-                    "rk",
-                    F.row_number().over(
-                        W.partitionBy("user_id", "version").orderBy(
-                            F.desc("epoch")
-                        )
-                    ),
-                )
-                .filter(F.col("rk") == 1)
-                .drop("rk", "epoch")
+            # seed ONLY keys present in this batch (review finding):
+            # untouched users' open rows stay current via
+            # latest-epoch-wins at read time, so re-emitting them here
+            # would turn the incremental write into a per-batch
+            # full-dimension rewrite — per-epoch output must stay
+            # O(keys touched), like the type-1 twin below
+            touched = ev.select("user_id").distinct()
+            open_rows = latest.filter(F.col("valid_to").isNull()).join(
+                touched, "user_id", "left_semi"
             )
-            open_rows = latest.filter(F.col("valid_to").isNull())
         else:
             open_rows = spark_l.createDataFrame([], cols)
 
@@ -1569,10 +1606,7 @@ def _scd2s_out_dir(spark: SparkSession, sf_dir: str) -> str:
         del _SCD2S_DONE[key]
 
     base = fresh_app_dir(spark, sf_dir, "spark_graft_scd2s")
-    landing = os.path.join(base, "landing")
-    ckpt = os.path.join(base, "ckpt")
     out = os.path.join(base, "out")
-    _process = _scd2_processor(out)
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts"
@@ -1581,29 +1615,16 @@ def _scd2s_out_dir(spark: SparkSession, sf_dir: str) -> str:
         F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
     ).first()
     mid = lo + (hi - lo) // 2  # setup-stage scalar: time-split point
-
-    def run_once() -> None:
-        schema = (
-            "user_id bigint, event_id bigint, event_type string, ts timestamp"
-        )
-        stream = spark.readStream.schema(schema).parquet(landing + "/*")
-        q = (
-            stream.writeStream.foreachBatch(_process)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
-
-    halves = (
-        ev.filter(F.unix_micros("ts") <= mid),
-        ev.filter(F.unix_micros("ts") > mid),
+    _run_split_landings(
+        spark,
+        base,
+        "user_id bigint, event_id bigint, event_type string, ts timestamp",
+        [
+            ev.filter(F.unix_micros("ts") <= mid),
+            ev.filter(F.unix_micros("ts") > mid),
+        ],
+        _scd2_processor(out),
     )
-    for i, half in enumerate(halves):
-        half.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(landing, f"b{i}")
-        )
-        run_once()
     _SCD2S_DONE[key] = out
     return out
 
@@ -1615,27 +1636,15 @@ def streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild's SQL verbatim — time-ordered landings make incremental
     maintenance provably equal to a from-scratch build, and hash parity
     enforces it across the checkpointed restart."""
-    from pyspark.sql.window import Window as W
-
     out = _scd2s_out_dir(spark, sf_dir)
-    hist = spark.read.option("basePath", out).parquet(out)
-    latest = (
-        hist.withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("user_id", "version").orderBy(F.desc("epoch"))
-            ),
-        )
-        .filter(F.col("rk") == 1)
-        .select(
-            "user_id",
-            "version",
-            "state",
-            "valid_from",
-            "valid_to",
-            "is_current",
-            "n_events",
-        )
+    latest = _latest_epoch_rows(spark, out, ["user_id", "version"]).select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "n_events",
     )
     return latest.orderBy("user_id", "version")
 
@@ -1672,22 +1681,11 @@ def _snapshot_processor(out: str):
             "value",
         )
         if os.path.isdir(out):
-            hist = (
-                spark_l.read.option("basePath", out)
-                .parquet(out)
-                .filter(F.col("epoch") < epoch_id)
-            )
-            prior = (
-                hist.withColumn(
-                    "rk",
-                    F.row_number().over(
-                        W.partitionBy("user_id", "event_type").orderBy(
-                            F.desc("epoch")
-                        )
-                    ),
-                )
-                .filter(F.col("rk") == 1)
-                .drop("rk", "epoch")
+            prior = _latest_epoch_rows(
+                spark_l,
+                out,
+                ["user_id", "event_type"],
+                before_epoch=epoch_id,
             )
             touched = b.select("user_id", "event_type").distinct()
             cand = b.unionByName(
@@ -1723,34 +1721,19 @@ def _snap_out_dir(spark: SparkSession, sf_dir: str) -> str:
         del _SNAP_DONE[key]
 
     base = fresh_app_dir(spark, sf_dir, "spark_graft_snap")
-    landing = os.path.join(base, "landing")
-    ckpt = os.path.join(base, "ckpt")
     out = os.path.join(base, "out")
-    _process = _snapshot_processor(out)
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts", "value"
     )
-
-    def run_once() -> None:
-        schema = (
-            "user_id bigint, event_id bigint, event_type string, "
-            "ts timestamp, value double"
-        )
-        stream = spark.readStream.schema(schema).parquet(landing + "/*")
-        q = (
-            stream.writeStream.foreachBatch(_process)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
-
-    for i, parity in enumerate((0, 1)):
-        ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(landing, f"b{i}"))
-        run_once()
+    _run_split_landings(
+        spark,
+        base,
+        "user_id bigint, event_id bigint, event_type string, "
+        "ts timestamp, value double",
+        [ev.filter(F.col("event_id") % 2 == p) for p in (0, 1)],
+        _snapshot_processor(out),
+    )
     _SNAP_DONE[key] = out
     return out
 
@@ -1761,18 +1744,8 @@ def streaming_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     key); the oracle is the batch compaction's SQL verbatim — argmax
     merges associatively under any split, and hash parity enforces it
     across the checkpointed restart."""
-    from pyspark.sql.window import Window as W
-
     out = _snap_out_dir(spark, sf_dir)
-    hist = spark.read.option("basePath", out).parquet(out)
-    latest = (
-        hist.withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("user_id", "event_type").orderBy(F.desc("epoch"))
-            ),
-        )
-        .filter(F.col("rk") == 1)
-        .select("user_id", "event_type", "event_id", "ts_us", "value")
+    latest = _latest_epoch_rows(spark, out, ["user_id", "event_type"]).select(
+        "user_id", "event_type", "event_id", "ts_us", "value"
     )
     return latest.orderBy("user_id", "event_type")
