@@ -6,13 +6,14 @@ of keys, referential integrity, range and non-null expectations, all as
 exact integer counts so the suite itself sits under the oracle hash
 gate.
 
-Scale: every constraint is one aggregate over its table (key-uniqueness
-and FK checks shuffle on the checked key; range/null checks are
-scan-speed map-side partials); the union of one-row results is free.
-Constraint evaluation batches per table could share scans — at 100 TB
-you'd fuse same-table constraints into one agg pass; here they stay
-separate branches for clarity and because Spark schedules them in one
-job anyway.
+Scale: same-table constraints are FUSED into one aggregation pass per
+table (size + range/null/positivity violation sums + key uniqueness as
+``count(*) - count(DISTINCT key)`` all ride a single scan, then explode
+into one row per expectation) — 8 table scans serve 12 non-join checks
+instead of one scan per check; only the 3 referential-integrity checks
+are separate anti-joins, which genuinely need the parent side. The
+DuckDB oracle keeps the per-check formulation (same values, simpler to
+audit); parity proves the fusion changed nothing.
 """
 
 from __future__ import annotations
@@ -24,28 +25,12 @@ from data_ingestion_din_spark.plans.registry import query
 from data_ingestion_din_spark.sources.tables import load_table
 
 
-def _dup_count(df: DataFrame, key: str) -> DataFrame:
-    """Rows beyond the first per key value — 0 means the key is unique."""
-    return df.groupBy(key).agg(F.count(F.lit(1)).alias("n")).agg(
-        F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
-        .cast("bigint")
-        .alias("observed")
-    )
-
-
 def _orphans(child: DataFrame, ck: str, parent: DataFrame, pk: str) -> DataFrame:
     """Child rows whose FK has no parent — referential integrity."""
     return (
         child.select(F.col(ck).alias("k"))
         .join(parent.select(F.col(pk).alias("k")), "k", "left_anti")
         .agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
-    )
-
-
-def _violations(df: DataFrame, cond) -> DataFrame:
-    """Rows violating a boolean expectation."""
-    return df.filter(~cond).agg(
-        F.count(F.lit(1)).cast("bigint").alias("observed")
     )
 
 
@@ -122,81 +107,111 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     region = load_table(spark, sf_dir, "region")
 
-    def lab(df: DataFrame, tbl: str, exp: str) -> DataFrame:
-        return df.select(
-            F.lit(tbl).alias("tbl"),
-            F.lit(exp).alias("expectation"),
-            "observed",
+    def viol(cond) -> F.Column:
+        return (
+            F.sum(F.when(~cond, 1).otherwise(0))
+            .cast("bigint")
         )
 
-    def size(df: DataFrame, tbl: str) -> DataFrame:
-        return lab(
-            df.agg(F.count(F.lit(1)).cast("bigint").alias("observed")),
-            tbl,
-            "size:>0",
-        )
+    def rows(agg_df: DataFrame, tbl: str, named: dict) -> DataFrame:
+        """Explode a 1-row fused aggregate into (tbl, expectation,
+        observed) rows — one scan serves every named expectation."""
+        return agg_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(tbl).alias("tbl"),
+                            F.lit(exp).alias("expectation"),
+                            F.col(col).alias("observed"),
+                        )
+                        for exp, col in named.items()
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
 
     checks = [
-        size(orders, "orders"),
-        size(lineitem, "lineitem"),
-        size(events, "events"),
-        size(docs, "documents"),
-        lab(_dup_count(orders, "o_orderkey"), "orders", "unique:o_orderkey"),
-        lab(_dup_count(part, "p_partkey"), "part", "unique:p_partkey"),
-        lab(
-            _orphans(lineitem, "l_orderkey", orders, "o_orderkey"),
-            "lineitem",
-            "fk:l_orderkey->orders",
-        ),
-        lab(
-            _orphans(orders, "o_custkey", customer, "c_custkey"),
+        rows(
+            orders.agg(
+                F.count(F.lit(1)).cast("bigint").alias("size"),
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+                .cast("bigint")
+                .alias("dups"),
+                viol(F.col("o_totalprice") > 0).alias("pos"),
+            ),
             "orders",
-            "fk:o_custkey->customer",
+            {
+                "size:>0": "size",
+                "unique:o_orderkey": "dups",
+                "positive:o_totalprice": "pos",
+            },
         ),
-        lab(
-            _orphans(customer, "c_nationkey", nation, "n_nationkey"),
-            "customer",
-            "fk:c_nationkey->nation",
-        ),
-        lab(
-            _violations(
-                lineitem,
-                (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+        rows(
+            lineitem.agg(
+                F.count(F.lit(1)).cast("bigint").alias("size"),
+                viol(
+                    (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50)
+                ).alias("qty"),
+                viol(
+                    (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1)
+                ).alias("disc"),
             ),
             "lineitem",
-            "range:l_quantity[1,50]",
+            {
+                "size:>0": "size",
+                "range:l_quantity[1,50]": "qty",
+                "range:l_discount[0,0.1]": "disc",
+            },
         ),
-        lab(
-            _violations(
-                lineitem,
-                (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+        rows(
+            part.agg(
+                (F.count(F.lit(1)) - F.countDistinct("p_partkey"))
+                .cast("bigint")
+                .alias("dups")
             ),
-            "lineitem",
-            "range:l_discount[0,0.1]",
+            "part",
+            {"unique:p_partkey": "dups"},
         ),
-        lab(
-            _violations(orders, F.col("o_totalprice") > 0),
-            "orders",
-            "positive:o_totalprice",
-        ),
-        lab(
-            events.filter(F.col("value").isNull()).agg(
-                F.count(F.lit(1)).cast("bigint").alias("observed")
+        rows(
+            events.agg(
+                F.count(F.lit(1)).cast("bigint").alias("size"),
+                F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("nulls"),
             ),
             "events",
-            "not_null:value",
+            {"size:>0": "size", "not_null:value": "nulls"},
         ),
-        lab(
-            _violations(docs, F.length("text") > 0),
+        rows(
+            docs.agg(
+                F.count(F.lit(1)).cast("bigint").alias("size"),
+                viol(F.length("text") > 0).alias("empty"),
+            ),
             "documents",
-            "non_empty:text",
+            {"size:>0": "size", "non_empty:text": "empty"},
         ),
-        lab(
+        rows(
             region.agg(
-                F.abs(F.count(F.lit(1)) - 5).cast("bigint").alias("observed")
+                F.abs(F.count(F.lit(1)) - 5).cast("bigint").alias("rc")
             ),
             "region",
-            "rowcount:=5",
+            {"rowcount:=5": "rc"},
+        ),
+        _orphans(lineitem, "l_orderkey", orders, "o_orderkey").select(
+            F.lit("lineitem").alias("tbl"),
+            F.lit("fk:l_orderkey->orders").alias("expectation"),
+            "observed",
+        ),
+        _orphans(orders, "o_custkey", customer, "c_custkey").select(
+            F.lit("orders").alias("tbl"),
+            F.lit("fk:o_custkey->customer").alias("expectation"),
+            "observed",
+        ),
+        _orphans(customer, "c_nationkey", nation, "n_nationkey").select(
+            F.lit("customer").alias("tbl"),
+            F.lit("fk:c_nationkey->nation").alias("expectation"),
+            "observed",
         ),
     ]
     out = checks[0]

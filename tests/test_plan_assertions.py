@@ -440,3 +440,27 @@ def test_media_phash_clusters_plan(spark):
     assert s["cartesian"] == 0, s
     assert s["map_in_pandas"] == 0, s
     assert s["exchange"] <= 8, s
+
+
+def test_dq_expectations_plan(spark):
+    # fused per-table aggregation: 12 non-join expectations ride 6
+    # table scans (explode of a 1-row multi-metric agg), plus 2 scans
+    # per FK anti-join; un-fusing back to one-scan-per-check pushes the
+    # scan count past this bound
+    s = _plan_stats(QUERIES["dq_expectations"](spark, SF))
+    assert s["cartesian"] == 0, s
+    assert s["bhj"] >= 3, s  # the three FK checks broadcast a side
+    buf_scans = _scan_count(QUERIES["dq_expectations"](spark, SF))
+    assert buf_scans <= 12, buf_scans
+
+
+def _scan_count(df) -> int:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    return sum(
+        1 for ln in buf.getvalue().splitlines() if "Scan parquet" in ln
+    )
