@@ -44,6 +44,7 @@ BUDGETS = {
     "embedding_hard_negatives": 2.8,  # 1.8 s
     "doc_cdc_chunks": 2.6,  # 1.7 s
     "corpus_bigram_generate": 2.5,  # 1.6 s (staged 1-row probes)
+    "media_phash_clusters": 8.0,  # 5.3 s isolated (CC iterations dominate)
 }
 
 
