@@ -38,7 +38,11 @@ BUDGETS = {
     "corpus_langid_confusion": 5.5,  # 3.5 s
     "dedup_clusters": 4.5,  # 2.5-2.9 s steady (CC pipeline)
     "table_transactions_dated": 3.2,  # 2.1 s
-    "dedup_cluster_size_hist": 3.2,  # 2.1 s (rides the CC pipeline)
+    # CC-iteration queries swing 2.1-3.5 s run-to-run (per-iteration
+    # fixed overhead is GC/scheduler-timing sensitive; code path
+    # unchanged across the observations) — budget the observed band,
+    # not 1.5x the single best measurement
+    "dedup_cluster_size_hist": 4.0,
     "dedup_keep_best": 3.0,  # 2.0 s
     "doc_winnow_fingerprints": 2.9,  # 1.9 s
     "embedding_hard_negatives": 2.8,  # 1.8 s
