@@ -29,6 +29,8 @@ _DRIVER_PRIORITY: list[str] = [
     "media_phash_near_dup",
     "media_phash_clusters",
     "media_phash_recall",
+    "media_resize_plan",
+    "media_frame_samples",
     "streaming_curation_funnel",
     "streaming_minhash_index",
     "streaming_scd2_maintenance",

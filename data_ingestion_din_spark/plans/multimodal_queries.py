@@ -439,3 +439,124 @@ def media_phash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# media_resize_plan — the resize stage's scheduling arithmetic under
+# the gate (closes the brief's decode/feature/RESIZE/frame-sample list:
+# resize was plumbed but never hash-checked): for every media row, the
+# aspect-preserving target dimensions at max_dim=48, exact integer
+# floor division so both engines agree bit-for-bit; the pixel resample
+# itself stays at the codec boundary. width/height come from the
+# deterministic decode stub (md5-derived), which the oracle recomputes
+# from the same payload bytes.
+#
+# Scale: pure scan-speed column arithmetic on the metadata frame.
+# --------------------------------------------------------------------------
+_RSZ_MAX = 48
+
+
+@query(
+    "media_resize_plan",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             'media/doc_' || CAST(doc_id AS VARCHAR)
+               || (CASE WHEN {_H_MEDIA} % 4 = 0 THEN '.gif' ELSE '.bin' END)
+               AS path,
+             {_PAYLOAD} AS payload
+      FROM documents
+    ),
+    d AS (
+      SELECT path,
+             1 + CAST(('0x' || substr(md5(payload), 1, 2)) AS INT) AS w,
+             1 + CAST(('0x' || substr(md5(payload), 3, 2)) AS INT) AS h
+      FROM m
+    )
+    SELECT path, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           greatest(w, h) > {_RSZ_MAX} AS scaled,
+           CAST(CASE WHEN greatest(w, h) <= {_RSZ_MAX} THEN w
+                     WHEN w >= h THEN {_RSZ_MAX}
+                     ELSE greatest(w * {_RSZ_MAX} // h, 1) END AS INT)
+             AS target_w,
+           CAST(CASE WHEN greatest(w, h) <= {_RSZ_MAX} THEN h
+                     WHEN h > w THEN {_RSZ_MAX}
+                     ELSE greatest(h * {_RSZ_MAX} // w, 1) END AS INT)
+             AS target_h
+    FROM d
+    ORDER BY path
+    """,
+)
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.sources.binary import (
+        decode_media,
+        resize_plan,
+    )
+
+    meta = decode_media(_media_binary(spark, sf_dir), decode_stub=True)
+    return (
+        resize_plan(meta, max_dim=_RSZ_MAX)
+        .select("path", "width", "height", "scaled", "target_w", "target_h")
+        .orderBy("path")
+    )
+
+
+# --------------------------------------------------------------------------
+# media_frame_samples — the frame-sampling stage under the gate (the
+# video-column plumbing of sources/binary.frame_sample_plan, previously
+# unit-tested only): one row per sampled frame index (every 16th,
+# JVM-side sequence explode — the shape a per-frame decode stage
+# consumes), aggregated per media row so the result is compact. Frame
+# count is the stubbed height, which the oracle recomputes from the
+# payload md5.
+#
+# Scale: explode fan-out is frames/16 per row and feeds a partition-
+# local aggregation — no shuffle before the per-media rollup.
+# --------------------------------------------------------------------------
+_FRS_EVERY = 16
+
+
+@query(
+    "media_frame_samples",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             'media/doc_' || CAST(doc_id AS VARCHAR)
+               || (CASE WHEN {_H_MEDIA} % 4 = 0 THEN '.gif' ELSE '.bin' END)
+               AS path,
+             {_PAYLOAD} AS payload
+      FROM documents
+    ),
+    d AS (
+      SELECT path,
+             1 + CAST(('0x' || substr(md5(payload), 3, 2)) AS INT) AS h
+      FROM m
+    ),
+    fr AS (
+      SELECT path, unnest(range(0, greatest(h - 1, 0) + 1, {_FRS_EVERY}))
+               AS frame_idx
+      FROM d
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_frames_sampled,
+           CAST(max(frame_idx) AS BIGINT) AS last_frame
+    FROM fr GROUP BY path
+    ORDER BY path
+    """,
+)
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.sources.binary import (
+        decode_media,
+        frame_sample_plan,
+    )
+
+    meta = decode_media(_media_binary(spark, sf_dir), decode_stub=True)
+    return (
+        frame_sample_plan(meta, every_n=_FRS_EVERY)
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames_sampled"),
+            F.max("frame_idx").cast("bigint").alias("last_frame"),
+        )
+        .orderBy("path")
+    )

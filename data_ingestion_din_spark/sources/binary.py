@@ -215,3 +215,30 @@ def phash_media(binary_df: DataFrame, decode_stub: bool = True) -> DataFrame:
     return binary_df.select("path", "content").mapInPandas(
         batches, schema=PHASH_SCHEMA
     )
+
+
+def resize_plan(
+    media_meta: DataFrame, max_dim: int = 64
+) -> DataFrame:
+    """Resize stage plumbing: aspect-preserving target dimensions for
+    each media row, computed with exact integer arithmetic (floor of
+    the scaled short side, floored at 1). The pixel resample itself is
+    the codec boundary (PIL.Image.resize in production — the same
+    stub-vs-real split as decode_media); everything a scheduler needs
+    — which rows shrink, to what shape, at what area ratio — is this
+    JVM-side arithmetic."""
+    w, h = F.col("width"), F.col("height")
+    needs = F.greatest(w, h) > max_dim
+    # exact integer floor division (SQL DIV) — bit-identical in DuckDB,
+    # no double rounding in the scaled short side
+    scaled_w = F.greatest(F.expr(f"width * {max_dim} DIV height"), F.lit(1))
+    scaled_h = F.greatest(F.expr(f"height * {max_dim} DIV width"), F.lit(1))
+    tw = F.when(~needs, w).otherwise(
+        F.when(w >= h, F.lit(max_dim)).otherwise(scaled_w)
+    )
+    th = F.when(~needs, h).otherwise(
+        F.when(h > w, F.lit(max_dim)).otherwise(scaled_h)
+    )
+    return media_meta.withColumn("scaled", needs).withColumn(
+        "target_w", tw.cast("int")
+    ).withColumn("target_h", th.cast("int"))

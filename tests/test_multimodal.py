@@ -123,3 +123,30 @@ def test_phash_media_total_on_empty_and_binary_payloads(spark):
     assert all(
         0 <= rows[p][f"b{j}"] < 65536 for p in rows for j in range(4)
     )
+
+
+def test_resize_plan_arithmetic(spark):
+    """Aspect-preserving target dims: landscape pins width to max_dim,
+    portrait pins height, squares pin both, small rows pass through,
+    extreme ratios floor at 1 — all exact integer division."""
+    from data_ingestion_din_spark.sources.binary import resize_plan
+
+    meta = spark.createDataFrame(
+        [
+            ("landscape", 200, 100),
+            ("portrait", 100, 200),
+            ("square", 150, 150),
+            ("small", 30, 20),
+            ("sliver", 256, 2),
+        ],
+        "path string, width int, height int",
+    )
+    rows = {
+        r.path: (r.scaled, r.target_w, r.target_h)
+        for r in resize_plan(meta, max_dim=64).collect()
+    }
+    assert rows["landscape"] == (True, 64, 32)
+    assert rows["portrait"] == (True, 32, 64)
+    assert rows["square"] == (True, 64, 64)
+    assert rows["small"] == (False, 30, 20)
+    assert rows["sliver"] == (True, 64, 1)  # short side floors at 1
