@@ -27,3 +27,8 @@ from data_ingestion_din_spark.plans import partsupp_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import overlay_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import eval_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import dq_queries  # noqa: F401,E402
+
+# Late-bind cross-module oracle shares (no import-order dependency).
+from data_ingestion_din_spark.plans.registry import resolve_oracle_refs  # noqa: E402
+
+resolve_oracle_refs()

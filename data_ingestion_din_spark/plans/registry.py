@@ -34,19 +34,44 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# name -> other query name whose oracle SQL this query shares; resolved
+# by resolve_oracle_refs() after ALL plan modules have imported, so a
+# cross-module share (e.g. streaming_scd2_maintenance reusing the batch
+# rebuild's SQL) carries no import-order dependency.
+_ORACLE_REFS: dict[str, str] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | None = None, oracle_ref: str | None = None
+) -> Callable[[QueryFn], QueryFn]:
     """Register a named query; ``oracle`` is DuckDB SQL over the fixture
     views, or None for genuinely non-SQL-expressible ops (driver then does a
-    weaker rows-only check)."""
+    weaker rows-only check). ``oracle_ref`` names ANOTHER registered query
+    whose oracle SQL this query shares verbatim — looked up lazily once the
+    whole plans package has imported, never at decoration time."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
+        if oracle is not None and oracle_ref is not None:
+            raise ValueError(f"{name}: oracle and oracle_ref are exclusive")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        elif oracle_ref is not None:
+            _ORACLE_REFS[name] = oracle_ref
         return fn
 
     return deco
+
+
+def resolve_oracle_refs() -> None:
+    """Materialize every ``oracle_ref`` share into ORACLES. Called from
+    ``plans/__init__`` after the registration imports; idempotent."""
+    for name, ref in _ORACLE_REFS.items():
+        if ref not in ORACLES:
+            raise KeyError(
+                f"{name}: oracle_ref {ref!r} is not a registered oracle"
+            )
+        ORACLES[name] = ORACLES[ref]
+    _ORACLE_REFS.clear()

@@ -841,10 +841,14 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_id asc per language and admits while cumulative tokens (including
 # prior batches' consumption) stay <= the corpus budget.
 #
-# Scale: per batch this is one fp shuffle + a broadcast-able anti-join
-# against the fp state and a per-lang window — the batch funnel's
-# shape; state tables grow with corpus size but are touched only by
-# equi-joins.
+# Scale: per batch this is one fp shuffle + a plain left_anti
+# equi-join against the fp state and a per-lang window — the batch
+# funnel's shape. The fp state grows with the CORPUS, not the batch,
+# so it must never carry a broadcast hint (that would pin billions of
+# rows into every executor at 100 TB); with no hint the anti-join
+# shuffles only on fp and AQE may still pick broadcast while the state
+# is genuinely small. Same rule as _minhash_index_processor below:
+# no forced broadcast on any state-side join.
 # --------------------------------------------------------------------------
 _SCF_DONE: dict[tuple[str, str], str] = {}
 
@@ -866,6 +870,11 @@ def _funnel_processor(out: str, fp_state: str, lang_state: str):
     from data_ingestion_din_spark.plans.text_pipeline import _CUR_BUDGET
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        # checkpoint-recovery can deliver an empty (no-data) batch;
+        # writing stage rows for it would stamp NULL batch_par into the
+        # epoch-keyed audit — recovery batches must write nothing
+        if batch_df.isEmpty():
+            return
         toks = tokens(F.col("text"))
         scored = batch_df.select(
             "doc_id",
@@ -903,10 +912,14 @@ def _funnel_processor(out: str, fp_state: str, lang_state: str):
                 .select(col)
             )
 
+        # NO broadcast hint here: `seen` is the cumulative corpus-wide
+        # fingerprint set (grows every epoch). A plain equi-anti-join
+        # shuffles only on fp; AQE is free to broadcast while the state
+        # is small but is never forced to once it isn't.
         seen = _prior_epochs(fp_state, "fp")
         if seen is not None:
             deduped = within.join(
-                F.broadcast(seen), "fp", "left_anti"
+                seen, "fp", "left_anti"
             ).localCheckpoint(eager=True)
         else:
             deduped = within.localCheckpoint(eager=True)
@@ -1461,8 +1474,6 @@ def streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # able open-rows seed join; history is touched only by the equi-join
 # on (user_id, version) at read time.
 # --------------------------------------------------------------------------
-from data_ingestion_din_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
-
 _SCD2S_DONE: dict[tuple[str, str], str] = {}
 
 
@@ -1629,7 +1640,7 @@ def _scd2s_out_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@query("streaming_scd2_maintenance", oracle=_ORACLES["events_scd2_intervals"])
+@query("streaming_scd2_maintenance", oracle_ref="events_scd2_intervals")
 def streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read back the incrementally maintained SCD2 history
     (latest-epoch row per (user_id, version)); the oracle is the BATCH
@@ -1738,7 +1749,7 @@ def _snap_out_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@query("streaming_latest_snapshot", oracle=_ORACLES["events_latest_snapshot"])
+@query("streaming_latest_snapshot", oracle_ref="events_latest_snapshot")
 def streaming_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read back the incrementally merged snapshot (latest-epoch row per
     key); the oracle is the batch compaction's SQL verbatim — argmax
