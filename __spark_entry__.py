@@ -19,81 +19,85 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # last sample is oldest) are listed first so a bounded driver window covers
 # them before re-checking recently-green entries. Names not in the registry
 # are ignored; registered queries not listed here follow in registration
-# order. Rotation state after round 5: all 44 round-5 additions plus the
-# first six of the round-2 block were sampled green (CORRECTNESS_r05);
-# the round-6 additions (never sampled) lead, then the six queries whose
-# latest driver sample is still round 2, then the round-3 block
-# oldest-first (VERDICT r5 next-round #2).
+# order. Rotation state after round 6 (CORRECTNESS_r06 green for all 50
+# sampled): the round-7 additions (never sampled) lead, then the 17
+# queries whose latest driver sample is still round 3, then the round-4
+# block oldest-first (VERDICT r6 next-round #2) — after this round every
+# query's latest sample should be round 4+.
 _DRIVER_PRIORITY: list[str] = [
-    # Round-6 additions — never driver-sampled.
-    "media_phash_near_dup",
-    "media_phash_clusters",
-    "media_phash_recall",
-    "media_resize_plan",
-    "media_frame_samples",
-    "streaming_curation_funnel",
-    "streaming_minhash_index",
-    "streaming_scd2_maintenance",
-    "streaming_latest_snapshot",
-    "dq_expectations",
-    "training_shard_manifest",
-    # Latest sample is round 2.
-    "table_trust_aggregate",
-    "tables_clean_shape",
-    "tables_dedup_conflicts",
-    "tables_header_election",
-    "tables_subtable_split",
-    "top_customers_per_nation",
-    # Latest sample is round 3 (registration order within the block).
-    "validation_issues",
-    "keyword_relevance",
-    "context_budget_cut",
-    "qna_pairs_extract",
-    "qna_best_match",
-    "doc_enrichment",
-    "doc_classification",
-    "doc_sanitize_normalize",
-    "block_type_detection",
-    "doc_semantic_chunks",
-    "doc_bpe_token_stats",
-    "corpus_decontaminate",
-    "pii_redaction",
-    "doc_repetition_quality",
-    "corpus_stratified_sample",
-    "corpus_pack_sequences",
-    "customer_spend_quartiles",
-    "events_pivot_unpivot",
-    "embedding_kmeans",
-    "similarity_ivf_kmeans",
-    "similarity_lsh_recall",
-    "similarity_batch_topk",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "events_5min_gapfill",
-    "events_daily_retention",
-    "events_funnel",
-    "events_kmv_distinct",
-    "events_trailing_hour",
-    "events_asof_attribution",
-    "events_error_burst",
-    "events_value_quartiles",
+    # Round-7 additions — never driver-sampled.
+    "ask_pipeline",
+    "streaming_phash_index",
+    "training_shard_incremental",
+    # Latest sample is round 3.
     "dedup_clusters",
     "dedup_simhash_groups",
     "dedup_simhash_near",
+    "events_asof_attribution",
+    "events_daily_retention",
+    "events_error_burst",
+    "events_funnel",
+    "events_kmv_distinct",
+    "events_trailing_hour",
+    "events_value_quartiles",
     "html_tables_parse",
-    "revenue_cube",
-    "repeat_buyers_96_not_97",
     "multimodal_media_stats",
-    "streaming_ingest_chunks",
     "q3_bucketed_colocated",
+    "qna_best_match_seq",
+    "repeat_buyers_96_not_97",
+    "revenue_cube",
+    "streaming_ingest_chunks",
+    # Latest sample is round 4 (registration order within the block).
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "customer_running_revenue",
+    "parts_never_discounted",
+    "late_shipment_orders",
+    "nation_customer_rollup",
+    "events_tumbling_5min",
+    "events_sliding_10min",
+    "events_sessionized",
+    "events_json_props",
+    "events_type_pivot",
+    "clicks_on_error_free_days",
+    "doc_token_stats",
+    "doc_language_quality",
+    "doc_clean_roundtrip",
+    "doc_fixed_chunks",
+    "corpus_word_freq",
+    "dedup_exact",
+    "dedup_wordset",
+    "minhash_signatures",
+    "dedup_minhash_groups",
+    "ngram_jaccard_top20",
+    "embedding_near_dup",
+    "embedding_label_centroids",
+    "blocks_reading_order",
+    "blocks_sections",
+    "blocks_merged",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q14_promo_revenue",
+    "events_hourly_rollup",
+    "corpus_curation",
+    "dedup_minhash_banded",
+    "ngram_jaccard_capped",
+    "embedding_near_dup_lsh",
+    "dedup_keep_best",
+    "chunk_level_dedup",
+    "corpus_length_buckets",
+    "corpus_mixture_epochs",
+    "corpus_distinctive_terms",
+    "doc_cdc_chunks",
+    "doc_winnow_fingerprints",
+    "streaming_first_seen",
+    "table_transactions_dated",
+    "corpus_lang_pruned_stats",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_potential_promotion",
 ]
 
 

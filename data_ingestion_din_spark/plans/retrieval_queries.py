@@ -646,3 +646,202 @@ def retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_scaled"), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# ask_pipeline — the composed /ask serving path, end to end under ONE gate.
+#
+# Every stage below is individually oracle-gated elsewhere
+# (similarity_topk O3, keyword_relevance A6/A7/F8, context_budget_cut O6,
+# qna_best_match J6); this query proves their COMPOSITION — the way
+# corpus_curation proves the funnel — mirroring the reference's main RAG
+# entry point (backend/services/rag.py:492-653):
+#
+#   1. Layer-1 strict search (rag.py:536): exact cosine against the
+#      1-row broadcast probe over the caller's source scope
+#      (``sources`` filter pushed into the vector store's where-clause
+#      there; a parquet-pushed `source IN (...)` predicate here), with
+#      the k = top_k*3 over-fetch.
+#   2. Rerank to top_k (rag.py:564 `_rerank_documents`). The
+#      cross-encoder kernel is the container boundary (ai/infer.py);
+#      the documented fallback keeps the search score, so the stage is
+#      an order-preserving top-10 cut — kept explicit so the over-fetch
+#      → cut shape of the serving path stays visible in the plan.
+#   3. Strict relevance guard (rag.py:244-267 `_filter_relevant_docs`):
+#      drop score < 0.25; with a long query (>10 chars — ours is), also
+#      drop overlap < 1 unless score >= 0.75 (the semantic-match
+#      escape). Overlap is the A6 stopword-stripped token-set
+#      intersection (rag.py:228-242).
+#   4. Context budget (rag.py:272-300 `_build_context_text`): walk the
+#      survivors in rank order, BREAK at the first doc whose FULL
+#      length would push the running total past 4000, and add each
+#      admitted doc's length capped at 3000 (`content[:3000]`) — the
+#      check uses the uncapped length, the increment the capped one,
+#      a reference quirk restated faithfully. Break semantics (not
+#      filter): nothing after the first violator is admitted, even if
+#      it would fit.
+#   5. Source-list rows (rag.py:590-653): [SOURCE i] rank, doc id,
+#      source, score — the answer's citation table.
+#
+# Scale shape: the ANN scan moves only (vec_id, embedding) joined to the
+# pruned (doc_id, source) projection — the text column never flows
+# through scoring; the ≤30-row candidate list is broadcast back to
+# documents to fetch text for the guard; every window past the top-k
+# runs on ≤10 rows. One equi-join shuffle + one 1-row broadcast + one
+# ≤30-row broadcast.
+# --------------------------------------------------------------------------
+_ASK_TOP_K = 10  # rag.py:497 top_k
+_ASK_CAND_K = 3 * _ASK_TOP_K  # rag.py:536 k=top_k*3 over-fetch
+_ASK_MIN_SCORE = 0.25  # rag.py MIN_SCORE_THRESHOLD
+_ASK_HI_SCORE = 0.75  # rag.py:263 semantic-match escape
+_ASK_BUDGET = 4000  # rag.py:279 MAX_TOKENS_ESTIMATE
+_ASK_DOC_CAP = 3000  # rag.py:297 content[:3000]
+_ASK_SOURCES = tuple(f"src{i}" for i in range(1, 20, 2))
+_ASK_SOURCES_SQL = "(" + ", ".join(f"'{s}'" for s in _ASK_SOURCES) + ")"
+
+
+@query(
+    "ask_pipeline",
+    oracle=f"""
+    WITH cand AS (
+      SELECT e.vec_id AS doc_id, d.source,
+             {cosine_exact_sql('e.embedding', 'q.embedding')} AS score
+      FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0 AND d.source IN {_ASK_SOURCES_SQL}
+      ORDER BY score DESC, doc_id
+      LIMIT {_ASK_CAND_K}
+    ),
+    enriched AS (
+      SELECT c.doc_id, c.source, c.score, d.n_chars,
+             CAST(len(list_intersect(list_distinct({_TOKS_SQL}),
+                                     {_TERMS_SQL})) AS BIGINT) AS overlap
+      FROM cand c JOIN documents d USING (doc_id)
+    ),
+    top_k AS (
+      SELECT * FROM enriched ORDER BY score DESC, doc_id LIMIT {_ASK_TOP_K}
+    ),
+    guarded AS (
+      SELECT * FROM top_k
+      WHERE score >= {_ASK_MIN_SCORE}
+        AND (overlap >= 1 OR score >= {_ASK_HI_SCORE})
+    ),
+    ranked AS (
+      SELECT doc_id, source, score, overlap, n_chars,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS src_rank,
+             CAST(coalesce(sum(least(n_chars, {_ASK_DOC_CAP})) OVER (
+                    ORDER BY score DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_prev
+      FROM guarded
+    ),
+    cut AS (
+      SELECT *,
+             CASE WHEN cum_prev + n_chars > {_ASK_BUDGET}
+                  THEN src_rank END AS bad_rank
+      FROM ranked
+    ),
+    flagged AS (
+      SELECT src_rank, doc_id, source, score, overlap,
+             CAST(cum_prev + least(n_chars, {_ASK_DOC_CAP}) AS BIGINT)
+               AS cum_chars,
+             min(bad_rank) OVER () AS first_bad
+      FROM cut
+    )
+    SELECT src_rank, doc_id, source, score, overlap, cum_chars
+    FROM flagged
+    WHERE first_bad IS NULL OR src_rank < first_bad
+    ORDER BY src_rank
+    """,
+)
+def ask_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.vectors import cosine_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    # stage 1: strict search — narrow (doc_id, source) projection joined
+    # to embeddings; both filters reach the parquet scans
+    scope = docs.filter(F.col("source").isin(*_ASK_SOURCES)).select(
+        "doc_id", "source"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    probe = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("q_embedding"))
+    )
+    cand = (
+        emb.join(scope, emb["vec_id"] == scope["doc_id"])
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "doc_id",
+            "source",
+            cosine_exact(F.col("embedding"), F.col("q_embedding")).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_ASK_CAND_K)
+    )
+    # guard inputs: text fetched for the ≤30 candidates only (broadcast)
+    toks = tokens(F.col("text"))
+    overlap = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(t) for t in QUERY_TERMS])
+        )
+    ).cast("bigint")
+    enriched = (
+        docs.select("doc_id", "text", "n_chars")
+        .join(F.broadcast(cand), "doc_id")
+        .select("doc_id", "source", "score", "n_chars", overlap.alias("overlap"))
+    )
+    # stage 2: rerank cut (identity-score fallback — see header)
+    top_k = enriched.orderBy(F.desc("score"), "doc_id").limit(_ASK_TOP_K)
+    # stage 3: strict relevance guard
+    guarded = top_k.filter(
+        (F.col("score") >= _ASK_MIN_SCORE)
+        & ((F.col("overlap") >= 1) | (F.col("score") >= _ASK_HI_SCORE))
+    )
+    # stages 4-5: prefix-break context budget over ≤10 rows, then the
+    # source-list rows
+    w = W.orderBy(F.desc("score"), "doc_id")
+    ranked = (
+        guarded.withColumn(
+            "src_rank", F.row_number().over(w).cast("int")
+        )
+        .withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum(F.least(F.col("n_chars"), F.lit(_ASK_DOC_CAP))).over(
+                    w.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "bad_rank",
+            F.when(
+                F.col("cum_prev") + F.col("n_chars") > _ASK_BUDGET,
+                F.col("src_rank"),
+            ),
+        )
+        .withColumn("first_bad", F.min("bad_rank").over(W.partitionBy()))
+    )
+    return (
+        ranked.filter(
+            F.col("first_bad").isNull()
+            | (F.col("src_rank") < F.col("first_bad"))
+        )
+        .select(
+            "src_rank",
+            "doc_id",
+            "source",
+            "score",
+            "overlap",
+            (F.col("cum_prev") + F.least(F.col("n_chars"), F.lit(_ASK_DOC_CAP)))
+            .cast("bigint")
+            .alias("cum_chars"),
+        )
+        .orderBy("src_rank")
+    )

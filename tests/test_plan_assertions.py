@@ -464,3 +464,19 @@ def _scan_count(df) -> int:
     return sum(
         1 for ln in buf.getvalue().splitlines() if "Scan parquet" in ln
     )
+
+
+def test_ask_pipeline_plan(spark):
+    s = _stats("ask_pipeline", spark)
+    # composed /ask serving path: the only nested-loop is the broadcast
+    # 1-row probe-vector attach; candidate cuts are TakeOrderedAndProject
+    # heaps; the ≤30-row candidate list broadcasts back for the guard —
+    # no extra shuffles past the top-k beyond the ≤10-row budget window
+    assert s["cartesian"] <= 1, s
+    assert s["bhj"] >= 1, s
+    assert s["exchange"] <= 3, s
+    assert s["smj"] == 0, s
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES["ask_pipeline"](spark, SF).explain(mode="simple")
+    assert buf.getvalue().count("TakeOrderedAndProject") >= 2
