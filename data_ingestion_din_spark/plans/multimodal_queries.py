@@ -189,10 +189,11 @@ _PH_CTES = f"""m AS (
     )"""
 
 
-def _media_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The derived media frame (path, content) shared by the pHash
-    queries — same construction as multimodal_media_stats."""
-    docs = load_table(spark, sf_dir, "documents")
+def media_frame(docs: DataFrame) -> DataFrame:
+    """Derive the media frame (path, content) from any (doc_id, text)
+    DataFrame — the one payload/path construction shared by every media
+    consumer (batch pHash queries, multimodal_media_stats' shape, and
+    the streaming pHash index, which applies it per landing batch)."""
     h = h64(F.concat(F.lit("media:"), F.col("doc_id").cast("string")))
     is_gif = h % 4 == 0
     payload = F.encode(
@@ -207,6 +208,11 @@ def _media_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_gif, F.lit(".gif")).otherwise(F.lit(".bin")),
     )
     return docs.select(path.alias("path"), payload.alias("content"))
+
+
+def _media_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived media frame over the full ``documents`` table."""
+    return media_frame(load_table(spark, sf_dir, "documents"))
 
 
 # (applicationId, sf_dir) -> checkpointed pHash DataFrame. The Arrow

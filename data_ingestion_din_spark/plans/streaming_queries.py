@@ -869,12 +869,11 @@ def _funnel_processor(out: str, fp_state: str, lang_state: str):
     )
     from data_ingestion_din_spark.plans.text_pipeline import _CUR_BUDGET
 
-    def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        # checkpoint-recovery can deliver an empty (no-data) batch;
-        # writing stage rows for it would stamp NULL batch_par into the
-        # epoch-keyed audit — recovery batches must write nothing
-        if batch_df.isEmpty():
-            return
+    def _plan(batch_df: DataFrame, epoch_id: int) -> dict[str, DataFrame]:
+        """Build this batch's output DataFrames (audit rows, new
+        fingerprints, per-lang consumption increment) WITHOUT writing —
+        split from _process so tests can pin the per-batch physical
+        plans (tests/test_plan_assertions.py)."""
         toks = tokens(F.col("text"))
         scored = batch_df.select(
             "doc_id",
@@ -982,6 +981,28 @@ def _funnel_processor(out: str, fp_state: str, lang_state: str):
             .unionByName(stage(2, "exact_dedup_incr", deduped))
             .unionByName(stage(3, "token_budget_incr", budgeted))
         )
+        new_cons = sorted(
+            (r["lang_guess"], r["t"])
+            for r in budgeted.groupBy("lang_guess")
+            .agg(F.sum("n_tokens").cast("bigint").alias("t"))
+            .collect()
+        )
+        new_lang = spark_l.createDataFrame(
+            new_cons, "lang_guess string, consumed bigint"
+        )
+        return {
+            "audit": audit,
+            "new_fps": deduped.select("fp"),
+            "new_lang": new_lang,
+        }
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        # checkpoint-recovery can deliver an empty (no-data) batch;
+        # writing stage rows for it would stamp NULL batch_par into the
+        # epoch-keyed audit — recovery batches must write nothing
+        if batch_df.isEmpty():
+            return
+        dfs = _plan(batch_df, epoch_id)
         # all three writes are per-epoch overwrites (idempotent on
         # replay — a re-run of this epoch rewrites identical content):
         # the audit partition, this epoch's new fingerprints, and this
@@ -989,24 +1010,17 @@ def _funnel_processor(out: str, fp_state: str, lang_state: str):
         # derived by summing prior epochs at read time, so a replay
         # cannot double-add)
         ep = f"epoch={epoch_id}"
-        audit.coalesce(1).write.mode("overwrite").parquet(
+        dfs["audit"].coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out, ep)
         )
-        deduped.select("fp").coalesce(1).write.mode("overwrite").parquet(
+        dfs["new_fps"].coalesce(1).write.mode("overwrite").parquet(
             os.path.join(fp_state, ep)
         )
-        new_cons = sorted(
-            (r["lang_guess"], r["t"])
-            for r in budgeted.groupBy("lang_guess")
-            .agg(F.sum("n_tokens").cast("bigint").alias("t"))
-            .collect()
-        )
-        spark_l.createDataFrame(
-            new_cons, "lang_guess string, consumed bigint"
-        ).coalesce(1).write.mode("overwrite").parquet(
+        dfs["new_lang"].coalesce(1).write.mode("overwrite").parquet(
             os.path.join(lang_state, ep)
         )
 
+    _process.plan = _plan
     return _process
 
 
@@ -1247,7 +1261,9 @@ def _minhash_index_processor(out: str, sig_state: str):
 
     mh_cols = [f"mh{i}" for i in range(_SMI_HASHES)]
 
-    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+    def _plan(batch_df: DataFrame, epoch_id: int) -> dict[str, DataFrame]:
+        """Build this batch's (decisions, new signatures) without
+        writing — exposed for the plan-shape tests."""
         spark_l = batch_df.sparkSession
         sh_arr = F.array_distinct(
             word_shingles(tokens(F.col("text")), 3)
@@ -1334,14 +1350,24 @@ def _minhash_index_processor(out: str, sig_state: str):
                 F.col("n_agree").cast("int").alias("n_agree"),
             )
         )
+        return {
+            "decisions": decisions,
+            "new_sigs": sigs.select("doc_id", *mh_cols),
+        }
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dfs = _plan(batch_df, epoch_id)
         ep = f"epoch={epoch_id}"
-        decisions.coalesce(1).write.mode("overwrite").parquet(
+        dfs["decisions"].coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out, ep)
         )
-        sigs.select("doc_id", *mh_cols).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(sig_state, ep))
+        dfs["new_sigs"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sig_state, ep)
+        )
 
+    _process.plan = _plan
     return _process
 
 
@@ -1447,6 +1473,221 @@ def streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# streaming_phash_index — NEAR-dup dedup at ingest for the MEDIA column,
+# the pHash sibling of streaming_minhash_index (text ✓ r6; this closes
+# the ingest-time dedup story across both modalities): each checkpointed
+# availableNow landing's payloads are pHashed ONCE (the Arrow stage runs
+# on the batch only, never re-hashing the corpus), probed against the
+# cumulative 64-bit-band index built by prior landings via the
+# (band_id, band_value) equi-join — never all-pairs, never a broadcast
+# of the growing index — verified by total Hamming distance <= K over
+# the four 16-bit bands (bit_count(xor), integer-exact), and each
+# batch's bands are appended to the index. Best match per batch path is
+# min Hamming (path tiebreak). State is epoch-keyed parquet with
+# idempotent overwrites / prior-epoch-only reads — the same
+# exactly-once-under-replay layout as the funnel and the MinHash index.
+#
+# Scale: per landing, cost is O(batch bands + matched index band rows);
+# the index grows with the corpus but is touched only through the band
+# equi-join (shuffle keyed by (band_id, 16-bit value)), exactly how a
+# nightly media ingest probes its materialized fingerprint index.
+# --------------------------------------------------------------------------
+_SPI_DONE: dict[tuple[str, str], str] = {}
+
+
+def _phash_index_processor(out: str, ph_state: str):
+    """foreachBatch processor over (decisions, band-index) dirs —
+    module-level for the replay-idempotence and plan-shape tests, like
+    _funnel_processor / _minhash_index_processor."""
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.plans.multimodal_queries import (
+        _PH_K,
+        media_frame,
+    )
+    from data_ingestion_din_spark.sources.binary import phash_media
+
+    band_cols = ["b0", "b1", "b2", "b3"]
+
+    def _plan(batch_df: DataFrame, epoch_id: int) -> dict[str, DataFrame]:
+        """Build this batch's (decisions, new band hashes) without
+        writing — exposed for the plan-shape tests."""
+        spark_l = batch_df.sparkSession
+        ph = (
+            phash_media(media_frame(batch_df))
+            .select("path", *band_cols)
+            .localCheckpoint(eager=True)
+        )
+
+        if os.path.isdir(ph_state):
+            prior = (
+                spark_l.read.option("basePath", ph_state)
+                .parquet(ph_state)
+                .filter(F.col("epoch") < epoch_id)
+                .select("path", *band_cols)
+            )
+        else:
+            prior = None
+
+        if prior is not None:
+            def bands(df: DataFrame, name: str):
+                return df.select(
+                    F.col("path").alias(name),
+                    F.posexplode(F.array(*band_cols)).alias("bid", "bv"),
+                )
+
+            # plain equi-join on (bid, bv): the index side grows with
+            # the corpus, so — state-side-join rule — no broadcast hint
+            cand = (
+                bands(ph, "batch_path")
+                .join(bands(prior, "corpus_path"), ["bid", "bv"])
+                .select("batch_path", "corpus_path")
+                .distinct()
+            )
+            ham = sum(
+                F.bit_count(
+                    F.col(f"a_{c}").bitwiseXOR(F.col(f"c_{c}"))
+                )
+                for c in band_cols
+            )
+            ver = (
+                cand.join(
+                    ph.select(
+                        F.col("path").alias("batch_path"),
+                        *[F.col(c).alias(f"a_{c}") for c in band_cols],
+                    ),
+                    "batch_path",
+                )
+                .join(
+                    prior.select(
+                        F.col("path").alias("corpus_path"),
+                        *[F.col(c).alias(f"c_{c}") for c in band_cols],
+                    ),
+                    "corpus_path",
+                )
+                .withColumn("hamming", ham.cast("int"))
+                .filter(F.col("hamming") <= _PH_K)
+            )
+            best = (
+                ver.withColumn(
+                    "rk",
+                    F.row_number().over(
+                        W.partitionBy("batch_path").orderBy(
+                            "hamming", "corpus_path"
+                        )
+                    ),
+                )
+                .filter(F.col("rk") == 1)
+                .select("batch_path", "corpus_path", "hamming")
+            )
+        else:
+            best = spark_l.createDataFrame(
+                [], "batch_path string, corpus_path string, hamming int"
+            )
+
+        decisions = (
+            ph.select("path")
+            .join(best, F.col("path") == F.col("batch_path"), "left")
+            .select(
+                "path",
+                F.col("corpus_path").isNotNull().alias("is_dup"),
+                F.col("corpus_path").alias("matched_path"),
+                F.col("hamming").cast("int").alias("hamming"),
+            )
+        )
+        return {"decisions": decisions, "new_hashes": ph}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dfs = _plan(batch_df, epoch_id)
+        ep = f"epoch={epoch_id}"
+        dfs["decisions"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, ep)
+        )
+        dfs["new_hashes"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(ph_state, ep)
+        )
+
+    _process.plan = _plan
+    return _process
+
+
+def _spi_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SPI_DONE:
+        if _dir_ok(_SPI_DONE[key]):
+            return _SPI_DONE[key]
+        del _SPI_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_spi")
+    out = os.path.join(base, "out")
+    _process = _phash_index_processor(out, os.path.join(base, "phs"))
+    _run_doc_parity_landings(spark, sf_dir, base, _process)
+    _SPI_DONE[key] = out
+    return out
+
+
+def _spi_oracle() -> str:
+    from data_ingestion_din_spark.plans.multimodal_queries import _PH_CTES
+
+    # reuse the batch pHash CTE chain verbatim (m → cells → bits → ph →
+    # bands → cand → pairs); band agreement and Hamming are symmetric,
+    # so the (odd batch probes even corpus) verdicts are the pairs
+    # restricted to odd→even direction. Even-parity docs landed first
+    # against an empty index, so they are all clean (LEFT JOIN null).
+    return f"""
+    WITH {_PH_CTES},
+    sym AS (
+      SELECT path_a AS bp, path_b AS cp, hamming FROM pairs
+      UNION ALL
+      SELECT path_b AS bp, path_a AS cp, hamming FROM pairs
+    ),
+    par AS (SELECT path, doc_id % 2 AS pr FROM m),
+    probe AS (
+      SELECT s.bp, s.cp, s.hamming
+      FROM sym s
+      JOIN par a ON a.path = s.bp
+      JOIN par b ON b.path = s.cp
+      WHERE a.pr = 1 AND b.pr = 0
+    ),
+    best AS (
+      SELECT bp, cp, hamming,
+             row_number() OVER (
+               PARTITION BY bp ORDER BY hamming, cp
+             ) AS rk
+      FROM probe
+    )
+    SELECT m.path,
+           (b.cp IS NOT NULL) AS is_dup,
+           b.cp AS matched_path,
+           CAST(b.hamming AS INT) AS hamming
+    FROM m
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.bp = m.path
+    ORDER BY m.path
+    """
+
+
+@query("streaming_phash_index", oracle=_spi_oracle())
+def streaming_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back the two-landing media near-dup verdicts; the oracle
+    restates odd-batch-vs-even-corpus band candidacy + Hamming
+    verification from the batch pHash CTEs, so hash parity proves the
+    band index survived the checkpointed restart."""
+    out = _spi_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select("path", "is_dup", "matched_path", "hamming")
+        .orderBy("path")
+    )
+
+
+# --------------------------------------------------------------------------
 # streaming_scd2_maintenance — incremental TYPE-2 DIMENSION MAINTENANCE,
 # the streaming twin of events_scd2_intervals' batch history build and
 # the warehouse MERGE pattern every CDC pipeline runs: the event stream
@@ -1510,7 +1751,9 @@ def _scd2_processor(out: str):
 
     from data_ingestion_din_spark.functions.hashing import h64
 
-    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+    def _plan(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        """Build this batch's history rows without writing — exposed
+        for the plan-shape tests."""
         spark_l = batch_df.sparkSession
         ev = batch_df.filter(
             h64(F.concat(F.lit("scd:"), F.col("user_id").cast("string")))
@@ -1597,10 +1840,16 @@ def _scd2_processor(out: str):
             .alias("is_current"),
             "n_events",
         )
-        rows.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out, f"epoch={epoch_id}")
-        )
+        return rows
 
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _plan(batch_df, epoch_id).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"epoch={epoch_id}"))
+
+    _process.plan = _plan
     return _process
 
 

@@ -480,3 +480,107 @@ def test_ask_pipeline_plan(spark):
     with contextlib.redirect_stdout(buf):
         QUERIES["ask_pipeline"](spark, SF).explain(mode="simple")
     assert buf.getvalue().count("TakeOrderedAndProject") >= 2
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch per-batch plan shapes (VERDICT r6 #6): drive each streaming
+# processor's plan() on a static batch against real epoch-0 state and pin
+# Exchange bounds, no cartesians, and — the state-side-join rule — ZERO
+# forced broadcast hints anywhere in the batch plans (the replay tests
+# prove the state machinery; these prove a refactor can't silently pin a
+# corpus-growing state table into executor memory again).
+# ---------------------------------------------------------------------------
+
+
+def _hint_count(df) -> int:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="extended")
+    return buf.getvalue().count("strategy=broadcast")
+
+
+def _batch_fixtures(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    b0 = spark.createDataFrame(
+        [(0, base), (2, "totally different words here " * 8)],
+        "doc_id bigint, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (3, "unrelated third payload " * 10)],
+        "doc_id bigint, text string",
+    )
+    return b0, b1
+
+
+def test_funnel_processor_batch_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _funnel_processor,
+    )
+
+    p = _funnel_processor(
+        str(tmp_path / "o"), str(tmp_path / "f"), str(tmp_path / "l")
+    )
+    b0, b1 = _batch_fixtures(spark)
+    p(b0, 0)
+    dfs = p.plan(b1, 1)
+    for df in dfs.values():
+        s = _plan_stats(df)
+        assert s["cartesian"] == 0, s
+        assert _hint_count(df) == 0  # state-side anti-join stays plain
+    assert _plan_stats(dfs["audit"])["exchange"] <= 4
+
+
+def test_minhash_index_processor_batch_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _minhash_index_processor,
+    )
+
+    p = _minhash_index_processor(str(tmp_path / "o"), str(tmp_path / "s"))
+    b0, b1 = _batch_fixtures(spark)
+    p(b0, 0)
+    dfs = p.plan(b1, 1)
+    for df in dfs.values():
+        s = _plan_stats(df)
+        assert s["cartesian"] == 0, s
+        assert _hint_count(df) == 0
+    assert _plan_stats(dfs["decisions"])["exchange"] <= 7
+
+
+def test_phash_index_processor_batch_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _phash_index_processor,
+    )
+
+    p = _phash_index_processor(str(tmp_path / "o"), str(tmp_path / "p"))
+    b0, b1 = _batch_fixtures(spark)
+    p(b0, 0)
+    dfs = p.plan(b1, 1)
+    for df in dfs.values():
+        s = _plan_stats(df)
+        assert s["cartesian"] == 0, s
+        assert _hint_count(df) == 0
+    assert _plan_stats(dfs["decisions"])["exchange"] <= 7
+
+
+def test_scd2_processor_batch_plan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _scd2_processor,
+    )
+
+    p = _scd2_processor(str(tmp_path / "o"))
+    ev0 = spark.createDataFrame(
+        [(7, 1, "a", "2024-01-01 00:00:00"), (7, 2, "b", "2024-01-01 01:00:00")],
+        "user_id bigint, event_id bigint, event_type string, ts_s string",
+    ).select("user_id", "event_id", "event_type", F.to_timestamp("ts_s").alias("ts"))
+    ev1 = spark.createDataFrame(
+        [(7, 3, "b", "2024-01-02 00:00:00")],
+        "user_id bigint, event_id bigint, event_type string, ts_s string",
+    ).select("user_id", "event_id", "event_type", F.to_timestamp("ts_s").alias("ts"))
+    p(ev0, 0)
+    rows = p.plan(ev1, 1)
+    s = _plan_stats(rows)
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 4, s
+    assert _hint_count(rows) == 0

@@ -792,3 +792,62 @@ def test_streaming_scd2_replay_and_boundary(spark, tmp_path):
     # u2: v1 view closed, v2 error current
     assert rows[(u2, 1)][2] == "view" and rows[(u2, 1)][4] is not None
     assert rows[(u2, 2)][2] == "error" and rows[(u2, 2)][5] == 1
+
+
+def test_streaming_phash_index_replay_idempotent(spark, tmp_path):
+    """Same exactly-once-under-replay contract as the MinHash index, for
+    the media pHash band index: re-processing an epoch must leave
+    decisions and the band state identical, a replayed batch must not
+    probe its own failed attempt's hashes, and a near-identical payload
+    landed later must match its earlier twin."""
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _phash_index_processor,
+    )
+
+    out = str(tmp_path / "out")
+    phs = str(tmp_path / "phs")
+    process = _phash_index_processor(out, phs)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    b0 = spark.createDataFrame(
+        [(0, base), (2, "totally different words in this one doc " * 8)],
+        "doc_id bigint, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (3, "unrelated third payload " * 10)],
+        "doc_id bigint, text string",
+    )
+
+    def snapshot():
+        dec = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("path", "is_dup", "matched_path", "hamming")
+            .collect()
+        )
+        st = sorted(
+            tuple(r)
+            for r in spark.read.parquet(phs)
+            .select("path", "b0", "b3")
+            .collect()
+        )
+        return dec, st
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    dec = {r[0]: r for r in first[0]}
+    d0 = dec["media/doc_0.gif"]
+    d1 = dec["media/doc_1.gif"]  # h64("media:1") % 4 == 0 → .gif
+    assert d0[1] is False  # landed against an empty index
+    assert d1[1] is True and d1[2] == "media/doc_0.gif"  # twin payload
+    assert dec["media/doc_3.bin"][1] is False  # unrelated stays clean
+
+    # empty (checkpoint-recovery) batch writes nothing
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    process(empty, 2)
+    assert snapshot() == first
