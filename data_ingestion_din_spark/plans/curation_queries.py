@@ -771,3 +771,194 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# training_shard_incremental — shard STABILITY under an append (VERDICT
+# r6 optional-depth #8): production re-exports after each curation
+# batch, and the contract that makes that cheap is "only shards whose
+# membership changed get rewritten; untouched shards stay byte-
+# identical". The staged run proves it end to end:
+#
+#   1. export "yesterday's corpus" (doc_id % 97 != 0) through the
+#      normal shard sink;
+#   2. append the remaining ~1% (doc_id % 97 == 0): route the batch by
+#      the same shard_id hash, read back ONLY the touched shards' prior
+#      rows, and dynamic-partition-overwrite exactly those shard dirs
+#      with prior ∪ batch — O(touched shards) writes, like the SCD2
+#      maintainer's O(touched keys);
+#   3. assert IN the staged function that every untouched shard's file
+#      bytes are md5-identical pre/post and that exactly the touched
+#      dirs were rewritten — a violated invariant fails the query (and
+#      so the driver row), not just a unit test.
+#
+# THE PROOF: the oracle computes the post-append manifest from the FULL
+# source table (same shard arithmetic as training_shard_manifest) plus
+# the rewritten flag (shard contains an appended key) — hash parity
+# therefore proves incremental re-export ≡ from-scratch export, with
+# the rewrite set exactly the appended keys' shards.
+#
+# Scale: the append shuffles only the batch + the touched shards' prior
+# rows (bounded by touched-shard size, not corpus size); the touched-id
+# collect moves ≤ n_shards ints of control data.
+# --------------------------------------------------------------------------
+_TSI_DONE: dict[tuple[str, str], tuple[str, list]] = {}
+_TSI_MOD = 97
+
+
+def _tsi_export(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+    """Initial export minus the append slice, then the incremental
+    append pass; returns (out_dir, touched shard ids). Raises if an
+    untouched shard's bytes changed or a touched shard was not
+    rewritten."""
+    import hashlib
+    import os
+
+    from data_ingestion_din_spark.functions.analysis import tokens
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+    from data_ingestion_din_spark.sinks.shards import (
+        shard_id,
+        write_training_shards,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TSI_DONE:
+        if _dir_ok(_TSI_DONE[key][0]):
+            return _TSI_DONE[key]
+        del _TSI_DONE[key]
+
+    out = fresh_app_dir(spark, sf_dir, "spark_graft_shards_incr")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    is_append = F.col("doc_id") % _TSI_MOD == 0
+    write_training_shards(
+        docs.filter(~is_append), "doc_id", out, n_shards=_TSM_SHARDS
+    )
+
+    def file_md5s() -> dict[str, str]:
+        sums = {}
+        for shard in range(_TSM_SHARDS):
+            d = os.path.join(out, f"shard={shard}")
+            if not os.path.isdir(d):
+                continue
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    p = os.path.join(d, f)
+                    sums[p] = hashlib.md5(
+                        open(p, "rb").read()
+                    ).hexdigest()
+        return sums
+
+    pre = file_md5s()
+
+    batch = docs.filter(is_append).withColumn(
+        "shard", shard_id(F.col("doc_id").cast("string"), _TSM_SHARDS)
+    )
+    # ≤ n_shards ints of control data
+    touched = sorted(
+        r["shard"] for r in batch.select("shard").distinct().collect()
+    )
+    prior = (
+        spark.read.parquet(out)
+        .filter(F.col("shard").isin(touched))
+        .select("doc_id", "lang", "n_tok", "shard")
+        .localCheckpoint(eager=True)  # materialize BEFORE the overwrite
+    )
+    (
+        prior.unionByName(batch.select("doc_id", "lang", "n_tok", "shard"))
+        .repartition(_TSM_SHARDS, "shard")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(out)
+    )
+
+    post = file_md5s()
+    touched_dirs = {f"shard={s}" + os.sep for s in touched}
+
+    def is_touched(path: str) -> bool:
+        return any(t in path for t in touched_dirs)
+
+    for p, h in pre.items():
+        if not is_touched(p) and post.get(p) != h:
+            raise RuntimeError(f"untouched shard file rewritten: {p}")
+    for p in pre:
+        if is_touched(p) and p in post and post[p] == pre[p]:
+            raise RuntimeError(f"touched shard file not rewritten: {p}")
+
+    _TSI_DONE[key] = (out, touched)
+    return _TSI_DONE[key]
+
+
+@query(
+    "training_shard_incremental",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS n_tok,
+             {h64_sql("CAST(doc_id AS VARCHAR)", seed="shard:")}
+               % {_TSM_SHARDS} AS shard,
+             CASE WHEN doc_id % {_TSI_MOD} = 0 THEN 1 ELSE 0 END AS ap
+      FROM documents
+    ),
+    agg AS (
+      SELECT shard,
+             count(*) AS n,
+             sum(n_tok) AS tt,
+             bit_xor({_TSM_H}) AS fp,
+             max(ap) AS rw
+      FROM src GROUP BY shard
+    )
+    SELECT CAST(r.range AS INT) AS shard,
+           CAST(coalesce(a.rw, 0) AS INT) AS rewritten,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_docs,
+           CAST(coalesce(a.tt, 0) AS BIGINT) AS total_tokens,
+           CAST(coalesce(a.fp, 0) AS BIGINT) AS content_fp
+    FROM range({_TSM_SHARDS}) r LEFT JOIN agg a ON a.shard = r.range
+    ORDER BY shard
+    """,
+)
+def training_shard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    out, touched = _tsi_export(spark, sf_dir)
+    back = (
+        spark.read.parquet(out)
+        .select(
+            "shard",
+            "n_tok",
+            h64(
+                F.concat(
+                    F.lit("mfp:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("n_tok").cast("string"),
+                )
+            ).alias("fph"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.bit_xor("fph").cast("bigint").alias("content_fp"),
+        )
+    )
+    ids = spark.range(_TSM_SHARDS).select(F.col("id").cast("int").alias("shard"))
+    return (
+        ids.join(back, "shard", "left")
+        .select(
+            "shard",
+            F.col("shard").isin(touched).cast("int").alias("rewritten"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("total_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("total_tokens"),
+            F.coalesce("content_fp", F.lit(0))
+            .cast("bigint")
+            .alias("content_fp"),
+        )
+        .orderBy("shard")
+    )

@@ -480,6 +480,13 @@ def test_ask_pipeline_plan(spark):
     with contextlib.redirect_stdout(buf):
         QUERIES["ask_pipeline"](spark, SF).explain(mode="simple")
     assert buf.getvalue().count("TakeOrderedAndProject") >= 2
+    # the source scope must reach the documents parquet scan as a
+    # pushed filter — a plan that reads the whole corpus and filters
+    # post-scan is wrong at 100 TB
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES["ask_pipeline"](spark, SF).explain(mode="formatted")
+    assert "In(source" in buf.getvalue()
 
 
 # ---------------------------------------------------------------------------
