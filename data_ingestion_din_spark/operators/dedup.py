@@ -738,3 +738,74 @@ def minhash_banded_pairs_incremental(
         )
     )
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def window_fingerprints(docs: DataFrame, w: int) -> DataFrame:
+    """One row per w-token window at stride 1: (doc_id, start, wfp).
+
+    The Spark form of the suffix-array scan in "Deduplicating Training
+    Data Makes Language Models Better" (Lee et al., 2021): every length-w
+    token window is fingerprinted, so a substring duplicated across
+    documents shows up as a fingerprint collision. Volume is O(corpus
+    tokens) — one 16-byte hash per token position — built as a pure
+    array expression (transform over sequence + slice), no UDF, no
+    shuffle until the fingerprint groupBy.
+
+    ``start`` is 1-based; the window covers tokens [start, start+w-1].
+    """
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    wins = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - w + 1),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.md5(F.concat_ws(" ", F.slice(t, i, w))).alias("wfp"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,wfp:string>>"))
+    return docs.select(
+        "doc_id", F.explode(wins).alias("win")
+    ).select("doc_id", F.col("win.start").alias("start"), "win.wfp")
+
+
+def duplicated_spans(docs: DataFrame, w: int, min_docs: int = 2) -> DataFrame:
+    """Maximal cross-document duplicated token spans per document.
+
+    Pipeline: window fingerprints → fingerprints seen in >= min_docs
+    distinct docs → surviving window instances → per-doc interval merge
+    (overlapping/adjacent same-length windows form islands). Returns
+    (doc_id, span_start, span_end, n_windows), span bounds inclusive.
+
+    Scale: one shuffle on wfp (the HAVING aggregate and the semi-join
+    share the key so they co-partition), then one shuffle on doc_id for
+    the island windows — and only DUPLICATED instances reach it, which
+    at a healthy dup rate is a small fraction of the corpus. No
+    broadcast hints: the dup-fingerprint side grows with the corpus.
+    """
+    wins = window_fingerprints(docs, w)
+    dup = (
+        wins.groupBy("wfp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("wfp")
+    )
+    inst = wins.join(dup, "wfp", "left_semi")
+    dwin = W.partitionBy("doc_id").orderBy("start")
+    flagged = inst.withColumn(
+        "new_island",
+        F.when(
+            F.col("start") - F.lag("start").over(dwin) <= w, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            dwin.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return flagged.groupBy("doc_id", "island").agg(
+        F.min("start").alias("span_start"),
+        (F.max("start") + F.lit(w - 1)).alias("span_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+    ).drop("island")

@@ -848,9 +848,8 @@ def _tsi_export(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
             for f in sorted(os.listdir(d)):
                 if f.endswith(".parquet"):
                     p = os.path.join(d, f)
-                    sums[p] = hashlib.md5(
-                        open(p, "rb").read()
-                    ).hexdigest()
+                    with open(p, "rb") as fh:
+                        sums[p] = hashlib.file_digest(fh, "md5").hexdigest()
         return sums
 
     pre = file_md5s()
@@ -961,4 +960,83 @@ def training_shard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("content_fp"),
         )
         .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_quality_classifier — model-based quality scoring, the fasttext-style
+# linear-classifier gate of a CCNet/GPT-3 curation pipeline (the missing
+# sibling of the rule-based gates: quality_score, Gopher repetition). The
+# distributed shape is the real thing — finite vocabulary with per-word
+# weights, token explode, vocab join, per-doc weight sum, OOV counted and
+# scored 0 — while the weights themselves are a deterministic stand-in
+# (hash-derived integers in [-100, 100]; a trained model would ship its
+# own table). Integer weights make the per-doc sum exact and associative,
+# so both engines agree bit-for-bit (no float logit drift).
+#
+# Scale: the vocab is top-K BY CONSTRUCTION (K=400), so broadcasting it
+# is bounded and correct at any corpus size — unlike corpus-growing state,
+# which never gets a broadcast hint. One shuffle for the vocab counts,
+# one for the per-doc sum.
+# --------------------------------------------------------------------------
+_QC_K = 400  # vocabulary size cap (count desc, word asc tiebreak)
+_QC_W_SQL = f"CAST({h64_sql('w')} % 201 - 100 AS BIGINT)"
+
+
+@query(
+    "doc_quality_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w, {_QC_W_SQL} AS wt
+      FROM (
+        SELECT w, count(*) AS c FROM tok GROUP BY w
+        ORDER BY c DESC, w LIMIT {_QC_K}
+      )
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(CASE WHEN v.wt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tok,
+           CAST(coalesce(sum(v.wt), 0) AS BIGINT) AS logit_sum,
+           CAST(CASE WHEN coalesce(sum(v.wt), 0) >= 0 THEN 1 ELSE 0 END
+                AS INT) AS passed
+    FROM tok t LEFT JOIN vocab v USING (w)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_QC_K)
+        .select("w", (h64(F.col("w")) % 201 - 100).cast("bigint").alias("wt"))
+    )
+    # bounded-by-construction dimension: broadcast is correct here
+    scored = tok.join(F.broadcast(vocab), "w", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum(F.when(F.col("wt").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_tok"),
+            F.coalesce(F.sum("wt"), F.lit(0)).cast("bigint").alias("logit_sum"),
+            F.when(F.coalesce(F.sum("wt"), F.lit(0)) >= 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("passed"),
+        )
+        .orderBy("doc_id")
     )

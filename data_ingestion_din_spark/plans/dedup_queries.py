@@ -1314,3 +1314,141 @@ def doc_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(cosine), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_substring_spans — exact duplicated-substring detection, the
+# Spark form of the suffix-array dedup in Lee et al. 2021 ("Deduplicating
+# Training Data Makes Language Models Better"): every W-token window is
+# fingerprinted at stride 1; windows whose fingerprint occurs in >= 2
+# distinct docs are duplicated; per doc, overlapping/adjacent duplicated
+# windows merge into maximal spans (interval islands). W=20 is sized to
+# the fixture (docs are 10-99 tokens, median 56); production uses the
+# paper's 50 — it's a parameter of operators/dedup.duplicated_spans.
+# Non-vacuous at sf0.01: 45/500 docs carry duplicated spans.
+#
+# Scale: window volume is O(corpus tokens); the dup filter and semi-join
+# share the wfp key (one shuffle), only duplicated instances reach the
+# per-doc island window, and nothing is broadcast (the dup-fingerprint
+# set grows with the corpus).
+# --------------------------------------------------------------------------
+_SSW = 20  # window length in tokens
+
+_WIN_CTE = f"""
+    toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    win AS (
+      SELECT doc_id, u.w.s AS start, u.w.f AS wfp
+      FROM toks,
+      UNNEST([{{'s': i,
+               'f': md5(array_to_string(t[i:i+{_SSW - 1}], ' '))}}
+              FOR i IN range(1, greatest(len(t) - {_SSW} + 2, 1))]) AS u(w)
+    ),
+    dup AS (
+      SELECT wfp FROM win GROUP BY wfp
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    inst AS (
+      SELECT doc_id, start FROM win SEMI JOIN dup USING (wfp)
+    ),
+    flagged AS (
+      SELECT doc_id, start,
+             CASE WHEN start - lag(start) OVER w <= {_SSW}
+                  THEN 0 ELSE 1 END AS new_island
+      FROM inst
+      WINDOW w AS (PARTITION BY doc_id ORDER BY start)
+    ),
+    islands AS (
+      SELECT doc_id, start,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY start
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(min(start) AS INT) AS span_start,
+             CAST(max(start) + {_SSW - 1} AS INT) AS span_end,
+             CAST(count(*) AS BIGINT) AS n_windows
+      FROM islands GROUP BY doc_id, island
+    )
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_WIN_CTE}
+    SELECT doc_id, span_start, span_end, n_windows
+    FROM spans
+    ORDER BY doc_id, span_start
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.duplicated_spans(docs, _SSW)
+        .select(
+            "doc_id",
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            "n_windows",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_substring_stats — per-language duplicated-substring load: how many
+# docs carry duplicated spans and what fraction of the corpus' tokens they
+# cover (the number Lee et al. report per corpus). Integer token counts
+# only — the division happens downstream — so the arithmetic is exact on
+# both engines. Merged spans never overlap, so summing span lengths IS
+# the per-doc covered-token count.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_substring_stats",
+    oracle=f"""
+    WITH {_WIN_CTE},
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tok
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(p.dup_tok) AS BIGINT) AS affected_docs,
+           CAST(coalesce(sum(p.dup_tok), 0) AS BIGINT) AS dup_tokens,
+           CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS total_tokens
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.lang
+    ORDER BY lang
+    """,
+)
+def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        D.duplicated_spans(docs, _SSW)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("dup_tok")
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", F.size(tokens(F.col("text"))).alias("nt"))
+        .join(per_doc, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("dup_tok").cast("bigint").alias("affected_docs"),
+            F.coalesce(F.sum("dup_tok"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -67,11 +67,22 @@ def query(
 
 def resolve_oracle_refs() -> None:
     """Materialize every ``oracle_ref`` share into ORACLES. Called from
-    ``plans/__init__`` after the registration imports; idempotent."""
-    for name, ref in _ORACLE_REFS.items():
+    ``plans/__init__`` after the registration imports; idempotent.
+
+    Refs resolve transitively (A ref B ref C follows the chain to C's
+    literal SQL) regardless of registration order, so a future chained
+    share can't fail-or-succeed on module import order; cycles raise."""
+    for name in _ORACLE_REFS:
+        ref, seen = name, {name}
+        while ref in _ORACLE_REFS:
+            ref = _ORACLE_REFS[ref]
+            if ref in seen:
+                raise ValueError(f"{name}: oracle_ref cycle via {ref!r}")
+            seen.add(ref)
         if ref not in ORACLES:
             raise KeyError(
-                f"{name}: oracle_ref {ref!r} is not a registered oracle"
+                f"{name}: oracle_ref chain ends at {ref!r}, which is not "
+                "a registered oracle"
             )
         ORACLES[name] = ORACLES[ref]
     _ORACLE_REFS.clear()

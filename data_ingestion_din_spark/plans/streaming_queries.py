@@ -869,11 +869,22 @@ def _funnel_processor(out: str, fp_state: str, lang_state: str):
     )
     from data_ingestion_din_spark.plans.text_pipeline import _CUR_BUDGET
 
-    def _plan(batch_df: DataFrame, epoch_id: int) -> dict[str, DataFrame]:
+    def _plan(
+        batch_df: DataFrame, epoch_id: int
+    ) -> dict[str, DataFrame] | None:
         """Build this batch's output DataFrames (audit rows, new
-        fingerprints, per-lang consumption increment) WITHOUT writing —
-        split from _process so tests can pin the per-batch physical
-        plans (tests/test_plan_assertions.py)."""
+        fingerprints, per-lang consumption increment) WITHOUT writing
+        state — split from _process so tests can pin the per-batch
+        physical plans (tests/test_plan_assertions.py).
+
+        NOT a pure plan builder: it runs eager localCheckpoints (so the
+        scored/deduped stages are computed once, not re-derived per
+        consumer) and a bounded collect() of per-language consumption —
+        it executes jobs, it just writes nothing. Returns None for an
+        empty (checkpoint-recovery) batch, whose stage rows would
+        otherwise stamp NULL batch_par into the audit."""
+        if batch_df.isEmpty():
+            return None
         toks = tokens(F.col("text"))
         scored = batch_df.select(
             "doc_id",
@@ -997,12 +1008,10 @@ def _funnel_processor(out: str, fp_state: str, lang_state: str):
         }
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        # checkpoint-recovery can deliver an empty (no-data) batch;
-        # writing stage rows for it would stamp NULL batch_par into the
-        # epoch-keyed audit — recovery batches must write nothing
-        if batch_df.isEmpty():
-            return
         dfs = _plan(batch_df, epoch_id)
+        # None = empty (checkpoint-recovery) batch — write nothing
+        if dfs is None:
+            return
         # all three writes are per-epoch overwrites (idempotent on
         # replay — a re-run of this epoch rewrites identical content):
         # the audit partition, this epoch's new fingerprints, and this

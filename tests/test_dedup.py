@@ -136,3 +136,54 @@ def test_all_pairs_baselines_refuse_oversized_input(spark):
     assert ngram_jaccard_pairs(
         docs, max_shingle_freq=10, max_rows=3
     ).count() >= 0
+
+
+# --------------------------------------------------------------------------
+# duplicated_spans (exact-substring dedup, Lee et al. 2021 shape)
+# --------------------------------------------------------------------------
+def _span_rows(spark, texts, w, **kw):
+    out = D.duplicated_spans(_docs(spark, texts), w, **kw)
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in out.collect()
+    )
+
+
+def test_duplicated_spans_finds_shared_run(spark):
+    # docs 0 and 1 share the 4-token run "p q r s" at different offsets
+    texts = ["a b p q r s c", "p q r s x y z", "m n o"]
+    rows = _span_rows(spark, texts, w=4)
+    # doc 0: windows starting at 3 only (p q r s) → span tokens [3,6]
+    # doc 1: window at 1 → span [1,4]
+    assert rows == [(0, 3, 6, 1), (1, 1, 4, 1)]
+
+
+def test_duplicated_spans_merges_overlapping_windows(spark):
+    # 5-token shared run → two overlapping 4-token windows merge into one
+    texts = ["p q r s t a", "z p q r s t"]
+    rows = _span_rows(spark, texts, w=4)
+    assert rows == [(0, 1, 5, 2), (1, 2, 6, 2)]
+
+
+def test_duplicated_spans_ignores_within_doc_repeats(spark):
+    # the run repeats WITHIN doc 0 only — min_docs=2 counts distinct docs
+    texts = ["p q r s x p q r s", "a b c d e"]
+    assert _span_rows(spark, texts, w=4) == []
+
+
+def test_duplicated_spans_skips_docs_shorter_than_window(spark):
+    texts = ["p q", "p q", "longer doc with no duplicate content here"]
+    assert _span_rows(spark, texts, w=4) == []
+    # ... but the same two docs DO match once w fits
+    assert _span_rows(spark, texts, w=2) == [(0, 1, 2, 1), (1, 1, 2, 1)]
+
+
+def test_duplicated_spans_separate_islands_stay_separate(spark):
+    # two shared runs far apart in doc 0 → two spans, not one
+    texts = [
+        "p q r s 1 2 3 4 5 6 7 8 9 w x y z",
+        "p q r s",
+        "w x y z",
+    ]
+    rows = _span_rows(spark, texts, w=4)
+    assert (0, 1, 4, 1) in rows and (0, 14, 17, 1) in rows
