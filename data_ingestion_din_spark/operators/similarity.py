@@ -200,7 +200,34 @@ def lsh_topk(emb: DataFrame, qvec: Column, k: int = 10, n_planes: int = 8) -> Da
     )
 
 
-def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+def assign_to_centroids(qv_df: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Assign quantized vectors (vec_id, qv) to the nearest centroid of a
+    FROZEN k×dims integer centroid matrix (argmin of integer squared
+    distance, lowest cluster wins ties). The matrix ships as a literal —
+    bounded at k·dims regardless of corpus size — so assignment is a
+    narrow per-row expression: no shuffle, no join. This is both the
+    k-means E-step and the IVF routing step for appended vectors."""
+    m = int_matrix_lit(cents)
+    dist = F.transform(
+        m,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return qv_df.select("vec_id", "qv", dist.alias("_d")).select(
+        "vec_id",
+        "qv",
+        F.array_position(F.col("_d"), F.array_min(F.col("_d")))
+        .cast("int")
+        .alias("cluster"),
+    )
+
+
+def kmeans_train(
+    emb: DataFrame, k: int = 8, iters: int = 2
+) -> tuple[DataFrame, list[list[int]]]:
     """Lloyd's k-means over quantized-integer vectors, exact enough to
     hash-check: assignments use integer squared distances (no float
     order sensitivity), centroids are TRUNCATED integer per-dimension
@@ -216,7 +243,12 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     narrow argmin expression over the staged quantized vectors, and the
     M-step is one (cluster, dim) shuffle of integer partial sums.
     Driver traffic per iteration = k·dims ints — iteration control, not
-    data movement."""
+    data movement.
+
+    Returns ``(assignment, centroids)`` where ``centroids`` is the matrix
+    the returned assignment was computed against (after ``iters - 1``
+    M-steps) — i.e. the frozen coarse quantizer an IVF index would serve
+    and route appends with."""
     from data_ingestion_din_spark.functions.vectors import quantize
 
     base = (
@@ -234,26 +266,11 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     def tdiv(s: int, n: int) -> int:  # truncating div (DuckDB `//`)
         return s // n if (s >= 0) == (n >= 0) or s % n == 0 else s // n + 1
 
-    assigned = None
+    assigned, used = None, cents
     for _ in range(iters):
-        m = int_matrix_lit(cents)
-        dist = F.transform(
-            m,
-            lambda c: F.aggregate(
-                F.zip_with(F.col("qv"), c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
-            ),
-        )
-        staged = base.select("vec_id", "qv", dist.alias("_d"))
+        used = cents
         # argmin, lowest cluster wins ties (array_position = first match)
-        assigned = staged.select(
-            "vec_id",
-            "qv",
-            F.array_position(F.col("_d"), F.array_min(F.col("_d")))
-            .cast("int")
-            .alias("cluster"),
-        )
+        assigned = assign_to_centroids(base, cents)
         sums = (
             assigned.select(
                 "cluster", F.posexplode("qv").alias("dim", "v")
@@ -271,7 +288,12 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
         cents = [
             new[c] if c in seen else cents[c - 1] for c in range(1, k + 1)
         ]
-    return assigned.select("vec_id", "cluster")
+    return assigned.select("vec_id", "cluster"), used
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Final k-means assignment only — see :func:`kmeans_train`."""
+    return kmeans_train(emb, k, iters)[0]
 
 
 def pq_assign(

@@ -222,13 +222,17 @@ _KM_DIST = (
 )
 
 
-_KM_CTES = f"""q AS (
+def _km_ctes(src: str = "embeddings") -> str:
+    """The unrolled 2-iteration Lloyd SQL over ``src`` — shared by the
+    full-corpus k-means/IVF oracles and the incremental-maintenance
+    oracle (which trains on the pre-append base only)."""
+    return f"""q AS (
       SELECT vec_id,
              list_transform(
                embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
              ) AS qv
-      FROM embeddings
+      FROM {src}
     ),
     seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster, qv
@@ -257,6 +261,9 @@ _KM_CTES = f"""q AS (
         PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) = 1
     )
     """
+
+
+_KM_CTES = _km_ctes()
 
 
 @query(
@@ -861,4 +868,97 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_overlap").cast("double") / F.col("n_exact"), 6
             ).alias("recall"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity_ivf_incremental — IVF index maintenance under append, the
+# ANN twin of streaming_minhash_index / training_shard_incremental:
+# the coarse quantizer is TRAINED ONCE on the pre-append base (vec_id %
+# 97 != 0, the same 2-iteration integer-exact Lloyd as embedding_kmeans)
+# and then FROZEN — the appended batch (vec_id % 97 == 0) is routed to
+# cells with a single argmin pass against the frozen centroid literal,
+# never retraining and never rescanning the base. The audited output is
+# the post-append index: per-cell base/batch/total counts plus a
+# membership fingerprint, so hash parity proves the incremental route ≡
+# assigning everything against the same centroids.
+#
+# Scale: batch routing is a narrow per-row expression over the BATCH
+# only (centroid matrix is a bounded k×dims literal); the per-cell
+# membership fingerprint is the audit, not the maintenance — production
+# keeps cell stats as running counters and this query is the proof they
+# stay consistent.
+# --------------------------------------------------------------------------
+_IVF_INC_MOD = 97
+
+
+@query(
+    "similarity_ivf_incremental",
+    oracle=f"""
+    WITH {_km_ctes(f"(SELECT * FROM embeddings WHERE vec_id % {_IVF_INC_MOD} <> 0)")},
+    batch AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings WHERE vec_id % {_IVF_INC_MOD} = 0
+    ),
+    ab AS (
+      SELECT q.vec_id, s.cluster
+      FROM batch q CROSS JOIN c1f s
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) = 1
+    ),
+    merged AS (
+      SELECT vec_id, cluster, 0 AS is_batch FROM a2
+      UNION ALL
+      SELECT vec_id, cluster, 1 AS is_batch FROM ab
+    )
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(sum(1 - is_batch) AS BIGINT) AS n_base,
+           CAST(sum(is_batch) AS BIGINT) AS n_batch,
+           CAST(count(*) AS BIGINT) AS n_total,
+           md5(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id))
+             AS members_fp
+    FROM merged
+    GROUP BY cluster
+    ORDER BY cluster
+    """,
+)
+def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % _IVF_INC_MOD != 0)
+    batch = emb.filter(F.col("vec_id") % _IVF_INC_MOD == 0)
+    assigned_base, cents = kmeans_train(base, k=8, iters=2)
+    routed = assign_to_centroids(
+        batch.select("vec_id", quantize(F.col("embedding")).alias("qv")),
+        cents,
+    ).select("vec_id", "cluster")
+    merged = assigned_base.withColumn(
+        "is_batch", F.lit(0)
+    ).unionByName(routed.withColumn("is_batch", F.lit(1)))
+    return (
+        merged.groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(
+            F.sum(1 - F.col("is_batch")).cast("bigint").alias("n_base"),
+            F.sum("is_batch").cast("bigint").alias("n_batch"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("vec_id")),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("members_fp"),
+        )
+        .orderBy("cluster")
     )
