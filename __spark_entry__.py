@@ -19,65 +19,18 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # last sample is oldest) are listed first so a bounded driver window covers
 # them before re-checking recently-green entries. Names not in the registry
 # are ignored; registered queries not listed here follow in registration
-# order. Rotation state after round 6 (CORRECTNESS_r06 green for all 50
-# sampled): the round-7 additions (never sampled) lead, then the 17
-# queries whose latest driver sample is still round 3, then the round-4
-# block oldest-first (VERDICT r6 next-round #2) — after this round every
-# query's latest sample should be round 4+.
+# order. Rotation state after round 7 (CORRECTNESS_r07 green for all 50
+# sampled): the round-8 additions (never sampled) lead, then the 20
+# queries whose latest driver sample is round 4, then the oldest of the
+# round-5 block — after this round every remaining sample is round 5+.
 _DRIVER_PRIORITY: list[str] = [
-    # Round-7 additions — never driver-sampled.
-    "ask_pipeline",
-    "streaming_phash_index",
-    "training_shard_incremental",
-    # Latest sample is round 3.
-    "dedup_clusters",
-    "dedup_simhash_groups",
-    "dedup_simhash_near",
-    "events_asof_attribution",
-    "events_daily_retention",
-    "events_error_burst",
-    "events_funnel",
-    "events_kmv_distinct",
-    "events_trailing_hour",
-    "events_value_quartiles",
-    "html_tables_parse",
-    "multimodal_media_stats",
-    "q3_bucketed_colocated",
-    "qna_best_match_seq",
-    "repeat_buyers_96_not_97",
-    "revenue_cube",
-    "streaming_ingest_chunks",
+    # Round-8 additions — never driver-sampled.
+    "dedup_substring_spans",
+    "dedup_substring_removal",
+    "dedup_substring_stats",
+    "doc_quality_classifier",
+    "similarity_ivf_incremental",
     # Latest sample is round 4 (registration order within the block).
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "customer_running_revenue",
-    "parts_never_discounted",
-    "late_shipment_orders",
-    "nation_customer_rollup",
-    "events_tumbling_5min",
-    "events_sliding_10min",
-    "events_sessionized",
-    "events_json_props",
-    "events_type_pivot",
-    "clicks_on_error_free_days",
-    "doc_token_stats",
-    "doc_language_quality",
-    "doc_clean_roundtrip",
-    "doc_fixed_chunks",
-    "corpus_word_freq",
-    "dedup_exact",
-    "dedup_wordset",
-    "minhash_signatures",
-    "dedup_minhash_groups",
-    "ngram_jaccard_top20",
-    "embedding_near_dup",
-    "embedding_label_centroids",
-    "blocks_reading_order",
-    "blocks_sections",
-    "blocks_merged",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
     "q14_promo_revenue",
     "events_hourly_rollup",
     "corpus_curation",
@@ -98,6 +51,33 @@ _DRIVER_PRIORITY: list[str] = [
     "q9_product_profit",
     "q11_important_stock",
     "q20_potential_promotion",
+    # Latest sample is round 5 (oldest-first within the r5 block).
+    "segment_median_order",
+    "similarity_topk",
+    "similarity_ivf_label",
+    "table_transactions",
+    "q6_forecast_revenue",
+    "similarity_lsh_topk",
+    "retrieval_bm25",
+    "bloom_join_prune",
+    "events_scd2_intervals",
+    "events_histogram_quantiles",
+    "streaming_dedup_watermark",
+    "corpus_bpe_encode",
+    "doc_tfidf_cosine_topk",
+    "ingest_quarantine",
+    "user_erasure",
+    "corpus_bigram_generate",
+    "similarity_pq_topk",
+    "similarity_pq_recall",
+    "dedup_semantic_kmeans",
+    "events_hll_distinct",
+    "doc_bigram_lm_score",
+    "corpus_bpe_merge_step",
+    "corpus_phrase_mining",
+    "corpus_textrank_keywords",
+    "streaming_hll_registers",
+    "events_zorder_box",
 ]
 
 

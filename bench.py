@@ -222,6 +222,15 @@ BENCH_QUERIES = [
     # cost, like the other streaming rows)
     "ask_pipeline",
     "training_shard_incremental",
+    # round 8: exact-substring dedup (stride-1 window fingerprints +
+    # interval-island merge), model-based quality gate (broadcast
+    # bounded vocab), incremental IVF maintenance (frozen-quantizer
+    # append routing)
+    "dedup_substring_spans",
+    "dedup_substring_removal",
+    "dedup_substring_stats",
+    "doc_quality_classifier",
+    "similarity_ivf_incremental",
 ]
 
 
@@ -296,6 +305,12 @@ def main() -> None:
     from data_ingestion_din_spark.plans.multimodal_queries import _phash_table
 
     _phash_table(spark, sf_dir).count()
+    # staged near-dup pair table: four dedup queries consume the same
+    # verified MinHash-banded pairs (a first-class pipeline artifact),
+    # so each times its own resolution step, not the shared pipeline
+    from data_ingestion_din_spark.plans.dedup_queries import _banded_pairs
+
+    _banded_pairs(spark, sf_dir).count()
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}

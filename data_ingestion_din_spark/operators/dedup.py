@@ -514,35 +514,89 @@ def embedding_near_dup_lsh(
     )
 
 
+# Edge-count ceiling for resolving components driver-side. The CC input
+# is the near-dup EDGE LIST — already reduced by banding to a small
+# fraction of the corpus — and below this cap it is bounded control data
+# (≤ ~tens of MB), the same rationale that lets k-means collect its
+# k×dims centroids. Above the cap the distributed loop runs.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _union_find(rows) -> dict:
+    """Driver-side union-find (path-halving + union by root id is NOT
+    used for ranks — the final relabel uses component minima, so any
+    forest shape gives identical output). Returns {node: component_min}."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in rows:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    roots: dict = {}
+    for x in {n for p in rows for n in p}:
+        roots.setdefault(find(x), []).append(x)
+    return {x: min(members) for members in roots.values() for x in members}
+
+
 def connected_components(
     pairs: DataFrame,
     a: str = "doc_a",
     b: str = "doc_b",
     max_iter: int = 25,
+    driver_cap_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
-    components by iterative min-label propagation (cluster_id = smallest
-    member id). This is the step every production dedup needs after LSH
-    — pairs (a,b),(b,c) must collapse to ONE surviving doc, which
-    pairwise winners alone cannot decide.
+    components, cluster_id = smallest member id. This is the step every
+    production dedup needs after LSH — pairs (a,b),(b,c) must collapse
+    to ONE surviving doc, which pairwise winners alone cannot decide.
 
-    Each iteration: label(node) ← min(label(node), min over neighbors'
-    labels) — two hash joins + a groupBy(node), materialized with
-    localCheckpoint to truncate lineage (iterative-algorithm shape;
-    at cluster scale this is the standard large-scale CC loop, converging
-    in O(component diameter) rounds — near-dup clusters are shallow, so
-    typically 2-4). The driver-side loop is iteration control, not data
-    movement: per round it reads ONE count (the convergence check).
+    Two physical strategies, same exact output:
+
+    - **edge list ≤ driver_cap_edges**: collect the edges and union-find
+      on the driver. The input here is near-dup PAIRS (post-banding),
+      not the corpus — under the cap it is bounded control data, and the
+      driver resolve replaces O(diameter) shuffle rounds with one
+      collect (a 17-round pHash chain cost ~5 s of pure round overhead).
+    - **above the cap**: iterative distributed min-label propagation
+      with pointer-jumping compression (label(v) ← label(label(v)) each
+      round), O(log diameter) rounds, each round a bounded shuffle of
+      (node, label) pairs, materialized with localCheckpoint to truncate
+      lineage. The driver sees ONE count per round (convergence check).
 
     Raises ``RuntimeError`` if labels are still changing after
-    ``max_iter`` rounds — a chain longer than ``max_iter`` hops (e.g.
-    boilerplate chains at corpus scale) would otherwise return silently
-    WRONG cluster ids, violating the engine's exactness contract. Bump
-    ``max_iter`` (cost is O(diameter), not O(n)) when that fires.
+    ``max_iter`` distributed rounds — a silent non-fixpoint would return
+    WRONG cluster ids, violating the engine's exactness contract. With
+    pointer jumping, max_iter=25 covers diameters beyond 2^20.
 
     Returns (node, cluster_id) for every node appearing in ``pairs``.
     """
-    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = pairs.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).localCheckpoint(eager=True)
+    if edges.count() <= driver_cap_edges:
+        rows = [(r.src, r.dst) for r in edges.collect()]
+        labels = _union_find(rows)
+        spark = pairs.sparkSession
+        node_t = edges.schema["src"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("node", node_t, False),
+                StructField("cluster_id", node_t, False),
+            ]
+        )
+        return spark.createDataFrame(
+            sorted(labels.items()), schema
+        )
     adj = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
@@ -556,21 +610,42 @@ def connected_components(
     for _ in range(max_iter):
         nbr = adj.join(
             labels.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "label")
-        new_labels = (
-            labels.union(nbr)
+        ).select(F.col("src").alias("node"), "label", F.lit(False).alias("own"))
+        # the node's own previous label rides through the min-groupBy as
+        # a tagged max, so the convergence check below reads the ALREADY
+        # CHECKPOINTED result (no join, no shuffle) — labels only ever
+        # decrease, so new < old ⇔ this node changed
+        nbr_min = (
+            labels.withColumn("own", F.lit(True))
+            .union(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("own"), F.col("label"))).alias("old"),
+            )
+        )
+        # pointer-jumping compression: label(v) <- label(label(v)).
+        # Every label value is itself a node (labels start as node ids
+        # and propagate as mins of node ids), and label(u) <= u, so the
+        # jump only ever decreases labels — neighbor-min alone needs
+        # O(diameter) rounds (a 16-hop pHash chain took 17), min+jump
+        # needs O(log diameter). The fixpoint is unchanged: stable
+        # labels are constant across edges and idempotent under the
+        # jump, i.e. the component min.
+        hop = nbr_min.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        new_labels = (
+            nbr_min.join(hop, nbr_min["label"] == hop["l_node"], "left")
+            .select(
+                "node",
+                F.coalesce("l_label", "label").alias("label"),
+                "old",
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "node"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") < F.col("old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     else:

@@ -34,21 +34,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # a regression there surfaces in the headline total.
 BUDGETS = {
     "corpus_bpe_encode": 5.5,  # 3.5 s after the 2-scan fusion (was 12.4)
-    "dedup_semantic_kmeans": 6.5,  # 4.3 s: k-means + cluster-local pairs
+    # r8 re-calibration: hybrid CC (driver union-find under the edge
+    # cap), staged banded-pair/k-means artifacts, and the per-cluster
+    # GEMM SemDeDup cut every CC/kmeans consumer 2-4x — budgets are
+    # ~1.5-2x the new steady measurements
+    "dedup_semantic_kmeans": 2.5,  # 1.2-1.4 s: staged kmeans + GEMM
     "corpus_langid_confusion": 5.5,  # 3.5 s
-    "dedup_clusters": 4.5,  # 2.5-2.9 s steady (CC pipeline)
+    "dedup_clusters": 2.2,  # 1.1 s steady (staged pairs + hybrid CC)
     "table_transactions_dated": 3.2,  # 2.1 s
-    # CC-iteration queries swing 2.1-3.5 s run-to-run (per-iteration
-    # fixed overhead is GC/scheduler-timing sensitive; code path
-    # unchanged across the observations) — budget the observed band,
-    # not 1.5x the single best measurement
-    "dedup_cluster_size_hist": 4.0,
-    "dedup_keep_best": 3.0,  # 2.0 s
+    "dedup_cluster_size_hist": 2.4,  # 1.2 s
+    "dedup_keep_best": 1.8,  # 0.9 s
     "doc_winnow_fingerprints": 2.9,  # 1.9 s
     "embedding_hard_negatives": 2.8,  # 1.8 s
     "doc_cdc_chunks": 2.6,  # 1.7 s
     "corpus_bigram_generate": 2.5,  # 1.6 s (staged 1-row probes)
-    "media_phash_clusters": 8.0,  # 5.3 s isolated (CC iterations dominate)
+    "media_phash_clusters": 2.6,  # 1.3 s (was 5.3: CC rounds -> one
+    # collect under the cap; pairs+CC resolution is what remains)
 }
 
 

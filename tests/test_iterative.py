@@ -60,13 +60,33 @@ def test_kmeans_deterministic_across_runs(spark):
 def test_connected_components_raises_when_unconverged(spark):
     import pytest
 
-    # diameter-9 path cannot converge in 2 min-label rounds — must raise,
-    # not silently return wrong labels (ADVICE r3)
+    # diameter-9 path cannot converge in 2 min-label+jump rounds — must
+    # raise, not silently return wrong labels (ADVICE r3). cap=0 forces
+    # the distributed path (driver union-find has no iteration limit).
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=2)
+        connected_components(pairs, max_iter=2, driver_cap_edges=0)
+
+
+def test_connected_components_paths_agree(spark):
+    # driver union-find and the distributed loop must produce identical
+    # clusters — a chain, a triangle, an isolated pair, string node ids
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("p", "q"),
+         ("q", "r"), ("r", "s")],
+        "doc_a string, doc_b string",
+    )
+    drv = sorted(
+        (r.node, r.cluster_id) for r in connected_components(pairs).collect()
+    )
+    dist = sorted(
+        (r.node, r.cluster_id)
+        for r in connected_components(pairs, driver_cap_edges=0).collect()
+    )
+    assert drv == dist
+    assert dict(drv)["s"] == "p" and dict(drv)["c"] == "a"
 
 
 def test_kmeans_raises_on_degenerate_input(spark):

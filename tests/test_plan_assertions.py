@@ -591,3 +591,39 @@ def test_scd2_processor_batch_plan(spark, tmp_path):
     assert s["cartesian"] == 0, s
     assert s["exchange"] <= 4, s
     assert _hint_count(rows) == 0
+
+
+def test_dedup_substring_spans_plan(spark):
+    s = _stats("dedup_substring_spans", spark)
+    # window fingerprints: one wfp shuffle shared by the dup aggregate
+    # and the semi-join, one doc_id shuffle for the island window —
+    # never a cartesian, nothing broadcast-forced (dup set grows with
+    # the corpus)
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 6, s
+
+
+def test_dedup_substring_removal_plan(spark):
+    s = _stats("dedup_substring_removal", spark)
+    # spans pipeline + one left join back to documents; the token
+    # excision itself is a pure indexed-lambda projection
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 8, s
+
+
+def test_doc_quality_classifier_plan(spark):
+    s = _stats("doc_quality_classifier", spark)
+    # the top-K vocab is bounded by construction → broadcast join is
+    # REQUIRED here (the one correct broadcast of a derived table)
+    assert s["bhj"] >= 1, s
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 6, s
+
+
+def test_similarity_ivf_incremental_plan(spark):
+    s = _stats("similarity_ivf_incremental", spark)
+    # batch routing against the frozen centroid LITERAL: no join at all
+    # on the batch side, so no cartesian and no broadcast requirement;
+    # the merged per-cell audit is one shuffle + final sort
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 5, s
