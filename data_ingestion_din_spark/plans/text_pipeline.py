@@ -1342,20 +1342,39 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
     wn = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("wn"))
-    enc = wn.withColumn(
-        "c", F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-    )
-    # Two fused scans instead of 8 sequential ones (see
-    # _bpe_fused_pass_spark for the interaction proof): rules 1-7 are
-    # non-interacting / left-cascading so one scan applies them all;
-    # (r,e) conflicts with (e,r) and runs as its own second scan. One
-    # projection per scan (textually nesting the chains in a single
-    # expression overruns the analyzer's resolution fixpoint); Catalyst
-    # still collapses these into one codegen span.
-    enc = enc.withColumn(
-        "c0", F.expr(_bpe_fused_pass_spark("c", _BPE_MERGES[:7]))
-    ).withColumn("c1", F.expr(_bpe_fused_pass_spark("c0", _BPE_MERGES[7:])))
-    tok = enc.select(F.explode("c1").alias("token"), "wn")
+    # The merge chain runs per DISTINCT word over an Arrow boundary —
+    # the canonical tokenizer-on-Spark shape (a vocab-sized mapInPandas,
+    # not a per-corpus-token one). The plain sequential 8-pass encoder
+    # in Python replaces the 2 fused interpreted-HOF scans (r6): the
+    # fusion had already cut 12.4 s -> 3.5 s, but each remaining scan
+    # still paid per-element lambda interpretation with an O(len) array
+    # rebuild; batch-encoding the ~vocab rows in Python is ~1 s total
+    # and needs NO interaction proof — it IS the oracle's sequential
+    # chain. The fused-scan construction (+ its exhaustive equivalence
+    # property tests) stays as corpus_bpe_merge_step's single-rule path
+    # and the documented all-JVM alternative.
+    def _encode_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for w in pdf["w"]:
+                toks = list(w)
+                for a, b in _BPE_MERGES:
+                    acc: list = []
+                    for x in toks:
+                        if acc and acc[-1] == a and x == b:
+                            acc[-1] = a + b
+                        else:
+                            acc.append(x)
+                    toks = acc
+                out.append(toks)
+            yield pd.DataFrame(
+                {"toks": out, "wn": pdf["wn"].to_numpy()}
+            )
+
+    enc = wn.mapInPandas(_encode_batches, "toks array<string>, wn long")
+    tok = enc.select(F.explode("toks").alias("token"), "wn")
     return (
         tok.groupBy("token")
         .agg(

@@ -33,7 +33,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # The 10+ most expensive queries; everything else is well under 2 s and
 # a regression there surfaces in the headline total.
 BUDGETS = {
-    "corpus_bpe_encode": 5.5,  # 3.5 s after the 2-scan fusion (was 12.4)
+    "corpus_bpe_encode": 2.0,  # 0.9 s: vocab-sized Arrow-batch encoder
+    # (was 3.5 after the r6 fusion, 12.4 before it)
     # r8 re-calibration: hybrid CC (driver union-find under the edge
     # cap), staged banded-pair/k-means artifacts, and the per-cluster
     # GEMM SemDeDup cut every CC/kmeans consumer 2-4x — budgets are
