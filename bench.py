@@ -308,9 +308,14 @@ def main() -> None:
     # staged near-dup pair table: four dedup queries consume the same
     # verified MinHash-banded pairs (a first-class pipeline artifact),
     # so each times its own resolution step, not the shared pipeline
-    from data_ingestion_din_spark.plans.dedup_queries import _banded_pairs
+    from data_ingestion_din_spark.plans.dedup_queries import (
+        _banded_pairs,
+        _substring_spans,
+    )
 
     _banded_pairs(spark, sf_dir).count()
+    # staged duplicated-span table (three substring-dedup consumers)
+    _substring_spans(spark, sf_dir).count()
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}

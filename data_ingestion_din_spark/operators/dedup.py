@@ -827,22 +827,25 @@ def window_fingerprints(docs: DataFrame, w: int) -> DataFrame:
     shuffle until the fingerprint groupBy.
 
     ``start`` is 1-based; the window covers tokens [start, start+w-1].
+
+    Physical shape: explode the start positions FIRST, then fingerprint
+    in the projection — slice/concat_ws/md5 are codegen-able scalar
+    expressions there, where the same chain inside a ``transform``
+    lambda is interpreted per element (measured 6x slower at sf0.1:
+    2.5 s HOF vs 0.4 s exploded). The n>=w filter keeps ``sequence``
+    ascending (sequence(1, 0) would count DOWN, not empty).
     """
     t = tokens(F.col("text"))
-    n = F.size(t)
-    wins = F.when(
-        n >= w,
-        F.transform(
-            F.sequence(F.lit(1), n - w + 1),
-            lambda i: F.struct(
-                i.alias("start"),
-                F.md5(F.concat_ws(" ", F.slice(t, i, w))).alias("wfp"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<start:int,wfp:string>>"))
-    return docs.select(
-        "doc_id", F.explode(wins).alias("win")
-    ).select("doc_id", F.col("win.start").alias("start"), "win.wfp")
+    base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= w)
+    return base.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.size("t") - w + 1)).alias("start"),
+    ).select(
+        "doc_id",
+        "start",
+        F.md5(F.concat_ws(" ", F.slice("t", F.col("start"), w))).alias("wfp"),
+    )
 
 
 def duplicated_spans(docs: DataFrame, w: int, min_docs: int = 2) -> DataFrame:

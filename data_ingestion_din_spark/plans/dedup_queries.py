@@ -1347,6 +1347,24 @@ def doc_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _SSW = 20  # window length in tokens
 
+# The merged-span table feeds three queries (spans listing, removal,
+# per-lang stats) — staged once per (SparkContext, sf_dir) like the
+# banded-pair table above.
+_SS_DONE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _SS_DONE if k[0] != app]:
+        del _SS_DONE[k]  # dead-context eviction (see _phash_table)
+    key = (app, sf_dir)
+    if key not in _SS_DONE:
+        docs = load_table(spark, sf_dir, "documents")
+        _SS_DONE[key] = D.duplicated_spans(docs, _SSW).localCheckpoint(
+            eager=True
+        )
+    return _SS_DONE[key]
+
 _WIN_CTE = f"""
     toks AS (
       SELECT doc_id, {_TOKS_SQL} AS t FROM documents
@@ -1398,9 +1416,8 @@ _WIN_CTE = f"""
     """,
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
     return (
-        D.duplicated_spans(docs, _SSW)
+        _substring_spans(spark, sf_dir)
         .select(
             "doc_id",
             F.col("span_start").cast("int").alias("span_start"),
@@ -1443,7 +1460,7 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     per_doc = (
-        D.duplicated_spans(docs, _SSW)
+        _substring_spans(spark, sf_dir)
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("span_end") - F.col("span_start") + 1)
@@ -1511,7 +1528,7 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     spd = (
-        D.duplicated_spans(docs, _SSW)
+        _substring_spans(spark, sf_dir)
         .groupBy("doc_id")
         .agg(
             F.collect_list(
