@@ -30,6 +30,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_substring_stats",
     "doc_quality_classifier",
     "similarity_ivf_incremental",
+    "streaming_ivf_index",
     # Latest sample is round 4 (registration order within the block).
     "q14_promo_revenue",
     "events_hourly_rollup",

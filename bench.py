@@ -231,6 +231,8 @@ BENCH_QUERIES = [
     "dedup_substring_stats",
     "doc_quality_classifier",
     "similarity_ivf_incremental",
+    # streaming_ivf_index is correctness-gated but not benched (one-time
+    # incremental stream cost, like the other streaming rows)
 ]
 
 

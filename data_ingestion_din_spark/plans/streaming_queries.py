@@ -2018,3 +2018,170 @@ def streaming_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "event_id", "ts_us", "value"
     )
     return latest.orderBy("user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# streaming_ivf_index — ANN index maintenance at ingest, the streaming
+# twin of similarity_ivf_incremental and the third member of the
+# at-ingest index family (text MinHash ✓ r6, media pHash ✓ r7, vectors
+# here): the FIRST landing (empty state) trains the k=8 coarse
+# quantizer on itself (the verified 2-iteration integer-exact Lloyd)
+# and commits both its cell assignments and the frozen centroid matrix
+# as epoch-keyed state; every later landing reads the centroids
+# (bounded k×dims control data — the kmeans-literal rationale, NOT a
+# corpus-growing table), routes its vectors with one argmin pass
+# (assign_to_centroids: no join, no shuffle on the batch side), and
+# appends its assignments. The oracle restates train-on-evens +
+# route-odds-against-c1f in SQL (the _km_ctes machinery), so hash
+# parity proves the centroid state survived the checkpointed restart
+# and the incremental routing ≡ assigning against the same quantizer.
+#
+# Scale: per landing the cost is O(batch × k·dims) argmin work; the
+# assignment state grows with the corpus but is append-only — nothing
+# rescans or re-trains it.
+# --------------------------------------------------------------------------
+_SII_K = 8
+_SII_DONE: dict[tuple[str, str], str] = {}
+
+
+def _ivf_index_processor(out: str, cent_state: str, k: int = _SII_K):
+    """foreachBatch processor over (assignments, centroid-state) dirs —
+    module-level for the replay test, like the other index processors."""
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_train,
+    )
+
+    def _plan(batch_df: DataFrame, epoch_id: int):
+        """(assignments, centroid rows or None) for this batch, no
+        writes — exposed for the plan-shape tests. Executes jobs when
+        training (first landing) or reading the centroid state."""
+        spark_l = batch_df.sparkSession
+        if os.path.isdir(cent_state):
+            prior = (
+                spark_l.read.option("basePath", cent_state)
+                .parquet(cent_state)
+                .filter(F.col("epoch") < epoch_id)
+            )
+            rows = prior.orderBy("cluster").collect()
+        else:
+            rows = []
+        if rows:
+            cents = [list(r.qv) for r in rows]
+            routed = assign_to_centroids(
+                batch_df.select(
+                    "vec_id", quantize(F.col("embedding")).alias("qv")
+                ),
+                cents,
+            ).select("vec_id", "cluster")
+            return {
+                "assignments": routed.withColumn(
+                    "incremental", F.lit(True)
+                ),
+                "new_cents": None,  # frozen — written once by training
+            }
+        assigned, cents = kmeans_train(batch_df, k=k, iters=2)
+        cent_rows = spark_l.createDataFrame(
+            [(c + 1, cents[c]) for c in range(len(cents))],
+            "cluster int, qv array<bigint>",
+        )
+        return {
+            "assignments": assigned.withColumn(
+                "incremental", F.lit(False)
+            ),
+            "new_cents": cent_rows,
+        }
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dfs = _plan(batch_df, epoch_id)
+        ep = f"epoch={epoch_id}"
+        dfs["assignments"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, ep)
+        )
+        if dfs["new_cents"] is not None:
+            dfs["new_cents"].coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(cent_state, ep)
+            )
+
+    _process.plan = _plan
+    return _process
+
+
+def _sii_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SII_DONE:
+        if _dir_ok(_SII_DONE[key]):
+            return _SII_DONE[key]
+        del _SII_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_sii")
+    out = os.path.join(base, "out")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    _run_split_landings(
+        spark,
+        base,
+        "vec_id bigint, embedding array<float>",
+        [emb.filter(F.col("vec_id") % 2 == p) for p in (0, 1)],
+        _ivf_index_processor(out, os.path.join(base, "cents")),
+    )
+    _SII_DONE[key] = out
+    return out
+
+
+def _sii_oracle() -> str:
+    from data_ingestion_din_spark.plans.similarity_queries import (
+        _KM_DIST,
+        _km_ctes,
+    )
+
+    return f"""
+    WITH {_km_ctes("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)")},
+    batch AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    ab AS (
+      SELECT q.vec_id, s.cluster
+      FROM batch q CROSS JOIN c1f s
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) = 1
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, FALSE AS incremental
+    FROM a2
+    UNION ALL
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, TRUE AS incremental
+    FROM ab
+    ORDER BY vec_id
+    """
+
+
+@query("streaming_ivf_index", oracle=_sii_oracle())
+def streaming_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back both landings' cell assignments; the oracle restates
+    train-on-landing-1 + route-landing-2-against-frozen-centroids, so
+    parity proves the quantizer state survived the checkpointed restart
+    and incremental routing matches the from-scratch assignment."""
+    out = _sii_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            "incremental",
+        )
+        .orderBy("vec_id")
+    )

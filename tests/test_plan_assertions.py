@@ -627,3 +627,31 @@ def test_similarity_ivf_incremental_plan(spark):
     # the merged per-cell audit is one shuffle + final sort
     assert s["cartesian"] == 0, s
     assert s["exchange"] <= 5, s
+
+
+def test_ivf_index_processor_batch_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _ivf_index_processor,
+    )
+
+    p = _ivf_index_processor(str(tmp_path / "o"), str(tmp_path / "c"), k=2)
+
+    def vec(base):
+        return [float(base)] * 8
+
+    b0 = spark.createDataFrame(
+        [(0, vec(0.0)), (1, vec(0.01)), (10, vec(5.0))],
+        "vec_id bigint, embedding array<float>",
+    )
+    p(b0, 0)
+    b1 = spark.createDataFrame(
+        [(20, vec(0.02))], "vec_id bigint, embedding array<float>"
+    )
+    dfs = p.plan(b1, 1)
+    # routing epoch: pure argmin against the centroid LITERAL — no join
+    # machinery at all on the batch side, no forced broadcasts
+    s = _plan_stats(dfs["assignments"])
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] == 0, s
+    assert _hint_count(dfs["assignments"]) == 0
+    assert dfs["new_cents"] is None  # frozen after the training epoch

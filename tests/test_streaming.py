@@ -851,3 +851,61 @@ def test_streaming_phash_index_replay_idempotent(spark, tmp_path):
     empty = spark.createDataFrame([], "doc_id bigint, text string")
     process(empty, 2)
     assert snapshot() == first
+
+
+def test_streaming_ivf_index_replay_idempotent(spark, tmp_path):
+    """IVF-index maintainer contract: (a) replaying an epoch leaves
+    assignments and centroid state identical; (b) the training epoch
+    writes centroids exactly once and later epochs route against them
+    WITHOUT retraining (the frozen-quantizer invariant)."""
+    import os
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _ivf_index_processor,
+    )
+
+    out = str(tmp_path / "out")
+    cents = str(tmp_path / "cents")
+    process = _ivf_index_processor(out, cents, k=2)
+
+    def vec(base):
+        return [float(base)] * 8
+
+    b0 = spark.createDataFrame(
+        [(0, vec(0.0)), (1, vec(0.001)), (10, vec(5.0)), (11, vec(5.001))],
+        "vec_id bigint, embedding array<float>",
+    )
+    b1 = spark.createDataFrame(
+        [(20, vec(0.002)), (21, vec(4.999))],
+        "vec_id bigint, embedding array<float>",
+    )
+
+    def snapshot():
+        a = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("vec_id", "cluster", "incremental")
+            .collect()
+        )
+        c = sorted(
+            (r.cluster, tuple(r.qv))
+            for r in spark.read.parquet(cents).collect()
+        )
+        return a, c
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    a = {r[0]: r for r in first[0]}
+    # training epoch separates the two blobs; batch 2 routes to them
+    assert a[0][1] == a[1][1] and a[10][1] == a[11][1]
+    assert a[0][1] != a[10][1]
+    assert a[20][1] == a[0][1] and a[20][2] is True  # near blob A
+    assert a[21][1] == a[10][1] and a[21][2] is True  # near blob B
+    # centroid state has exactly the training epoch's k rows
+    assert len(first[1]) == 2
+    assert os.listdir(cents) == ["epoch=0"]
