@@ -604,28 +604,42 @@ def corpus_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    # Per-doc trigram dedup happens ARRAY-side (array_distinct before any
+    # Per-doc trigram dedup happens ARRAY-side (distinct before any
     # explode) so no corpus-sized DISTINCT shuffle ever runs; the doc
     # array table is staged once and feeds both branches. Scoring never
     # explodes at all: the 5-row profile table (one sorted trigram array
     # per language) broadcasts against the doc arrays and the overlap is
     # a JVM array_intersect — |docs|·|langs| narrow rows instead of a
-    # corpus-sized hits shuffle. Steady-state at sf0.1 went 4.05 →
-    # ~3.5-3.8 s; the remaining floor is the unavoidable char-level
-    # substring transform over the whole corpus (scan-bound), not a
-    # shuffle — which is why this shape is the 100 TB one.
+    # corpus-sized hits shuffle. The distinct-trigram arrays are built
+    # over ONE Arrow boundary (char n-gram generation is tokenizer-class
+    # work): the transform(sequence)+array_distinct HOF chain this
+    # replaces was interpreted per element and measured 3x slower
+    # (1.9 s vs 0.65 s for the array stage at sf0.1); only the SET of
+    # trigrams matters downstream (groupBy + array_intersect), so
+    # first-occurrence order parity with array_distinct is incidental
+    # (dict.fromkeys preserves it anyway).
+    def _tg_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for t in pdf["text"]:
+                n = len(t)
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            t[i : i + _LID_N] for i in range(n - _LID_N + 1)
+                        )
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "tgs": out}
+            )
+
     doc_tgs = (
         docs.filter(F.length("text") >= _LID_N)
-        .select(
-            "doc_id",
-            "lang",
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, length(text) - {_LID_N - 1}),"
-                    f" i -> substring(text, i, {_LID_N}))"
-                )
-            ).alias("tgs"),
-        )
+        .select("doc_id", "lang", "text")
+        .mapInPandas(_tg_batches, "doc_id long, lang string, tgs array<string>")
         .localCheckpoint(eager=False)
     )
     tri = doc_tgs.select("doc_id", "lang", F.explode("tgs").alias("tg"))
