@@ -31,6 +31,8 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_quality_classifier",
     "similarity_ivf_incremental",
     "streaming_ivf_index",
+    "corpus_bpe_train",
+    "url_canonicalize",
     # Latest sample is round 4 (registration order within the block).
     "q14_promo_revenue",
     "events_hourly_rollup",

@@ -233,6 +233,8 @@ BENCH_QUERIES = [
     "similarity_ivf_incremental",
     # streaming_ivf_index is correctness-gated but not benched (one-time
     # incremental stream cost, like the other streaming rows)
+    "corpus_bpe_train",
+    "url_canonicalize",
 ]
 
 

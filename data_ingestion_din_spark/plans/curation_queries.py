@@ -1040,3 +1040,102 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# url_canonicalize — URL normalization + URL-level dup detection, the
+# step CCNet/RefinedWeb run before any content pass (group the crawl by
+# canonical URL; fetch variants of one page collapse). The raw corpus
+# has no URL column, so a deterministic messy URL is GENERATED per
+# doc_id residue IDENTICALLY in both engines (the pii_redaction
+# pattern): https-with-default-port + WWW + utm params + fragment,
+# http-with-:80, trailing-slash/case variants, and a www twin — the
+# last two built from doc_id % 50 so distinct raw URLs genuinely
+# collide after canonicalization. The full chain (functions/urls.py)
+# is hash-compared per doc, plus the per-canonical dup-group size.
+# --------------------------------------------------------------------------
+_RAW_URL_SQL = """CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 3 AS VARCHAR)
+                  || '.COM:443/Docs/' || CAST(doc_id AS VARCHAR)
+                  || '/?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+                  || '&utm_campaign=x#sec2'
+      WHEN 1 THEN 'http://example' || CAST(doc_id % 3 AS VARCHAR)
+                  || '.com:80/docs/' || CAST(doc_id AS VARCHAR)
+                  || '?ref=' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://Example.com/shared/'
+                  || CAST(doc_id % 50 AS VARCHAR) || '/'
+      ELSE 'https://www.example.com/shared/'
+                  || CAST(doc_id % 50 AS VARCHAR) || '#top'
+      END"""
+
+
+def _raw_url_spark() -> F.Column:
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example"), s(d % 3),
+                F.lit(".COM:443/Docs/"), s(d),
+                F.lit("/?utm_source=feed&ref="), s(d),
+                F.lit("&utm_campaign=x#sec2"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("http://example"), s(d % 3),
+                F.lit(".com:80/docs/"), s(d),
+                F.lit("?ref="), s(d),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("https://Example.com/shared/"), s(d % 50), F.lit("/")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.example.com/shared/"), s(d % 50),
+                F.lit("#top"),
+            )
+        )
+    )
+
+
+def _ucq_oracle() -> str:
+    from data_ingestion_din_spark.functions.urls import canonical_url_sql
+
+    canon = canonical_url_sql(_RAW_URL_SQL)
+    return f"""
+    WITH u AS (SELECT doc_id, {canon} AS canon FROM documents)
+    SELECT doc_id, canon,
+           CAST(count(*) OVER (PARTITION BY canon) AS BIGINT) AS n_same,
+           (count(*) OVER (PARTITION BY canon)) > 1 AS dup_url
+    FROM u
+    ORDER BY doc_id
+    """
+
+
+@query("url_canonicalize", oracle=_ucq_oracle())
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.urls import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id", canonical_url(_raw_url_spark()).alias("canon")
+    )
+    n_same = F.count(F.lit(1)).over(W.partitionBy("canon")).cast("bigint")
+    return (
+        u.select(
+            "doc_id",
+            "canon",
+            n_same.alias("n_same"),
+            (n_same > 1).alias("dup_url"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1636,3 +1636,118 @@ def corpus_bigram_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("step").cast("int").alias("step"), "token", "cnt"
     ).orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# corpus_bpe_train — BPE tokenizer TRAINING, the full loop (Sennrich et
+# al. 2016): corpus_bpe_merge_step ranks ONE round's pair statistics;
+# this runs _BPE_TRAIN_STEPS rounds end to end — count adjacent pairs
+# over the current tokenization of the DISTINCT-word table (weighted by
+# word frequency), commit the argmax pair (n desc, pair asc — the
+# deterministic tie-break), apply the merge, repeat. The committed
+# merge table (step, lft, rgt, n) is the trained tokenizer, and the
+# oracle unrolls the same rounds in SQL (the kmeans_ctes pattern for
+# iterative algorithms), so every DECISION in the loop is hash-checked,
+# not just the final counts.
+#
+# Scale: all work is vocabulary-sized (the distinct-word table), not
+# corpus-sized — one (lft, rgt) integer-partial shuffle per round, the
+# argmax is a 1-row TakeOrdered collect (iteration control data, like
+# the k-means centroids), and the merge application is a per-word fold
+# with no shuffle; localCheckpoint truncates lineage each round.
+# --------------------------------------------------------------------------
+_BPE_TRAIN_STEPS = 4
+
+
+def _bpe_train_oracle() -> str:
+    ctes = [
+        f"""w AS (SELECT unnest({_TOKS_SQL}) AS w FROM documents),
+    wn AS (SELECT w, CAST(count(*) AS BIGINT) AS wn FROM w GROUP BY w),
+    tok0 AS (
+      SELECT w, wn,
+             list_transform(range(1, length(w) + 1),
+                            i -> substr(w, i, 1)) AS toks
+      FROM wn
+    )"""
+    ]
+    sel = []
+    for r in range(_BPE_TRAIN_STEPS):
+        ctes.append(f"""pc{r} AS (
+      SELECT toks[i] AS lft, toks[i + 1] AS rgt,
+             CAST(sum(wn) AS BIGINT) AS n
+      FROM tok{r}, unnest(range(1, len(toks))) u(i)
+      GROUP BY 1, 2
+    ),
+    m{r} AS (
+      SELECT lft, rgt, n FROM pc{r} ORDER BY n DESC, lft, rgt LIMIT 1
+    ),
+    tok{r + 1} AS (
+      SELECT t.w, t.wn,
+             list_reduce(list_transform(t.toks, x -> [x]), (acc, x) -> CASE
+               WHEN acc[-1] = m.lft AND x[1] = m.rgt
+               THEN list_append(acc[:-2], acc[-1] || x[1])
+               ELSE list_concat(acc, x) END) AS toks
+      FROM tok{r} t CROSS JOIN m{r} m
+    )""")
+        sel.append(f"SELECT {r} AS step, lft, rgt, n FROM m{r}")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT CAST(step AS INT) AS step, lft, rgt, n FROM ("
+        + " UNION ALL ".join(sel)
+        + ") ORDER BY step"
+    )
+
+
+@query("corpus_bpe_train", oracle=_bpe_train_oracle())
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    wn = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("wn"))
+    cur = wn.withColumn(
+        "toks",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+    ).localCheckpoint(eager=True)
+
+    def merge_fold(a: str, b: str) -> F.Column:
+        # column-built fold (no SQL-literal embedding — tokens may
+        # contain quotes); try_element_at: empty accumulator yields NULL
+        # and falls through to the append branch
+        a_l, b_l = F.lit(a), F.lit(b)
+        return F.aggregate(
+            F.col("toks"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == a_l) & (x == b_l),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(a_l, b_l)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    merges = []
+    for step in range(_BPE_TRAIN_STEPS):
+        prs = cur.filter(F.size("toks") >= 2).select(
+            "wn",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+            "toks",
+        ).select(
+            F.element_at("toks", F.col("i")).alias("lft"),
+            F.element_at("toks", F.col("i") + 1).alias("rgt"),
+            "wn",
+        )
+        top = (
+            prs.groupBy("lft", "rgt")
+            .agg(F.sum("wn").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), "lft", "rgt")
+            .limit(1)
+            .collect()[0]  # 1-row argmax — iteration control data
+        )
+        merges.append((step, top.lft, top.rgt, top.n))
+        cur = cur.withColumn(
+            "toks", merge_fold(top.lft, top.rgt)
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, lft string, rgt string, n bigint"
+    ).orderBy("step")

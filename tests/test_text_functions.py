@@ -212,3 +212,27 @@ def test_from_json_truncated_record_yields_null_id(spark):
     )
     got = [r.p.id for r in df.collect()]
     assert got == [None, None, 7], got
+
+
+def test_canonical_url_goldens(spark):
+    from data_ingestion_din_spark.functions.urls import canonical_url
+    from pyspark.sql import functions as F
+
+    cases = {
+        # fragment + utm + default port + WWW + authority case
+        "HTTPS://WWW.Ex.COM:443/A/b/?utm_source=f&ref=1&utm_campaign=x#s":
+            "https://ex.com/A/b/?ref=1",
+        # http default port; path case preserved
+        "http://Ex.com:80/Docs/9?ref=9": "http://ex.com/Docs/9?ref=9",
+        # trailing slash stripped only at string end
+        "https://Ex.com/shared/7/": "https://ex.com/shared/7",
+        # all params were utm -> the dangling '?' goes too
+        "https://ex.com/p?utm_a=1&utm_b=2": "https://ex.com/p",
+        # non-default port preserved
+        "https://ex.com:8443/x": "https://ex.com:8443/x",
+    }
+    df = spark.createDataFrame(
+        [(u,) for u in cases], "u string"
+    ).select("u", canonical_url(F.col("u")).alias("c"))
+    got = {r.u: r.c for r in df.collect()}
+    assert got == cases
