@@ -33,6 +33,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_ivf_index",
     "corpus_bpe_train",
     "url_canonicalize",
+    "similarity_ivfpq_topk",
     # Latest sample is round 4 (registration order within the block).
     "q14_promo_revenue",
     "events_hourly_rollup",

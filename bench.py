@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     # incremental stream cost, like the other streaming rows)
     "corpus_bpe_train",
     "url_canonicalize",
+    "similarity_ivfpq_topk",
 ]
 
 

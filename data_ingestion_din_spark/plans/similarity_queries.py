@@ -222,11 +222,14 @@ _KM_DIST = (
 )
 
 
-def _km_ctes(src: str = "embeddings") -> str:
+def _km_ctes(src: str = "embeddings", p: str = "") -> str:
     """The unrolled 2-iteration Lloyd SQL over ``src`` — shared by the
-    full-corpus k-means/IVF oracles and the incremental-maintenance
-    oracle (which trains on the pre-append base only)."""
-    return f"""q AS (
+    full-corpus k-means/IVF oracles, the incremental-maintenance oracle
+    (which trains on the pre-append base only), and — via the ``p`` CTE
+    name prefix — the composed IVF+PQ oracle, whose PQ chain reuses the
+    unprefixed names. Table aliases inside each CTE stay ``q``/``s`` so
+    ``_KM_DIST`` resolves regardless of prefix."""
+    return f"""{p}q AS (
       SELECT vec_id,
              list_transform(
                embedding,
@@ -234,29 +237,30 @@ def _km_ctes(src: str = "embeddings") -> str:
              ) AS qv
       FROM {src}
     ),
-    seeds AS (
+    {p}seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster, qv
-      FROM q ORDER BY vec_id LIMIT 8
+      FROM {p}q ORDER BY vec_id LIMIT 8
     ),
-    a1 AS (
+    {p}a1 AS (
       SELECT q.vec_id, q.qv, s.cluster
-      FROM q CROSS JOIN seeds s
+      FROM {p}q q CROSS JOIN {p}seeds s
       QUALIFY row_number() OVER (
         PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) = 1
     ),
-    m1 AS (
+    {p}m1 AS (
       SELECT cluster, i AS dim, sum(qv[i]) // count(*) AS c
-      FROM a1, range(1, {_DIMS_UB}) t(i)
+      FROM {p}a1, range(1, {_DIMS_UB}) t(i)
       GROUP BY cluster, i
     ),
-    c1 AS (SELECT cluster, list(c ORDER BY dim) AS qv FROM m1 GROUP BY cluster),
-    c1f AS (
+    {p}c1 AS (SELECT cluster, list(c ORDER BY dim) AS qv FROM {p}m1
+              GROUP BY cluster),
+    {p}c1f AS (
       SELECT s.cluster, coalesce(c.qv, s.qv) AS qv
-      FROM seeds s LEFT JOIN c1 c ON s.cluster = c.cluster
+      FROM {p}seeds s LEFT JOIN {p}c1 c ON s.cluster = c.cluster
     ),
-    a2 AS (
+    {p}a2 AS (
       SELECT q.vec_id, s.cluster
-      FROM q CROSS JOIN c1f s
+      FROM {p}q q CROSS JOIN {p}c1f s
       QUALIFY row_number() OVER (
         PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) = 1
     )
@@ -594,10 +598,12 @@ _PQ_DIST = (
 )
 
 
-@query(
-    "similarity_pq_topk",
-    oracle=f"""
-    WITH q AS (
+def _pq_ctes() -> str:
+    """The PQ training/assignment/ADC CTE chain (q → sub → seeds → a1 →
+    m1 → c1/c1f → codes → adc) — shared by similarity_pq_topk and the
+    composed IVF+PQ oracle (which brings its own km-prefixed k-means
+    chain alongside)."""
+    return f"""q AS (
       SELECT vec_id,
              list_transform(
                embedding,
@@ -644,7 +650,13 @@ _PQ_DIST = (
                i -> (s.sv[i] - c.sv[i]) * (s.sv[i] - c.sv[i]))) AS dpart
       FROM c1f c JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) s
         ON s.m = c.m
-    ),
+    )"""
+
+
+@query(
+    "similarity_pq_topk",
+    oracle=f"""
+    WITH {_pq_ctes()},
     sh AS (
       SELECT co.vec_id, CAST(sum(a.dpart) AS BIGINT) AS adc_dist
       FROM codes co JOIN adc a ON a.m = co.m AND a.code = co.code
@@ -962,4 +974,111 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("members_fp"),
         )
         .orderBy("cluster")
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity_ivfpq_topk — the COMPOSED production ANN index (FAISS
+# IVFPQ with by_residual=false): IVF routes the probe to its coarse
+# cell (the staged k=8 quantizer), PQ's ADC scores ONLY that cell's
+# codes (n_sub integer lookups per vector instead of a 64-dim dot),
+# shortlist-20 by approximate distance, exact cosine rerank to top-10.
+# similarity_ivf_kmeans proves the routing, similarity_pq_topk proves
+# ADC — this gates their composition: the cell restriction must hit the
+# codes table BEFORE any scoring.
+#
+# Scale: this is the billion-vector serving shape — the scan touches
+# one cell's codes (cluster = partition key at scale), scoring is
+# integer lookups against two bounded literals (ADC table k·n_sub, cell
+# id 1 row), and only the 20-row shortlist ever loads full vectors.
+# --------------------------------------------------------------------------
+_IVFPQ_SHORTLIST = 20
+
+
+@query(
+    "similarity_ivfpq_topk",
+    oracle=f"""
+    WITH {_km_ctes(p="km")},
+    {_pq_ctes()},
+    pc AS (SELECT cluster FROM kma2 WHERE vec_id = 0),
+    sh AS (
+      SELECT co.vec_id, CAST(sum(a.dpart) AS BIGINT) AS adc_dist
+      FROM codes co
+      JOIN kma2 asg ON asg.vec_id = co.vec_id
+      JOIN adc a ON a.m = co.m AND a.code = co.code
+      CROSS JOIN pc
+      WHERE co.vec_id <> 0 AND asg.cluster = pc.cluster
+      GROUP BY co.vec_id
+      ORDER BY adc_dist, co.vec_id
+      LIMIT {_IVFPQ_SHORTLIST}
+    )
+    SELECT e.vec_id, sh.adc_dist,
+           {cosine_exact_sql('e.embedding', 'qq.embedding')} AS cos_sim
+    FROM sh JOIN embeddings e ON e.vec_id = sh.vec_id
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qq
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.operators.similarity import (
+        int_matrix_lit,
+        pq_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _km8(spark, sf_dir)[0]
+    codes, cb = pq_assign(emb, n_sub=_PQ_SUB, k=_PQ_K, iters=1)
+    # probe-side precomputation (the per-query work PQ serving does):
+    # one 1-row collect each for the probe's quantized vector and its
+    # coarse cell — bounded control data, independent of corpus size
+    q0 = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(quantize(F.col("embedding")).alias("qv"))
+        .collect()[0]
+        .qv
+    )
+    pc = assigned.filter(F.col("vec_id") == 0).collect()[0].cluster
+    adc = [
+        [
+            sum(
+                (int(q0[m * _PQ_D + i]) - c[i]) ** 2
+                for i in range(_PQ_D)
+            )
+            for c in cb[m]
+        ]
+        for m in range(_PQ_SUB)
+    ]
+    dpart = F.element_at(
+        F.element_at(int_matrix_lit(adc), F.col("m") + 1), F.col("code")
+    )
+    cell_ids = assigned.filter(
+        (F.col("cluster") == F.lit(int(pc))) & (F.col("vec_id") != 0)
+    ).select("vec_id")
+    shortlist = (
+        codes.join(cell_ids, "vec_id", "left_semi")
+        .select("vec_id", dpart.alias("dpart"))
+        .groupBy("vec_id")
+        .agg(F.sum("dpart").cast("bigint").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(_IVFPQ_SHORTLIST)
+    )
+    probe = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q_embedding")
+        )
+    )
+    return (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(probe)
+        .select(
+            "vec_id",
+            "adc_dist",
+            cosine_exact(F.col("embedding"), F.col("q_embedding")).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
     )

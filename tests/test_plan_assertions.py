@@ -655,3 +655,11 @@ def test_ivf_index_processor_batch_plan(spark, tmp_path):
     assert s["exchange"] == 0, s
     assert _hint_count(dfs["assignments"]) == 0
     assert dfs["new_cents"] is None  # frozen after the training epoch
+
+
+def test_similarity_ivfpq_topk_plan(spark):
+    s = _stats("similarity_ivfpq_topk", spark)
+    # cell semi-join prunes the codes BEFORE ADC scoring; the only
+    # nested loop is the documented 1-row broadcast probe attach
+    assert s["cartesian"] <= 1, s
+    assert s["exchange"] <= 6, s
