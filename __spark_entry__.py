@@ -34,6 +34,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_bpe_train",
     "url_canonicalize",
     "similarity_ivfpq_topk",
+    "similarity_ivfpq_recall",
     # Latest sample is round 4 (registration order within the block).
     "q14_promo_revenue",
     "events_hourly_rollup",

@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "corpus_bpe_train",
     "url_canonicalize",
     "similarity_ivfpq_topk",
+    "similarity_ivfpq_recall",
 ]
 
 

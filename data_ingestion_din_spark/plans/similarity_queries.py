@@ -1082,3 +1082,48 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# similarity_ivfpq_recall — the composed index's operating point,
+# measured like every other lossy ANN path (lsh_recall, pq_recall,
+# media_phash_recall): overlap of the IVFPQ top-10 with the exact
+# top-10. Composition costs recall twice (cell routing can exclude true
+# neighbors PQ would have kept, and vice versa) — this row is the
+# number that says what the cell-pruned scan actually buys.
+# --------------------------------------------------------------------------
+_IVFPQ_SQL = _ORACLES["similarity_ivfpq_topk"]
+
+
+@query(
+    "similarity_ivfpq_recall",
+    oracle=f"""
+    WITH exact AS ({_EXACT_SQL}),
+    ip AS ({_IVFPQ_SQL}),
+    ov AS (SELECT e.vec_id FROM exact e JOIN ip p ON e.vec_id = p.vec_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM ip) AS n_ivfpq,
+           (SELECT CAST(count(*) AS BIGINT) FROM ov) AS n_overlap,
+           round(CAST((SELECT count(*) FROM ov) AS DOUBLE)
+                 / (SELECT count(*) FROM exact), 6) AS recall
+    """,
+)
+def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = similarity_topk(spark, sf_dir).select("vec_id")
+    ip = similarity_ivfpq_topk(spark, sf_dir).select("vec_id")
+    ov = exact.join(ip, "vec_id")
+    return (
+        exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .crossJoin(ip.agg(F.count(F.lit(1)).cast("bigint").alias("n_ivfpq")))
+        .crossJoin(
+            ov.agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+        )
+        .select(
+            "n_exact",
+            "n_ivfpq",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
