@@ -10,15 +10,20 @@ Steps, in order (each step's input is the previous step's output):
 1. strip the fragment (``#...``);
 2. lowercase the scheme+authority (ONLY up to the first path slash —
    paths and queries are case-significant);
-3. drop a ``www.`` host prefix;
+3. drop a ``www.`` host prefix (ANCHORED to the scheme — an
+   unanchored pattern would be applied globally by Spark but once by
+   DuckDB, diverging on URLs that embed another URL in the query
+   string, and would rewrite case-significant query text);
 4. drop explicit default ports (``:443`` for https, ``:80`` for http)
    at the authority boundary;
 5. remove ``utm_*`` tracking params (global), then tidy a dangling
    ``?``/``&``;
 6. strip trailing path slashes.
 
-Only the utm step can match more than once: Spark's regexp_replace is
-always global, DuckDB needs the explicit ``'g'`` flag there.
+Only the utm step can legally match more than once (Spark's
+regexp_replace is always global; DuckDB needs the explicit ``'g'``
+flag there) — every other pattern is anchored or single-occurrence by
+construction.
 """
 
 from __future__ import annotations
@@ -35,7 +40,7 @@ def canonical_url(u: Column) -> Column:
     u = F.concat(
         F.lower(auth), u.substr(F.length(auth) + 1, F.lit(1 << 30))
     )
-    u = F.regexp_replace(u, "://www\\.", "://")
+    u = F.regexp_replace(u, "^(https?://)www\\.", "$1")
     u = F.regexp_replace(u, "^(https://[^/:]+):443(/|\\?|$)", "$1$2")
     u = F.regexp_replace(u, "^(http://[^/:]+):80(/|\\?|$)", "$1$2")
     u = F.regexp_replace(u, "([?&])(utm_[a-z]+=[^&]*(&|$))+", "$1")
@@ -48,7 +53,7 @@ def canonical_url_sql(expr: str) -> str:
     u = f"regexp_replace({expr}, '#.*$', '')"
     auth = f"regexp_extract({u}, '{_AUTH_RE}')"
     u = f"(lower({auth}) || substr({u}, length({auth}) + 1))"
-    u = f"regexp_replace({u}, '://www\\.', '://')"
+    u = f"regexp_replace({u}, '^(https?://)www\\.', '\\1')"
     u = f"regexp_replace({u}, '^(https://[^/:]+):443(/|\\?|$)', '\\1\\2')"
     u = f"regexp_replace({u}, '^(http://[^/:]+):80(/|\\?|$)', '\\1\\2')"
     u = f"regexp_replace({u}, '([?&])(utm_[a-z]+=[^&]*(&|$))+', '\\1', 'g')"

@@ -391,3 +391,21 @@ def compact_small_files(
         "files_after": len(after),
         "bytes_after": sum(sz for _, sz in after),
     }
+
+
+def session_staged(cache: dict, spark, sf_dir: str, build):
+    """The one (applicationId, sf_dir)-keyed session-staging pattern:
+    evict entries from other (stopped) SparkContexts — their
+    checkpointed blocks died with the JVM, and keeping the dead
+    references would grow the dict unboundedly across session restarts
+    in one process (review finding) — then build + eagerly
+    localCheckpoint on miss. ``build()`` returns the DataFrame to
+    stage; used by the pHash table, the banded-pair table, the
+    substring-span table and the trained k-means assignment."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in cache if k[0] != app]:
+        del cache[k]
+    key = (app, sf_dir)
+    if key not in cache:
+        cache[key] = build().localCheckpoint(eager=True)
+    return cache[key]

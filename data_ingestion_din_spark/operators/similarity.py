@@ -267,10 +267,15 @@ def kmeans_train(
         return s // n if (s >= 0) == (n >= 0) or s % n == 0 else s // n + 1
 
     assigned, used = None, cents
-    for _ in range(iters):
+    for it in range(iters):
         used = cents
         # argmin, lowest cluster wins ties (array_position = first match)
         assigned = assign_to_centroids(base, cents)
+        if it == iters - 1:
+            # the final M-step's centroids would be discarded (the
+            # returned quantizer is the matrix this assignment used) —
+            # skipping it drops a full posexplode shuffle + collect
+            break
         sums = (
             assigned.select(
                 "cluster", F.posexplode("qv").alias("dim", "v")

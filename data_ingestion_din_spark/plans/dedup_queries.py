@@ -258,20 +258,20 @@ _BP_DONE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    app = spark.sparkContext.applicationId
-    for k in [k for k in _BP_DONE if k[0] != app]:
-        del _BP_DONE[k]  # dead-context eviction (see _phash_table)
-    key = (app, sf_dir)
-    if key not in _BP_DONE:
-        docs = load_table(spark, sf_dir, "documents")
-        _BP_DONE[key] = D.minhash_banded_pairs(
-            docs,
+    from data_ingestion_din_spark.operators.colocate import session_staged
+
+    return session_staged(
+        _BP_DONE,
+        spark,
+        sf_dir,
+        lambda: D.minhash_banded_pairs(
+            load_table(spark, sf_dir, "documents"),
             n_hashes=_NB_HASHES,
             bands=_NB_BANDS,
             shingle_n=3,
             threshold=0.5,
-        ).localCheckpoint(eager=True)
-    return _BP_DONE[key]
+        ),
+    )
 
 
 @query(
@@ -1354,16 +1354,16 @@ _SS_DONE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    app = spark.sparkContext.applicationId
-    for k in [k for k in _SS_DONE if k[0] != app]:
-        del _SS_DONE[k]  # dead-context eviction (see _phash_table)
-    key = (app, sf_dir)
-    if key not in _SS_DONE:
-        docs = load_table(spark, sf_dir, "documents")
-        _SS_DONE[key] = D.duplicated_spans(docs, _SSW).localCheckpoint(
-            eager=True
-        )
-    return _SS_DONE[key]
+    from data_ingestion_din_spark.operators.colocate import session_staged
+
+    return session_staged(
+        _SS_DONE,
+        spark,
+        sf_dir,
+        lambda: D.duplicated_spans(
+            load_table(spark, sf_dir, "documents"), _SSW
+        ),
+    )
 
 _WIN_CTE = f"""
     toks AS (

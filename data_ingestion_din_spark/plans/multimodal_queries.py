@@ -226,21 +226,15 @@ _PH_DONE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.operators.colocate import session_staged
     from data_ingestion_din_spark.sources.binary import phash_media
 
-    app = spark.sparkContext.applicationId
-    # evict entries from other (stopped) SparkContexts: their
-    # checkpointed blocks are gone with the JVM, and keeping the dead
-    # DataFrame references would grow the dict unboundedly across
-    # session restarts in one process (review finding)
-    for k in [k for k in _PH_DONE if k[0] != app]:
-        del _PH_DONE[k]
-    key = (app, sf_dir)
-    if key not in _PH_DONE:
-        _PH_DONE[key] = phash_media(
-            _media_binary(spark, sf_dir)
-        ).localCheckpoint(eager=True)
-    return _PH_DONE[key]
+    return session_staged(
+        _PH_DONE,
+        spark,
+        sf_dir,
+        lambda: phash_media(_media_binary(spark, sf_dir)),
+    )
 
 
 def _phash_pairs(ph: DataFrame) -> DataFrame:

@@ -278,29 +278,33 @@ _KM_CTES = _km_ctes()
     """,
 )
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _km8(spark, sf_dir)[0].orderBy("vec_id")
+    return _km8(spark, sf_dir).orderBy("vec_id")
 
 
-# The trained k=8 assignment is consumed by three queries
-# (embedding_kmeans, similarity_ivf_kmeans, dedup_semantic_kmeans) with
-# identical (k, iters) — the trained index is a session artifact like
-# the pHash table / banded-pair table, staged once per (SparkContext,
-# sf_dir): each consumer pays its own resolution, not the Lloyd loop.
-_KM8_DONE: dict[tuple[str, str], tuple[DataFrame, list]] = {}
+# The trained k=8 assignment is consumed by four queries
+# (embedding_kmeans, similarity_ivf_kmeans, dedup_semantic_kmeans,
+# similarity_ivfpq_topk) with identical (k, iters) — the trained index
+# is a session artifact like the pHash table / banded-pair table,
+# staged once per (SparkContext, sf_dir): each consumer pays its own
+# resolution, not the Lloyd loop. Only the ASSIGNMENT is staged — no
+# current consumer reads the centroid matrix (queries that need a
+# frozen quantizer, like similarity_ivf_incremental, train on their
+# own base subset via kmeans_train directly).
+_KM8_DONE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _km8(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
+def _km8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.operators.colocate import session_staged
     from data_ingestion_din_spark.operators.similarity import kmeans_train
 
-    app = spark.sparkContext.applicationId
-    for k in [k for k in _KM8_DONE if k[0] != app]:
-        del _KM8_DONE[k]  # dead-context eviction (see _phash_table)
-    key = (app, sf_dir)
-    if key not in _KM8_DONE:
-        emb = load_table(spark, sf_dir, "embeddings")
-        assigned, cents = kmeans_train(emb, k=8, iters=2)
-        _KM8_DONE[key] = (assigned.localCheckpoint(eager=True), cents)
-    return _KM8_DONE[key]
+    return session_staged(
+        _KM8_DONE,
+        spark,
+        sf_dir,
+        lambda: kmeans_train(
+            load_table(spark, sf_dir, "embeddings"), k=8, iters=2
+        )[0],
+    )
 
 
 # --------------------------------------------------------------------------
@@ -329,7 +333,7 @@ def _km8(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
 )
 def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = _km8(spark, sf_dir)[0]
+    assigned = _km8(spark, sf_dir)
     probe_cell = assigned.filter(F.col("vec_id") == 0).select(
         F.col("cluster").alias("pc")
     )
@@ -653,6 +657,38 @@ def _pq_ctes() -> str:
     )"""
 
 
+def _probe_adc(emb: DataFrame, cb: list) -> F.Column:
+    """Probe-side ADC precomputation shared by similarity_pq_topk and
+    similarity_ivfpq_topk (both hash-gated against oracles that must
+    stay bit-identical): one 1-row collect for the probe's quantized
+    vector — the per-query work PQ serving does — then the integer
+    ||q0_m − centroid||² table as a literal, returned as the per-code
+    lookup expression over (m, code)."""
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.operators.similarity import int_matrix_lit
+
+    q0 = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(quantize(F.col("embedding")).alias("qv"))
+        .collect()[0]
+        .qv
+    )
+    adc = [
+        [
+            sum(
+                (int(q0[m * _PQ_D + i]) - c[i]) ** 2
+                for i in range(_PQ_D)
+            )
+            for c in cb[m]
+        ]
+        for m in range(_PQ_SUB)
+    ]
+    return F.element_at(
+        F.element_at(int_matrix_lit(adc), F.col("m") + 1), F.col("code")
+    )
+
+
+
 @query(
     "similarity_pq_topk",
     oracle=f"""
@@ -674,36 +710,11 @@ def _pq_ctes() -> str:
     """,
 )
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_ingestion_din_spark.functions.vectors import quantize
-    from data_ingestion_din_spark.operators.similarity import (
-        int_matrix_lit,
-        pq_assign,
-    )
+    from data_ingestion_din_spark.operators.similarity import pq_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
     codes, cb = pq_assign(emb, n_sub=_PQ_SUB, k=_PQ_K, iters=1)
-    # ADC lookup table for the probe (vec_id 0): one tiny collect for the
-    # probe's quantized vector (the per-query precomputation PQ serving
-    # does), then adc[m][code] = integer ||q0_m − centroid||².
-    q0 = (
-        emb.filter(F.col("vec_id") == 0)
-        .select(quantize(F.col("embedding")).alias("qv"))
-        .collect()[0]
-        .qv
-    )
-    adc = [
-        [
-            sum(
-                (int(q0[m * _PQ_D + i]) - c[i]) ** 2
-                for i in range(_PQ_D)
-            )
-            for c in cb[m]
-        ]
-        for m in range(_PQ_SUB)
-    ]
-    dpart = F.element_at(
-        F.element_at(int_matrix_lit(adc), F.col("m") + 1), F.col("code")
-    )
+    dpart = _probe_adc(emb, cb)
     shortlist = (
         codes.filter(F.col("vec_id") != 0)
         .select("vec_id", dpart.alias("dpart"))
@@ -793,7 +804,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_din_spark.functions.vectors import quantize
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = _km8(spark, sf_dir)[0]
+    assigned = _km8(spark, sf_dir)
     qv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
     v = assigned.join(qv, "vec_id").select("vec_id", "cluster", "qv")
 
@@ -1021,38 +1032,16 @@ _IVFPQ_SHORTLIST = 20
     """,
 )
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_ingestion_din_spark.functions.vectors import quantize
-    from data_ingestion_din_spark.operators.similarity import (
-        int_matrix_lit,
-        pq_assign,
-    )
+    from data_ingestion_din_spark.operators.similarity import pq_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = _km8(spark, sf_dir)[0]
+    assigned = _km8(spark, sf_dir)
     codes, cb = pq_assign(emb, n_sub=_PQ_SUB, k=_PQ_K, iters=1)
     # probe-side precomputation (the per-query work PQ serving does):
-    # one 1-row collect each for the probe's quantized vector and its
+    # 1-row collects for the probe's ADC table (shared helper) and its
     # coarse cell — bounded control data, independent of corpus size
-    q0 = (
-        emb.filter(F.col("vec_id") == 0)
-        .select(quantize(F.col("embedding")).alias("qv"))
-        .collect()[0]
-        .qv
-    )
+    dpart = _probe_adc(emb, cb)
     pc = assigned.filter(F.col("vec_id") == 0).collect()[0].cluster
-    adc = [
-        [
-            sum(
-                (int(q0[m * _PQ_D + i]) - c[i]) ** 2
-                for i in range(_PQ_D)
-            )
-            for c in cb[m]
-        ]
-        for m in range(_PQ_SUB)
-    ]
-    dpart = F.element_at(
-        F.element_at(int_matrix_lit(adc), F.col("m") + 1), F.col("code")
-    )
     cell_ids = assigned.filter(
         (F.col("cluster") == F.lit(int(pc))) & (F.col("vec_id") != 0)
     ).select("vec_id")

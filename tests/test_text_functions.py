@@ -230,6 +230,10 @@ def test_canonical_url_goldens(spark):
         "https://ex.com/p?utm_a=1&utm_b=2": "https://ex.com/p",
         # non-default port preserved
         "https://ex.com:8443/x": "https://ex.com:8443/x",
+        # www stripped ONLY at the scheme — an embedded URL in the
+        # query string is content, not authority
+        "https://www.ex.com/r?u=https://www.b.com":
+            "https://ex.com/r?u=https://www.b.com",
     }
     df = spark.createDataFrame(
         [(u,) for u in cases], "u string"
