@@ -35,6 +35,7 @@ _DRIVER_PRIORITY: list[str] = [
     "url_canonicalize",
     "similarity_ivfpq_topk",
     "similarity_ivfpq_recall",
+    "corpus_leakage_safe_split",
     # Latest sample is round 4 (registration order within the block).
     "q14_promo_revenue",
     "events_hourly_rollup",

@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "url_canonicalize",
     "similarity_ivfpq_topk",
     "similarity_ivfpq_recall",
+    "corpus_leakage_safe_split",
 ]
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_din_spark.functions.hashing import (
     h32_sql,
+    h64_sql,
     minhash_slot_sql,
 )
 from data_ingestion_din_spark.operators import dedup as D
@@ -1559,3 +1560,131 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_leakage_safe_split — train/val splitting that cannot leak
+# near-duplicates across the boundary (Lee et al. 2021's headline
+# hazard: a test document whose near-dup sits in train inflates eval).
+# Every doc's split GROUP is its near-dup cluster (the banded-MinHash
+# components; singletons group as themselves), and the hash split is a
+# function of the GROUP id — so a whole cluster lands on one side by
+# construction. The one-row audit proves it: straddling near-dup pairs
+# under the grouped split (MUST be 0) next to the count the naive
+# per-doc split would have leaked (non-zero on the fixture — the
+# hazard is real, not hypothetical).
+#
+# Scale: clusters come from the staged pair table + CC (already
+# bounded); the split itself is a pure hash expression — no extra
+# shuffle beyond the audit's pair join.
+# --------------------------------------------------------------------------
+_LSS_SEED = "gsplit:"
+
+
+@query(
+    "corpus_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_BANDED_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM verified
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM verified
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT e.s AS node, r.r FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    g AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS grp
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    ),
+    s AS (
+      SELECT doc_id, grp,
+             CASE WHEN {h64_sql("CAST(grp AS VARCHAR)", _LSS_SEED)} % 10 < 8
+                  THEN 'train' ELSE 'val' END AS split,
+             CASE WHEN {h64_sql("CAST(doc_id AS VARCHAR)", _LSS_SEED)} % 10 < 8
+                  THEN 'train' ELSE 'val' END AS naive_split
+      FROM g
+    ),
+    leak AS (
+      SELECT
+        CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+          AS leak_grouped,
+        CAST(sum(CASE WHEN a.naive_split <> b.naive_split THEN 1 ELSE 0 END)
+          AS BIGINT) AS leak_naive
+      FROM verified v
+      JOIN s a ON a.doc_id = v.doc_a
+      JOIN s b ON b.doc_id = v.doc_b
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM s WHERE split = 'train')
+        AS n_train,
+      (SELECT CAST(count(*) AS BIGINT) FROM s WHERE split = 'val') AS n_val,
+      (SELECT CAST(count(DISTINCT grp) AS BIGINT) FROM s
+        WHERE split = 'train') AS groups_train,
+      (SELECT CAST(count(DISTINCT grp) AS BIGINT) FROM s WHERE split = 'val')
+        AS groups_val,
+      leak_grouped, leak_naive
+    FROM leak
+    """,
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _banded_pairs(spark, sf_dir)
+    clusters = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    g = docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("grp")
+    )
+
+    def split_of(col):
+        return F.when(
+            h64(col.cast("string"), _LSS_SEED) % 10 < 8, "train"
+        ).otherwise("val")
+
+    s = g.select(
+        "doc_id",
+        "grp",
+        split_of(F.col("grp")).alias("split"),
+        split_of(F.col("doc_id")).alias("naive_split"),
+    ).localCheckpoint(eager=True)  # feeds the counts and both audit sides
+    sa = s.select(F.col("doc_id").alias("doc_a"),
+                  F.col("split").alias("sa"),
+                  F.col("naive_split").alias("na"))
+    sb = s.select(F.col("doc_id").alias("doc_b"),
+                  F.col("split").alias("sb"),
+                  F.col("naive_split").alias("nb"))
+    leak = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .agg(
+            F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("leak_grouped"),
+            F.sum(F.when(F.col("na") != F.col("nb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("leak_naive"),
+        )
+    )
+    counts = s.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_val"),
+        F.countDistinct(F.when(F.col("split") == "train", F.col("grp")))
+        .cast("bigint")
+        .alias("groups_train"),
+        F.countDistinct(F.when(F.col("split") == "val", F.col("grp")))
+        .cast("bigint")
+        .alias("groups_val"),
+    )
+    return counts.crossJoin(leak)
