@@ -282,3 +282,136 @@ def test_bpe_fused_scan_matches_sequential(spark, words):
     )
     got = {r[0]: list(r[1]) for r in enc.select("w", "c1").collect()}
     assert got == {w: _bpe_seq_py(w) for w in words}
+
+
+# --------------------------------------------------------------------------
+# Round-8 operators
+# --------------------------------------------------------------------------
+_url_piece = st.builds(
+    lambda scheme, www, host, port, path, slash, q, utm_pos, frag: (
+        scheme
+        + "://"
+        + www
+        + host
+        + port
+        + "/"
+        + path
+        + slash
+        + (
+            "?" + "&".join(
+                (["utm_src=a"] if utm_pos == 0 else [])
+                + ([q] if q else [])
+                + (["utm_c=b"] if utm_pos == 1 else [])
+                + (["utm_x=1", "utm_y=2"] if utm_pos == 2 else [])
+            )
+            if (q or utm_pos >= 0)
+            else ""
+        )
+        + frag
+    ),
+    st.sampled_from(["http", "https", "HTTP", "HTTPS", "ftp"]),
+    st.sampled_from(["", "www.", "WWW."]),
+    st.sampled_from(["Ex.com", "ex.com", "a.b.Ex.COM", "www.com"]),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["p", "Docs/9", "r?x", "u=https://www.b.com"]),
+    st.sampled_from(["", "/", "//"]),
+    st.sampled_from(["", "ref=1", "id=www.q"]),
+    st.sampled_from([-1, 0, 1, 2]),
+    st.sampled_from(["", "#f", "#a#b"]),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_url_piece, min_size=20, max_size=40))
+def test_canonical_url_twins_agree(spark, vals):
+    """The canonicalizer's Spark and DuckDB twins must agree on
+    adversarial compositions (mixed-case schemes, WWW variants,
+    embedded URLs in paths/queries, consecutive utm params, multi
+    fragments, double slashes) — the class the inline review caught by
+    hand (global-vs-once www strip)."""
+    from data_ingestion_din_spark.functions.urls import (
+        canonical_url,
+        canonical_url_sql,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [
+        r.c for r in df.select(canonical_url(F.col("s")).alias("c")).collect()
+    ]
+    want = [w[0] for w in _duck(vals, canonical_url_sql("s"))]
+    assert got == want
+
+
+def _spans_reference(texts, w):
+    """Brute-force duplicated_spans: hash every w-token window, keep
+    windows whose text occurs in >= 2 docs, merge per doc."""
+    wins = {}
+    per_doc = {}
+    for d, t in enumerate(texts):
+        toks = [x for x in t.split(" ") if x]
+        for i in range(len(toks) - w + 1):
+            key = " ".join(toks[i : i + w])
+            wins.setdefault(key, set()).add(d)
+            per_doc.setdefault(d, []).append((i + 1, key))
+    out = []
+    for d, lst in per_doc.items():
+        starts = sorted(i for i, k in lst if len(wins[k]) >= 2)
+        if not starts:
+            continue
+        s0, prev, n = starts[0], starts[0], 1
+        for i in starts[1:]:
+            if i - prev <= w:
+                prev, n = i, n + 1
+            else:
+                out.append((d, s0, prev + w - 1, n))
+                s0, prev, n = i, i, 1
+        out.append((d, s0, prev + w - 1, n))
+    return sorted(out)
+
+
+_span_word = st.sampled_from(["a", "b", "c", "d"])
+_span_text = st.lists(_span_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_span_text, min_size=2, max_size=6), st.integers(2, 4))
+def test_duplicated_spans_matches_reference(spark, texts, w):
+    """Exact-substring span detection == a brute-force Python reference
+    on random tiny corpora over a 4-letter alphabet (dense collisions:
+    within-doc repeats, adjacency merges, full-doc coverage)."""
+    from data_ingestion_din_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicated_spans(docs, w).collect()
+    )
+    assert got == _spans_reference(texts, w)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_union_find_matches_distributed_cc(spark, edges):
+    """Hybrid CC: the driver union-find and the distributed
+    min-label+jump loop must produce identical clusters on random
+    graphs (self-loops, parallel edges, multi-component)."""
+    from data_ingestion_din_spark.operators.dedup import (
+        _union_find,
+        connected_components,
+    )
+
+    drv = _union_find(edges)
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    dist = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs, driver_cap_edges=0).collect()
+    }
+    assert drv == dist
