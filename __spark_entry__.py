@@ -36,6 +36,7 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_ivfpq_topk",
     "similarity_ivfpq_recall",
     "corpus_leakage_safe_split",
+    "corpus_snapshot_diff",
     # Latest sample is round 4 (registration order within the block).
     "q14_promo_revenue",
     "events_hourly_rollup",

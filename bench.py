@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "similarity_ivfpq_topk",
     "similarity_ivfpq_recall",
     "corpus_leakage_safe_split",
+    "corpus_snapshot_diff",
 ]
 
 

@@ -1139,3 +1139,84 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_snapshot_diff — dataset-version diff, the op a pipeline runs
+# between corpus releases (what did this ingest change?): two snapshots
+# are DERIVED deterministically from the fixture (v1 = docs except the
+# %17 slice, plus a %13 slice whose text carries a v1 suffix; v2 = docs
+# except the %11 slice), full-outer-joined on doc_id with content
+# fingerprints compared — every doc is exactly added / removed /
+# changed / unchanged, and the per-language counts are hash-gated.
+# Fingerprint compare (not text compare) is the point: at 100 TB the
+# diff joins two md5 columns, never two text columns.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, lang,
+             md5(text || CASE WHEN doc_id % 13 = 0 THEN ' (rev a)'
+                              ELSE '' END) AS fp
+      FROM documents WHERE doc_id % 17 <> 0
+    ),
+    v2 AS (
+      SELECT doc_id, lang, md5(text) AS fp
+      FROM documents WHERE doc_id % 11 <> 0
+    ),
+    d AS (
+      SELECT coalesce(v2.doc_id, v1.doc_id) AS doc_id,
+             coalesce(v2.lang, v1.lang) AS lang,
+             CASE
+               WHEN v1.doc_id IS NULL THEN 'added'
+               WHEN v2.doc_id IS NULL THEN 'removed'
+               WHEN v1.fp <> v2.fp THEN 'changed'
+               ELSE 'unchanged'
+             END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT lang, status, CAST(count(*) AS BIGINT) AS n_docs
+    FROM d
+    GROUP BY lang, status
+    ORDER BY lang, status
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 13 == 0, " (rev a)").otherwise(""),
+            )
+        ).alias("fp"),
+    )
+    v2 = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", "lang", F.md5(F.col("text")).alias("fp")
+    )
+    a = v1.select(
+        F.col("doc_id").alias("id1"),
+        F.col("lang").alias("lang1"),
+        F.col("fp").alias("fp1"),
+    )
+    b = v2.select(
+        F.col("doc_id").alias("id2"),
+        F.col("lang").alias("lang2"),
+        F.col("fp").alias("fp2"),
+    )
+    d = a.join(b, a.id1 == b.id2, "full_outer").select(
+        F.coalesce("lang2", "lang1").alias("lang"),
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("fp1") != F.col("fp2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        d.groupBy("lang", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang", "status")
+    )
