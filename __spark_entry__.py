@@ -37,6 +37,7 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_ivfpq_recall",
     "corpus_leakage_safe_split",
     "corpus_snapshot_diff",
+    "streaming_quality_gate",
     # Latest sample is round 4 (registration order within the block).
     "q14_promo_revenue",
     "events_hourly_rollup",

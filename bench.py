@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "similarity_ivfpq_recall",
     "corpus_leakage_safe_split",
     "corpus_snapshot_diff",
+    # streaming_quality_gate is correctness-gated but not benched
+    # (one-time incremental stream cost, like the other streaming rows)
 ]
 
 

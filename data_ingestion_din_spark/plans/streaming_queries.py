@@ -2185,3 +2185,164 @@ def streaming_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_quality_gate — the model-based quality gate run AT INGEST
+# with a FROZEN model, completing the frozen-artifact-at-ingest family
+# (IVF quantizer ✓ streaming_ivf_index; the classifier here): the
+# FIRST landing trains the vocabulary (top-K words by count in that
+# landing, count desc / word asc — the doc_quality_classifier
+# construction with hash-derived integer weights) and commits it as
+# epoch-keyed state; later landings read the frozen vocab and score
+# against it — production never retrains the gate per batch, so batch-2
+# docs are scored by batch-1's vocabulary, and the oracle restates
+# exactly that (train-on-evens, score-everyone-with-it).
+#
+# Scale: the vocab is top-K BY CONSTRUCTION → reading it back and
+# broadcast-joining it is bounded at K rows regardless of corpus size
+# (the legal broadcast class; the corpus-growing tables never get the
+# hint). Per landing: one token shuffle for the per-doc sums.
+# --------------------------------------------------------------------------
+_SQG_K = 400
+_SQG_DONE: dict[tuple[str, str], str] = {}
+
+
+def _quality_gate_processor(out: str, vocab_state: str, k: int = _SQG_K):
+    """foreachBatch processor over (verdicts, vocab-state) dirs —
+    module-level for the replay test, like the other index processors."""
+    from data_ingestion_din_spark.functions.analysis import tokens
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    def _plan(batch_df: DataFrame, epoch_id: int):
+        spark_l = batch_df.sparkSession
+        tok = batch_df.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        prior = None
+        if os.path.isdir(vocab_state):
+            prior = (
+                spark_l.read.option("basePath", vocab_state)
+                .parquet(vocab_state)
+                .filter(F.col("epoch") < epoch_id)
+                .select("w", "wt")
+            )
+        # train ONLY when no prior-epoch vocab exists — keyed on the
+        # PRIOR-EPOCH rows, not directory existence, so a REPLAYED
+        # training epoch (state dir present, no epochs before it)
+        # retrains identically instead of scoring against an empty
+        # vocab (the 1-row probe is bounded: the vocab is top-K)
+        if prior is not None and prior.limit(1).count() > 0:
+            vocab = prior
+            new_vocab = None  # frozen — written once by the training epoch
+        else:
+            vocab = (
+                tok.groupBy("w")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"), "w")
+                .limit(k)
+                .select(
+                    "w",
+                    (h64(F.col("w")) % 201 - 100).cast("bigint").alias("wt"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            new_vocab = vocab
+        scored = tok.join(F.broadcast(vocab), "w", "left")
+        verdicts = (
+            scored.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+                F.sum(F.when(F.col("wt").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("oov_tok"),
+                F.coalesce(F.sum("wt"), F.lit(0))
+                .cast("bigint")
+                .alias("logit_sum"),
+                F.when(F.coalesce(F.sum("wt"), F.lit(0)) >= 0, 1)
+                .otherwise(0)
+                .cast("int")
+                .alias("passed"),
+            )
+        )
+        return {"verdicts": verdicts, "new_vocab": new_vocab}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dfs = _plan(batch_df, epoch_id)
+        ep = f"epoch={epoch_id}"
+        dfs["verdicts"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, ep)
+        )
+        if dfs["new_vocab"] is not None:
+            dfs["new_vocab"].coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(vocab_state, ep)
+            )
+
+    _process.plan = _plan
+    return _process
+
+
+def _sqg_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SQG_DONE:
+        if _dir_ok(_SQG_DONE[key]):
+            return _SQG_DONE[key]
+        del _SQG_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_sqg")
+    out = os.path.join(base, "out")
+    _process = _quality_gate_processor(out, os.path.join(base, "vocab"))
+    _run_doc_parity_landings(spark, sf_dir, base, _process)
+    _SQG_DONE[key] = out
+    return out
+
+
+def _sqg_oracle() -> str:
+    from data_ingestion_din_spark.functions.hashing import h64_sql
+
+    wt = f"CAST({h64_sql('w')} % 201 - 100 AS BIGINT)"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w, {wt} AS wt
+      FROM (
+        SELECT w, count(*) AS c FROM tok WHERE doc_id % 2 = 0
+        GROUP BY w ORDER BY c DESC, w LIMIT {_SQG_K}
+      )
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(CASE WHEN v.wt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tok,
+           CAST(coalesce(sum(v.wt), 0) AS BIGINT) AS logit_sum,
+           CAST(CASE WHEN coalesce(sum(v.wt), 0) >= 0 THEN 1 ELSE 0 END
+                AS INT) AS passed
+    FROM tok t LEFT JOIN vocab v USING (w)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+@query("streaming_quality_gate", oracle=_sqg_oracle())
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back both landings' verdicts; the oracle restates
+    train-vocab-on-landing-1 (even doc_ids) + score-everyone-with-it,
+    so hash parity proves the frozen vocabulary survived the
+    checkpointed restart and batch 2 was scored by batch 1's model."""
+    out = _sqg_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "n_tok", "oov_tok", "logit_sum", "passed")
+        .orderBy("doc_id")
+    )

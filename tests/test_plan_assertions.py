@@ -663,3 +663,29 @@ def test_similarity_ivfpq_topk_plan(spark):
     # nested loop is the documented 1-row broadcast probe attach
     assert s["cartesian"] <= 1, s
     assert s["exchange"] <= 6, s
+
+
+def test_quality_gate_processor_batch_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _quality_gate_processor,
+    )
+
+    p = _quality_gate_processor(
+        str(tmp_path / "o"), str(tmp_path / "v"), k=3
+    )
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (2, "beta gamma")],
+        "doc_id bigint, text string",
+    )
+    p(b0, 0)
+    b1 = spark.createDataFrame(
+        [(1, "alpha novel")], "doc_id bigint, text string"
+    )
+    dfs = p.plan(b1, 1)
+    s = _plan_stats(dfs["verdicts"])
+    # scoring epoch: frozen top-K vocab broadcast (the bounded class —
+    # this broadcast is REQUIRED), one shuffle for the per-doc sums
+    assert s["cartesian"] == 0, s
+    assert s["bhj"] >= 1, s
+    assert s["exchange"] <= 3, s
+    assert dfs["new_vocab"] is None  # frozen after the training epoch

@@ -909,3 +909,53 @@ def test_streaming_ivf_index_replay_idempotent(spark, tmp_path):
     # centroid state has exactly the training epoch's k rows
     assert len(first[1]) == 2
     assert os.listdir(cents) == ["epoch=0"]
+
+
+def test_streaming_quality_gate_replay_idempotent(spark, tmp_path):
+    """Frozen-classifier contract: replaying an epoch leaves verdicts
+    and vocab state identical; the vocab is written exactly once (by
+    the training epoch) and later epochs score against it without
+    retraining — OOV relative to batch-1's vocabulary, not their own."""
+    import os
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _quality_gate_processor,
+    )
+
+    out = str(tmp_path / "out")
+    vocab = str(tmp_path / "vocab")
+    process = _quality_gate_processor(out, vocab, k=3)
+
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta alpha gamma"), (2, "beta beta gamma")],
+        "doc_id bigint, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "alpha novel words here"), (3, "beta gamma")],
+        "doc_id bigint, text string",
+    )
+
+    def snapshot():
+        v = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "n_tok", "oov_tok", "logit_sum", "passed")
+            .collect()
+        )
+        w = sorted(tuple(r) for r in spark.read.parquet(vocab).collect())
+        return v, w
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    v = {r[0]: r for r in first[0]}
+    # k=3 vocab from batch 0 = {alpha, beta, gamma}; doc 1 has 3 OOV
+    # tokens scored 0 — judged by the FROZEN model, not its own batch
+    assert v[0][2] == 0 and v[2][2] == 0
+    assert v[1][1] == 4 and v[1][2] == 3
+    assert v[3][2] == 0
+    assert os.listdir(vocab) == ["epoch=0"]
