@@ -35,6 +35,8 @@ _DRIVER_PRIORITY: list[str] = [
     "url_canonicalize",
     "similarity_ivfpq_topk",
     "similarity_ivfpq_recall",
+    "similarity_ivfpq_multiprobe",
+    "similarity_ivfpq_mp_recall",
     "corpus_leakage_safe_split",
     "corpus_snapshot_diff",
     "streaming_quality_gate",

@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "url_canonicalize",
     "similarity_ivfpq_topk",
     "similarity_ivfpq_recall",
+    "similarity_ivfpq_multiprobe",
+    "similarity_ivfpq_mp_recall",
     "corpus_leakage_safe_split",
     "corpus_snapshot_diff",
     # streaming_quality_gate is correctness-gated but not benched

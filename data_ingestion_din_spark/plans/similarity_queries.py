@@ -291,20 +291,34 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frozen quantizer, like similarity_ivf_incremental, train on their
 # own base subset via kmeans_train directly).
 _KM8_DONE: dict[tuple[str, str], DataFrame] = {}
+# frozen centroid matrix, same key, filled by the same training run —
+# consumed by the multiprobe cell ranking (bounded k x dims driver data)
+_KM8_CENTS: dict[tuple[str, str], list] = {}
 
 
 def _km8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_din_spark.operators.colocate import session_staged
     from data_ingestion_din_spark.operators.similarity import kmeans_train
 
-    return session_staged(
-        _KM8_DONE,
-        spark,
-        sf_dir,
-        lambda: kmeans_train(
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def build():
+        assigned, cents = kmeans_train(
             load_table(spark, sf_dir, "embeddings"), k=8, iters=2
-        )[0],
-    )
+        )
+        _KM8_CENTS[key] = cents
+        return assigned
+
+    return session_staged(_KM8_DONE, spark, sf_dir, build)
+
+
+def _km8_cents(spark: SparkSession, sf_dir: str) -> list:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for k in [k for k in _KM8_CENTS if k[0] != key[0]]:
+        del _KM8_CENTS[k]  # dead-context eviction, like the DF cache
+    if key not in _KM8_CENTS:
+        _km8(spark, sf_dir)
+    return _KM8_CENTS[key]
 
 
 # --------------------------------------------------------------------------
@@ -1100,6 +1114,149 @@ _IVFPQ_SQL = _ORACLES["similarity_ivfpq_topk"]
 def similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity_topk(spark, sf_dir).select("vec_id")
     ip = similarity_ivfpq_topk(spark, sf_dir).select("vec_id")
+    ov = exact.join(ip, "vec_id")
+    return (
+        exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .crossJoin(ip.agg(F.count(F.lit(1)).cast("bigint").alias("n_ivfpq")))
+        .crossJoin(
+            ov.agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+        )
+        .select(
+            "n_exact",
+            "n_ivfpq",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity_ivfpq_multiprobe — the production answer to the single-
+# probe recall number: ADC over the nprobe=3 NEAREST cells (cells
+# ranked by integer probe→centroid distance, cluster-asc tiebreak)
+# instead of only the probe's own cell. Cell ranking is a k-row
+# driver-side computation against the staged frozen centroids (bounded
+# control data); everything downstream is the IVFPQ shape with a 3-cell
+# membership semi-join. similarity_ivfpq_mp_recall measures what the
+# 3x scan buys over the 0.3 single-probe recall.
+# --------------------------------------------------------------------------
+_IVFPQ_NPROBE = 3
+
+
+def _ivfpq_mp_cells_sql() -> str:
+    return f"""pcells AS (
+      SELECT s.cluster
+      FROM kmc1f s CROSS JOIN (SELECT qv FROM kmq WHERE vec_id = 0) q
+      ORDER BY {_KM_DIST}, s.cluster
+      LIMIT {_IVFPQ_NPROBE}
+    )"""
+
+
+@query(
+    "similarity_ivfpq_multiprobe",
+    oracle=f"""
+    WITH {_km_ctes(p="km")},
+    {_pq_ctes()},
+    {_ivfpq_mp_cells_sql()},
+    sh AS (
+      SELECT co.vec_id, CAST(sum(a.dpart) AS BIGINT) AS adc_dist
+      FROM codes co
+      JOIN kma2 asg ON asg.vec_id = co.vec_id
+      JOIN adc a ON a.m = co.m AND a.code = co.code
+      WHERE co.vec_id <> 0
+        AND asg.cluster IN (SELECT cluster FROM pcells)
+      GROUP BY co.vec_id
+      ORDER BY adc_dist, co.vec_id
+      LIMIT {_IVFPQ_SHORTLIST}
+    )
+    SELECT e.vec_id, sh.adc_dist,
+           {cosine_exact_sql('e.embedding', 'qq.embedding')} AS cos_sim
+    FROM sh JOIN embeddings e ON e.vec_id = sh.vec_id
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qq
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_ivfpq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.operators.similarity import pq_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _km8(spark, sf_dir)
+    cents = _km8_cents(spark, sf_dir)
+    codes, cb = pq_assign(emb, n_sub=_PQ_SUB, k=_PQ_K, iters=1)
+    dpart = _probe_adc(emb, cb)
+    q0 = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(quantize(F.col("embedding")).alias("qv"))
+        .collect()[0]
+        .qv
+    )
+    ranked = sorted(
+        (
+            sum((int(q0[i]) - c[i]) ** 2 for i in range(len(c))),
+            cl + 1,
+        )
+        for cl, c in enumerate(cents)
+    )
+    probe_cells = [cl for _, cl in ranked[:_IVFPQ_NPROBE]]
+    cell_ids = assigned.filter(
+        F.col("cluster").isin(probe_cells) & (F.col("vec_id") != 0)
+    ).select("vec_id")
+    shortlist = (
+        codes.join(cell_ids, "vec_id", "left_semi")
+        .select("vec_id", dpart.alias("dpart"))
+        .groupBy("vec_id")
+        .agg(F.sum("dpart").cast("bigint").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(_IVFPQ_SHORTLIST)
+    )
+    probe = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q_embedding")
+        )
+    )
+    return (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(probe)
+        .select(
+            "vec_id",
+            "adc_dist",
+            cosine_exact(F.col("embedding"), F.col("q_embedding")).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity_ivfpq_mp_recall — recall at nprobe=3 next to the exact
+# top-10, completing the operating-point table: single-probe 0.3 →
+# what the 3-cell scan recovers.
+# --------------------------------------------------------------------------
+_IVFPQ_MP_SQL = _ORACLES["similarity_ivfpq_multiprobe"]
+
+
+@query(
+    "similarity_ivfpq_mp_recall",
+    oracle=f"""
+    WITH exact AS ({_EXACT_SQL}),
+    ip AS ({_IVFPQ_MP_SQL}),
+    ov AS (SELECT e.vec_id FROM exact e JOIN ip p ON e.vec_id = p.vec_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM ip) AS n_ivfpq,
+           (SELECT CAST(count(*) AS BIGINT) FROM ov) AS n_overlap,
+           round(CAST((SELECT count(*) FROM ov) AS DOUBLE)
+                 / (SELECT count(*) FROM exact), 6) AS recall
+    """,
+)
+def similarity_ivfpq_mp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = similarity_topk(spark, sf_dir).select("vec_id")
+    ip = similarity_ivfpq_multiprobe(spark, sf_dir).select("vec_id")
     ov = exact.join(ip, "vec_id")
     return (
         exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
