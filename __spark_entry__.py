@@ -39,6 +39,7 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_ivfpq_mp_recall",
     "corpus_leakage_safe_split",
     "corpus_snapshot_diff",
+    "corpus_dedup_funnel",
     "streaming_quality_gate",
     # Latest sample is round 4 (registration order within the block).
     "q14_promo_revenue",

@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "similarity_ivfpq_mp_recall",
     "corpus_leakage_safe_split",
     "corpus_snapshot_diff",
+    "corpus_dedup_funnel",
     # streaming_quality_gate is correctness-gated but not benched
     # (one-time incremental stream cost, like the other streaming rows)
 ]

@@ -1688,3 +1688,165 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("groups_val"),
     )
     return counts.crossJoin(leak)
+
+
+# --------------------------------------------------------------------------
+# corpus_dedup_funnel — the FULL dedup stack composed end to end the way
+# corpus_curation composes its quality funnel (and ask_pipeline its
+# serving path): exact fingerprint dedup → near-dup cluster resolution
+# with keep-best (longest member wins) → duplicated-substring excision
+# on the survivors, each stage emitting an audit row (docs, tokens).
+# Dedup decisions are corpus-wide maps (the staged pair/span tables)
+# APPLIED to the funnel's surviving set — the way production composes
+# dedup passes (compute the map once, apply it in the pipeline) — and
+# the oracle restates exactly that composition, so the STAGE ARITHMETIC
+# (who survives, how many tokens remain) is hash-gated, not just each
+# technique in isolation.
+#
+# Scale: reuses the staged pair + span artifacts (no recompute), one
+# fp shuffle for stage 1, CC over surviving pairs only, and per-stage
+# audits are count/sum aggregates.
+# --------------------------------------------------------------------------
+_WIN_TAIL = "win AS (" + _WIN_CTE.split("win AS (", 1)[1]
+
+
+@query(
+    "corpus_dedup_funnel",
+    oracle=f"""
+    WITH RECURSIVE {_BANDED_CTES},
+    {_WIN_TAIL},
+    base AS (
+      SELECT doc_id, n_chars, len({_TOKS_SQL}) AS n_tok,
+             {_FP_SQL} AS fp
+      FROM documents
+    ),
+    s1 AS (
+      SELECT * FROM base
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ),
+    edges AS (
+      SELECT v.doc_a AS s, v.doc_b AS d FROM verified v
+      JOIN s1 a ON a.doc_id = v.doc_a JOIN s1 b ON b.doc_id = v.doc_b
+      UNION ALL
+      SELECT v.doc_b AS s, v.doc_a AS d FROM verified v
+      JOIN s1 a ON a.doc_id = v.doc_a JOIN s1 b ON b.doc_id = v.doc_b
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT e.s AS node, r.r FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    ranked AS (
+      SELECT s1.doc_id, c.cluster_id,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY s1.n_chars DESC, s1.doc_id
+             ) AS rk
+      FROM s1 JOIN clusters c ON c.doc_id = s1.doc_id
+    ),
+    s2 AS (
+      SELECT s1.* FROM s1
+      LEFT JOIN ranked r ON r.doc_id = s1.doc_id
+      WHERE r.doc_id IS NULL OR r.rk = 1
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tok
+      FROM spans GROUP BY doc_id
+    ),
+    s3 AS (
+      SELECT s2.doc_id,
+             s2.n_tok - coalesce(p.dup_tok, 0) AS n_tok
+      FROM s2 LEFT JOIN per_doc p ON p.doc_id = s2.doc_id
+    ),
+    audit AS (
+      SELECT 0 AS stage_ord, 'input' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM base
+      UNION ALL
+      SELECT 1, 'exact_dedup', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tok) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 2, 'near_dup_keep_best', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tok) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'substring_removal', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tok) AS BIGINT) FROM s3
+    )
+    SELECT CAST(stage_ord AS INT) AS stage_ord, stage, n_docs, n_tokens
+    FROM audit ORDER BY stage_ord
+    """,
+)
+def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.analysis import (
+        fingerprint,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).localCheckpoint(eager=True)  # feeds all four stage audits
+    s1 = (
+        base.withColumn(
+            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    pairs = _banded_pairs(spark, sf_dir)
+    surv = s1.select("doc_id")
+    pairs2 = (
+        pairs.join(surv.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    )
+    clusters = D.connected_components(pairs2).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    ranked = s1.join(clusters, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+        ),
+    )
+    dropped = ranked.filter(F.col("rk") > 1).select("doc_id")
+    s2 = s1.join(dropped, "doc_id", "left_anti").localCheckpoint(eager=True)
+    per_doc = (
+        _substring_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("dup_tok")
+        )
+    )
+    s3 = s2.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        (F.col("n_tok") - F.coalesce("dup_tok", F.lit(0))).alias("n_tok"),
+    )
+
+    def stage(ord_: int, name: str, df: DataFrame) -> DataFrame:
+        return df.groupBy().agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+
+    return (
+        stage(0, "input", base)
+        .unionByName(stage(1, "exact_dedup", s1))
+        .unionByName(stage(2, "near_dup_keep_best", s2))
+        .unionByName(stage(3, "substring_removal", s3))
+        .orderBy("stage_ord")
+    )
