@@ -25,6 +25,7 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # round-5 block — after this round every remaining sample is round 5+.
 _DRIVER_PRIORITY: list[str] = [
     # Round-8 additions — never driver-sampled.
+    "corpus_dsir_select",
     "dedup_substring_spans",
     "dedup_substring_removal",
     "dedup_substring_stats",

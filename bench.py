@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "corpus_dedup_funnel",
     # streaming_quality_gate is correctness-gated but not benched
     # (one-time incremental stream cost, like the other streaming rows)
+    "corpus_dsir_select",
 ]
 
 

@@ -1220,3 +1220,183 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("lang", "status")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_dsir_select — data selection via importance resampling (DSIR,
+# Xie et al. 2023): score every raw-pool document by how much its hashed
+# n-gram feature distribution looks like a TARGET domain rather than the
+# raw pool itself, then keep the top-k. Features are hashed unigrams +
+# bigrams (portable h64 % B buckets, B = 512); the per-bucket
+# log-likelihood ratio is quantized to INTEGER log2 via length(bin(x))
+# — the same exact-arithmetic recipe as retrieval_bm25's integer idf —
+# so the weight is pure BIGINT math and bit-identical in the oracle
+# (libm log() is the one primitive the parity gate cannot trust).
+#
+#   weight(d) = sum_b n_db * (intlog2(t_b + 1) - intlog2(r_b + 1))
+#             + N_d * (intlog2(R + B) - intlog2(T + B))
+#
+# with intlog2(x) = floor(log2 x) + 1 = length(bin(x)), t_b/r_b the
+# target/raw bucket totals and T/R their sums — the Laplace-smoothed
+# bigram-LM ratio of the DSIR paper, octave-quantized. 100 TB story:
+# one explode shuffle to (doc, bucket) counts, staged once
+# (localCheckpoint) to feed both the B-row distribution tables and the
+# per-doc weights; the ratio table is <= B rows and broadcast; top-k is
+# TakeOrdered, never a full sort. Reference has no selection stage at
+# all — this is the north-star curation family (SURVEY.md §6).
+# --------------------------------------------------------------------------
+_DSIR_B = 512
+_DSIR_TARGET = ("src0", "src1")
+_DSIR_TOPK = 50
+_DSIR_TGT_SQL = "('src0', 'src1')"
+
+
+@query(
+    "corpus_dsir_select",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, g FROM t, unnest(toks) AS u(g)
+      UNION ALL
+      SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS g
+      FROM t, unnest(range(1, len(toks))) r(i)
+      WHERE i < len(toks)
+    ),
+    db AS (
+      SELECT doc_id, source,
+             {h64_sql('g')} % {_DSIR_B} AS bkt,
+             CAST(count(*) AS BIGINT) AS n
+      FROM g GROUP BY doc_id, source, bkt
+    ),
+    ball AS (
+      SELECT bkt,
+             CAST(sum(CASE WHEN source IN {_DSIR_TGT_SQL}
+                           THEN n ELSE 0 END) AS BIGINT) AS t_n,
+             CAST(sum(CASE WHEN source NOT IN {_DSIR_TGT_SQL}
+                           THEN n ELSE 0 END) AS BIGINT) AS r_n
+      FROM db GROUP BY bkt
+    ),
+    tot AS (
+      SELECT CAST(sum(t_n) AS BIGINT) AS t_tot,
+             CAST(sum(r_n) AS BIGINT) AS r_tot
+      FROM ball
+    ),
+    q AS (
+      SELECT bkt,
+             CAST(length(bin(t_n + 1)) AS BIGINT)
+               - CAST(length(bin(r_n + 1)) AS BIGINT) AS qlr
+      FROM ball WHERE r_n >= 1
+    ),
+    w AS (
+      SELECT db.doc_id, db.source,
+             CAST(sum(db.n) AS BIGINT) AS n_grams,
+             CAST(sum(db.n * q.qlr) AS BIGINT) AS feat_w
+      FROM db JOIN q USING (bkt)
+      WHERE db.source NOT IN {_DSIR_TGT_SQL}
+      GROUP BY db.doc_id, db.source
+    ),
+    sw AS (
+      SELECT w.doc_id, w.source, w.n_grams,
+             w.feat_w + w.n_grams *
+               (CAST(length(bin(tot.r_tot + {_DSIR_B})) AS BIGINT)
+                - CAST(length(bin(tot.t_tot + {_DSIR_B})) AS BIGINT))
+               AS weight
+      FROM w, tot
+    )
+    SELECT doc_id, source, n_grams, CAST(weight AS BIGINT) AS weight,
+           CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT)
+             AS rk
+    FROM sw
+    ORDER BY weight DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 1)
+    # unigrams ++ bigrams in ONE generator expression so the explode
+    # scans the corpus once; slice(toks, 1, 0) is the typed empty array
+    # for single-token docs.
+    grams = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "concat(toks, CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(toks[i - 1], ' ', toks[i])) "
+                "ELSE slice(toks, 1, 0) END)"
+            )
+        ).alias("g"),
+    )
+    db = (
+        grams.select(
+            "doc_id", "source", (h64(F.col("g")) % _DSIR_B).alias("bkt")
+        )
+        .groupBy("doc_id", "source", "bkt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)  # feeds ball + per-doc weights
+    )
+    is_tgt = F.col("source").isin(*_DSIR_TARGET)
+    ball = db.groupBy("bkt").agg(
+        F.sum(F.when(is_tgt, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("t_n"),
+        F.sum(F.when(~is_tgt, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("r_n"),
+    )
+    intlog2 = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
+    q = ball.filter(F.col("r_n") >= 1).select(
+        "bkt",
+        (intlog2(F.col("t_n") + 1) - intlog2(F.col("r_n") + 1)).alias(
+            "qlr"
+        ),
+    )
+    tot = ball.agg(
+        F.sum("t_n").cast("bigint").alias("t_tot"),
+        F.sum("r_n").cast("bigint").alias("r_tot"),
+    )
+    w = (
+        db.filter(~is_tgt)
+        .join(F.broadcast(q), "bkt")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_grams"),
+            F.sum(F.col("n") * F.col("qlr")).cast("bigint").alias("feat_w"),
+        )
+    )
+    sw = w.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "n_grams",
+        (
+            F.col("feat_w")
+            + F.col("n_grams")
+            * (
+                intlog2(F.col("r_tot") + _DSIR_B)
+                - intlog2(F.col("t_tot") + _DSIR_B)
+            )
+        )
+        .cast("bigint")
+        .alias("weight"),
+    )
+    from pyspark.sql.window import Window as W
+
+    # TakeOrdered top-k FIRST, then rank the <= k survivors — the global
+    # row_number window only ever sees k rows (same idiom as
+    # corpus_phrase_mining / corpus_textrank_keywords).
+    top = sw.orderBy(F.desc("weight"), "doc_id").limit(_DSIR_TOPK)
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(W.orderBy(F.desc("weight"), "doc_id"))
+        .cast("int"),
+    ).orderBy(F.desc("weight"), "doc_id")

@@ -123,3 +123,60 @@ def test_pack_sequences_sharding_invariants(spark):
     ).drop("shard")
     assert one.exceptAll(unsharded).count() == 0
     assert unsharded.exceptAll(one).count() == 0
+
+
+def test_dsir_select_matches_pure_python(spark):
+    """corpus_dsir_select's quantized importance weight, re-derived by an
+    independent pure-Python implementation over the same fixture."""
+    import hashlib
+
+    import pandas as pd
+
+    from data_ingestion_din_spark.plans.curation_queries import (
+        _DSIR_B,
+        _DSIR_TARGET,
+        _DSIR_TOPK,
+        corpus_dsir_select,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def intlog2(x: int) -> int:
+        return x.bit_length()
+
+    db: dict[tuple[int, str, int], int] = {}
+    for _, row in docs.iterrows():
+        toks = [t for t in row.text.split(" ") if t]
+        grams = toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        for g in grams:
+            k = (row.doc_id, row.source, h64(g) % _DSIR_B)
+            db[k] = db.get(k, 0) + 1
+    t_n: dict[int, int] = {}
+    r_n: dict[int, int] = {}
+    for (_, src, bkt), n in db.items():
+        side = t_n if src in _DSIR_TARGET else r_n
+        side[bkt] = side.get(bkt, 0) + n
+    t_tot, r_tot = sum(t_n.values()), sum(r_n.values())
+    const = intlog2(r_tot + _DSIR_B) - intlog2(t_tot + _DSIR_B)
+    weights: dict[int, int] = {}
+    for (doc_id, src, bkt), n in db.items():
+        if src in _DSIR_TARGET:
+            continue
+        qlr = intlog2(t_n.get(bkt, 0) + 1) - intlog2(r_n[bkt] + 1)
+        weights[doc_id] = weights.get(doc_id, 0) + n * (qlr + const)
+    expect = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = expect[:_DSIR_TOPK]
+
+    got = [
+        (r.doc_id, r.weight, r.rk)
+        for r in corpus_dsir_select(spark, sf).collect()
+    ]
+    assert got == [
+        (doc_id, w, i + 1) for i, (doc_id, w) in enumerate(expect)
+    ]

@@ -689,3 +689,15 @@ def test_quality_gate_processor_batch_plan(spark, tmp_path):
     assert s["bhj"] >= 1, s
     assert s["exchange"] <= 3, s
     assert dfs["new_vocab"] is None  # frozen after the training epoch
+
+
+def test_corpus_dsir_select_plan(spark):
+    s = _stats("corpus_dsir_select", spark)
+    # B-row ratio table and 1-row totals attach as broadcasts; the only
+    # Exchanges are the (doc, bucket) count shuffle (paid once — the
+    # checkpoint feeds both consumers), the B-row distribution agg, and
+    # the final TakeOrdered. crossJoin(1-row totals) is the documented
+    # constant-side probe.
+    assert s["bhj"] >= 1, s
+    assert s["cartesian"] <= 1, s
+    assert s["exchange"] <= 6, s
