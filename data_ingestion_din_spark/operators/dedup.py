@@ -516,10 +516,15 @@ def embedding_near_dup_lsh(
 
 # Edge-count ceiling for resolving components driver-side. The CC input
 # is the near-dup EDGE LIST — already reduced by banding to a small
-# fraction of the corpus — and below this cap it is bounded control data
-# (≤ ~tens of MB), the same rationale that lets k-means collect its
-# k×dims centroids. Above the cap the distributed loop runs.
-DRIVER_CC_MAX_EDGES = 1_000_000
+# fraction of the corpus — and below this cap it is bounded control data,
+# the same rationale that lets k-means collect its k×dims centroids.
+# Real driver envelope at the cap: the Arrow transfer is two flat
+# columns (~16 B/edge for int64 ids → 8 MB); the transient Python
+# structures dominate — the union-find parent/roots dicts plus the
+# result labels over ≤2·cap nodes at ~100 B/dict entry ≈ 150 MB worst
+# case. That fits a default 4 GB driver with ample headroom; above the
+# cap the distributed min-label + pointer-jumping loop runs instead.
+DRIVER_CC_MAX_EDGES = 500_000
 
 
 def _union_find(rows) -> dict:
@@ -582,7 +587,12 @@ def connected_components(
         F.col(a).alias("src"), F.col(b).alias("dst")
     ).localCheckpoint(eager=True)
     if edges.count() <= driver_cap_edges:
-        rows = [(r.src, r.dst) for r in edges.collect()]
+        # Arrow transfer: two flat columns (~16 B/edge for int64) instead
+        # of collect()'s per-edge Row objects (~0.5 kB each near the cap)
+        tbl = edges.toArrow()
+        rows = list(
+            zip(tbl.column("src").to_pylist(), tbl.column("dst").to_pylist())
+        )
         labels = _union_find(rows)
         spark = pairs.sparkSession
         node_t = edges.schema["src"].dataType

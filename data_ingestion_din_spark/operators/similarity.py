@@ -324,10 +324,22 @@ def pq_assign(
     """
     from data_ingestion_din_spark.functions.vectors import quantize
 
-    base = (
-        emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
-        .localCheckpoint(eager=True)
+    return pq_assign_qv(
+        emb.select("vec_id", quantize(F.col("embedding")).alias("qv")),
+        n_sub=n_sub,
+        k=k,
+        iters=iters,
     )
+
+
+def pq_assign_qv(
+    qv_df: DataFrame, n_sub: int = 4, k: int = 4, iters: int = 1
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """:func:`pq_assign` over ALREADY-QUANTIZED integer vectors
+    ``(vec_id, qv)`` — the entry point residual encoding needs (the
+    residual ``qv − centroid(cell)`` is integer by construction, so
+    re-quantizing would be wrong)."""
+    base = qv_df.select("vec_id", "qv").localCheckpoint(eager=True)
     seed_rows = base.orderBy("vec_id").limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(

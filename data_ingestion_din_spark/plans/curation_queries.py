@@ -1388,15 +1388,10 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weight"),
     )
-    from pyspark.sql.window import Window as W
+    from data_ingestion_din_spark.operators.ranking import rank_topk
 
     # TakeOrdered top-k FIRST, then rank the <= k survivors — the global
-    # row_number window only ever sees k rows (same idiom as
-    # corpus_phrase_mining / corpus_textrank_keywords).
-    top = sw.orderBy(F.desc("weight"), "doc_id").limit(_DSIR_TOPK)
-    return top.withColumn(
-        "rk",
-        F.row_number()
-        .over(W.orderBy(F.desc("weight"), "doc_id"))
-        .cast("int"),
-    ).orderBy(F.desc("weight"), "doc_id")
+    # row_number window only ever sees k rows (structural via rank_topk).
+    return rank_topk(sw, _DSIR_TOPK, F.desc("weight"), "doc_id").orderBy(
+        F.desc("weight"), "doc_id"
+    )

@@ -1366,11 +1366,23 @@ def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-_WIN_CTE = f"""
-    toks AS (
+def _win_ctes(include_toks: bool = True) -> str:
+    """The window-fingerprint → duplicated-span CTE chain. With
+    ``include_toks=False`` the chain starts at ``win`` and binds to a
+    ``toks(doc_id, t)`` CTE the caller already provides (the funnel
+    composes it after _BANDED_CTES, whose ``toks`` is identical) —
+    parameterized here instead of string-slicing the SQL so a drift in
+    either definition is a structural error, not a silent mismatch."""
+    toks = (
+        f"""toks AS (
       SELECT doc_id, {_TOKS_SQL} AS t FROM documents
     ),
-    win AS (
+    """
+        if include_toks
+        else ""
+    )
+    return f"""
+    {toks}win AS (
       SELECT doc_id, u.w.s AS start, u.w.f AS wfp
       FROM toks,
       UNNEST([{{'s': i,
@@ -1405,6 +1417,9 @@ _WIN_CTE = f"""
       FROM islands GROUP BY doc_id, island
     )
 """
+
+
+_WIN_CTE = _win_ctes()
 
 
 @query(
@@ -1707,7 +1722,7 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fp shuffle for stage 1, CC over surviving pairs only, and per-stage
 # audits are count/sum aggregates.
 # --------------------------------------------------------------------------
-_WIN_TAIL = "win AS (" + _WIN_CTE.split("win AS (", 1)[1]
+_WIN_TAIL = _win_ctes(include_toks=False)
 
 
 @query(

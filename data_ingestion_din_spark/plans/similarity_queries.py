@@ -281,44 +281,39 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _km8(spark, sf_dir).orderBy("vec_id")
 
 
-# The trained k=8 assignment is consumed by four queries
-# (embedding_kmeans, similarity_ivf_kmeans, dedup_semantic_kmeans,
-# similarity_ivfpq_topk) with identical (k, iters) — the trained index
-# is a session artifact like the pHash table / banded-pair table,
-# staged once per (SparkContext, sf_dir): each consumer pays its own
-# resolution, not the Lloyd loop. Only the ASSIGNMENT is staged — no
-# current consumer reads the centroid matrix (queries that need a
-# frozen quantizer, like similarity_ivf_incremental, train on their
-# own base subset via kmeans_train directly).
-_KM8_DONE: dict[tuple[str, str], DataFrame] = {}
-# frozen centroid matrix, same key, filled by the same training run —
-# consumed by the multiprobe cell ranking (bounded k x dims driver data)
-_KM8_CENTS: dict[tuple[str, str], list] = {}
+# The trained k=8 quantizer is consumed by five queries
+# (embedding_kmeans, similarity_ivf_kmeans, dedup_semantic_kmeans, the
+# ivfpq family) with identical (k, iters) — the trained index is a
+# session artifact like the pHash table / banded-pair table, staged
+# once per (SparkContext, sf_dir): each consumer pays its own
+# resolution, not the Lloyd loop. The (assignment, centroid-matrix)
+# PAIR is one cache value under one key so the two halves can never go
+# out of sync — a per-half cache let an eviction (or an alternate
+# filler) of one half strand the other (review finding r8).
+_KM8_STATE: dict[tuple[str, str], tuple[DataFrame, list]] = {}
 
 
-def _km8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_ingestion_din_spark.operators.colocate import session_staged
+def _km8_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
     from data_ingestion_din_spark.operators.similarity import kmeans_train
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-
-    def build():
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _KM8_STATE if k[0] != app]:
+        del _KM8_STATE[k]  # dead-context eviction (session_staged idiom)
+    key = (app, sf_dir)
+    if key not in _KM8_STATE:
         assigned, cents = kmeans_train(
             load_table(spark, sf_dir, "embeddings"), k=8, iters=2
         )
-        _KM8_CENTS[key] = cents
-        return assigned
+        _KM8_STATE[key] = (assigned.localCheckpoint(eager=True), cents)
+    return _KM8_STATE[key]
 
-    return session_staged(_KM8_DONE, spark, sf_dir, build)
+
+def _km8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _km8_pair(spark, sf_dir)[0]
 
 
 def _km8_cents(spark: SparkSession, sf_dir: str) -> list:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    for k in [k for k in _KM8_CENTS if k[0] != key[0]]:
-        del _KM8_CENTS[k]  # dead-context eviction, like the DF cache
-    if key not in _KM8_CENTS:
-        _km8(spark, sf_dir)
-    return _KM8_CENTS[key]
+    return _km8_pair(spark, sf_dir)[1]
 
 
 # --------------------------------------------------------------------------
@@ -616,19 +611,27 @@ _PQ_DIST = (
 )
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(qsrc: str | None = None) -> str:
     """The PQ training/assignment/ADC CTE chain (q → sub → seeds → a1 →
-    m1 → c1/c1f → codes → adc) — shared by similarity_pq_topk and the
+    m1 → c1/c1f → codes → adc) — shared by similarity_pq_topk, the
     composed IVF+PQ oracle (which brings its own km-prefixed k-means
-    chain alongside)."""
-    return f"""q AS (
+    chain alongside) and, via ``qsrc``, the residual-encoding oracle:
+    when ``qsrc`` names an earlier CTE exposing ``(vec_id, qv)`` integer
+    vectors, the chain trains/encodes over THOSE instead of quantizing
+    ``embeddings`` — same machinery, different vector space."""
+    q_cte = (
+        f"q AS (SELECT vec_id, qv FROM {qsrc})"
+        if qsrc
+        else """q AS (
       SELECT vec_id,
              list_transform(
                embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
              ) AS qv
       FROM embeddings
-    ),
+    )"""
+    )
+    return f"""{q_cte},
     sub AS (
       SELECT vec_id, m, list_slice(qv, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D}) AS sv
       FROM q, range(0, {_PQ_SUB}) t(m)
@@ -671,22 +674,12 @@ def _pq_ctes() -> str:
     )"""
 
 
-def _probe_adc(emb: DataFrame, cb: list) -> F.Column:
-    """Probe-side ADC precomputation shared by similarity_pq_topk and
-    similarity_ivfpq_topk (both hash-gated against oracles that must
-    stay bit-identical): one 1-row collect for the probe's quantized
-    vector — the per-query work PQ serving does — then the integer
-    ||q0_m − centroid||² table as a literal, returned as the per-code
-    lookup expression over (m, code)."""
-    from data_ingestion_din_spark.functions.vectors import quantize
+def _adc_expr(q0: list, cb: list) -> F.Column:
+    """The integer ||q0_m − centroid||² ADC table for a probe's
+    (possibly residual) quantized vector ``q0`` as a literal, returned
+    as the per-code lookup expression over (m, code)."""
     from data_ingestion_din_spark.operators.similarity import int_matrix_lit
 
-    q0 = (
-        emb.filter(F.col("vec_id") == 0)
-        .select(quantize(F.col("embedding")).alias("qv"))
-        .collect()[0]
-        .qv
-    )
     adc = [
         [
             sum(
@@ -700,6 +693,23 @@ def _probe_adc(emb: DataFrame, cb: list) -> F.Column:
     return F.element_at(
         F.element_at(int_matrix_lit(adc), F.col("m") + 1), F.col("code")
     )
+
+
+def _probe_adc(emb: DataFrame, cb: list) -> F.Column:
+    """Probe-side ADC precomputation shared by similarity_pq_topk and
+    similarity_ivfpq_topk (both hash-gated against oracles that must
+    stay bit-identical): one 1-row collect for the probe's quantized
+    vector — the per-query work PQ serving does — then the literal ADC
+    lookup via :func:`_adc_expr`."""
+    from data_ingestion_din_spark.functions.vectors import quantize
+
+    q0 = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(quantize(F.col("embedding")).alias("qv"))
+        .collect()[0]
+        .qv
+    )
+    return _adc_expr(q0, cb)
 
 
 
@@ -1271,5 +1281,188 @@ def similarity_ivfpq_mp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("n_overlap").cast("double") / F.col("n_exact"), 6
             ).alias("recall"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity_ivfpq_residual_topk — IVFPQ with RESIDUAL encoding
+# (by_residual=true, the FAISS default and the round-8 verdict's missing
+# quality knob): PQ codebooks are trained on ``qv − centroid(cell)``
+# instead of the raw vectors, so the codebook spends its entropy on the
+# within-cell displacement (residuals cluster near zero) rather than
+# re-describing the coarse cell position — the standard reason IVFPQ
+# beats flat PQ at equal code size. The probe is residualized against
+# ITS OWN cell before the ADC table is built, and the scan stays
+# cell-pruned exactly like similarity_ivfpq_topk; everything is integer
+# arithmetic (residual of quantized ints is an int), so the composed
+# path remains bit-exact against the oracle's rq → PQ chain.
+#
+# Scale: identical to similarity_ivfpq_topk — one extra narrow
+# projection (the zip_with subtraction) at index-build time, zero extra
+# cost at serving (the residualized probe is driver-side control data).
+# --------------------------------------------------------------------------
+_RQ_CTE = f"""rq AS (
+      SELECT q.vec_id,
+             list_transform(range(1, {_DIMS_UB}), i -> q.qv[i] - c.qv[i])
+               AS qv
+      FROM kmq q
+      JOIN kma2 a ON a.vec_id = q.vec_id
+      JOIN kmc1f c ON c.cluster = a.cluster
+    )"""
+
+
+def _residual_qv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, qv) where qv is the integer residual against
+    the staged k=8 quantizer's cell centroid."""
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.operators.similarity import int_matrix_lit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _km8(spark, sf_dir)
+    cents = _km8_cents(spark, sf_dir)
+    qv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    cent_m = int_matrix_lit(cents)
+    return qv.join(assigned, "vec_id").select(
+        "vec_id",
+        "cluster",
+        F.zip_with(
+            F.col("qv"),
+            F.element_at(cent_m, F.col("cluster")),
+            lambda x, y: x - y,
+        ).alias("qv"),
+    )
+
+
+@query(
+    "similarity_ivfpq_residual_topk",
+    oracle=f"""
+    WITH {_km_ctes(p="km")},
+    {_RQ_CTE},
+    {_pq_ctes(qsrc="rq")},
+    pc AS (SELECT cluster FROM kma2 WHERE vec_id = 0),
+    sh AS (
+      SELECT co.vec_id, CAST(sum(a.dpart) AS BIGINT) AS adc_dist
+      FROM codes co
+      JOIN kma2 asg ON asg.vec_id = co.vec_id
+      JOIN adc a ON a.m = co.m AND a.code = co.code
+      CROSS JOIN pc
+      WHERE co.vec_id <> 0 AND asg.cluster = pc.cluster
+      GROUP BY co.vec_id
+      ORDER BY adc_dist, co.vec_id
+      LIMIT {_IVFPQ_SHORTLIST}
+    )
+    SELECT e.vec_id, sh.adc_dist,
+           {cosine_exact_sql('e.embedding', 'qq.embedding')} AS cos_sim
+    FROM sh JOIN embeddings e ON e.vec_id = sh.vec_id
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qq
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_ivfpq_residual_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from data_ingestion_din_spark.operators.similarity import pq_assign_qv
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _km8(spark, sf_dir)
+    rv = _residual_qv(spark, sf_dir)
+    codes, cb = pq_assign_qv(
+        rv.select("vec_id", "qv"), n_sub=_PQ_SUB, k=_PQ_K, iters=1
+    )
+    # probe-side control data: ONE 1-row collect yields both the probe's
+    # residual (the ADC input — residualized against its own cell, which
+    # is also the only cell scanned at nprobe=1) and its coarse cell
+    probe = rv.filter(F.col("vec_id") == 0).select("qv", "cluster").collect()[0]
+    dpart = _adc_expr(list(probe.qv), cb)
+    cell_ids = assigned.filter(
+        (F.col("cluster") == F.lit(int(probe.cluster)))
+        & (F.col("vec_id") != 0)
+    ).select("vec_id")
+    shortlist = (
+        codes.join(cell_ids, "vec_id", "left_semi")
+        .select("vec_id", dpart.alias("dpart"))
+        .groupBy("vec_id")
+        .agg(F.sum("dpart").cast("bigint").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(_IVFPQ_SHORTLIST)
+    )
+    probe_vec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q_embedding")
+        )
+    )
+    return (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(probe_vec)
+        .select(
+            "vec_id",
+            "adc_dist",
+            cosine_exact(F.col("embedding"), F.col("q_embedding")).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity_ivfpq_residual_recall — the residual knob's VALUE, measured
+# and HASH-GATED next to the non-residual twin at the same nprobe=1:
+# both overlaps against the exact top-10 in one row, plus the
+# residual_improves boolean — the improvement is part of the oracle
+# comparison, not a prose claim.
+# --------------------------------------------------------------------------
+_IVFPQ_RES_SQL = _ORACLES["similarity_ivfpq_residual_topk"]
+
+
+@query(
+    "similarity_ivfpq_residual_recall",
+    oracle=f"""
+    WITH exact AS ({_EXACT_SQL}),
+    res AS ({_IVFPQ_RES_SQL}),
+    raw AS ({_IVFPQ_SQL}),
+    ovr AS (SELECT e.vec_id FROM exact e JOIN res r ON e.vec_id = r.vec_id),
+    ovw AS (SELECT e.vec_id FROM exact e JOIN raw w ON e.vec_id = w.vec_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM ovr) AS n_residual,
+           (SELECT CAST(count(*) AS BIGINT) FROM ovw) AS n_raw,
+           round(CAST((SELECT count(*) FROM ovr) AS DOUBLE)
+                 / (SELECT count(*) FROM exact), 6) AS recall_residual,
+           round(CAST((SELECT count(*) FROM ovw) AS DOUBLE)
+                 / (SELECT count(*) FROM exact), 6) AS recall_raw,
+           (SELECT count(*) FROM ovr) > (SELECT count(*) FROM ovw)
+             AS residual_improves
+    """,
+)
+def similarity_ivfpq_residual_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    exact = similarity_topk(spark, sf_dir).select("vec_id")
+    res = similarity_ivfpq_residual_topk(spark, sf_dir).select("vec_id")
+    raw = similarity_ivfpq_topk(spark, sf_dir).select("vec_id")
+    ovr = exact.join(res, "vec_id")
+    ovw = exact.join(raw, "vec_id")
+    return (
+        exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .crossJoin(
+            ovr.agg(F.count(F.lit(1)).cast("bigint").alias("n_residual"))
+        )
+        .crossJoin(ovw.agg(F.count(F.lit(1)).cast("bigint").alias("n_raw")))
+        .select(
+            "n_exact",
+            "n_residual",
+            "n_raw",
+            F.round(
+                F.col("n_residual").cast("double") / F.col("n_exact"), 6
+            ).alias("recall_residual"),
+            F.round(
+                F.col("n_raw").cast("double") / F.col("n_exact"), 6
+            ).alias("recall_raw"),
+            (F.col("n_residual") > F.col("n_raw")).alias(
+                "residual_improves"
+            ),
         )
     )

@@ -32,6 +32,15 @@ from data_ingestion_din_spark.streaming.ingest import start_ingest_stream
 # the durable artifact; reruns of the query in the same session read it.
 _INGEST_DONE: set[tuple[str, str]] = set()
 
+def _evict_dead(cache, app: str) -> None:
+    """Drop cache entries from stopped SparkContexts — the session_staged
+    eviction idiom applied to the PATH caches too. The values are short
+    strings, but unbounded growth across in-process session restarts is
+    the same leak the DataFrame cache was given eviction for."""
+    for k in [k for k in cache if k[0] != app]:
+        cache.discard(k) if isinstance(cache, set) else cache.pop(k)
+
+
 
 def _await_or_raise(q, timeout_sec: int = 240) -> None:
     """``awaitTermination`` returns False on timeout; treating that as
@@ -59,6 +68,7 @@ def _ingested_corpus_dir(spark: SparkSession, sf_dir: str) -> str:
         app_dir_path(spark, sf_dir, "spark_graft_stream"), "corpus"
     )
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_INGEST_DONE, key[0])
     if key in _INGEST_DONE:
         if _dir_ok(corpus):
             return corpus
@@ -157,6 +167,7 @@ _FIRST_SEEN_DONE: dict[tuple[str, str], str] = {}
 
 def _first_seen_out_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_FIRST_SEEN_DONE, key[0])
     if key in _FIRST_SEEN_DONE:
         from data_ingestion_din_spark.operators.colocate import _dir_ok
 
@@ -254,6 +265,7 @@ _STREAM_JOIN_DONE: dict[tuple[str, str], str] = {}
 
 def _stream_join_out_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_STREAM_JOIN_DONE, key[0])
     if key in _STREAM_JOIN_DONE:
         from data_ingestion_din_spark.operators.colocate import _dir_ok
 
@@ -381,6 +393,7 @@ _SESSION_WIN_DONE: dict[tuple[str, str], str] = {}
 
 def _session_windows_out_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SESSION_WIN_DONE, key[0])
     if key in _SESSION_WIN_DONE:
         from data_ingestion_din_spark.operators.colocate import _dir_ok
 
@@ -567,6 +580,7 @@ def _hll_register_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hll_out_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_HLL_DONE, key[0])
     from data_ingestion_din_spark.operators.colocate import (
         _dir_ok,
         fresh_app_dir,
@@ -705,6 +719,7 @@ _DDW_DONE: dict[tuple[str, str], str] = {}
 
 def _ddw_out_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_DDW_DONE, key[0])
     if key in _DDW_DONE:
         from data_ingestion_din_spark.operators.colocate import _dir_ok
 
@@ -1082,6 +1097,7 @@ def _scf_out_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SCF_DONE, key[0])
     if key in _SCF_DONE:
         if _dir_ok(_SCF_DONE[key]):
             return _SCF_DONE[key]
@@ -1387,6 +1403,7 @@ def _smi_out_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SMI_DONE, key[0])
     if key in _SMI_DONE:
         if _dir_ok(_SMI_DONE[key]):
             return _SMI_DONE[key]
@@ -1629,6 +1646,7 @@ def _spi_out_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SPI_DONE, key[0])
     if key in _SPI_DONE:
         if _dir_ok(_SPI_DONE[key]):
             return _SPI_DONE[key]
@@ -1869,6 +1887,7 @@ def _scd2s_out_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SCD2S_DONE, key[0])
     if key in _SCD2S_DONE:
         if _dir_ok(_SCD2S_DONE[key]):
             return _SCD2S_DONE[key]
@@ -1984,6 +2003,7 @@ def _snap_out_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SNAP_DONE, key[0])
     if key in _SNAP_DONE:
         if _dir_ok(_SNAP_DONE[key]):
             return _SNAP_DONE[key]
@@ -2117,6 +2137,7 @@ def _sii_out_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SII_DONE, key[0])
     if key in _SII_DONE:
         if _dir_ok(_SII_DONE[key]):
             return _SII_DONE[key]
@@ -2291,6 +2312,7 @@ def _sqg_out_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SQG_DONE, key[0])
     if key in _SQG_DONE:
         if _dir_ok(_SQG_DONE[key]):
             return _SQG_DONE[key]

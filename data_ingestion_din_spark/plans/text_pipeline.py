@@ -960,15 +960,11 @@ def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = pairs.groupBy("pair").agg(F.sum("wn").cast("bigint").alias("n"))
     # top-k via TakeOrderedAndProject (per-task heaps) BEFORE the rank
     # window, so the single-partition window sees exactly k rows at any
-    # corpus size (the retrieval_hybrid_rrf pattern).
-    top = pc.orderBy(F.desc("n"), F.asc("pair")).limit(_BPE_TOPK)
-    ranked = top.withColumn(
-        "rk",
-        F.row_number().over(W.orderBy(F.desc("n"), F.asc("pair"))),
-    )
-    return ranked.select(
-        "pair", "n", F.col("rk").cast("int").alias("rk")
-    ).orderBy("rk")
+    # corpus size (structural via rank_topk).
+    from data_ingestion_din_spark.operators.ranking import rank_topk
+
+    ranked = rank_topk(pc, _BPE_TOPK, F.desc("n"), F.asc("pair"))
+    return ranked.select("pair", "n", "rk").orderBy("rk")
 
 
 # --------------------------------------------------------------------------
@@ -1074,14 +1070,11 @@ def corpus_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    top = scored.orderBy(F.desc("score"), "head", "next").limit(_PH_TOPK)
-    ranked = top.withColumn(
-        "rk",
-        F.row_number().over(W.orderBy(F.desc("score"), "head", "next")),
-    )
+    from data_ingestion_din_spark.operators.ranking import rank_topk
+
+    ranked = rank_topk(scored, _PH_TOPK, F.desc("score"), "head", "next")
     return ranked.select(
-        "head", "next", "pair_n", "head_n", "next_n", "score",
-        F.col("rk").cast("int").alias("rk"),
+        "head", "next", "pair_n", "head_n", "next_n", "score", "rk"
     ).orderBy("rk")
 
 
@@ -1221,14 +1214,11 @@ def corpus_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("dst").alias("token"), "r")
         )
-    top = r.orderBy(F.desc("r"), "token").limit(_TR_TOPK)
-    ranked = top.withColumn(
-        "rk", F.row_number().over(W.orderBy(F.desc("r"), "token"))
-    )
+    from data_ingestion_din_spark.operators.ranking import rank_topk
+
+    ranked = rank_topk(r, _TR_TOPK, F.desc("r"), "token")
     return ranked.select(
-        F.col("token"),
-        F.col("r").alias("rank_scaled"),
-        F.col("rk").cast("int").alias("rk"),
+        F.col("token"), F.col("r").alias("rank_scaled"), "rk"
     ).orderBy("rk")
 
 

