@@ -729,3 +729,48 @@ def test_corpus_dsir_select_plan(spark):
     assert s["bhj"] >= 1, s
     assert s["cartesian"] <= 1, s
     assert s["exchange"] <= 6, s
+
+
+def test_substring_index_processor_batch_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _substring_index_processor,
+    )
+
+    p = _substring_index_processor(
+        str(tmp_path / "o"), str(tmp_path / "w"), w=3
+    )
+    b0, b1 = _batch_fixtures(spark)
+    p(b0, 0)
+    dfs = p.plan(b1, 1)
+    for df in dfs.values():
+        s = _plan_stats(df)
+        assert s["cartesian"] == 0, s
+        # the fingerprint index grows with the corpus — the state-side
+        # probe join must stay a PLAIN equi-join, never broadcast-forced
+        assert _hint_count(df) == 0
+    assert _plan_stats(dfs["verdicts"])["exchange"] <= 8
+
+
+def test_dsir_gate_processor_batch_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _dsir_gate_processor,
+    )
+
+    p = _dsir_gate_processor(str(tmp_path / "o"), str(tmp_path / "r"))
+    b0 = spark.createDataFrame(
+        [(0, "src0", "alpha beta alpha"), (2, "web", "alpha gamma delta")],
+        "doc_id bigint, source string, text string",
+    )
+    p(b0, 0)
+    b1 = spark.createDataFrame(
+        [(1, "web", "alpha novel")],
+        "doc_id bigint, source string, text string",
+    )
+    dfs = p.plan(b1, 1)
+    s = _plan_stats(dfs["verdicts"])
+    # scoring epoch: the ≤B-row frozen ratio table broadcast is REQUIRED
+    # (the bounded class); the only nested loop is the 1-row offset attach
+    assert s["bhj"] >= 1, s
+    assert s["cartesian"] <= 1, s
+    assert s["exchange"] <= 5, s
+    assert dfs["new_ratio"] is None  # frozen after the training epoch

@@ -959,3 +959,106 @@ def test_streaming_quality_gate_replay_idempotent(spark, tmp_path):
     assert v[1][1] == 4 and v[1][2] == 3
     assert v[3][2] == 0
     assert os.listdir(vocab) == ["epoch=0"]
+
+
+def test_streaming_substring_index_replay_idempotent(spark, tmp_path):
+    """Substring-index contract: replaying an epoch leaves verdicts and
+    the fingerprint index identical; spans are detected against the
+    PRIOR landings' windows only (epoch-0 docs are all zero), and the
+    index grows every landing (unlike the frozen models)."""
+    import os
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _substring_index_processor,
+    )
+
+    out = str(tmp_path / "out")
+    wfps = str(tmp_path / "wfps")
+    process = _substring_index_processor(out, wfps, w=3)
+
+    b0 = spark.createDataFrame(
+        [(0, "a b c d e"), (2, "x y z w")], "doc_id bigint, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "q q a b c d r s"), (3, "totally different text here")],
+        "doc_id bigint, text string",
+    )
+
+    def snapshot():
+        v = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "n_spans", "dup_tokens")
+            .collect()
+        )
+        w = sorted(tuple(r) for r in spark.read.parquet(wfps).collect())
+        return v, w
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    v = {r[0]: r for r in first[0]}
+    # doc 1's 3-token windows at starts 3,4 match doc 0's (a b c),(b c d)
+    # → ONE merged island covering tokens [3, 6] = 4 duplicated tokens
+    assert v[1] == (1, 1, 4)
+    # epoch-0 docs and the unrelated doc are clean
+    assert v[0] == (0, 0, 0) and v[2] == (2, 0, 0) and v[3] == (3, 0, 0)
+    # the index is append-only state: BOTH landings committed epochs
+    assert sorted(os.listdir(wfps)) == ["epoch=0", "epoch=1"]
+
+
+def test_streaming_dsir_gate_replay_idempotent(spark, tmp_path):
+    """Frozen-DSIR contract: replaying an epoch leaves verdicts and the
+    ratio-table state identical; the table is written exactly once (by
+    the training epoch) and later landings are weighted against it —
+    identical text scores identically regardless of landing or source."""
+    import os
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _dsir_gate_processor,
+    )
+
+    out = str(tmp_path / "out")
+    ratio = str(tmp_path / "ratio")
+    process = _dsir_gate_processor(out, ratio)
+
+    b0 = spark.createDataFrame(
+        [(0, "src0", "alpha beta alpha"), (2, "web", "alpha gamma delta")],
+        "doc_id bigint, source string, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "web", "alpha beta alpha"), (3, "web", "novel words only")],
+        "doc_id bigint, source string, text string",
+    )
+
+    def snapshot():
+        v = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "n_grams", "weight", "selected")
+            .collect()
+        )
+        w = sorted(tuple(r) for r in spark.read.parquet(ratio).collect())
+        return v, w
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    v = {r[0]: r for r in first[0]}
+    # doc 1 repeats doc 0's text — the FROZEN model weights them
+    # identically even though they landed in different epochs with
+    # different sources
+    assert v[1][1:3] == v[0][1:3]
+    # the ratio table is frozen: exactly one (training) epoch, with
+    # exactly one offset sentinel row (bkt = -1)
+    assert os.listdir(ratio) == ["epoch=0"]
+    offs = [r for r in first[1] if r[0] == -1]
+    assert len(offs) == 1
