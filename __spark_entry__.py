@@ -19,77 +19,65 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # last sample is oldest) are listed first so a bounded driver window covers
 # them before re-checking recently-green entries. Names not in the registry
 # are ignored; registered queries not listed here follow in registration
-# order. Rotation state after round 7 (CORRECTNESS_r07 green for all 50
-# sampled): the round-8 additions (never sampled) lead, then the 20
-# queries whose latest driver sample is round 4, then the oldest of the
-# round-5 block — after this round every remaining sample is round 5+.
+# order. Rotation state after round 8 (CORRECTNESS_r08 green for all 50
+# sampled): the round-9 additions (never sampled) lead, then the FULL
+# 37-query block whose latest driver sample is round 5 (computed from
+# CORRECTNESS_r0{5..8}.json), then the oldest of the round-6 block —
+# after this round every remaining sample is round 6+.
 _DRIVER_PRIORITY: list[str] = [
-    # Round-8 additions — never driver-sampled.
-    "corpus_dsir_select",
-    "dedup_substring_spans",
-    "dedup_substring_removal",
-    "dedup_substring_stats",
-    "doc_quality_classifier",
-    "similarity_ivf_incremental",
-    "streaming_ivf_index",
-    "corpus_bpe_train",
-    "url_canonicalize",
-    "similarity_ivfpq_topk",
-    "similarity_ivfpq_recall",
-    "similarity_ivfpq_multiprobe",
-    "similarity_ivfpq_mp_recall",
-    "corpus_leakage_safe_split",
-    "corpus_snapshot_diff",
-    "corpus_dedup_funnel",
-    "streaming_quality_gate",
-    # Latest sample is round 4 (registration order within the block).
-    "q14_promo_revenue",
-    "events_hourly_rollup",
-    "corpus_curation",
-    "dedup_minhash_banded",
-    "ngram_jaccard_capped",
-    "embedding_near_dup_lsh",
-    "dedup_keep_best",
-    "chunk_level_dedup",
-    "corpus_length_buckets",
-    "corpus_mixture_epochs",
-    "corpus_distinctive_terms",
-    "doc_cdc_chunks",
-    "doc_winnow_fingerprints",
-    "streaming_first_seen",
-    "table_transactions_dated",
-    "corpus_lang_pruned_stats",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q20_potential_promotion",
-    # Latest sample is round 5 (oldest-first within the r5 block).
-    "segment_median_order",
-    "similarity_topk",
-    "similarity_ivf_label",
-    "table_transactions",
-    "q6_forecast_revenue",
-    "similarity_lsh_topk",
-    "retrieval_bm25",
-    "bloom_join_prune",
-    "events_scd2_intervals",
-    "events_histogram_quantiles",
-    "streaming_dedup_watermark",
-    "corpus_bpe_encode",
-    "doc_tfidf_cosine_topk",
-    "ingest_quarantine",
-    "user_erasure",
-    "corpus_bigram_generate",
-    "similarity_pq_topk",
-    "similarity_pq_recall",
-    "dedup_semantic_kmeans",
+    # Round-9 additions — never driver-sampled.
+    "similarity_ivfpq_residual_topk",
+    "similarity_ivfpq_residual_recall",
+    "corpus_bpe_pipeline",
+    "streaming_substring_index",
+    "streaming_dsir_gate",
+    "multimodal_clip_gate",
+    # Latest sample is round 5 (all 37, registration order).
+    "events_latest_snapshot",
+    "events_cohort_ltv",
+    "events_dau_wau",
     "events_hll_distinct",
+    "events_zorder_box",
+    "doc_rare_token_ratio",
+    "corpus_bigram_lm",
+    "corpus_langid_confusion",
+    "corpus_curation_funnel",
     "doc_bigram_lm_score",
     "corpus_bpe_merge_step",
     "corpus_phrase_mining",
     "corpus_textrank_keywords",
+    "ingest_quarantine",
+    "corpus_bigram_generate",
+    "dedup_incremental_batch",
+    "dedup_cluster_size_hist",
+    "dedup_minhash_estimate_audit",
+    "embedding_hard_negatives",
+    "similarity_lsh_multiprobe",
+    "similarity_pq_topk",
+    "dedup_semantic_kmeans",
+    "similarity_pq_recall",
+    "tables_column_profile",
+    "retrieval_hybrid_rrf",
+    "user_erasure",
+    "corpus_cms_heavy_hitters",
+    "corpus_length_percentiles",
+    "events_anomaly_zscore",
+    "streaming_stream_join",
+    "streaming_session_windows",
     "streaming_hll_registers",
-    "events_zorder_box",
+    "corpus_pack_sequences_sharded",
+    "corpus_train_val_split",
+    "overlay_boxes",
+    "eval_judged_scores",
+    "eval_judged_summary",
+    # Oldest of the round-6 block (fills the ~50-query window).
+    "top_customers_per_nation",
+    "events_5min_gapfill",
+    "events_pivot_unpivot",
+    "doc_bpe_token_stats",
+    "embedding_kmeans",
+    "similarity_ivf_kmeans",
+    "similarity_lsh_recall",
 ]
 
 

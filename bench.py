@@ -245,6 +245,17 @@ BENCH_QUERIES = [
     # streaming_quality_gate is correctness-gated but not benched
     # (one-time incremental stream cost, like the other streaming rows)
     "corpus_dsir_select",
+    # round 9: IVFPQ residual encoding (+hash-gated recall improvement),
+    # train->encode tokenizer composition, cross-modality pairing gate.
+    # streaming_substring_index / streaming_dsir_gate are
+    # correctness-gated but not benched (one-time incremental stream
+    # cost, like the other streaming rows)
+    "similarity_ivfpq_residual_topk",
+    "similarity_ivfpq_residual_recall",
+    "similarity_ivfpq_residual_multiprobe",
+    "similarity_ivfpq_residual_mp_recall",
+    "corpus_bpe_pipeline",
+    "multimodal_clip_gate",
 ]
 
 

@@ -560,3 +560,141 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("path")
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_clip_gate — the CROSS-MODALITY pairing gate (CLIP-score
+# shape): every media item's image embedding (the fixture embedding row
+# keyed by doc_id — the visual-encoder stand-in) is scored against a
+# caption embedding derived from the SAME document's text by feature
+# hashing (token → bucket h64(w) % dims, sign ±1 by a second hash — the
+# classic hashing-trick text encoder, deterministic in both engines),
+# and the pair is kept iff cosine ≥ τ. This is the filter a LAION-style
+# image/text corpus build runs over every crawled pair; per-modality
+# dedup was already covered (pHash / MinHash) — this gates the PAIRING.
+#
+# The cosine test is SemDeDup's division-free determinism: cos ≥ τ ⇔
+# dot > 0 ∧ dot² ≥ τ²·‖a‖²·‖b‖² over exact integer dots (|dot| ≤
+# 64·1e6·n_tok < 2^53), the two products taken in doubles — each factor
+# an exact integer, so the single IEEE multiply is bit-identical in
+# both engines.
+#
+# Scale: pairing is a doc_id equi-join (image and caption co-partition
+# on the pair key — never all-pairs, nothing broadcast); the caption
+# encoder is one token-explode shuffle to (doc, bucket) components.
+# --------------------------------------------------------------------------
+_CLIP_TAU2 = 0.01  # τ = 0.1 — near the 1/√dims noise floor, so the
+# fixture splits non-trivially (random image embeddings vs hashed text)
+
+
+@query(
+    "multimodal_clip_gate",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS doc_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    comp AS (
+      SELECT doc_id, {h64_sql('w')} % 64 AS bkt,
+             CAST(sum(CASE WHEN {h64_sql("'sgn:' || w")} % 2 = 0
+                           THEN 1 ELSE -1 END) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, bkt
+    ),
+    per AS (
+      SELECT c.doc_id,
+             CAST(sum(c.c * c.c) AS BIGINT) AS na,
+             CAST(sum(c.c * q.qv[c.bkt + 1]) AS BIGINT) AS dot
+      FROM comp c JOIN q ON q.doc_id = c.doc_id
+      GROUP BY c.doc_id
+    ),
+    nb AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nb
+      FROM q
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.na, 0) AS BIGINT) AS cap_nsq,
+           CAST(coalesce(n.nb, 0) AS BIGINT) AS img_nsq,
+           CAST(coalesce(p.dot, 0) AS BIGINT) AS dot,
+           coalesce(
+             p.dot > 0
+             AND CAST(p.dot AS DOUBLE) * CAST(p.dot AS DOUBLE)
+                 >= {_CLIP_TAU2!r}
+                    * (CAST(p.na AS DOUBLE) * CAST(n.nb AS DOUBLE)),
+             FALSE
+           ) AS keep
+    FROM documents d
+    LEFT JOIN per p USING (doc_id)
+    LEFT JOIN nb n USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def multimodal_clip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+    from data_ingestion_din_spark.functions.vectors import EMBED_DIMS, quantize
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        quantize(F.col("embedding")).alias("qv"),
+    )
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    comp = (
+        tok.select(
+            "doc_id",
+            (h64(F.col("w")) % EMBED_DIMS).alias("bkt"),
+            F.when(
+                h64(F.concat(F.lit("sgn:"), F.col("w"))) % 2 == 0, F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+        .groupBy("doc_id", "bkt")
+        .agg(F.sum("s").cast("bigint").alias("c"))
+    )
+    per = (
+        comp.join(emb, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("na"),
+            F.sum(
+                F.col("c")
+                * F.element_at(F.col("qv"), (F.col("bkt") + 1).cast("int"))
+            )
+            .cast("bigint")
+            .alias("dot"),
+        )
+    )
+    nb = emb.select(
+        "doc_id",
+        F.aggregate(
+            "qv", F.lit(0).cast("bigint"), lambda a, x: a + x * x
+        ).alias("nb"),
+    )
+    keep = (F.col("dot") > 0) & (
+        F.col("dot").cast("double") * F.col("dot").cast("double")
+        >= F.lit(_CLIP_TAU2)
+        * (F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .join(nb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("na"), F.lit(0)).cast("bigint").alias("cap_nsq"),
+            F.coalesce(F.col("nb"), F.lit(0)).cast("bigint").alias("img_nsq"),
+            F.coalesce(F.col("dot"), F.lit(0)).cast("bigint").alias("dot"),
+            F.coalesce(keep, F.lit(False)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

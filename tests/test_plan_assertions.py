@@ -774,3 +774,37 @@ def test_dsir_gate_processor_batch_plan(spark, tmp_path):
     assert s["cartesian"] <= 1, s
     assert s["exchange"] <= 5, s
     assert dfs["new_ratio"] is None  # frozen after the training epoch
+
+
+def test_similarity_ivfpq_residual_topk_plan(spark):
+    s = _stats("similarity_ivfpq_residual_topk", spark)
+    # same composed shape as the raw twin: cell semi-join prunes the
+    # codes BEFORE ADC scoring; the only nested loop is the documented
+    # 1-row broadcast probe attach
+    assert s["cartesian"] <= 1, s
+    assert s["exchange"] <= 8, s
+
+
+def test_similarity_ivfpq_residual_multiprobe_plan(spark):
+    s = _stats("similarity_ivfpq_residual_multiprobe", spark)
+    # per-cell ADC dispatch is a 3-arm CASE over bounded literals; the
+    # candidates arrive via the cluster membership equi-join
+    assert s["cartesian"] <= 1, s
+    assert s["exchange"] <= 8, s
+
+
+def test_multimodal_clip_gate_plan(spark):
+    s = _stats("multimodal_clip_gate", spark)
+    # cross-modality pairing is a doc_id EQUI-join (image and caption
+    # co-partition on the pair key) — never all-pairs, nothing
+    # broadcast-forced on a corpus-growing side
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 8, s
+
+
+def test_corpus_bpe_pipeline_plan(spark):
+    s = _stats("corpus_bpe_pipeline", spark)
+    # the composition reads the staged training run's final checkpoint:
+    # one token rollup shuffle + the top-k cut, no joins
+    assert s["cartesian"] == 0 and s["smj"] == 0, s
+    assert s["exchange"] <= 2, s
