@@ -353,6 +353,12 @@ def main() -> None:
     stage("banded_pairs", lambda: _banded_pairs(spark, sf_dir).count())
     # staged duplicated-span table (three substring-dedup consumers)
     stage("substring_spans", lambda: _substring_spans(spark, sf_dir).count())
+    # staged PQ indexes (raw + residual spaces; seven consumers between
+    # the pq/ivfpq families and their recall audits)
+    from data_ingestion_din_spark.plans.similarity_queries import _pq_trained
+
+    stage("pq_index_raw", lambda: _pq_trained(spark, sf_dir, "raw")[0].count())
+    stage("pq_index_res", lambda: _pq_trained(spark, sf_dir, "res")[0].count())
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}

@@ -713,6 +713,50 @@ def _probe_adc(emb: DataFrame, cb: list) -> F.Column:
 
 
 
+# The trained PQ index — (codes DF, codebooks) — is consumed by seven
+# queries (pq_topk, the ivfpq family, every recall audit; the 'res'
+# space by the residual family): a session artifact like the k=8
+# quantizer, staged as ONE pair per (SparkContext, sf_dir, space) so
+# each consumer pays resolution, not the training pass, and the codes
+# lineage is truncated once. pq_assign is deterministic, so staging
+# cannot change any oracle-checked value.
+_PQ_STATE: dict[tuple[str, str, str], tuple[DataFrame, list]] = {}
+
+
+def _pq_trained(
+    spark: SparkSession, sf_dir: str, space: str
+) -> tuple[DataFrame, list]:
+    """space='raw': PQ over quantized embeddings; space='res': PQ over
+    residuals against the staged k=8 quantizer (by_residual=true)."""
+    from data_ingestion_din_spark.operators.similarity import (
+        pq_assign,
+        pq_assign_qv,
+    )
+
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _PQ_STATE if k[0] != app]:
+        del _PQ_STATE[k]  # dead-context eviction (session_staged idiom)
+    key = (app, sf_dir, space)
+    if key not in _PQ_STATE:
+        if space == "raw":
+            codes, cb = pq_assign(
+                load_table(spark, sf_dir, "embeddings"),
+                n_sub=_PQ_SUB,
+                k=_PQ_K,
+                iters=1,
+            )
+        else:
+            codes, cb = pq_assign_qv(
+                _residual_qv(spark, sf_dir).select("vec_id", "qv"),
+                n_sub=_PQ_SUB,
+                k=_PQ_K,
+                iters=1,
+            )
+        _PQ_STATE[key] = (codes.localCheckpoint(eager=True), cb)
+    return _PQ_STATE[key]
+
+
+
 @query(
     "similarity_pq_topk",
     oracle=f"""
@@ -734,10 +778,8 @@ def _probe_adc(emb: DataFrame, cb: list) -> F.Column:
     """,
 )
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_ingestion_din_spark.operators.similarity import pq_assign
-
     emb = load_table(spark, sf_dir, "embeddings")
-    codes, cb = pq_assign(emb, n_sub=_PQ_SUB, k=_PQ_K, iters=1)
+    codes, cb = _pq_trained(spark, sf_dir, "raw")
     dpart = _probe_adc(emb, cb)
     shortlist = (
         codes.filter(F.col("vec_id") != 0)
@@ -1056,11 +1098,9 @@ _IVFPQ_SHORTLIST = 20
     """,
 )
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_ingestion_din_spark.operators.similarity import pq_assign
-
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = _km8(spark, sf_dir)
-    codes, cb = pq_assign(emb, n_sub=_PQ_SUB, k=_PQ_K, iters=1)
+    codes, cb = _pq_trained(spark, sf_dir, "raw")
     # probe-side precomputation (the per-query work PQ serving does):
     # 1-row collects for the probe's ADC table (shared helper) and its
     # coarse cell — bounded control data, independent of corpus size
@@ -1191,12 +1231,11 @@ def _ivfpq_mp_cells_sql() -> str:
 )
 def similarity_ivfpq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_din_spark.functions.vectors import quantize
-    from data_ingestion_din_spark.operators.similarity import pq_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = _km8(spark, sf_dir)
     cents = _km8_cents(spark, sf_dir)
-    codes, cb = pq_assign(emb, n_sub=_PQ_SUB, k=_PQ_K, iters=1)
+    codes, cb = _pq_trained(spark, sf_dir, "raw")
     dpart = _probe_adc(emb, cb)
     q0 = (
         emb.filter(F.col("vec_id") == 0)
@@ -1363,14 +1402,10 @@ def _residual_qv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ivfpq_residual_topk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from data_ingestion_din_spark.operators.similarity import pq_assign_qv
-
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = _km8(spark, sf_dir)
     rv = _residual_qv(spark, sf_dir)
-    codes, cb = pq_assign_qv(
-        rv.select("vec_id", "qv"), n_sub=_PQ_SUB, k=_PQ_K, iters=1
-    )
+    codes, cb = _pq_trained(spark, sf_dir, "res")
     # probe-side control data: ONE 1-row collect yields both the probe's
     # residual (the ADC input — residualized against its own cell, which
     # is also the only cell scanned at nprobe=1) and its coarse cell
@@ -1527,15 +1562,11 @@ def similarity_ivfpq_residual_multiprobe(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from data_ingestion_din_spark.functions.vectors import quantize
-    from data_ingestion_din_spark.operators.similarity import pq_assign_qv
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = _km8(spark, sf_dir)
     cents = _km8_cents(spark, sf_dir)
-    rv = _residual_qv(spark, sf_dir)
-    codes, cb = pq_assign_qv(
-        rv.select("vec_id", "qv"), n_sub=_PQ_SUB, k=_PQ_K, iters=1
-    )
+    codes, cb = _pq_trained(spark, sf_dir, "res")
     # driver-side control data: the probe's raw quantized vector (1-row
     # collect) ranks the cells AND residualizes per probed cell
     q0 = (
