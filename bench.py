@@ -256,6 +256,8 @@ BENCH_QUERIES = [
     "similarity_ivfpq_residual_mp_recall",
     "corpus_bpe_pipeline",
     "multimodal_clip_gate",
+    "similarity_ivfpq_recall_sweep",
+    "similarity_ivfpq_residual_recall_sweep",
 ]
 
 

@@ -808,3 +808,15 @@ def test_corpus_bpe_pipeline_plan(spark):
     # one token rollup shuffle + the top-k cut, no joins
     assert s["cartesian"] == 0 and s["smj"] == 0, s
     assert s["exchange"] <= 2, s
+
+
+def test_similarity_ivfpq_recall_sweep_plan(spark):
+    # batched-probe serving shape: the 20-probe ADC table and the probe
+    # cell/embedding tables are the broadcast sides; candidates arrive
+    # via the cell membership equi-join; the only nested loops are the
+    # bounded constant sides (the 20-row probe attach on the exact side
+    # and the two 1-row summary-aggregate crossJoins)
+    s = _stats("similarity_ivfpq_recall_sweep", spark)
+    assert s["bhj"] >= 2, s
+    assert s["cartesian"] <= 3, s
+    assert s["exchange"] <= 18, s
