@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "multimodal_clip_gate",
     "similarity_ivfpq_recall_sweep",
     "similarity_ivfpq_residual_recall_sweep",
+    "similarity_ivfpq_incremental",
 ]
 
 

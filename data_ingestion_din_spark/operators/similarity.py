@@ -432,3 +432,54 @@ def pq_assign_qv(
         ]
         assigned = _assign(cb)
     return assigned.select("vec_id", "m", "code"), cb
+
+
+def pq_encode_qv(
+    qv_df: DataFrame, cb: list[list[list[int]]]
+) -> DataFrame:
+    """Encode quantized vectors against a FROZEN PQ codebook: split each
+    ``(vec_id, qv)`` row into subvectors and argmin each against
+    ``cb[m]`` (integer squared distance, lowest code wins ties) — the
+    index-maintenance twin of :func:`assign_to_centroids` for the PQ
+    half of an IVFPQ index. The codebook ships as a literal (bounded at
+    n_sub·k·d_sub ints), so encoding is a narrow per-row expression:
+    no shuffle, no join, no retraining. Returns (vec_id, m, code)."""
+    n_sub = len(cb)
+    d_sub = len(cb[0][0])
+    sub = qv_df.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_sub - 1}), "
+                f"m -> struct(m AS m, slice(qv, m * {d_sub} + 1, {d_sub})"
+                " AS sv))"
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.m").alias("m"), F.col("x.sv").alias("sv"))
+    cb_lit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{v}L" for v in c) + ")" for c in codes
+            )
+            + ")"
+            for codes in cb
+        )
+        + ")"
+    )
+    dists = F.transform(
+        F.element_at(cb_lit, F.col("m") + 1),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("sv"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return sub.select("vec_id", "m", dists.alias("_d")).select(
+        "vec_id",
+        "m",
+        F.array_position(F.col("_d"), F.array_min(F.col("_d")))
+        .cast("int")
+        .alias("code"),
+    )

@@ -1908,3 +1908,120 @@ def similarity_ivfpq_residual_recall_sweep(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _ivfpq_sweep(spark, sf_dir, "res")
+
+
+# --------------------------------------------------------------------------
+# similarity_ivfpq_incremental — the COMPOSED index under append,
+# completing index maintenance for IVFPQ (similarity_ivf_incremental
+# froze only the coarse quantizer; a real IVFPQ index must also freeze
+# the PQ CODEBOOKS): quantizer AND codebooks train once on the
+# pre-append base (vec_id % 97 != 0), then the appended slice is routed
+# to cells with one argmin pass against the centroid literal AND
+# encoded with one argmin pass against the codebook literal
+# (operators/similarity.pq_encode_qv) — no retraining, no base rescan,
+# no shuffle on the batch side. The audited output is the post-append
+# index's POSTING-LIST statistics: per (cluster, m, code) counts of
+# base/batch codes — the structure a billion-vector IVFPQ serves from —
+# hash-gated against an oracle that trains on the identical base and
+# encodes everything against the same frozen artifacts.
+# --------------------------------------------------------------------------
+@query(
+    "similarity_ivfpq_incremental",
+    oracle=f"""
+    WITH {_km_ctes(f"(SELECT * FROM embeddings WHERE vec_id % {_IVF_INC_MOD} <> 0)", p="km")},
+    bq AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings WHERE vec_id % {_IVF_INC_MOD} <> 0
+    ),
+    {_pq_ctes(qsrc="bq")},
+    bb AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings WHERE vec_id % {_IVF_INC_MOD} = 0
+    ),
+    ab AS (
+      SELECT q.vec_id, s.cluster
+      FROM bb q CROSS JOIN kmc1f s
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) = 1
+    ),
+    bsub AS (
+      SELECT vec_id, m,
+             list_slice(qv, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D}) AS sv
+      FROM bb, range(0, {_PQ_SUB}) t(m)
+    ),
+    bcodes AS (
+      SELECT s.vec_id, s.m, c.code
+      FROM bsub s JOIN c1f c ON c.m = s.m
+      QUALIFY row_number() OVER (
+        PARTITION BY s.vec_id, s.m ORDER BY {_PQ_DIST}, c.code) = 1
+    ),
+    merged AS (
+      SELECT a.cluster, co.m, co.code, 0 AS is_batch
+      FROM codes co JOIN kma2 a ON a.vec_id = co.vec_id
+      UNION ALL
+      SELECT a.cluster, co.m, co.code, 1 AS is_batch
+      FROM bcodes co JOIN ab a ON a.vec_id = co.vec_id
+    )
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(m AS INT) AS m,
+           CAST(code AS INT) AS code,
+           CAST(sum(1 - is_batch) AS BIGINT) AS n_base,
+           CAST(sum(is_batch) AS BIGINT) AS n_batch,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM merged
+    GROUP BY cluster, m, code
+    ORDER BY cluster, m, code
+    """,
+)
+def similarity_ivfpq_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_train,
+        pq_assign,
+        pq_encode_qv,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % _IVF_INC_MOD != 0)
+    batch_qv = emb.filter(F.col("vec_id") % _IVF_INC_MOD == 0).select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    assigned_base, cents = kmeans_train(base, k=8, iters=2)
+    base_codes, cb = pq_assign(base, n_sub=_PQ_SUB, k=_PQ_K, iters=1)
+    routed = assign_to_centroids(batch_qv, cents).select(
+        "vec_id", "cluster"
+    )
+    batch_codes = pq_encode_qv(batch_qv, cb)
+    merged = (
+        base_codes.join(assigned_base, "vec_id")
+        .select("cluster", "m", "code", F.lit(0).alias("is_batch"))
+        .unionByName(
+            batch_codes.join(routed, "vec_id").select(
+                "cluster", "m", "code", F.lit(1).alias("is_batch")
+            )
+        )
+    )
+    return (
+        merged.groupBy(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("m").cast("int").alias("m"),
+            F.col("code").cast("int").alias("code"),
+        )
+        .agg(
+            F.sum(1 - F.col("is_batch")).cast("bigint").alias("n_base"),
+            F.sum("is_batch").cast("bigint").alias("n_batch"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        )
+        .orderBy("cluster", "m", "code")
+    )

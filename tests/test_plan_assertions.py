@@ -820,3 +820,13 @@ def test_similarity_ivfpq_recall_sweep_plan(spark):
     assert s["bhj"] >= 2, s
     assert s["cartesian"] <= 3, s
     assert s["exchange"] <= 18, s
+
+
+def test_similarity_ivfpq_incremental_plan(spark):
+    # append maintenance: routing AND encoding are narrow argmin
+    # expressions against frozen literals — the batch side carries no
+    # join machinery beyond the vec_id equi-joins that attach cluster
+    # to codes; no cartesian anywhere
+    s = _stats("similarity_ivfpq_incremental", spark)
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 10, s
