@@ -26,6 +26,7 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # after this round every remaining sample is round 6+.
 _DRIVER_PRIORITY: list[str] = [
     # Round-9 additions — never driver-sampled.
+    "streaming_ivfpq_index",
     "similarity_ivfpq_incremental",
     "similarity_ivfpq_recall_sweep",
     "similarity_ivfpq_residual_recall_sweep",

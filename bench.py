@@ -259,6 +259,8 @@ BENCH_QUERIES = [
     "similarity_ivfpq_recall_sweep",
     "similarity_ivfpq_residual_recall_sweep",
     "similarity_ivfpq_incremental",
+    # streaming_ivfpq_index is correctness-gated but not benched
+    # (one-time incremental stream cost, like the other streaming rows)
 ]
 
 

@@ -2844,3 +2844,239 @@ def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_grams", "weight", "selected")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_ivfpq_index — the COMPOSED index maintained at ingest,
+# the foreachBatch twin of similarity_ivfpq_incremental and the capstone
+# of the at-ingest index family (MinHash ✓ pHash ✓ IVF ✓ quality ✓
+# DSIR ✓ substring ✓; the IVF row froze only the coarse quantizer —
+# a served IVFPQ index must freeze the PQ CODEBOOKS too): the FIRST
+# landing trains both artifacts on itself (the verified integer-exact
+# Lloyd + PQ machinery) and epoch-commits centroids AND codebooks;
+# every later landing reads the two bounded states (k×dims +
+# n_sub·k·d_sub ints — control data, the kmeans-literal rationale),
+# routes with one argmin pass and encodes with another
+# (pq_encode_qv) — zero joins, zero shuffles, zero retraining on the
+# batch side. The appended rows are the index's posting-list entries
+# (vec_id, cluster, m, code).
+#
+# Scale: per landing the cost is O(batch × (k·dims + n_sub·k·d_sub))
+# argmin work; the posting lists grow append-only.
+# --------------------------------------------------------------------------
+_SIQ_DONE: dict[tuple[str, str], str] = {}
+
+
+def _ivfpq_index_processor(
+    out: str, cent_state: str, cb_state: str, k: int = _SII_K
+):
+    """foreachBatch processor over (postings, centroid-state,
+    codebook-state) dirs — module-level for the replay test."""
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_train,
+        pq_assign,
+        pq_encode_qv,
+    )
+
+    def _plan(batch_df: DataFrame, epoch_id: int):
+        spark_l = batch_df.sparkSession
+        crows, brows = [], []
+        if os.path.isdir(cent_state):
+            crows = (
+                spark_l.read.option("basePath", cent_state)
+                .parquet(cent_state)
+                .filter(F.col("epoch") < epoch_id)
+                .orderBy("cluster")
+                .collect()
+            )
+        if os.path.isdir(cb_state):
+            brows = (
+                spark_l.read.option("basePath", cb_state)
+                .parquet(cb_state)
+                .filter(F.col("epoch") < epoch_id)
+                .orderBy("m", "code")
+                .collect()
+            )
+        if crows and brows:
+            cents = [list(r.qv) for r in crows]
+            n_sub = 1 + max(r.m for r in brows)
+            kk = 1 + max(r.code for r in brows) - 1
+            cb = [[None] * kk for _ in range(n_sub)]
+            for r in brows:
+                cb[r.m][r.code - 1] = list(r.sv)
+            qv = batch_df.select(
+                "vec_id", quantize(F.col("embedding")).alias("qv")
+            )
+            routed = assign_to_centroids(qv, cents).select(
+                "vec_id", "cluster"
+            )
+            postings = (
+                pq_encode_qv(qv, cb)
+                .join(routed, "vec_id")
+                .select(
+                    "vec_id",
+                    "cluster",
+                    "m",
+                    "code",
+                    F.lit(True).alias("incremental"),
+                )
+            )
+            return {
+                "postings": postings,
+                "new_cents": None,  # frozen — written by training only
+                "new_cb": None,
+            }
+        assigned, cents = kmeans_train(batch_df, k=k, iters=2)
+        codes, cb = pq_assign(batch_df, n_sub=4, k=4, iters=1)
+        postings = codes.join(assigned, "vec_id").select(
+            "vec_id", "cluster", "m", "code", F.lit(False).alias("incremental")
+        )
+        cent_rows = spark_l.createDataFrame(
+            [(c + 1, cents[c]) for c in range(len(cents))],
+            "cluster int, qv array<bigint>",
+        )
+        cb_rows = spark_l.createDataFrame(
+            [
+                (m, c + 1, cb[m][c])
+                for m in range(len(cb))
+                for c in range(len(cb[m]))
+            ],
+            "m int, code int, sv array<bigint>",
+        )
+        return {
+            "postings": postings,
+            "new_cents": cent_rows,
+            "new_cb": cb_rows,
+        }
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dfs = _plan(batch_df, epoch_id)
+        ep = f"epoch={epoch_id}"
+        dfs["postings"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, ep)
+        )
+        if dfs["new_cents"] is not None:
+            dfs["new_cents"].coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(cent_state, ep)
+            )
+        if dfs["new_cb"] is not None:
+            dfs["new_cb"].coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(cb_state, ep)
+            )
+
+    _process.plan = _plan
+    return _process
+
+
+def _siq_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SIQ_DONE, key[0])
+    if key in _SIQ_DONE:
+        if _dir_ok(_SIQ_DONE[key]):
+            return _SIQ_DONE[key]
+        del _SIQ_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_siq")
+    out = os.path.join(base, "out")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    _run_split_landings(
+        spark,
+        base,
+        "vec_id bigint, embedding array<float>",
+        [emb.filter(F.col("vec_id") % 2 == p) for p in (0, 1)],
+        _ivfpq_index_processor(
+            out, os.path.join(base, "cents"), os.path.join(base, "cb")
+        ),
+    )
+    _SIQ_DONE[key] = out
+    return out
+
+
+def _siq_oracle() -> str:
+    from data_ingestion_din_spark.plans.similarity_queries import (
+        _KM_DIST,
+        _PQ_D,
+        _PQ_DIST,
+        _PQ_SUB,
+        _km_ctes,
+        _pq_ctes,
+    )
+
+    return f"""
+    WITH {_km_ctes("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)", p="km")},
+    bq AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    {_pq_ctes(qsrc="bq")},
+    bb AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    ab AS (
+      SELECT q.vec_id, s.cluster
+      FROM bb q CROSS JOIN kmc1f s
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) = 1
+    ),
+    bsub AS (
+      SELECT vec_id, m,
+             list_slice(qv, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D}) AS sv
+      FROM bb, range(0, {_PQ_SUB}) t(m)
+    ),
+    bcodes AS (
+      SELECT s.vec_id, s.m, c.code
+      FROM bsub s JOIN c1f c ON c.m = s.m
+      QUALIFY row_number() OVER (
+        PARTITION BY s.vec_id, s.m ORDER BY {_PQ_DIST}, c.code) = 1
+    )
+    SELECT co.vec_id, CAST(a.cluster AS INT) AS cluster,
+           CAST(co.m AS INT) AS m, CAST(co.code AS INT) AS code,
+           FALSE AS incremental
+    FROM codes co JOIN kma2 a ON a.vec_id = co.vec_id
+    UNION ALL
+    SELECT co.vec_id, CAST(a.cluster AS INT) AS cluster,
+           CAST(co.m AS INT) AS m, CAST(co.code AS INT) AS code,
+           TRUE AS incremental
+    FROM bcodes co JOIN ab a ON a.vec_id = co.vec_id
+    ORDER BY vec_id, m
+    """
+
+
+@query("streaming_ivfpq_index", oracle=_siq_oracle())
+def streaming_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back both landings' posting-list entries; the oracle
+    restates train-both-artifacts-on-landing-1 + route-and-encode-
+    landing-2-against-the-frozen-states, so hash parity proves BOTH the
+    quantizer and the codebooks survived the checkpointed restart."""
+    out = _siq_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("m").cast("int").alias("m"),
+            F.col("code").cast("int").alias("code"),
+            "incremental",
+        )
+        .orderBy("vec_id", "m")
+    )

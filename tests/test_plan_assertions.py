@@ -830,3 +830,34 @@ def test_similarity_ivfpq_incremental_plan(spark):
     s = _stats("similarity_ivfpq_incremental", spark)
     assert s["cartesian"] == 0, s
     assert s["exchange"] <= 10, s
+
+
+def test_ivfpq_index_processor_batch_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _ivfpq_index_processor,
+    )
+
+    p = _ivfpq_index_processor(
+        str(tmp_path / "o"), str(tmp_path / "c"), str(tmp_path / "b"), k=2
+    )
+
+    def vec(base):
+        return [float(base)] * 8
+
+    b0 = spark.createDataFrame(
+        [(0, vec(0.0)), (1, vec(0.01)), (2, vec(5.0)), (3, vec(5.01))],
+        "vec_id bigint, embedding array<float>",
+    )
+    p(b0, 0)
+    b1 = spark.createDataFrame(
+        [(20, vec(0.02))], "vec_id bigint, embedding array<float>"
+    )
+    dfs = p.plan(b1, 1)
+    # routing+encoding epoch: argmin against two frozen LITERALS, the
+    # only join is the vec_id equi-join attaching cluster to codes —
+    # no cartesian, no forced broadcasts, at most the one join shuffle
+    s = _plan_stats(dfs["postings"])
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 3, s
+    assert _hint_count(dfs["postings"]) == 0
+    assert dfs["new_cents"] is None and dfs["new_cb"] is None

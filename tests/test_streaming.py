@@ -1062,3 +1062,60 @@ def test_streaming_dsir_gate_replay_idempotent(spark, tmp_path):
     assert os.listdir(ratio) == ["epoch=0"]
     offs = [r for r in first[1] if r[0] == -1]
     assert len(offs) == 1
+
+
+def test_streaming_ivfpq_index_replay_idempotent(spark, tmp_path):
+    """Composed-index maintainer contract: replaying an epoch leaves the
+    posting lists and BOTH frozen artifacts (centroids, codebooks)
+    identical; each is written exactly once by the training epoch, and
+    later landings are routed AND encoded against the frozen states."""
+    import os
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _ivfpq_index_processor,
+    )
+
+    out = str(tmp_path / "out")
+    cents = str(tmp_path / "cents")
+    cbs = str(tmp_path / "cb")
+    process = _ivfpq_index_processor(out, cents, cbs, k=2)
+
+    def vec(base):
+        return [float(base + i * 0.001) for i in range(8)]
+
+    b0 = spark.createDataFrame(
+        [(0, vec(0.0)), (1, vec(0.01)), (2, vec(5.0)), (3, vec(5.01))],
+        "vec_id bigint, embedding array<float>",
+    )
+    b1 = spark.createDataFrame(
+        [(10, vec(0.02)), (11, vec(5.02))],
+        "vec_id bigint, embedding array<float>",
+    )
+
+    def snapshot():
+        p = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("vec_id", "cluster", "m", "code", "incremental")
+            .collect()
+        )
+        c = sorted(tuple(r) for r in spark.read.parquet(cents).collect())
+        b = sorted(tuple(r) for r in spark.read.parquet(cbs).collect())
+        return p, c, b
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    posts = {r[0]: r for r in first[0] if r[2] == 0}  # m=0 row per vec
+    # landing-2 vectors are INCREMENTAL and routed to the cells their
+    # near-twins trained (10 ≈ vec 0/1's cell, 11 ≈ vec 2/3's cell)
+    assert posts[10][4] is True and posts[11][4] is True
+    assert posts[10][1] == posts[0][1]
+    assert posts[11][1] == posts[2][1]
+    # both artifacts frozen: exactly one (training) epoch each
+    assert os.listdir(cents) == ["epoch=0"]
+    assert os.listdir(cbs) == ["epoch=0"]
