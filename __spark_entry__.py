@@ -27,6 +27,7 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 _DRIVER_PRIORITY: list[str] = [
     # Round-9 additions — never driver-sampled.
     "streaming_ivfpq_index",
+    "streaming_ivfpq_serve",
     "similarity_ivfpq_incremental",
     "similarity_ivfpq_recall_sweep",
     "similarity_ivfpq_residual_recall_sweep",

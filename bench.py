@@ -261,6 +261,10 @@ BENCH_QUERIES = [
     "similarity_ivfpq_incremental",
     # streaming_ivfpq_index is correctness-gated but not benched
     # (one-time incremental stream cost, like the other streaming rows)
+    # streaming_ivfpq_serve IS benched: the stream landings are staged
+    # in setup (ivfpq_stream_index row), so the timing is the repeatable
+    # serve-from-posting-lists plan — the production read path
+    "streaming_ivfpq_serve",
 ]
 
 
@@ -364,6 +368,11 @@ def main() -> None:
 
     stage("pq_index_raw", lambda: _pq_trained(spark, sf_dir, "raw")[0].count())
     stage("pq_index_res", lambda: _pq_trained(spark, sf_dir, "res")[0].count())
+    # streamed IVFPQ index: the two availableNow landings run once here
+    # so streaming_ivfpq_serve times the read path, not the ingest
+    from data_ingestion_din_spark.plans.streaming_queries import _siq_out_dir
+
+    stage("ivfpq_stream_index", lambda: _siq_out_dir(spark, sf_dir))
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}

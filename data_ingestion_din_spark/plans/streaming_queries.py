@@ -3080,3 +3080,164 @@ def streaming_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "m")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_ivfpq_serve — close the loop: serve a top-k query FROM the
+# index streaming_ivfpq_index just maintained. The posting lists (the
+# streamed epoch-keyed parquet), the frozen centroid state (routes the
+# probe) and the frozen codebook state (builds the probe's ADC table)
+# are all read back from the maintained artifacts — nothing is
+# recomputed from the corpus except the final exact rerank over the
+# ≤20-row shortlist. This is the contract an index maintainer must
+# honor: the thing it appends to IS the thing production serves, and
+# hash parity against the from-scratch oracle proves it.
+#
+# Scale: the probe touches ONE cell's posting rows (cluster =
+# partition key at scale), scoring is integer lookups, and the only
+# full-vector reads are the shortlist's.
+# --------------------------------------------------------------------------
+def _siq_serve_oracle() -> str:
+    from data_ingestion_din_spark.functions.vectors import cosine_exact_sql
+    from data_ingestion_din_spark.plans.similarity_queries import (
+        _KM_DIST,
+        _PQ_D,
+        _PQ_DIST,
+        _PQ_SUB,
+        _km_ctes,
+        _pq_ctes,
+    )
+
+    return f"""
+    WITH {_km_ctes("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)", p="km")},
+    bq AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    {_pq_ctes(qsrc="bq")},
+    bb AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    ab AS (
+      SELECT q.vec_id, s.cluster
+      FROM bb q CROSS JOIN kmc1f s
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) = 1
+    ),
+    bsub AS (
+      SELECT vec_id, m,
+             list_slice(qv, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D}) AS sv
+      FROM bb, range(0, {_PQ_SUB}) t(m)
+    ),
+    bcodes AS (
+      SELECT s.vec_id, s.m, c.code
+      FROM bsub s JOIN c1f c ON c.m = s.m
+      QUALIFY row_number() OVER (
+        PARTITION BY s.vec_id, s.m ORDER BY {_PQ_DIST}, c.code) = 1
+    ),
+    allp AS (
+      SELECT co.vec_id, a.cluster, co.m, co.code
+      FROM codes co JOIN kma2 a ON a.vec_id = co.vec_id
+      UNION ALL
+      SELECT co.vec_id, a.cluster, co.m, co.code
+      FROM bcodes co JOIN ab a ON a.vec_id = co.vec_id
+    ),
+    pc AS (SELECT cluster FROM kma2 WHERE vec_id = 0),
+    sh AS (
+      SELECT p.vec_id, CAST(sum(a.dpart) AS BIGINT) AS adc_dist
+      FROM allp p
+      JOIN adc a ON a.m = p.m AND a.code = p.code
+      CROSS JOIN pc
+      WHERE p.vec_id <> 0 AND p.cluster = pc.cluster
+      GROUP BY p.vec_id
+      ORDER BY adc_dist, p.vec_id
+      LIMIT 20
+    )
+    SELECT e.vec_id, sh.adc_dist,
+           {cosine_exact_sql('e.embedding', 'qq.embedding')} AS cos_sim
+    FROM sh JOIN embeddings e ON e.vec_id = sh.vec_id
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qq
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@query("streaming_ivfpq_serve", oracle=_siq_serve_oracle())
+def streaming_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.vectors import (
+        cosine_exact,
+        quantize,
+    )
+    from data_ingestion_din_spark.plans.similarity_queries import _adc_expr
+
+    out = _siq_out_dir(spark, sf_dir)
+    base = os.path.dirname(out)
+    # the two frozen artifacts, read back from the MAINTAINED state
+    # (bounded control data: k×dims + n_sub·k·d_sub ints)
+    crows = (
+        spark.read.parquet(os.path.join(base, "cents"))
+        .orderBy("cluster")
+        .collect()
+    )
+    brows = (
+        spark.read.parquet(os.path.join(base, "cb"))
+        .orderBy("m", "code")
+        .collect()
+    )
+    cents = [list(r.qv) for r in crows]
+    n_sub = 1 + max(r.m for r in brows)
+    cb = [[] for _ in range(n_sub)]
+    for r in brows:
+        cb[r.m].append(list(r.sv))
+    emb = load_table(spark, sf_dir, "embeddings")
+    q0 = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(quantize(F.col("embedding")).alias("qv"))
+        .collect()[0]
+        .qv
+    )
+    pc = min(
+        range(len(cents)),
+        key=lambda c: (
+            sum((int(q0[i]) - cents[c][i]) ** 2 for i in range(len(q0))),
+            c,
+        ),
+    ) + 1
+    dpart = _adc_expr(list(q0), cb)
+    postings = spark.read.parquet(out).filter(
+        (F.col("cluster") == pc) & (F.col("vec_id") != 0)
+    )
+    shortlist = (
+        postings.select("vec_id", dpart.alias("dpart"))
+        .groupBy("vec_id")
+        .agg(F.sum("dpart").cast("bigint").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(20)
+    )
+    probe_vec = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q_embedding")
+        )
+    )
+    return (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(probe_vec)
+        .select(
+            "vec_id",
+            "adc_dist",
+            cosine_exact(F.col("embedding"), F.col("q_embedding")).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )

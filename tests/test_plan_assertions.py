@@ -861,3 +861,12 @@ def test_ivfpq_index_processor_batch_plan(spark, tmp_path):
     assert s["exchange"] <= 3, s
     assert _hint_count(dfs["postings"]) == 0
     assert dfs["new_cents"] is None and dfs["new_cb"] is None
+
+
+def test_streaming_ivfpq_serve_plan(spark):
+    # serving from the maintained posting lists: one cell-filtered scan
+    # of the postings + the shortlist rerank; the only nested loop is
+    # the broadcast 1-row probe attach
+    s = _stats("streaming_ivfpq_serve", spark)
+    assert s["cartesian"] <= 1, s
+    assert s["exchange"] <= 4, s
