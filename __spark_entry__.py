@@ -28,6 +28,7 @@ _DRIVER_PRIORITY: list[str] = [
     # Round-9 additions — never driver-sampled.
     "streaming_ivfpq_index",
     "streaming_ivfpq_serve",
+    "retrieval_ndcg_audit",
     "similarity_ivfpq_incremental",
     "similarity_ivfpq_recall_sweep",
     "similarity_ivfpq_residual_recall_sweep",

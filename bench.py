@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     # in setup (ivfpq_stream_index row), so the timing is the repeatable
     # serve-from-posting-lists plan — the production read path
     "streaming_ivfpq_serve",
+    "retrieval_ndcg_audit",
 ]
 
 
