@@ -29,6 +29,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_ivfpq_index",
     "streaming_ivfpq_serve",
     "retrieval_ndcg_audit",
+    "corpus_bpe_fertility",
     "similarity_ivfpq_incremental",
     "similarity_ivfpq_recall_sweep",
     "similarity_ivfpq_residual_recall_sweep",

@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     # serve-from-posting-lists plan — the production read path
     "streaming_ivfpq_serve",
     "retrieval_ndcg_audit",
+    "corpus_bpe_fertility",
 ]
 
 

@@ -1828,3 +1828,56 @@ def corpus_bpe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_occurrences"), "token")
         .limit(_BPE_ENC_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_bpe_fertility — tokenizer EVALUATION: fertility (subwords per
+# word, the standard tokenizer-quality metric — a fertility near 1
+# means the vocabulary covers the corpus; high fertility inflates
+# sequence lengths and training cost) for the tokenizer
+# corpus_bpe_train just induced, measured corpus-weighted AND
+# vocabulary-weighted next to the character baseline it started from.
+# All sums are exact integers (token counts × word frequencies); the
+# two fertility ratios are single deterministic double divisions.
+# Reuses the staged training run — the metric costs one vocab-sized
+# aggregation, not a re-train.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_bpe_fertility",
+    oracle=f"""
+    WITH {_BPE_CTES}
+    SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+           CAST(sum(wn) AS BIGINT) AS n_word_occurrences,
+           CAST(sum(len(toks)) AS BIGINT) AS vocab_subwords,
+           CAST(sum(wn * len(toks)) AS BIGINT) AS corpus_subwords,
+           CAST(sum(wn * length(w)) AS BIGINT) AS corpus_chars,
+           round(CAST(sum(wn * len(toks)) AS DOUBLE)
+                 / CAST(sum(wn) AS DOUBLE), 6) AS fertility_corpus,
+           round(CAST(sum(len(toks)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS fertility_vocab
+    FROM tok{_BPE_TRAIN_STEPS}
+    """,
+)
+def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, encoded = _bpe_train_run(spark, sf_dir)
+    return encoded.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.sum("wn").cast("bigint").alias("n_word_occurrences"),
+        F.sum(F.size("toks")).cast("bigint").alias("vocab_subwords"),
+        F.sum(F.col("wn") * F.size("toks"))
+        .cast("bigint")
+        .alias("corpus_subwords"),
+        F.sum(F.col("wn") * F.length("w"))
+        .cast("bigint")
+        .alias("corpus_chars"),
+        F.round(
+            F.sum(F.col("wn") * F.size("toks")).cast("double")
+            / F.sum("wn").cast("double"),
+            6,
+        ).alias("fertility_corpus"),
+        F.round(
+            F.sum(F.size("toks")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("fertility_vocab"),
+    )
