@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "customer_running_revenue",
     "parts_never_discounted",
     "late_shipment_orders",
+    "q4_order_priority",
     "nation_customer_rollup",
     "segment_median_order",
     "events_tumbling_5min",

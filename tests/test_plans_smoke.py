@@ -15,6 +15,7 @@ EXPECT_NONEMPTY = {
     "top_customers_per_nation",
     "customer_running_revenue",
     "late_shipment_orders",
+    "q4_order_priority",
     "nation_customer_rollup",
     "segment_median_order",
     "events_tumbling_5min",
