@@ -3241,3 +3241,200 @@ def streaming_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_bpe_gate — the TOKENIZER run AT INGEST with a FROZEN merge
+# table, completing the frozen-model-at-ingest family (classifier ✓
+# streaming_quality_gate, IVF quantizer ✓ streaming_ivf_index, DSIR
+# ratio table ✓ streaming_dsir_gate, IVFPQ ✓ streaming_ivfpq_index; the
+# tokenizer was batch-only — corpus_bpe_train/_pipeline): the FIRST
+# landing runs the Sennrich training loop on its own words (the
+# corpus_bpe_train construction — vocab-sized pair counts, 1-row argmax
+# per round) and epoch-commits the merge table; later landings read the
+# frozen merges and ENCODE against them — production tokenizes every
+# new shard with the released tokenizer, it never retrains per batch —
+# and emit per-doc (n_words, n_subwords, n_chars) verdicts. The oracle
+# restates train-on-evens (the unrolled _bpe_train_ctes with a parity
+# WHERE) chained into encode-everyone (an e-chain applying the SAME
+# _BPE_FOLD_SQL text per learned merge), so hash parity proves batch 2
+# was tokenized by batch 1's merges across the checkpointed restart.
+#
+# Scale: the merge table is _BPE_TRAIN_STEPS rows BY CONSTRUCTION —
+# reading it back and collecting it is iteration control data (the
+# k-means-centroid class), and the merges are applied as fold literals,
+# no join at all; per landing the cost is one vocab-sized shuffle plus
+# the doc-word ↔ encoded-vocab equi-join (NO broadcast hint — the
+# vocabulary grows with the corpus, the forbidden class).
+# --------------------------------------------------------------------------
+_SBG_DONE: dict[tuple[str, str], str] = {}
+
+
+def _bpe_gate_processor(out: str, merges_state: str, steps: int = 4):
+    """foreachBatch processor over (verdicts, merge-table-state) dirs —
+    module-level for the replay test, like the other index processors."""
+    from data_ingestion_din_spark.functions.analysis import tokens
+    from data_ingestion_din_spark.plans.text_pipeline import bpe_merge_fold
+
+    def _plan(batch_df: DataFrame, epoch_id: int):
+        spark_l = batch_df.sparkSession
+        wn = (
+            batch_df.select(F.explode(tokens(F.col("text"))).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("wn"))
+        )
+        cur = wn.withColumn(
+            "toks",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ),
+        ).localCheckpoint(eager=True)
+        prior = None
+        if os.path.isdir(merges_state):
+            prior = (
+                spark_l.read.option("basePath", merges_state)
+                .parquet(merges_state)
+                .filter(F.col("epoch") < epoch_id)
+                .select("step", "lft", "rgt")
+            )
+        # train ONLY when no prior-epoch merge table exists — keyed on
+        # the PRIOR-EPOCH rows, not directory existence, so a REPLAYED
+        # training epoch retrains identically (the replay trap the
+        # quality gate pinned); the read-back is ≤steps rows
+        if prior is not None and prior.limit(1).count() > 0:
+            frozen = sorted(prior.collect(), key=lambda r: r.step)
+            new_merges = None  # frozen — written once by the training epoch
+            for r in frozen:
+                cur = cur.withColumn("toks", bpe_merge_fold(r.lft, r.rgt))
+        else:
+            learned = []
+            for step in range(steps):
+                prs = (
+                    cur.filter(F.size("toks") >= 2)
+                    .select(
+                        "wn",
+                        F.explode(
+                            F.sequence(F.lit(1), F.size("toks") - 1)
+                        ).alias("i"),
+                        "toks",
+                    )
+                    .select(
+                        F.element_at("toks", F.col("i")).alias("lft"),
+                        F.element_at("toks", F.col("i") + 1).alias("rgt"),
+                        "wn",
+                    )
+                )
+                top = (
+                    prs.groupBy("lft", "rgt")
+                    .agg(F.sum("wn").cast("bigint").alias("n"))
+                    .orderBy(F.desc("n"), "lft", "rgt")
+                    .limit(1)
+                    .collect()[0]  # 1-row argmax — iteration control data
+                )
+                learned.append((step, top.lft, top.rgt))
+                cur = cur.withColumn(
+                    "toks", bpe_merge_fold(top.lft, top.rgt)
+                ).localCheckpoint(eager=True)
+            new_merges = spark_l.createDataFrame(
+                learned, "step int, lft string, rgt string"
+            )
+        enc = cur.select("w", F.size("toks").cast("bigint").alias("n_sub"))
+        doc_w = batch_df.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        verdicts = (
+            doc_w.join(enc, "w")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                F.sum("n_sub").cast("bigint").alias("n_subwords"),
+                F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            )
+        )
+        return {"verdicts": verdicts, "new_merges": new_merges}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dfs = _plan(batch_df, epoch_id)
+        ep = f"epoch={epoch_id}"
+        dfs["verdicts"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, ep)
+        )
+        if dfs["new_merges"] is not None:
+            dfs["new_merges"].coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(merges_state, ep)
+            )
+
+    _process.plan = _plan
+    return _process
+
+
+def _sbg_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SBG_DONE, key[0])
+    if key in _SBG_DONE:
+        if _dir_ok(_SBG_DONE[key]):
+            return _SBG_DONE[key]
+        del _SBG_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_sbg")
+    out = os.path.join(base, "out")
+    _process = _bpe_gate_processor(out, os.path.join(base, "merges"))
+    _run_doc_parity_landings(spark, sf_dir, base, _process)
+    _SBG_DONE[key] = out
+    return out
+
+
+def _sbg_oracle() -> str:
+    from data_ingestion_din_spark.plans.text_pipeline import (
+        _BPE_FOLD_SQL,
+        _BPE_TRAIN_STEPS,
+        _TOKS_SQL,
+        _bpe_train_ctes,
+    )
+
+    ctes, _ = _bpe_train_ctes(where="WHERE doc_id % 2 = 0")
+    echain = []
+    for r in range(_BPE_TRAIN_STEPS):
+        echain.append(f"""e{r + 1} AS (
+      SELECT t.w, {_BPE_FOLD_SQL} AS toks
+      FROM e{r} t CROSS JOIN m{r} m
+    )""")
+    return f"""
+    WITH {ctes},
+    adoc AS (SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents),
+    dw AS (SELECT DISTINCT w FROM adoc),
+    e0 AS (
+      SELECT w, list_transform(range(1, length(w) + 1),
+                               i -> substr(w, i, 1)) AS toks
+      FROM dw
+    ),
+    {",".join(echain)}
+    SELECT a.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(e.toks)) AS BIGINT) AS n_subwords,
+           CAST(sum(length(a.w)) AS BIGINT) AS n_chars
+    FROM adoc a JOIN e{_BPE_TRAIN_STEPS} e ON a.w = e.w
+    GROUP BY a.doc_id
+    ORDER BY a.doc_id
+    """
+
+
+@query("streaming_bpe_gate", oracle=_sbg_oracle())
+def streaming_bpe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back both landings' verdicts; the oracle restates
+    train-merges-on-landing-1 (even doc_ids) + encode-everyone-with-them,
+    so hash parity proves the frozen merge table survived the
+    checkpointed restart and batch 2 was tokenized by batch 1's model."""
+    out = _sbg_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "n_words", "n_subwords", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -1649,14 +1649,26 @@ def corpus_bigram_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TRAIN_STEPS = 4
 
 
-def _bpe_train_ctes() -> tuple[str, str]:
+# One merge pass as DuckDB SQL, applied to alias t's toks against alias
+# m's 1-row (lft, rgt) pair — the text is shared VERBATIM by the train
+# CTEs below and streaming_queries' frozen-tokenizer-gate oracle, so the
+# two restatements of "apply a merge" can never drift apart.
+_BPE_FOLD_SQL = """list_reduce(list_transform(t.toks, x -> [x]), (acc, x) -> CASE
+               WHEN acc[-1] = m.lft AND x[1] = m.rgt
+               THEN list_append(acc[:-2], acc[-1] || x[1])
+               ELSE list_concat(acc, x) END)"""
+
+
+def _bpe_train_ctes(where: str = "") -> tuple[str, str]:
     """(cte_chain, merge_rows_union): the unrolled-training CTEs ending
     at tok{_BPE_TRAIN_STEPS} — the distinct-word table encoded with the
     learned merges — plus the UNION ALL of the per-round argmax rows.
-    Shared by the train oracle (reads the merge rows) and the composed
-    train→encode pipeline oracle (aggregates the final tokenization)."""
+    Shared by the train oracle (reads the merge rows), the composed
+    train→encode pipeline oracle (aggregates the final tokenization),
+    and — with ``where`` restricting the training corpus — the
+    streaming frozen-tokenizer gate's train-on-first-landing oracle."""
     ctes = [
-        f"""w AS (SELECT unnest({_TOKS_SQL}) AS w FROM documents),
+        f"""w AS (SELECT unnest({_TOKS_SQL}) AS w FROM documents {where}),
     wn AS (SELECT w, CAST(count(*) AS BIGINT) AS wn FROM w GROUP BY w),
     tok0 AS (
       SELECT w, wn,
@@ -1678,10 +1690,7 @@ def _bpe_train_ctes() -> tuple[str, str]:
     ),
     tok{r + 1} AS (
       SELECT t.w, t.wn,
-             list_reduce(list_transform(t.toks, x -> [x]), (acc, x) -> CASE
-               WHEN acc[-1] = m.lft AND x[1] = m.rgt
-               THEN list_append(acc[:-2], acc[-1] || x[1])
-               ELSE list_concat(acc, x) END) AS toks
+             {_BPE_FOLD_SQL} AS toks
       FROM tok{r} t CROSS JOIN m{r} m
     )""")
         sel.append(f"SELECT {r} AS step, lft, rgt, n FROM m{r}")
@@ -1696,6 +1705,26 @@ def _bpe_train_oracle() -> str:
         + "\n    SELECT CAST(step AS INT) AS step, lft, rgt, n FROM ("
         + sel
         + ") ORDER BY step"
+    )
+
+
+def bpe_merge_fold(a: str, b: str) -> F.Column:
+    """One BPE merge pass over the ``toks`` column — column-built fold
+    (no SQL-literal embedding — tokens may contain quotes);
+    try_element_at: empty accumulator yields NULL and falls through to
+    the append branch. Shared by the batch train loop below and the
+    streaming frozen-tokenizer gate (the Spark twin of _BPE_FOLD_SQL)."""
+    a_l, b_l = F.lit(a), F.lit(b)
+    return F.aggregate(
+        F.col("toks"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == a_l) & (x == b_l),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(a_l, b_l)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
     )
 
 
@@ -1724,23 +1753,6 @@ def _bpe_train_run(
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
     ).localCheckpoint(eager=True)
 
-    def merge_fold(a: str, b: str) -> F.Column:
-        # column-built fold (no SQL-literal embedding — tokens may
-        # contain quotes); try_element_at: empty accumulator yields NULL
-        # and falls through to the append branch
-        a_l, b_l = F.lit(a), F.lit(b)
-        return F.aggregate(
-            F.col("toks"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.try_element_at(acc, F.lit(-1)) == a_l) & (x == b_l),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(a_l, b_l)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-
     merges = []
     for step in range(_BPE_TRAIN_STEPS):
         prs = cur.filter(F.size("toks") >= 2).select(
@@ -1761,7 +1773,7 @@ def _bpe_train_run(
         )
         merges.append((step, top.lft, top.rgt, top.n))
         cur = cur.withColumn(
-            "toks", merge_fold(top.lft, top.rgt)
+            "toks", bpe_merge_fold(top.lft, top.rgt)
         ).localCheckpoint(eager=True)
     _BPE_TRAIN_STATE[key] = (merges, cur)
     return _BPE_TRAIN_STATE[key]

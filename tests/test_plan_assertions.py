@@ -870,3 +870,27 @@ def test_streaming_ivfpq_serve_plan(spark):
     s = _stats("streaming_ivfpq_serve", spark)
     assert s["cartesian"] <= 1, s
     assert s["exchange"] <= 4, s
+
+
+def test_bpe_gate_processor_batch_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _bpe_gate_processor,
+    )
+
+    p = _bpe_gate_processor(str(tmp_path / "o"), str(tmp_path / "m"), steps=2)
+    b0 = spark.createDataFrame(
+        [(0, "abab abab ab"), (2, "ab cd")], "doc_id bigint, text string"
+    )
+    p(b0, 0)
+    b1 = spark.createDataFrame(
+        [(1, "abab xy")], "doc_id bigint, text string"
+    )
+    dfs = p.plan(b1, 1)
+    s = _plan_stats(dfs["verdicts"])
+    # encoding epoch: the frozen merges are applied as fold LITERALS (no
+    # join machinery for the model at all); the only join is the
+    # doc-word ↔ encoded-vocab equi-join, which must NOT carry a
+    # broadcast hint — the vocabulary grows with the corpus
+    assert s["cartesian"] == 0, s
+    assert _hint_count(dfs["verdicts"]) == 0
+    assert dfs["new_merges"] is None  # frozen after the training epoch

@@ -1119,3 +1119,58 @@ def test_streaming_ivfpq_index_replay_idempotent(spark, tmp_path):
     # both artifacts frozen: exactly one (training) epoch each
     assert os.listdir(cents) == ["epoch=0"]
     assert os.listdir(cbs) == ["epoch=0"]
+
+
+def test_streaming_bpe_gate_replay_idempotent(spark, tmp_path):
+    """Frozen-tokenizer contract: replaying an epoch leaves verdicts and
+    the merge table identical; the merges are written exactly once (by
+    the training epoch) and later epochs ENCODE against them without
+    retraining — batch-1 docs are tokenized by batch-0's merges, not
+    their own batch's statistics."""
+    import os
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _bpe_gate_processor,
+    )
+
+    out = str(tmp_path / "out")
+    merges = str(tmp_path / "merges")
+    process = _bpe_gate_processor(out, merges, steps=2)
+
+    b0 = spark.createDataFrame(
+        [(0, "abab abab ab"), (2, "ab cd")], "doc_id bigint, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "abab xy"), (3, "cd cd")], "doc_id bigint, text string"
+    )
+
+    def snapshot():
+        v = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "n_words", "n_subwords", "n_chars")
+            .collect()
+        )
+        m = sorted(tuple(r) for r in spark.read.parquet(merges).collect())
+        return v, m
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    # learned merges: step 0 (a,b) n=6, step 1 (ab,ab) n=2
+    assert [(m[1], m[2]) for m in sorted(first[1])][:2] == [
+        ("a", "b"),
+        ("ab", "ab"),
+    ]
+    v = {r[0]: r for r in first[0]}
+    # doc 1 "abab xy": abab → [abab] via the FROZEN merges (1 subword)
+    assert v[1] == (1, 2, 3, 6)
+    # doc 3 "cd cd": had batch 1 trained on itself, (c,d) would top its
+    # pair counts and cd would encode to 1 subword each — the frozen
+    # model leaves it at characters (2 + 2)
+    assert v[3] == (3, 2, 4, 4)
+    assert os.listdir(merges) == ["epoch=0"]
