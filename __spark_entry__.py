@@ -27,6 +27,7 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 _DRIVER_PRIORITY: list[str] = [
     # Round-9 additions — never driver-sampled.
     "streaming_bpe_gate",
+    "salted_skew_join",
     "q4_order_priority",
     "streaming_ivfpq_index",
     "streaming_ivfpq_serve",

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "parts_never_discounted",
     "late_shipment_orders",
     "q4_order_priority",
+    "salted_skew_join",
     "nation_customer_rollup",
     "segment_median_order",
     "events_tumbling_5min",

@@ -220,6 +220,44 @@ def salted_agg_sum(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe inner equi-join: salt the BIG side's rows into
+    ``n_salts`` sub-keys and replicate the SMALL side once per salt
+    value, so a hot key's probe rows land on ``n_salts`` reducers
+    instead of one. The niche is the dim table that is too big to
+    broadcast but ≪ the fact table: replication costs ``n_salts ×
+    |small|`` shuffle rows — a constant factor on the cheap side —
+    while the hot key's reduce-side work parallelizes by ``n_salts``.
+    (When the small side DOES fit in memory, broadcast instead — no
+    shuffle at all; when neither fits, AQE's skew split handles the
+    sort-merge path. This is the middle regime, and the standard recipe
+    Spark lacks as a built-in.)
+
+    Semantics are exactly inner-join-on-equal-keys: every (big row,
+    small row) key match pairs exactly once because the big row carries
+    ONE salt and the small copy with THAT salt exists exactly once.
+    """
+    sb = big.withColumn("_salt_b", salt_col(F.col(big_key), n_salts))
+    rs = small.withColumn(
+        "_salt_s",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>")),
+    )
+    return (
+        sb.join(
+            rs,
+            (sb[big_key] == rs[small_key])
+            & (sb["_salt_b"] == rs["_salt_s"]),
+        )
+        .drop("_salt_b", "_salt_s")
+    )
+
+
 # Partition-pruned corpus layout: the scan-layout lever next to
 # bucketing. Written once per (application, sf_dir), like the bucketed
 # facts above.

@@ -977,3 +977,56 @@ def user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("events", ev, ev.filter(gdpr(F.col("user_id")))))
     )
     return rows.orderBy("table_name")
+
+
+# --------------------------------------------------------------------------
+# salted_skew_join — the SKEW recipe end to end: lineitem ⋈ orders via
+# operators/colocate.salted_join (big side salted into 8 sub-keys, small
+# side replicated once per salt — the middle regime where the dim is too
+# big to broadcast but ≪ the fact), then the per-priority revenue sum via
+# salted_agg_sum (5-value group key = the textbook hot-key aggregation;
+# partials on (key, salt), exact decimal combine on key). Salting is a
+# physical rewrite ONLY — the oracle is the plain join + group-by, so
+# hash parity proves the salt never changes semantics: every key match
+# pairs exactly once (the big row carries ONE salt; the small copy with
+# that salt exists exactly once) and the decimal partial sums recombine
+# exactly.
+# --------------------------------------------------------------------------
+@query(
+    "salted_skew_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {dec_to_double_sql(f"sum({_D2} * {_DISC})", 4)} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.operators.colocate import (
+        salted_agg_sum,
+        salted_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=8)
+    rev = j.select(
+        "o_orderpriority",
+        (
+            _dec2("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+        ).alias("rev"),
+        F.lit(1).cast("bigint").alias("n_lines"),
+    )
+    out = salted_agg_sum(rev, ["o_orderpriority"], ["rev", "n_lines"], n_salts=8)
+    return out.select(
+        "o_orderpriority",
+        dec_to_double(F.col("rev"), 4).alias("revenue"),
+        F.col("n_lines"),
+    ).orderBy("o_orderpriority")

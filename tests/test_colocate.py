@@ -468,3 +468,37 @@ def test_compact_small_files(spark, tmp_path):
     assert fp(src) == fp(dst)
     # compaction must not lose bytes to more than metadata overhead
     assert stats["bytes_after"] > 0
+
+
+def test_salted_join_matches_plain_join_with_dup_keys(spark):
+    """salted_join must be a pure physical rewrite of the inner join —
+    including MULTISET semantics when the same key repeats on both
+    sides (each big row × each small dup pairs exactly once), and a
+    hot key's big-side rows must actually spread across salts."""
+    import io
+    import contextlib
+
+    from data_ingestion_din_spark.operators.colocate import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i, k in enumerate([1] * 40 + [2, 2, 3])],
+        "k bigint, big_val int",
+    )
+    small = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (4, "d")], "sk bigint, small_val string"
+    )
+    got = sorted(
+        (r.k, r.big_val, r.small_val)
+        for r in salted_join(big, small, "k", "sk", n_salts=4).collect()
+    )
+    want = sorted(
+        (r.k, r.big_val, r.small_val)
+        for r in big.join(small, big.k == small.sk).collect()
+    )
+    assert got == want and len(want) == 40 * 2 + 2
+
+    # the join condition really carries the salt sub-key
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        salted_join(big, small, "k", "sk", n_salts=4).explain()
+    assert "_salt" in buf.getvalue()
