@@ -28,6 +28,7 @@ _DRIVER_PRIORITY: list[str] = [
     # Round-9 additions — never driver-sampled.
     "streaming_bpe_gate",
     "salted_skew_join",
+    "dq_key_skew_profile",
     "q4_order_priority",
     "streaming_ivfpq_index",
     "streaming_ivfpq_serve",

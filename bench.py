@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "late_shipment_orders",
     "q4_order_priority",
     "salted_skew_join",
+    "dq_key_skew_profile",
     "nation_customer_rollup",
     "segment_median_order",
     "events_tumbling_5min",

@@ -223,3 +223,100 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("expectation").startswith("size:"), F.col("observed") > 0
         ).otherwise(F.col("observed") == 0),
     ).orderBy("tbl", "expectation")
+
+
+# --------------------------------------------------------------------------
+# dq_key_skew_profile — the join-key SKEW audit that decides which
+# physical strategy a 100 TB join gets BEFORE it runs: for each
+# candidate join/group key, the exact key-count distribution summary —
+# total rows, distinct keys, the heaviest key's row count, the 10
+# heaviest keys' combined rows, and two derived ratios (max/avg
+# "skew_ratio"; top-10 share). skew_ratio ≈ 1 → uniform, hash-join
+# freely; large max_key_rows → salt (operators/colocate.salted_join) or
+# AQE skew split; tiny n_keys → broadcast the OTHER side or two-phase
+# the aggregation (salted_agg_sum).
+#
+# Scale: one map-side-combined groupBy per key — the SAME shuffle the
+# eventual join would pay, so profiling costs one pass of the cheap
+# side; the per-key count table is checkpointed once and serves both
+# the full aggregate and the top-10 cut (a bounded TakeOrdered). The
+# top-10 SUM is tie-invariant: equal counts at the rank-10 boundary
+# contribute the same sum whichever keys are kept.
+# --------------------------------------------------------------------------
+def _skew_branch(df: DataFrame, key: str, label: str) -> DataFrame:
+    c = (
+        df.groupBy(F.col(key).alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    top = c.orderBy(F.desc("n"), "k").limit(10)
+    t = top.agg(F.sum("n").cast("bigint").alias("top10_rows"))
+    a = c.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_key_rows"),
+    )
+    return a.crossJoin(F.broadcast(t)).select(
+        F.lit(label).alias("key_name"),
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "top10_rows",
+        F.round(
+            (F.col("max_key_rows") * F.col("n_keys")).cast("double")
+            / F.col("n_rows"),
+            6,
+        ).alias("skew_ratio"),
+        F.round(F.col("top10_rows").cast("double") / F.col("n_rows"), 6).alias(
+            "top10_share"
+        ),
+    )
+
+
+def _skew_oracle_block(src: str, key: str, label: str) -> str:
+    return f"""
+    SELECT '{label}' AS key_name,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           (SELECT CAST(sum(n) AS BIGINT) FROM
+              (SELECT n FROM c_{label.replace('.', '_')}
+               ORDER BY n DESC LIMIT 10)) AS top10_rows,
+           round(CAST(max(n) * count(*) AS DOUBLE) / sum(n), 6)
+             AS skew_ratio,
+           round((SELECT CAST(sum(n) AS DOUBLE) FROM
+                    (SELECT n FROM c_{label.replace('.', '_')}
+                     ORDER BY n DESC LIMIT 10)) / sum(n), 6)
+             AS top10_share
+    FROM c_{label.replace('.', '_')}
+    """
+
+
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey", "lineitem.l_orderkey"),
+    ("lineitem", "l_partkey", "lineitem.l_partkey"),
+    ("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+    ("orders", "o_custkey", "orders.o_custkey"),
+]
+
+
+def _skew_oracle() -> str:
+    ctes = ",\n    ".join(
+        f"c_{lbl.replace('.', '_')} AS "
+        f"(SELECT {key} AS k, CAST(count(*) AS BIGINT) AS n "
+        f"FROM {src} GROUP BY 1)"
+        for src, key, lbl in _SKEW_KEYS
+    )
+    blocks = " UNION ALL ".join(
+        _skew_oracle_block(src, key, lbl) for src, key, lbl in _SKEW_KEYS
+    )
+    return f"WITH {ctes}\n    SELECT * FROM ({blocks}) ORDER BY key_name"
+
+
+@query("dq_key_skew_profile", oracle=_skew_oracle())
+def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for src, key, lbl in _SKEW_KEYS:
+        b = _skew_branch(load_table(spark, sf_dir, src), key, lbl)
+        out = b if out is None else out.unionByName(b)
+    return out.orderBy("key_name")
