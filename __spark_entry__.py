@@ -29,6 +29,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_bpe_gate",
     "salted_skew_join",
     "dq_key_skew_profile",
+    "streaming_rollup_maintenance",
     "q4_order_priority",
     "streaming_ivfpq_index",
     "streaming_ivfpq_serve",

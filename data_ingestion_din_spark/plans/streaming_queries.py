@@ -3438,3 +3438,131 @@ def streaming_bpe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_words", "n_subwords", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_rollup_maintenance — INCREMENTAL VIEW MAINTENANCE for the
+# additive rollup, the most common production continuous aggregate
+# (events_hourly_rollup kept current under append): each time-split
+# landing is aggregated to (hour, event_type) partials — one map-side-
+# combined shuffle over the LANDING only, never rescanning history —
+# and merged with the latest prior-epoch state by re-summing, then the
+# full merged rollup is epoch-committed (idempotent overwrite,
+# prior-epoch-only reads: the exactly-once-under-replay layout every
+# state sink here uses). Counts and decimal sums are associative, so
+# merged-partials == from-scratch — and the oracle IS the batch
+# rollup's SQL verbatim (oracle_ref), making that equality the hash
+# gate across the checkpointed restart.
+#
+# Scale: state is AGGREGATE-cardinality (hours × types — orders of
+# magnitude below raw events), so the full-state epoch write is cheap
+# relative to any landing; the landing-side cost is one partial
+# aggregation of the batch. (When even the rollup is huge, the
+# O(touched) variant — rewrite only hour-partitions the landing
+# touches — is the training_shard_incremental pattern; the additive
+# merge here is the semantics both share.)
+# --------------------------------------------------------------------------
+_SRM_DONE: dict[tuple[str, str], str] = {}
+
+
+def _rollup_processor(state: str):
+    """foreachBatch processor over the rollup-state dir — module-level
+    for the replay test, like the other incremental state sinks."""
+
+    def _plan(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        spark_l = batch_df.sparkSession
+        partials = batch_df.groupBy(
+            F.window("ts", "1 hour").alias("h"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(22,2)")
+            .alias("total_value"),
+        ).select(
+            F.col("h.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        if os.path.isdir(state):
+            prior = _latest_epoch_rows(
+                spark_l,
+                state,
+                ["window_start", "event_type"],
+                before_epoch=epoch_id,
+            )
+            partials = partials.unionByName(prior)
+        return (
+            partials.groupBy("window_start", "event_type")
+            .agg(
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.sum("total_value").cast("decimal(22,2)").alias("total_value"),
+            )
+        )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merged = _plan(batch_df, epoch_id)
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state, f"epoch={epoch_id}")
+        )
+
+    _process.plan = _plan
+    return _process
+
+
+def _srm_state_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SRM_DONE, key[0])
+    if key in _SRM_DONE:
+        if _dir_ok(_SRM_DONE[key]):
+            return _SRM_DONE[key]
+        del _SRM_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_srm")
+    state = os.path.join(base, "state")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = lo + (hi - lo) // 2  # setup-stage scalar: time-split point
+    _run_split_landings(
+        spark,
+        base,
+        "event_type string, ts timestamp, value double",
+        [
+            ev.filter(F.unix_micros("ts") <= mid),
+            ev.filter(F.unix_micros("ts") > mid),
+        ],
+        _rollup_processor(state),
+    )
+    _SRM_DONE[key] = state
+    return state
+
+
+@query("streaming_rollup_maintenance", oracle_ref="events_hourly_rollup")
+def streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back the incrementally maintained hourly rollup (latest-
+    epoch row per (window_start, event_type)); the oracle is the BATCH
+    rollup's SQL verbatim — additive merge makes incremental
+    maintenance provably equal to a from-scratch aggregation, and hash
+    parity enforces it across the checkpointed restart."""
+    from data_ingestion_din_spark.plans._exact import dec_to_double
+
+    state = _srm_state_dir(spark, sf_dir)
+    cur = _latest_epoch_rows(spark, state, ["window_start", "event_type"])
+    return cur.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        dec_to_double(F.col("total_value"), 2).alias("total_value"),
+    ).orderBy("window_start", "event_type")

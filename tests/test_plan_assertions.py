@@ -894,3 +894,33 @@ def test_bpe_gate_processor_batch_plan(spark, tmp_path):
     assert s["cartesian"] == 0, s
     assert _hint_count(dfs["verdicts"]) == 0
     assert dfs["new_merges"] is None  # frozen after the training epoch
+
+
+def test_rollup_processor_batch_plan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _rollup_processor,
+    )
+
+    p = _rollup_processor(str(tmp_path / "s"))
+    b0 = spark.createDataFrame(
+        [("click", "2024-01-01 10:05:00", 1.5)],
+        "event_type string, ts_s string, value double",
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    p(b0, 0)
+    b1 = spark.createDataFrame(
+        [("view", "2024-01-01 11:05:00", 2.0)],
+        "event_type string, ts_s string, value double",
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    merged = p.plan(b1, 1)
+    s = _plan_stats(merged)
+    # merge epoch: landing partials ∪ prior state re-summed — no join
+    # machinery at all, and the state side (grows with rollup history)
+    # must never carry a broadcast hint
+    assert s["cartesian"] == 0, s
+    assert _hint_count(merged) == 0

@@ -1174,3 +1174,60 @@ def test_streaming_bpe_gate_replay_idempotent(spark, tmp_path):
     # model leaves it at characters (2 + 2)
     assert v[3] == (3, 2, 4, 4)
     assert os.listdir(merges) == ["epoch=0"]
+
+
+def test_streaming_rollup_maintenance_replay_idempotent(spark, tmp_path):
+    """Additive-IVM contract: replaying an epoch leaves the maintained
+    rollup identical (prior-epoch-only reads + idempotent overwrite),
+    and the latest state equals the from-scratch aggregation of
+    everything landed so far."""
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _latest_epoch_rows,
+        _rollup_processor,
+    )
+
+    state = str(tmp_path / "state")
+    process = _rollup_processor(state)
+
+    b0 = spark.createDataFrame(
+        [("click", "2024-01-01 10:05:00", 1.5),
+         ("click", "2024-01-01 10:55:00", 2.0),
+         ("view", "2024-01-01 11:05:00", 3.25)],
+        "event_type string, ts_s string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    b1 = spark.createDataFrame(
+        [("click", "2024-01-01 10:59:00", 4.0),
+         ("view", "2024-01-01 12:00:00", 0.75)],
+        "event_type string, ts_s string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+
+    def snapshot():
+        cur = _latest_epoch_rows(
+            spark, state, ["window_start", "event_type"]
+        )
+        return sorted(
+            (str(r.window_start), r.event_type, r.n_events,
+             float(r.total_value))
+            for r in cur.collect()
+        )
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    want = sorted(
+        (str(r.h["start"]), r.event_type, r.n, float(r.v))
+        for r in b0.unionByName(b1)
+        .groupBy(F.window("ts", "1 hour").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("v"),
+        )
+        .collect()
+    )
+    assert first == want
+    # the 10:00 click hour accumulated across both landings: 2 + 1 rows
+    assert ("2024-01-01 10:00:00", "click", 3, 7.5) in first
