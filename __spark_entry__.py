@@ -30,6 +30,8 @@ _DRIVER_PRIORITY: list[str] = [
     "salted_skew_join",
     "dq_key_skew_profile",
     "streaming_rollup_maintenance",
+    "corpus_temperature_mixture",
+    "dq_k_anonymity_audit",
     "q4_order_priority",
     "streaming_ivfpq_index",
     "streaming_ivfpq_serve",

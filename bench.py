@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "salted_skew_join",
     "dq_key_skew_profile",
+    "corpus_temperature_mixture",
+    "dq_k_anonymity_audit",
     "nation_customer_rollup",
     "segment_median_order",
     "events_tumbling_5min",

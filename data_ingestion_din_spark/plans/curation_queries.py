@@ -1395,3 +1395,94 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_topk(sw, _DSIR_TOPK, F.desc("weight"), "doc_id").orderBy(
         F.desc("weight"), "doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_temperature_mixture — TEMPERATURE-based language re-balancing,
+# the standard multilingual pretraining mix (sample language l at a
+# rate ∝ p_l^(1/T); T=2 → the √-share recipe of multilingual BERT /
+# XLM): languages are DOWN-sampled toward equal-ish shares with the
+# rarest language kept whole — rate_l = sqrt(n_min / n_l), so
+# selected_l ≈ sqrt(n_min · n_l) ∝ sqrt(n_l). Every decision is
+# hash-gatable: the per-lang rate is quantized to an INTEGER
+# micro-threshold (floor(1e6·sqrt(n_min/n_l)) — one correctly-rounded
+# sqrt and one double multiply, deterministic across engines), and a
+# doc is kept iff abs(h64('tmix:'||doc_id)) % 1e6 clears its
+# language's threshold — the same salted-hash Bernoulli used by the
+# stratified sampler, reproducible run-to-run and engine-to-engine.
+#
+# Scale: one lang-count shuffle; the per-lang rate table is bounded by
+# the language count (the legal broadcast class — plan-hinted); the
+# per-doc keep test is a scan-local predicate, no shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_temperature_mixture",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    mn AS (SELECT min(n_docs) AS n_min FROM c),
+    r AS (
+      SELECT lang, n_docs,
+             CAST(floor(1000000.0 *
+                        sqrt(CAST(n_min AS DOUBLE) / n_docs)) AS BIGINT)
+               AS threshold_micros
+      FROM c CROSS JOIN mn
+    ),
+    s AS (
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sel
+      FROM documents d JOIN r ON d.lang = r.lang
+      WHERE abs({h64_sql("'tmix:' || CAST(doc_id AS VARCHAR)")}) % 1000000
+              < r.threshold_micros
+      GROUP BY d.lang
+    )
+    SELECT r.lang, r.n_docs, r.threshold_micros,
+           CAST(coalesce(s.n_sel, 0) AS BIGINT) AS n_selected
+    FROM r LEFT JOIN s ON r.lang = s.lang
+    ORDER BY r.lang
+    """,
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            "lang",
+            "n_docs",
+            F.floor(
+                F.lit(1000000.0)
+                * F.sqrt(F.col("n_min").cast("double") / F.col("n_docs"))
+            )
+            .cast("bigint")
+            .alias("threshold_micros"),
+        )
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "threshold_micros")), "lang")
+        .filter(
+            F.abs(
+                h64(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string")))
+            )
+            % 1000000
+            < F.col("threshold_micros")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sel"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "threshold_micros",
+            F.coalesce("n_sel", F.lit(0)).cast("bigint").alias("n_selected"),
+        )
+        .orderBy("lang")
+    )

@@ -320,3 +320,63 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = _skew_branch(load_table(spark, sf_dir, src), key, lbl)
         out = b if out is None else out.unionByName(b)
     return out.orderBy("key_name")
+
+
+# --------------------------------------------------------------------------
+# dq_k_anonymity_audit — the quasi-identifier release gate (k-anonymity,
+# Sweeney 2002): before publishing a corpus, group it by the attribute
+# combination an adversary could re-identify on — here (lang,
+# length-bucket), the releasable metadata columns — and flag groups
+# smaller than k: a document alone in its (lang, size) cell is
+# re-identifiable from metadata even with PII scrubbed (pii_redaction
+# removes content identifiers; this audits the SHAPE of the release).
+# Exact integer counts only, so the gate itself is hash-checked.
+#
+# Scale: one map-side-combined groupBy over the quasi-identifier — the
+# cheapest possible pass; the flag and summary ride the same aggregate.
+# --------------------------------------------------------------------------
+_KANON_K = 10
+_QI_BUCKET_SQL = """CASE
+      WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) < 64
+        THEN 64
+      WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) < 256
+        THEN 256
+      ELSE 1024 END"""
+
+
+@query(
+    "dq_k_anonymity_audit",
+    oracle=f"""
+    SELECT lang,
+           CAST({_QI_BUCKET_SQL} AS BIGINT) AS size_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN count(*) < {_KANON_K} THEN 1 ELSE 0 END AS INT)
+             AS at_risk
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, size_bucket
+    """,
+)
+def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    bucket = (
+        F.when(n_tok < 64, 64).when(n_tok < 256, 256).otherwise(1024)
+    ).cast("bigint")
+    return (
+        docs.select("lang", bucket.alias("size_bucket"))
+        .groupBy("lang", "size_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "lang",
+            "size_bucket",
+            "n_docs",
+            F.when(F.col("n_docs") < _KANON_K, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("at_risk"),
+        )
+        .orderBy("lang", "size_bucket")
+    )
