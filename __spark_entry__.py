@@ -26,6 +26,11 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # after this round every remaining sample is round 6+.
 _DRIVER_PRIORITY: list[str] = [
     # Round-9 additions — never driver-sampled.
+    "streaming_decontam_gate",
+    "events_interval_overlap_join",
+    "dq_schema_drift",
+    "corpus_zipf_fit",
+    "corpus_heaps_law",
     "streaming_bpe_gate",
     "salted_skew_join",
     "dq_key_skew_profile",

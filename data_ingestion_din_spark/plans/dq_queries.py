@@ -380,3 +380,110 @@ def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "size_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# dq_schema_drift — the batch-over-batch profile drift audit a
+# production ingest runs before publishing: the two fixture "batches"
+# (even / odd doc_id halves of documents) are profiled per column
+# (row count, null count, distinct count) in ONE fused aggregation pass
+# per half — 2 scans serve all 4 columns, same fusion discipline as
+# dq_expectations — and each column row carries a drift flag raised
+# when distinct-density shifts by more than 2x between halves,
+# evaluated by integer cross-multiplication (no float division
+# anywhere, so the flag itself sits under the hash gate). At 100 TB
+# each half-profile is a single map-side-combined aggregate; nothing
+# shuffles by row.
+# --------------------------------------------------------------------------
+_DRIFT_COLS = ["lang", "source", "n_chars", "text"]
+
+
+def _drift_half_sql(name: str, pred: str) -> str:
+    per_col = ",\n             ".join(
+        f"CAST(count({c}) AS BIGINT) AS nn_{c},"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}"
+        for c in _DRIFT_COLS
+    )
+    return f"""{name} AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             {per_col}
+      FROM documents WHERE {pred}
+    )"""
+
+
+def _drift_oracle() -> str:
+    rows = "\n      UNION ALL\n      ".join(
+        f"SELECT '{c}' AS col, e.n_rows AS rows_a, o.n_rows AS rows_b,"
+        f" e.n_rows - e.nn_{c} AS nulls_a, o.n_rows - o.nn_{c} AS nulls_b,"
+        f" e.nd_{c} AS distinct_a, o.nd_{c} AS distinct_b"
+        " FROM e, o"
+        for c in _DRIFT_COLS
+    )
+    return f"""
+    WITH {_drift_half_sql('e', 'doc_id % 2 = 0')},
+    {_drift_half_sql('o', 'doc_id % 2 = 1')},
+    cols AS (
+      {rows}
+    )
+    SELECT col, rows_a, rows_b, nulls_a, nulls_b, distinct_a, distinct_b,
+           CAST(CASE WHEN distinct_a * rows_b > 2 * distinct_b * rows_a
+                       OR distinct_b * rows_a > 2 * distinct_a * rows_b
+                     THEN 1 ELSE 0 END AS INT) AS drifted
+    FROM cols
+    ORDER BY col
+    """
+
+
+@query("dq_schema_drift", oracle=_drift_oracle())
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _profile(pred) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+        for c in _DRIFT_COLS:
+            aggs.append(F.count(c).cast("bigint").alias(f"nn_{c}"))
+            aggs.append(F.countDistinct(c).cast("bigint").alias(f"nd_{c}"))
+        return docs.filter(pred).agg(*aggs)
+
+    a = _profile(F.col("doc_id") % 2 == 0)
+    b = _profile(F.col("doc_id") % 2 == 1)
+    # stack the fused 1-row profiles into one row per column via a
+    # single explode over the joined 1-row pair — ONE evaluation of each
+    # half-profile (a per-column union would recompute both scans per
+    # branch)
+    stacked = a.join(
+        F.broadcast(b.select([F.col(c).alias(f"b_{c}") for c in b.columns]))
+    )
+    per_col = stacked.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col("n_rows").alias("rows_a"),
+                        F.col("b_n_rows").alias("rows_b"),
+                        (F.col("n_rows") - F.col(f"nn_{c}"))
+                        .cast("bigint")
+                        .alias("nulls_a"),
+                        (F.col("b_n_rows") - F.col(f"b_nn_{c}"))
+                        .cast("bigint")
+                        .alias("nulls_b"),
+                        F.col(f"nd_{c}").alias("distinct_a"),
+                        F.col(f"b_nd_{c}").alias("distinct_b"),
+                    )
+                    for c in _DRIFT_COLS
+                ]
+            )
+        )
+    )
+    return per_col.select(
+        "*",
+        F.when(
+            (F.col("distinct_a") * F.col("rows_b") > 2 * F.col("distinct_b") * F.col("rows_a"))
+            | (F.col("distinct_b") * F.col("rows_a") > 2 * F.col("distinct_a") * F.col("rows_b")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("drifted"),
+    ).orderBy("col")

@@ -1315,3 +1315,90 @@ def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "p")
     )
+
+
+# --------------------------------------------------------------------------
+# events_interval_overlap_join — the interval OVERLAP join Spark has no
+# native operator for (DuckDB/Postgres express it as a theta range
+# join): per-user daily activity intervals [first event, last event]
+# joined against corpus-wide error-incident hours (hours with >= 6
+# 'error' events, a half-open [h, h+1h) window). A naive Spark
+# formulation is a cross join + theta filter — O(intervals × incidents)
+# and a BroadcastNestedLoopJoin at scale. The scale-correct plan used
+# here bins TIME: each activity interval explodes into the hour bins it
+# spans (sequence + explode — bounded by interval length), incidents
+# carry their hour bin natively, and the join becomes a plain EQUI-join
+# on the bin followed by the exact overlap predicate (s_end >= h AND
+# s_start < h + 1h). One shuffle keyed by hour; no nested-loop join —
+# asserted in tests. Output: per (user, day) the number of distinct
+# incident hours the user's activity overlapped and the total error
+# volume of those hours — exact integers.
+# --------------------------------------------------------------------------
+_IOJ_THRESH = 6
+
+
+@query(
+    "events_interval_overlap_join",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             min(ts) AS s_start, max(ts) AS s_end
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    inc AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n_err
+      FROM events WHERE event_type = 'error'
+      GROUP BY date_trunc('hour', ts)
+      HAVING count(*) >= {_IOJ_THRESH}
+    )
+    SELECT s.user_id, s.day,
+           CAST(count(*) AS BIGINT) AS n_incident_hours,
+           CAST(sum(i.n_err) AS BIGINT) AS incident_errors
+    FROM s JOIN inc i
+      ON s.s_end >= i.h AND s.s_start < i.h + INTERVAL 1 HOUR
+    GROUP BY s.user_id, s.day
+    ORDER BY s.user_id, s.day
+    """,
+)
+def events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_err"))
+        .filter(F.col("n_err") >= _IOJ_THRESH)
+    )
+    # bin the interval into the hours it spans -> equi-join on the bin.
+    # Every bin h in [trunc(s_start), trunc(s_end)] satisfies the exact
+    # overlap predicate by construction; it is kept explicit so the
+    # operator stays correct for interval sources whose bins over-cover.
+    binned = sessions.select(
+        "user_id",
+        "day",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h"),
+    )
+    return (
+        binned.join(incidents, "h")
+        .filter(
+            (F.col("s_end") >= F.col("h"))
+            & (F.col("s_start") < F.col("h") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_incident_hours"),
+            F.sum("n_err").cast("bigint").alias("incident_errors"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -3566,3 +3566,163 @@ def streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         dec_to_double(F.col("total_value"), 2).alias("total_value"),
     ).orderBy("window_start", "event_type")
+
+
+# --------------------------------------------------------------------------
+# streaming_decontam_gate — benchmark DECONTAMINATION at ingest, the
+# frozen-model family's eval-overlap member (classifier ✓ r8, IVF ✓ r8,
+# DSIR/BPE/IVFPQ ✓ r9; corpus_decontaminate was batch-only): the first
+# landing freezes the benchmark's distinct word 8-gram shingle set (its
+# doc_id % 14 == 0 slice — the fixture's stand-in for an eval suite,
+# which is BOUNDED control data: benchmarks don't grow with the training
+# corpus, so broadcasting the frozen set is the legal class, exactly
+# like the quality gate's top-K vocab) and epoch-commits it; every
+# landing's non-benchmark docs are shingled once and probed against the
+# frozen set via a broadcast left-join, emitting per-doc
+# (n_hits, contaminated) verdicts. Training is keyed on PRIOR-EPOCH
+# ROWS, not directory existence (the replay trap — a replayed training
+# epoch retrains identically). Epoch-keyed idempotent overwrites +
+# prior-epoch-only reads give exactly-once under replay, proven in
+# tests/test_streaming.py.
+#
+# The oracle restates freeze-on-%14-slice + probe-everyone in SQL, so
+# hash parity proves the frozen shingle set survived the checkpointed
+# restart and landing 2 was gated by landing 1's benchmark snapshot.
+# --------------------------------------------------------------------------
+_SDC_DONE: dict[tuple[str, str], str] = {}
+
+
+def _decontam_gate_processor(out: str, shingle_state: str, n: int = 8):
+    """foreachBatch processor over (verdicts, frozen-shingle-state) dirs
+    — module-level for the replay test, like the sibling gates."""
+    from data_ingestion_din_spark.functions.analysis import (
+        tokens,
+        word_shingles,
+    )
+
+    def _plan(batch_df: DataFrame, epoch_id: int):
+        spark_l = batch_df.sparkSession
+        sh = batch_df.select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(word_shingles(tokens(F.col("text")), n))
+            ).alias("shingle"),
+        )
+        prior = None
+        if os.path.isdir(shingle_state):
+            prior = (
+                spark_l.read.option("basePath", shingle_state)
+                .parquet(shingle_state)
+                .filter(F.col("epoch") < epoch_id)
+                .select("shingle")
+            )
+        if prior is not None and prior.limit(1).count() > 0:
+            ev = prior
+            new_state = None  # frozen — written once by the training epoch
+        else:
+            ev = (
+                sh.filter(
+                    (F.col("doc_id") % 14 == 0)
+                    & F.col("shingle").isNotNull()
+                )
+                .select("shingle")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            new_state = ev
+        probed = sh.filter(F.col("doc_id") % 14 != 0).join(
+            F.broadcast(ev.withColumn("hit", F.lit(1))), "shingle", "left"
+        )
+        verdicts = (
+            probed.groupBy("doc_id")
+            .agg(
+                F.coalesce(F.sum("hit"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hits")
+            )
+            .withColumn(
+                "contaminated", (F.col("n_hits") > 0).cast("int")
+            )
+        )
+        return {"verdicts": verdicts, "new_state": new_state}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dfs = _plan(batch_df, epoch_id)
+        ep = f"epoch={epoch_id}"
+        dfs["verdicts"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, ep)
+        )
+        if dfs["new_state"] is not None:
+            dfs["new_state"].coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(shingle_state, ep)
+            )
+
+    _process.plan = _plan
+    return _process
+
+
+def _sdc_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SDC_DONE, key[0])
+    if key in _SDC_DONE:
+        if _dir_ok(_SDC_DONE[key]):
+            return _SDC_DONE[key]
+        del _SDC_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_sdc")
+    out = os.path.join(base, "out")
+    _process = _decontam_gate_processor(out, os.path.join(base, "shingles"))
+    _run_doc_parity_landings(spark, sf_dir, base, _process)
+    _SDC_DONE[key] = out
+    return out
+
+
+def _sdc_oracle() -> str:
+    from data_ingestion_din_spark.plans.curation_queries import (
+        _DC_N,
+        _DC_SHINGLE,
+        _TOKS_SQL,
+    )
+
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    idx AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk) - {_DC_N - 2})) AS i
+      FROM t WHERE len(tk) >= {_DC_N}
+    ),
+    sh AS (SELECT DISTINCT doc_id, {_DC_SHINGLE} AS shingle FROM idx),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 14 = 0),
+    hits AS (
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM sh s JOIN ev USING (shingle)
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+                AS INT) AS contaminated
+    FROM t d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 14 <> 0
+    ORDER BY d.doc_id
+    """
+
+
+@query("streaming_decontam_gate", oracle=_sdc_oracle())
+def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back both landings' decontamination verdicts; the oracle
+    restates freeze-benchmark-shingles-on-landing-1 + probe-everyone,
+    so hash parity proves the frozen set survived the checkpointed
+    restart and batch 2 was gated by batch 1's benchmark snapshot."""
+    out = _sdc_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "n_hits", "contaminated")
+        .orderBy("doc_id")
+    )

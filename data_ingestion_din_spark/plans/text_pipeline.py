@@ -1893,3 +1893,146 @@ def corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fertility_vocab"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_zipf_fit — the rank-frequency Zipf audit every corpus report
+# ships: top-100 words ranked by frequency, each carrying the exact
+# integer product rank*cnt (constant under an ideal Zipf(1) law — the
+# drift of this column IS the fit diagnostic) and the exact cumulative
+# count, so head-heaviness (cum share of the top-k) reads off the
+# integer columns without any float division. One token-keyed shuffle
+# with map-side partial aggregation; the global rank window is safe
+# because it sits above the 100-row TakeOrdered cut (rank_topk —
+# structural, plan-asserted for every adopter).
+# --------------------------------------------------------------------------
+@query(
+    "corpus_zipf_fit",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+    freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY tok
+      ORDER BY cnt DESC, tok LIMIT 100
+    ),
+    ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS rk,
+             tok, cnt
+      FROM freq
+    )
+    SELECT rk, tok, cnt,
+           CAST(rk * cnt AS BIGINT) AS rank_cnt_product,
+           CAST(sum(cnt) OVER (ORDER BY rk) AS BIGINT) AS cum_cnt
+    FROM ranked
+    ORDER BY rk
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.operators.ranking import rank_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    ranked = rank_topk(freq, 100, F.desc("cnt"), "tok", rk_col="rk")
+    # both windows see only the 100 ranked rows (structural via rank_topk)
+    return ranked.select(
+        "rk",
+        "tok",
+        "cnt",
+        (F.col("rk") * F.col("cnt")).cast("bigint").alias("rank_cnt_product"),
+        F.sum("cnt").over(W.orderBy("rk")).cast("bigint").alias("cum_cnt"),
+    ).orderBy("rk")
+
+
+# --------------------------------------------------------------------------
+# corpus_heaps_law — vocabulary growth vs corpus size (Heaps' law): docs
+# are bucketed into 10 arrival slices (integer range-bucketing on doc_id
+# from a 1-row min/max aggregate — the fixture's arrival order, no
+# global window anywhere), each WORD is attributed to the slice of its
+# FIRST occurrence (min bucket — one word-keyed shuffle, no per-prefix
+# rescan), and the cumulative (tokens, distinct types) curve is read off
+# a 10-row running sum. This is the O(corpus) formulation of a curve
+# naively computed as 10 prefix-distinct scans; all columns are exact
+# integers. At 100 TB the word-keyed min-bucket aggregate is the only
+# corpus-sized shuffle; the window runs over 10 rows.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_heaps_law",
+    oracle=f"""
+    WITH span AS (
+      SELECT min(doc_id) AS mn, max(doc_id) - min(doc_id) + 1 AS width
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks,
+             CAST((doc_id - s.mn) * 10 // s.width AS INT) + 1 AS bucket
+      FROM documents, span s
+    ),
+    tok AS (SELECT bucket, unnest(toks) AS tok FROM d),
+    first_seen AS (
+      SELECT tok, min(bucket) AS first_bucket FROM tok GROUP BY tok
+    ),
+    new_types AS (
+      SELECT first_bucket AS bucket, CAST(count(*) AS BIGINT) AS new_types
+      FROM first_seen GROUP BY first_bucket
+    ),
+    bucket_tokens AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY bucket
+    )
+    SELECT b.bucket,
+           b.n_tokens,
+           coalesce(n.new_types, 0) AS new_types,
+           CAST(sum(b.n_tokens) OVER (ORDER BY b.bucket) AS BIGINT)
+             AS cum_tokens,
+           CAST(sum(coalesce(n.new_types, 0)) OVER (ORDER BY b.bucket)
+                AS BIGINT) AS cum_types
+    FROM bucket_tokens b LEFT JOIN new_types n USING (bucket)
+    ORDER BY b.bucket
+    """,
+)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    # arrival slices via integer range-bucketing on doc_id from a 1-row
+    # min/max aggregate (bounded control data, broadcast) — no global
+    # window touches corpus-sized data anywhere in this query
+    span = docs.agg(
+        F.min("doc_id").alias("mn"),
+        (F.max("doc_id") - F.min("doc_id") + 1).alias("width"),
+    )
+    d = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .join(F.broadcast(span))
+        .withColumn(
+            "bucket",
+            F.expr("CAST((doc_id - mn) * 10 DIV width AS INT) + 1"),
+        )
+    )
+    tok = d.select("bucket", F.explode("toks").alias("tok"))
+    first_seen = tok.groupBy("tok").agg(F.min("bucket").alias("bucket"))
+    new_types = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_types")
+    )
+    bucket_tokens = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    joined = bucket_tokens.join(new_types, "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+    )
+    # 10-row running sums (window input is the 10 bucket rows)
+    return joined.select(
+        "bucket",
+        "n_tokens",
+        "new_types",
+        F.sum("n_tokens").over(W.orderBy("bucket")).cast("bigint").alias("cum_tokens"),
+        F.sum("new_types").over(W.orderBy("bucket")).cast("bigint").alias("cum_types"),
+    ).orderBy("bucket")

@@ -924,3 +924,57 @@ def test_rollup_processor_batch_plan(spark, tmp_path):
     # must never carry a broadcast hint
     assert s["cartesian"] == 0, s
     assert _hint_count(merged) == 0
+
+
+def test_events_interval_overlap_join_plan(spark):
+    s = _stats("events_interval_overlap_join", spark)
+    # the whole point: binned equi-join, never a nested-loop theta join
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 6, s
+
+
+def test_corpus_heaps_law_plan(spark):
+    s = _stats("corpus_heaps_law", spark)
+    # 1-row min/max span joins back via broadcast; no global window ever
+    # sees corpus-sized input (the running sums ride 10 bucket rows).
+    # The span side is 1 row by construction, so its two
+    # BroadcastNestedLoopJoin appearances (d is consumed twice) are the
+    # documented constant-side class, not all-pairs.
+    assert s["cartesian"] <= 2, s
+    assert s["bhj"] + s["cartesian"] >= 1, s
+    assert s["exchange"] <= 10, s
+
+
+def test_dq_schema_drift_plan(spark):
+    s = _stats("dq_schema_drift", spark)
+    # two fused 1-row profiles, ONE evaluation each (the stacked explode
+    # replaces a per-column union that would rescan per branch); the
+    # 1-row x 1-row join is the documented constant-side class
+    assert s["cartesian"] <= 1, s
+    assert s["exchange"] <= 8, s
+    assert s["smj"] == 0, s
+
+
+def test_decontam_gate_processor_batch_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _decontam_gate_processor,
+    )
+
+    p = _decontam_gate_processor(str(tmp_path / "o"), str(tmp_path / "s"))
+    b0 = spark.createDataFrame(
+        [(14, "w0 w1 w2 w3 w4 w5 w6 w7"), (0, "a b c d e f g h i")],
+        "doc_id bigint, text string",
+    )
+    p(b0, 0)
+    b1 = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7 tail")], "doc_id bigint, text string"
+    )
+    dfs = p.plan(b1, 1)
+    s = _plan_stats(dfs["verdicts"])
+    # scoring epoch: frozen benchmark shingles broadcast (benchmarks are
+    # bounded control data — this broadcast is REQUIRED), one shuffle
+    # for the per-doc hit counts
+    assert s["cartesian"] == 0, s
+    assert s["bhj"] >= 1, s
+    assert s["exchange"] <= 3, s
+    assert dfs["new_state"] is None  # frozen after the training epoch

@@ -1231,3 +1231,54 @@ def test_streaming_rollup_maintenance_replay_idempotent(spark, tmp_path):
     assert first == want
     # the 10:00 click hour accumulated across both landings: 2 + 1 rows
     assert ("2024-01-01 10:00:00", "click", 3, 7.5) in first
+
+
+def test_streaming_decontam_gate_replay_idempotent(spark, tmp_path):
+    """Frozen-benchmark contract: the shingle set is written exactly
+    once (by the training epoch), later epochs probe against it without
+    refreezing, and replaying either epoch changes nothing. Doc 14 is
+    the benchmark slice (doc_id % 14 == 0) — excluded from verdicts;
+    doc 1 repeats the benchmark's 8-gram and must be flagged."""
+    import os
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _decontam_gate_processor,
+    )
+
+    bench = "w0 w1 w2 w3 w4 w5 w6 w7"
+    out = str(tmp_path / "out")
+    st = str(tmp_path / "shingles")
+    process = _decontam_gate_processor(out, st, n=8)
+
+    b0 = spark.createDataFrame(
+        [(14, bench), (2, "clean text with no overlap here at all x")],
+        "doc_id bigint, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "prefix " + bench + " suffix"), (3, "short doc")],
+        "doc_id bigint, text string",
+    )
+
+    def snapshot():
+        v = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "n_hits", "contaminated")
+            .collect()
+        )
+        s = sorted(tuple(r) for r in spark.read.parquet(st).collect())
+        return v, s
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    v = {r[0]: r for r in first[0]}
+    assert 14 not in v  # benchmark slice gets no verdict
+    assert v[2] == (2, 0, 0)
+    assert v[1][1] >= 1 and v[1][2] == 1  # overlaps the frozen set
+    assert v[3] == (3, 0, 0)  # <8 tokens -> no shingles, still a verdict
+    assert os.listdir(st) == ["epoch=0"]  # frozen after training epoch
