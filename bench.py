@@ -272,6 +272,14 @@ BENCH_QUERIES = [
     "streaming_ivfpq_serve",
     "retrieval_ndcg_audit",
     "corpus_bpe_fertility",
+    # round 9 (continuation): corpus statistics audits, interval overlap
+    # join, schema-drift profile. streaming_decontam_gate /
+    # streaming_semdedup_gate are correctness-gated but not benched
+    # (one-time incremental stream cost, like the other streaming rows)
+    "corpus_zipf_fit",
+    "corpus_heaps_law",
+    "events_interval_overlap_join",
+    "dq_schema_drift",
 ]
 
 

@@ -3726,3 +3726,296 @@ def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_hits", "contaminated")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_semdedup_gate — SEMANTIC near-duplicate detection at ingest,
+# the embedding-space member of the at-ingest dedup family (exact-fp ✓
+# funnel, MinHash ✓ r6, pHash ✓ r7, substring ✓ r9; SemDeDup was
+# batch-only): the first landing trains the k=8 coarse quantizer on
+# itself (the verified integer-exact Lloyd) and freezes it; every
+# landing routes its vectors against the frozen centroids
+# (assign_to_centroids — k×dims literal, no join) and probes them
+# against the CUMULATIVE per-cell member index via a plain CLUSTER
+# equi-join — the index grows with the corpus, the forbidden broadcast
+# class, so no hint anywhere (plan-asserted) — emitting per-vector
+# verdicts (n_cand in-cell candidates, n_near above the cosine gate,
+# is_dup). The landing's own vectors then append to the member index.
+# This is exactly SemDeDup's cluster-then-compare shape (Abbas et al.
+# 2023) run incrementally: cross-cell pairs are never compared — the
+# documented recall trade the batch dedup_semantic_kmeans makes too.
+#
+# Exactness: the near gate is cos >= 0.4 evaluated as the INTEGER
+# predicate dot > 0 AND 25*dot^2 >= 4*(a.a)(b.b) over vectors quantized
+# at 1e3 — at that scale every product fits int64 (dims=64: dot <=
+# 6.4e7, 25*dot^2 <= 1.1e17), so the verdict is bit-portable with no
+# decimal/hugeint divergence risk; routing stays on the 1e6-quantized
+# kmeans machinery. The oracle restates train-on-evens + route-odds +
+# within-cell integer cosine in SQL, so hash parity proves the frozen
+# quantizer AND the member index survived the checkpointed restart.
+#
+# Scale: per landing, O(batch × k·dims) routing + O(in-cell candidate
+# pairs) dot products — candidate generation is cell-local everywhere.
+# --------------------------------------------------------------------------
+_SSD_DONE: dict[tuple[str, str], str] = {}
+
+
+def _semdedup_gate_processor(
+    out: str, cent_state: str, member_state: str, k: int = _SII_K
+):
+    """foreachBatch processor over (verdicts, frozen-centroids, member-
+    index) dirs — module-level for the replay test, like the siblings."""
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_train,
+    )
+
+    q3 = lambda c: F.transform(  # noqa: E731 — 1e3-scale quantization
+        c, lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+
+    def _plan(batch_df: DataFrame, epoch_id: int):
+        spark_l = batch_df.sparkSession
+        if os.path.isdir(cent_state):
+            prior = (
+                spark_l.read.option("basePath", cent_state)
+                .parquet(cent_state)
+                .filter(F.col("epoch") < epoch_id)
+            )
+            rows = prior.orderBy("cluster").collect()
+        else:
+            rows = []
+        if rows:
+            cents = [list(r.qv) for r in rows]
+            routed = (
+                assign_to_centroids(
+                    batch_df.select(
+                        "vec_id", quantize(F.col("embedding")).alias("qv")
+                    ),
+                    cents,
+                )
+                .select("vec_id", "cluster")
+                .join(
+                    batch_df.select(
+                        "vec_id", q3(F.col("embedding")).alias("q3")
+                    ),
+                    "vec_id",
+                )
+            )
+            new_cents = None  # frozen — written once by the training epoch
+        else:
+            assigned, cents = kmeans_train(batch_df, k=k, iters=2)
+            routed = assigned.select("vec_id", "cluster").join(
+                batch_df.select("vec_id", q3(F.col("embedding")).alias("q3")),
+                "vec_id",
+            )
+            new_cents = spark_l.createDataFrame(
+                [(c + 1, cents[c]) for c in range(len(cents))],
+                "cluster int, qv array<bigint>",
+            )
+        routed = routed.localCheckpoint(eager=True)
+        members = None
+        if os.path.isdir(member_state):
+            members = (
+                spark_l.read.option("basePath", member_state)
+                .parquet(member_state)
+                .filter(F.col("epoch") < epoch_id)
+                .select("cluster", F.col("q3").alias("m_q3"))
+            )
+        if members is not None and members.limit(1).count() > 0:
+            # plain equi-join on the cell — the member index grows with
+            # the corpus (the forbidden broadcast class, never hinted)
+            dot = F.aggregate(
+                F.zip_with(F.col("q3"), F.col("m_q3"), lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            sq = lambda c: F.aggregate(  # noqa: E731
+                F.transform(F.col(c), lambda x: x * x),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            hits = (
+                routed.join(members, "cluster")
+                .select(
+                    "vec_id",
+                    dot.alias("dot"),
+                    sq("q3").alias("aa"),
+                    sq("m_q3").alias("bb"),
+                )
+                .groupBy("vec_id")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+                    F.sum(
+                        F.when(
+                            (F.col("dot") > 0)
+                            & (
+                                25 * F.col("dot") * F.col("dot")
+                                >= 4 * F.col("aa") * F.col("bb")
+                            ),
+                            1,
+                        ).otherwise(0)
+                    )
+                    .cast("bigint")
+                    .alias("n_near"),
+                )
+            )
+            verdicts = (
+                routed.select("vec_id", "cluster")
+                .join(hits, "vec_id", "left")
+                .select(
+                    "vec_id",
+                    "cluster",
+                    F.coalesce("n_cand", F.lit(0))
+                    .cast("bigint")
+                    .alias("n_cand"),
+                    F.coalesce("n_near", F.lit(0))
+                    .cast("bigint")
+                    .alias("n_near"),
+                )
+            )
+        else:
+            verdicts = routed.select(
+                "vec_id",
+                "cluster",
+                F.lit(0).cast("bigint").alias("n_cand"),
+                F.lit(0).cast("bigint").alias("n_near"),
+            )
+        verdicts = verdicts.withColumn(
+            "is_dup", (F.col("n_near") > 0).cast("int")
+        )
+        return {
+            "verdicts": verdicts,
+            "new_members": routed.select("cluster", "q3"),
+            "new_cents": new_cents,
+        }
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dfs = _plan(batch_df, epoch_id)
+        ep = f"epoch={epoch_id}"
+        dfs["verdicts"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, ep)
+        )
+        dfs["new_members"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(member_state, ep)
+        )
+        if dfs["new_cents"] is not None:
+            dfs["new_cents"].coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(cent_state, ep)
+            )
+
+    _process.plan = _plan
+    return _process
+
+
+def _ssd_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SSD_DONE, key[0])
+    if key in _SSD_DONE:
+        if _dir_ok(_SSD_DONE[key]):
+            return _SSD_DONE[key]
+        del _SSD_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_ssd")
+    out = os.path.join(base, "out")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    _run_split_landings(
+        spark,
+        base,
+        "vec_id bigint, embedding array<float>",
+        [emb.filter(F.col("vec_id") % 2 == p) for p in (0, 1)],
+        _semdedup_gate_processor(
+            out, os.path.join(base, "cents"), os.path.join(base, "members")
+        ),
+    )
+    _SSD_DONE[key] = out
+    return out
+
+
+def _ssd_oracle() -> str:
+    from data_ingestion_din_spark.plans.similarity_queries import (
+        _KM_DIST,
+        _km_ctes,
+    )
+
+    q3 = (
+        "list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    )
+    return f"""
+    WITH {_km_ctes("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)")},
+    m AS (
+      SELECT a2.vec_id, a2.cluster, {q3} AS q3
+      FROM a2 JOIN embeddings e USING (vec_id)
+    ),
+    ob AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv,
+             {q3} AS q3
+      FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    ab AS (
+      SELECT q.vec_id, s.cluster, q.q3
+      FROM ob q CROSS JOIN c1f s
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) = 1
+    ),
+    cand AS (
+      SELECT b.vec_id,
+             (SELECT sum(b.q3[i] * m.q3[i]) FROM range(1, 65) r(i)) AS dot,
+             (SELECT sum(b.q3[i] * b.q3[i]) FROM range(1, 65) r(i)) AS aa,
+             (SELECT sum(m.q3[i] * m.q3[i]) FROM range(1, 65) r(i)) AS bb
+      FROM ab b JOIN m USING (cluster)
+    ),
+    agg AS (
+      SELECT vec_id, CAST(count(*) AS BIGINT) AS n_cand,
+             CAST(sum(CASE WHEN dot > 0 AND 25*dot*dot >= 4*aa*bb
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_near
+      FROM cand GROUP BY vec_id
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           CAST(0 AS BIGINT) AS n_cand, CAST(0 AS BIGINT) AS n_near,
+           CAST(0 AS INT) AS is_dup
+    FROM a2
+    UNION ALL
+    SELECT b.vec_id, CAST(b.cluster AS INT) AS cluster,
+           coalesce(g.n_cand, 0) AS n_cand,
+           coalesce(g.n_near, 0) AS n_near,
+           CAST(CASE WHEN coalesce(g.n_near, 0) > 0 THEN 1 ELSE 0 END
+                AS INT) AS is_dup
+    FROM ab b LEFT JOIN agg g USING (vec_id)
+    ORDER BY vec_id
+    """
+
+
+@query("streaming_semdedup_gate", oracle=_ssd_oracle())
+def streaming_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back both landings' semantic near-dup verdicts; the oracle
+    restates train-on-landing-1 + route-landing-2 + within-cell integer
+    cosine, so hash parity proves the frozen quantizer and the member
+    index both survived the checkpointed restart."""
+    out = _ssd_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_cand",
+            "n_near",
+            "is_dup",
+        )
+        .orderBy("vec_id")
+    )

@@ -978,3 +978,33 @@ def test_decontam_gate_processor_batch_plan(spark, tmp_path):
     assert s["bhj"] >= 1, s
     assert s["exchange"] <= 3, s
     assert dfs["new_state"] is None  # frozen after the training epoch
+
+
+def test_semdedup_gate_processor_batch_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _semdedup_gate_processor,
+    )
+
+    p = _semdedup_gate_processor(
+        str(tmp_path / "o"), str(tmp_path / "c"), str(tmp_path / "m"), k=2
+    )
+    dims = 64
+    b0 = spark.createDataFrame(
+        [(0, [0.5] * dims), (2, [0.5 * (-1) ** i for i in range(dims)])],
+        "vec_id bigint, embedding array<float>",
+    )
+    p(b0, 0)
+    b1 = spark.createDataFrame(
+        [(1, [0.49] * dims)], "vec_id bigint, embedding array<float>"
+    )
+    dfs = p.plan(b1, 1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dfs["verdicts"].explain(mode="extended")
+    txt = buf.getvalue()
+    s = _plan_stats(dfs["verdicts"])
+    # the member index grows with the corpus — the forbidden broadcast
+    # class must never be hinted on its join
+    assert "strategy=broadcast" not in txt, txt[-2000:]
+    assert s["cartesian"] == 0, s
+    assert dfs["new_cents"] is None  # frozen after the training epoch

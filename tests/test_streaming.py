@@ -1282,3 +1282,66 @@ def test_streaming_decontam_gate_replay_idempotent(spark, tmp_path):
     assert v[1][1] >= 1 and v[1][2] == 1  # overlaps the frozen set
     assert v[3] == (3, 0, 0)  # <8 tokens -> no shingles, still a verdict
     assert os.listdir(st) == ["epoch=0"]  # frozen after training epoch
+
+
+def test_streaming_semdedup_gate_replay_idempotent(spark, tmp_path):
+    """Semantic-gate contract: centroids are written exactly once (by
+    the training epoch), the member index grows every landing, batch-2
+    vectors are probed against batch-1's members only, and replaying
+    either epoch changes nothing. Vectors 0/1 are near-identical across
+    the two batches (cos ~= 1 > 0.4); vector 3 is orthogonal-ish."""
+    import os
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _semdedup_gate_processor,
+    )
+
+    out = str(tmp_path / "out")
+    cents = str(tmp_path / "cents")
+    members = str(tmp_path / "members")
+    process = _semdedup_gate_processor(out, cents, members, k=2)
+
+    dims = 64
+    base = [0.5] * dims
+    anti = [0.5 * (-1) ** i for i in range(dims)]
+    b0 = spark.createDataFrame(
+        [(0, base), (2, anti)], "vec_id bigint, embedding array<float>"
+    )
+    b1 = spark.createDataFrame(
+        [(1, [0.49] * dims), (3, [0.51 * (-1) ** (i + 1) for i in range(dims)])],
+        "vec_id bigint, embedding array<float>",
+    )
+
+    def snapshot():
+        v = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("vec_id", "cluster", "n_cand", "n_near", "is_dup")
+            .collect()
+        )
+        c = sorted(
+            (r["cluster"], tuple(r["qv"]))
+            for r in spark.read.parquet(cents).collect()
+        )
+        return v, c
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    v = {r[0]: r for r in first[0]}
+    # training epoch: probed against an empty index
+    assert v[0][2] == 0 and v[0][4] == 0
+    assert v[2][2] == 0 and v[2][4] == 0
+    # vec 1 lands in vec 0's cell and clears the 0.4 gate
+    assert v[1][1] == v[0][1]
+    assert v[1][3] >= 1 and v[1][4] == 1
+    # vec 3 (the negation of vec 2) routes to the base cell, where its
+    # dot with the member is 0 (alternating signs cancel): candidate
+    # seen, gate not cleared
+    assert v[3][2] >= 1 and v[3][4] == 0
+    assert os.listdir(cents) == ["epoch=0"]  # frozen after training
+    assert sorted(os.listdir(members)) == ["epoch=0", "epoch=1"]  # grows
