@@ -4019,3 +4019,174 @@ def streaming_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_tmix_gate — TEMPERATURE-based language sampling at ingest,
+# the mixture member of the frozen-policy family (quality ✓ r8, DSIR ✓
+# r9, decontam/semantic ✓ r9): production fixes the language mix from a
+# planning snapshot and applies it to everything that arrives after —
+# retuning rates per batch would make the corpus composition drift with
+# arrival order. The first landing computes per-language doc counts,
+# n_min, and the T=2 integer micro-thresholds
+# (floor(1e6·sqrt(n_min/n_l)) — corpus_temperature_mixture's exact
+# recipe) and freezes them; every landing's docs get the salted
+# Bernoulli verdict abs(h64('tmix:'||doc_id)) % 1e6 < threshold(lang).
+# A language unseen by the planning snapshot has no rate — its docs are
+# dropped (kept=0, the conservative production default; the oracle
+# restates the same rule via coalesce(thr, 0)).
+#
+# Scale: the rate table is bounded by the language count (the legal
+# broadcast class — hinted and plan-asserted REQUIRED); the per-doc
+# verdict is a scan-local predicate. Train is keyed on PRIOR-EPOCH ROWS
+# so a replayed training epoch retrains identically.
+# --------------------------------------------------------------------------
+_STG_DONE: dict[tuple[str, str], str] = {}
+
+
+def _tmix_gate_processor(out: str, rate_state: str):
+    """foreachBatch processor over (verdicts, frozen-rate-state) dirs —
+    module-level for the replay test, like the sibling gates."""
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    def _plan(batch_df: DataFrame, epoch_id: int):
+        spark_l = batch_df.sparkSession
+        prior = None
+        if os.path.isdir(rate_state):
+            prior = (
+                spark_l.read.option("basePath", rate_state)
+                .parquet(rate_state)
+                .filter(F.col("epoch") < epoch_id)
+                .select("lang", "threshold_micros")
+            )
+        if prior is not None and prior.limit(1).count() > 0:
+            rates = prior
+            new_rates = None  # frozen — written once by the training epoch
+        else:
+            counts = batch_df.groupBy("lang").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs")
+            )
+            n_min = counts.agg(F.min("n_docs").alias("n_min"))
+            rates = (
+                counts.crossJoin(F.broadcast(n_min))
+                .select(
+                    "lang",
+                    F.floor(
+                        F.lit(1000000.0)
+                        * F.sqrt(
+                            F.col("n_min").cast("double") / F.col("n_docs")
+                        )
+                    )
+                    .cast("bigint")
+                    .alias("threshold_micros"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            new_rates = rates
+        verdicts = (
+            batch_df.select("doc_id", "lang")
+            .join(F.broadcast(rates), "lang", "left")
+            .select(
+                "doc_id",
+                "lang",
+                F.when(
+                    F.abs(
+                        h64(
+                            F.concat(
+                                F.lit("tmix:"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        )
+                    )
+                    % 1000000
+                    < F.coalesce("threshold_micros", F.lit(0)),
+                    1,
+                )
+                .otherwise(0)
+                .cast("int")
+                .alias("kept"),
+            )
+        )
+        return {"verdicts": verdicts, "new_rates": new_rates}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dfs = _plan(batch_df, epoch_id)
+        ep = f"epoch={epoch_id}"
+        dfs["verdicts"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, ep)
+        )
+        if dfs["new_rates"] is not None:
+            dfs["new_rates"].coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(rate_state, ep)
+            )
+
+    _process.plan = _plan
+    return _process
+
+
+def _stg_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_STG_DONE, key[0])
+    if key in _STG_DONE:
+        if _dir_ok(_STG_DONE[key]):
+            return _STG_DONE[key]
+        del _STG_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_stg")
+    out = os.path.join(base, "out")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    _run_split_landings(
+        spark,
+        base,
+        "doc_id bigint, lang string",
+        [docs.filter(F.col("doc_id") % 2 == p) for p in (0, 1)],
+        _tmix_gate_processor(out, os.path.join(base, "rates")),
+    )
+    _STG_DONE[key] = out
+    return out
+
+
+def _stg_oracle() -> str:
+    from data_ingestion_din_spark.functions.hashing import h64_sql
+
+    return f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    ),
+    mn AS (SELECT min(n_docs) AS n_min FROM c),
+    r AS (
+      SELECT lang,
+             CAST(floor(1000000.0 *
+                        sqrt(CAST(n_min AS DOUBLE) / n_docs)) AS BIGINT)
+               AS thr
+      FROM c CROSS JOIN mn
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(CASE WHEN abs({h64_sql("'tmix:' || CAST(doc_id AS VARCHAR)")})
+                        % 1000000 < coalesce(r.thr, 0)
+                     THEN 1 ELSE 0 END AS INT) AS kept
+    FROM documents d LEFT JOIN r USING (lang)
+    ORDER BY d.doc_id
+    """
+
+
+@query("streaming_tmix_gate", oracle=_stg_oracle())
+def streaming_tmix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back both landings' sampling verdicts; the oracle restates
+    plan-rates-on-landing-1 + gate-everyone-with-them, so hash parity
+    proves the frozen rate table survived the checkpointed restart and
+    batch 2 was sampled by batch 1's mixture plan."""
+    out = _stg_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "lang", "kept")
+        .orderBy("doc_id")
+    )

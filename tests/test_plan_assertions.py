@@ -1008,3 +1008,24 @@ def test_semdedup_gate_processor_batch_plan(spark, tmp_path):
     assert "strategy=broadcast" not in txt, txt[-2000:]
     assert s["cartesian"] == 0, s
     assert dfs["new_cents"] is None  # frozen after the training epoch
+
+
+def test_tmix_gate_processor_batch_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _tmix_gate_processor,
+    )
+
+    p = _tmix_gate_processor(str(tmp_path / "o"), str(tmp_path / "r"))
+    b0 = spark.createDataFrame(
+        [(0, "en"), (2, "en"), (6, "th")], "doc_id bigint, lang string"
+    )
+    p(b0, 0)
+    b1 = spark.createDataFrame([(1, "th")], "doc_id bigint, lang string")
+    dfs = p.plan(b1, 1)
+    s = _plan_stats(dfs["verdicts"])
+    # scoring epoch: frozen lang-count-bounded rate table broadcast (the
+    # legal class — REQUIRED); the verdict itself is scan-local
+    assert s["cartesian"] == 0, s
+    assert s["bhj"] >= 1, s
+    assert s["exchange"] <= 1, s
+    assert dfs["new_rates"] is None  # frozen after the training epoch

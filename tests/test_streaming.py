@@ -1345,3 +1345,55 @@ def test_streaming_semdedup_gate_replay_idempotent(spark, tmp_path):
     assert v[3][2] >= 1 and v[3][4] == 0
     assert os.listdir(cents) == ["epoch=0"]  # frozen after training
     assert sorted(os.listdir(members)) == ["epoch=0", "epoch=1"]  # grows
+
+
+def test_streaming_tmix_gate_replay_idempotent(spark, tmp_path):
+    """Frozen-mixture contract: the rate table is written exactly once
+    (by the training epoch), later landings are sampled by it (not by
+    their own composition), a language unseen at planning time is
+    dropped, and replaying either epoch changes nothing."""
+    import os
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _tmix_gate_processor,
+    )
+
+    out = str(tmp_path / "out")
+    st = str(tmp_path / "rates")
+    process = _tmix_gate_processor(out, st)
+
+    # en:3 docs, th:1 doc -> thr(th)=1e6 (rarest kept whole),
+    # thr(en)=floor(1e6*sqrt(1/3))=577350
+    b0 = spark.createDataFrame(
+        [(0, "en"), (2, "en"), (4, "en"), (6, "th")],
+        "doc_id bigint, lang string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "th"), (3, "en"), (5, "xx")], "doc_id bigint, lang string"
+    )
+
+    def snapshot():
+        v = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "lang", "kept")
+            .collect()
+        )
+        s = sorted(tuple(r) for r in spark.read.parquet(st).collect())
+        return v, s
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    rates = {r[0]: r[1] for r in first[1]}
+    assert rates["th"] == 1_000_000  # rarest language kept whole
+    assert rates["en"] == 577_350
+    v = {r[0]: r for r in first[0]}
+    assert v[1] == (1, "th", 1)  # thr=1e6: always kept
+    assert v[6] == (6, "th", 1)
+    assert v[5] == (5, "xx", 0)  # unseen at planning time -> dropped
+    assert os.listdir(st) == ["epoch=0"]  # frozen after training epoch
