@@ -26,6 +26,7 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # after this round every remaining sample is round 6+.
 _DRIVER_PRIORITY: list[str] = [
     # Round-9 additions — never driver-sampled.
+    "media_segment_dedup",
     "streaming_tmix_gate",
     "streaming_semdedup_gate",
     "streaming_decontam_gate",

@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "corpus_heaps_law",
     "events_interval_overlap_join",
     "dq_schema_drift",
+    "media_segment_dedup",
 ]
 
 

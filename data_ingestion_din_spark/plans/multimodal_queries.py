@@ -698,3 +698,155 @@ def multimodal_clip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# media_segment_dedup — duplicated-SEGMENT detection across videos: the
+# substring-dedup idea (Lee et al. 2021) transplanted to the frame
+# axis. Each media item's sampled frames (every 16th, the
+# frame_sample_plan stride) get a deterministic per-frame content token
+# (the stub decode: token at index frame_idx mod doc length of the
+# SOURCE document, joined back via the path's doc_id — where a real
+# pipeline would put a per-frame perceptual hash), consecutive frames
+# form 3-frame window fingerprints (md5 — explode-before-project keeps
+# the hash in codegen, the r8 playbook), and a window shared by >= 2
+# media items marks both as containing a duplicated segment — the
+# intro/outro/stock-footage detection a video training corpus runs.
+#
+# Scale: ONE wfp-keyed shuffle shared by the >=2-media filter and the
+# per-media hit count (the fingerprint table is staged for its two
+# consumers); candidate generation is fingerprint-local — never
+# all-pairs across media.
+# --------------------------------------------------------------------------
+_SEG_W = 3  # window length in frames
+_SEG_STRIDE = 16  # frame-sampling stride (media_frame_samples' _FRS_EVERY)
+
+
+@query(
+    "media_segment_dedup",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             'media/doc_' || CAST(doc_id AS VARCHAR)
+               || (CASE WHEN {_H_MEDIA} % 4 = 0 THEN '.gif' ELSE '.bin' END)
+               AS path,
+             {_PAYLOAD} AS payload,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    base AS (
+      SELECT path, tk, len(tk) AS n_tok,
+             ((1 + CAST(('0x' || substr(md5(payload), 3, 2)) AS INT) - 1)
+               // {_SEG_STRIDE}) + 1 AS n_frames
+      FROM m
+    ),
+    pos AS (
+      SELECT path, tk, n_tok, unnest(range(0, n_frames - 2)) AS p
+      FROM base WHERE n_frames >= {_SEG_W} AND n_tok > 0
+    ),
+    w AS (
+      SELECT path,
+             md5(tk[1 + ((p + 0) * {_SEG_STRIDE} % n_tok)] || '|' ||
+                 tk[1 + ((p + 1) * {_SEG_STRIDE} % n_tok)] || '|' ||
+                 tk[1 + ((p + 2) * {_SEG_STRIDE} % n_tok)]) AS wfp
+      FROM pos
+    ),
+    dup AS (
+      SELECT wfp FROM w GROUP BY wfp HAVING count(DISTINCT path) >= 2
+    ),
+    hits AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n_dup_windows
+      FROM w JOIN dup USING (wfp) GROUP BY path
+    )
+    SELECT b.path,
+           CAST(CASE WHEN n_frames >= {_SEG_W} AND n_tok > 0
+                     THEN n_frames - 2 ELSE 0 END AS BIGINT) AS n_windows,
+           coalesce(h.n_dup_windows, 0) AS n_dup_windows,
+           CAST(CASE WHEN coalesce(h.n_dup_windows, 0) > 0 THEN 1 ELSE 0 END
+                AS INT) AS seg_dup
+    FROM base b LEFT JOIN hits h USING (path)
+    ORDER BY b.path
+    """,
+)
+def media_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+    from data_ingestion_din_spark.sources.binary import decode_media
+
+    meta = decode_media(_media_binary(spark, sf_dir), decode_stub=True).select(
+        "path",
+        "height",
+        F.regexp_extract("path", r"doc_(\d+)", 1).cast("bigint").alias("doc_id"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    base = (
+        meta.join(docs, "doc_id")
+        .select(
+            "path",
+            "tk",
+            F.size("tk").alias("n_tok"),
+            (
+                F.expr(f"CAST((height - 1) DIV {_SEG_STRIDE} AS INT)") + 1
+            ).alias("n_frames"),
+        )
+        # two consumers (window table + per-media verdict): one decode
+        .localCheckpoint(eager=True)
+    )
+    pos = base.filter(
+        (F.col("n_frames") >= _SEG_W) & (F.col("n_tok") > 0)
+    ).select(
+        "path",
+        "tk",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - _SEG_W)).alias("p"),
+    )
+
+    def ft(off: int) -> F.Column:
+        return F.element_at(
+            F.col("tk"),
+            (
+                F.lit(1) + ((F.col("p") + off) * _SEG_STRIDE) % F.col("n_tok")
+            ).cast("int"),
+        )
+
+    # staged: the fingerprint table feeds both the dup-fp filter and the
+    # per-media hit count — one wfp shuffle, computed once
+    wfps = pos.select(
+        "path", F.md5(F.concat_ws("|", ft(0), ft(1), ft(2))).alias("wfp")
+    ).localCheckpoint(eager=True)
+    dup = (
+        wfps.groupBy("wfp")
+        .agg(F.countDistinct("path").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wfp")
+    )
+    hits = (
+        wfps.join(dup, "wfp")
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"))
+    )
+    return (
+        base.select(
+            "path",
+            F.when(
+                (F.col("n_frames") >= _SEG_W) & (F.col("n_tok") > 0),
+                (F.col("n_frames") - 2).cast("bigint"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_windows"),
+        )
+        .join(hits, "path", "left")
+        .select(
+            "path",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+            (F.coalesce(F.col("n_dup_windows"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("seg_dup"),
+        )
+        .orderBy("path")
+    )

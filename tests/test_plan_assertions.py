@@ -1029,3 +1029,16 @@ def test_tmix_gate_processor_batch_plan(spark, tmp_path):
     assert s["bhj"] >= 1, s
     assert s["exchange"] <= 1, s
     assert dfs["new_rates"] is None  # frozen after the training epoch
+
+
+def test_media_segment_dedup_plan(spark):
+    s = _stats("media_segment_dedup", spark)
+    # fingerprint-local candidates: one wfp shuffle shared by the dup
+    # filter and the hit count (staged table), never all-pairs media;
+    # the decode boundary runs once before the stage (0 visible
+    # MapInPandas — base is checkpointed)
+    assert s["cartesian"] == 0, s
+    # two equi-joins: wfp-keyed dup probe + path-keyed verdict join-back
+    assert s["smj"] <= 2, s
+    assert s["map_in_pandas"] == 0, s
+    assert s["exchange"] <= 7, s
