@@ -282,6 +282,8 @@ BENCH_QUERIES = [
     "events_interval_overlap_join",
     "dq_schema_drift",
     "media_segment_dedup",
+    "corpus_dedup_funnel_full",
+    "corpus_eval_attribution",
 ]
 
 

@@ -1486,3 +1486,80 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_eval_attribution — the INVERSE view of corpus_decontaminate:
+# per eval-set document, how much of the training corpus leaks into it
+# (distinct contaminating corpus docs + total shared-shingle
+# instances). Decontamination answers "which corpus docs do I drop";
+# this answers the question an eval owner asks next — "which of MY
+# benchmark items are compromised, and how badly" — the per-item
+# contamination report published with eval results.
+#
+# Scale: the eval side is benchmark-sized (bounded control data), so
+# its (doc_id, shingle) pairs broadcast — the corpus side never
+# shuffles before the per-eval-doc rollup, exactly the
+# decontaminate_hits discipline with attribution kept.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_eval_attribution",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    idx AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk) - {_DC_N - 2})) AS i
+      FROM t WHERE len(tk) >= {_DC_N}
+    ),
+    sh AS (SELECT DISTINCT doc_id, {_DC_SHINGLE} AS shingle FROM idx),
+    ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 7 = 0),
+    hits AS (
+      SELECT e.eval_id, s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles
+      FROM ev e JOIN sh s USING (shingle)
+      WHERE s.doc_id % 7 <> 0
+      GROUP BY e.eval_id, s.doc_id
+    )
+    SELECT e.eval_id,
+           CAST(coalesce(count(h.doc_id), 0) AS BIGINT) AS n_corpus_docs,
+           CAST(coalesce(sum(h.n_shingles), 0) AS BIGINT)
+             AS n_shared_shingles
+    FROM (SELECT DISTINCT eval_id FROM ev) e
+    LEFT JOIN hits h USING (eval_id)
+    GROUP BY e.eval_id
+    ORDER BY e.eval_id
+    """,
+)
+def corpus_eval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import (
+        tokens,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), _DC_N))
+        ).alias("shingle"),
+    )
+    ev = sh.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    hits = (
+        sh.filter(F.col("doc_id") % 7 != 0)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("eval_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
+    )
+    eval_ids = ev.select("eval_id").distinct()
+    return (
+        eval_ids.join(hits, "eval_id", "left")
+        .groupBy("eval_id")
+        .agg(
+            F.count("doc_id").cast("bigint").alias("n_corpus_docs"),
+            F.coalesce(F.sum("n_shingles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_shared_shingles"),
+        )
+        .orderBy("eval_id")
+    )

@@ -1797,6 +1797,32 @@ _WIN_TAIL = _win_ctes(include_toks=False)
     """,
 )
 def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, s1, s2, s3 = _funnel_stages(spark, sf_dir)
+    return (
+        _funnel_stage_row(0, "input", base)
+        .unionByName(_funnel_stage_row(1, "exact_dedup", s1))
+        .unionByName(_funnel_stage_row(2, "near_dup_keep_best", s2))
+        .unionByName(_funnel_stage_row(3, "substring_removal", s3))
+        .orderBy("stage_ord")
+    )
+
+
+def _funnel_stage_row(ord_: int, name: str, df: DataFrame) -> DataFrame:
+    return df.groupBy().agg(
+        F.lit(ord_).cast("int").alias("stage_ord"),
+        F.lit(name).alias("stage"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+
+
+def _funnel_stages(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The funnel's first four frames (input, exact-dedup survivors,
+    keep-best survivors, substring-excised token counts) — shared by
+    corpus_dedup_funnel and its semantic extension so the two audits
+    can never drift apart."""
     from pyspark.sql.window import Window as W
 
     from data_ingestion_din_spark.functions.analysis import (
@@ -1849,19 +1875,185 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("n_tok") - F.coalesce("dup_tok", F.lit(0))).alias("n_tok"),
     )
+    return base, s1, s2, s3
 
-    def stage(ord_: int, name: str, df: DataFrame) -> DataFrame:
-        return df.groupBy().agg(
-            F.lit(ord_).cast("int").alias("stage_ord"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+
+# --------------------------------------------------------------------------
+# corpus_dedup_funnel_full — the funnel extended with the SEMANTIC pass,
+# completing all four dedup modalities in ONE audited composition:
+# exact fingerprint → near-dup keep-best → substring excision →
+# SemDeDup (Abbas et al. 2023: within a k-means cell, a doc with a
+# lower-id neighbor above the cosine gate is dropped — cell-local
+# candidates, never all-pairs). The embedding space maps to documents
+# by the fixture's vec_id == doc_id key (the multimodal_clip_gate
+# pairing); the cosine gate is the division-free integer predicate
+# dot > 0 AND 25·dot² >= 4·(a·a)(b·b) over 1e3-quantized vectors
+# (every product fits int64 — the streaming_semdedup_gate recipe), and
+# the cells come from the session-staged verified k=8 Lloyd run, so
+# the stage adds ~zero recompute. Stages 0-3 are the SAME frames as
+# corpus_dedup_funnel (shared helper — the audits cannot drift); the
+# oracle restates the whole five-row arithmetic, so who survives each
+# stage and how many tokens remain is hash-gated end to end.
+# --------------------------------------------------------------------------
+def _funnel_full_oracle() -> str:
+    from data_ingestion_din_spark.plans.similarity_queries import _km_ctes
+
+    q3 = (
+        "list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    )
+    return f"""
+    WITH RECURSIVE {_BANDED_CTES},
+    {_WIN_TAIL},
+    {_km_ctes()},
+    base AS (
+      SELECT doc_id, n_chars, len({_TOKS_SQL}) AS n_tok,
+             {_FP_SQL} AS fp
+      FROM documents
+    ),
+    s1 AS (
+      SELECT * FROM base
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ),
+    edges AS (
+      SELECT v.doc_a AS s, v.doc_b AS d FROM verified v
+      JOIN s1 a ON a.doc_id = v.doc_a JOIN s1 b ON b.doc_id = v.doc_b
+      UNION ALL
+      SELECT v.doc_b AS s, v.doc_a AS d FROM verified v
+      JOIN s1 a ON a.doc_id = v.doc_a JOIN s1 b ON b.doc_id = v.doc_b
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT e.s AS node, r.r FROM edges e JOIN reach r ON r.node = e.d
+    ),
+    clusters AS (
+      SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    ranked AS (
+      SELECT s1.doc_id, c.cluster_id,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY s1.n_chars DESC, s1.doc_id
+             ) AS rk
+      FROM s1 JOIN clusters c ON c.doc_id = s1.doc_id
+    ),
+    s2 AS (
+      SELECT s1.* FROM s1
+      LEFT JOIN ranked r ON r.doc_id = s1.doc_id
+      WHERE r.doc_id IS NULL OR r.rk = 1
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tok
+      FROM spans GROUP BY doc_id
+    ),
+    s3 AS (
+      SELECT s2.doc_id,
+             s2.n_tok - coalesce(p.dup_tok, 0) AS n_tok
+      FROM s2 LEFT JOIN per_doc p ON p.doc_id = s2.doc_id
+    ),
+    q3t AS (SELECT vec_id, {q3} AS q3 FROM embeddings),
+    cells AS (
+      SELECT a2.vec_id AS doc_id, a2.cluster, q3t.q3
+      FROM a2 JOIN q3t USING (vec_id)
+    ),
+    sc AS (
+      SELECT c.doc_id, c.cluster, c.q3
+      FROM cells c JOIN s3 ON s3.doc_id = c.doc_id
+    ),
+    semdrop AS (
+      SELECT DISTINCT b.doc_id
+      FROM sc a JOIN sc b ON a.cluster = b.cluster AND a.doc_id < b.doc_id
+      WHERE (SELECT sum(a.q3[i] * b.q3[i]) FROM range(1, 65) r(i)) > 0
+        AND 25 * (SELECT sum(a.q3[i] * b.q3[i]) FROM range(1, 65) r(i))
+               * (SELECT sum(a.q3[i] * b.q3[i]) FROM range(1, 65) r(i))
+            >= 4 * (SELECT sum(a.q3[i] * a.q3[i]) FROM range(1, 65) r(i))
+                 * (SELECT sum(b.q3[i] * b.q3[i]) FROM range(1, 65) r(i))
+    ),
+    s4 AS (
+      SELECT s3.* FROM s3 LEFT JOIN semdrop d USING (doc_id)
+      WHERE d.doc_id IS NULL
+    ),
+    audit AS (
+      SELECT 0 AS stage_ord, 'input' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM base
+      UNION ALL
+      SELECT 1, 'exact_dedup', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tok) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 2, 'near_dup_keep_best', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tok) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'substring_removal', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tok) AS BIGINT) FROM s3
+      UNION ALL
+      SELECT 4, 'semantic_dedup', CAST(count(*) AS BIGINT),
+             CAST(sum(n_tok) AS BIGINT) FROM s4
+    )
+    SELECT CAST(stage_ord AS INT) AS stage_ord, stage, n_docs, n_tokens
+    FROM audit ORDER BY stage_ord
+    """
+
+
+@query("corpus_dedup_funnel_full", oracle=_funnel_full_oracle())
+def corpus_dedup_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.plans.similarity_queries import _km8
+
+    base, s1, s2, s3 = _funnel_stages(spark, sf_dir)
+    s3 = s3.localCheckpoint(eager=True)  # feeds its audit + the sem pass
+    q3 = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+    )
+    q3t = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), q3.alias("q3")
+    )
+    cells = _km8(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    ).join(q3t, "doc_id")
+    sc = cells.join(s3.select("doc_id"), "doc_id", "left_semi")
+    a = sc.select(
+        F.col("cluster"),
+        F.col("doc_id").alias("id_a"),
+        F.col("q3").alias("qa"),
+    )
+    b = sc.select(
+        F.col("cluster"),
+        F.col("doc_id").alias("id_b"),
+        F.col("q3").alias("qb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    semdrop = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b", dot.alias("dot"), sq("qa").alias("aa"), sq("qb").alias("bb")
         )
-
+        .filter(
+            (F.col("dot") > 0)
+            & (25 * F.col("dot") * F.col("dot") >= 4 * F.col("aa") * F.col("bb"))
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s4 = s3.join(semdrop, "doc_id", "left_anti")
     return (
-        stage(0, "input", base)
-        .unionByName(stage(1, "exact_dedup", s1))
-        .unionByName(stage(2, "near_dup_keep_best", s2))
-        .unionByName(stage(3, "substring_removal", s3))
+        _funnel_stage_row(0, "input", base)
+        .unionByName(_funnel_stage_row(1, "exact_dedup", s1))
+        .unionByName(_funnel_stage_row(2, "near_dup_keep_best", s2))
+        .unionByName(_funnel_stage_row(3, "substring_removal", s3))
+        .unionByName(_funnel_stage_row(4, "semantic_dedup", s4))
         .orderBy("stage_ord")
     )

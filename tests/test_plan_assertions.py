@@ -1042,3 +1042,20 @@ def test_media_segment_dedup_plan(spark):
     assert s["smj"] <= 2, s
     assert s["map_in_pandas"] == 0, s
     assert s["exchange"] <= 7, s
+
+
+def test_corpus_dedup_funnel_full_plan(spark):
+    s = _stats("corpus_dedup_funnel_full", spark)
+    # the semantic stage is CELL-LOCAL (within-cluster self-join on the
+    # staged k-means assignment) — never all-pairs across the corpus
+    assert s["cartesian"] == 0, s
+    assert s["exchange"] <= 14, s
+
+
+def test_corpus_eval_attribution_plan(spark):
+    s = _stats("corpus_eval_attribution", spark)
+    # benchmark-sized eval (doc_id, shingle) pairs broadcast; the corpus
+    # side never shuffles before the per-eval-doc rollup
+    assert s["cartesian"] == 0, s
+    assert s["bhj"] >= 1, s
+    assert s["exchange"] <= 6, s
