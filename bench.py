@@ -284,6 +284,7 @@ BENCH_QUERIES = [
     "media_segment_dedup",
     "corpus_dedup_funnel_full",
     "corpus_eval_attribution",
+    "similarity_range_search",
 ]
 
 

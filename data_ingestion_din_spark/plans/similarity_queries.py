@@ -2025,3 +2025,145 @@ def similarity_ivfpq_incremental(
         )
         .orderBy("cluster", "m", "code")
     )
+
+
+# --------------------------------------------------------------------------
+# similarity_range_search — RANGE search (all neighbors within a cosine
+# radius) as the complement of top-k: the query dedup thresholds and
+# "find everything similar enough" jobs actually run — a top-k cut
+# can't answer "how many near-neighbors exist". Five probe vectors
+# (vec_id < 5 — a bounded query batch, the control-data class) are
+# routed to their nprobe=3 nearest cells against the session-staged
+# k=8 quantizer (the multiprobe recipe: probe qvs collected driver-side
+# — 5 bounded rows — cells ranked in Python against the centroid
+# literal), candidates are the routed cells' members only (semi-join
+# before any scoring), and the radius test cos >= 0.3 is the integer
+# predicate dot > 0 AND 100·dot² >= 9·aa·bb over 1e3-quantized vectors
+# (int64-safe at dims=64). The reported cos_sim is one double
+# division over exact integer dot/norms — the cosine_exact recipe.
+#
+# Scale: per probe the cost is O(members of 3 cells); the probe→cell
+# table (15 rows) and probe vectors (5 rows) broadcast; nothing
+# all-pairs. The oracle restates routing + radius in SQL, so the cell
+# pruning itself is hash-gated (a probe's hit missing because routing
+# diverged would break parity).
+# --------------------------------------------------------------------------
+_RS_NQ = 5
+_RS_NPROBE = 3
+
+
+def _rs_oracle() -> str:
+    q3 = (
+        "list_transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    )
+    return f"""
+    WITH {_km_ctes()},
+    q3t AS (SELECT vec_id, {q3} AS q3 FROM embeddings),
+    probes AS (
+      SELECT q.vec_id AS query_id, s.cluster,
+             row_number() OVER (
+               PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) AS pr
+      FROM q JOIN c1f s ON TRUE
+      WHERE q.vec_id < {_RS_NQ}
+    ),
+    pc AS (SELECT query_id, cluster FROM probes WHERE pr <= {_RS_NPROBE}),
+    members AS (
+      SELECT a2.vec_id, a2.cluster, q3t.q3 FROM a2 JOIN q3t USING (vec_id)
+    ),
+    pq3 AS (
+      SELECT vec_id AS query_id, q3 AS pq FROM q3t WHERE vec_id < {_RS_NQ}
+    ),
+    cand AS (
+      SELECT p.query_id, m.vec_id, m.cluster,
+             (SELECT sum(m.q3[i] * g.pq[i]) FROM range(1, 65) r(i)) AS dot,
+             (SELECT sum(m.q3[i] * m.q3[i]) FROM range(1, 65) r(i)) AS aa,
+             (SELECT sum(g.pq[i] * g.pq[i]) FROM range(1, 65) r(i)) AS bb
+      FROM pc p JOIN members m USING (cluster) JOIN pq3 g USING (query_id)
+      WHERE m.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, CAST(cluster AS INT) AS cluster,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(aa AS DOUBLE))
+                                  * sqrt(CAST(bb AS DOUBLE))) AS cos_sim
+    FROM cand
+    WHERE dot > 0 AND 100 * dot * dot >= 9 * aa * bb
+    ORDER BY query_id, vec_id
+    """
+
+
+@query("similarity_range_search", oracle=_rs_oracle())
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.vectors import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _km8(spark, sf_dir)
+    cents = _km8_cents(spark, sf_dir)
+    probes = (
+        emb.filter(F.col("vec_id") < _RS_NQ)
+        .select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        .collect()  # bounded: the query batch is control data
+    )
+    rows = []
+    for r in probes:
+        ranked = sorted(
+            (
+                sum((int(r.qv[i]) - c[i]) ** 2 for i in range(len(c))),
+                cl + 1,
+            )
+            for cl, c in enumerate(cents)
+        )
+        for _, cl in ranked[:_RS_NPROBE]:
+            rows.append((int(r.vec_id), cl))
+    pc = spark.createDataFrame(rows, "query_id bigint, cluster int")
+
+    q3 = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    members = assigned.select("vec_id", "cluster").join(
+        emb.select("vec_id", q3(F.col("embedding")).alias("q3")), "vec_id"
+    )
+    pq3 = emb.filter(F.col("vec_id") < _RS_NQ).select(
+        F.col("vec_id").alias("query_id"), q3(F.col("embedding")).alias("pq")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q3"), F.col("pq"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        members.join(F.broadcast(pc), "cluster")
+        .join(F.broadcast(pq3), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            dot.alias("dot"),
+            sq("q3").alias("aa"),
+            sq("pq").alias("bb"),
+        )
+    )
+    return (
+        cand.filter(
+            (F.col("dot") > 0)
+            & (100 * F.col("dot") * F.col("dot") >= 9 * F.col("aa") * F.col("bb"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "cluster",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("aa").cast("double"))
+                    * F.sqrt(F.col("bb").cast("double"))
+                )
+            ).alias("cos_sim"),
+        )
+        .orderBy("query_id", "vec_id")
+    )

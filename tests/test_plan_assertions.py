@@ -1059,3 +1059,12 @@ def test_corpus_eval_attribution_plan(spark):
     assert s["cartesian"] == 0, s
     assert s["bhj"] >= 1, s
     assert s["exchange"] <= 6, s
+
+
+def test_similarity_range_search_plan(spark):
+    s = _stats("similarity_range_search", spark)
+    # cell-routed candidates only: the probe->cell table and probe
+    # vectors broadcast; no all-pairs scan
+    assert s["cartesian"] == 0, s
+    assert s["bhj"] >= 2, s
+    assert s["exchange"] <= 6, s
