@@ -78,6 +78,29 @@ def quant_dot(qa: Column, qb: Column) -> Column:
     )
 
 
+QUANT_MILLI = 1_000
+# DuckDB twin of :func:`quantize_milli` over an ``embedding`` column —
+# interpolate into oracles instead of restating the transform, so the
+# two engines' 1e3 quantization cannot drift (one gate arithmetic, six
+# call sites: the semdedup gate, the full funnel, range search).
+QUANT_MILLI_SQL = (
+    "list_transform(embedding,"
+    f" x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_MILLI}) AS BIGINT))"
+)
+
+
+def quantize_milli(a: Column) -> Column:
+    """1e3-scale quantized integer copy — the scale at which EVERY
+    product of the squared-cosine gate (dot², aa·bb and their small
+    integer multiples) fits int64 at dims=64, so threshold predicates
+    like ``25·dot² >= 4·aa·bb`` are bit-portable with no
+    decimal/hugeint divergence risk. 1e6 (:func:`quantize`) stays the
+    scale for distances/rankings, where nothing squares a dot."""
+    return F.transform(
+        a, lambda x: F.floor(x.cast("double") * QUANT_MILLI).cast("bigint")
+    )
+
+
 def quant_norm(a: Column) -> Column:
     """sqrt(quantized self-dot) as double — identical arithmetic to the
     norms inside :func:`cosine_exact`, factored out for reuse."""

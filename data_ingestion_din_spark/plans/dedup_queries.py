@@ -1724,13 +1724,11 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _WIN_TAIL = _win_ctes(include_toks=False)
 
-
-@query(
-    "corpus_dedup_funnel",
-    oracle=f"""
-    WITH RECURSIVE {_BANDED_CTES},
-    {_WIN_TAIL},
-    base AS (
+# Stage CTEs and audit rows shared VERBATIM by corpus_dedup_funnel and
+# corpus_dedup_funnel_full (the Spark side shares _funnel_stages; this
+# is the oracle-side equivalent — one SQL restatement, so a fix to the
+# funnel arithmetic cannot land in only one of the two hash gates).
+_FUNNEL_STAGE_CTES = f"""base AS (
       SELECT doc_id, n_chars, len({_TOKS_SQL}) AS n_tok,
              {_FP_SQL} AS fp
       FROM documents
@@ -1777,9 +1775,9 @@ _WIN_TAIL = _win_ctes(include_toks=False)
       SELECT s2.doc_id,
              s2.n_tok - coalesce(p.dup_tok, 0) AS n_tok
       FROM s2 LEFT JOIN per_doc p ON p.doc_id = s2.doc_id
-    ),
-    audit AS (
-      SELECT 0 AS stage_ord, 'input' AS stage,
+    )"""
+
+_FUNNEL_AUDIT_03 = """SELECT 0 AS stage_ord, 'input' AS stage,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM base
       UNION ALL
@@ -1790,7 +1788,18 @@ _WIN_TAIL = _win_ctes(include_toks=False)
              CAST(sum(n_tok) AS BIGINT) FROM s2
       UNION ALL
       SELECT 3, 'substring_removal', CAST(count(*) AS BIGINT),
-             CAST(sum(n_tok) AS BIGINT) FROM s3
+             CAST(sum(n_tok) AS BIGINT) FROM s3"""
+
+
+
+@query(
+    "corpus_dedup_funnel",
+    oracle=f"""
+    WITH RECURSIVE {_BANDED_CTES},
+    {_WIN_TAIL},
+    {_FUNNEL_STAGE_CTES},
+    audit AS (
+      {_FUNNEL_AUDIT_03}
     )
     SELECT CAST(stage_ord AS INT) AS stage_ord, stage, n_docs, n_tokens
     FROM audit ORDER BY stage_ord
@@ -1896,64 +1905,16 @@ def _funnel_stages(
 # stage and how many tokens remain is hash-gated end to end.
 # --------------------------------------------------------------------------
 def _funnel_full_oracle() -> str:
+    from data_ingestion_din_spark.functions.vectors import (
+        QUANT_MILLI_SQL as q3,
+    )
     from data_ingestion_din_spark.plans.similarity_queries import _km_ctes
 
-    q3 = (
-        "list_transform(embedding,"
-        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-    )
     return f"""
     WITH RECURSIVE {_BANDED_CTES},
     {_WIN_TAIL},
     {_km_ctes()},
-    base AS (
-      SELECT doc_id, n_chars, len({_TOKS_SQL}) AS n_tok,
-             {_FP_SQL} AS fp
-      FROM documents
-    ),
-    s1 AS (
-      SELECT * FROM base
-      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
-    ),
-    edges AS (
-      SELECT v.doc_a AS s, v.doc_b AS d FROM verified v
-      JOIN s1 a ON a.doc_id = v.doc_a JOIN s1 b ON b.doc_id = v.doc_b
-      UNION ALL
-      SELECT v.doc_b AS s, v.doc_a AS d FROM verified v
-      JOIN s1 a ON a.doc_id = v.doc_a JOIN s1 b ON b.doc_id = v.doc_b
-    ),
-    nodes AS (SELECT DISTINCT s AS node FROM edges),
-    reach AS (
-      SELECT node, node AS r FROM nodes
-      UNION
-      SELECT e.s AS node, r.r FROM edges e JOIN reach r ON r.node = e.d
-    ),
-    clusters AS (
-      SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
-    ),
-    ranked AS (
-      SELECT s1.doc_id, c.cluster_id,
-             row_number() OVER (
-               PARTITION BY c.cluster_id
-               ORDER BY s1.n_chars DESC, s1.doc_id
-             ) AS rk
-      FROM s1 JOIN clusters c ON c.doc_id = s1.doc_id
-    ),
-    s2 AS (
-      SELECT s1.* FROM s1
-      LEFT JOIN ranked r ON r.doc_id = s1.doc_id
-      WHERE r.doc_id IS NULL OR r.rk = 1
-    ),
-    per_doc AS (
-      SELECT doc_id,
-             CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tok
-      FROM spans GROUP BY doc_id
-    ),
-    s3 AS (
-      SELECT s2.doc_id,
-             s2.n_tok - coalesce(p.dup_tok, 0) AS n_tok
-      FROM s2 LEFT JOIN per_doc p ON p.doc_id = s2.doc_id
-    ),
+    {_FUNNEL_STAGE_CTES},
     q3t AS (SELECT vec_id, {q3} AS q3 FROM embeddings),
     cells AS (
       SELECT a2.vec_id AS doc_id, a2.cluster, q3t.q3
@@ -1977,18 +1938,7 @@ def _funnel_full_oracle() -> str:
       WHERE d.doc_id IS NULL
     ),
     audit AS (
-      SELECT 0 AS stage_ord, 'input' AS stage,
-             CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM base
-      UNION ALL
-      SELECT 1, 'exact_dedup', CAST(count(*) AS BIGINT),
-             CAST(sum(n_tok) AS BIGINT) FROM s1
-      UNION ALL
-      SELECT 2, 'near_dup_keep_best', CAST(count(*) AS BIGINT),
-             CAST(sum(n_tok) AS BIGINT) FROM s2
-      UNION ALL
-      SELECT 3, 'substring_removal', CAST(count(*) AS BIGINT),
-             CAST(sum(n_tok) AS BIGINT) FROM s3
+      {_FUNNEL_AUDIT_03}
       UNION ALL
       SELECT 4, 'semantic_dedup', CAST(count(*) AS BIGINT),
              CAST(sum(n_tok) AS BIGINT) FROM s4
@@ -2000,16 +1950,17 @@ def _funnel_full_oracle() -> str:
 
 @query("corpus_dedup_funnel_full", oracle=_funnel_full_oracle())
 def corpus_dedup_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.vectors import (
+        quant_dot,
+        quantize_milli,
+    )
     from data_ingestion_din_spark.plans.similarity_queries import _km8
 
     base, s1, s2, s3 = _funnel_stages(spark, sf_dir)
     s3 = s3.localCheckpoint(eager=True)  # feeds its audit + the sem pass
-    q3 = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
-    )
     q3t = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("doc_id"), q3.alias("q3")
+        F.col("vec_id").alias("doc_id"),
+        quantize_milli(F.col("embedding")).alias("q3"),
     )
     cells = _km8(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"), "cluster"
@@ -2025,21 +1976,14 @@ def corpus_dedup_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"),
         F.col("q3").alias("qb"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    sq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda x: x * x),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
     semdrop = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_b", dot.alias("dot"), sq("qa").alias("aa"), sq("qb").alias("bb")
+            "id_b",
+            quant_dot(F.col("qa"), F.col("qb")).alias("dot"),
+            quant_dot(F.col("qa"), F.col("qa")).alias("aa"),
+            quant_dot(F.col("qb"), F.col("qb")).alias("bb"),
         )
         .filter(
             (F.col("dot") > 0)

@@ -426,8 +426,10 @@ def _drift_oracle() -> str:
       {rows}
     )
     SELECT col, rows_a, rows_b, nulls_a, nulls_b, distinct_a, distinct_b,
-           CAST(CASE WHEN distinct_a * rows_b > 2 * distinct_b * rows_a
-                       OR distinct_b * rows_a > 2 * distinct_a * rows_b
+           CAST(CASE WHEN distinct_a * 1000 // greatest(rows_a, 1)
+                          > 2 * (distinct_b * 1000 // greatest(rows_b, 1))
+                       OR distinct_b * 1000 // greatest(rows_b, 1)
+                          > 2 * (distinct_a * 1000 // greatest(rows_a, 1))
                      THEN 1 ELSE 0 END AS INT) AS drifted
     FROM cols
     ORDER BY col
@@ -476,11 +478,16 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # drift = distinct-density shift > 2x, compared on per-mille
+    # densities (distinct <= rows, so each density is a bounded int in
+    # [0, 1000] — a direct cross-product of two corpus-sized counts
+    # would overflow int64 at the scale this audit targets)
+    dens_a = F.expr("distinct_a * 1000 DIV greatest(rows_a, 1)")
+    dens_b = F.expr("distinct_b * 1000 DIV greatest(rows_b, 1)")
     return per_col.select(
         "*",
         F.when(
-            (F.col("distinct_a") * F.col("rows_b") > 2 * F.col("distinct_b") * F.col("rows_a"))
-            | (F.col("distinct_b") * F.col("rows_a") > 2 * F.col("distinct_a") * F.col("rows_b")),
+            (dens_a > 2 * dens_b) | (dens_b > 2 * dens_a),
             1,
         )
         .otherwise(0)

@@ -760,7 +760,8 @@ _SEG_STRIDE = 16  # frame-sampling stride (media_frame_samples' _FRS_EVERY)
     )
     SELECT b.path,
            CAST(CASE WHEN n_frames >= {_SEG_W} AND n_tok > 0
-                     THEN n_frames - 2 ELSE 0 END AS BIGINT) AS n_windows,
+                     THEN n_frames - {_SEG_W - 1} ELSE 0 END AS BIGINT)
+             AS n_windows,
            coalesce(h.n_dup_windows, 0) AS n_dup_windows,
            CAST(CASE WHEN coalesce(h.n_dup_windows, 0) > 0 THEN 1 ELSE 0 END
                 AS INT) AS seg_dup
@@ -831,7 +832,7 @@ def media_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "path",
             F.when(
                 (F.col("n_frames") >= _SEG_W) & (F.col("n_tok") > 0),
-                (F.col("n_frames") - 2).cast("bigint"),
+                (F.col("n_frames") - (_SEG_W - 1)).cast("bigint"),
             )
             .otherwise(F.lit(0))
             .cast("bigint")

@@ -2053,10 +2053,10 @@ _RS_NPROBE = 3
 
 
 def _rs_oracle() -> str:
-    q3 = (
-        "list_transform(embedding,"
-        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    from data_ingestion_din_spark.functions.vectors import (
+        QUANT_MILLI_SQL as q3,
     )
+
     return f"""
     WITH {_km_ctes()},
     q3t AS (SELECT vec_id, {q3} AS q3 FROM embeddings),
@@ -2093,7 +2093,11 @@ def _rs_oracle() -> str:
 
 @query("similarity_range_search", oracle=_rs_oracle())
 def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.functions.vectors import (
+        quant_dot,
+        quantize,
+        quantize_milli as q3,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = _km8(spark, sf_dir)
@@ -2115,25 +2119,11 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _, cl in ranked[:_RS_NPROBE]:
             rows.append((int(r.vec_id), cl))
     pc = spark.createDataFrame(rows, "query_id bigint, cluster int")
-
-    q3 = lambda c: F.transform(  # noqa: E731
-        c, lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
-    )
     members = assigned.select("vec_id", "cluster").join(
         emb.select("vec_id", q3(F.col("embedding")).alias("q3")), "vec_id"
     )
     pq3 = emb.filter(F.col("vec_id") < _RS_NQ).select(
         F.col("vec_id").alias("query_id"), q3(F.col("embedding")).alias("pq")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("q3"), F.col("pq"), lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    sq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda x: x * x),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
     )
     cand = (
         members.join(F.broadcast(pc), "cluster")
@@ -2143,9 +2133,9 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             F.col("cluster").cast("int").alias("cluster"),
-            dot.alias("dot"),
-            sq("q3").alias("aa"),
-            sq("pq").alias("bb"),
+            quant_dot(F.col("q3"), F.col("pq")).alias("dot"),
+            quant_dot(F.col("q3"), F.col("q3")).alias("aa"),
+            quant_dot(F.col("pq"), F.col("pq")).alias("bb"),
         )
     )
     return (

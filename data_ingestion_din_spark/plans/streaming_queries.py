@@ -3676,9 +3676,15 @@ def _sdc_out_dir(spark: SparkSession, sf_dir: str) -> str:
             return _SDC_DONE[key]
         del _SDC_DONE[key]
 
+    from data_ingestion_din_spark.plans.curation_queries import _DC_N
+
     base = fresh_app_dir(spark, sf_dir, "spark_graft_sdc")
     out = os.path.join(base, "out")
-    _process = _decontam_gate_processor(out, os.path.join(base, "shingles"))
+    # n keyed to the SAME constant the oracle interpolates — retuning
+    # _DC_N moves both sides together
+    _process = _decontam_gate_processor(
+        out, os.path.join(base, "shingles"), n=_DC_N
+    )
     _run_doc_parity_landings(spark, sf_dir, base, _process)
     _SDC_DONE[key] = out
     return out
@@ -3765,14 +3771,14 @@ def _semdedup_gate_processor(
 ):
     """foreachBatch processor over (verdicts, frozen-centroids, member-
     index) dirs — module-level for the replay test, like the siblings."""
-    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.functions.vectors import (
+        quant_dot,
+        quantize,
+        quantize_milli as q3,
+    )
     from data_ingestion_din_spark.operators.similarity import (
         assign_to_centroids,
         kmeans_train,
-    )
-
-    q3 = lambda c: F.transform(  # noqa: E731 — 1e3-scale quantization
-        c, lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
     )
 
     def _plan(batch_df: DataFrame, epoch_id: int):
@@ -3826,23 +3832,13 @@ def _semdedup_gate_processor(
         if members is not None and members.limit(1).count() > 0:
             # plain equi-join on the cell — the member index grows with
             # the corpus (the forbidden broadcast class, never hinted)
-            dot = F.aggregate(
-                F.zip_with(F.col("q3"), F.col("m_q3"), lambda a, b: a * b),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-            sq = lambda c: F.aggregate(  # noqa: E731
-                F.transform(F.col(c), lambda x: x * x),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
             hits = (
                 routed.join(members, "cluster")
                 .select(
                     "vec_id",
-                    dot.alias("dot"),
-                    sq("q3").alias("aa"),
-                    sq("m_q3").alias("bb"),
+                    quant_dot(F.col("q3"), F.col("m_q3")).alias("dot"),
+                    quant_dot(F.col("q3"), F.col("q3")).alias("aa"),
+                    quant_dot(F.col("m_q3"), F.col("m_q3")).alias("bb"),
                 )
                 .groupBy("vec_id")
                 .agg(
@@ -3943,15 +3939,14 @@ def _ssd_out_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _ssd_oracle() -> str:
+    from data_ingestion_din_spark.functions.vectors import (
+        QUANT_MILLI_SQL as q3,
+    )
     from data_ingestion_din_spark.plans.similarity_queries import (
         _KM_DIST,
         _km_ctes,
     )
 
-    q3 = (
-        "list_transform(embedding,"
-        " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-    )
     return f"""
     WITH {_km_ctes("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)")},
     m AS (

@@ -2015,13 +2015,22 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((doc_id - mn) * 10 DIV width AS INT) + 1"),
         )
     )
-    tok = d.select("bucket", F.explode("toks").alias("tok"))
-    first_seen = tok.groupBy("tok").agg(F.min("bucket").alias("bucket"))
+    # ONE corpus explode + one (tok, bucket) shuffle; the vocab-sized
+    # count table is staged for its two consumers (first-occurrence
+    # attribution + per-bucket token totals) so nothing rescans the
+    # corpus twice
+    g = (
+        d.select("bucket", F.explode("toks").alias("tok"))
+        .groupBy("tok", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    first_seen = g.groupBy("tok").agg(F.min("bucket").alias("bucket"))
     new_types = first_seen.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("new_types")
     )
-    bucket_tokens = tok.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    bucket_tokens = g.groupBy("bucket").agg(
+        F.sum("c").cast("bigint").alias("n_tokens")
     )
     joined = bucket_tokens.join(new_types, "bucket", "left").select(
         "bucket",
