@@ -1950,10 +1950,7 @@ def _funnel_full_oracle() -> str:
 
 @query("corpus_dedup_funnel_full", oracle=_funnel_full_oracle())
 def corpus_dedup_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_ingestion_din_spark.functions.vectors import (
-        quant_dot,
-        quantize_milli,
-    )
+    from data_ingestion_din_spark.functions.vectors import quantize_milli
     from data_ingestion_din_spark.plans.similarity_queries import _km8
 
     base, s1, s2, s3 = _funnel_stages(spark, sf_dir)
@@ -1966,31 +1963,29 @@ def corpus_dedup_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), "cluster"
     ).join(q3t, "doc_id")
     sc = cells.join(s3.select("doc_id"), "doc_id", "left_semi")
-    a = sc.select(
-        F.col("cluster"),
-        F.col("doc_id").alias("id_a"),
-        F.col("q3").alias("qa"),
-    )
-    b = sc.select(
-        F.col("cluster"),
-        F.col("doc_id").alias("id_b"),
-        F.col("q3").alias("qb"),
-    )
-    semdrop = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_b",
-            quant_dot(F.col("qa"), F.col("qb")).alias("dot"),
-            quant_dot(F.col("qa"), F.col("qa")).alias("aa"),
-            quant_dot(F.col("qb"), F.col("qb")).alias("bb"),
-        )
-        .filter(
-            (F.col("dot") > 0)
-            & (25 * F.col("dot") * F.col("dot") >= 4 * F.col("aa") * F.col("bb"))
-        )
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
+
+    # Per-cluster pairwise gate as ONE Arrow boundary + an int64 GEMM
+    # (the dedup_semantic_kmeans kernel shape — the interpreted-HOF
+    # pair join it replaces spent ~5 s on Σ|cell|² lambda dots at
+    # sf0.1). Exactness: |q3| ≤ ~1e3 at dims=64 → dot ≤ 6.4e7,
+    # 25·dot² ≤ 1.1e17 and 4·aa·bb ≤ 1.6e16 both fit int64, so the
+    # whole predicate is integer arithmetic — bit-identical to the
+    # oracle's SQL.
+    def _sem_dropped(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = np.argsort(pdf["doc_id"].to_numpy())
+        ids = pdf["doc_id"].to_numpy()[order]
+        m = np.stack(pdf["q3"].to_numpy()[order]).astype(np.int64)
+        g = m @ m.T
+        nsq = np.diag(g)
+        close = (g > 0) & (25 * g * g >= 4 * (nsq[:, None] * nsq[None, :]))
+        dropped = np.triu(close, k=1).any(axis=0)
+        return pd.DataFrame({"doc_id": ids[dropped]})
+
+    semdrop = sc.groupBy("cluster").applyInPandas(
+        _sem_dropped, "doc_id long"
     )
     s4 = s3.join(semdrop, "doc_id", "left_anti")
     return (
