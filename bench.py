@@ -274,9 +274,9 @@ BENCH_QUERIES = [
     "corpus_bpe_fertility",
     # round 9 (continuation): corpus statistics audits, interval overlap
     # join, schema-drift profile. streaming_decontam_gate /
-    # streaming_semdedup_gate / streaming_tmix_gate are
-    # correctness-gated but not benched (one-time incremental stream
-    # cost, like the other streaming rows)
+    # streaming_semdedup_gate / streaming_tmix_gate /
+    # streaming_profile_gate are correctness-gated but not benched
+    # (one-time incremental stream cost, like the other streaming rows)
     "corpus_zipf_fit",
     "corpus_heaps_law",
     "events_interval_overlap_join",

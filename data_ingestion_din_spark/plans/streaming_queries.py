@@ -4185,3 +4185,205 @@ def streaming_tmix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "kept")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_profile_gate — SCHEMA-DRIFT monitoring at ingest, the
+# aggregate member of the frozen-baseline family (the sibling gates
+# freeze models/rates and emit per-DOC verdicts; this freezes the
+# per-column PROFILE and emits per-landing audit rows — the "alert when
+# a feed's null rate or cardinality shifts" monitor every production
+# ingest runs). The first landing profiles itself (rows, nulls,
+# distinct per column — dq_schema_drift's fused one-pass aggregation)
+# and freezes the result as the baseline; every landing's profile is
+# compared column-by-column against the frozen baseline with the same
+# overflow-safe per-mille density rule (distinct <= rows keeps each
+# density a bounded int — never a product of two corpus-sized counts).
+# The baseline is column-count-sized — bounded control data, the legal
+# broadcast class.
+#
+# The oracle restates profile-evens-as-baseline + profile-both-halves +
+# compare in SQL, so hash parity proves the frozen profile survived
+# the checkpointed restart and landing 2 was judged against landing
+# 1's baseline.
+# --------------------------------------------------------------------------
+_SPG_DONE: dict[tuple[str, str], str] = {}
+_SPG_COLS = ["lang", "source", "n_chars", "text"]
+
+
+def _profile_gate_processor(out: str, baseline_state: str):
+    """foreachBatch processor over (audit-rows, frozen-baseline) dirs —
+    module-level for the replay test, like the sibling gates."""
+
+    def _profile(batch_df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+        for c in _SPG_COLS:
+            aggs.append(
+                (F.count(F.lit(1)) - F.count(c))
+                .cast("bigint")
+                .alias(f"nulls_{c}")
+            )
+            aggs.append(F.countDistinct(c).cast("bigint").alias(f"nd_{c}"))
+        fused = batch_df.agg(*aggs)
+        return fused.select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col"),
+                            F.col("n_rows").alias("n_rows"),
+                            F.col(f"nulls_{c}").alias("n_nulls"),
+                            F.col(f"nd_{c}").alias("n_distinct"),
+                        )
+                        for c in _SPG_COLS
+                    ]
+                )
+            )
+        )
+
+    def _plan(batch_df: DataFrame, epoch_id: int):
+        spark_l = batch_df.sparkSession
+        prof = _profile(batch_df).localCheckpoint(eager=True)
+        prior = None
+        if os.path.isdir(baseline_state):
+            prior = (
+                spark_l.read.option("basePath", baseline_state)
+                .parquet(baseline_state)
+                .filter(F.col("epoch") < epoch_id)
+                .select(
+                    "col",
+                    F.col("n_rows").alias("b_rows"),
+                    F.col("n_distinct").alias("b_distinct"),
+                )
+            )
+        if prior is not None and prior.limit(1).count() > 0:
+            baseline = prior
+            new_baseline = None  # frozen — written once by epoch 0
+        else:
+            baseline = prof.select(
+                "col",
+                F.col("n_rows").alias("b_rows"),
+                F.col("n_distinct").alias("b_distinct"),
+            )
+            new_baseline = prof
+        dens = F.expr("n_distinct * 1000 DIV greatest(n_rows, 1)")
+        b_dens = F.expr("b_distinct * 1000 DIV greatest(b_rows, 1)")
+        audit = prof.join(F.broadcast(baseline), "col").select(
+            "col",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            F.when((dens > 2 * b_dens) | (b_dens > 2 * dens), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("drifted"),
+        )
+        return {"audit": audit, "new_baseline": new_baseline}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dfs = _plan(batch_df, epoch_id)
+        ep = f"epoch={epoch_id}"
+        dfs["audit"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, ep)
+        )
+        if dfs["new_baseline"] is not None:
+            dfs["new_baseline"].coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(baseline_state, ep)
+            )
+
+    _process.plan = _plan
+    return _process
+
+
+def _spg_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SPG_DONE, key[0])
+    if key in _SPG_DONE:
+        if _dir_ok(_SPG_DONE[key]):
+            return _SPG_DONE[key]
+        del _SPG_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_spg")
+    out = os.path.join(base, "out")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    _run_split_landings(
+        spark,
+        base,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+        [docs.filter(F.col("doc_id") % 2 == p) for p in (0, 1)],
+        _profile_gate_processor(out, os.path.join(base, "baseline")),
+    )
+    _SPG_DONE[key] = out
+    return out
+
+
+def _spg_oracle() -> str:
+    def half(name: str, pred: str) -> str:
+        per_col = ",\n             ".join(
+            f"CAST(count(*) - count({c}) AS BIGINT) AS nulls_{c},"
+            f" CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}"
+            for c in _SPG_COLS
+        )
+        return f"""{name} AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             {per_col}
+      FROM documents WHERE {pred}
+    )"""
+
+    def rows(src: str) -> str:
+        return "\n      UNION ALL\n      ".join(
+            f"SELECT '{c}' AS col, n_rows, nulls_{c} AS n_nulls,"
+            f" nd_{c} AS n_distinct FROM {src}"
+            for c in _SPG_COLS
+        )
+
+    return f"""
+    WITH {half('e', 'doc_id % 2 = 0')},
+    {half('o', 'doc_id % 2 = 1')},
+    ep AS (
+      {rows('e')}
+    ),
+    op AS (
+      {rows('o')}
+    ),
+    judged AS (
+      SELECT p.col, p.n_rows, p.n_nulls, p.n_distinct,
+             CAST(CASE WHEN p.n_distinct * 1000 // greatest(p.n_rows, 1)
+                          > 2 * (b.n_distinct * 1000 // greatest(b.n_rows, 1))
+                        OR b.n_distinct * 1000 // greatest(b.n_rows, 1)
+                          > 2 * (p.n_distinct * 1000 // greatest(p.n_rows, 1))
+                       THEN 1 ELSE 0 END AS INT) AS drifted
+      FROM op p JOIN ep b USING (col)
+    )
+    SELECT col, n_rows, n_nulls, n_distinct, CAST(0 AS INT) AS drifted
+    FROM ep
+    UNION ALL
+    SELECT col, n_rows, n_nulls, n_distinct, drifted FROM judged
+    ORDER BY n_rows, col
+    """
+
+
+@query("streaming_profile_gate", oracle=_spg_oracle())
+def streaming_profile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back both landings' profile audit rows; the oracle restates
+    freeze-epoch-0's-profile + judge-every-landing-against-it. The
+    epoch-0 rows carry drifted=0 by definition (a baseline judged
+    against itself); sorting on (n_rows, col) keeps the two epochs'
+    rows deterministically interleaved without exposing the epoch
+    number itself."""
+    out = _spg_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select("col", "n_rows", "n_nulls", "n_distinct", "drifted")
+        .orderBy("n_rows", "col")
+    )

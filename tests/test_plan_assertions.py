@@ -1068,3 +1068,24 @@ def test_similarity_range_search_plan(spark):
     assert s["cartesian"] == 0, s
     assert s["bhj"] >= 2, s
     assert s["exchange"] <= 6, s
+
+
+def test_profile_gate_processor_batch_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _profile_gate_processor,
+    )
+
+    p = _profile_gate_processor(str(tmp_path / "o"), str(tmp_path / "b"))
+    schema = (
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    p(spark.createDataFrame([(2, "a", "en", "s", 1)], schema), 0)
+    dfs = p.plan(spark.createDataFrame([(1, "b", "en", "t", 1)], schema), 1)
+    s = _plan_stats(dfs["audit"])
+    # the frozen baseline is column-count-sized (bounded) — broadcast
+    # REQUIRED; the landing profile itself is one fused aggregation
+    assert s["cartesian"] == 0, s
+    assert s["bhj"] >= 1, s
+    assert s["exchange"] <= 2, s
+    assert dfs["new_baseline"] is None  # frozen after epoch 0

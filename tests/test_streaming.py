@@ -1397,3 +1397,70 @@ def test_streaming_tmix_gate_replay_idempotent(spark, tmp_path):
     assert v[6] == (6, "th", 1)
     assert v[5] == (5, "xx", 0)  # unseen at planning time -> dropped
     assert os.listdir(st) == ["epoch=0"]  # frozen after training epoch
+
+
+def test_streaming_profile_gate_replay_idempotent(spark, tmp_path):
+    """Frozen-baseline contract: the profile baseline is written exactly
+    once (epoch 0), later landings are judged against it (not against
+    themselves), and replaying either epoch changes nothing. Batch 1
+    collapses lang cardinality 3 -> 1 while rows stay comparable, so
+    the lang row must flag drift."""
+    import os
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _profile_gate_processor,
+    )
+
+    out = str(tmp_path / "out")
+    st = str(tmp_path / "baseline")
+    process = _profile_gate_processor(out, st)
+
+    b0 = spark.createDataFrame(
+        [
+            (2, "a b", "en", "s0", 3),
+            (4, "c d", "th", "s1", 3),
+            (6, "e f", "de", "s2", 3),
+            (8, "g h", "th", "s3", 3),
+        ],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, "i j", "en", "t0", 3),
+            (3, "k l", "en", "t1", 3),
+            (5, "m n", "en", "t2", 3),
+            (7, None, "en", "t3", 3),
+        ],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+
+    def snapshot():
+        v = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("col", "n_rows", "n_nulls", "n_distinct", "drifted")
+            .collect()
+        )
+        b = sorted(tuple(r) for r in spark.read.parquet(st).collect())
+        return v, b
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    rows = first[0]
+    # epoch 0 is the baseline judged against itself -> never drifted
+    assert all(r[4] == 0 for r in rows if r[0] == "lang" and r[3] == 3)
+    # lang cardinality collapses 3 -> 1 at equal rows: density 750 vs
+    # 250 per-mille is a >2x shift -> flagged (an exactly-2x shift is
+    # NOT — the rule is strict)
+    lang1 = [r for r in rows if r[0] == "lang" and r[3] == 1]
+    assert lang1 and lang1[0][4] == 1
+    text_null = [r for r in rows if r[0] == "text" and r[2] == 1]
+    assert text_null  # the null count is reported
+    assert os.listdir(st) == ["epoch=0"]  # frozen after epoch 0
