@@ -12,6 +12,7 @@ strings without per-row job overhead.
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -415,3 +416,100 @@ def test_union_find_matches_distributed_cc(spark, edges):
         for r in connected_components(pairs, driver_cap_edges=0).collect()
     }
     assert drv == dist
+
+
+_vec = st.lists(
+    st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+    min_size=64,
+    max_size=64,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_vec, min_size=4, max_size=8))
+def test_milli_cosine_gate_three_way_agreement(spark, vecs):
+    """The 1e3-quantized integer cosine gate (25·dot² >= 4·aa·bb — the
+    semdedup/funnel/range-search predicate) agrees across (a) Spark
+    quantize_milli + quant_dot, (b) the DuckDB QUANT_MILLI_SQL twin,
+    and (c) a pure-Python big-int reference — so a transform/cast bug
+    in any restatement breaks here before it can corrupt a hash gate.
+    Also pins the int64 headroom claim: every product is re-checked
+    against the exact Python integers (unbounded), so silent overflow
+    in the Spark/DuckDB arithmetic would surface as a mismatch."""
+    import math
+
+    from data_ingestion_din_spark.functions.vectors import (
+        QUANT_MILLI_SQL,
+        quant_dot,
+        quantize_milli,
+    )
+
+    pairs = [
+        (i, j) for i in range(len(vecs)) for j in range(i + 1, len(vecs))
+    ]
+
+    def pyq(v):
+        return [math.floor(float(x) * 1000) for x in v]
+
+    want = []
+    for i, j in pairs:
+        qa, qb = pyq(vecs[i]), pyq(vecs[j])
+        dot = sum(x * y for x, y in zip(qa, qb))
+        aa = sum(x * x for x in qa)
+        bb = sum(x * x for x in qb)
+        want.append((dot, dot > 0 and 25 * dot * dot >= 4 * aa * bb))
+
+    df = spark.createDataFrame(
+        [(i, vecs[i], vecs[j]) for idx, (i, j) in enumerate(pairs)],
+        "i int, a array<float>, b array<float>",
+    )
+    qa = quantize_milli(F.col("a"))
+    qb = quantize_milli(F.col("b"))
+    got = [
+        (r.dot, bool(r.near))
+        for r in df.select(
+            quant_dot(qa, qb).alias("dot"),
+            (
+                (quant_dot(qa, qb) > 0)
+                & (
+                    25 * quant_dot(qa, qb) * quant_dot(qa, qb)
+                    >= 4 * quant_dot(qa, qa) * quant_dot(qb, qb)
+                )
+            ).alias("near"),
+        ).collect()
+    ]
+    assert got == want
+
+    # DuckDB twin over the same pairs — float32 lists round-trip
+    # losslessly through pandas float32
+    con = duckdb.connect()
+    con.register(
+        "pairs_t",
+        pd.DataFrame(
+            {
+                "a": [
+                    np.array(vecs[i], dtype=np.float32) for i, _ in pairs
+                ],
+                "b": [
+                    np.array(vecs[j], dtype=np.float32) for _, j in pairs
+                ],
+            }
+        ),
+    )
+    duck = con.execute(
+        f"""
+        WITH q AS (
+          SELECT {QUANT_MILLI_SQL.replace('embedding', 'a')} AS qa,
+                 {QUANT_MILLI_SQL.replace('embedding', 'b')} AS qb
+          FROM pairs_t
+        ),
+        d AS (
+          SELECT (SELECT sum(qa[i] * qb[i]) FROM range(1, 65) r(i)) AS dot,
+                 (SELECT sum(qa[i] * qa[i]) FROM range(1, 65) r(i)) AS aa,
+                 (SELECT sum(qb[i] * qb[i]) FROM range(1, 65) r(i)) AS bb
+          FROM q
+        )
+        SELECT dot, dot > 0 AND 25 * dot * dot >= 4 * aa * bb FROM d
+        """
+    ).fetchall()
+    assert [(int(d), bool(n)) for d, n in duck] == want
