@@ -285,6 +285,7 @@ BENCH_QUERIES = [
     "corpus_dedup_funnel_full",
     "corpus_eval_attribution",
     "similarity_range_search",
+    "similarity_ivfpq_k16_grid",
 ]
 
 
@@ -388,6 +389,16 @@ def main() -> None:
 
     stage("pq_index_raw", lambda: _pq_trained(spark, sf_dir, "raw")[0].count())
     stage("pq_index_res", lambda: _pq_trained(spark, sf_dir, "res")[0].count())
+    # k=16 codebooks + the shared exact-topk side (the operating-grid
+    # query's one-time training/staging, like the k=4 rows above)
+    from data_ingestion_din_spark.plans.similarity_queries import (
+        _etop_staged,
+        _GRID_K,
+    )
+
+    stage("pq_index_raw16", lambda: _pq_trained(spark, sf_dir, "raw", k=_GRID_K)[0].count())
+    stage("pq_index_res16", lambda: _pq_trained(spark, sf_dir, "res", k=_GRID_K)[0].count())
+    stage("sweep_etop", lambda: _etop_staged(spark, sf_dir).count())
     # streamed IVFPQ index: the two availableNow landings run once here
     # so streaming_ivfpq_serve times the read path, not the ingest
     from data_ingestion_din_spark.plans.streaming_queries import _siq_out_dir

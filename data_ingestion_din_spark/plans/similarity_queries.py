@@ -611,7 +611,7 @@ _PQ_DIST = (
 )
 
 
-def _pq_ctes(qsrc: str | None = None) -> str:
+def _pq_ctes(qsrc: str | None = None, k: int = _PQ_K) -> str:
     """The PQ training/assignment/ADC CTE chain (q → sub → seeds → a1 →
     m1 → c1/c1f → codes → adc) — shared by similarity_pq_topk, the
     composed IVF+PQ oracle (which brings its own km-prefixed k-means
@@ -640,7 +640,7 @@ def _pq_ctes(qsrc: str | None = None) -> str:
       SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) AS INT)
                AS code, sv
       FROM sub
-      QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= {_PQ_K}
+      QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= {k}
     ),
     a1 AS (
       SELECT s.vec_id, s.m, s.sv, c.code
@@ -724,7 +724,7 @@ _PQ_STATE: dict[tuple[str, str, str], tuple[DataFrame, list]] = {}
 
 
 def _pq_trained(
-    spark: SparkSession, sf_dir: str, space: str
+    spark: SparkSession, sf_dir: str, space: str, k: int = _PQ_K
 ) -> tuple[DataFrame, list]:
     """space='raw': PQ over quantized embeddings; space='res': PQ over
     residuals against the staged k=8 quantizer (by_residual=true)."""
@@ -736,20 +736,20 @@ def _pq_trained(
     app = spark.sparkContext.applicationId
     for k in [k for k in _PQ_STATE if k[0] != app]:
         del _PQ_STATE[k]  # dead-context eviction (session_staged idiom)
-    key = (app, sf_dir, space)
+    key = (app, sf_dir, space, k)
     if key not in _PQ_STATE:
         if space == "raw":
             codes, cb = pq_assign(
                 load_table(spark, sf_dir, "embeddings"),
                 n_sub=_PQ_SUB,
-                k=_PQ_K,
+                k=k,
                 iters=1,
             )
         else:
             codes, cb = pq_assign_qv(
                 _residual_qv(spark, sf_dir).select("vec_id", "qv"),
                 n_sub=_PQ_SUB,
-                k=_PQ_K,
+                k=k,
                 iters=1,
             )
         _PQ_STATE[key] = (codes.localCheckpoint(eager=True), cb)
@@ -1636,8 +1636,11 @@ def similarity_ivfpq_residual_multiprobe(
 # 0.5 / residual 0.4 — a CROSSOVER, reported not hidden: with a 4-code
 # codebook the 3-cell candidate pool is wide enough that the coarser
 # raw ADC still shortlists the survivors, and the residual gain
-# saturates; production (k=256 codes) keeps the residual advantage at
-# every nprobe, which is why FAISS defaults to it. residual_holds
+# saturates. The "more codes restores the advantage" hypothesis was
+# MEASURED in round 9 (similarity_ivfpq_k16_grid) and REFUTED on this
+# fixture: at k=16 raw wins at both probe depths — on weak cluster
+# structure the residual transform is a data-dependent knob, not the
+# default win FAISS's by_residual=true suggests. residual_holds
 # records the measured ordering under the gate.
 # --------------------------------------------------------------------------
 _IVFPQ_RES_MP_SQL = _ORACLES["similarity_ivfpq_residual_multiprobe"]
@@ -1711,16 +1714,63 @@ def similarity_ivfpq_residual_mp_recall(
 # does); the IVFPQ side touches only the probes' cells' codes.
 # --------------------------------------------------------------------------
 _SWEEP_N = 20
+# (applicationId, sf_dir) -> checkpointed exact top-10 per probe — the
+# sweep's exact side depends only on the embeddings and the probe set,
+# so every (k, nprobe, space) sweep shares ONE computation of it.
+_ETOP_STATE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _ivfpq_sweep(spark: SparkSession, sf_dir: str, space: str) -> DataFrame:
+def _etop_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    app = spark.sparkContext.applicationId
+    for kk in [kk for kk in _ETOP_STATE if kk[0] != app]:
+        del _ETOP_STATE[kk]
+    key = (app, sf_dir)
+    if key not in _ETOP_STATE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        pemb = F.broadcast(
+            emb.filter(F.col("vec_id") < _SWEEP_N).select(
+                F.col("vec_id").alias("probe"),
+                F.col("embedding").alias("p_embedding"),
+            )
+        )
+        ex = (
+            emb.select("vec_id", "embedding")
+            .crossJoin(pemb)
+            .filter(F.col("vec_id") != F.col("probe"))
+            .select(
+                "probe",
+                "vec_id",
+                cosine_exact(
+                    F.col("embedding"), F.col("p_embedding")
+                ).alias("cos"),
+            )
+        )
+        wtop = W.partitionBy("probe").orderBy(F.desc("cos"), "vec_id")
+        _ETOP_STATE[key] = (
+            ex.withColumn("rk", F.row_number().over(wtop))
+            .filter(F.col("rk") <= 10)
+            .select("probe", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+    return _ETOP_STATE[key]
+
+
+def _ivfpq_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    space: str,
+    k: int = _PQ_K,
+    nprobe: int = 1,
+) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from data_ingestion_din_spark.functions.vectors import quantize
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = _km8(spark, sf_dir)
-    codes, cb = _pq_trained(spark, sf_dir, space)
+    codes, cb = _pq_trained(spark, sf_dir, space, k=k)
     # probe-side control data: 20 (residualized for 'res') vectors →
     # the 20×n_sub×k ADC rows, shipped as a small broadcast DataFrame
     if space == "res":
@@ -1741,9 +1791,37 @@ def _ivfpq_sweep(spark: SparkSession, sf_dir: str, space: str) -> DataFrame:
     adc = spark.createDataFrame(
         adc_rows, "probe bigint, m int, code int, dpart bigint"
     )
-    pcells = assigned.filter(F.col("vec_id") < _SWEEP_N).select(
-        F.col("vec_id").alias("probe"), F.col("cluster").alias("pcell")
-    )
+    if nprobe == 1:
+        pcells = assigned.filter(F.col("vec_id") < _SWEEP_N).select(
+            F.col("vec_id").alias("probe"), F.col("cluster").alias("pcell")
+        )
+    else:
+        # multiprobe: rank ALL cells per probe against the frozen
+        # centroids driver-side (probe qvs are bounded control data —
+        # routing is always on the RAW vector, as in the multiprobe
+        # serving queries; the residual space affects only the ADC)
+        cents = _km8_cents(spark, sf_dir)
+        raw_rows = (
+            emb.filter(F.col("vec_id") < _SWEEP_N)
+            .select("vec_id", quantize(F.col("embedding")).alias("qv"))
+            .collect()
+        )
+        pc_rows = []
+        for r in raw_rows:
+            ranked = sorted(
+                (
+                    sum(
+                        (int(r.qv[i]) - c[i]) ** 2 for i in range(len(c))
+                    ),
+                    cl + 1,
+                )
+                for cl, c in enumerate(cents)
+            )
+            for _, cl in ranked[:nprobe]:
+                pc_rows.append((int(r.vec_id), cl))
+        pcells = spark.createDataFrame(
+            pc_rows, "probe bigint, pcell int"
+        )
     cand = (
         assigned.join(
             F.broadcast(pcells), F.col("cluster") == F.col("pcell")
@@ -1786,23 +1864,7 @@ def _ivfpq_sweep(spark: SparkSession, sf_dir: str, space: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("probe", "vec_id")
     )
-    ex = (
-        emb.select("vec_id", "embedding")
-        .crossJoin(pemb)
-        .filter(F.col("vec_id") != F.col("probe"))
-        .select(
-            "probe",
-            "vec_id",
-            cosine_exact(F.col("embedding"), F.col("p_embedding")).alias(
-                "cos"
-            ),
-        )
-    )
-    etop = (
-        ex.withColumn("rk", F.row_number().over(wtop))
-        .filter(F.col("rk") <= 10)
-        .select("probe", "vec_id")
-    )
+    etop = _etop_staged(spark, sf_dir)
     ov = etop.join(itop, ["probe", "vec_id"])
     return (
         etop.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_total"))
@@ -1822,9 +1884,26 @@ def _ivfpq_sweep(spark: SparkSession, sf_dir: str, space: str) -> DataFrame:
     )
 
 
-def _sweep_oracle(residual: bool) -> str:
+def _sweep_oracle(
+    residual: bool, k: int = _PQ_K, nprobe: int = 1
+) -> str:
     rq = f"{_RQ_CTE}," if residual else ""
-    pq = _pq_ctes(qsrc="rq") if residual else _pq_ctes()
+    pq = _pq_ctes(qsrc="rq", k=k) if residual else _pq_ctes(k=k)
+    if nprobe == 1:
+        pcell = f"""pcell AS (
+      SELECT vec_id AS probe, cluster FROM kma2 WHERE vec_id < {_SWEEP_N}
+    )"""
+    else:
+        pcell = f"""pcell AS (
+      SELECT probe, cluster FROM (
+        SELECT q.vec_id AS probe, s.cluster,
+               row_number() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster
+               ) AS pr
+        FROM kmq q CROSS JOIN kmc1f s
+        WHERE q.vec_id < {_SWEEP_N}
+      ) WHERE pr <= {nprobe}
+    )"""
     return f"""
     WITH {_km_ctes(p="km")},
     {rq}
@@ -1837,9 +1916,7 @@ def _sweep_oracle(residual: bool) -> str:
       JOIN (SELECT vec_id, m, sv FROM sub WHERE vec_id < {_SWEEP_N}) s
         ON s.m = c.m
     ),
-    pcell AS (
-      SELECT vec_id AS probe, cluster FROM kma2 WHERE vec_id < {_SWEEP_N}
-    ),
+    {pcell},
     cand AS (
       SELECT p.probe, a.vec_id
       FROM kma2 a JOIN pcell p ON a.cluster = p.cluster
@@ -2157,3 +2234,65 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# similarity_ivfpq_k16_grid — the codebook-capacity HALF of the IVFPQ
+# operating surface, measured and hash-gated (4 rows: k=16 codes ×
+# nprobe ∈ {1,3} × {raw, residual}). The k=4 sweeps above left one
+# claim unmeasured: that the nprobe=3 residual crossover (raw 0.5 /
+# res 0.4 single-probe) was codebook saturation and more codes would
+# restore the residual advantage. The measured grid REFUTES that on
+# this fixture: at k=16, raw wins at both probe depths (nprobe=1:
+# 0.34 vs 0.33; nprobe=3: 0.415 vs 0.32) — with weak cluster
+# structure (near-random fixture embeddings), the residual transform
+# buys nothing and costs recall, so by_residual is a DATA-dependent
+# knob, not the free win FAISS's default suggests. Exactly the kind of
+# assumption this engine measures instead of inheriting.
+#
+# Scale: the exact side (corpus × 20 probes) is computed ONCE per
+# session (_etop_staged) and shared by every sweep; each grid cell
+# touches only its probes' cells' codes.
+# --------------------------------------------------------------------------
+_GRID_K = 16
+
+
+def _grid_oracle() -> str:
+    cells = []
+    for np_ in (1, 3):
+        for space, res in (("raw", False), ("res", True)):
+            cells.append(
+                f"""SELECT {_GRID_K} AS codebook_k, {np_} AS nprobe,
+       '{space}' AS space, s.*
+FROM ({_sweep_oracle(res, k=_GRID_K, nprobe=np_)}) s"""
+            )
+    body = "\n    UNION ALL\n    ".join(cells)
+    return f"""
+    SELECT CAST(codebook_k AS INT) AS codebook_k,
+           CAST(nprobe AS INT) AS nprobe, space,
+           n_probes, n_exact_total, n_overlap_total, mean_recall
+    FROM (
+    {body}
+    )
+    ORDER BY nprobe, space
+    """
+
+
+@query("similarity_ivfpq_k16_grid", oracle=_grid_oracle())
+def similarity_ivfpq_k16_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = None
+    for np_ in (1, 3):
+        for space in ("raw", "res"):
+            cell = _ivfpq_sweep(
+                spark, sf_dir, space, k=_GRID_K, nprobe=np_
+            ).select(
+                F.lit(_GRID_K).cast("int").alias("codebook_k"),
+                F.lit(np_).cast("int").alias("nprobe"),
+                F.lit(space).alias("space"),
+                "n_probes",
+                "n_exact_total",
+                "n_overlap_total",
+                "mean_recall",
+            )
+            rows = cell if rows is None else rows.unionByName(cell)
+    return rows.orderBy("nprobe", "space")
