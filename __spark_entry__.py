@@ -26,6 +26,7 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # after this round every remaining sample is round 6+.
 _DRIVER_PRIORITY: list[str] = [
     # Round-9 additions — never driver-sampled.
+    "similarity_lsh_recall_sweep",
     "similarity_ivfpq_k16_grid",
     "streaming_profile_gate",
     "similarity_range_search",

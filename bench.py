@@ -286,6 +286,7 @@ BENCH_QUERIES = [
     "corpus_eval_attribution",
     "similarity_range_search",
     "similarity_ivfpq_k16_grid",
+    "similarity_lsh_recall_sweep",
 ]
 
 

@@ -2296,3 +2296,148 @@ def similarity_ivfpq_k16_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             rows = cell if rows is None else rows.unionByName(cell)
     return rows.orderBy("nprobe", "space")
+
+
+# --------------------------------------------------------------------------
+# similarity_lsh_recall_sweep — the statistical upgrade of the 1-probe
+# LSH recall audits, mirroring the IVFPQ sweeps: mean recall@10 over
+# the first 20 probes for the single-bucket scan vs the Lv et al.
+# multiprobe (own bucket + 8 one-bit flips), hash-gated as two rows.
+# Measured (sf0.01): single 0.005 / multiprobe 0.12 — the fixture's
+# 8-plane buckets hold ~2 vectors, so a single probe is near-blind and
+# the 9-bucket probe set buys a 24x recall lift for zero extra memory;
+# the one-probe audits above could not see either number. Shares the
+# session-staged exact side (_etop_staged) with the IVFPQ sweeps.
+# --------------------------------------------------------------------------
+def _lsh_sweep_oracle() -> str:
+    b = _lsh_bucket_sql("embedding")
+    rows = []
+    for name, masks in (
+        ("single", [0]),
+        ("multiprobe", _MP_MASKS),
+    ):
+        rows.append(
+            f"""SELECT '{name}' AS mode, s.* FROM (
+    WITH h AS (SELECT vec_id, embedding, {b} AS bucket FROM embeddings),
+    p0 AS (
+      SELECT vec_id AS probe, embedding AS pe, bucket AS pb
+      FROM h WHERE vec_id < {_SWEEP_N}
+    ),
+    p AS (
+      SELECT probe, pe, xor(pb, m) AS bucket FROM p0, unnest({masks}) t(m)
+    ),
+    cand AS (
+      SELECT DISTINCT p.probe, h.vec_id,
+             {cosine_exact_sql('h.embedding', 'p.pe')} AS cos
+      FROM h JOIN p ON h.bucket = p.bucket AND h.vec_id <> p.probe
+    ),
+    itop AS (
+      SELECT probe, vec_id FROM cand
+      QUALIFY row_number() OVER (
+        PARTITION BY probe ORDER BY cos DESC, vec_id) <= 10
+    ),
+    ex AS (
+      SELECT p0.probe, e.vec_id,
+             {cosine_exact_sql('e.embedding', 'p0.pe')} AS cos
+      FROM embeddings e CROSS JOIN p0 WHERE e.vec_id <> p0.probe
+    ),
+    etop AS (
+      SELECT probe, vec_id FROM ex
+      QUALIFY row_number() OVER (
+        PARTITION BY probe ORDER BY cos DESC, vec_id) <= 10
+    )
+    SELECT CAST({_SWEEP_N} AS BIGINT) AS n_probes,
+           (SELECT CAST(count(*) AS BIGINT) FROM etop) AS n_exact_total,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM etop e JOIN itop i
+              ON i.probe = e.probe AND i.vec_id = e.vec_id)
+             AS n_overlap_total,
+           round(CAST((SELECT count(*)
+                       FROM etop e JOIN itop i
+                         ON i.probe = e.probe AND i.vec_id = e.vec_id)
+                      AS DOUBLE)
+                 / (SELECT count(*) FROM etop), 6) AS mean_recall
+    ) s"""
+        )
+    body = "\n    UNION ALL\n    ".join(rows)
+    return f"""
+    SELECT mode, n_probes, n_exact_total, n_overlap_total, mean_recall
+    FROM (
+    {body}
+    )
+    ORDER BY mode
+    """
+
+
+@query("similarity_lsh_recall_sweep", oracle=_lsh_sweep_oracle())
+def similarity_lsh_recall_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.operators.similarity import lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hashed = lsh_bucket(emb, n_planes=_N_PLANES, exact=True).localCheckpoint(
+        eager=True
+    )  # one hash pass feeds both modes
+    p0 = hashed.filter(F.col("vec_id") < _SWEEP_N).select(
+        F.col("vec_id").alias("probe"),
+        F.col("embedding").alias("pe"),
+        F.col("bucket").alias("pb"),
+    )
+    etop = _etop_staged(spark, sf_dir)
+
+    def mode_row(name: str, masks: list[int]) -> DataFrame:
+        probes = p0.select(
+            "probe",
+            "pe",
+            "pb",
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"),
+        ).select(
+            "probe", "pe", F.col("pb").bitwiseXOR(F.col("m")).alias("bucket")
+        )
+        cand = (
+            hashed.join(F.broadcast(probes), "bucket")
+            .filter(F.col("vec_id") != F.col("probe"))
+            .select(
+                "probe",
+                "vec_id",
+                cosine_exact(F.col("embedding"), F.col("pe")).alias("cos"),
+            )
+            .distinct()
+        )
+        wtop = W.partitionBy("probe").orderBy(F.desc("cos"), "vec_id")
+        itop = (
+            cand.withColumn("rk", F.row_number().over(wtop))
+            .filter(F.col("rk") <= 10)
+            .select("probe", "vec_id")
+        )
+        ov = etop.join(itop, ["probe", "vec_id"])
+        return (
+            etop.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_exact_total")
+            )
+            .crossJoin(
+                ov.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_overlap_total")
+                )
+            )
+            .select(
+                F.lit(name).alias("mode"),
+                F.lit(_SWEEP_N).cast("bigint").alias("n_probes"),
+                "n_exact_total",
+                "n_overlap_total",
+                F.round(
+                    F.col("n_overlap_total").cast("double")
+                    / F.col("n_exact_total"),
+                    6,
+                ).alias("mean_recall"),
+            )
+        )
+
+    return (
+        mode_row("single", [0])
+        .unionByName(mode_row("multiprobe", _MP_MASKS))
+        .orderBy("mode")
+    )
