@@ -720,7 +720,7 @@ def _probe_adc(emb: DataFrame, cb: list) -> F.Column:
 # each consumer pays resolution, not the training pass, and the codes
 # lineage is truncated once. pq_assign is deterministic, so staging
 # cannot change any oracle-checked value.
-_PQ_STATE: dict[tuple[str, str, str], tuple[DataFrame, list]] = {}
+_PQ_STATE: dict[tuple[str, str, str, int], tuple[DataFrame, list]] = {}
 
 
 def _pq_trained(
@@ -734,8 +734,8 @@ def _pq_trained(
     )
 
     app = spark.sparkContext.applicationId
-    for k in [k for k in _PQ_STATE if k[0] != app]:
-        del _PQ_STATE[k]  # dead-context eviction (session_staged idiom)
+    for kk in [kk for kk in _PQ_STATE if kk[0] != app]:
+        del _PQ_STATE[kk]  # dead-context eviction (session_staged idiom)
     key = (app, sf_dir, space, k)
     if key not in _PQ_STATE:
         if space == "raw":
@@ -1636,12 +1636,12 @@ def similarity_ivfpq_residual_multiprobe(
 # 0.5 / residual 0.4 — a CROSSOVER, reported not hidden: with a 4-code
 # codebook the 3-cell candidate pool is wide enough that the coarser
 # raw ADC still shortlists the survivors, and the residual gain
-# saturates. The "more codes restores the advantage" hypothesis was
-# MEASURED in round 9 (similarity_ivfpq_k16_grid) and REFUTED on this
-# fixture: at k=16 raw wins at both probe depths — on weak cluster
-# structure the residual transform is a data-dependent knob, not the
-# default win FAISS's by_residual=true suggests. residual_holds
-# records the measured ordering under the gate.
+# saturates. The capacity question was then MEASURED on the honest
+# 20-probe sample (similarity_ivfpq_k16_grid, per-cell residuals):
+# k=4 residual wins both probe depths, k=16 residual narrowly trails —
+# by_residual pays at small codebooks and washes out as capacity
+# rises on this fixture. residual_holds records the measured ordering
+# under the gate.
 # --------------------------------------------------------------------------
 _IVFPQ_RES_MP_SQL = _ORACLES["similarity_ivfpq_residual_multiprobe"]
 
@@ -1757,6 +1757,32 @@ def _etop_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ETOP_STATE[key]
 
 
+def _recall_row(etop, itop, *label_cols):
+    """(n_probes, n_exact_total, n_overlap_total, mean_recall) from the
+    exact and approximate top-10 sets — the one recall definition every
+    sweep family shares (a drift here would silently diverge them)."""
+    ov = etop.join(itop, ["probe", "vec_id"])
+    return (
+        etop.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_total"))
+        .crossJoin(
+            ov.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_overlap_total")
+            )
+        )
+        .select(
+            *label_cols,
+            F.lit(_SWEEP_N).cast("bigint").alias("n_probes"),
+            "n_exact_total",
+            "n_overlap_total",
+            F.round(
+                F.col("n_overlap_total").cast("double")
+                / F.col("n_exact_total"),
+                6,
+            ).alias("mean_recall"),
+        )
+    )
+
+
 def _ivfpq_sweep(
     spark: SparkSession,
     sf_dir: str,
@@ -1778,19 +1804,6 @@ def _ivfpq_sweep(
     else:
         pv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
     probe_rows = pv.filter(F.col("vec_id") < _SWEEP_N).collect()
-    adc_rows = []
-    for r in probe_rows:
-        q0 = list(r.qv)
-        for m in range(_PQ_SUB):
-            for c0, cvec in enumerate(cb[m]):
-                d = sum(
-                    (int(q0[m * _PQ_D + i]) - cvec[i]) ** 2
-                    for i in range(_PQ_D)
-                )
-                adc_rows.append((int(r.vec_id), m, c0 + 1, d))
-    adc = spark.createDataFrame(
-        adc_rows, "probe bigint, m int, code int, dpart bigint"
-    )
     if nprobe == 1:
         pcells = assigned.filter(F.col("vec_id") < _SWEEP_N).select(
             F.col("vec_id").alias("probe"), F.col("cluster").alias("pcell")
@@ -1801,8 +1814,12 @@ def _ivfpq_sweep(
         # routing is always on the RAW vector, as in the multiprobe
         # serving queries; the residual space affects only the ADC)
         cents = _km8_cents(spark, sf_dir)
+        # in the raw space probe_rows ARE the raw quantized vectors;
+        # only the residual space needs a separate raw collect
         raw_rows = (
-            emb.filter(F.col("vec_id") < _SWEEP_N)
+            probe_rows
+            if space == "raw"
+            else emb.filter(F.col("vec_id") < _SWEEP_N)
             .select("vec_id", quantize(F.col("embedding")).alias("qv"))
             .collect()
         )
@@ -1822,16 +1839,60 @@ def _ivfpq_sweep(
         pcells = spark.createDataFrame(
             pc_rows, "probe bigint, pcell int"
         )
+    # ADC tables (probe-side control data, broadcast). In the residual
+    # space at nprobe>1 the probe's residual DIFFERS per probed cell —
+    # candidates in cell C were encoded as residuals against cent_C, so
+    # the table is keyed (probe, cluster) and scoring dispatches on the
+    # candidate's cluster (the similarity_ivfpq_residual_multiprobe
+    # shape; scoring every probed cell with the own-cell residual would
+    # mis-rank 2/3 of the pool and deflate residual recall).
+    if space == "res" and nprobe > 1:
+        raw_by_id = {int(r.vec_id): list(r.qv) for r in raw_rows}
+        adc_rows = []
+        for probe, cl in pc_rows:
+            rq = [
+                int(raw_by_id[probe][i]) - cents[cl - 1][i]
+                for i in range(len(raw_by_id[probe]))
+            ]
+            for m in range(_PQ_SUB):
+                for c0, cvec in enumerate(cb[m]):
+                    d = sum(
+                        (rq[m * _PQ_D + i] - cvec[i]) ** 2
+                        for i in range(_PQ_D)
+                    )
+                    adc_rows.append((probe, cl, m, c0 + 1, d))
+        adc = spark.createDataFrame(
+            adc_rows, "probe bigint, cluster int, m int, code int, dpart bigint"
+        )
+        adc_keys = ["probe", "cluster", "m", "code"]
+    else:
+        # nprobe=1 residual: the only probed cell is the probe's own,
+        # so the own-cell residual in probe_rows IS the per-cell one;
+        # raw space: the ADC is cell-independent
+        adc_rows = []
+        for r in probe_rows:
+            q0 = list(r.qv)
+            for m in range(_PQ_SUB):
+                for c0, cvec in enumerate(cb[m]):
+                    d = sum(
+                        (int(q0[m * _PQ_D + i]) - cvec[i]) ** 2
+                        for i in range(_PQ_D)
+                    )
+                    adc_rows.append((int(r.vec_id), m, c0 + 1, d))
+        adc = spark.createDataFrame(
+            adc_rows, "probe bigint, m int, code int, dpart bigint"
+        )
+        adc_keys = ["probe", "m", "code"]
     cand = (
         assigned.join(
             F.broadcast(pcells), F.col("cluster") == F.col("pcell")
         )
         .filter(F.col("vec_id") != F.col("probe"))
-        .select("probe", "vec_id")
+        .select("probe", "vec_id", "cluster")
     )
     shd = (
         cand.join(codes, "vec_id")
-        .join(F.broadcast(adc), ["probe", "m", "code"])
+        .join(F.broadcast(adc), adc_keys)
         .groupBy("probe", "vec_id")
         .agg(F.sum("dpart").cast("bigint").alias("adc_dist"))
     )
@@ -1865,23 +1926,7 @@ def _ivfpq_sweep(
         .select("probe", "vec_id")
     )
     etop = _etop_staged(spark, sf_dir)
-    ov = etop.join(itop, ["probe", "vec_id"])
-    return (
-        etop.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_total"))
-        .crossJoin(
-            ov.agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap_total"))
-        )
-        .select(
-            F.lit(_SWEEP_N).cast("bigint").alias("n_probes"),
-            "n_exact_total",
-            "n_overlap_total",
-            F.round(
-                F.col("n_overlap_total").cast("double")
-                / F.col("n_exact_total"),
-                6,
-            ).alias("mean_recall"),
-        )
-    )
+    return _recall_row(etop, itop)
 
 
 def _sweep_oracle(
@@ -1904,21 +1949,44 @@ def _sweep_oracle(
         WHERE q.vec_id < {_SWEEP_N}
       ) WHERE pr <= {nprobe}
     )"""
-    return f"""
-    WITH {_km_ctes(p="km")},
-    {rq}
-    {pq},
+    if residual and nprobe > 1:
+        # the probe's residual DIFFERS per probed cell: table keyed
+        # (probe, cluster), scoring dispatches on the candidate's cell
+        padc = f"""pres AS (
+      SELECT pc.probe, pc.cluster,
+             list_transform(range(1, {_DIMS_UB}), i -> q.qv[i] - s.qv[i])
+               AS rv
+      FROM pcell pc
+      JOIN kmq q ON q.vec_id = pc.probe
+      JOIN kmc1f s ON s.cluster = pc.cluster
+    ),
     padc AS (
+      SELECT p.probe, p.cluster, c.m, c.code,
+             list_sum(list_transform(range(1, {_PQ_D + 1}),
+               i -> (p.rv[c.m * {_PQ_D} + i] - c.sv[i])
+                  * (p.rv[c.m * {_PQ_D} + i] - c.sv[i]))) AS dpart
+      FROM pres p CROSS JOIN c1f c
+    )"""
+        adc_join = ("d.probe = c.probe AND d.cluster = c.cluster"
+                    " AND d.m = co.m AND d.code = co.code")
+    else:
+        padc = f"""padc AS (
       SELECT s.vec_id AS probe, c.m, c.code,
              list_sum(list_transform(range(1, {_PQ_D + 1}),
                i -> (s.sv[i] - c.sv[i]) * (s.sv[i] - c.sv[i]))) AS dpart
       FROM c1f c
       JOIN (SELECT vec_id, m, sv FROM sub WHERE vec_id < {_SWEEP_N}) s
         ON s.m = c.m
-    ),
+    )"""
+        adc_join = "d.probe = c.probe AND d.m = co.m AND d.code = co.code"
+    return f"""
+    WITH {_km_ctes(p="km")},
+    {rq}
+    {pq},
     {pcell},
+    {padc},
     cand AS (
-      SELECT p.probe, a.vec_id
+      SELECT p.probe, a.vec_id, a.cluster
       FROM kma2 a JOIN pcell p ON a.cluster = p.cluster
       WHERE a.vec_id <> p.probe
     ),
@@ -1926,7 +1994,7 @@ def _sweep_oracle(
       SELECT c.probe, co.vec_id, CAST(sum(d.dpart) AS BIGINT) AS adc_dist
       FROM cand c
       JOIN codes co ON co.vec_id = c.vec_id
-      JOIN padc d ON d.probe = c.probe AND d.m = co.m AND d.code = co.code
+      JOIN padc d ON {adc_join}
       GROUP BY c.probe, co.vec_id
     ),
     sh AS (
@@ -2239,16 +2307,18 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # similarity_ivfpq_k16_grid — the codebook-capacity HALF of the IVFPQ
 # operating surface, measured and hash-gated (4 rows: k=16 codes ×
-# nprobe ∈ {1,3} × {raw, residual}). The k=4 sweeps above left one
-# claim unmeasured: that the nprobe=3 residual crossover (raw 0.5 /
-# res 0.4 single-probe) was codebook saturation and more codes would
-# restore the residual advantage. The measured grid REFUTES that on
-# this fixture: at k=16, raw wins at both probe depths (nprobe=1:
-# 0.34 vs 0.33; nprobe=3: 0.415 vs 0.32) — with weak cluster
-# structure (near-random fixture embeddings), the residual transform
-# buys nothing and costs recall, so by_residual is a DATA-dependent
-# knob, not the free win FAISS's default suggests. Exactly the kind of
-# assumption this engine measures instead of inheriting.
+# nprobe ∈ {1,3} × {raw, residual}), with the residual multiprobe done
+# RIGHT: the probe's residual differs per probed cell, so the ADC is
+# keyed (probe, cluster) and scoring dispatches on the candidate's
+# cell (the similarity_ivfpq_residual_multiprobe shape — an own-cell
+# shortcut mis-scores 2/3 of the pool and was caught in self-review
+# before this grid's first claim shipped). The corrected 20-probe
+# surface: k=4 residual WINS both depths (np=1: 0.25 vs 0.235; np=3:
+# 0.26 vs 0.215), k=16 residual narrowly TRAILS (np=1: 0.33 vs 0.34;
+# np=3: 0.39 vs 0.415) — on this near-random fixture the residual
+# transform pays at small codebooks and washes out as capacity rises,
+# i.e. by_residual is a capacity- and data-dependent knob rather than
+# a uniform win. Measured, not inherited from FAISS defaults.
 #
 # Scale: the exact side (corpus × 20 probes) is computed ONCE per
 # session (_etop_staged) and shared by every sweep; each grid cell
@@ -2413,28 +2483,7 @@ def similarity_lsh_recall_sweep(
             .filter(F.col("rk") <= 10)
             .select("probe", "vec_id")
         )
-        ov = etop.join(itop, ["probe", "vec_id"])
-        return (
-            etop.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_exact_total")
-            )
-            .crossJoin(
-                ov.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_overlap_total")
-                )
-            )
-            .select(
-                F.lit(name).alias("mode"),
-                F.lit(_SWEEP_N).cast("bigint").alias("n_probes"),
-                "n_exact_total",
-                "n_overlap_total",
-                F.round(
-                    F.col("n_overlap_total").cast("double")
-                    / F.col("n_exact_total"),
-                    6,
-                ).alias("mean_recall"),
-            )
-        )
+        return _recall_row(etop, itop, F.lit(name).alias("mode"))
 
     return (
         mode_row("single", [0])

@@ -4378,12 +4378,13 @@ def streaming_profile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read back both landings' profile audit rows; the oracle restates
     freeze-epoch-0's-profile + judge-every-landing-against-it. The
     epoch-0 rows carry drifted=0 by definition (a baseline judged
-    against itself); sorting on (n_rows, col) keeps the two epochs'
-    rows deterministically interleaved without exposing the epoch
-    number itself."""
+    against itself). The hash gate sorts rows by ALL columns, so the
+    presentation order only needs to be total for display: every
+    column participates in the sort (equal-row-count halves would tie
+    on (n_rows, col) alone)."""
     out = _spg_out_dir(spark, sf_dir)
     return (
         spark.read.parquet(out)
         .select("col", "n_rows", "n_nulls", "n_distinct", "drifted")
-        .orderBy("n_rows", "col")
+        .orderBy("n_rows", "col", "n_distinct", "n_nulls", "drifted")
     )
