@@ -19,64 +19,18 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # last sample is oldest) are listed first so a bounded driver window covers
 # them before re-checking recently-green entries. Names not in the registry
 # are ignored; registered queries not listed here follow in registration
-# order. Rotation state after round 8 (CORRECTNESS_r08 green for all 50
-# sampled): the round-9 additions (never sampled) lead, then the FULL
-# 37-query block whose latest driver sample is round 5 (computed from
-# CORRECTNESS_r0{5..8}.json), then the oldest of the round-6 block —
-# after this round every remaining sample is round 6+.
+# order. Rotation state after round 9 (CORRECTNESS_r09 green for all 50
+# sampled): the two never-sampled queries lead, then the round-10
+# additions as they land, then the FULL 21-query block whose latest
+# driver sample is round 5, then the round-6 block oldest-first (all
+# computed from CORRECTNESS_r0{5..9}.json) — after this round every
+# remaining sample is round 6+ and nothing is never-sampled.
 _DRIVER_PRIORITY: list[str] = [
-    # Round-9 additions — never driver-sampled.
-    "similarity_lsh_recall_sweep",
-    "similarity_ivfpq_k16_grid",
-    "streaming_profile_gate",
-    "similarity_range_search",
-    "corpus_dedup_funnel_full",
-    "corpus_eval_attribution",
-    "media_segment_dedup",
-    "streaming_tmix_gate",
-    "streaming_semdedup_gate",
-    "streaming_decontam_gate",
-    "events_interval_overlap_join",
-    "dq_schema_drift",
-    "corpus_zipf_fit",
-    "corpus_heaps_law",
-    "streaming_bpe_gate",
-    "salted_skew_join",
-    "dq_key_skew_profile",
-    "streaming_rollup_maintenance",
-    "corpus_temperature_mixture",
-    "dq_k_anonymity_audit",
-    "q4_order_priority",
-    "streaming_ivfpq_index",
-    "streaming_ivfpq_serve",
-    "retrieval_ndcg_audit",
-    "corpus_bpe_fertility",
-    "similarity_ivfpq_incremental",
-    "similarity_ivfpq_recall_sweep",
-    "similarity_ivfpq_residual_recall_sweep",
-    "similarity_ivfpq_residual_topk",
-    "similarity_ivfpq_residual_recall",
-    "corpus_bpe_pipeline",
-    "streaming_substring_index",
-    "streaming_dsir_gate",
-    "multimodal_clip_gate",
-    # Latest sample is round 5 (all 37, registration order).
-    "events_latest_snapshot",
-    "events_cohort_ltv",
-    "events_dau_wau",
-    "events_hll_distinct",
-    "events_zorder_box",
-    "doc_rare_token_ratio",
-    "corpus_bigram_lm",
-    "corpus_langid_confusion",
-    "corpus_curation_funnel",
-    "doc_bigram_lm_score",
-    "corpus_bpe_merge_step",
-    "corpus_phrase_mining",
-    "corpus_textrank_keywords",
-    "ingest_quarantine",
-    "corpus_bigram_generate",
-    "dedup_incremental_batch",
+    # Never driver-sampled (absent from every CORRECTNESS_r0*.json) — lead.
+    "similarity_ivfpq_residual_multiprobe",
+    "similarity_ivfpq_residual_mp_recall",
+    # Round-10 additions are inserted here as they land (never sampled).
+    # Latest driver sample is round 5 (all 21, registration order).
     "dedup_cluster_size_hist",
     "dedup_minhash_estimate_audit",
     "embedding_hard_negatives",
@@ -98,7 +52,8 @@ _DRIVER_PRIORITY: list[str] = [
     "overlay_boxes",
     "eval_judged_scores",
     "eval_judged_summary",
-    # Oldest of the round-6 block (fills the ~50-query window).
+    # Round-6 block, oldest first (registration order); the ~50-query
+    # window takes the head, extras roll to round 11.
     "top_customers_per_nation",
     "events_5min_gapfill",
     "events_pivot_unpivot",
@@ -106,6 +61,49 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_kmeans",
     "similarity_ivf_kmeans",
     "similarity_lsh_recall",
+    "tables_clean_shape",
+    "tables_header_election",
+    "tables_dedup_conflicts",
+    "tables_subtable_split",
+    "table_trust_aggregate",
+    "validation_issues",
+    "keyword_relevance",
+    "context_budget_cut",
+    "qna_pairs_extract",
+    "qna_best_match",
+    "doc_semantic_chunks",
+    "media_phash_near_dup",
+    "media_phash_clusters",
+    "media_phash_recall",
+    "media_resize_plan",
+    "media_frame_samples",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q22_idle_customers",
+    "q12_priority_shipping",
+    "q16_supplier_part_variety",
+    "q21_waiting_suppliers",
+    "customer_spend_quartiles",
+    "q7_nation_volume",
+    "q15_top_supplier",
+    "q8_market_share",
+    "doc_classification",
+    "doc_enrichment",
+    "block_type_detection",
+    "similarity_batch_topk",
+    "doc_sanitize_normalize",
+    "streaming_curation_funnel",
+    "streaming_minhash_index",
+    "streaming_scd2_maintenance",
+    "streaming_latest_snapshot",
+    "corpus_decontaminate",
+    "pii_redaction",
+    "doc_repetition_quality",
+    "corpus_stratified_sample",
+    "corpus_pack_sequences",
+    "training_shard_manifest",
+    "dq_expectations",
 ]
 
 
