@@ -1996,3 +1996,177 @@ def corpus_dedup_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_funnel_stage_row(4, "semantic_dedup", s4))
         .orderBy("stage_ord")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_br_grid — the (bands × rows) OPERATING GRID for banded
+# MinHash LSH, measured and hash-gated: at fixed 8 signature slots the
+# b×r split is the whole candidate-generation knob (P[candidate] =
+# 1−(1−j^r)^b — the Leskovec et al. S-curve), and dedup_minhash_banded's
+# (4,2) choice was convention, not measurement. One row per config
+# (8,1), (4,2), (2,4): candidate-pair count, true positives (candidates
+# whose EXACT shingle Jaccard ≥ 0.5), truth total, and integer per-mille
+# precision/recall — the Jaccard-family analogue of
+# similarity_ivfpq_k16_grid. Ground truth is the inverted-index
+# posting-list join (every pair with ≥1 shared shingle — any pair at
+# j ≥ 0.5 shares shingles, so truth is complete), guarded by
+# _refuse_all_pairs via ngram_jaccard_pairs: an audit construction, run
+# on a bounded slice at scale while the banded configs themselves stay
+# linear-ish. All output columns are integers, so the row is hash-gated
+# end to end.
+# --------------------------------------------------------------------------
+_BR_CONFIGS = [(8, 1), (4, 2), (2, 4)]  # (bands, rows_per_band), b·r = 8
+_BR_THRESH_SQL = "0.5"
+
+
+def _br_band_sql(b: int, r: int, j: int) -> str:
+    slots = " || ',' || ".join(
+        f"CAST(mh{j * r + i} AS VARCHAR)" for i in range(r)
+    )
+    return f"md5('b{j}' || ',' || {slots})"
+
+
+def _br_grid_oracle() -> str:
+    cfg_ctes = []
+    rows = []
+    for b, r in _BR_CONFIGS:
+        union = "\n      UNION ALL ".join(
+            f"SELECT doc_id, {_br_band_sql(b, r, j)} AS band_key FROM sig"
+            for j in range(b)
+        )
+        cfg_ctes.append(f"bands_{b}_{r} AS ({union})")
+        cfg_ctes.append(
+            f"""cand_{b}_{r} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_{b}_{r} a JOIN bands_{b}_{r} b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )"""
+        )
+        rows.append(
+            f"""SELECT {b} AS bands, {r} AS rows_per_band,
+             (SELECT count(*) FROM cand_{b}_{r}) AS cand_pairs,
+             (SELECT count(*) FROM cand_{b}_{r} c
+              JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+               AS tp"""
+        )
+    body = "\n      UNION ALL\n      ".join(rows)
+    ctes = ",\n    ".join(cfg_ctes)
+    return f"""
+    WITH {_BANDED_CTES},
+    truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter)
+            >= {_BR_THRESH_SQL}
+    ),
+    {ctes},
+    grid AS (
+      {body}
+    )
+    SELECT CAST(bands AS INT) AS bands,
+           CAST(rows_per_band AS INT) AS rows_per_band,
+           CAST(cand_pairs AS BIGINT) AS cand_pairs,
+           CAST(tp AS BIGINT) AS tp,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_pairs,
+           CAST(tp * 1000 // greatest(cand_pairs, 1) AS BIGINT)
+             AS precision_milli,
+           CAST(tp * 1000 // greatest((SELECT count(*) FROM truth), 1)
+                AS BIGINT) AS recall_milli
+    FROM grid
+    ORDER BY bands DESC
+    """
+
+
+@query("dedup_minhash_br_grid", oracle=_br_grid_oracle())
+def dedup_minhash_br_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import (
+        tokens,
+        word_shingles,
+    )
+    from data_ingestion_din_spark.functions.hashing import with_minhash
+    from data_ingestion_din_spark.sources.tables import scan_parallel
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh_arr = F.array_distinct(word_shingles(tokens(F.col("text")), 3))
+    sh_base = (
+        scan_parallel(docs)
+        .select("doc_id", sh_arr.alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    # one signature pass feeds all three configs' band joins
+    sigs = with_minhash(sh_base, F.col("sh"), _NB_HASHES).localCheckpoint(
+        eager=False
+    )
+    # ground truth (audit-guarded all-pairs; 3 tp joins + 1 count read it)
+    truth = (
+        D.ngram_jaccard_pairs(docs, n=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    truth_cnt = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("truth_pairs")
+    )
+    grid = None
+    for b, r in _BR_CONFIGS:
+        keys = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.lit(f"b{j}"),
+                        *[
+                            F.col(f"mh{j * r + i}").cast("string")
+                            for i in range(r)
+                        ],
+                    )
+                )
+                for j in range(b)
+            ]
+        )
+        banded = sigs.select("doc_id", F.explode(keys).alias("band_key"))
+        cand = (
+            banded.alias("a")
+            .join(banded.alias("b"), "band_key")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        row = (
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("cand_pairs"))
+            # 1-row aggregate × 1-row aggregate assembly
+            .crossJoin(
+                cand.join(truth, ["doc_a", "doc_b"]).agg(
+                    F.count(F.lit(1)).cast("bigint").alias("tp")
+                )
+            )
+            .select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "cand_pairs",
+                "tp",
+            )
+        )
+        grid = row if grid is None else grid.unionByName(row)
+    return (
+        grid.crossJoin(truth_cnt)  # 3-row grid × 1-row truth count
+        .select(
+            "bands",
+            "rows_per_band",
+            "cand_pairs",
+            "tp",
+            "truth_pairs",
+            F.expr("tp * 1000 DIV greatest(cand_pairs, 1)").alias(
+                "precision_milli"
+            ),
+            F.expr("tp * 1000 DIV greatest(truth_pairs, 1)").alias(
+                "recall_milli"
+            ),
+        )
+        .orderBy(F.desc("bands"))
+    )
