@@ -2014,6 +2014,16 @@ def corpus_dedup_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on a bounded slice at scale while the banded configs themselves stay
 # linear-ish. All output columns are integers, so the row is hash-gated
 # end to end.
+#
+# Measured (sf0.01, 500 docs, truth = 25 pairs at j >= 0.5):
+#   (8,1): cand=858  tp=25 precision 29‰  recall 1000‰ — high-recall,
+#          34× candidate overfetch (the S-curve's steep-left regime);
+#   (4,2): cand=30   tp=25 precision 833‰ recall 1000‰ — full recall
+#          at 1.2× overfetch: the knee, validating the production
+#          choice in dedup_minhash_banded as measurement, not lore;
+#   (2,4): cand=24   tp=24 precision 1000‰ recall 960‰ — zero waste
+#          but drops a true pair (r=4 demands 4 consecutive slot
+#          agreements; one j≈0.5 pair never lands a full band).
 # --------------------------------------------------------------------------
 _BR_CONFIGS = [(8, 1), (4, 2), (2, 4)]  # (bands, rows_per_band), b·r = 8
 _BR_THRESH_SQL = "0.5"
