@@ -31,6 +31,7 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_ivfpq_residual_mp_recall",
     # Round-10 additions are inserted here as they land (never sampled).
     "dedup_minhash_br_grid",
+    "doc_ngram_perplexity",
     # Latest driver sample is round 5 (all 21, registration order).
     "dedup_cluster_size_hist",
     "dedup_minhash_estimate_audit",

@@ -2045,3 +2045,155 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(W.orderBy("bucket")).cast("bigint").alias("cum_tokens"),
         F.sum("new_types").over(W.orderBy("bucket")).cast("bigint").alias("cum_types"),
     ).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# doc_ngram_perplexity — the REAL CCNet/KenLM quality knob behind the
+# doc_rare_token_ratio / doc_bigram_lm_score stand-ins: per-document
+# length-normalized bigram negative-log-likelihood with Stupid-Backoff
+# (Brants et al. 2007) to the unigram model, in INTEGER octave
+# arithmetic (length(bin(x)) = floor(log2 x)+1 — the retrieval_bm25 /
+# DSIR recipe) so every per-doc score and the keep/drop DECISION sit
+# under the hash gate (libm log is the one primitive parity cannot
+# trust). The LM trains on the doc_id%4==0 quarter and scores EVERYONE,
+# so held-out docs genuinely exercise the backoff path (an LM trained on
+# the full corpus has pair_n >= 1 for every scored bigram and the
+# backoff branch would be dead code; the %2 half-trainer left only 7
+# backoff bigrams on this fixture vs the quarter-trainer's 58 across
+# 57 docs — measured, which is why the slice is %4):
+#
+#   q(h,x) = intlog2(head_n+1) - intlog2(pair_n)          seen bigram
+#          = 1 + intlog2(T+1)  - intlog2(tok_n(x)+1)      backoff
+#                (1 octave  ~= the Stupid-Backoff alpha=0.4 penalty)
+#   ppl_milli(d) = 1000 * sum(q) DIV n_bigrams            keep <= cutoff
+#
+# Scale: one (head,next) shuffle trains the pair table (map-side
+# partials), scoring is a pair-key shuffle join of corpus bigrams
+# against it (the bigram long tail — NOT broadcastable, honestly so) +
+# a vocab-key join for the backoff unigram, then one doc_id rollup; the
+# trained tables are staged artifacts reused across quality passes at
+# production, exactly like doc_rare_token_ratio's df table.
+# --------------------------------------------------------------------------
+_PPL_TRAIN_MOD = 4
+_PPL_KEEP_MAX = 4650  # milli-octaves/bigram ~= fixture median: the keep
+# decision splits the corpus instead of waving everyone through
+# (measured ppl_milli range 4208..5061, median 4654 under the %4 LM)
+
+
+@query(
+    "doc_ngram_perplexity",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    prs AS (
+      SELECT doc_id, t[i] AS head, t[i + 1] AS next
+      FROM t, unnest(range(1, len(t))) r(i)
+      WHERE i < len(t)
+    ),
+    pc AS (
+      SELECT head, next, CAST(count(*) AS BIGINT) AS pair_n
+      FROM prs WHERE doc_id % {_PPL_TRAIN_MOD} = 0 GROUP BY head, next
+    ),
+    hn AS (
+      SELECT *, CAST(sum(pair_n) OVER (PARTITION BY head) AS BIGINT)
+                  AS head_n
+      FROM pc
+    ),
+    trtok AS (
+      SELECT unnest(t) AS tok FROM t WHERE doc_id % {_PPL_TRAIN_MOD} = 0
+    ),
+    uc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS tok_n FROM trtok GROUP BY tok
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM trtok),
+    q AS (
+      SELECT p.doc_id,
+             CASE WHEN h.pair_n IS NOT NULL
+               THEN CAST(length(bin(h.head_n + 1)) AS BIGINT)
+                    - CAST(length(bin(h.pair_n)) AS BIGINT)
+               ELSE 1 + CAST(length(bin(tot.tt + 1)) AS BIGINT)
+                    - CAST(length(bin(coalesce(u.tok_n, 0) + 1)) AS BIGINT)
+             END AS q,
+             CASE WHEN h.pair_n IS NULL THEN 1 ELSE 0 END AS bo
+      FROM prs p
+      LEFT JOIN hn h ON h.head = p.head AND h.next = p.next
+      LEFT JOIN uc u ON u.tok = p.next
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(bo) AS BIGINT) AS n_backoff,
+           CAST(sum(q) AS BIGINT) AS q_sum,
+           CAST(sum(q) * 1000 // count(*) AS BIGINT) AS ppl_milli,
+           (sum(q) * 1000 // count(*)) <= {_PPL_KEEP_MAX} AS keep
+    FROM q GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    intlog2 = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
+    # size >= 2 guard for the bigram generator (sequence() descends for
+    # shorter docs — see corpus_bigram_lm); unigram/total counts use the
+    # UNFILTERED token stream (1-token train docs still count).
+    t0 = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    t = t0.filter(F.size("t") >= 2)
+    prs = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS head, t[i] AS next))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.head", "p.next")
+    train = prs.filter(F.col("doc_id") % _PPL_TRAIN_MOD == 0)
+    pc = train.groupBy("head", "next").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_n")
+    )
+    hn = pc.withColumn(
+        "head_n", F.sum("pair_n").over(W.partitionBy("head")).cast("bigint")
+    )
+    trtok = (
+        t0.filter(F.col("doc_id") % _PPL_TRAIN_MOD == 0)
+        .select(F.explode("t").alias("tok"))
+    )
+    uc = trtok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tok_n")
+    )
+    tot = trtok.agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+    scored = (
+        prs.join(hn, ["head", "next"], "left")
+        .join(uc.withColumnRenamed("tok", "next"), "next", "left")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar
+        .select(
+            "doc_id",
+            F.when(
+                F.col("pair_n").isNotNull(),
+                intlog2(F.col("head_n") + 1) - intlog2(F.col("pair_n")),
+            )
+            .otherwise(
+                F.lit(1)
+                + intlog2(F.col("tt") + 1)
+                - intlog2(F.coalesce(F.col("tok_n"), F.lit(0)) + 1)
+            )
+            .alias("q"),
+            F.when(F.col("pair_n").isNull(), 1).otherwise(0).alias("bo"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            n.cast("bigint").alias("n_bigrams"),
+            F.sum("bo").cast("bigint").alias("n_backoff"),
+            F.sum("q").cast("bigint").alias("q_sum"),
+            F.expr("sum(q) * 1000 DIV count(*)")
+            .cast("bigint")
+            .alias("ppl_milli"),
+            (F.expr("sum(q) * 1000 DIV count(*)") <= _PPL_KEEP_MAX).alias(
+                "keep"
+            ),
+        )
+        .orderBy("doc_id")
+    )

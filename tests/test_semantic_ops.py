@@ -210,3 +210,23 @@ def test_textrank_matches_driver_recompute(spark):
     rows = QUERIES["corpus_textrank_keywords"](spark, SF).collect()
     assert [(r.token, r.rank_scaled) for r in rows] == expect
     assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_ngram_perplexity_backoff_and_split(spark):
+    """The %4-trainer calibration claims: (1) held-out docs genuinely
+    exercise the Stupid-Backoff path, (2) train-slice docs never do
+    (their bigrams are in the LM by construction), (3) the cutoff
+    splits the corpus rather than waving everyone through, (4) the
+    milli-octave normalization is internally consistent."""
+    rows = QUERIES["doc_ngram_perplexity"](spark, SF01).collect()
+    assert rows
+    in_train = [r for r in rows if r.doc_id % 4 == 0]
+    held_out = [r for r in rows if r.doc_id % 4 != 0]
+    assert all(r.n_backoff == 0 for r in in_train)
+    assert sum(r.n_backoff for r in held_out) > 0
+    kept = {r.keep for r in rows}
+    assert kept == {True, False}, "cutoff must split the corpus"
+    for r in rows:
+        assert 0 <= r.n_backoff <= r.n_bigrams
+        assert r.ppl_milli == r.q_sum * 1000 // r.n_bigrams
+        assert r.keep == (r.ppl_milli <= 4650)
