@@ -33,6 +33,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_br_grid",
     "doc_ngram_perplexity",
     "streaming_ppl_gate",
+    "streaming_anomaly_gate",
     # Latest driver sample is round 5 (all 21, registration order).
     "dedup_cluster_size_hist",
     "dedup_minhash_estimate_audit",

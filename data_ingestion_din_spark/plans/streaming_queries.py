@@ -4662,3 +4662,213 @@ def streaming_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_bigrams", "n_backoff", "ppl_milli", "keep")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_anomaly_gate — DATA-QUALITY SPIKE DETECTION at ingest over
+# the incrementally maintained hourly count rollup, completing the
+# dq-at-ingest family (profile drift ✓ r9, key skew ✓ r9; this is the
+# volume-anomaly member): the processor maintains a (window_start,
+# event_type) count rollup exactly like _rollup_processor (landing-only
+# partials merged additively with the latest prior-epoch state), and —
+# for every landing AFTER the first — judges each batch cell against
+# the PRIOR epoch's per-type hour-count distribution with a z-score
+# test in pure INTEGER arithmetic (no sqrt, no libm — the Σ-form
+# variance):
+#
+#   z² > k²  ⟺  (n·x − Σx)² > k²·(n·Σx² − (Σx)²),   k = 2
+#
+# so the flag decision itself is hash-gated. Cells of types with fewer
+# than 2 prior hours (variance undefined) and types unseen in the
+# prior state are never flagged (coalesce FALSE — a cold type is new
+# data, not a spike). Verdicts depend only on (batch, prior-epoch
+# state), and both sinks are epoch-keyed idempotent overwrites with
+# prior-epoch-only reads — replay-idempotent like every state sink
+# here.
+#
+# Scale: state is aggregate-cardinality (hours × types); the per-type
+# stats table is a types-sized aggregate OF that state joined to the
+# batch partials hint-free (the growing-state rule — AQE may broadcast
+# at runtime, nothing forces it). The oracle restates
+# rollup-landing-1 → stats → judge-landing-2 in SQL, so hash parity
+# proves the maintained state fed the judgment across the restart.
+# --------------------------------------------------------------------------
+_SAG_DONE: dict[tuple[str, str], str] = {}
+_SAG_K = 2  # flag beyond k standard deviations
+
+
+def _anomaly_gate_processor(out: str, state: str, k: int = _SAG_K):
+    """foreachBatch processor over (verdicts, rollup-state) dirs —
+    module-level for the replay test, like the sibling gates."""
+
+    def _plan(batch_df: DataFrame, epoch_id: int):
+        spark_l = batch_df.sparkSession
+        partials = (
+            batch_df.groupBy(
+                F.window("ts", "1 hour").alias("h"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .select(
+                F.col("h.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+            .localCheckpoint(eager=True)  # feeds verdicts AND the merge
+        )
+        prior = None
+        if os.path.isdir(state):
+            prior = _latest_epoch_rows(
+                spark_l,
+                state,
+                ["window_start", "event_type"],
+                before_epoch=epoch_id,
+            ).localCheckpoint(eager=True)  # feeds stats AND the merge
+            # keyed on PRIOR-EPOCH ROWS, not directory existence: a
+            # REPLAYED first epoch must still see "no prior" (the
+            # replay trap every gate here guards; the probe is bounded
+            # — state is aggregate-cardinality)
+            if prior.limit(1).count() == 0:
+                prior = None
+        verdicts = None
+        if prior is not None:
+            stats = prior.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("n_events").cast("bigint").alias("sx"),
+                F.sum(F.col("n_events") * F.col("n_events"))
+                .cast("bigint")
+                .alias("sxx"),
+            )
+            lhs = (
+                F.col("n") * F.col("n_events") - F.col("sx")
+            ) * (F.col("n") * F.col("n_events") - F.col("sx"))
+            rhs = F.lit(k * k) * (
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            )
+            verdicts = (
+                # per-type stats of the maintained state: hint-free join
+                partials.join(stats, "event_type", "left")
+                .select(
+                    "window_start",
+                    "event_type",
+                    "n_events",
+                    F.coalesce(lhs, F.lit(0)).cast("bigint").alias("z_lhs"),
+                    F.coalesce(rhs, F.lit(0)).cast("bigint").alias("z_rhs"),
+                    F.coalesce(
+                        (F.col("n") >= 2) & (lhs > rhs), F.lit(False)
+                    ).alias("anomalous"),
+                )
+            )
+            merged_in = partials.unionByName(prior)
+        else:
+            merged_in = partials
+        merged = merged_in.groupBy("window_start", "event_type").agg(
+            F.sum("n_events").cast("bigint").alias("n_events")
+        )
+        return {"verdicts": verdicts, "new_state": merged}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dfs = _plan(batch_df, epoch_id)
+        ep = f"epoch={epoch_id}"
+        if dfs["verdicts"] is not None:
+            dfs["verdicts"].coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out, ep)
+            )
+        dfs["new_state"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state, ep)
+        )
+
+    _process.plan = _plan
+    return _process
+
+
+def _sag_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SAG_DONE, key[0])
+    if key in _SAG_DONE:
+        if _dir_ok(_SAG_DONE[key]):
+            return _SAG_DONE[key]
+        del _SAG_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_sag")
+    out = os.path.join(base, "out")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = lo + (hi - lo) // 2  # setup-stage scalar: time-split point
+    _run_split_landings(
+        spark,
+        base,
+        "event_type string, ts timestamp",
+        [
+            ev.filter(F.unix_micros("ts") <= mid),
+            ev.filter(F.unix_micros("ts") > mid),
+        ],
+        _anomaly_gate_processor(out, os.path.join(base, "state")),
+    )
+    _SAG_DONE[key] = out
+    return out
+
+
+def _sag_oracle() -> str:
+    hr = "make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)"
+    return f"""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    m AS (SELECT lo + (hi - lo) // 2 AS mid FROM b),
+    r1 AS (
+      SELECT {hr} AS ws, event_type, CAST(count(*) AS BIGINT) AS x
+      FROM events, m WHERE epoch_us(ts) <= m.mid GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM r1 GROUP BY event_type
+    ),
+    b2 AS (
+      SELECT {hr} AS ws, event_type, CAST(count(*) AS BIGINT) AS x
+      FROM events, m WHERE epoch_us(ts) > m.mid GROUP BY 1, 2
+    )
+    SELECT b2.ws AS window_start, b2.event_type, b2.x AS n_events,
+           CAST(coalesce((s.n * b2.x - s.sx) * (s.n * b2.x - s.sx), 0)
+                AS BIGINT) AS z_lhs,
+           CAST(coalesce({_SAG_K * _SAG_K} * (s.n * s.sxx - s.sx * s.sx), 0)
+                AS BIGINT) AS z_rhs,
+           coalesce(s.n >= 2
+                    AND (s.n * b2.x - s.sx) * (s.n * b2.x - s.sx)
+                        > {_SAG_K * _SAG_K} * (s.n * s.sxx - s.sx * s.sx),
+                    FALSE) AS anomalous
+    FROM b2 LEFT JOIN st s USING (event_type)
+    ORDER BY 1, 2
+    """
+
+
+@query("streaming_anomaly_gate", oracle=_sag_oracle())
+def streaming_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back landing 2's anomaly verdicts; the oracle restates
+    rollup-landing-1 → per-type stats → judge-landing-2's-cells, so
+    hash parity proves the maintained rollup state fed the integer
+    z-score judgment across the checkpointed restart."""
+    out = _sag_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            "z_lhs",
+            "z_rhs",
+            "anomalous",
+        )
+        .orderBy("window_start", "event_type")
+    )

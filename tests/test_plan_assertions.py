@@ -1113,3 +1113,28 @@ def test_ppl_gate_processor_batch_plan(spark, tmp_path):
     s = _plan_stats(dfs["verdicts"])
     assert s["cartesian"] <= 1, s
     assert dfs["new_state"] is None  # frozen after the training epoch
+
+
+def test_anomaly_gate_processor_batch_plan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _anomaly_gate_processor,
+    )
+
+    p = _anomaly_gate_processor(str(tmp_path / "o"), str(tmp_path / "s"))
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "event_type string, ts_s string"
+        ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    p(ev([("click", "2024-01-01 08:05:00")]), 0)
+    dfs = p.plan(ev([("click", "2024-01-01 09:05:00")]), 1)
+    # judging epoch: batch partials ⟂ per-type stats of the maintained
+    # state via a HINT-FREE equi-join (the state grows with history);
+    # the merge side is union + re-sum, no join machinery
+    assert _hint_count(dfs["verdicts"]) == 0
+    assert _hint_count(dfs["new_state"]) == 0
+    s = _plan_stats(dfs["verdicts"])
+    assert s["cartesian"] == 0, s

@@ -1537,3 +1537,65 @@ def test_streaming_ppl_gate_matches_batch_frame(spark):
     )
     # landing-1 (even) docs trained the LM: zero backoff by construction
     assert all(r.n_backoff == 0 for r in rows if r.doc_id % 2 == 0)
+
+
+def test_streaming_anomaly_gate_replay_idempotent(spark, tmp_path):
+    """Maintained-rollup anomaly contract: replaying an epoch leaves
+    verdicts and the rollup state identical; the first landing only
+    builds state (no verdicts), and later landings are judged against
+    the PRIOR epoch's per-type distribution — a spike 4+ sigma above
+    the prior hours is flagged, an in-range cell is not."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _anomaly_gate_processor,
+    )
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    process = _anomaly_gate_processor(out, state)
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "event_type string, ts_s string"
+        ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    # landing 1: 'click' has hours with counts 2, 2, 2 (tight prior)
+    b0 = ev(
+        [("click", f"2024-01-01 {h:02d}:{m:02d}:00") for h in (8, 9, 10) for m in (5, 25)]
+    )
+    # landing 2: one in-range hour (2 events) and one 8-event spike
+    b1 = ev(
+        [("click", "2024-01-01 11:05:00"), ("click", "2024-01-01 11:35:00")]
+        + [("click", f"2024-01-01 12:{m:02d}:00") for m in range(1, 9)]
+    )
+
+    def snapshot():
+        v = sorted(
+            tuple(r) for r in spark.read.parquet(out).collect()
+        )
+        w = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+        return v, w
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    assert not os.path.isdir(os.path.join(out, "epoch=0"))  # no prior yet
+    v = {r[0].hour: r for r in first[0]}
+    # prior: n=3, sx=6, sxx=12 → rhs=4*(36-36)=0: zero variance means
+    # ANY deviation flags — the 8-event spike (lhs=(24-6)²=324) flags,
+    # the exact-prior-mean hour (lhs=(6-6)²=0) does not (strict >)
+    assert v[12][5] and v[12][3] == 324 and v[12][4] == 0
+    assert not v[11][5] and v[11][3] == 0
+    # the maintained state after landing 2 holds all 5 hours additively
+    cur = {
+        (r.window_start.hour): r.n_events
+        for r in spark.read.parquet(os.path.join(state, "epoch=1")).collect()
+    }
+    assert cur == {8: 2, 9: 2, 10: 2, 11: 2, 12: 8}
