@@ -34,6 +34,8 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_ngram_perplexity",
     "streaming_ppl_gate",
     "streaming_anomaly_gate",
+    "similarity_sq8_topk",
+    "similarity_sq8_recall_sweep",
     # Latest driver sample is round 5 (all 21, registration order).
     "dedup_cluster_size_hist",
     "dedup_minhash_estimate_audit",
