@@ -36,6 +36,8 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_anomaly_gate",
     "similarity_sq8_topk",
     "similarity_sq8_recall_sweep",
+    "corpus_unigram_tokenize",
+    "corpus_unigram_fertility",
     # Latest driver sample is round 5 (all 21, registration order).
     "dedup_cluster_size_hist",
     "dedup_minhash_estimate_audit",

@@ -230,3 +230,43 @@ def test_ngram_perplexity_backoff_and_split(spark):
         assert 0 <= r.n_backoff <= r.n_bigrams
         assert r.ppl_milli == r.q_sum * 1000 // r.n_bigrams
         assert r.keep == (r.ppl_milli <= 4650)
+
+
+def test_unigram_viterbi_optimality_bruteforce(spark):
+    """The mapInPandas Viterbi must return the TRUE minimum of
+    obj = Σ(64·(nrm−score)+1) over every segmentation whose pieces are
+    all in the vocabulary — brute-forced per word (≤ 2^7 splits at
+    WMAX=8), using the same frozen vocab/normalizer the kernel got."""
+    from itertools import product
+
+    from data_ingestion_din_spark.plans.text_pipeline import (
+        _UNI_LMAX,
+        _uni_run,
+    )
+
+    vocab, verdicts = _uni_run(spark, SF01)
+    got = {r.w: (r.obj, r.n_pieces, r.cost_sum) for r in verdicts.collect()}
+    # derive nrm from any single-piece word: obj = 64*(nrm-score)+1
+    some = next(
+        (w for w, (o, p, c) in got.items() if p == 1 and w in vocab), None
+    )
+    assert some is not None
+    nrm = (got[some][0] - 1) // 64 + vocab[some]
+
+    def brute(w):
+        n = len(w)
+        best = None
+        # bitmask of split points between chars
+        for mask in product([0, 1], repeat=n - 1):
+            cuts = [0] + [i + 1 for i, b in enumerate(mask) if b] + [n]
+            pieces = [w[a:b] for a, b in zip(cuts, cuts[1:])]
+            if any(len(p) > _UNI_LMAX or p not in vocab for p in pieces):
+                continue
+            obj = sum(64 * (nrm - vocab[p]) + 1 for p in pieces)
+            if best is None or obj < best:
+                best = obj
+        return best
+
+    for w, (obj, n_pieces, cost_sum) in got.items():
+        assert obj == brute(w), w
+        assert obj == 64 * cost_sum + n_pieces, w
