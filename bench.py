@@ -287,6 +287,19 @@ BENCH_QUERIES = [
     "similarity_range_search",
     "similarity_ivfpq_k16_grid",
     "similarity_lsh_recall_sweep",
+    # round 10: the LSH operating grid, the perplexity filter pair, the
+    # rollup anomaly gate, the SQ8 quantization pair, the unigram
+    # tokenizer A/B (stream staging and tokenizer training land in the
+    # cold run; the headline keeps best-of-two, so read/serve paths are
+    # what steady times)
+    "dedup_minhash_br_grid",
+    "doc_ngram_perplexity",
+    "streaming_ppl_gate",
+    "streaming_anomaly_gate",
+    "similarity_sq8_topk",
+    "similarity_sq8_recall_sweep",
+    "corpus_unigram_tokenize",
+    "corpus_unigram_fertility",
 ]
 
 

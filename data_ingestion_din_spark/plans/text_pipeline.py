@@ -2165,7 +2165,9 @@ def doc_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         prs.join(hn, ["head", "next"], "left")
         .join(uc.withColumnRenamed("tok", "next"), "next", "left")
-        .crossJoin(F.broadcast(tot))  # 1-row scalar
+        # 1-row scalar attach, hint-free (AQE broadcasts it on its own;
+        # the LM-side joins above must stay plain — vocabulary-sized)
+        .crossJoin(tot)
         .select(
             "doc_id",
             F.when(

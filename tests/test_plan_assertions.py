@@ -1138,3 +1138,36 @@ def test_anomaly_gate_processor_batch_plan(spark, tmp_path):
     assert _hint_count(dfs["new_state"]) == 0
     s = _plan_stats(dfs["verdicts"])
     assert s["cartesian"] == 0, s
+
+
+def test_dedup_minhash_br_grid_plan(spark):
+    s = _stats("dedup_minhash_br_grid", spark)
+    # three band self-joins + the guarded truth join, all plain equi-
+    # joins; the only nested loops are the 1-row aggregate assemblies
+    # (per-config tp attach + the final truth-count attach)
+    assert s["cartesian"] <= 4, s
+    df = QUERIES["dedup_minhash_br_grid"](spark, SF)
+    assert _hint_count(df) == 0
+
+
+def test_doc_ngram_perplexity_plan(spark):
+    s = _stats("doc_ngram_perplexity", spark)
+    # pair-table train shuffle + two scoring equi-joins (pair table and
+    # backoff unigram table — both corpus-vocabulary-sized, so NOTHING
+    # is broadcast-forced) + the doc rollup; the only nested loop is
+    # the 1-row total-token scalar attach
+    assert s["cartesian"] <= 1, s
+    df = QUERIES["doc_ngram_perplexity"](spark, SF)
+    assert _hint_count(df) == 0
+
+
+def test_similarity_sq8_plan(spark):
+    s = _stats("similarity_sq8_topk", spark)
+    # the 64-row per-dim [mn,mx] table and the 64-row probe-dim table
+    # are bounded control data: broadcast REQUIRED (the frozen-artifact
+    # class); the only nested loop is the 1-row probe-embedding attach
+    assert s["bhj"] >= 1, s
+    assert s["cartesian"] <= 1, s
+    sw = _stats("similarity_sq8_recall_sweep", spark)
+    assert sw["bhj"] >= 1, sw
+    assert sw["cartesian"] <= 1, sw
