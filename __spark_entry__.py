@@ -38,6 +38,8 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_sq8_recall_sweep",
     "corpus_unigram_tokenize",
     "corpus_unigram_fertility",
+    "corpus_bloom_decontaminate",
+    "streaming_bloom_gate",
     # Latest driver sample is round 5 (all 21, registration order).
     "dedup_cluster_size_hist",
     "dedup_minhash_estimate_audit",

@@ -300,6 +300,9 @@ BENCH_QUERIES = [
     "similarity_sq8_recall_sweep",
     "corpus_unigram_tokenize",
     "corpus_unigram_fertility",
+    # the Bloom-filter decontamination pair (bounded-sketch gate)
+    "corpus_bloom_decontaminate",
+    "streaming_bloom_gate",
 ]
 
 

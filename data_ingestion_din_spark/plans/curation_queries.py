@@ -1563,3 +1563,195 @@ def corpus_eval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_id")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_bloom_decontaminate — decontamination through a BLOOM FILTER,
+# the structure the exact-set gate (corpus_decontaminate broadcasts
+# every benchmark shingle) graduates to at 100 TB: the benchmark's 8-gram
+# set is folded into a 32,256-bit filter stored as 512 int64 words
+# (k = 3 seeded h64 positions per shingle; 63 usable bits per word so no
+# shift ever touches the sign bit — identical two's-complement-free
+# arithmetic in both engines), and the corpus probes THAT — a ≤512-row
+# broadcast (4 KB) instead of the full shingle set, with zero corpus-side
+# shuffle before the per-doc rollup. The query audits the sketch against
+# the exact membership truth on the same slice split (doc_id % 7):
+# per corpus doc, distinct shingles, Bloom hits, exact hits, and the
+# false-positive overcount — the integer columns ARE the measured FPR,
+# so the probabilistic structure sits fully under the hash gate
+# (deterministic seeded hashes; nothing is random at parity time).
+#
+# Measured (sf0.01): 3,783 benchmark shingles into 32,256 bits at k=3
+# → theoretical per-shingle FPR ≈ (1−e^{−0.352})³ ≈ 2.6%, realized
+# 530/19,276 = 2.75% — theory confirmed. The DOC-level lesson the row
+# exists to teach: the any-hit flag inflates 283 flagged docs vs 9
+# truly contaminated (a 46-shingle doc has a 72% chance of ≥1 FP at
+# this rate), while a hit-count threshold recovers precision measured
+# as t=2→155, t=3→76, t=4→37 (all 9 true kept), t=8→8 (drops the
+# 4-hit true doc): contaminated_bloom_t4 is the production gate shape
+# — threshold the sketch, size m to the probe volume, or both.
+#
+# Scale: filter build is one benchmark-sized shuffle (positions →
+# bit_or per word); probing is corpus-scan → 512-row broadcast join →
+# doc_id rollup. The exact-side audit columns are fixture-only truth —
+# at production the Bloom verdict is the decision and the audit runs on
+# a sampled slice, exactly like the recall audits.
+# --------------------------------------------------------------------------
+_BF_WORDS = 512
+_BF_WBITS = 63  # bits used per int64 word — bit 63 (sign) never set
+_BF_M = _BF_WORDS * _BF_WBITS
+_BF_K = 3
+
+
+def _bf_pos_sql(expr: str, j: int) -> str:
+    return f"{h64_sql(expr, seed=f'bl{j}:')} % {_BF_M}"
+
+
+def _bf_probe_union_sql(src: str, cols: str) -> str:
+    """UNION ALL of the k seeded positions over ``src`` (DuckDB's
+    range() lateral cannot parameterize the seed string)."""
+    return "\n      UNION ALL ".join(
+        f"SELECT {cols}, {_bf_pos_sql('shingle', j)} AS pos FROM {src}"
+        for j in range(_BF_K)
+    )
+
+
+@query(
+    "corpus_bloom_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS tk FROM documents),
+    idx AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk) - {_DC_N - 2})) AS i
+      FROM t WHERE len(tk) >= {_DC_N}
+    ),
+    sh AS (SELECT DISTINCT doc_id, {_DC_SHINGLE} AS shingle FROM idx),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0),
+    bpos AS (
+      {_bf_probe_union_sql("ev", "shingle")}
+    ),
+    words AS MATERIALIZED (
+      SELECT pos // {_BF_WBITS} AS word,
+             bit_or(CAST(1 AS BIGINT) << (pos % {_BF_WBITS})) AS bits
+      FROM bpos GROUP BY 1
+    ),
+    cor AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 <> 0),
+    cp AS (
+      {_bf_probe_union_sql("cor", "doc_id, shingle")}
+    ),
+    tested AS (
+      SELECT c.doc_id, c.shingle,
+             coalesce((w.bits >> (c.pos % {_BF_WBITS})) & 1, 0) AS hit
+      FROM cp c LEFT JOIN words w ON w.word = c.pos // {_BF_WBITS}
+    ),
+    persh AS (
+      SELECT doc_id, shingle,
+             CASE WHEN sum(hit) = {_BF_K} THEN 1 ELSE 0 END AS bloom_hit
+      FROM tested GROUP BY doc_id, shingle
+    ),
+    ex AS (
+      SELECT c.doc_id, c.shingle,
+             CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+      FROM cor c LEFT JOIN ev e ON e.shingle = c.shingle
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(p.bloom_hit) AS BIGINT) AS bloom_hits,
+           CAST(sum(x.exact_hit) AS BIGINT) AS exact_hits,
+           CAST(sum(p.bloom_hit) - sum(x.exact_hit) AS BIGINT)
+             AS false_positives,
+           sum(p.bloom_hit) > 0 AS contaminated_bloom,
+           sum(p.bloom_hit) >= 4 AS contaminated_bloom_t4,
+           sum(x.exact_hit) > 0 AS contaminated_exact
+    FROM persh p
+    JOIN ex x ON x.doc_id = p.doc_id AND x.shingle = p.shingle
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """.format(toks=_TOKS_SQL),
+)
+def corpus_bloom_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import (
+        tokens,
+        word_shingles,
+    )
+    from data_ingestion_din_spark.functions.hashing import h64
+    from data_ingestion_din_spark.sources.tables import scan_parallel
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        scan_parallel(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    word_shingles(tokens(F.col("text")), _DC_N)
+                )
+            ).alias("shingle"),
+        )
+        .localCheckpoint(eager=False)  # feeds filter build AND probe
+    )
+    ev = sh.filter(F.col("doc_id") % 7 == 0).select("shingle").distinct()
+
+    def positions(df: DataFrame, keep: list[str]) -> DataFrame:
+        pos = F.explode(
+            F.array(
+                *[
+                    (h64(F.col("shingle"), seed=f"bl{j}:") % _BF_M)
+                    for j in range(_BF_K)
+                ]
+            )
+        ).alias("pos")
+        return df.select(*keep, "shingle", pos)
+
+    words = (
+        positions(ev, [])
+        .select(
+            (F.col("pos") / _BF_WBITS).cast("bigint").alias("word"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(pos % {_BF_WBITS} as int))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    cor = sh.filter(F.col("doc_id") % 7 != 0)
+    tested = (
+        positions(cor, ["doc_id"])
+        .withColumn("word", (F.col("pos") / _BF_WBITS).cast("bigint"))
+        # the ≤512-row filter is bounded control data: broadcast REQUIRED
+        .join(F.broadcast(words), "word", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                F.expr(
+                    f"shiftright(bits, cast(pos % {_BF_WBITS} as int)) & 1"
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    persh = tested.groupBy("doc_id", "shingle").agg(
+        F.when(F.sum("hit") == _BF_K, 1).otherwise(0).alias("bloom_hit")
+    )
+    ex = cor.join(
+        F.broadcast(ev.withColumn("e", F.lit(1))), "shingle", "left"
+    ).select(
+        "doc_id", "shingle", F.coalesce(F.col("e"), F.lit(0)).alias("exact_hit")
+    )
+    return (
+        persh.join(ex, ["doc_id", "shingle"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("bloom_hit").cast("bigint").alias("bloom_hits"),
+            F.sum("exact_hit").cast("bigint").alias("exact_hits"),
+            (F.sum("bloom_hit") - F.sum("exact_hit"))
+            .cast("bigint")
+            .alias("false_positives"),
+            (F.sum("bloom_hit") > 0).alias("contaminated_bloom"),
+            (F.sum("bloom_hit") >= 4).alias("contaminated_bloom_t4"),
+            (F.sum("exact_hit") > 0).alias("contaminated_exact"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1599,3 +1599,76 @@ def test_streaming_anomaly_gate_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(state, "epoch=1")).collect()
     }
     assert cur == {8: 2, 9: 2, 10: 2, 11: 2, 12: 8}
+
+
+def test_streaming_bloom_gate_replay_idempotent(spark, tmp_path):
+    """Frozen-sketch contract: replaying an epoch leaves verdicts and
+    the 512-word filter state identical; the filter is written exactly
+    once (by the training epoch) and later landings probe it —
+    identical text probes identically regardless of landing, and a doc
+    repeating benchmark text is a full-hit."""
+    import os
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _bloom_gate_processor,
+    )
+
+    out = str(tmp_path / "out")
+    words = str(tmp_path / "words")
+    process = _bloom_gate_processor(out, words)
+
+    bench_text = " ".join(f"tok{i}" for i in range(12))  # 5 8-shingles
+    b0 = spark.createDataFrame(
+        [(0, bench_text), (2, "unrelated words with no overlap at all x y")],
+        "doc_id bigint, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, bench_text), (3, "still nothing shared here q r s t u v w z")],
+        "doc_id bigint, text string",
+    )
+
+    def snapshot():
+        v = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        w = sorted(tuple(r) for r in spark.read.parquet(words).collect())
+        return v, w
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+
+    v = {r[0]: r for r in first[0]}
+    assert 0 not in v  # doc 0 is the benchmark slice — never a verdict
+    # doc 1 repeats the benchmark text: all 5 shingles full-hit, flagged
+    assert v[1][1] == 5 and v[1][2] == 5 and v[1][3] is True
+    # the filter is frozen: exactly one (training) epoch
+    assert os.listdir(words) == ["epoch=0"]
+
+
+def test_streaming_bloom_gate_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _bloom_gate_processor,
+    )
+
+    p = _bloom_gate_processor(str(tmp_path / "o"), str(tmp_path / "w"))
+    b0 = spark.createDataFrame(
+        [(0, " ".join(f"a{i}" for i in range(10)))],
+        "doc_id bigint, text string",
+    )
+    p(b0, 0)
+    dfs = p.plan(
+        spark.createDataFrame(
+            [(1, " ".join(f"a{i}" for i in range(10)))],
+            "doc_id bigint, text string",
+        ),
+        1,
+    )
+    # scoring epoch: the ≤512-word frozen filter broadcast is REQUIRED
+    # (the bounded class, like the DSIR ratio table)
+    from tests.test_plan_assertions import _plan_stats
+
+    s = _plan_stats(dfs["verdicts"])
+    assert s["bhj"] >= 1, s
+    assert dfs["new_state"] is None  # frozen after the training epoch
