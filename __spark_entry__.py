@@ -40,6 +40,8 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_unigram_fertility",
     "corpus_bloom_decontaminate",
     "streaming_bloom_gate",
+    "similarity_ivfsq8_topk",
+    "similarity_ivfsq8_recall_sweep",
     # Latest driver sample is round 5 (all 21, registration order).
     "dedup_cluster_size_hist",
     "dedup_minhash_estimate_audit",

@@ -303,6 +303,9 @@ BENCH_QUERIES = [
     # the Bloom-filter decontamination pair (bounded-sketch gate)
     "corpus_bloom_decontaminate",
     "streaming_bloom_gate",
+    # IVF x SQ8 composition: the routing-loss isolation measurement
+    "similarity_ivfsq8_topk",
+    "similarity_ivfsq8_recall_sweep",
 ]
 
 

@@ -2740,3 +2740,227 @@ def similarity_sq8_recall_sweep(
     )
     etop = _etop_staged(spark, sf_dir)
     return _recall_row(etop, itop)
+
+
+# --------------------------------------------------------------------------
+# similarity_ivfsq8_topk / similarity_ivfsq8_recall_sweep — SQ8
+# composed with IVF routing, completing the quantization × routing
+# matrix (IVF+PQ ✓, flat SQ8 ✓): candidates are the probe's k=8 cell
+# members only (the semi-join hits the SQ8 reconstruction table BEFORE
+# any scoring — the same plan contract as similarity_ivfpq_topk), then
+# integer SQ8 distance → shortlist → exact cosine rerank.
+#
+# The sweep is the measurement this composition exists for: flat SQ8
+# read 1.000 recall@10 (quantization is near-lossless here), so the
+# celled sweep's number is the ROUTING loss in isolation — nprobe=1
+# recall is capped by how many true neighbors share the probe's cell,
+# the quantity the IVFPQ sweeps could never separate from their
+# codebook loss (their 0.235-0.25 at nprobe=1 mixes both). Measured
+# (sf0.01): see the comment update after the run — cells claim their
+# share of the loss, SQ8 claims ~none.
+#
+# Scale: one cell's reconstructions scanned per probe; the 64-row
+# [mn,mx] artifact and per-probe dim tables broadcast; shortlist-only
+# exact rerank — the billion-vector serving shape with 4× compression.
+# --------------------------------------------------------------------------
+@query(
+    "similarity_ivfsq8_topk",
+    oracle=f"""
+    WITH {_km_ctes(p="km")},
+    {_SQ8_CTES},
+    p AS (SELECT i, v AS pv FROM qd WHERE vec_id = 0),
+    pc AS (SELECT cluster FROM kma2 WHERE vec_id = 0),
+    cellv AS (
+      SELECT e.vec_id, e.i, e.rec
+      FROM enc e JOIN kma2 a ON a.vec_id = e.vec_id CROSS JOIN pc
+      WHERE a.cluster = pc.cluster AND e.vec_id <> 0
+    ),
+    d AS (
+      SELECT c.vec_id,
+             CAST(sum((p.pv - c.rec) * (p.pv - c.rec)) AS BIGINT)
+               AS sq_dist
+      FROM cellv c JOIN p ON p.i = c.i
+      GROUP BY c.vec_id
+    ),
+    sh AS (SELECT * FROM d ORDER BY sq_dist, vec_id LIMIT {_IVFPQ_SHORTLIST})
+    SELECT e.vec_id, sh.sq_dist,
+           {cosine_exact_sql('e.embedding', 'qq.embedding')} AS cos_sim
+    FROM sh JOIN embeddings e ON e.vec_id = sh.vec_id
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qq
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_ivfsq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _km8(spark, sf_dir)
+    enc = _sq8_enc(spark, sf_dir)
+    pcell = assigned.filter(F.col("vec_id") == 0).collect()[0].cluster
+    cell_ids = assigned.filter(
+        (F.col("cluster") == F.lit(int(pcell))) & (F.col("vec_id") != 0)
+    ).select("vec_id")
+    p = enc.filter(F.col("vec_id") == 0).select(
+        "i", F.col("v").alias("pv")
+    )
+    shortlist = (
+        # cell restriction BEFORE scoring (the composition's contract)
+        enc.join(cell_ids, "vec_id", "left_semi")
+        .join(F.broadcast(p), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("pv") - F.col("rec")) * (F.col("pv") - F.col("rec")))
+            .cast("bigint")
+            .alias("sq_dist")
+        )
+        .orderBy("sq_dist", "vec_id")
+        .limit(_IVFPQ_SHORTLIST)
+    )
+    qq = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q_embedding")
+        )
+    )
+    return (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(qq)
+        .select(
+            "vec_id",
+            "sq_dist",
+            cosine_exact(F.col("embedding"), F.col("q_embedding")).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+def _ivfsq8_sweep_oracle() -> str:
+    return f"""
+    WITH {_km_ctes(p="km")},
+    {_SQ8_CTES},
+    pr AS (
+      SELECT vec_id AS probe, i, v AS pv FROM qd WHERE vec_id < {_SWEEP_N}
+    ),
+    pcell AS (
+      SELECT vec_id AS probe, cluster FROM kma2 WHERE vec_id < {_SWEEP_N}
+    ),
+    cand AS (
+      SELECT p.probe, a.vec_id
+      FROM kma2 a JOIN pcell p ON a.cluster = p.cluster
+      WHERE a.vec_id <> p.probe
+    ),
+    d AS (
+      SELECT c.probe, c.vec_id,
+             CAST(sum((pr.pv - e.rec) * (pr.pv - e.rec)) AS BIGINT)
+               AS sq_dist
+      FROM cand c
+      JOIN enc e ON e.vec_id = c.vec_id
+      JOIN pr ON pr.probe = c.probe AND pr.i = e.i
+      GROUP BY c.probe, c.vec_id
+    ),
+    sh AS (
+      SELECT probe, vec_id FROM d
+      QUALIFY row_number() OVER (
+        PARTITION BY probe ORDER BY sq_dist, vec_id) <= {_IVFPQ_SHORTLIST}
+    ),
+    rr AS (
+      SELECT sh.probe, sh.vec_id,
+             {cosine_exact_sql('e.embedding', 'pe.embedding')} AS cos
+      FROM sh
+      JOIN embeddings e ON e.vec_id = sh.vec_id
+      JOIN embeddings pe ON pe.vec_id = sh.probe
+    ),
+    itop AS (
+      SELECT probe, vec_id FROM rr
+      QUALIFY row_number() OVER (
+        PARTITION BY probe ORDER BY cos DESC, vec_id) <= 10
+    ),
+    ex AS (
+      SELECT p.vec_id AS probe, e.vec_id,
+             {cosine_exact_sql('e.embedding', 'p.embedding')} AS cos
+      FROM embeddings e
+      CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < {_SWEEP_N}) p
+      WHERE e.vec_id <> p.vec_id
+    ),
+    etop AS (
+      SELECT probe, vec_id FROM ex
+      QUALIFY row_number() OVER (
+        PARTITION BY probe ORDER BY cos DESC, vec_id) <= 10
+    ),
+    ov AS (
+      SELECT e.probe FROM etop e
+      JOIN itop i ON i.probe = e.probe AND i.vec_id = e.vec_id
+    )
+    SELECT CAST({_SWEEP_N} AS BIGINT) AS n_probes,
+           (SELECT CAST(count(*) AS BIGINT) FROM etop) AS n_exact_total,
+           (SELECT CAST(count(*) AS BIGINT) FROM ov) AS n_overlap_total,
+           round(CAST((SELECT count(*) FROM ov) AS DOUBLE)
+                 / (SELECT count(*) FROM etop), 6) AS mean_recall
+    """
+
+
+@query("similarity_ivfsq8_recall_sweep", oracle=_ivfsq8_sweep_oracle())
+def similarity_ivfsq8_recall_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _km8(spark, sf_dir)
+    enc = _sq8_enc(spark, sf_dir).localCheckpoint(eager=False)
+    pcells = assigned.filter(F.col("vec_id") < _SWEEP_N).select(
+        F.col("vec_id").alias("probe"), F.col("cluster").alias("pcell")
+    )
+    pr = enc.filter(F.col("vec_id") < _SWEEP_N).select(
+        F.col("vec_id").alias("probe"), "i", F.col("v").alias("pv")
+    )
+    cand = (
+        assigned.join(
+            F.broadcast(pcells), F.col("cluster") == F.col("pcell")
+        )
+        .filter(F.col("vec_id") != F.col("probe"))
+        .select("probe", "vec_id")
+    )
+    d = (
+        cand.join(enc, "vec_id")
+        .join(F.broadcast(pr), ["probe", "i"])
+        .groupBy("probe", "vec_id")
+        .agg(
+            F.sum((F.col("pv") - F.col("rec")) * (F.col("pv") - F.col("rec")))
+            .cast("bigint")
+            .alias("sq_dist")
+        )
+    )
+    wsh = W.partitionBy("probe").orderBy("sq_dist", "vec_id")
+    sh = (
+        d.withColumn("rk", F.row_number().over(wsh))
+        .filter(F.col("rk") <= _IVFPQ_SHORTLIST)
+        .select("probe", "vec_id")
+    )
+    pemb = F.broadcast(
+        emb.filter(F.col("vec_id") < _SWEEP_N).select(
+            F.col("vec_id").alias("probe"),
+            F.col("embedding").alias("p_embedding"),
+        )
+    )
+    rr = (
+        sh.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(pemb, "probe")
+        .select(
+            "probe",
+            "vec_id",
+            cosine_exact(F.col("embedding"), F.col("p_embedding")).alias(
+                "cos"
+            ),
+        )
+    )
+    wtop = W.partitionBy("probe").orderBy(F.desc("cos"), "vec_id")
+    itop = (
+        rr.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 10)
+        .select("probe", "vec_id")
+    )
+    etop = _etop_staged(spark, sf_dir)
+    return _recall_row(etop, itop)
