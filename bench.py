@@ -306,6 +306,7 @@ BENCH_QUERIES = [
     # IVF x SQ8 composition: the routing-loss isolation measurement
     "similarity_ivfsq8_topk",
     "similarity_ivfsq8_recall_sweep",
+    "corpus_unigram_encode",
 ]
 
 

@@ -2469,3 +2469,59 @@ def corpus_unigram_fertility(
             6,
         ).alias("fertility_bpe"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_unigram_encode — the APPLY half of the unigram tokenizer
+# (corpus_unigram_tokenize trains/segments the vocabulary; this encodes
+# the CORPUS with it, the doc_bpe_token_stats lens for the unigram
+# model): every document's whitespace words join the staged per-word
+# Viterbi verdicts — a plain hint-free equi-join on the word (the
+# verdict table is vocabulary-sized, the growing class) — and roll up
+# to per-doc subword counts, total quantized NLL cost, and fertility.
+# The per-doc total cost is the integer document NLL under the unigram
+# LM — the same quantity doc_ngram_perplexity computes under the
+# bigram LM, so the two quality lenses are directly comparable.
+#
+# Scale: one word-keyed join of the exploded corpus against the
+# vocab-sized verdict table + one doc_id rollup — the
+# doc_rare_token_ratio shape exactly.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_unigram_encode",
+    oracle=f"""
+    WITH {_uni_ctes()},
+    dw AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(u.n_pieces) AS BIGINT) AS n_subwords,
+           CAST(sum(u.cost_sum) AS BIGINT) AS total_cost,
+           round(CAST(sum(u.n_pieces) AS DOUBLE) / count(*), 6)
+             AS fertility
+    FROM dw d JOIN uni u ON u.w = d.w
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def corpus_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    _, verdicts = _uni_run(spark, sf_dir)
+    dw = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    n = F.count(F.lit(1))
+    return (
+        dw.join(verdicts.select("w", "n_pieces", "cost_sum"), "w")
+        .groupBy("doc_id")
+        .agg(
+            n.cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_subwords"),
+            F.sum("cost_sum").cast("bigint").alias("total_cost"),
+            F.round(
+                F.sum("n_pieces").cast("double") / n, 6
+            ).alias("fertility"),
+        )
+        .orderBy("doc_id")
+    )
