@@ -307,6 +307,7 @@ BENCH_QUERIES = [
     "similarity_ivfsq8_topk",
     "similarity_ivfsq8_recall_sweep",
     "corpus_unigram_encode",
+    "similarity_sq8_incremental",
 ]
 
 

@@ -2964,3 +2964,136 @@ def similarity_ivfsq8_recall_sweep(
     )
     etop = _etop_staged(spark, sf_dir)
     return _recall_row(etop, itop)
+
+
+# --------------------------------------------------------------------------
+# similarity_sq8_incremental — the SQ8 index under append, with the
+# failure mode PQ's incremental row cannot exhibit: a frozen PER-DIM
+# [mn, mx] grid CLAMPS appended values that drift outside the trained
+# range (a frozen PQ codebook merely encodes them badly; a frozen
+# scalar grid saturates). The grid trains on the pre-append base
+# (vec_id % 97 != 0) and is never retrained; the appended slice
+# (vec_id % 97 == 0) is encoded against it with
+# code = clamp((v−mn)·255 div max(mx−mn,1), 0, 255). The audit is 64
+# hash-gated per-dim rows: the frozen range, base/batch value counts,
+# how many batch values clamped low/high, and the integer sum of
+# |v − rec| over the batch — the per-dim drift signal an index owner
+# alerts on (rising clamp counts mean the grid needs retraining).
+# Measured (sf0.01): 1 of 384 appended values clamps low (the fixture
+# batch barely drifts), mean |v−rec| ≈ 1598 at the 1e6 quant scale ≈
+# the 8-bit grid step — the audit reads the resolution directly.
+#
+# Scale: grid training is one base aggregation; the batch side is a
+# narrow projection against the 64-row broadcast grid — no retraining,
+# no base rescan, no shuffle beyond the 64-row rollup.
+# --------------------------------------------------------------------------
+_SQ8_INC_ENC = (
+    "least(greatest(((v - mn) * 255) DIV greatest(mx - mn, 1),"
+    " cast(0 as bigint)), cast(255 as bigint))"
+)
+_SQ8_INC_ENC_SQL = (
+    "least(greatest(((v - mn) * 255) // greatest(mx - mn, 1),"
+    " CAST(0 AS BIGINT)), CAST(255 AS BIGINT))"
+)
+
+
+@query(
+    "similarity_sq8_incremental",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    qd AS (
+      SELECT vec_id, i, qv[i] AS v FROM q CROSS JOIN range(1, {_DIMS_UB}) r(i)
+    ),
+    dim AS (
+      SELECT i, min(v) AS mn, max(v) AS mx,
+             CAST(count(*) AS BIGINT) AS n_base
+      FROM qd WHERE vec_id % {_IVF_INC_MOD} <> 0 GROUP BY i
+    ),
+    b AS (
+      SELECT qd.vec_id, qd.i, qd.v, d.mn, d.mx, d.n_base,
+             {_SQ8_INC_ENC_SQL} AS code
+      FROM qd JOIN dim d ON d.i = qd.i
+      WHERE qd.vec_id % {_IVF_INC_MOD} = 0
+    ),
+    r AS (
+      SELECT *, mn + (code * (mx - mn)) // 255 AS rec FROM b
+    )
+    SELECT CAST(i AS INT) AS dim,
+           CAST(mn AS BIGINT) AS mn, CAST(mx AS BIGINT) AS mx,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(CASE WHEN v < mn THEN 1 ELSE 0 END) AS BIGINT)
+             AS clamped_lo,
+           CAST(sum(CASE WHEN v > mx THEN 1 ELSE 0 END) AS BIGINT)
+             AS clamped_hi,
+           CAST(sum(abs(v - rec)) AS BIGINT) AS abs_err_sum
+    FROM r
+    GROUP BY i, mn, mx, n_base
+    ORDER BY dim
+    """,
+)
+def similarity_sq8_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from data_ingestion_din_spark.functions.vectors import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = (
+        emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        .select("vec_id", F.posexplode("qv").alias("i0", "v"))
+        .select("vec_id", (F.col("i0") + 1).alias("i"), "v")
+        .localCheckpoint(eager=False)  # feeds grid training AND encode
+    )
+    dim = (
+        qd.filter(F.col("vec_id") % _IVF_INC_MOD != 0)
+        .groupBy("i")
+        .agg(
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.count(F.lit(1)).cast("bigint").alias("n_base"),
+        )
+    )
+    batch = (
+        qd.filter(F.col("vec_id") % _IVF_INC_MOD == 0)
+        # the 64-row frozen grid: broadcast REQUIRED (bounded class)
+        .join(F.broadcast(dim), "i")
+        .withColumn("code", F.expr(_SQ8_INC_ENC))
+        .withColumn(
+            "rec", F.expr("mn + (code * (mx - mn)) DIV 255")
+        )
+    )
+    return (
+        batch.groupBy(
+            F.col("i").cast("int").alias("dim"), "mn", "mx", "n_base"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+            F.sum(F.when(F.col("v") < F.col("mn"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("clamped_lo"),
+            F.sum(F.when(F.col("v") > F.col("mx"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("clamped_hi"),
+            F.sum(F.abs(F.col("v") - F.col("rec")))
+            .cast("bigint")
+            .alias("abs_err_sum"),
+        )
+        .select(
+            "dim",
+            F.col("mn").cast("bigint"),
+            F.col("mx").cast("bigint"),
+            "n_base",
+            "n_batch",
+            "clamped_lo",
+            "clamped_hi",
+            "abs_err_sum",
+        )
+        .orderBy("dim")
+    )
