@@ -44,6 +44,7 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_ivfsq8_recall_sweep",
     "corpus_unigram_encode",
     "similarity_sq8_incremental",
+    "dq_l_diversity_audit",
     # Latest driver sample is round 5 (all 21, registration order).
     "dedup_cluster_size_hist",
     "dedup_minhash_estimate_audit",

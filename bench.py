@@ -308,6 +308,7 @@ BENCH_QUERIES = [
     "similarity_ivfsq8_recall_sweep",
     "corpus_unigram_encode",
     "similarity_sq8_incremental",
+    "dq_l_diversity_audit",
 ]
 
 

@@ -494,3 +494,66 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("drifted"),
     ).orderBy("col")
+
+
+# --------------------------------------------------------------------------
+# dq_l_diversity_audit — k-anonymity's companion release gate
+# (l-diversity, Machanavajjhala et al. 2007): a quasi-identifier group
+# can be large enough to pass k-anonymity yet still leak — if every doc
+# in the (lang, size-bucket) cell shares ONE sensitive value, group
+# membership reveals it (the homogeneity attack k-anonymity cannot
+# see). Here the sensitive attribute is ``source``: per QI cell, the
+# exact distinct-source count, flagged when below l = 3. Integer counts
+# only, so the gate decision is hash-checked like its k-anonymity
+# sibling (same QI columns, deliberately — the two audits read as one
+# release report).
+#
+# Scale: one map-side-combined groupBy over (QI, source) then a QI
+# rollup — two cheap aggregates, no joins.
+# --------------------------------------------------------------------------
+_LDIV_L = 3
+
+
+@query(
+    "dq_l_diversity_audit",
+    oracle=f"""
+    SELECT lang,
+           CAST({_QI_BUCKET_SQL} AS BIGINT) AS size_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive_values,
+           CAST(CASE WHEN count(DISTINCT source) < {_LDIV_L}
+                THEN 1 ELSE 0 END AS INT) AS at_risk
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, size_bucket
+    """,
+)
+def dq_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    bucket = (
+        F.when(n_tok < 64, 64).when(n_tok < 256, 256).otherwise(1024)
+    ).cast("bigint")
+    return (
+        docs.select("lang", bucket.alias("size_bucket"), "source")
+        .groupBy("lang", "size_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source")
+            .cast("bigint")
+            .alias("n_sensitive_values"),
+        )
+        .select(
+            "lang",
+            "size_bucket",
+            "n_docs",
+            "n_sensitive_values",
+            F.when(F.col("n_sensitive_values") < _LDIV_L, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("at_risk"),
+        )
+        .orderBy("lang", "size_bucket")
+    )
