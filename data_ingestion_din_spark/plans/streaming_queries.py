@@ -4897,8 +4897,8 @@ def streaming_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every realized false positive, which the seeded hashes make exactly
 # reproducible.
 # --------------------------------------------------------------------------
-_SBG_DONE: dict[tuple[str, str], str] = {}
-_SBG_T = 4  # doc flag threshold (the batch query's measured knee)
+_SBLM_DONE: dict[tuple[str, str], str] = {}
+_SBLM_T = 4  # doc flag threshold (the batch query's measured knee)
 
 
 def _bloom_gate_processor(out: str, word_state: str):
@@ -5016,7 +5016,7 @@ def _bloom_gate_processor(out: str, word_state: str):
                 .cast("bigint")
                 .alias("n_bloom_hits"),
             )
-            .withColumn("flagged", F.col("n_bloom_hits") >= _SBG_T)
+            .withColumn("flagged", F.col("n_bloom_hits") >= _SBLM_T)
         )
         return {"verdicts": verdicts, "new_state": new_state}
 
@@ -5037,28 +5037,28 @@ def _bloom_gate_processor(out: str, word_state: str):
     return _process
 
 
-def _sbg_out_dir(spark: SparkSession, sf_dir: str) -> str:
+def _sblm_out_dir(spark: SparkSession, sf_dir: str) -> str:
     from data_ingestion_din_spark.operators.colocate import (
         _dir_ok,
         fresh_app_dir,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    _evict_dead(_SBG_DONE, key[0])
-    if key in _SBG_DONE:
-        if _dir_ok(_SBG_DONE[key]):
-            return _SBG_DONE[key]
-        del _SBG_DONE[key]
+    _evict_dead(_SBLM_DONE, key[0])
+    if key in _SBLM_DONE:
+        if _dir_ok(_SBLM_DONE[key]):
+            return _SBLM_DONE[key]
+        del _SBLM_DONE[key]
 
-    base = fresh_app_dir(spark, sf_dir, "spark_graft_sbg")
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_sblm")
     out = os.path.join(base, "out")
     _process = _bloom_gate_processor(out, os.path.join(base, "words"))
     _run_doc_parity_landings(spark, sf_dir, base, _process)
-    _SBG_DONE[key] = out
+    _SBLM_DONE[key] = out
     return out
 
 
-def _sbg_oracle() -> str:
+def _sblm_oracle() -> str:
     from data_ingestion_din_spark.plans.curation_queries import (
         _BF_K,
         _BF_WBITS,
@@ -5107,21 +5107,21 @@ def _sbg_oracle() -> str:
     SELECT d.doc_id,
            CAST(coalesce(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
            CAST(coalesce(pd.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
-           coalesce(pd.n_bloom_hits, 0) >= {_SBG_T} AS flagged
+           coalesce(pd.n_bloom_hits, 0) >= {_SBLM_T} AS flagged
     FROM documents d LEFT JOIN pd USING (doc_id)
     WHERE d.doc_id % 14 <> 0
     ORDER BY d.doc_id
     """
 
 
-@query("streaming_bloom_gate", oracle=_sbg_oracle())
+@query("streaming_bloom_gate", oracle=_sblm_oracle())
 def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read back both landings' Bloom verdicts; the oracle restates
     build-the-512-word-filter-on-landing-1's-benchmark-slice +
     probe-everyone, so hash parity proves the frozen sketch survived
     the checkpointed restart — false positives included, exactly
     reproduced by the seeded hashes."""
-    out = _sbg_out_dir(spark, sf_dir)
+    out = _sblm_out_dir(spark, sf_dir)
     return (
         spark.read.parquet(out)
         .select("doc_id", "n_shingles", "n_bloom_hits", "flagged")
