@@ -312,6 +312,7 @@ BENCH_QUERIES = [
     # graph-ANN family: walk trace + the (degree x beam) operating grid
     "similarity_graph_greedy_search",
     "similarity_graph_search_grid",
+    "corpus_unigram_em_step",
 ]
 
 

@@ -244,14 +244,9 @@ def test_unigram_viterbi_optimality_bruteforce(spark):
         _uni_run,
     )
 
-    vocab, verdicts = _uni_run(spark, SF01)
+    vocab, nrm, verdicts = _uni_run(spark, SF01)
     got = {r.w: (r.obj, r.n_pieces, r.cost_sum) for r in verdicts.collect()}
     # derive nrm from any single-piece word: obj = 64*(nrm-score)+1
-    some = next(
-        (w for w, (o, p, c) in got.items() if p == 1 and w in vocab), None
-    )
-    assert some is not None
-    nrm = (got[some][0] - 1) // 64 + vocab[some]
 
     def brute(w):
         n = len(w)
@@ -270,3 +265,15 @@ def test_unigram_viterbi_optimality_bruteforce(spark):
     for w, (obj, n_pieces, cost_sum) in got.items():
         assert obj == brute(w), w
         assert obj == 64 * cost_sum + n_pieces, w
+
+
+def test_unigram_em_step_improves_likelihood(spark):
+    """One EM round must not hurt: unused pieces prune out of the
+    vocabulary and the corpus-weighted integer NLL does not increase
+    (the EM monotonicity the M-step buys, surviving the octave
+    quantization on this fixture)."""
+    r = QUERIES["corpus_unigram_em_step"](spark, SF01).collect()[0]
+    assert r.n_vocab_r1 <= r.n_vocab_r0
+    assert r.n_pieces_used <= r.n_vocab_r1
+    assert r.corpus_cost_r1 <= r.corpus_cost_r0
+    assert r.fertility_r1 <= r.fertility_r0 + 1e-9
