@@ -313,6 +313,7 @@ BENCH_QUERIES = [
     "similarity_graph_greedy_search",
     "similarity_graph_search_grid",
     "corpus_unigram_em_step",
+    "streaming_quantile_maintenance",
 ]
 
 

@@ -5127,3 +5127,203 @@ def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_shingles", "n_bloom_hits", "flagged")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_quantile_maintenance — the MERGEABLE QUANTILE SUMMARY at
+# ingest, completing the sketch-at-ingest family (HLL registers ✓ r5,
+# Bloom ✓ r10, CMS batch-side): each landing's doc lengths fold into
+# an integer log2-binned histogram — bin = length(bin(n_chars + 1)),
+# so bin b covers [2^(b−1)−1, 2^b−2] — whose counts are ADDITIVE, the
+# property that makes histogram merge == from-scratch (the rollup
+# maintenance argument applied to a distribution summary; this is the
+# t-digest/KLL production role with a deterministic binning the hash
+# gate can cover, where those sketches' randomized compactions could
+# never pass). State is ≤ ~20 rows, epoch-committed after each
+# additive merge with the latest prior state.
+#
+# The readback turns the maintained histogram into p50/p90/p99 upper
+# bounds (first bin whose cumulative count reaches ceil(p·n/100)) and
+# audits each against the EXACT percentile (the middle-rank recipe of
+# corpus_length_percentiles) — in_bin proves the exact value landed
+# inside the chosen bin, i.e. the maintained summary's error is
+# bounded by the bin width by construction (a 2× relative bound for
+# log2 bins), measured not assumed.
+#
+# Scale: per landing one map-side-combined ~20-bin aggregate; the
+# exact side is the fixture-only audit column, sampled at production.
+# --------------------------------------------------------------------------
+_SQM_DONE: dict[tuple[str, str], str] = {}
+_SQM_PCTS = (50, 90, 99)
+
+
+def _quantile_processor(state: str):
+    """foreachBatch additive histogram maintainer — module-level for
+    the replay test, like the rollup maintainer it mirrors."""
+
+    def _plan(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        spark_l = batch_df.sparkSession
+        partials = (
+            batch_df.select(
+                F.length(F.bin(F.col("n_chars") + 1)).cast("int").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        if os.path.isdir(state):
+            prior = _latest_epoch_rows(
+                spark_l, state, ["bin"], before_epoch=epoch_id
+            )
+            partials = partials.unionByName(prior)
+        return partials.groupBy("bin").agg(
+            F.sum("cnt").cast("bigint").alias("cnt")
+        )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merged = _plan(batch_df, epoch_id)
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state, f"epoch={epoch_id}")
+        )
+
+    _process.plan = _plan
+    return _process
+
+
+def _sqm_state_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SQM_DONE, key[0])
+    if key in _SQM_DONE:
+        if _dir_ok(_SQM_DONE[key]):
+            return _SQM_DONE[key]
+        del _SQM_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_sqm")
+    state = os.path.join(base, "state")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    _run_split_landings(
+        spark,
+        base,
+        "doc_id bigint, n_chars bigint",
+        [docs.filter(F.col("doc_id") % 2 == p) for p in (0, 1)],
+        _quantile_processor(state),
+    )
+    _SQM_DONE[key] = state
+    return state
+
+
+def _sqm_oracle() -> str:
+    rows = []
+    for p in _SQM_PCTS:
+        rows.append(
+            f"""SELECT {p} AS pct,
+             (SELECT n FROM tot) AS n_docs,
+             (SELECT (CAST(1 AS BIGINT) << bin) - 2 FROM cum
+              WHERE cum >= greatest(1, CAST(ceil(
+                (SELECT n FROM tot) * {p} / 100.0) AS BIGINT))
+              ORDER BY bin LIMIT 1) AS approx_upper,
+             (SELECT (CAST(1 AS BIGINT) << (bin - 1)) - 1 FROM cum
+              WHERE cum >= greatest(1, CAST(ceil(
+                (SELECT n FROM tot) * {p} / 100.0) AS BIGINT))
+              ORDER BY bin LIMIT 1) AS approx_lo,
+             (SELECT len FROM ranked
+              WHERE rk = greatest(1, CAST(ceil(
+                (SELECT n FROM tot) * {p} / 100.0) AS BIGINT))) AS exact_val"""
+        )
+    body = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH h AS (
+      SELECT CAST(length(bin(n_chars + 1)) AS INT) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+      FROM h
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    ranked AS (
+      SELECT CAST(n_chars AS BIGINT) AS len,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+      FROM documents
+    )
+    SELECT CAST(pct AS INT) AS pct, n_docs,
+           CAST(approx_upper AS BIGINT) AS approx_upper,
+           CAST(approx_lo AS BIGINT) AS approx_lo,
+           CAST(exact_val AS BIGINT) AS exact_val,
+           exact_val BETWEEN approx_lo AND approx_upper AS in_bin
+    FROM ({body})
+    ORDER BY pct
+    """
+
+
+@query("streaming_quantile_maintenance", oracle=_sqm_oracle())
+def streaming_quantile_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Read back the maintained histogram and serve percentiles from
+    it; the oracle computes the identical histogram from the full
+    table in one shot, so parity proves additive-merge == from-scratch
+    AND pins every served quantile bound + its exact-side audit."""
+    from pyspark.sql.window import Window as W
+
+    state = _sqm_state_dir(spark, sf_dir)
+    hist = _latest_epoch_rows(spark, state, ["bin"])
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(W.orderBy("bin").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )).cast("bigint"),
+    ).localCheckpoint(eager=True)  # ≤ ~20 rows: serves every pct row
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = docs.select(
+        F.col("n_chars").cast("bigint").alias("len"),
+        F.row_number()
+        .over(W.orderBy("n_chars", "doc_id"))
+        .alias("rk"),
+    ).localCheckpoint(eager=False)
+    out = None
+    for p in _SQM_PCTS:
+        target = F.greatest(
+            F.lit(1), F.ceil(F.col("n") * p / 100.0).cast("bigint")
+        )
+        # first bin whose cumulative reaches the rank — 1-row control
+        pick = (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(F.col("cum") >= target)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(p).cast("int").alias("pct"),
+                F.col("n").alias("n_docs"),
+                F.expr("shiftleft(cast(1 as bigint), bin) - 2")
+                .cast("bigint")
+                .alias("approx_upper"),
+                F.expr("shiftleft(cast(1 as bigint), bin - 1) - 1")
+                .cast("bigint")
+                .alias("approx_lo"),
+                target.alias("rk"),
+            )
+        )
+        row = (
+            pick.join(ranked, "rk")
+            .select(
+                "pct",
+                "n_docs",
+                "approx_upper",
+                "approx_lo",
+                F.col("len").alias("exact_val"),
+                F.col("len")
+                .between(F.col("approx_lo"), F.col("approx_upper"))
+                .alias("in_bin"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pct")

@@ -1672,3 +1672,43 @@ def test_streaming_bloom_gate_plan(spark, tmp_path):
     s = _plan_stats(dfs["verdicts"])
     assert s["bhj"] >= 1, s
     assert dfs["new_state"] is None  # frozen after the training epoch
+
+
+def test_streaming_quantile_maintenance_replay_idempotent(spark, tmp_path):
+    """Additive-histogram contract: replaying an epoch leaves the
+    state identical, and the merged histogram equals the from-scratch
+    histogram of both batches (merge == rebuild, the mergeable-summary
+    property the readback's oracle also enforces)."""
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _quantile_processor,
+    )
+
+    state = str(tmp_path / "state")
+    process = _quantile_processor(state)
+    b0 = spark.createDataFrame(
+        [(0, 10), (2, 300)], "doc_id bigint, n_chars bigint"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 12), (3, 5000)], "doc_id bigint, n_chars bigint"
+    )
+
+    def snapshot():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(state).collect()
+        )
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+    # latest epoch == from-scratch histogram of all four lengths:
+    # bins = bitlength(n+1): 10→4, 12→4, 300→9, 5000→13
+    import os
+
+    cur = {
+        r.bin: r.cnt
+        for r in spark.read.parquet(os.path.join(state, "epoch=1")).collect()
+    }
+    assert cur == {4: 2, 9: 1, 13: 1}
