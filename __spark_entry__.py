@@ -49,6 +49,7 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_graph_search_grid",
     "corpus_unigram_em_step",
     "streaming_quantile_maintenance",
+    "streaming_cms_maintenance",
     # Latest driver sample is round 5 (all 21, registration order).
     "dedup_cluster_size_hist",
     "dedup_minhash_estimate_audit",

@@ -314,6 +314,7 @@ BENCH_QUERIES = [
     "similarity_graph_search_grid",
     "corpus_unigram_em_step",
     "streaming_quantile_maintenance",
+    "streaming_cms_maintenance",
 ]
 
 

@@ -5327,3 +5327,158 @@ def streaming_quantile_maintenance(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("pct")
+
+
+# --------------------------------------------------------------------------
+# streaming_cms_maintenance — the Count-Min sketch MAINTAINED at
+# ingest, closing the sketch-at-ingest family (HLL registers ✓ r5,
+# Bloom ✓ r10, log2-quantile histogram ✓ r10): each landing's token
+# occurrences fold into (row, bucket) counter partials against the
+# same d=4 × w=256 seeded-hash grid as corpus_cms_heavy_hitters, and
+# the maintainer merges them ADDITIVELY with the latest prior-epoch
+# grid (counters are sums — the mergeability CMS is built on), epoch-
+# committing the full ≤1024-row state. The readback serves the exact
+# top-30 tokens' estimates FROM the maintained grid, and the oracle is
+# the batch CMS query VERBATIM (oracle_ref) — additive merge makes
+# incremental maintenance provably equal to the one-shot sketch, and
+# hash parity enforces it across the checkpointed restart, collision
+# structure and all.
+#
+# Scale: per landing one map-side-combined (row, bucket) aggregate of
+# the batch; state is d·w rows regardless of corpus size — the point
+# of CMS; the probe join broadcasts the grid.
+# --------------------------------------------------------------------------
+_SCM_DONE: dict[tuple[str, str], str] = {}
+
+
+def _cms_processor(state: str):
+    """foreachBatch additive CMS-grid maintainer — module-level for
+    the replay test, like the rollup/histogram maintainers."""
+    from data_ingestion_din_spark.functions.analysis import tokens
+    from data_ingestion_din_spark.functions.hashing import h64
+    from data_ingestion_din_spark.plans.analytic_ext import (
+        _CMS_D,
+        _CMS_W,
+    )
+
+    def _plan(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        spark_l = batch_df.sparkSession
+        partials = (
+            batch_df.select(F.explode(tokens(F.col("text"))).alias("tok"))
+            .select(
+                "tok",
+                F.explode(
+                    F.array(*[F.lit(r) for r in range(_CMS_D)])
+                ).alias("r"),
+            )
+            .select(
+                "r",
+                F.pmod(
+                    h64(
+                        F.concat(
+                            F.lit("cms"),
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("tok"),
+                        )
+                    ),
+                    F.lit(_CMS_W),
+                ).alias("bucket"),
+            )
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("counter"))
+        )
+        if os.path.isdir(state):
+            prior = _latest_epoch_rows(
+                spark_l, state, ["r", "bucket"], before_epoch=epoch_id
+            )
+            partials = partials.unionByName(prior)
+        return partials.groupBy("r", "bucket").agg(
+            F.sum("counter").cast("bigint").alias("counter")
+        )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merged = _plan(batch_df, epoch_id)
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state, f"epoch={epoch_id}")
+        )
+
+    _process.plan = _plan
+    return _process
+
+
+def _scm_state_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SCM_DONE, key[0])
+    if key in _SCM_DONE:
+        if _dir_ok(_SCM_DONE[key]):
+            return _SCM_DONE[key]
+        del _SCM_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_scm")
+    state = os.path.join(base, "state")
+    _run_doc_parity_landings(spark, sf_dir, base, _cms_processor(state))
+    _SCM_DONE[key] = state
+    return state
+
+
+@query("streaming_cms_maintenance", oracle_ref="corpus_cms_heavy_hitters")
+def streaming_cms_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Serve the exact top-30 tokens' CMS estimates from the
+    incrementally maintained grid; the oracle is the one-shot batch
+    sketch verbatim — additive merge == from-scratch, hash-enforced
+    across the checkpointed restart."""
+    from data_ingestion_din_spark.functions.analysis import tokens
+    from data_ingestion_din_spark.functions.hashing import h64
+    from data_ingestion_din_spark.plans.analytic_ext import (
+        _CMS_D,
+        _CMS_TOPK,
+        _CMS_W,
+    )
+
+    state = _scm_state_dir(spark, sf_dir)
+    cms = _latest_epoch_rows(spark, state, ["r", "bucket"])
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    probe = exact.orderBy(F.desc("n"), "tok").limit(_CMS_TOPK)
+    pcells = probe.select(
+        "tok",
+        "n",
+        F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r"),
+    ).select(
+        "tok",
+        "n",
+        "r",
+        F.pmod(
+            h64(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("tok"),
+                )
+            ),
+            F.lit(_CMS_W),
+        ).alias("bucket"),
+    )
+    est = (
+        pcells.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("tok", "n")
+        .agg(F.min("counter").cast("bigint").alias("cms_estimate"))
+    )
+    return est.select(
+        "tok", F.col("n").alias("exact_count"), "cms_estimate"
+    ).orderBy(F.desc("exact_count"), "tok")

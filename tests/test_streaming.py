@@ -1712,3 +1712,39 @@ def test_streaming_quantile_maintenance_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(state, "epoch=1")).collect()
     }
     assert cur == {4: 2, 9: 1, 13: 1}
+
+
+def test_streaming_cms_maintenance_replay_idempotent(spark, tmp_path):
+    """Additive-CMS contract: replay leaves the grid identical, and
+    the merged grid's total mass equals both batches' token count
+    (counters only ever sum — no occurrence lost or doubled)."""
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _cms_processor,
+    )
+    from data_ingestion_din_spark.plans.analytic_ext import _CMS_D
+
+    state = str(tmp_path / "state")
+    process = _cms_processor(state)
+    b0 = spark.createDataFrame(
+        [(0, "alpha beta alpha")], "doc_id bigint, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "alpha gamma")], "doc_id bigint, text string"
+    )
+
+    def snapshot():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(state).collect()
+        )
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+    import os
+
+    cur = spark.read.parquet(os.path.join(state, "epoch=1"))
+    total = sum(r.counter for r in cur.collect())
+    assert total == 5 * _CMS_D  # 5 occurrences × d rows
