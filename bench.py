@@ -433,6 +433,13 @@ def main() -> None:
     from data_ingestion_din_spark.plans.streaming_queries import _siq_out_dir
 
     stage("ivfpq_stream_index", lambda: _siq_out_dir(spark, sf_dir))
+    # graph-ANN audit tables: the guarded all-pairs kNN build + the
+    # collected walk inputs (one-time audit cost, like sweep_etop)
+    from data_ingestion_din_spark.plans.similarity_queries import (
+        _gr_collected,
+    )
+
+    stage("graph_ann_edges", lambda: _gr_collected(spark, sf_dir))
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}

@@ -3158,77 +3158,112 @@ def _gr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, 20_000, "LSH/IVF candidate generation + exact top-G"
         )
         qv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
-        a = qv.select(F.col("vec_id").alias("node"), F.col("qv").alias("qa"))
-        b = qv.select(F.col("vec_id").alias("nbr"), F.col("qv").alias("qb"))
-        wg = W.partitionBy("node").orderBy("dist", "nbr")
-        _GR_STATE[key] = (
-            a.crossJoin(b)
-            .filter(F.col("node") != F.col("nbr"))
-            .select(
-                "node",
-                "nbr",
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qa"), F.col("qb"),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, v: acc + v,
-                ).alias("dist"),
-            )
-            .withColumn("rk", F.row_number().over(wg))
-            .localCheckpoint(eager=True)
-        )
+        # the audit-side corpus matrix, bounded by the same guard that
+        # admits the all-pairs construction (≤20k × 64 int64 ≈ 10 MB
+        # control data); per-chunk GEMM against it replaces 25M
+        # interpreted zip_with dots (64 s → ~3 s at sf0.1 — the
+        # SemDeDup per-cluster-GEMM playbook)
+        rows = qv.collect()
+        import numpy as np
+
+        ids = np.array([int(r.vec_id) for r in rows], dtype=np.int64)
+        m = np.array([list(r.qv) for r in rows], dtype=np.int64)
+        nsq = (m * m).sum(axis=1)
+        sweep_ids = set(int(i) for i in ids if i < _SWEEP_N)
+
+        def _topg(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = {"node": [], "nbr": [], "dist": [], "rk": []}
+                a = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+                an = [int(x) for x in pdf["vec_id"]]
+                g = a @ m.T
+                asq = (a * a).sum(axis=1)
+                d = asq[:, None] + nsq[None, :] - 2 * g
+                for ri, node in enumerate(an):
+                    drow = d[ri]
+                    order = np.lexsort((ids, drow))
+                    order = order[ids[order] != node]
+                    keep = (
+                        order
+                        if node in sweep_ids
+                        else order[:_GR_MAXG]
+                    )
+                    for rnk, j in enumerate(keep, start=1):
+                        out["node"].append(node)
+                        out["nbr"].append(int(ids[j]))
+                        out["dist"].append(int(drow[j]))
+                        out["rk"].append(rnk)
+                yield pd.DataFrame(out)
+
+        _GR_STATE[key] = qv.mapInPandas(
+            _topg, "node bigint, nbr bigint, dist bigint, rk int"
+        ).localCheckpoint(eager=True)
     return _GR_STATE[key]
+
+
+# (applicationId, sf_dir) -> collected walk inputs: adjacency ranked to
+# _GR_MAXG, probe→candidate distances, entry id. Bounded by the SAME
+# ≤20k-row audit guard that admits the all-pairs construction (adj is
+# N×16 rows, pdist is _SWEEP_N×N — control data for this audit family;
+# a production walk keeps both distributed, exactly as the comment
+# above documents). Collected once; every (G, B) config walks in
+# driver Python — pure integer arithmetic, bit-identical to the
+# oracle's unrolled CTEs, with no per-hop job scheduling at all
+# (the per-hop DataFrame walk cost 28 eager jobs ≈ 7 s and lazy
+# checkpoints grew 145 MB task binaries — measured, both rejected).
+_GR_WALK_IN: dict[tuple[str, str], tuple] = {}
+
+
+def _gr_collected(spark: SparkSession, sf_dir: str):
+    app = spark.sparkContext.applicationId
+    for kk in [kk for kk in _GR_WALK_IN if kk[0] != app]:
+        del _GR_WALK_IN[kk]
+    key = (app, sf_dir)
+    if key not in _GR_WALK_IN:
+        edges = _gr_edges(spark, sf_dir)
+        adj: dict[int, list[int]] = {}
+        for r in edges.filter(F.col("rk") <= _GR_MAXG).collect():
+            adj.setdefault(int(r.node), []).append((int(r.rk), int(r.nbr)))
+        adj = {n: [v for _, v in sorted(e)] for n, e in adj.items()}
+        pdist = {
+            (int(r.node), int(r.nbr)): int(r.dist)
+            for r in edges.filter(F.col("node") < _SWEEP_N).collect()
+        }
+        emb = load_table(spark, sf_dir, "embeddings")
+        entry = int(emb.agg(F.max("vec_id")).first()[0])
+        probes = sorted({n for n, _ in pdist})
+        _GR_WALK_IN[key] = (adj, pdist, entry, probes)
+    return _GR_WALK_IN[key]
 
 
 def _gr_beam_walk(
     spark: SparkSession, sf_dir: str, g: int, b: int
-) -> list[DataFrame]:
-    """Per-step beam frames [(probe, node, dist)] for the _SWEEP_N
-    probes under degree ``g``, beam width ``b`` — steps 0..H."""
-    from pyspark.sql.window import Window as W
-
-    edges = _gr_edges(spark, sf_dir)
-    graph = edges.filter(F.col("rk") <= g).select("node", "nbr")
-    # probe→candidate distances read off the staged edge list (probe
-    # rows are its node = probe slice) — bounded per hop: G·B per probe
-    pdist = edges.filter(F.col("node") < _SWEEP_N).select(
-        F.col("node").alias("probe"),
-        F.col("nbr").alias("cnode"),
-        F.col("dist").alias("cdist"),
+) -> list[list[tuple]]:
+    """Per-step beam rows [(probe, node, dist)] for steps 0..H under
+    degree ``g``, beam width ``b`` — driver-side integer walk over the
+    collected audit tables (smallest-(dist, node) ordering, identical
+    to the oracle's window tie-break)."""
+    adj, pdist, entry, probes = _gr_collected(spark, sf_dir)
+    frames = []
+    beams = {p: [(pdist[(p, entry)], entry)] for p in probes}
+    frames.append(
+        sorted((p, n, d) for p, bm in beams.items() for d, n in bm)
     )
-    emb = load_table(spark, sf_dir, "embeddings")
-    entry = emb.agg(F.max("vec_id").alias("cnode"))
-    probes = emb.filter(F.col("vec_id") < _SWEEP_N).select(
-        F.col("vec_id").alias("probe")
-    )
-    cur = (
-        probes.crossJoin(entry)
-        .join(pdist, ["probe", "cnode"])
-        .select("probe", F.col("cnode").alias("node"),
-                F.col("cdist").alias("dist"))
-        .localCheckpoint(eager=True)  # frontier: ≤ _SWEEP_N·B rows
-    )
-    frames = [cur]
-    wmin = W.partitionBy("probe").orderBy("cdist", "cnode")
     for _ in range(_GR_H):
-        cand = (
-            cur.join(graph, "node")
-            .select("probe", F.col("nbr").alias("cnode"))
-            .unionByName(cur.select("probe", F.col("node").alias("cnode")))
-            .filter(F.col("cnode") != F.col("probe"))
-            .distinct()
-            .join(pdist, ["probe", "cnode"])
+        nxt = {}
+        for p, bm in beams.items():
+            cand = {n for _, n in bm}
+            for _, n in bm:
+                cand.update(adj[n][:g])
+            cand.discard(p)
+            ranked = sorted((pdist[(p, c)], c) for c in cand)
+            nxt[p] = ranked[:b]
+        beams = nxt
+        frames.append(
+            sorted((p, n, d) for p, bm in beams.items() for d, n in bm)
         )
-        cur = (
-            cand.withColumn("rk2", F.row_number().over(wmin))
-            .filter(F.col("rk2") <= b)
-            .select("probe", F.col("cnode").alias("node"),
-                    F.col("cdist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
-        frames.append(cur)
     return frames
 
 
@@ -3331,14 +3366,14 @@ def similarity_graph_greedy_search(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     frames = _gr_beam_walk(spark, sf_dir, _GR_TRACE_G, _GR_TRACE_B)
-    out = None
-    for h, f in enumerate(frames):
-        step = f.select(
-            "probe", F.lit(h).cast("int").alias("step"), "node",
-            F.col("dist").cast("bigint").alias("dist"),
-        )
-        out = step if out is None else out.unionByName(step)
-    return out.orderBy("probe", "step")
+    rows = [
+        (p, h, n, d)
+        for h, f in enumerate(frames)
+        for (p, n, d) in f
+    ]
+    return spark.createDataFrame(
+        rows, "probe bigint, step int, node bigint, dist bigint"
+    ).orderBy("probe", "step")
 
 
 def _gr_grid_oracle() -> str:
@@ -3370,27 +3405,20 @@ def _gr_grid_oracle() -> str:
 def similarity_graph_search_grid(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    edges = _gr_edges(spark, sf_dir)
-    exl2 = edges.filter(
-        (F.col("node") < _SWEEP_N) & (F.col("rk") == 1)
-    ).select(F.col("node").alias("probe"), F.col("nbr").alias("nn"))
-    grid = None
+    adj, pdist, entry, probes = _gr_collected(spark, sf_dir)
+    # exact L2 NN per probe = its rank-1 edge (already in the
+    # collected table: the smallest (dist, nbr) candidate)
+    nn = {
+        p: min((d, c) for (pp, c), d in pdist.items() if pp == p)[1]
+        for p in probes
+    }
+    rows = []
     for g, b in _GR_GRID:
         final = _gr_beam_walk(spark, sf_dir, g, b)[_GR_H]
-        hits = final.join(
-            exl2,
-            (final.probe == exl2.probe) & (final.node == exl2.nn),
-        )
-        row = hits.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_hits")
-        ).select(
-            F.lit(g).cast("int").alias("degree_g"),
-            F.lit(b).cast("int").alias("beam_b"),
-            F.lit(_SWEEP_N).cast("bigint").alias("n_probes"),
-            "n_hits",
-            F.expr(f"n_hits * 1000 DIV {_SWEEP_N}")
-            .cast("bigint")
-            .alias("hit_rate_milli"),
-        )
-        grid = row if grid is None else grid.unionByName(row)
-    return grid.orderBy("degree_g", "beam_b")
+        n_hits = sum(1 for (p, n, _) in final if nn[p] == n)
+        rows.append((g, b, _SWEEP_N, n_hits, n_hits * 1000 // _SWEEP_N))
+    return spark.createDataFrame(
+        rows,
+        "degree_g int, beam_b int, n_probes bigint, n_hits bigint,"
+        " hit_rate_milli bigint",
+    ).orderBy("degree_g", "beam_b")
