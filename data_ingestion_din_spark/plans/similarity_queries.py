@@ -3143,8 +3143,6 @@ _GR_STATE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _gr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     from data_ingestion_din_spark.functions.vectors import quantize
     from data_ingestion_din_spark.operators.dedup import _refuse_all_pairs
 

@@ -1171,3 +1171,31 @@ def test_similarity_sq8_plan(spark):
     sw = _stats("similarity_sq8_recall_sweep", spark)
     assert sw["bhj"] >= 1, sw
     assert sw["cartesian"] <= 1, sw
+
+
+def test_quantile_and_cms_maintainer_plans(spark, tmp_path):
+    """Both additive maintainers: landing partials ∪ prior state
+    re-summed — no join machinery, and the state side (grows with
+    history) never carries a broadcast hint."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_din_spark.plans.streaming_queries import (
+        _cms_processor,
+        _quantile_processor,
+    )
+
+    qp = _quantile_processor(str(tmp_path / "q"))
+    qp(spark.createDataFrame([(0, 10)], "doc_id bigint, n_chars bigint"), 0)
+    merged = qp.plan(
+        spark.createDataFrame([(1, 99)], "doc_id bigint, n_chars bigint"), 1
+    )
+    s = _plan_stats(merged)
+    assert s["cartesian"] == 0 and _hint_count(merged) == 0, s
+
+    cp = _cms_processor(str(tmp_path / "c"))
+    cp(spark.createDataFrame([(0, "a b")], "doc_id bigint, text string"), 0)
+    merged = cp.plan(
+        spark.createDataFrame([(1, "a c")], "doc_id bigint, text string"), 1
+    )
+    s = _plan_stats(merged)
+    assert s["cartesian"] == 0 and _hint_count(merged) == 0, s
