@@ -315,6 +315,7 @@ BENCH_QUERIES = [
     "corpus_unigram_em_step",
     "streaming_quantile_maintenance",
     "streaming_cms_maintenance",
+    "dq_t_closeness_audit",
 ]
 
 

@@ -557,3 +557,122 @@ def dq_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "size_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# dq_t_closeness_audit — the third privacy release gate (t-closeness,
+# Li et al. 2007), closing the trilogy: a cell can pass k-anonymity
+# (big enough) AND l-diversity (several sensitive values) yet still
+# leak by SKEW — if its sensitive distribution differs sharply from
+# the corpus-wide one, membership shifts an adversary's posterior
+# (the skewness attack l-diversity cannot see). Distance here is the
+# total-variation distance between the cell's source distribution and
+# the global one, computed as EXACT integer cross-multiplication
+# rendered per-mille —
+#
+#   tv_milli = 1000 · Σ_s |n_cs·N − n_s·n_c| / (2·n_c·N)
+#
+# (integer division at the end only; sources absent from a cell
+# contribute their full global share, so the cell × source domain is
+# completed before the sum). Same QI columns as the k-anonymity and
+# l-diversity siblings — the three audits read as one release report.
+#
+# Scale: one (QI, source) aggregate + two tiny side aggregates; the
+# domain completion is an aggregate-cardinality × source-count cross
+# (cells × sources — bounded control data, never corpus-sized).
+# --------------------------------------------------------------------------
+_TCLOSE_MILLI = 300  # flag cells > 0.3 TV from the corpus distribution
+# (measured sf0.01 surface: 134..335 milli across the 10 cells; 200
+# flagged 9/10 — a gate that fires on everything gates nothing — 300
+# isolates the three genuinely skewed cells: es/64=304, fr/64=335,
+# fr/256=333)
+
+
+@query(
+    "dq_t_closeness_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT lang, CAST({_QI_BUCKET_SQL} AS BIGINT) AS size_bucket, source
+      FROM documents
+    ),
+    cs AS (
+      SELECT lang, size_bucket, source, CAST(count(*) AS BIGINT) AS n_cs
+      FROM base GROUP BY 1, 2, 3
+    ),
+    c AS (
+      SELECT lang, size_bucket, CAST(sum(n_cs) AS BIGINT) AS n_c
+      FROM cs GROUP BY 1, 2
+    ),
+    s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM base GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    dom AS (
+      SELECT c.lang, c.size_bucket, c.n_c, s.source, s.n_s, tot.n
+      FROM c CROSS JOIN s CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT d.lang, d.size_bucket, d.n_c, d.n,
+             abs(coalesce(cs.n_cs, 0) * d.n - d.n_s * d.n_c) AS term
+      FROM dom d
+      LEFT JOIN cs ON cs.lang = d.lang AND cs.size_bucket = d.size_bucket
+                  AND cs.source = d.source
+    )
+    SELECT lang, size_bucket,
+           CAST(max(n_c) AS BIGINT) AS n_docs,
+           CAST(sum(term) * 1000 // (2 * max(n_c) * max(n)) AS BIGINT)
+             AS tv_milli,
+           CAST(CASE WHEN sum(term) * 1000 // (2 * max(n_c) * max(n))
+                          > {_TCLOSE_MILLI}
+                THEN 1 ELSE 0 END AS INT) AS at_risk
+    FROM terms
+    GROUP BY lang, size_bucket
+    ORDER BY lang, size_bucket
+    """,
+)
+def dq_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    bucket = (
+        F.when(n_tok < 64, 64).when(n_tok < 256, 256).otherwise(1024)
+    ).cast("bigint")
+    base = docs.select(
+        "lang", bucket.alias("size_bucket"), "source"
+    ).localCheckpoint(eager=False)  # one scan feeds all four aggregates
+    cs = base.groupBy("lang", "size_bucket", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cs")
+    )
+    c = cs.groupBy("lang", "size_bucket").agg(
+        F.sum("n_cs").cast("bigint").alias("n_c")
+    )
+    srcs = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # domain completion: cells × sources × 1-row total — bounded
+    dom = c.crossJoin(F.broadcast(srcs)).crossJoin(F.broadcast(tot))
+    terms = dom.join(
+        cs, ["lang", "size_bucket", "source"], "left"
+    ).select(
+        "lang",
+        "size_bucket",
+        "n_c",
+        "n",
+        F.abs(
+            F.coalesce(F.col("n_cs"), F.lit(0)) * F.col("n")
+            - F.col("n_s") * F.col("n_c")
+        ).alias("term"),
+    )
+    tv = F.expr("sum(term) * 1000 DIV (2 * max(n_c) * max(n))")
+    return (
+        terms.groupBy("lang", "size_bucket")
+        .agg(
+            F.max("n_c").cast("bigint").alias("n_docs"),
+            tv.cast("bigint").alias("tv_milli"),
+            F.when(tv > _TCLOSE_MILLI, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("at_risk"),
+        )
+        .orderBy("lang", "size_bucket")
+    )
