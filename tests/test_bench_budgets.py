@@ -88,6 +88,9 @@ BUDGETS = {
     "salted_skew_join": 4.5,  # 2.4 s in-suite
     "corpus_dsir_select": 4.0,  # 2.2 s in-suite
     "ngram_jaccard_capped": 4.0,  # 2.2 s in-suite
+    # r10 additions that top the new detail file (clean 168.1 s/216 run)
+    "dedup_minhash_br_grid": 6.0,  # 3.45 s in-suite (the S-curve audit)
+    "corpus_bloom_decontaminate": 4.5,  # 2.6 s in-suite
 }
 
 
