@@ -316,6 +316,7 @@ BENCH_QUERIES = [
     "streaming_quantile_maintenance",
     "streaming_cms_maintenance",
     "dq_t_closeness_audit",
+    "similarity_graph_insert",
 ]
 
 

@@ -3420,3 +3420,80 @@ def similarity_graph_search_grid(
         "degree_g int, beam_b int, n_probes bigint, n_hits bigint,"
         " hit_rate_milli bigint",
     ).orderBy("degree_g", "beam_b")
+
+
+# --------------------------------------------------------------------------
+# similarity_graph_insert — the graph index under APPEND, completing
+# incremental maintenance for every ANN family (IVF ✓ IVFPQ ✓ SQ8 ✓;
+# a kNN graph grows by the NSW insert: each appended vector is wired
+# to its G nearest existing nodes — Malkov & Yashunin 2018 §4's
+# insertion, without the long-range re-link, which is the documented
+# next knob): the appended slice (vec_id % 97 == 0) scans the frozen
+# base (% 97 != 0) once — the batch side broadcasts (append batches
+# are bounded), the base is never rescanned per node — and the audit
+# is the full inserted edge list (node, nbr, dist, rk), hash-gated so
+# every wiring decision (integer L2, (dist, nbr) tie-break) is
+# checked. At production the neighbor search routes THROUGH the graph
+# (the beam walk above) instead of scanning the base; the scan form
+# here is the audit truth for exactly that routing's quality.
+# --------------------------------------------------------------------------
+@query(
+    "similarity_graph_insert",
+    oracle=f"""
+    WITH gq AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    d AS (
+      SELECT a.vec_id AS node, b.vec_id AS nbr, {_GR_DIST} AS dist
+      FROM gq a JOIN gq b
+        ON a.vec_id % {_IVF_INC_MOD} = 0 AND b.vec_id % {_IVF_INC_MOD} <> 0
+    ),
+    ranked AS (
+      SELECT node, nbr, CAST(dist AS BIGINT) AS dist,
+             CAST(row_number() OVER (
+               PARTITION BY node ORDER BY dist, nbr) AS INT) AS rk
+      FROM d
+    )
+    SELECT node, nbr, dist, rk FROM ranked
+    WHERE rk <= {_GR_MAXG}
+    ORDER BY node, rk
+    """,
+)
+def similarity_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.vectors import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    batch = F.broadcast(
+        qv.filter(F.col("vec_id") % _IVF_INC_MOD == 0).select(
+            F.col("vec_id").alias("node"), F.col("qv").alias("qa")
+        )
+    )
+    base = qv.filter(F.col("vec_id") % _IVF_INC_MOD != 0).select(
+        F.col("vec_id").alias("nbr"), F.col("qv").alias("qb")
+    )
+    wg = W.partitionBy("node").orderBy("dist", "nbr")
+    return (
+        base.crossJoin(batch)  # one base scan serves the whole batch
+        .select(
+            "node",
+            "nbr",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+        )
+        .withColumn("rk", F.row_number().over(wg).cast("int"))
+        .filter(F.col("rk") <= _GR_MAXG)
+        .orderBy("node", "rk")
+    )
