@@ -19,68 +19,20 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # last sample is oldest) are listed first so a bounded driver window covers
 # them before re-checking recently-green entries. Names not in the registry
 # are ignored; registered queries not listed here follow in registration
-# order. Rotation state after round 9 (CORRECTNESS_r09 green for all 50
-# sampled): the two never-sampled queries lead, then the round-10
-# additions as they land, then the FULL 21-query block whose latest
-# driver sample is round 5, then the round-6 block oldest-first (all
-# computed from CORRECTNESS_r0{5..9}.json) — after this round every
-# remaining sample is round 6+ and nothing is never-sampled.
+# order. Rotation state entering round 11 (CORRECTNESS_r10 green for all 50
+# sampled): the two late round-10 additions that missed the r10 window lead
+# (never sampled), round-11 additions are appended to that head AS THEY
+# LAND (tests/test_rotation.py enforces that every never-sampled name is in
+# the head — the invariant, not a per-round cleanup), then the full
+# 43-query block whose latest driver sample is round 6 (computed from
+# CORRECTNESS_r0{6..10}.json, registration order). After this round nothing
+# is never-sampled and at most a handful of round-7 entries remain stale.
 _DRIVER_PRIORITY: list[str] = [
-    # Never driver-sampled (absent from every CORRECTNESS_r0*.json) — lead.
-    "similarity_ivfpq_residual_multiprobe",
-    "similarity_ivfpq_residual_mp_recall",
-    # Round-10 additions are inserted here as they land (never sampled).
-    "dedup_minhash_br_grid",
-    "doc_ngram_perplexity",
-    "streaming_ppl_gate",
-    "streaming_anomaly_gate",
-    "similarity_sq8_topk",
-    "similarity_sq8_recall_sweep",
-    "corpus_unigram_tokenize",
-    "corpus_unigram_fertility",
-    "corpus_bloom_decontaminate",
-    "streaming_bloom_gate",
-    "similarity_ivfsq8_topk",
-    "similarity_ivfsq8_recall_sweep",
-    "corpus_unigram_encode",
-    "similarity_sq8_incremental",
-    "dq_l_diversity_audit",
-    "similarity_graph_greedy_search",
-    "similarity_graph_search_grid",
-    "corpus_unigram_em_step",
-    "streaming_quantile_maintenance",
-    "streaming_cms_maintenance",
-    # Latest driver sample is round 5 (all 21, registration order).
-    "dedup_cluster_size_hist",
-    "dedup_minhash_estimate_audit",
-    "embedding_hard_negatives",
-    "similarity_lsh_multiprobe",
-    "similarity_pq_topk",
-    "dedup_semantic_kmeans",
-    "similarity_pq_recall",
-    "tables_column_profile",
-    "retrieval_hybrid_rrf",
-    "user_erasure",
-    "corpus_cms_heavy_hitters",
-    "corpus_length_percentiles",
-    "events_anomaly_zscore",
-    "streaming_stream_join",
-    "streaming_session_windows",
-    "streaming_hll_registers",
-    "corpus_pack_sequences_sharded",
-    "corpus_train_val_split",
-    "overlay_boxes",
-    "eval_judged_scores",
-    "eval_judged_summary",
-    # Round-6 block, oldest first (registration order); the ~50-query
-    # window takes the head, extras roll to round 11.
-    "top_customers_per_nation",
-    "events_5min_gapfill",
-    "events_pivot_unpivot",
-    "doc_bpe_token_stats",
-    "embedding_kmeans",
-    "similarity_ivf_kmeans",
-    "similarity_lsh_recall",
+    # Never driver-sampled (absent from every CORRECTNESS_r*.json) — lead.
+    "similarity_graph_insert",
+    "dq_t_closeness_audit",
+    # Round-11 additions are inserted here as they land (never sampled).
+    # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",
     "tables_dedup_conflicts",

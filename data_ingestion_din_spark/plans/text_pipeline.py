@@ -2204,7 +2204,8 @@ def doc_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # corpus_unigram_tokenize — the UNIGRAM-LM tokenizer (SentencePiece /
 # Kudo 2018 shape) next to BPE: the tokenizer A/B every LLM data team
-# runs. Candidate pieces are the corpus's substrings of length 1..4
+# runs. Candidate pieces are the corpus's substrings of length
+# 1.._UNI_LMAX (8)
 # over the distinct-word table, scored by occurrence frequency
 # (wn-weighted); the vocabulary is the top-K pieces by (freq desc,
 # piece asc) PLUS every single character (the coverage guarantee that

@@ -1524,17 +1524,24 @@ def test_streaming_ppl_gate_replay_idempotent(spark, tmp_path):
 
 def test_streaming_ppl_gate_matches_batch_frame(spark):
     """Gate readback == the oracle-shaped batch computation at sf0.001
-    (stream==batch frame equality, the family's standing check)."""
-    from data_ingestion_din_spark.plans import QUERIES
+    (stream==batch frame equality, the family's standing check):
+    recompute the train-on-evens / score-everyone frame in DuckDB and
+    assert row-for-row equality with the checkpointed gate's readback."""
+    import duckdb
 
-    rows = QUERIES["streaming_ppl_gate"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    from data_ingestion_din_spark.plans import QUERIES
+    from data_ingestion_din_spark.plans.streaming_queries import _sppl_oracle
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = QUERIES["streaming_ppl_gate"](spark, sf_dir).collect()
     assert rows
-    assert all(
-        r.ppl_milli == (r.ppl_milli if r.n_bigrams == 0 else r.ppl_milli)
-        for r in rows
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
     )
+    batch = con.execute(_sppl_oracle()).fetchall()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in batch]
     # landing-1 (even) docs trained the LM: zero backoff by construction
     assert all(r.n_backoff == 0 for r in rows if r.doc_id % 2 == 0)
 
