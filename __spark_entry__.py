@@ -32,6 +32,8 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_graph_insert",
     "dq_t_closeness_audit",
     # Round-11 additions are inserted here as they land (never sampled).
+    "streaming_stream_outer_join",
+    "dedup_substring_w_grid",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

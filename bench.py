@@ -432,7 +432,7 @@ def main() -> None:
     stage("sweep_etop", lambda: _etop_staged(spark, sf_dir).count())
     # streamed IVFPQ index: the two availableNow landings run once here
     # so streaming_ivfpq_serve times the read path, not the ingest
-    from data_ingestion_din_spark.plans.streaming_queries import _siq_out_dir
+    from data_ingestion_din_spark.plans.streaming_indexes import _siq_out_dir
 
     stage("ivfpq_stream_index", lambda: _siq_out_dir(spark, sf_dir))
     # graph-ANN audit tables: the guarded all-pairs kNN build + the

@@ -21,7 +21,10 @@ from data_ingestion_din_spark.plans import multimodal_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import relational_ext  # noqa: F401,E402
 from data_ingestion_din_spark.plans import enrichment_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import analytic_ext  # noqa: F401,E402
-from data_ingestion_din_spark.plans import streaming_queries  # noqa: F401,E402
+from data_ingestion_din_spark.plans import streaming_cdc  # noqa: F401,E402
+from data_ingestion_din_spark.plans import streaming_indexes  # noqa: F401,E402
+from data_ingestion_din_spark.plans import streaming_gates  # noqa: F401,E402
+from data_ingestion_din_spark.plans import streaming_sketches  # noqa: F401,E402
 from data_ingestion_din_spark.plans import curation_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import partsupp_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import overlay_queries  # noqa: F401,E402

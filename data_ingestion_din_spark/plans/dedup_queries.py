@@ -1366,13 +1366,18 @@ def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-def _win_ctes(include_toks: bool = True) -> str:
+def _win_ctes(
+    include_toks: bool = True, w: int = _SSW, prefix: str = ""
+) -> str:
     """The window-fingerprint → duplicated-span CTE chain. With
     ``include_toks=False`` the chain starts at ``win`` and binds to a
     ``toks(doc_id, t)`` CTE the caller already provides (the funnel
     composes it after _BANDED_CTES, whose ``toks`` is identical) —
     parameterized here instead of string-slicing the SQL so a drift in
-    either definition is a structural error, not a silent mismatch."""
+    either definition is a structural error, not a silent mismatch.
+    ``w``/``prefix`` parameterize the window length and namespace the
+    CTE names so the W-grid can chain several window lengths in one
+    statement (the b×r-grid pattern)."""
     toks = (
         f"""toks AS (
       SELECT doc_id, {_TOKS_SQL} AS t FROM documents
@@ -1381,40 +1386,41 @@ def _win_ctes(include_toks: bool = True) -> str:
         if include_toks
         else ""
     )
+    p = prefix
     return f"""
-    {toks}win AS (
+    {toks}{p}win AS (
       SELECT doc_id, u.w.s AS start, u.w.f AS wfp
       FROM toks,
       UNNEST([{{'s': i,
-               'f': md5(array_to_string(t[i:i+{_SSW - 1}], ' '))}}
-              FOR i IN range(1, greatest(len(t) - {_SSW} + 2, 1))]) AS u(w)
+               'f': md5(array_to_string(t[i:i+{w - 1}], ' '))}}
+              FOR i IN range(1, greatest(len(t) - {w} + 2, 1))]) AS u(w)
     ),
-    dup AS (
-      SELECT wfp FROM win GROUP BY wfp
+    {p}dup AS (
+      SELECT wfp FROM {p}win GROUP BY wfp
       HAVING count(DISTINCT doc_id) >= 2
     ),
-    inst AS (
-      SELECT doc_id, start FROM win SEMI JOIN dup USING (wfp)
+    {p}inst AS (
+      SELECT doc_id, start FROM {p}win SEMI JOIN {p}dup USING (wfp)
     ),
-    flagged AS (
+    {p}flagged AS (
       SELECT doc_id, start,
-             CASE WHEN start - lag(start) OVER w <= {_SSW}
+             CASE WHEN start - lag(start) OVER w <= {w}
                   THEN 0 ELSE 1 END AS new_island
-      FROM inst
+      FROM {p}inst
       WINDOW w AS (PARTITION BY doc_id ORDER BY start)
     ),
-    islands AS (
+    {p}islands AS (
       SELECT doc_id, start,
              sum(new_island) OVER (PARTITION BY doc_id ORDER BY start
                                    ROWS UNBOUNDED PRECEDING) AS island
-      FROM flagged
+      FROM {p}flagged
     ),
-    spans AS (
+    {p}spans AS (
       SELECT doc_id,
              CAST(min(start) AS INT) AS span_start,
-             CAST(max(start) + {_SSW - 1} AS INT) AS span_end,
+             CAST(max(start) + {w - 1} AS INT) AS span_end,
              CAST(count(*) AS BIGINT) AS n_windows
-      FROM islands GROUP BY doc_id, island
+      FROM {p}islands GROUP BY doc_id, island
     )
 """
 
@@ -2179,4 +2185,131 @@ def dedup_minhash_br_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.desc("bands"))
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_substring_w_grid — the WINDOW-LENGTH operating grid for substring
+# dedup, symmetrical to the (bands × rows) MinHash grid above: W=20 was
+# "sized to the fixture" (COVERAGE.md §r8); this query MEASURES the
+# W ∈ {10, 20, 50} surface (50 is Lee et al. 2021's production value)
+# instead of asserting it. Per W, one hash-gated row: how many docs and
+# spans fire, what token mass the spans cover (merged spans are disjoint,
+# so summing lengths is exact), and the FALSE-SPAN rate — the per-mille
+# share of W-spans that overlap NO W=50 span of the same doc, i.e.
+# detections not backed by a 50-token verbatim duplicate, the
+# common-phrase noise that shrinking W admits (0 at W=50 by
+# construction, the self-reference row). Everything is integer counts
+# and integer per-mille division, exact on both engines.
+#
+# Scale: three window-fingerprint passes (O(corpus tokens) each, one
+# wfp shuffle apiece) and a per-doc span-overlap join whose sides are
+# span tables (tiny vs the corpus) equi-joined on doc_id — no
+# broadcast hints (span tables grow with the corpus), no collects.
+# --------------------------------------------------------------------------
+_SSW_GRID = (10, _SSW, 50)
+
+
+def _w_grid_oracle() -> str:
+    chains = ",".join(
+        _win_ctes(include_toks=(i == 0), w=w, prefix=f"w{w}_")
+        for i, w in enumerate(_SSW_GRID)
+    )
+    per_w = "\n    UNION ALL\n".join(
+        f"""
+    SELECT {w} AS w,
+           CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(coalesce(sum(s.span_end - s.span_start + 1), 0) AS BIGINT)
+             AS covered_tokens,
+           CAST(coalesce(sum(s.span_end - s.span_start + 1), 0) * 1000
+                // greatest((SELECT n FROM tot), 1) AS BIGINT)
+             AS coverage_permille,
+           CAST(coalesce(sum(CASE WHEN NOT EXISTS (
+                  SELECT 1 FROM w50_spans f
+                  WHERE f.doc_id = s.doc_id
+                    AND f.span_start <= s.span_end
+                    AND f.span_end >= s.span_start
+                ) THEN 1 ELSE 0 END), 0) AS BIGINT) AS false_spans,
+           CAST(coalesce(sum(CASE WHEN NOT EXISTS (
+                  SELECT 1 FROM w50_spans f
+                  WHERE f.doc_id = s.doc_id
+                    AND f.span_start <= s.span_end
+                    AND f.span_end >= s.span_start
+                ) THEN 1 ELSE 0 END), 0) * 1000
+                // greatest(count(*), 1) AS BIGINT) AS false_permille
+    FROM w{w}_spans s"""
+        for w in _SSW_GRID
+    )
+    return f"""
+    WITH {chains},
+    tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n FROM toks)
+    SELECT * FROM ({per_w})
+    ORDER BY w
+    """
+
+
+@query("dedup_substring_w_grid", oracle=_w_grid_oracle())
+def dedup_substring_w_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("tot_n")
+    )  # 1-row corpus token count
+    span_ref = D.duplicated_spans(docs, 50).select(
+        F.col("doc_id").alias("fdoc"),
+        F.col("span_start").alias("fs"),
+        F.col("span_end").alias("fe"),
+    )
+    grid = None
+    for w in _SSW_GRID:
+        spans = (
+            _substring_spans(spark, sf_dir)
+            if w == _SSW
+            else D.duplicated_spans(docs, w)
+        )
+        confirmed = (
+            spans.join(
+                span_ref,
+                (F.col("doc_id") == F.col("fdoc"))
+                & (F.col("fs") <= F.col("span_end"))
+                & (F.col("fe") >= F.col("span_start")),
+                "left",
+            )
+            .groupBy("doc_id", "span_start", "span_end")
+            .agg(
+                F.max(F.col("fs").isNotNull().cast("int")).alias("conf")
+            )
+        )
+        row = confirmed.agg(
+            F.lit(w).cast("int").alias("w"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.coalesce(
+                F.sum(F.col("span_end") - F.col("span_start") + 1), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.coalesce(F.sum(1 - F.col("conf")), F.lit(0))
+            .cast("bigint")
+            .alias("false_spans"),
+        )
+        grid = row if grid is None else grid.unionByName(row)
+    return (
+        grid.crossJoin(tot)  # 3-row grid × 1-row corpus total
+        .select(
+            "w",
+            "n_docs",
+            "n_spans",
+            "covered_tokens",
+            F.expr("covered_tokens * 1000 DIV greatest(tot_n, 1)")
+            .cast("bigint")
+            .alias("coverage_permille"),
+            "false_spans",
+            F.expr("false_spans * 1000 DIV greatest(n_spans, 1)")
+            .cast("bigint")
+            .alias("false_permille"),
+        )
+        .orderBy("w")
     )

@@ -520,9 +520,7 @@ def _batch_fixtures(spark):
 
 
 def test_funnel_processor_batch_plan(spark, tmp_path):
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _funnel_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _funnel_processor
 
     p = _funnel_processor(
         str(tmp_path / "o"), str(tmp_path / "f"), str(tmp_path / "l")
@@ -538,9 +536,7 @@ def test_funnel_processor_batch_plan(spark, tmp_path):
 
 
 def test_minhash_index_processor_batch_plan(spark, tmp_path):
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _minhash_index_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_indexes import _minhash_index_processor
 
     p = _minhash_index_processor(str(tmp_path / "o"), str(tmp_path / "s"))
     b0, b1 = _batch_fixtures(spark)
@@ -554,9 +550,7 @@ def test_minhash_index_processor_batch_plan(spark, tmp_path):
 
 
 def test_phash_index_processor_batch_plan(spark, tmp_path):
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _phash_index_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_indexes import _phash_index_processor
 
     p = _phash_index_processor(str(tmp_path / "o"), str(tmp_path / "p"))
     b0, b1 = _batch_fixtures(spark)
@@ -572,9 +566,7 @@ def test_phash_index_processor_batch_plan(spark, tmp_path):
 def test_scd2_processor_batch_plan(spark, tmp_path):
     from pyspark.sql import functions as F
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _scd2_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_cdc import _scd2_processor
 
     p = _scd2_processor(str(tmp_path / "o"))
     ev0 = spark.createDataFrame(
@@ -630,9 +622,7 @@ def test_similarity_ivf_incremental_plan(spark):
 
 
 def test_ivf_index_processor_batch_plan(spark, tmp_path):
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _ivf_index_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_indexes import _ivf_index_processor
 
     p = _ivf_index_processor(str(tmp_path / "o"), str(tmp_path / "c"), k=2)
 
@@ -666,9 +656,7 @@ def test_similarity_ivfpq_topk_plan(spark):
 
 
 def test_quality_gate_processor_batch_plan(spark, tmp_path):
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _quality_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _quality_gate_processor
 
     p = _quality_gate_processor(
         str(tmp_path / "o"), str(tmp_path / "v"), k=3
@@ -732,9 +720,7 @@ def test_corpus_dsir_select_plan(spark):
 
 
 def test_substring_index_processor_batch_plan(spark, tmp_path):
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _substring_index_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_indexes import _substring_index_processor
 
     p = _substring_index_processor(
         str(tmp_path / "o"), str(tmp_path / "w"), w=3
@@ -752,9 +738,7 @@ def test_substring_index_processor_batch_plan(spark, tmp_path):
 
 
 def test_dsir_gate_processor_batch_plan(spark, tmp_path):
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _dsir_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _dsir_gate_processor
 
     p = _dsir_gate_processor(str(tmp_path / "o"), str(tmp_path / "r"))
     b0 = spark.createDataFrame(
@@ -833,9 +817,7 @@ def test_similarity_ivfpq_incremental_plan(spark):
 
 
 def test_ivfpq_index_processor_batch_plan(spark, tmp_path):
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _ivfpq_index_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_indexes import _ivfpq_index_processor
 
     p = _ivfpq_index_processor(
         str(tmp_path / "o"), str(tmp_path / "c"), str(tmp_path / "b"), k=2
@@ -873,9 +855,7 @@ def test_streaming_ivfpq_serve_plan(spark):
 
 
 def test_bpe_gate_processor_batch_plan(spark, tmp_path):
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _bpe_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _bpe_gate_processor
 
     p = _bpe_gate_processor(str(tmp_path / "o"), str(tmp_path / "m"), steps=2)
     b0 = spark.createDataFrame(
@@ -899,9 +879,7 @@ def test_bpe_gate_processor_batch_plan(spark, tmp_path):
 def test_rollup_processor_batch_plan(spark, tmp_path):
     from pyspark.sql import functions as F
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _rollup_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_sketches import _rollup_processor
 
     p = _rollup_processor(str(tmp_path / "s"))
     b0 = spark.createDataFrame(
@@ -956,9 +934,7 @@ def test_dq_schema_drift_plan(spark):
 
 
 def test_decontam_gate_processor_batch_plan(spark, tmp_path):
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _decontam_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _decontam_gate_processor
 
     p = _decontam_gate_processor(str(tmp_path / "o"), str(tmp_path / "s"))
     b0 = spark.createDataFrame(
@@ -981,9 +957,7 @@ def test_decontam_gate_processor_batch_plan(spark, tmp_path):
 
 
 def test_semdedup_gate_processor_batch_plan(spark, tmp_path):
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _semdedup_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _semdedup_gate_processor
 
     p = _semdedup_gate_processor(
         str(tmp_path / "o"), str(tmp_path / "c"), str(tmp_path / "m"), k=2
@@ -1011,9 +985,7 @@ def test_semdedup_gate_processor_batch_plan(spark, tmp_path):
 
 
 def test_tmix_gate_processor_batch_plan(spark, tmp_path):
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _tmix_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _tmix_gate_processor
 
     p = _tmix_gate_processor(str(tmp_path / "o"), str(tmp_path / "r"))
     b0 = spark.createDataFrame(
@@ -1071,9 +1043,7 @@ def test_similarity_range_search_plan(spark):
 
 
 def test_profile_gate_processor_batch_plan(spark, tmp_path):
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _profile_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_sketches import _profile_gate_processor
 
     p = _profile_gate_processor(str(tmp_path / "o"), str(tmp_path / "b"))
     schema = (
@@ -1092,9 +1062,7 @@ def test_profile_gate_processor_batch_plan(spark, tmp_path):
 
 
 def test_ppl_gate_processor_batch_plan(spark, tmp_path):
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _ppl_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _ppl_gate_processor
 
     p = _ppl_gate_processor(str(tmp_path / "o"), str(tmp_path / "lm"))
     b0 = spark.createDataFrame(
@@ -1118,9 +1086,7 @@ def test_ppl_gate_processor_batch_plan(spark, tmp_path):
 def test_anomaly_gate_processor_batch_plan(spark, tmp_path):
     from pyspark.sql import functions as F
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _anomaly_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_sketches import _anomaly_gate_processor
 
     p = _anomaly_gate_processor(str(tmp_path / "o"), str(tmp_path / "s"))
 
@@ -1179,7 +1145,7 @@ def test_quantile_and_cms_maintainer_plans(spark, tmp_path):
     history) never carries a broadcast hint."""
     from pyspark.sql import functions as F
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
+    from data_ingestion_din_spark.plans.streaming_sketches import (
         _cms_processor,
         _quantile_processor,
     )

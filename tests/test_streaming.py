@@ -408,9 +408,7 @@ def test_session_windows_split_session_straddles_restart(spark):
     from pyspark.sql.window import Window as W
 
     from data_ingestion_din_spark.plans import QUERIES
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _SESSION_GAP_US,
-    )
+    from data_ingestion_din_spark.plans.streaming_cdc import _SESSION_GAP_US
     from data_ingestion_din_spark.sources.tables import load_table
 
     sf = "/root/testdata/sf0.001"
@@ -457,7 +455,7 @@ def test_streaming_hll_emissions_monotone_and_match_batch(spark):
     emission must equal the batch register."""
     import pyspark.sql.functions as F
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
+    from data_ingestion_din_spark.plans.streaming_sketches import (
         _hll_out_dir,
         _hll_register_rows,
     )
@@ -600,9 +598,7 @@ def test_streaming_funnel_replay_idempotent(spark, tmp_path):
     budget consumption identical after re-processing an epoch, and the
     replayed epoch must NOT anti-join against its own failed attempt's
     fingerprints or double-count its own consumption."""
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _funnel_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _funnel_processor
 
     out = str(tmp_path / "out")
     fps = str(tmp_path / "fps")
@@ -656,9 +652,7 @@ def test_streaming_minhash_index_replay_idempotent(spark, tmp_path):
     signature index: re-processing an epoch must leave decisions and
     the signature state identical, and a replayed batch must not probe
     its own failed attempt's signatures."""
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _minhash_index_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_indexes import _minhash_index_processor
 
     out = str(tmp_path / "out")
     sigs = str(tmp_path / "sigs")
@@ -711,9 +705,7 @@ def test_streaming_scd2_replay_and_boundary(spark, tmp_path):
     from datetime import datetime
 
     from data_ingestion_din_spark.functions.hashing import h64
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _scd2_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_cdc import _scd2_processor
     from pyspark.sql import functions as F2
 
     # find two sampled user ids (h64('scd:'||uid) % 7 == 0)
@@ -800,9 +792,7 @@ def test_streaming_phash_index_replay_idempotent(spark, tmp_path):
     decisions and the band state identical, a replayed batch must not
     probe its own failed attempt's hashes, and a near-identical payload
     landed later must match its earlier twin."""
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _phash_index_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_indexes import _phash_index_processor
 
     out = str(tmp_path / "out")
     phs = str(tmp_path / "phs")
@@ -860,9 +850,7 @@ def test_streaming_ivf_index_replay_idempotent(spark, tmp_path):
     WITHOUT retraining (the frozen-quantizer invariant)."""
     import os
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _ivf_index_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_indexes import _ivf_index_processor
 
     out = str(tmp_path / "out")
     cents = str(tmp_path / "cents")
@@ -918,9 +906,7 @@ def test_streaming_quality_gate_replay_idempotent(spark, tmp_path):
     retraining — OOV relative to batch-1's vocabulary, not their own."""
     import os
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _quality_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _quality_gate_processor
 
     out = str(tmp_path / "out")
     vocab = str(tmp_path / "vocab")
@@ -968,9 +954,7 @@ def test_streaming_substring_index_replay_idempotent(spark, tmp_path):
     index grows every landing (unlike the frozen models)."""
     import os
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _substring_index_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_indexes import _substring_index_processor
 
     out = str(tmp_path / "out")
     wfps = str(tmp_path / "wfps")
@@ -1018,9 +1002,7 @@ def test_streaming_dsir_gate_replay_idempotent(spark, tmp_path):
     identical text scores identically regardless of landing or source."""
     import os
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _dsir_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _dsir_gate_processor
 
     out = str(tmp_path / "out")
     ratio = str(tmp_path / "ratio")
@@ -1071,9 +1053,7 @@ def test_streaming_ivfpq_index_replay_idempotent(spark, tmp_path):
     later landings are routed AND encoded against the frozen states."""
     import os
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _ivfpq_index_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_indexes import _ivfpq_index_processor
 
     out = str(tmp_path / "out")
     cents = str(tmp_path / "cents")
@@ -1129,9 +1109,7 @@ def test_streaming_bpe_gate_replay_idempotent(spark, tmp_path):
     their own batch's statistics."""
     import os
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _bpe_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _bpe_gate_processor
 
     out = str(tmp_path / "out")
     merges = str(tmp_path / "merges")
@@ -1181,10 +1159,8 @@ def test_streaming_rollup_maintenance_replay_idempotent(spark, tmp_path):
     rollup identical (prior-epoch-only reads + idempotent overwrite),
     and the latest state equals the from-scratch aggregation of
     everything landed so far."""
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _latest_epoch_rows,
-        _rollup_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_core import _latest_epoch_rows
+    from data_ingestion_din_spark.plans.streaming_sketches import _rollup_processor
 
     state = str(tmp_path / "state")
     process = _rollup_processor(state)
@@ -1241,9 +1217,7 @@ def test_streaming_decontam_gate_replay_idempotent(spark, tmp_path):
     doc 1 repeats the benchmark's 8-gram and must be flagged."""
     import os
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _decontam_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _decontam_gate_processor
 
     bench = "w0 w1 w2 w3 w4 w5 w6 w7"
     out = str(tmp_path / "out")
@@ -1292,9 +1266,7 @@ def test_streaming_semdedup_gate_replay_idempotent(spark, tmp_path):
     the two batches (cos ~= 1 > 0.4); vector 3 is orthogonal-ish."""
     import os
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _semdedup_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _semdedup_gate_processor
 
     out = str(tmp_path / "out")
     cents = str(tmp_path / "cents")
@@ -1354,9 +1326,7 @@ def test_streaming_tmix_gate_replay_idempotent(spark, tmp_path):
     dropped, and replaying either epoch changes nothing."""
     import os
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _tmix_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _tmix_gate_processor
 
     out = str(tmp_path / "out")
     st = str(tmp_path / "rates")
@@ -1407,9 +1377,7 @@ def test_streaming_profile_gate_replay_idempotent(spark, tmp_path):
     the lang row must flag drift."""
     import os
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _profile_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_sketches import _profile_gate_processor
 
     out = str(tmp_path / "out")
     st = str(tmp_path / "baseline")
@@ -1474,9 +1442,7 @@ def test_streaming_ppl_gate_replay_idempotent(spark, tmp_path):
     exercises the backoff path."""
     import os
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _ppl_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _ppl_gate_processor
 
     out = str(tmp_path / "out")
     lm = str(tmp_path / "lm")
@@ -1530,7 +1496,7 @@ def test_streaming_ppl_gate_matches_batch_frame(spark):
     import duckdb
 
     from data_ingestion_din_spark.plans import QUERIES
-    from data_ingestion_din_spark.plans.streaming_queries import _sppl_oracle
+    from data_ingestion_din_spark.plans.streaming_gates import _sppl_oracle
 
     sf_dir = "/root/testdata/sf0.001"
     rows = QUERIES["streaming_ppl_gate"](spark, sf_dir).collect()
@@ -1556,9 +1522,7 @@ def test_streaming_anomaly_gate_replay_idempotent(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _anomaly_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_sketches import _anomaly_gate_processor
 
     out = str(tmp_path / "out")
     state = str(tmp_path / "state")
@@ -1616,9 +1580,7 @@ def test_streaming_bloom_gate_replay_idempotent(spark, tmp_path):
     repeating benchmark text is a full-hit."""
     import os
 
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _bloom_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _bloom_gate_processor
 
     out = str(tmp_path / "out")
     words = str(tmp_path / "words")
@@ -1655,9 +1617,7 @@ def test_streaming_bloom_gate_replay_idempotent(spark, tmp_path):
 
 
 def test_streaming_bloom_gate_plan(spark, tmp_path):
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _bloom_gate_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_gates import _bloom_gate_processor
 
     p = _bloom_gate_processor(str(tmp_path / "o"), str(tmp_path / "w"))
     b0 = spark.createDataFrame(
@@ -1686,9 +1646,7 @@ def test_streaming_quantile_maintenance_replay_idempotent(spark, tmp_path):
     state identical, and the merged histogram equals the from-scratch
     histogram of both batches (merge == rebuild, the mergeable-summary
     property the readback's oracle also enforces)."""
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _quantile_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_sketches import _quantile_processor
 
     state = str(tmp_path / "state")
     process = _quantile_processor(state)
@@ -1725,9 +1683,7 @@ def test_streaming_cms_maintenance_replay_idempotent(spark, tmp_path):
     """Additive-CMS contract: replay leaves the grid identical, and
     the merged grid's total mass equals both batches' token count
     (counters only ever sum — no occurrence lost or doubled)."""
-    from data_ingestion_din_spark.plans.streaming_queries import (
-        _cms_processor,
-    )
+    from data_ingestion_din_spark.plans.streaming_sketches import _cms_processor
     from data_ingestion_din_spark.plans.analytic_ext import _CMS_D
 
     state = str(tmp_path / "state")
@@ -1755,3 +1711,116 @@ def test_streaming_cms_maintenance_replay_idempotent(spark, tmp_path):
     cur = spark.read.parquet(os.path.join(state, "epoch=1"))
     total = sum(r.counter for r in cur.collect())
     assert total == 5 * _CMS_D  # 5 occurrences × d rows
+
+
+def test_stream_outer_join_null_emission_boundaries(spark, tmp_path):
+    """The three empirically pinned outer-join facts (see streaming_cdc's
+    block comment): (1) min-policy watermark only advances when BOTH
+    streams land data in a run, (2) the trailing no-data micro-batch of
+    that run emits the nulls, (3) eviction is strict — a click whose
+    interval end EQUALS the watermark stays buffered."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path)
+    lc, le, ck, out = [os.path.join(base, d) for d in ("c", "e", "ck", "o")]
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "event_id bigint, us bigint, user_id bigint"
+        ).select(
+            "event_id", F.timestamp_micros(F.col("us")).alias("ts"), "user_id"
+        )
+
+    S = 1_000_000  # one second in µs
+    B = 1_700_000_000 * S  # epoch base: ts at exactly 0 would be dropped
+    # as late against the initial 1970 watermark (strictly-at-wm drop, r6)
+
+    def run_once():
+        schema = "event_id bigint, ts timestamp, user_id bigint"
+        c = (
+            spark.readStream.schema(schema)
+            .parquet(lc + "/*")
+            .withWatermark("ts", "10 minutes")
+            .alias("c")
+        )
+        e = (
+            spark.readStream.schema(schema)
+            .parquet(le + "/*")
+            .withWatermark("ts", "10 minutes")
+            .alias("e")
+        )
+        j = c.join(
+            e,
+            F.expr(
+                "c.user_id = e.user_id AND e.ts >= c.ts "
+                "AND e.ts <= c.ts + interval 1 hour"
+            ),
+            "leftOuter",
+        ).select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("e.event_id").alias("error_id"),
+        )
+        q = (
+            j.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    def land(d, rows, name):
+        df(rows).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, name)
+        )
+
+    def emitted():
+        return sorted(
+            (r.click_id, r.error_id)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # clicks: 1 matches, 2/3/4 never match, 5's interval closes EXACTLY
+    # at the final watermark (20M−600 s), pinning eviction strictness
+    land(
+        lc,
+        [
+            (1, B, 10),
+            (2, B + 1000 * S, 20),
+            (3, B + 5000 * S, 30),
+            (4, B + 4800 * S, 40),
+            (5, B + 19_995_800 * S, 50),
+        ],
+        "b0",
+    )
+    land(le, [(101, B + 100 * S, 10)], "b0")
+    run_once()
+    assert emitted() == [(1, 101)]
+
+    # errors-only landing: watermark pinned by the silent clicks stream
+    land(le, [(102, B + 9000 * S, 99)], "b1")
+    run_once()
+    assert emitted() == [(1, 101)]  # fact 1: no advance, no nulls
+
+    # clicks-only sentinel: the now-silent ERRORS stream pins the min
+    land(lc, [(900, B + 10_000_000 * S, -1)], "b1")
+    run_once()
+    assert emitted() == [(1, 101)]  # fact 1 is symmetric
+
+    # paired sentinels advance the watermark to min(30M, 20M)−600 s; the
+    # trailing no-data batch (fact 2) emits every closed unmatched click
+    # — including the run-2 sentinel — but NOT click 5, whose interval
+    # end equals the watermark exactly (fact 3: strict <)
+    land(lc, [(901, B + 30_000_000 * S, -1)], "b2")
+    land(le, [(103, B + 20_000_000 * S, -1)], "b2")
+    run_once()
+    assert emitted() == [
+        (1, 101),
+        (2, None),
+        (3, None),
+        (4, None),
+        (900, None),
+    ]
