@@ -34,6 +34,8 @@ _DRIVER_PRIORITY: list[str] = [
     # Round-11 additions are inserted here as they land (never sampled).
     "streaming_stream_outer_join",
     "dedup_substring_w_grid",
+    "doc_trigram_perplexity",
+    "doc_lm_interp_ab",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

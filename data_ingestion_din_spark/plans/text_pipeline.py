@@ -2202,6 +2202,365 @@ def doc_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# doc_trigram_perplexity — one step from the bigram Stupid-Backoff above
+# toward the 5-gram KenLM CCNet runs: an INTERPOLATED trigram LM
+# (Jelinek-Mercer shape) in pure integer arithmetic. Component
+# probabilities live in fixed point (p·2^S, S=30, exact integer
+# division on both engines); the mixture is an integer-weighted sum
+# with octave weights summing to 8, and the per-gram NLL is its octave
+#
+#   q = intlog2(8·2^S) − intlog2(λ3·p3 + λ2·p2 + λ1·p1)
+#     = (S+4) − length(bin(mix))                    (mix ≥ 1: λ1 ≥ 1
+#       and the add-one unigram keeps p1 ≥ 1 while T+1 ≤ 2^S)
+#
+# so scores and keep/drop decisions stay under the hash gate. Same %4
+# trainer protocol as the bigram (train quarter, score everyone). The
+# λ grid was MEASURED before shipping (doc_lm_interp_ab below): on this
+# fixture held-out NLL is monotone TOWARD the bigram component —
+# (4,2,2)=5889, (2,4,2)=5605, (1,5,2)=5510, pure-bigram (0,7,1)=5486
+# milli-octaves/gram, all above Stupid-Backoff's 4683 — the %4 training
+# quarter is too sparse for trigram contexts to pay (10,580 of 26,165
+# scored trigrams hit a trained context at sf0.01). Production λ is
+# (1,5,2), the best setting whose trigram component is alive; the A/B
+# query keeps the whole surface gated rather than a hypothesis comment.
+#
+# Scale: one (h1,h2,x) shuffle trains the trigram table, scoring is
+# corpus trigrams shuffle-joined against it plus the bigram/unigram
+# tables (long-tail keys — NOT broadcastable, hint-free), one doc_id
+# rollup; the 1-row total attaches via crossJoin like the bigram.
+# 2^S fixed point caps exact counts at tri_n < 2^33 per key — fine for
+# any training slice whose single most frequent trigram is < 8.5e9.
+# --------------------------------------------------------------------------
+_PPL3_S = 30
+_PPL3_LAMBDAS = ((4, 2, 2), (2, 4, 2), (1, 5, 2), (0, 7, 1))  # sum = 8
+_PPL3_L = (1, 5, 2)  # production: measured knee with a live trigram term
+_PPL3_KEEP_MAX = 5470  # ~fixture median under the production lambda
+# (range 4235..6300, median 5473 at (1,5,2)): the keep decision splits
+# the corpus instead of waving everyone through, like _PPL_KEEP_MAX
+
+
+def _ppl3_ctes() -> str:
+    """Trigram/bigram/unigram component probabilities per scored trigram,
+    fixed point p·2^S — the shared head of both queries below."""
+    return f"""
+    t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    tri AS (
+      SELECT doc_id, t[i] AS h1, t[i+1] AS h2, t[i+2] AS x
+      FROM t, unnest(range(1, len(t) - 1)) r(i) WHERE i + 2 <= len(t)
+    ),
+    tc AS (
+      SELECT h1, h2, x, CAST(count(*) AS BIGINT) AS tri_n
+      FROM tri WHERE doc_id % {_PPL_TRAIN_MOD} = 0 GROUP BY h1, h2, x
+    ),
+    ctx3 AS (
+      SELECT h1, h2, CAST(sum(tri_n) AS BIGINT) AS ctx_n
+      FROM tc GROUP BY h1, h2
+    ),
+    prs3 AS (
+      SELECT doc_id, t[i] AS head, t[i + 1] AS next
+      FROM t, unnest(range(1, len(t))) r(i) WHERE i < len(t)
+    ),
+    pc3 AS (
+      SELECT head, next, CAST(count(*) AS BIGINT) AS pair_n
+      FROM prs3 WHERE doc_id % {_PPL_TRAIN_MOD} = 0 GROUP BY head, next
+    ),
+    hn3 AS (
+      SELECT *, CAST(sum(pair_n) OVER (PARTITION BY head) AS BIGINT)
+                  AS head_n
+      FROM pc3
+    ),
+    trtok3 AS (
+      SELECT unnest(t) AS tok FROM t WHERE doc_id % {_PPL_TRAIN_MOD} = 0
+    ),
+    uc3 AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS tok_n FROM trtok3 GROUP BY tok
+    ),
+    tot3 AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM trtok3),
+    comps AS (
+      SELECT g.doc_id,
+        CASE WHEN c.tri_n IS NOT NULL
+          THEN c.tri_n * {1 << _PPL3_S} // x3.ctx_n ELSE 0 END AS p3,
+        CASE WHEN h.pair_n IS NOT NULL
+          THEN h.pair_n * {1 << _PPL3_S} // h.head_n ELSE 0 END AS p2,
+        (coalesce(u.tok_n, 0) + 1) * {1 << _PPL3_S} // (tot3.tt + 1) AS p1,
+        CASE WHEN c.tri_n IS NOT NULL THEN 1 ELSE 0 END AS tri_hit,
+        CASE WHEN h.pair_n IS NOT NULL THEN 1 ELSE 0 END AS bi_hit
+      FROM tri g
+      LEFT JOIN tc c ON c.h1 = g.h1 AND c.h2 = g.h2 AND c.x = g.x
+      LEFT JOIN ctx3 x3 ON x3.h1 = g.h1 AND x3.h2 = g.h2
+      LEFT JOIN hn3 h ON h.head = g.h2 AND h.next = g.x
+      LEFT JOIN uc3 u ON u.tok = g.x
+      CROSS JOIN tot3
+    )"""
+
+
+def _ppl3_q_sql(lams: tuple[int, int, int]) -> str:
+    l3, l2, l1 = lams
+    return (
+        f"{_PPL3_S + 4} - length(bin({l3} * p3 + {l2} * p2 + {l1} * p1))"
+    )
+
+
+def _tri_comps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the ``comps`` CTE: per scored trigram, the fixed
+    point component probabilities and hit flags."""
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    t = t0.filter(F.size("t") >= 3)
+    tri = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), "
+                "i -> struct(t[i - 1] AS h1, t[i] AS h2, t[i + 1] AS x))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.h1", "g.h2", "g.x")
+    train3 = tri.filter(F.col("doc_id") % _PPL_TRAIN_MOD == 0)
+    tc = train3.groupBy("h1", "h2", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tri_n")
+    )
+    ctx3 = tc.groupBy("h1", "h2").agg(
+        F.sum("tri_n").cast("bigint").alias("ctx_n")
+    )
+    t2 = t0.filter(F.size("t") >= 2)
+    prs = t2.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS head, t[i] AS next))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.head", "p.next")
+    pc = (
+        prs.filter(F.col("doc_id") % _PPL_TRAIN_MOD == 0)
+        .groupBy("head", "next")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
+    )
+    from pyspark.sql.window import Window as W
+
+    hn = pc.withColumn(
+        "head_n", F.sum("pair_n").over(W.partitionBy("head")).cast("bigint")
+    )
+    trtok = t0.filter(F.col("doc_id") % _PPL_TRAIN_MOD == 0).select(
+        F.explode("t").alias("tok")
+    )
+    uc = trtok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tok_n")
+    )
+    tot = trtok.agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+    two = F.lit(1 << _PPL3_S)
+    return (
+        tri.join(tc, ["h1", "h2", "x"], "left")
+        .join(ctx3, ["h1", "h2"], "left")
+        .join(
+            hn.select(
+                F.col("head").alias("h2"),
+                F.col("next").alias("x"),
+                "pair_n",
+                "head_n",
+            ),
+            ["h2", "x"],
+            "left",
+        )
+        .join(uc.withColumnRenamed("tok", "x"), "x", "left")
+        .crossJoin(tot)  # 1-row scalar attach, hint-free (as the bigram)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("tri_n").isNotNull(),
+                F.expr(f"tri_n * {1 << _PPL3_S} DIV ctx_n"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("p3"),
+            F.when(
+                F.col("pair_n").isNotNull(),
+                F.expr(f"pair_n * {1 << _PPL3_S} DIV head_n"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("p2"),
+            F.expr(
+                f"(coalesce(tok_n, 0) + 1) * {1 << _PPL3_S} DIV (tt + 1)"
+            )
+            .cast("bigint")
+            .alias("p1"),
+            F.col("tri_n").isNotNull().cast("int").alias("tri_hit"),
+            F.col("pair_n").isNotNull().cast("int").alias("bi_hit"),
+        )
+    )
+
+
+def _ppl3_q_col(lams: tuple[int, int, int]):
+    l3, l2, l1 = lams
+    return F.lit(_PPL3_S + 4) - F.length(
+        F.bin(
+            F.lit(l3) * F.col("p3")
+            + F.lit(l2) * F.col("p2")
+            + F.lit(l1) * F.col("p1")
+        )
+    ).cast("bigint")
+
+
+@query(
+    "doc_trigram_perplexity",
+    oracle=f"""
+    WITH {_ppl3_ctes()}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(tri_hit) AS BIGINT) AS n_tri_hit,
+           CAST(sum(bi_hit) AS BIGINT) AS n_bi_hit,
+           CAST(sum({_ppl3_q_sql(_PPL3_L)}) AS BIGINT) AS q_sum,
+           CAST(sum({_ppl3_q_sql(_PPL3_L)}) * 1000 // count(*) AS BIGINT)
+             AS ppl_milli,
+           (sum({_ppl3_q_sql(_PPL3_L)}) * 1000 // count(*))
+             <= {_PPL3_KEEP_MAX} AS keep
+    FROM comps GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = _tri_comps(spark, sf_dir).withColumn("q", _ppl3_q_col(_PPL3_L))
+    return (
+        comps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.sum("tri_hit").cast("bigint").alias("n_tri_hit"),
+            F.sum("bi_hit").cast("bigint").alias("n_bi_hit"),
+            F.sum("q").cast("bigint").alias("q_sum"),
+            F.expr("sum(q) * 1000 DIV count(*)")
+            .cast("bigint")
+            .alias("ppl_milli"),
+            (F.expr("sum(q) * 1000 DIV count(*)") <= _PPL3_KEEP_MAX).alias(
+                "keep"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_lm_interp_ab — the λ-GRID A/B for the interpolated trigram vs the
+# bigram Stupid-Backoff, on HELD-OUT docs (doc_id%4 != 0 — the docs the
+# %4 trainer never saw), one hash-gated row per λ: held-out per-gram
+# NLL for the mixture, the bigram baseline on the same doc set, and the
+# keep/drop deltas (trigram keep at _PPL3_KEEP_MAX vs the bigram gate
+# at _PPL_KEEP_MAX; n_flip = docs the two gates disagree on). The
+# measured surface is the honest headline: every mixture trails the
+# backoff baseline on this fixture, monotonically in trigram weight —
+# shipping the measurement instead of the assumption (the IVFPQ
+# residual-crossover precedent).
+# --------------------------------------------------------------------------
+def _ab_oracle() -> str:
+    lam_qs = ",\n           ".join(
+        f"CAST(sum({_ppl3_q_sql(l)}) AS BIGINT) AS qs_{i},\n           "
+        f"CAST(sum({_ppl3_q_sql(l)}) * 1000 // count(*) AS BIGINT)"
+        f" AS ppl_{i}"
+        for i, l in enumerate(_PPL3_LAMBDAS)
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"""
+    SELECT {l[0]} AS l3, {l[1]} AS l2, {l[2]} AS l1,
+           CAST(sum(qs_{i}) * 1000 // sum(n3) AS BIGINT) AS tri_nll_milli,
+           CAST(sum(b.q_sum) * 1000 // sum(b.n_bigrams) AS BIGINT)
+             AS bi_nll_milli,
+           CAST(count(*) AS BIGINT) AS n_heldout,
+           CAST(sum(CASE WHEN ppl_{i} <= {_PPL3_KEEP_MAX}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_tri,
+           CAST(sum(CASE WHEN b.ppl_milli <= {_PPL_KEEP_MAX}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_bi,
+           CAST(sum(CASE WHEN (ppl_{i} <= {_PPL3_KEEP_MAX})
+                         <> (b.ppl_milli <= {_PPL_KEEP_MAX})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flip
+    FROM per3 JOIN b USING (doc_id)
+    WHERE doc_id % {_PPL_TRAIN_MOD} <> 0"""
+        for i, l in enumerate(_PPL3_LAMBDAS)
+    )
+    return f"""
+    WITH {_ppl3_ctes()},
+    per3 AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n3,
+           {lam_qs}
+      FROM comps GROUP BY doc_id
+    ),
+    bq AS (
+      SELECT p.doc_id,
+             CASE WHEN h.pair_n IS NOT NULL
+               THEN CAST(length(bin(h.head_n + 1)) AS BIGINT)
+                    - CAST(length(bin(h.pair_n)) AS BIGINT)
+               ELSE 1 + CAST(length(bin(tot3.tt + 1)) AS BIGINT)
+                    - CAST(length(bin(coalesce(u.tok_n, 0) + 1)) AS BIGINT)
+             END AS q
+      FROM prs3 p
+      LEFT JOIN hn3 h ON h.head = p.head AND h.next = p.next
+      LEFT JOIN uc3 u ON u.tok = p.next
+      CROSS JOIN tot3
+    ),
+    b AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(q) AS BIGINT) AS q_sum,
+             CAST(sum(q) * 1000 // count(*) AS BIGINT) AS ppl_milli
+      FROM bq GROUP BY doc_id
+    )
+    SELECT * FROM ({rows})
+    ORDER BY l3 DESC, l2
+    """
+
+
+@query("doc_lm_interp_ab", oracle=_ab_oracle())
+def doc_lm_interp_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = _tri_comps(spark, sf_dir)
+    for i, lams in enumerate(_PPL3_LAMBDAS):
+        comps = comps.withColumn(f"q_{i}", _ppl3_q_col(lams))
+    per3 = comps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n3"),
+        *[
+            c
+            for i in range(len(_PPL3_LAMBDAS))
+            for c in (
+                F.sum(f"q_{i}").cast("bigint").alias(f"qs_{i}"),
+                F.expr(f"sum(q_{i}) * 1000 DIV count(*)")
+                .cast("bigint")
+                .alias(f"ppl_{i}"),
+            )
+        ],
+    )
+    bi = doc_ngram_perplexity(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "q_sum", "ppl_milli"
+    )
+    joined = per3.join(
+        bi.withColumnRenamed("q_sum", "bqs").withColumnRenamed(
+            "ppl_milli", "bppl"
+        ),
+        "doc_id",
+    ).filter(F.col("doc_id") % _PPL_TRAIN_MOD != 0)
+    grid = None
+    for i, (l3, l2, l1) in enumerate(_PPL3_LAMBDAS):
+        keep_t = F.col(f"ppl_{i}") <= _PPL3_KEEP_MAX
+        keep_b = F.col("bppl") <= _PPL_KEEP_MAX
+        row = joined.agg(
+            F.lit(l3).cast("int").alias("l3"),
+            F.lit(l2).cast("int").alias("l2"),
+            F.lit(l1).cast("int").alias("l1"),
+            F.expr(f"sum(qs_{i}) * 1000 DIV sum(n3)")
+            .cast("bigint")
+            .alias("tri_nll_milli"),
+            F.expr("sum(bqs) * 1000 DIV sum(n_bigrams)")
+            .cast("bigint")
+            .alias("bi_nll_milli"),
+            F.count(F.lit(1)).cast("bigint").alias("n_heldout"),
+            F.sum(keep_t.cast("int")).cast("bigint").alias("n_keep_tri"),
+            F.sum(keep_b.cast("int")).cast("bigint").alias("n_keep_bi"),
+            F.sum((keep_t != keep_b).cast("int"))
+            .cast("bigint")
+            .alias("n_flip"),
+        )
+        grid = row if grid is None else grid.unionByName(row)
+    return grid.orderBy(F.desc("l3"), "l2")
+
+
+# --------------------------------------------------------------------------
 # corpus_unigram_tokenize — the UNIGRAM-LM tokenizer (SentencePiece /
 # Kudo 2018 shape) next to BPE: the tokenizer A/B every LLM data team
 # runs. Candidate pieces are the corpus's substrings of length
