@@ -36,6 +36,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_substring_w_grid",
     "doc_trigram_perplexity",
     "doc_lm_interp_ab",
+    "dq_k_anonymity_generalize",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

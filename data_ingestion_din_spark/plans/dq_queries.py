@@ -676,3 +676,189 @@ def dq_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "size_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# dq_k_anonymity_generalize — k-anonymity REPAIR, the mechanism behind
+# the three audits above (audit says WHICH cells are re-identifiable;
+# this chooses the release shape that fixes them): a deterministic
+# generalization-lattice walk (the OLA/Incognito shape, El Emam 2009)
+# over two QI hierarchies —
+#
+#   lang: 0 = language, 1 = script family (cjk/latin), 2 = '*'
+#   size: 0 = 16-token bands, 1 = 64-token bands, 2 = the audit's
+#         coarse {64,256,1024} buckets, 3 = '*'
+#
+# — emitting ONE hash-gated row per lattice node (12) with its cell
+# count, min cell size, k≥10 verdict, and the information-loss
+# accounting (cells merged vs the (0,0) baseline; distinct lang/size
+# labels surviving), plus the CHOSEN node: the first k-satisfying node
+# in the documented total order (lattice height ascending, then
+# size_level, then lang_level — prefer generalizing size before
+# suppressing language). The whole surface is gated, not just the
+# winner, so the cost of each alternative release shape is measured
+# (the b×r / W-grid discipline applied to privacy repair).
+#
+# Scale: one corpus scan fanned out ×12 against the broadcast lattice
+# (a 12-row FROZEN control table — the bounded broadcast class), one
+# map-side-combined groupBy per the (node, cell) key, then node-sized
+# aggregates and 1-row scalar attaches. No growing-state broadcasts,
+# no collects.
+# --------------------------------------------------------------------------
+_KGEN_LANG_LEVELS = 3
+_KGEN_SIZE_LEVELS = 4
+
+
+def _kgen_oracle() -> str:
+    ntok = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    return f"""
+    WITH qi AS (
+      SELECT lang,
+             CASE WHEN lang = 'zh' THEN 'cjk' ELSE 'latin' END AS fam,
+             CAST({ntok} // 16 * 16 AS BIGINT) AS s0,
+             CAST({ntok} // 64 * 64 AS BIGINT) AS s1,
+             CAST({_QI_BUCKET_SQL} AS BIGINT) AS s2
+      FROM documents
+    ),
+    lattice AS (
+      SELECT ll, sl
+      FROM unnest(range(0, {_KGEN_LANG_LEVELS})) a(ll),
+           unnest(range(0, {_KGEN_SIZE_LEVELS})) b(sl)
+    ),
+    cells AS (
+      SELECT l.ll AS lang_level, l.sl AS size_level,
+             CASE l.ll WHEN 0 THEN q.lang WHEN 1 THEN q.fam
+                       ELSE '*' END AS cell_lang,
+             CASE l.sl WHEN 0 THEN CAST(q.s0 AS VARCHAR)
+                       WHEN 1 THEN CAST(q.s1 AS VARCHAR)
+                       WHEN 2 THEN CAST(q.s2 AS VARCHAR)
+                       ELSE '*' END AS cell_size,
+             CAST(count(*) AS BIGINT) AS n
+      FROM qi q CROSS JOIN lattice l
+      GROUP BY 1, 2, 3, 4
+    ),
+    nodes AS (
+      SELECT lang_level, size_level,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(min(n) AS BIGINT) AS min_cell,
+             CAST(CASE WHEN min(n) >= {_KANON_K} THEN 1 ELSE 0 END AS INT)
+               AS k_ok,
+             CAST(count(DISTINCT cell_lang) AS BIGINT) AS lang_labels,
+             CAST(count(DISTINCT cell_size) AS BIGINT) AS size_labels,
+             CAST(lang_level + size_level AS BIGINT) * 100
+               + size_level * 10 + lang_level AS walk_rank
+      FROM cells GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT n_cells AS cells0 FROM nodes
+      WHERE lang_level = 0 AND size_level = 0
+    ),
+    best AS (
+      SELECT min(walk_rank) AS r FROM nodes WHERE k_ok = 1
+    )
+    SELECT CAST(n.lang_level AS INT) AS lang_level,
+           CAST(n.size_level AS INT) AS size_level,
+           n.n_cells, n.min_cell, n.k_ok,
+           CAST(b.cells0 - n.n_cells AS BIGINT) AS cells_merged,
+           n.lang_labels, n.size_labels,
+           CAST(CASE WHEN n.walk_rank = best.r THEN 1 ELSE 0 END AS INT)
+             AS chosen
+    FROM nodes n CROSS JOIN base b CROSS JOIN best
+    ORDER BY lang_level, size_level
+    """
+
+
+@query("dq_k_anonymity_generalize", oracle=_kgen_oracle())
+def dq_k_anonymity_generalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    qi = docs.select(
+        "lang",
+        F.when(F.col("lang") == "zh", "cjk").otherwise("latin").alias("fam"),
+        (n_tok - n_tok % 16).cast("bigint").alias("s0"),
+        (n_tok - n_tok % 64).cast("bigint").alias("s1"),
+        F.when(n_tok < 64, 64)
+        .when(n_tok < 256, 256)
+        .otherwise(1024)
+        .cast("bigint")
+        .alias("s2"),
+    )
+    lattice = spark.createDataFrame(
+        [
+            (ll, sl)
+            for ll in range(_KGEN_LANG_LEVELS)
+            for sl in range(_KGEN_SIZE_LEVELS)
+        ],
+        "lang_level int, size_level int",
+    )
+    cells = (
+        qi.crossJoin(F.broadcast(lattice))  # 12-row frozen control table
+        .select(
+            "lang_level",
+            "size_level",
+            F.when(F.col("lang_level") == 0, F.col("lang"))
+            .when(F.col("lang_level") == 1, F.col("fam"))
+            .otherwise(F.lit("*"))
+            .alias("cell_lang"),
+            F.when(F.col("size_level") == 0, F.col("s0").cast("string"))
+            .when(F.col("size_level") == 1, F.col("s1").cast("string"))
+            .when(F.col("size_level") == 2, F.col("s2").cast("string"))
+            .otherwise(F.lit("*"))
+            .alias("cell_size"),
+        )
+        .groupBy("lang_level", "size_level", "cell_lang", "cell_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    nodes = cells.groupBy("lang_level", "size_level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.min("n").cast("bigint").alias("min_cell"),
+        F.when(F.min("n") >= _KANON_K, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("k_ok"),
+        F.countDistinct("cell_lang").cast("bigint").alias("lang_labels"),
+        F.countDistinct("cell_size").cast("bigint").alias("size_labels"),
+        (
+            (
+                F.col("lang_level").cast("bigint")
+                + F.col("size_level")
+            )
+            * 100
+            + F.col("size_level") * 10
+            + F.col("lang_level")
+        ).alias("walk_rank"),
+    )
+    base = (
+        nodes.filter(
+            (F.col("lang_level") == 0) & (F.col("size_level") == 0)
+        ).select(F.col("n_cells").alias("cells0"))
+    )
+    best = (
+        nodes.filter(F.col("k_ok") == 1)
+        .agg(F.min("walk_rank").alias("r"))
+    )
+    return (
+        nodes.crossJoin(base)  # 1-row scalar attaches
+        .crossJoin(best)
+        .select(
+            "lang_level",
+            "size_level",
+            "n_cells",
+            "min_cell",
+            "k_ok",
+            (F.col("cells0") - F.col("n_cells"))
+            .cast("bigint")
+            .alias("cells_merged"),
+            "lang_labels",
+            "size_labels",
+            F.when(F.col("walk_rank") == F.col("r"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("chosen"),
+        )
+        .orderBy("lang_level", "size_level")
+    )
