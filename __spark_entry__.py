@@ -37,6 +37,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_trigram_perplexity",
     "doc_lm_interp_ab",
     "dq_k_anonymity_generalize",
+    "similarity_graph_nsw_grid",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -437,7 +437,7 @@ def main() -> None:
     stage("ivfpq_stream_index", lambda: _siq_out_dir(spark, sf_dir))
     # graph-ANN audit tables: the guarded all-pairs kNN build + the
     # collected walk inputs (one-time audit cost, like sweep_etop)
-    from data_ingestion_din_spark.plans.similarity_queries import (
+    from data_ingestion_din_spark.plans.graph_queries import (
         _gr_collected,
     )
 
