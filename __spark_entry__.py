@@ -38,6 +38,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_lm_interp_ab",
     "dq_k_anonymity_generalize",
     "similarity_graph_nsw_grid",
+    "doc_lm_smoothing_ab",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

