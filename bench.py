@@ -317,6 +317,14 @@ BENCH_QUERIES = [
     "streaming_cms_maintenance",
     "dq_t_closeness_audit",
     "similarity_graph_insert",
+    # round-11 additions
+    "streaming_stream_outer_join",
+    "dedup_substring_w_grid",
+    "doc_trigram_perplexity",
+    "doc_lm_interp_ab",
+    "doc_lm_smoothing_ab",
+    "dq_k_anonymity_generalize",
+    "similarity_graph_nsw_grid",
 ]
 
 

@@ -91,6 +91,13 @@ BUDGETS = {
     # r10 additions that top the new detail file (clean 168.1 s/216 run)
     "dedup_minhash_br_grid": 6.0,  # 3.45 s in-suite (the S-curve audit)
     "corpus_bloom_decontaminate": 4.5,  # 2.6 s in-suite
+    # r11 additions (steady best-of-two on a settled host, ~1.8x)
+    "dedup_substring_w_grid": 6.0,  # 3.4 s (three window-length passes)
+    "doc_trigram_perplexity": 4.0,  # 2.1 s
+    "doc_lm_interp_ab": 7.5,  # 4.2 s (trigram + bigram pipelines x 4 lambdas)
+    "doc_lm_smoothing_ab": 6.0,  # 3.3 s (four recipes, one stream)
+    "dq_k_anonymity_generalize": 3.0,  # 1.6 s (12-node lattice fan-out)
+    "similarity_graph_nsw_grid": 2.0,  # 0.96 s (staged edge artifact)
 }
 
 
