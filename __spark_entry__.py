@@ -39,6 +39,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dq_k_anonymity_generalize",
     "similarity_graph_nsw_grid",
     "doc_lm_smoothing_ab",
+    "streaming_stream_full_outer_join",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -325,6 +325,7 @@ BENCH_QUERIES = [
     "doc_lm_smoothing_ab",
     "dq_k_anonymity_generalize",
     "similarity_graph_nsw_grid",
+    "streaming_stream_full_outer_join",
 ]
 
 
@@ -450,6 +451,16 @@ def main() -> None:
     )
 
     stage("graph_ann_edges", lambda: _gr_collected(spark, sf_dir))
+    # outer-join stream landings (checkpointed availableNow runs) — the
+    # benched row is the readback, the landings are one-time setup like
+    # the ivfpq stream index
+    from data_ingestion_din_spark.plans.streaming_cdc import (
+        _sjf_out_dir,
+        _sjo_out_dir,
+    )
+
+    stage("sjoin_outer_landings", lambda: _sjo_out_dir(spark, sf_dir))
+    stage("sjoin_full_landings", lambda: _sjf_out_dir(spark, sf_dir))
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}

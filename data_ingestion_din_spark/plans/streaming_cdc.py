@@ -540,6 +540,179 @@ def streaming_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# streaming_stream_full_outer_join — the third and last stream-stream
+# join semantics: FULL outer, where BOTH sides null-emit on watermark
+# close. The left side's eviction arithmetic is the leftOuter query's
+# (click closes when wm passes click_ts + 1h, strict, ms-floored); the
+# RIGHT side's is new: an error e can only match clicks with
+# c.ts ∈ [e.ts − 1h, e.ts], and future clicks arrive above the
+# watermark — so an unmatched error null-emits once wm passes e.ts
+# ITSELF (strict, same ms-floored value). Same landings and the same
+# paired-sentinel watermark mechanics as the leftOuter sibling (the
+# sentinel click matches no error and no error's window, so it
+# perturbs neither side's null set).
+#
+# The oracle restates all three parts: the interval join, the closed
+# never-matched clicks, and the closed never-matched errors — so hash
+# parity pins the right-side eviction boundary empirically too (the
+# first hash run IS the probe: < vs <= differ by any error exactly at
+# the watermark).
+# --------------------------------------------------------------------------
+_SJF_DONE: dict[tuple[str, str], str] = {}
+
+
+def _sjf_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SJF_DONE, key[0])
+    if key in _SJF_DONE:
+        from data_ingestion_din_spark.operators.colocate import _dir_ok
+
+        if _dir_ok(_SJF_DONE[key]):
+            return _SJF_DONE[key]
+        del _SJF_DONE[key]
+    from data_ingestion_din_spark.operators.colocate import fresh_app_dir
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_sjoin_full")
+    landing_c = os.path.join(base, "clicks")
+    landing_e = os.path.join(base, "errors")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = lo + (hi - lo) // 2  # setup-stage scalar (layout prep, 1 row)
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    errors = ev.filter(F.col("event_type") == "error").drop("event_type")
+
+    def run_once() -> None:
+        schema = "event_id bigint, ts timestamp, user_id bigint"
+        c = (
+            spark.readStream.schema(schema)
+            .parquet(landing_c + "/*")
+            .withWatermark("ts", "10 minutes")
+            .alias("c")
+        )
+        e = (
+            spark.readStream.schema(schema)
+            .parquet(landing_e + "/*")
+            .withWatermark("ts", "10 minutes")
+            .alias("e")
+        )
+        joined = c.join(
+            e,
+            F.expr(
+                "c.user_id = e.user_id AND e.ts >= c.ts "
+                "AND e.ts <= c.ts + interval 1 hour"
+            ),
+            "fullOuter",
+        ).select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("e.event_id").alias("error_id"),
+            F.coalesce(F.col("c.user_id"), F.col("e.user_id")).alias(
+                "user_id"
+            ),
+            F.unix_micros(F.col("c.ts")).alias("click_us"),
+            F.unix_micros(F.col("e.ts")).alias("error_us"),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+
+    clicks.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(landing_c, "b0")
+    )
+    errors.filter(F.unix_micros("ts") < mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(landing_e, "b0"))
+    run_once()
+    errors.filter(F.unix_micros("ts") >= mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(landing_e, "b1"))
+    spark.createDataFrame(
+        [(-1, hi + 30 * 24 * 3_600_000_000, -1)],
+        "event_id bigint, us bigint, user_id bigint",
+    ).select(
+        "event_id", F.timestamp_micros(F.col("us")).alias("ts"), "user_id"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(landing_c, "b1")
+    )
+    run_once()
+    _SJF_DONE[key] = out
+    return out
+
+
+@query(
+    "streaming_stream_full_outer_join",
+    oracle=f"""
+    WITH cl AS (
+      SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+    ),
+    er AS (
+      SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'
+    ),
+    m AS (
+      SELECT cl.event_id AS click_id, er.event_id AS error_id,
+             cl.user_id AS user_id,
+             epoch_us(cl.ts) AS click_us, epoch_us(er.ts) AS error_us
+      FROM cl JOIN er
+        ON er.user_id = cl.user_id AND er.ts >= cl.ts
+       AND epoch_us(er.ts) <= epoch_us(cl.ts) + {_SJOIN_WINDOW_US}
+    ),
+    cutoff AS (
+      SELECT (epoch_us(max(ts)) // 1000 - 600000) * 1000 AS wm_us FROM er
+    )
+    SELECT CAST(click_id AS BIGINT) AS click_id,
+           CAST(error_id AS BIGINT) AS error_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(click_us AS BIGINT) AS click_us,
+           CAST(error_us AS BIGINT) AS error_us
+    FROM m
+    UNION ALL
+    SELECT CAST(cl.event_id AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(cl.user_id AS BIGINT), CAST(epoch_us(cl.ts) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM cl CROSS JOIN cutoff
+    WHERE cl.event_id NOT IN (SELECT click_id FROM m)
+      AND epoch_us(cl.ts) + {_SJOIN_WINDOW_US} < cutoff.wm_us
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), CAST(er.event_id AS BIGINT),
+           CAST(er.user_id AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(epoch_us(er.ts) AS BIGINT)
+    FROM er CROSS JOIN cutoff
+    WHERE er.event_id NOT IN (SELECT error_id FROM m)
+      AND epoch_us(er.ts) < cutoff.wm_us
+    ORDER BY click_id, error_id
+    """,
+)
+def streaming_stream_full_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out = _sjf_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)  # drop the watermark sentinel
+        .select(
+            F.col("click_id").cast("bigint").alias("click_id"),
+            F.col("error_id").cast("bigint").alias("error_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("click_us").cast("bigint").alias("click_us"),
+            F.col("error_us").cast("bigint").alias("error_us"),
+        )
+        .orderBy("click_id", "error_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # streaming_session_windows — native session_window aggregation under
 # the hash gate, the canonical MERGING stateful operator (§2.11): 30-min
 # gap sessions per user, 30-min watermark, append mode. The landing is
