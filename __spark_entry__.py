@@ -40,6 +40,7 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_graph_nsw_grid",
     "doc_lm_smoothing_ab",
     "streaming_stream_full_outer_join",
+    "similarity_graph_routed_insert",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

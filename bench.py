@@ -326,6 +326,7 @@ BENCH_QUERIES = [
     "dq_k_anonymity_generalize",
     "similarity_graph_nsw_grid",
     "streaming_stream_full_outer_join",
+    "similarity_graph_routed_insert",
 ]
 
 

