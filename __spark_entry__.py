@@ -41,6 +41,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_lm_smoothing_ab",
     "streaming_stream_full_outer_join",
     "similarity_graph_routed_insert",
+    "similarity_graph_hnsw_entry",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -327,6 +327,7 @@ BENCH_QUERIES = [
     "similarity_graph_nsw_grid",
     "streaming_stream_full_outer_join",
     "similarity_graph_routed_insert",
+    "similarity_graph_hnsw_entry",
 ]
 
 

@@ -100,6 +100,7 @@ BUDGETS = {
     "similarity_graph_nsw_grid": 2.0,  # 0.96 s (staged edge artifact)
     "streaming_stream_full_outer_join": 2.0,  # 0.69 s readback
     "similarity_graph_routed_insert": 3.0,  # 1.56 s (staged edges + walk)
+    "similarity_graph_hnsw_entry": 2.5,  # 1.24 s (H-sweep off staged edges)
 }
 
 
