@@ -42,6 +42,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_stream_full_outer_join",
     "similarity_graph_routed_insert",
     "similarity_graph_hnsw_entry",
+    "doc_gopher_rules",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -328,6 +328,7 @@ BENCH_QUERIES = [
     "streaming_stream_full_outer_join",
     "similarity_graph_routed_insert",
     "similarity_graph_hnsw_entry",
+    "doc_gopher_rules",
 ]
 
 

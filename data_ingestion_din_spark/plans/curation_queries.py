@@ -1755,3 +1755,148 @@ def corpus_bloom_decontaminate(
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# doc_gopher_rules — the NAMED Gopher document-statistics battery (Rae
+# et al. 2021, Table A1), the rule set every LLM curation stack ports,
+# next to the repetition signals above (doc_repetition_quality covers
+# Gopher's dup-fraction rules; this covers the document-shape rules).
+# Per doc, the five metrics in exact integer per-mille plus one flag
+# per published threshold and the conjunctive keep:
+#
+#   word count        50 ≤ n ≤ 100,000
+#   mean word length  3 ≤ len ≤ 10      (milli-chars, exact division)
+#   alpha-word share  ≥ 80% of words contain an alphabetic character
+#   stop-word gate    ≥ 2 distinct of Gopher's 8 (the/be/to/of/and/
+#                      that/have/with)
+#   symbol-to-word    (# + …) ≤ 10% of words
+#
+# Measured on the fixture: the 50-word minimum splits the corpus
+# (277/500 pass), word length (3708–5300 milli) and alpha share (1000)
+# pass everywhere, and the stop-word gate FAILS corpus-wide — the
+# synthetic vocabulary contains only 'the' of the 8 (max stop_hits =
+# 1), so keep ≡ false. That is the published battery working as
+# designed: Gopher's stop-word rule exists precisely to drop
+# non-natural word-soup text, which this fixture is — kept at the
+# published thresholds rather than re-tuned to wave the fixture
+# through. The symbol rule is honestly all-pass (no #/… noise); every
+# metric column is computed, not constant-folded, so the hash gate
+# covers the arithmetic either way.
+#
+# Scale: one corpus scan, all built-in string/array expressions
+# (word-char mass via length(replace(text,' ','')) — codegen, not an
+# interpreted HOF fold), map-side trivially.
+# --------------------------------------------------------------------------
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in _GOPHER_STOPS) + "]"
+
+
+@query(
+    "doc_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_wchars,
+             CAST(len(list_filter(toks,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+               AS n_alpha,
+             CAST(len(list_filter({_GOPHER_STOPS_SQL},
+                    s -> list_contains(toks, s))) AS BIGINT) AS stop_hits,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS n_symbols
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id, n_words, stop_hits,
+             CAST(n_wchars * 1000 // greatest(n_words, 1) AS BIGINT)
+               AS mean_wlen_milli,
+             CAST(n_alpha * 1000 // greatest(n_words, 1) AS BIGINT)
+               AS alpha_permille,
+             CAST(n_symbols * 1000 // greatest(n_words, 1) AS BIGINT)
+               AS symbol_permille
+      FROM s
+    )
+    SELECT doc_id, n_words, mean_wlen_milli, alpha_permille, stop_hits,
+           symbol_permille,
+           CAST(n_words BETWEEN 50 AND 100000 AS INT) AS f_nwords,
+           CAST(mean_wlen_milli BETWEEN 3000 AND 10000 AS INT) AS f_wlen,
+           CAST(alpha_permille >= 800 AS INT) AS f_alpha,
+           CAST(stop_hits >= 2 AS INT) AS f_stop,
+           CAST(symbol_permille <= 100 AS INT) AS f_symbol,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_wlen_milli BETWEEN 3000 AND 10000)
+             AND alpha_permille >= 800 AND stop_hits >= 2
+             AND symbol_permille <= 100 AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    s = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("bigint")
+        .alias("n_wchars"),
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(F.filter(stops, lambda w: F.array_contains(toks, w)))
+        .cast("bigint")
+        .alias("stop_hits"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+            + (
+                F.length("text")
+                - F.length(
+                    F.replace(F.col("text"), F.lit("..."), F.lit(""))
+                )
+            )
+            / F.lit(3)
+        )
+        .cast("bigint")
+        .alias("n_symbols"),
+    )
+    m = s.select(
+        "doc_id",
+        "n_words",
+        "stop_hits",
+        F.expr("n_wchars * 1000 DIV greatest(n_words, 1)")
+        .cast("bigint")
+        .alias("mean_wlen_milli"),
+        F.expr("n_alpha * 1000 DIV greatest(n_words, 1)")
+        .cast("bigint")
+        .alias("alpha_permille"),
+        F.expr("n_symbols * 1000 DIV greatest(n_words, 1)")
+        .cast("bigint")
+        .alias("symbol_permille"),
+    )
+    f_nwords = F.col("n_words").between(50, 100000)
+    f_wlen = F.col("mean_wlen_milli").between(3000, 10000)
+    f_alpha = F.col("alpha_permille") >= 800
+    f_stop = F.col("stop_hits") >= 2
+    f_symbol = F.col("symbol_permille") <= 100
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen_milli",
+        "alpha_permille",
+        "stop_hits",
+        "symbol_permille",
+        f_nwords.cast("int").alias("f_nwords"),
+        f_wlen.cast("int").alias("f_wlen"),
+        f_alpha.cast("int").alias("f_alpha"),
+        f_stop.cast("int").alias("f_stop"),
+        f_symbol.cast("int").alias("f_symbol"),
+        (f_nwords & f_wlen & f_alpha & f_stop & f_symbol).alias("keep"),
+    ).orderBy("doc_id")
