@@ -44,6 +44,7 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_graph_hnsw_entry",
     "doc_gopher_rules",
     "similarity_mrl_dim_grid",
+    "dq_salt_factor_grid",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -330,6 +330,7 @@ BENCH_QUERIES = [
     "similarity_graph_hnsw_entry",
     "doc_gopher_rules",
     "similarity_mrl_dim_grid",
+    "dq_salt_factor_grid",
 ]
 
 

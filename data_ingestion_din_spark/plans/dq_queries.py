@@ -862,3 +862,104 @@ def dq_k_anonymity_generalize(
         )
         .orderBy("lang_level", "size_level")
     )
+
+
+# --------------------------------------------------------------------------
+# dq_salt_factor_grid — the SALT-FACTOR operating surface for the skew
+# recipe (operators/colocate.salted_join / salted_agg_sum): the skew
+# profile above says events.event_type is the hot key (5 keys, the
+# heaviest holding ~30% of rows), and the recipe's one knob is how many
+# salts to split it over. One hash-gated row per s ∈ {1, 4, 16, 64}:
+# realized reduce-cell count, the biggest cell after salting, its share
+# of the table, the REALIZED parallelization (max cell at s=1 over max
+# cell at s — the number that says whether the salt actually bought the
+# speedup, sub-linear once cells hit residue imbalance), and the
+# replication rows the small side pays (s × n_keys). Salt = event_id
+# mod s — the deterministic twin of the production hash salt, stated
+# so the audit itself sits under the hash gate.
+#
+# Scale: one map-side-combined groupBy per s over (key, salt) — the
+# same shuffle the salted join's reduce side would pay; the grid is
+# the pre-flight sizing table for the 100 TB join.
+# --------------------------------------------------------------------------
+_SALT_GRID = (1, 4, 16, 64)
+
+
+def _salt_grid_oracle() -> str:
+    per_s = "\n    UNION ALL\n    ".join(
+        f"""SELECT {s} AS n_salts,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT 1 FROM events GROUP BY event_type, event_id % {s}))
+             AS n_cells,
+           (SELECT CAST(max(c) AS BIGINT) FROM (
+              SELECT count(*) AS c FROM events
+              GROUP BY event_type, event_id % {s})) AS max_cell_rows"""
+        for s in _SALT_GRID
+    )
+    return f"""
+    WITH tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_keys
+      FROM events
+    ),
+    base AS (
+      SELECT CAST(max(c) AS BIGINT) AS max1 FROM (
+        SELECT count(*) AS c FROM events GROUP BY event_type)
+    )
+    SELECT CAST(n_salts AS INT) AS n_salts,
+           n_cells, max_cell_rows,
+           CAST(max_cell_rows * 1000 // tot.n_rows AS BIGINT)
+             AS max_share_permille,
+           CAST(base.max1 * 1000 // max_cell_rows AS BIGINT)
+             AS speedup_milli,
+           CAST(n_salts * tot.n_keys AS BIGINT) AS replication_rows
+    FROM ({per_s}) CROSS JOIN tot CROSS JOIN base
+    ORDER BY n_salts
+    """
+
+
+@query("dq_salt_factor_grid", oracle=_salt_grid_oracle())
+def dq_salt_factor_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    tot = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("event_type").cast("bigint").alias("n_keys"),
+    )
+    base = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").cast("bigint").alias("max1"))
+    )
+    grid = None
+    for s in _SALT_GRID:
+        cells = (
+            ev.groupBy("event_type", (F.col("event_id") % s).alias("salt"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.lit(s).cast("int").alias("n_salts"),
+                F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                F.max("c").cast("bigint").alias("max_cell_rows"),
+            )
+        )
+        grid = cells if grid is None else grid.unionByName(cells)
+    return (
+        grid.crossJoin(tot)  # 1-row scalar attaches
+        .crossJoin(base)
+        .select(
+            "n_salts",
+            "n_cells",
+            "max_cell_rows",
+            F.expr("max_cell_rows * 1000 DIV n_rows")
+            .cast("bigint")
+            .alias("max_share_permille"),
+            F.expr("max1 * 1000 DIV max_cell_rows")
+            .cast("bigint")
+            .alias("speedup_milli"),
+            (F.col("n_salts") * F.col("n_keys"))
+            .cast("bigint")
+            .alias("replication_rows"),
+        )
+        .orderBy("n_salts")
+    )
