@@ -331,6 +331,7 @@ BENCH_QUERIES = [
     "doc_gopher_rules",
     "similarity_mrl_dim_grid",
     "dq_salt_factor_grid",
+    "events_hll_precision_grid",
 ]
 
 

@@ -1402,3 +1402,140 @@ def events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# events_hll_precision_grid — the REGISTER-COUNT operating surface for
+# the portable HLL above: m is the sketch's one knob (memory = m
+# registers vs accuracy ~1.04/√m), and the RAW estimator (no
+# LinearCounting — libm-ln exclusion, documented on the m=64 query)
+# degrades exactly where n/m falls below ~2.5. One hash-gated row per
+# m ∈ {16, 64, 256} over the corpus-wide distinct user_id: registers
+# used, the exact scaled harmonic sum, the estimate, and the SIGNED
+# per-mille error — so the table shows both the √m accuracy gain and
+# the small-range blow-up that motivates HLL++'s bias correction
+# (at sf0.01 n=150: m=256 puts n/m at 0.6, deep in the regime raw HLL
+# overestimates; the error column is the measured case for the
+# correction, not a prose claim). Same integer-register recipe as
+# events_hll_distinct: rank = (61−p) − length(bin(h div m)), scaled
+# sum S = Σ 2^(32−min(rank,32)) exact in BIGINT, one final double
+# division per row with the alpha constant embedded as a literal.
+#
+# Scale: one distinct-hash pass feeds all three sketches (bucket/rank
+# are per-m projections of the same h); register state is m rows per
+# sketch regardless of cardinality.
+# --------------------------------------------------------------------------
+_HLL_GRID = (16, 64, 256)
+
+
+def _hll_alpha(m: int) -> float:
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+
+
+def _hll_grid_oracle() -> str:
+    rows = []
+    for m in _HLL_GRID:
+        p = m.bit_length() - 1
+        top = 61 - p
+        num = _hll_alpha(m) * m * m * 4294967296.0
+        rows.append(
+            f"""SELECT {m} AS m,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT h % {m} AS bucket FROM uh GROUP BY 1)) AS n_buckets,
+           (SELECT sum(CAST(1 AS BIGINT) << (32 - least(r, 32)))
+                   + ({m} - count(*)) * 4294967296
+            FROM (SELECT h % {m} AS bucket,
+                         max(CASE WHEN h // {m} = 0 THEN {top}
+                              ELSE {top} - length(bin(h // {m})) END) AS r
+                  FROM uh GROUP BY 1)) AS s_scaled,
+           {num!r} AS est_num"""
+        )
+    body = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH uh AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM uh)
+    SELECT CAST(m AS INT) AS m,
+           ex.n_exact,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(s_scaled AS BIGINT) AS s_scaled,
+           round(est_num / CAST(s_scaled AS DOUBLE), 4) AS hll_estimate,
+           round((est_num / CAST(s_scaled AS DOUBLE) - ex.n_exact)
+                 * 1000.0 / ex.n_exact, 2) AS err_permille
+    FROM ({body}) CROSS JOIN ex
+    ORDER BY m
+    """
+
+
+@query("events_hll_precision_grid", oracle=_hll_grid_oracle())
+def events_hll_precision_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    ev = load_table(spark, sf_dir, "events")
+    uh = (
+        ev.select(
+            h64(
+                F.concat(F.lit("hll:"), F.col("user_id").cast("string"))
+            ).alias("h")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # one hash pass feeds all three m
+    )
+    ex = uh.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    grid = None
+    for m in _HLL_GRID:
+        p = m.bit_length() - 1
+        top = 61 - p
+        num = _hll_alpha(m) * m * m * 4294967296.0
+        w = F.expr(f"h div {m}")
+        br = uh.select(
+            F.pmod(F.col("h"), F.lit(m)).alias("bucket"),
+            F.when(w == 0, F.lit(top))
+            .otherwise(F.lit(top) - F.length(F.bin(w)))
+            .alias("rnk"),
+        )
+        reg = br.groupBy("bucket").agg(F.max("rnk").alias("r"))
+        s = reg.agg(
+            F.lit(m).cast("int").alias("m"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            (
+                F.sum(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), 32 - least(r, 32))")
+                )
+                + (F.lit(m) - F.count(F.lit(1))) * F.lit(4294967296)
+            )
+            .cast("bigint")
+            .alias("s_scaled"),
+            F.lit(num).alias("est_num"),
+        )
+        grid = s if grid is None else grid.unionByName(s)
+    return (
+        grid.crossJoin(ex)  # 1-row scalar attach
+        .select(
+            "m",
+            "n_exact",
+            "n_buckets",
+            "s_scaled",
+            F.round(
+                F.col("est_num") / F.col("s_scaled").cast("double"), 4
+            ).alias("hll_estimate"),
+            F.round(
+                (
+                    F.col("est_num") / F.col("s_scaled").cast("double")
+                    - F.col("n_exact")
+                )
+                * 1000.0
+                / F.col("n_exact"),
+                2,
+            ).alias("err_permille"),
+        )
+        .orderBy("m")
+    )
