@@ -25,8 +25,11 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # LAND (tests/test_rotation.py enforces that every never-sampled name is in
 # the head — the invariant, not a per-round cleanup), then the full
 # 43-query block whose latest driver sample is round 6 (computed from
-# CORRECTNESS_r0{6..10}.json, registration order). After this round nothing
-# is never-sampled and at most a handful of round-7 entries remain stale.
+# CORRECTNESS_r0{6..10}.json, registration order). The head holds
+# 2 + 14 + 43 = 59 names against a ~50 window: new queries outrank stale
+# ones (never-sampled is the worse state), so roughly the last nine
+# round-6 entries roll to the round-12 head. After this round nothing is
+# never-sampled.
 _DRIVER_PRIORITY: list[str] = [
     # Never driver-sampled (absent from every CORRECTNESS_r*.json) — lead.
     "similarity_graph_insert",
