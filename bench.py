@@ -332,6 +332,7 @@ BENCH_QUERIES = [
     "similarity_mrl_dim_grid",
     "dq_salt_factor_grid",
     "events_hll_precision_grid",
+    "events_dynamic_gap_sessions",
 ]
 
 

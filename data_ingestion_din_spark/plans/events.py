@@ -1539,3 +1539,97 @@ def events_hll_precision_grid(
         )
         .orderBy("m")
     )
+
+
+# --------------------------------------------------------------------------
+# events_dynamic_gap_sessions — session windows with a PER-ROW gap
+# (Spark 3.2's dynamic session_window(ts, gap_expr) — the API surface
+# the fixed-gap sessionizers don't touch): an error event holds a
+# session open for only 10 minutes, a click for 30, anything else 20 —
+# the "different activity types time out differently" rule real
+# sessionization uses. The native operator is gated against the
+# first-principles oracle: a row MERGES into the running session iff
+# its timestamp is <= the running max of (ts + gap) over preceding rows
+# (equality merges — probed: per-row windows [ts, ts+gap) that TOUCH
+# are one session), and the session end is max(ts + gap), not
+# last-ts + last-gap. Both facts pinned empirically before writing the
+# oracle (probe: rows at 0s/90s/140s with 100/50/100s gaps form ONE
+# session ending at 240 — the 140s row sits exactly on the running end
+# and still merges).
+#
+# Scale: the native form is one user_id shuffle with state merging in
+# the agg; the oracle's lag/running-max form is the same shuffle plus
+# a window sort — identical distribution story to events_sessionized.
+# --------------------------------------------------------------------------
+_DYN_GAPS = {"error": 600, "click": 1800}
+_DYN_DEFAULT = 1200
+
+
+@query(
+    "events_dynamic_gap_sessions",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(CASE event_type
+                    WHEN 'error' THEN {_DYN_GAPS['error']}
+                    WHEN 'click' THEN {_DYN_GAPS['click']}
+                    ELSE {_DYN_DEFAULT} END AS BIGINT) * 1000000 AS gap_us,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events
+    ),
+    flg AS (
+      SELECT *,
+             CASE WHEN us > coalesce(max(us + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    grp AS (
+      SELECT *, sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flg
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(min(us) AS BIGINT) AS session_start_us,
+           CAST(max(us + gap_us) AS BIGINT) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_err) AS BIGINT) AS n_errors
+    FROM grp GROUP BY user_id, session_no
+    ORDER BY user_id, session_start_us
+    """,
+)
+def events_dynamic_gap_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(
+            F.col("event_type") == "error",
+            F.lit(f"{_DYN_GAPS['error']} seconds"),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.lit(f"{_DYN_GAPS['click']} seconds"),
+        )
+        .otherwise(F.lit(f"{_DYN_DEFAULT} seconds"))
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("int"))
+            .cast("bigint")
+            .alias("n_errors"),
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "n_errors",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
