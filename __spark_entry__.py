@@ -50,6 +50,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dq_salt_factor_grid",
     "events_hll_precision_grid",
     "events_dynamic_gap_sessions",
+    "similarity_ivf_nlist_sweep",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -333,6 +333,7 @@ BENCH_QUERIES = [
     "dq_salt_factor_grid",
     "events_hll_precision_grid",
     "events_dynamic_gap_sessions",
+    "similarity_ivf_nlist_sweep",
 ]
 
 

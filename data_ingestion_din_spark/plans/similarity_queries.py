@@ -222,12 +222,13 @@ _KM_DIST = (
 )
 
 
-def _km_ctes(src: str = "embeddings", p: str = "") -> str:
+def _km_ctes(src: str = "embeddings", p: str = "", k: int = 8) -> str:
     """The unrolled 2-iteration Lloyd SQL over ``src`` — shared by the
     full-corpus k-means/IVF oracles, the incremental-maintenance oracle
     (which trains on the pre-append base only), and — via the ``p`` CTE
     name prefix — the composed IVF+PQ oracle, whose PQ chain reuses the
-    unprefixed names. Table aliases inside each CTE stay ``q``/``s`` so
+    unprefixed names (``k`` parameterizes the cell count for the nlist
+    sweep). Table aliases inside each CTE stay ``q``/``s`` so
     ``_KM_DIST`` resolves regardless of prefix."""
     return f"""{p}q AS (
       SELECT vec_id,
@@ -239,7 +240,7 @@ def _km_ctes(src: str = "embeddings", p: str = "") -> str:
     ),
     {p}seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster, qv
-      FROM {p}q ORDER BY vec_id LIMIT 8
+      FROM {p}q ORDER BY vec_id LIMIT {k}
     ),
     {p}a1 AS (
       SELECT q.vec_id, q.qv, s.cluster
@@ -3239,3 +3240,155 @@ def similarity_mrl_dim_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = _recall_row(etop, itop, F.lit(d).cast("int").alias("dims"))
         grid = row if grid is None else grid.unionByName(row)
     return grid.orderBy("dims")
+
+
+# --------------------------------------------------------------------------
+# similarity_ivf_nlist_sweep — the NLIST (cell count) routing curve,
+# the last unmeasured ANN denominator: ivfsq8's sweep isolated routing
+# loss at the production k=8 (0.485 at nprobe=1); this measures how
+# that loss moves with the cell count itself. One hash-gated row per
+# k ∈ {4, 8, 16}: shortlist = the probe's OWN cell's members (pure
+# nprobe=1 routing, no quantization anywhere), exact cosine rerank,
+# the shared 20-probe recall@10 — so the row IS the routing ceiling
+# any IVF-composed index inherits at that nlist, next to the mean cell
+# size the cells buy (the scan-fraction side of the trade).
+#
+# Measured (sf0.01): 0.490 / 0.485 / 0.660 at nlist 4 / 8 / 16. Two
+# findings: the k=8 row reproduces the IVF×SQ8 sweep's routing number
+# exactly (0.485 — the loss-attribution table's denominator confirmed
+# from an independent path), and the curve is NON-monotone: sixteen
+# cells at 1/16 scan fraction BEAT four cells at 1/4, because on
+# structure-free data nprobe=1 recall is dominated by where Lloyd's
+# two iterations put the boundaries, not by scan fraction — the
+# measured warning against sizing nlist by scan-fraction intuition
+# alone.
+#
+# Scale: two extra Lloyd trainings (k=4, k=16; k=8 reuses the staged
+# session quantizer) — each is the same iteration-control shape as
+# kmeans_train documents; the sweep side touches only the probes'
+# cells.
+# --------------------------------------------------------------------------
+_NLIST_GRID = (4, 8, 16)
+
+
+def _nlist_oracle() -> str:
+    chains, rows = [], []
+    for k in _NLIST_GRID:
+        p = f"nl{k}_"
+        chains.append(_km_ctes(p=p, k=k))
+        rows.append(
+            f"""SELECT {k} AS nlist,
+           (SELECT CAST(count(*) AS BIGINT) FROM {p}a2)
+             // {k} AS mean_cell_rows,
+           (SELECT count(*) FROM etop e JOIN (
+              SELECT probe, vec_id FROM (
+                SELECT pa.vec_id AS probe, a.vec_id,
+                       {cosine_exact_sql('e2.embedding', 'pe.embedding')}
+                         AS cos
+                FROM {p}a2 pa
+                JOIN {p}a2 a ON a.cluster = pa.cluster
+                             AND a.vec_id <> pa.vec_id
+                JOIN embeddings e2 ON e2.vec_id = a.vec_id
+                JOIN embeddings pe ON pe.vec_id = pa.vec_id
+                WHERE pa.vec_id < {_SWEEP_N}
+              ) QUALIFY row_number() OVER (
+                  PARTITION BY probe ORDER BY cos DESC, vec_id) <= 10
+            ) i ON i.probe = e.probe AND i.vec_id = e.vec_id)
+             AS n_overlap_total"""
+        )
+    body = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH {",".join(chains)},
+    ex AS (
+      SELECT p.vec_id AS probe, e.vec_id,
+             {cosine_exact_sql('e.embedding', 'p.embedding')} AS cos
+      FROM embeddings e
+      CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < {_SWEEP_N}) p
+      WHERE e.vec_id <> p.vec_id
+    ),
+    etop AS (
+      SELECT probe, vec_id FROM ex
+      QUALIFY row_number() OVER (
+        PARTITION BY probe ORDER BY cos DESC, vec_id) <= 10
+    )
+    SELECT CAST(nlist AS INT) AS nlist,
+           CAST({_SWEEP_N} AS BIGINT) AS n_probes,
+           CAST(mean_cell_rows AS BIGINT) AS mean_cell_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM etop) AS n_exact_total,
+           CAST(n_overlap_total AS BIGINT) AS n_overlap_total,
+           round(CAST(n_overlap_total AS DOUBLE)
+                 / (SELECT count(*) FROM etop), 6) AS mean_recall
+    FROM ({body})
+    ORDER BY nlist
+    """
+
+
+@query("similarity_ivf_nlist_sweep", oracle=_nlist_oracle())
+def similarity_ivf_nlist_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.operators.similarity import kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    etop = _etop_staged(spark, sf_dir)
+    pemb = F.broadcast(
+        emb.filter(F.col("vec_id") < _SWEEP_N).select(
+            F.col("vec_id").alias("probe"),
+            F.col("embedding").alias("p_embedding"),
+        )
+    )
+    grid = None
+    for k in _NLIST_GRID:
+        if k == 8:
+            assigned = _km8_pair(spark, sf_dir)[0]
+        else:
+            assigned = kmeans_train(emb, k=k, iters=2)[0]
+        pa = assigned.filter(F.col("vec_id") < _SWEEP_N).select(
+            F.col("vec_id").alias("probe"), F.col("cluster").alias("pc")
+        )
+        sh = (
+            assigned.join(F.broadcast(pa), F.col("cluster") == F.col("pc"))
+            .filter(F.col("vec_id") != F.col("probe"))
+            .select("probe", "vec_id")
+        )
+        rr = (
+            sh.join(emb.select("vec_id", "embedding"), "vec_id")
+            .join(pemb, "probe")
+            .select(
+                "probe",
+                "vec_id",
+                cosine_exact(
+                    F.col("embedding"), F.col("p_embedding")
+                ).alias("cos"),
+            )
+        )
+        wtop = W.partitionBy("probe").orderBy(F.desc("cos"), "vec_id")
+        itop = (
+            rr.withColumn("rk", F.row_number().over(wtop))
+            .filter(F.col("rk") <= 10)
+            .select("probe", "vec_id")
+        )
+        mean_cell = assigned.agg(
+            F.expr(f"count(*) DIV {k}").cast("bigint").alias(
+                "mean_cell_rows"
+            )
+        )
+        row = (
+            _recall_row(
+                etop, itop, F.lit(k).cast("int").alias("nlist")
+            )
+            .crossJoin(mean_cell)
+            .select(
+                "nlist",
+                "n_probes",
+                "mean_cell_rows",
+                "n_exact_total",
+                "n_overlap_total",
+                "mean_recall",
+            )
+        )
+        grid = row if grid is None else grid.unionByName(row)
+    return grid.orderBy("nlist")
