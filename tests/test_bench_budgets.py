@@ -101,6 +101,10 @@ BUDGETS = {
     "streaming_stream_full_outer_join": 2.0,  # 0.69 s readback
     "similarity_graph_routed_insert": 3.0,  # 1.56 s (staged edges + walk)
     "similarity_graph_hnsw_entry": 2.5,  # 1.24 s (H-sweep off staged edges)
+    "events_dynamic_gap_sessions": 2.5,  # 1.22 s
+    "similarity_ivf_nlist_sweep": 6.5,  # 3.5 s (two fresh Lloyd trainings)
+    "similarity_mrl_dim_grid": 3.0,  # 1.45 s (one pass, four prefixes)
+    "doc_gopher_rules": 2.2,  # 1.13 s
 }
 
 
