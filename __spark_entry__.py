@@ -51,6 +51,9 @@ _DRIVER_PRIORITY: list[str] = [
     "events_hll_precision_grid",
     "events_dynamic_gap_sessions",
     "similarity_ivf_nlist_sweep",
+    "similarity_ivfpq_rerank_sweep",
+    "events_cdc_merge",
+    "corpus_compaction_ab",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

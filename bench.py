@@ -334,6 +334,9 @@ BENCH_QUERIES = [
     "events_hll_precision_grid",
     "events_dynamic_gap_sessions",
     "similarity_ivf_nlist_sweep",
+    "similarity_ivfpq_rerank_sweep",
+    "events_cdc_merge",
+    "corpus_compaction_ab",
 ]
 
 

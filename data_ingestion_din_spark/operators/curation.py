@@ -250,3 +250,67 @@ def pack_sequences(
         .sortWithinPartitions(*keys, "doc_id")
         .mapInPandas(walk, schema=schema)
     )
+
+
+BIN_PACK_SCHEMA = "grp bigint, bin_id int, n_items bigint, total_n bigint"
+
+
+def pack_bins(base: DataFrame, order_cols: list, budget: int) -> DataFrame:
+    """Generic next-fit bin packing: rows ``(grp, n, …)`` are streamed
+    per ``grp`` in ``order_cols`` order and packed into bins that never
+    straddle ``budget`` (an over-budget item gets its own bin) — the
+    :func:`pack_sequences` walker generalized to caller-chosen grouping
+    and ordering, for the layout/compaction planners (the ordering IS
+    the strategy under test there, so it must be a parameter, not a
+    baked-in ``doc_id``). One row per bin: (grp, bin_id, n_items,
+    total_n).
+
+    Scale: repartition on ``grp`` (parallelism = group count, the same
+    shard lever as pack_sequences), sort within partitions, one
+    mapInPandas pass with state carried across Arrow batches.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    cols = ["grp", "bin_id", "n_items", "total_n"]
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = {"key": None, "bin": 0, "cum": 0, "items": 0}
+        out: list[dict] = []
+
+        def flush() -> None:
+            if state["items"]:
+                out.append(
+                    dict(
+                        grp=state["key"],
+                        bin_id=state["bin"],
+                        n_items=state["items"],
+                        total_n=state["cum"],
+                    )
+                )
+            state["cum"], state["items"] = 0, 0
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.grp != state["key"]:
+                    flush()
+                    state.update(key=row.grp, bin=0)
+                n = int(row.n)
+                if state["items"] and state["cum"] + n > budget:
+                    flush()
+                if not state["items"]:
+                    state["bin"] += 1
+                state["cum"] += n
+                state["items"] += 1
+            if len(out) >= 10_000:
+                yield pd.DataFrame(out, columns=cols)
+                out = []
+        flush()
+        yield pd.DataFrame(out, columns=cols)
+
+    return (
+        base.repartition("grp")
+        .sortWithinPartitions("grp", *order_cols)
+        .mapInPandas(walk, schema=BIN_PACK_SCHEMA)
+    )

@@ -1633,3 +1633,162 @@ def events_dynamic_gap_sessions(
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+# --------------------------------------------------------------------------
+# events_cdc_merge — MERGE INTO with tombstones, the change-data-capture
+# apply step events_latest_snapshot only gestures at (latest-per-key is
+# upsert compaction; real CDC also DELETES). Base = the latest-per-key
+# snapshot of events with event_id < 8000; the CDC batch = the remaining
+# rows THINNED to every third event_id (so some base keys see no batch
+# row at all — the MERGE's untouched-key path), each carrying an op
+# derived deterministically from its payload (props.k % 5 = 0 → 'D'
+# tombstone, else 'U' upsert — ~20% deletes).
+# Delta/Iceberg MERGE requires the source deduplicated on the key, so
+# the batch first compacts to its last op per (user_id, event_type)
+# (ts, event_id order — the same tie rule as the snapshot); then:
+#   WHEN MATCHED     AND op='D'  → DELETE  (emitted as an audit row)
+#   WHEN MATCHED     AND op='U'  → UPDATE
+#   WHEN NOT MATCHED AND op='U'  → INSERT
+#   WHEN NOT MATCHED AND op='D'  → no-op   (delete of absent key)
+# Output is the merged snapshot plus the audit `action` column
+# (kept/updated/inserted and the tombstoned keys as action='deleted'
+# with NULL payload — the MERGE metrics row a lakehouse writer logs).
+#
+# Scale: one shuffle each to compact base and batch on the MERGE key,
+# then a single full-outer equi-join on that key — the exact shape
+# Delta's MERGE executes (no broadcast: both sides are data-sized; the
+# join key is the partition key the downstream table is bucketed on).
+# --------------------------------------------------------------------------
+_CDC_SPLIT = 2000  # event_id below → base snapshot, above → CDC batch
+# (2000 plus the %3 batch thinning leaves, at sf0.01, ~16 base keys
+# untouched and ~46 batch keys unseen in the base, so every MERGE
+# branch — kept/inserted/updated/deleted/no-op-delete — actually fires)
+
+
+@query(
+    "events_cdc_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events WHERE event_id < {_CDC_SPLIT}
+      ) WHERE rk = 1
+    ),
+    batch AS (
+      SELECT user_id, event_type, event_id, ts, value,
+             CASE WHEN CAST(regexp_extract(props, '\\d+') AS BIGINT)
+                       % 5 = 0
+                  THEN 'D' ELSE 'U' END AS op
+      FROM events WHERE event_id >= {_CDC_SPLIT} AND event_id % 3 = 0
+    ),
+    src AS (
+      SELECT user_id, event_type, event_id, ts, value, op FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rk
+        FROM batch
+      ) WHERE rk = 1
+    ),
+    merged AS (
+      SELECT
+        coalesce(b.user_id, s.user_id) AS user_id,
+        coalesce(b.event_type, s.event_type) AS event_type,
+        CASE WHEN s.op = 'D' THEN NULL
+             WHEN s.op = 'U' THEN s.event_id
+             ELSE b.event_id END AS event_id,
+        CASE WHEN s.op = 'D' THEN NULL
+             WHEN s.op = 'U' THEN epoch_us(s.ts)
+             ELSE epoch_us(b.ts) END AS ts_us,
+        CASE WHEN s.op = 'D' THEN NULL
+             WHEN s.op = 'U' THEN s.value
+             ELSE b.value END AS value,
+        CASE
+          WHEN s.op IS NULL THEN 'kept'
+          WHEN s.op = 'D' AND b.user_id IS NOT NULL THEN 'deleted'
+          WHEN s.op = 'D' THEN NULL
+          WHEN b.user_id IS NULL THEN 'inserted'
+          ELSE 'updated' END AS action
+      FROM base b
+      FULL OUTER JOIN src s
+        ON s.user_id = b.user_id AND s.event_type = b.event_type
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(ts_us AS BIGINT) AS ts_us, value, action
+    FROM merged WHERE action IS NOT NULL
+    ORDER BY user_id, event_type
+    """,
+)
+def events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wkey = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    base = (
+        ev.filter(F.col("event_id") < _CDC_SPLIT)
+        .withColumn("rk", F.row_number().over(wkey))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+    src = (
+        ev.filter(
+            (F.col("event_id") >= _CDC_SPLIT)
+            & (F.col("event_id") % 3 == 0)
+        )
+        .withColumn(
+            "op",
+            F.when(
+                F.regexp_extract("props", r"\d+", 0).cast("bigint") % 5
+                == 0,
+                F.lit("D"),
+            ).otherwise(F.lit("U")),
+        )
+        .withColumn("rk", F.row_number().over(wkey))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value", "op")
+    )
+    b, s = base.alias("b"), src.alias("s")
+    j = b.join(
+        s,
+        (F.col("s.user_id") == F.col("b.user_id"))
+        & (F.col("s.event_type") == F.col("b.event_type")),
+        "full_outer",
+    )
+    is_del = F.col("s.op") == "D"
+    is_up = F.col("s.op") == "U"
+    action = (
+        F.when(F.col("s.op").isNull(), F.lit("kept"))
+        .when(is_del & F.col("b.user_id").isNotNull(), F.lit("deleted"))
+        .when(is_del, F.lit(None).cast("string"))
+        .when(F.col("b.user_id").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("b.user_id"), F.col("s.user_id"))
+            .cast("bigint")
+            .alias("user_id"),
+            F.coalesce(F.col("b.event_type"), F.col("s.event_type")).alias(
+                "event_type"
+            ),
+            F.when(is_del, F.lit(None).cast("bigint"))
+            .when(is_up, F.col("s.event_id"))
+            .otherwise(F.col("b.event_id"))
+            .cast("bigint")
+            .alias("event_id"),
+            F.when(is_del, F.lit(None).cast("bigint"))
+            .when(is_up, F.unix_micros(F.col("s.ts")))
+            .otherwise(F.unix_micros(F.col("b.ts")))
+            .alias("ts_us"),
+            F.when(is_del, F.lit(None).cast("double"))
+            .when(is_up, F.col("s.value"))
+            .otherwise(F.col("b.value"))
+            .alias("value"),
+            action.alias("action"),
+        )
+        .filter(F.col("action").isNotNull())
+        .orderBy("user_id", "event_type")
+    )

@@ -1790,6 +1790,7 @@ def _ivfpq_sweep(
     space: str,
     k: int = _PQ_K,
     nprobe: int = 1,
+    shortlists: tuple[int, ...] | None = None,
 ) -> DataFrame:
     from pyspark.sql.window import Window as W
 
@@ -1898,36 +1899,55 @@ def _ivfpq_sweep(
         .agg(F.sum("dpart").cast("bigint").alias("adc_dist"))
     )
     wsh = W.partitionBy("probe").orderBy("adc_dist", "vec_id")
-    sh = (
-        shd.withColumn("rk", F.row_number().over(wsh))
-        .filter(F.col("rk") <= _IVFPQ_SHORTLIST)
-        .select("probe", "vec_id")
-    )
     pemb = F.broadcast(
         emb.filter(F.col("vec_id") < _SWEEP_N).select(
             F.col("vec_id").alias("probe"),
             F.col("embedding").alias("p_embedding"),
         )
     )
-    rr = (
-        sh.join(emb.select("vec_id", "embedding"), "vec_id")
-        .join(pemb, "probe")
-        .select(
-            "probe",
-            "vec_id",
-            cosine_exact(F.col("embedding"), F.col("p_embedding")).alias(
-                "cos"
-            ),
-        )
-    )
-    wtop = W.partitionBy("probe").orderBy(F.desc("cos"), "vec_id")
-    itop = (
-        rr.withColumn("rk", F.row_number().over(wtop))
-        .filter(F.col("rk") <= 10)
-        .select("probe", "vec_id")
-    )
     etop = _etop_staged(spark, sf_dir)
-    return _recall_row(etop, itop)
+    if shortlists is not None:
+        # one pass of ADC distances shared by every rerank depth — the
+        # candidate×ADC join is the expensive side, so checkpoint it
+        # (20 probes × one cell's rows) instead of recomputing per C
+        shd = shd.withColumn(
+            "rk", F.row_number().over(wsh)
+        ).localCheckpoint(eager=True)
+    grid = None
+    for c in shortlists or (_IVFPQ_SHORTLIST,):
+        if shortlists is not None:
+            sh = shd.filter(F.col("rk") <= c).select("probe", "vec_id")
+        else:
+            sh = (
+                shd.withColumn("rk", F.row_number().over(wsh))
+                .filter(F.col("rk") <= c)
+                .select("probe", "vec_id")
+            )
+        rr = (
+            sh.join(emb.select("vec_id", "embedding"), "vec_id")
+            .join(pemb, "probe")
+            .select(
+                "probe",
+                "vec_id",
+                cosine_exact(
+                    F.col("embedding"), F.col("p_embedding")
+                ).alias("cos"),
+            )
+        )
+        wtop = W.partitionBy("probe").orderBy(F.desc("cos"), "vec_id")
+        itop = (
+            rr.withColumn("rk", F.row_number().over(wtop))
+            .filter(F.col("rk") <= 10)
+            .select("probe", "vec_id")
+        )
+        labels = (
+            (F.lit(c).cast("int").alias("rerank_c"),)
+            if shortlists is not None
+            else ()
+        )
+        row = _recall_row(etop, itop, *labels)
+        grid = row if grid is None else grid.unionByName(row)
+    return grid.orderBy("rerank_c") if shortlists is not None else grid
 
 
 def _sweep_oracle(
@@ -3392,3 +3412,118 @@ def similarity_ivf_nlist_sweep(
         )
         grid = row if grid is None else grid.unionByName(row)
     return grid.orderBy("nlist")
+
+
+# --------------------------------------------------------------------------
+# similarity_ivfpq_rerank_sweep — the RERANK-DEPTH curve, the two-stage
+# serving knob every production ANN stack exposes (retrieve C by ADC,
+# exact-score the C, return top-k): recall@10 as a function of the
+# shortlist depth C at fixed routing (nprobe=1, k=4 codebooks). The
+# family's existing sweeps pinned the two asymptotes — 0.235 at the
+# production C=20 (similarity_ivfpq_recall_sweep) and 0.485 with no
+# quantization at all (the IVF×SQ8 routing-only number, reproduced by
+# similarity_ivf_nlist_sweep's k=8 row) — this measures the path
+# between them: C=10 is ADC-set quality (rerank cannot change a 10-of-
+# 10 set), C=999 caps at the whole cell so the ADC ordering stops
+# mattering entirely and the row MUST equal the routing ceiling (a
+# cross-family consistency gate, not just a curve point).
+#
+# Measured (sf0.01): 0.115 / 0.235 / 0.460 / 0.485 at C = 10/20/50/999
+# — the ADC-only set (C=10) is HALF the production C=20 number, C=50
+# already recovers 95% of the ceiling (0.460 of 0.485), and the C=999
+# row equals the routing ceiling exactly, tying the rerank curve to
+# the loss-attribution table (routing 0.485 × codebook ≈0.48 at C=20).
+# The operational reading: at k=4 codebooks the rerank depth, not the
+# code length, is the cheap knob — 2.5× the exact scores buys +0.225
+# recall while staying at 1/8 scan fraction.
+#
+# Scale: the ADC candidate join runs ONCE (checkpointed, 20 probes ×
+# one cell's rows); each depth reranks at most C×20 exact cosines —
+# the serving cost model is literally the query's own shape.
+# --------------------------------------------------------------------------
+_RERANK_GRID = (10, 20, 50, 999)
+
+
+def _rerank_oracle() -> str:
+    blocks, rows = [], []
+    for c in _RERANK_GRID:
+        blocks.append(
+            f"""sh{c} AS (
+      SELECT probe, vec_id FROM shd
+      QUALIFY row_number() OVER (
+        PARTITION BY probe ORDER BY adc_dist, vec_id) <= {c}
+    ),
+    itop{c} AS (
+      SELECT probe, vec_id FROM (
+        SELECT sh.probe, sh.vec_id,
+               {cosine_exact_sql('e.embedding', 'pe.embedding')} AS cos
+        FROM sh{c} sh
+        JOIN embeddings e ON e.vec_id = sh.vec_id
+        JOIN embeddings pe ON pe.vec_id = sh.probe
+      ) QUALIFY row_number() OVER (
+          PARTITION BY probe ORDER BY cos DESC, vec_id) <= 10
+    )"""
+        )
+        rows.append(
+            f"""SELECT CAST({c} AS INT) AS rerank_c,
+           (SELECT count(*) FROM etop e
+            JOIN itop{c} i ON i.probe = e.probe AND i.vec_id = e.vec_id)
+             AS n_overlap_total"""
+        )
+    body = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH {_km_ctes(p="km")},
+    {_pq_ctes()},
+    pcell AS (
+      SELECT vec_id AS probe, cluster FROM kma2 WHERE vec_id < {_SWEEP_N}
+    ),
+    padc AS (
+      SELECT s.vec_id AS probe, c.m, c.code,
+             list_sum(list_transform(range(1, {_PQ_D + 1}),
+               i -> (s.sv[i] - c.sv[i]) * (s.sv[i] - c.sv[i]))) AS dpart
+      FROM c1f c
+      JOIN (SELECT vec_id, m, sv FROM sub WHERE vec_id < {_SWEEP_N}) s
+        ON s.m = c.m
+    ),
+    cand AS (
+      SELECT p.probe, a.vec_id
+      FROM kma2 a JOIN pcell p ON a.cluster = p.cluster
+      WHERE a.vec_id <> p.probe
+    ),
+    shd AS (
+      SELECT c.probe, co.vec_id, CAST(sum(d.dpart) AS BIGINT) AS adc_dist
+      FROM cand c
+      JOIN codes co ON co.vec_id = c.vec_id
+      JOIN padc d ON d.probe = c.probe AND d.m = co.m AND d.code = co.code
+      GROUP BY c.probe, co.vec_id
+    ),
+    ex AS (
+      SELECT p.vec_id AS probe, e.vec_id,
+             {cosine_exact_sql('e.embedding', 'p.embedding')} AS cos
+      FROM embeddings e
+      CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < {_SWEEP_N}) p
+      WHERE e.vec_id <> p.vec_id
+    ),
+    etop AS (
+      SELECT probe, vec_id FROM ex
+      QUALIFY row_number() OVER (
+        PARTITION BY probe ORDER BY cos DESC, vec_id) <= 10
+    ),
+    {",".join(blocks)}
+    SELECT rerank_c,
+           CAST({_SWEEP_N} AS BIGINT) AS n_probes,
+           (SELECT CAST(count(*) AS BIGINT) FROM etop) AS n_exact_total,
+           CAST(n_overlap_total AS BIGINT) AS n_overlap_total,
+           round(CAST(n_overlap_total AS DOUBLE)
+                 / (SELECT count(*) FROM etop), 6) AS mean_recall
+    FROM ({body})
+    ORDER BY rerank_c
+    """
+
+
+@query("similarity_ivfpq_rerank_sweep", oracle=_rerank_oracle())
+def similarity_ivfpq_rerank_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _ivfpq_sweep(spark, sf_dir, "raw", shortlists=_RERANK_GRID)

@@ -1320,3 +1320,155 @@ def streaming_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.orderBy("user_id", "event_type")
 
 
+
+
+# --------------------------------------------------------------------------
+# streaming_cdc_merge — MERGE INTO maintained AT INGEST: the tombstone-
+# aware upsert (events_cdc_merge) as an incremental state sink. Epoch 0
+# lands the base rows, later epochs land CDC rows (op derived from the
+# payload exactly as in the batch query); the processor keeps one row
+# per key — the current winner under (CDC-beats-base, ts, event_id) —
+# plus the `in_base` provenance bit the MERGE action verdicts need
+# (batch actions compare against the ORIGINAL base, so an insert
+# followed by more updates must stay 'inserted'; comparing against the
+# prior epoch would misreport it as 'updated'). The oracle is the batch
+# MERGE verbatim: the winner rule is associative under any landing
+# split, and hash parity across the checkpointed restarts proves the
+# tombstones, provenance, and payloads all compose.
+#
+# Scale: per epoch one shuffle on the MERGE key over (batch ∪ prior
+# rows of touched keys) — the growing state is never broadcast and is
+# only scanned for touched keys (left-semi), the Delta MERGE-on-read
+# shape.
+# --------------------------------------------------------------------------
+_CDCM_DONE: dict[tuple[str, str], str] = {}
+
+
+def _cdc_merge_processor(out: str):
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.plans.events import _CDC_SPLIT
+
+    keys = ["user_id", "event_type"]
+
+    def plan(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        spark_l = batch_df.sparkSession
+        b = batch_df.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "event_type",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            F.when(F.col("event_id") < _CDC_SPLIT, F.lit("B"))
+            .when(
+                F.regexp_extract("props", r"\d+", 0).cast("bigint") % 5
+                == 0,
+                F.lit("D"),
+            )
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        ).withColumn("in_base", F.col("op") == "B")
+        if os.path.isdir(out):
+            prior = _latest_epoch_rows(
+                spark_l, out, keys, before_epoch=epoch_id
+            )
+            touched = b.select(*keys).distinct()
+            cand = b.unionByName(
+                prior.join(touched, keys, "left_semi")
+            )
+        else:
+            cand = b
+        wk = W.partitionBy(*keys).orderBy(
+            (F.col("op") != "B").desc(),
+            F.desc("ts_us"),
+            F.desc("event_id"),
+        )
+        winners = (
+            cand.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") == 1)
+            .drop("rk", "in_base")
+        )
+        inb = cand.groupBy(*keys).agg(F.max("in_base").alias("in_base"))
+        return winners.join(inb, keys)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        plan(batch_df, epoch_id).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"epoch={epoch_id}"))
+
+    _process.plan = plan
+    return _process
+
+
+def _cdcm_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+    from data_ingestion_din_spark.plans.events import _CDC_SPLIT
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_CDCM_DONE, key[0])
+    if key in _CDCM_DONE:
+        if _dir_ok(_CDCM_DONE[key]):
+            return _CDCM_DONE[key]
+        del _CDCM_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_cdcm")
+    out = os.path.join(base, "out")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value", "props"
+    )
+    cdc = ev.filter(
+        (F.col("event_id") >= _CDC_SPLIT) & (F.col("event_id") % 3 == 0)
+    )
+    _run_split_landings(
+        spark,
+        base,
+        "user_id bigint, event_id bigint, event_type string, "
+        "ts timestamp, value double, props string",
+        [
+            ev.filter(F.col("event_id") < _CDC_SPLIT),
+            cdc.filter(F.col("event_id") % 2 == 0),
+            cdc.filter(F.col("event_id") % 2 == 1),
+        ],
+        _cdc_merge_processor(out),
+    )
+    _CDCM_DONE[key] = out
+    return out
+
+
+@query("streaming_cdc_merge", oracle_ref="events_cdc_merge")
+def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back the maintained MERGE state as the batch query's frame:
+    action from (winner op, in_base), tombstoned payloads nulled, D
+    winners on never-in-base keys dropped (the MERGE's no-op delete)."""
+    out = _cdcm_out_dir(spark, sf_dir)
+    cur = _latest_epoch_rows(spark, out, ["user_id", "event_type"])
+    is_del = F.col("op") == "D"
+    action = (
+        F.when(F.col("op") == "B", F.lit("kept"))
+        .when(is_del & F.col("in_base"), F.lit("deleted"))
+        .when(is_del, F.lit(None).cast("string"))
+        .when(F.col("in_base"), F.lit("updated"))
+        .otherwise(F.lit("inserted"))
+    )
+    return (
+        cur.select(
+            "user_id",
+            "event_type",
+            F.when(is_del, F.lit(None).cast("bigint"))
+            .otherwise(F.col("event_id"))
+            .alias("event_id"),
+            F.when(is_del, F.lit(None).cast("bigint"))
+            .otherwise(F.col("ts_us"))
+            .alias("ts_us"),
+            F.when(is_del, F.lit(None).cast("double"))
+            .otherwise(F.col("value"))
+            .alias("value"),
+            action.alias("action"),
+        )
+        .filter(F.col("action").isNotNull())
+        .orderBy("user_id", "event_type")
+    )

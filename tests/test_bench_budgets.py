@@ -105,6 +105,8 @@ BUDGETS = {
     "similarity_ivf_nlist_sweep": 6.5,  # 3.5 s (two fresh Lloyd trainings)
     "similarity_mrl_dim_grid": 3.0,  # 1.45 s (one pass, four prefixes)
     "doc_gopher_rules": 2.2,  # 1.13 s
+    "similarity_ivfpq_rerank_sweep": 4.5,  # 2.3-2.6 s steady (one
+    # checkpointed ADC pass shared by the four rerank depths)
 }
 
 

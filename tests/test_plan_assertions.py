@@ -1165,3 +1165,41 @@ def test_quantile_and_cms_maintainer_plans(spark, tmp_path):
     )
     s = _plan_stats(merged)
     assert s["cartesian"] == 0 and _hint_count(merged) == 0, s
+
+
+def test_cdc_merge_processor_batch_plan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_din_spark.plans.streaming_cdc import _cdc_merge_processor
+
+    p = _cdc_merge_processor(str(tmp_path / "o"))
+    rows0 = [
+        (7, 1, "a", "2024-01-01 00:00:00", 1.0, '{"k": 3}'),
+        (7, 2, "b", "2024-01-01 01:00:00", 2.0, '{"k": 5}'),
+    ]
+    rows1 = [(7, 2400, "b", "2024-01-02 00:00:00", 3.0, '{"k": 5}')]
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows,
+            "user_id bigint, event_id bigint, event_type string, "
+            "ts_s string, value double, props string",
+        ).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.to_timestamp("ts_s").alias("ts"),
+            "value",
+            "props",
+        )
+
+    p(frame(rows0), 0)
+    merged = p.plan(frame(rows1), 1)
+    s = _plan_stats(merged)
+    # one key shuffle over (batch ∪ touched prior rows); the growing
+    # state side must never be broadcast
+    assert s["cartesian"] == 0, s
+    assert _hint_count(merged) == 0
+    # prior-state window read + semi-join + winner window + in_base
+    # agg + final key join
+    assert s["exchange"] <= 7, s
