@@ -54,6 +54,7 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_ivfpq_rerank_sweep",
     "events_cdc_merge",
     "corpus_compaction_ab",
+    "streaming_cdc_merge",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",
