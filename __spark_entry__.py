@@ -55,6 +55,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_cdc_merge",
     "corpus_compaction_ab",
     "streaming_cdc_merge",
+    "similarity_graph_delete_repair",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

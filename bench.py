@@ -337,6 +337,7 @@ BENCH_QUERIES = [
     "similarity_ivfpq_rerank_sweep",
     "events_cdc_merge",
     "corpus_compaction_ab",
+    "similarity_graph_delete_repair",
 ]
 
 

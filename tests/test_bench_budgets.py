@@ -107,6 +107,9 @@ BUDGETS = {
     "doc_gopher_rules": 2.2,  # 1.13 s
     "similarity_ivfpq_rerank_sweep": 4.5,  # 2.3-2.6 s steady (one
     # checkpointed ADC pass shared by the four rerank depths)
+    "similarity_graph_delete_repair": 5.5,  # 2.9-3.1 s steady (two
+    # distributed bridge-repair builds + six driver walks off the
+    # staged edge artifact)
 }
 
 
