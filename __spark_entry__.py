@@ -56,6 +56,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_compaction_ab",
     "streaming_cdc_merge",
     "similarity_graph_delete_repair",
+    "corpus_unigram_prune",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

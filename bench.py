@@ -338,6 +338,7 @@ BENCH_QUERIES = [
     "events_cdc_merge",
     "corpus_compaction_ab",
     "similarity_graph_delete_repair",
+    "corpus_unigram_prune",
 ]
 
 

@@ -3156,8 +3156,11 @@ def _uni_segment(w: str, vocab: dict, nrm: int) -> tuple[int, list[str]]:
     return dp[n], pieces
 
 
-def _uni_em_oracle() -> str:
-    intlog2 = lambda x: f"CAST(length(bin({x})) AS BIGINT)"  # noqa: E731
+def _uni_usage_sql() -> str:
+    """dpall → backtrack bk0..bk{WMAX} → ``usage`` CTE text: the
+    wn-weighted piece-usage table of the round-0 Viterbi segmentation
+    (smallest-l backtrack tie-break, matching the Arrow kernel) —
+    shared by the EM-step and the prune oracles."""
     dpall = " UNION ALL ".join(
         f"SELECT w, {k} AS pos, obj FROM udp{k}"
         for k in range(0, _UNI_WMAX + 1)
@@ -3180,6 +3183,26 @@ def _uni_em_oracle() -> str:
       ) WHERE rkb = 1
     )"""
         )
+    used = " UNION ALL ".join(
+        f"SELECT w, piece FROM bk{j} WHERE piece IS NOT NULL"
+        for j in range(1, _UNI_WMAX + 1)
+    )
+    return f"""dpall AS MATERIALIZED ({dpall}),
+    bk0 AS MATERIALIZED (
+      SELECT f.w, CAST(NULL AS VARCHAR) AS piece,
+             length(f.w) AS pos, f.obj
+      FROM ufin f
+    ),
+    {",".join(bks)},
+    usage AS MATERIALIZED (
+      SELECT u.piece, CAST(sum(r.wn) AS BIGINT) AS usage
+      FROM ({used}) u JOIN uwrd r USING (w)
+      GROUP BY u.piece
+    )"""
+
+
+def _uni_em_oracle() -> str:
+    intlog2 = lambda x: f"CAST(length(bin({x})) AS BIGINT)"  # noqa: E731
     vdps = [
         "vdp0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS obj FROM uwrd)"
     ]
@@ -3205,24 +3228,9 @@ def _uni_em_oracle() -> str:
         f"SELECT w, obj FROM vdp{k} WHERE length(w) = {k}"
         for k in range(1, _UNI_WMAX + 1)
     )
-    used = " UNION ALL ".join(
-        f"SELECT w, piece FROM bk{j} WHERE piece IS NOT NULL"
-        for j in range(1, _UNI_WMAX + 1)
-    )
     return f"""
     WITH {_uni_ctes()},
-    dpall AS MATERIALIZED ({dpall}),
-    bk0 AS MATERIALIZED (
-      SELECT f.w, CAST(NULL AS VARCHAR) AS piece,
-             length(f.w) AS pos, f.obj
-      FROM ufin f
-    ),
-    {",".join(bks)},
-    usage AS MATERIALIZED (
-      SELECT u.piece, CAST(sum(r.wn) AS BIGINT) AS usage
-      FROM ({used}) u JOIN uwrd r USING (w)
-      GROUP BY u.piece
-    ),
+    {_uni_usage_sql()},
     vocab2 AS MATERIALIZED (
       SELECT piece, {intlog2('usage')} AS score FROM usage
       UNION ALL
@@ -3349,3 +3357,139 @@ def corpus_unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility_r1",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_unigram_prune — the PRUNE step of unigram-LM training (Kudo
+# 2018 §3.2 / SentencePiece's seed-shrinking loop; the EM step above
+# drops pieces the segmenter never USES, this drops the least USEFUL
+# of the used ones): for every used multi-char piece p, the loss delta
+# if p were removed is approximated in place — each of p's usage(p)
+# occurrences re-segments as p's own best Viterbi split under the
+# remaining vocabulary (alt_obj, excluding only the exact piece p),
+# versus keeping it whole (own_obj = its one-piece cost). The bottom
+# quarter by usage·(alt_obj − own_obj) is marked pruned; single chars
+# are protected (coverage). The WHOLE per-piece table — usage, both
+# costs, delta, rank, verdict — is hash-gated, so the re-segmentation
+# arithmetic and the ranking are pinned, not just the survivor list.
+#
+# Measured (sf0.01; 18 used multi-char pieces, 4 pruned): the pruned
+# set is exactly the low-usage bigrams (ro/at/ta/ca, delta ≈113-121k),
+# while whole-word pieces (join/batch/hash — expensive char-level alt
+# splits) and the highest-usage bigrams (er/st/or, usage 2.7k) rank
+# most protected — the objective separates "cheap to re-segment and
+# rarely used" from both kinds of keeper, which is the behavior the
+# prune step exists to have.
+#
+# Scale: vocabulary-sized end to end — the usage table is the
+# EM-step's aggregate over distinct words; the alt-cost Viterbi runs
+# over ≤64 strings of ≤8 chars (frozen-artifact control data).
+# --------------------------------------------------------------------------
+def _uni_prune_oracle() -> str:
+    adps = [
+        "adp0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS obj FROM apw)"
+    ]
+    for k in range(1, _UNI_LMAX + 1):
+        branches = []
+        for l in range(1, min(_UNI_LMAX, k) + 1):
+            branches.append(
+                f"""SELECT d.w, d.obj + 64 * (n.nrm - v.score) + 1 AS cand
+        FROM adp{k - l} d
+        JOIN uvocab v ON v.piece = substr(d.w, {k - l + 1}, {l})
+                     AND v.piece <> d.w
+        CROSS JOIN unorm n
+        WHERE length(d.w) >= {k}"""
+            )
+        body = "\n        UNION ALL ".join(branches)
+        adps.append(
+            f"""adp{k} AS MATERIALIZED (
+      SELECT w, CAST(min(cand) AS BIGINT) AS obj FROM (
+        {body}
+      ) GROUP BY w
+    )"""
+        )
+    afin = "\n      UNION ALL ".join(
+        f"SELECT w, obj FROM adp{k} WHERE length(w) = {k}"
+        for k in range(2, _UNI_LMAX + 1)
+    )
+    return f"""
+    WITH {_uni_ctes()},
+    {_uni_usage_sql()},
+    apw AS MATERIALIZED (
+      SELECT piece AS w FROM usage WHERE length(piece) > 1
+    ),
+    {",".join(adps)},
+    afin AS (
+      {afin}
+    ),
+    pbase AS (
+      SELECT u.piece, u.usage,
+             64 * (n.nrm - v.score) + 1 AS own_obj,
+             f.obj AS alt_obj
+      FROM usage u
+      JOIN uvocab v USING (piece)
+      JOIN afin f ON f.w = u.piece
+      CROSS JOIN unorm n
+      WHERE length(u.piece) > 1
+    ),
+    ranked AS (
+      SELECT piece, usage, own_obj, alt_obj,
+             usage * (alt_obj - own_obj) AS loss_delta,
+             row_number() OVER (
+               ORDER BY usage * (alt_obj - own_obj), piece) AS rk,
+             count(*) OVER () AS nm
+      FROM pbase
+    )
+    SELECT piece, CAST(usage AS BIGINT) AS usage,
+           CAST(own_obj AS BIGINT) AS own_obj,
+           CAST(alt_obj AS BIGINT) AS alt_obj,
+           CAST(loss_delta AS BIGINT) AS loss_delta,
+           CAST(rk AS INT) AS rk,
+           rk <= nm // 4 AS pruned
+    FROM ranked
+    ORDER BY rk
+    """
+
+
+@query("corpus_unigram_prune", oracle=_uni_prune_oracle())
+def corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab, nrm, verdicts = _uni_run(spark, sf_dir)
+
+    def _pieces_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"wn": [], "piece": []}
+            for w, wn in zip(pdf["w"], pdf["wn"]):
+                _, pieces = _uni_segment(w, vocab, nrm)
+                for p in pieces:
+                    rows["wn"].append(int(wn))
+                    rows["piece"].append(p)
+            yield pd.DataFrame(rows)
+
+    usage = {
+        r.piece: int(r.usage)
+        for r in verdicts.select("w", "wn")
+        .mapInPandas(_pieces_kernel, "wn bigint, piece string")
+        .groupBy("piece")
+        .agg(F.sum("wn").alias("usage"))
+        .collect()
+    }
+    rows = []
+    for p, u in usage.items():
+        if len(p) <= 1:
+            continue
+        own = 64 * (nrm - vocab[p]) + 1
+        alt, _ = _uni_segment(p, {q: s for q, s in vocab.items() if q != p}, nrm)
+        rows.append((p, u, own, alt, u * (alt - own)))
+    rows.sort(key=lambda r: (r[4], r[0]))
+    nm = len(rows)
+    out = [
+        (p, u, own, alt, delta, i + 1, (i + 1) <= nm // 4)
+        for i, (p, u, own, alt, delta) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        out,
+        "piece string, usage bigint, own_obj bigint, alt_obj bigint,"
+        " loss_delta bigint, rk int, pruned boolean",
+    ).orderBy("rk")
