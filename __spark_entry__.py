@@ -57,6 +57,8 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_cdc_merge",
     "similarity_graph_delete_repair",
     "corpus_unigram_prune",
+    "events_funnel_windowed",
+    "retrieval_mmr_diversify",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -339,6 +339,8 @@ BENCH_QUERIES = [
     "corpus_compaction_ab",
     "similarity_graph_delete_repair",
     "corpus_unigram_prune",
+    "events_funnel_windowed",
+    "retrieval_mmr_diversify",
 ]
 
 

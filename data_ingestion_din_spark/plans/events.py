@@ -1792,3 +1792,146 @@ def events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("action").isNotNull())
         .orderBy("user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# events_funnel_windowed — the funnel above with a CONVERSION WINDOW,
+# the knob every product-analytics funnel exposes (Amplitude/Mixpanel
+# semantics): each stage must fire within T of the previous stage's
+# first qualifying event, swept over T ∈ {600 s, 3600 s, ∞} so the
+# window's bite is measured rather than assumed (∞ must reproduce
+# events_funnel's numbers — the cross-query consistency row). Stage
+# times stay "first qualifying event" (min ts after the previous
+# stage, then the window test applied to that winner — the standard
+# first-touch reading, not "first event inside the window").
+#
+# Measured (sf0.01): ∞ reproduces events_funnel verbatim (150/150/150
+# — every user converts eventually on this fixture); T=3600 s keeps 3
+# first-touch clicks and no purchases, T=600 s none (user event gaps
+# are hours+ here) — the window knob flips this funnel from 1000‰ to
+# 0‰, which is exactly why windowed and unwindowed funnels are
+# different products.
+#
+# Scale: same single user_id shuffle as events_funnel — the window
+# predicates are column comparisons inside the same three Window
+# passes, once per swept T (the per-T passes share the one exchange).
+# --------------------------------------------------------------------------
+_FUNNEL_WINDOWS_S = (600, 3600, 0)  # 0 = unwindowed sentinel
+
+
+@query(
+    "events_funnel_windowed",
+    oracle="""
+    WITH t AS (
+      SELECT * FROM (VALUES (600), (3600), (0)) w(win_s)
+    ),
+    v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT t.win_s, e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id CROSS JOIN t
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY 1, 2
+      HAVING win_s = 0 OR epoch_us(min(e.ts)) - epoch_us(any_value(v.t1))
+                          <= CAST(win_s AS BIGINT) * 1000000
+    ),
+    p AS (
+      SELECT c.win_s, e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY 1, 2
+      HAVING c.win_s = 0 OR epoch_us(min(e.ts)) - epoch_us(any_value(c.t2))
+                            <= CAST(c.win_s AS BIGINT) * 1000000
+    )
+    SELECT CAST(t.win_s AS INT) AS win_s,
+           (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           CAST(coalesce(cc.n, 0) AS BIGINT) AS n_view_click,
+           CAST(coalesce(pp.n, 0) AS BIGINT) AS n_full_funnel,
+           CAST(coalesce(cc.n, 0) * 1000
+                // (SELECT count(*) FROM v) AS BIGINT) AS click_milli,
+           CAST(coalesce(pp.n, 0) * 1000
+                // greatest(coalesce(cc.n, 0), 1) AS BIGINT)
+             AS purchase_milli
+    FROM t
+    LEFT JOIN (SELECT win_s, count(*) AS n FROM c GROUP BY 1) cc
+      ON cc.win_s = t.win_s
+    LEFT JOIN (SELECT win_s, count(*) AS n FROM p GROUP BY 1) pp
+      ON pp.win_s = t.win_s
+    ORDER BY win_s
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = W.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = ev.withColumn(
+        "t1", F.min(F.when(is_("view"), F.col("ts"))).over(w)
+    )
+    out = None
+    n_view = staged.select(
+        F.countDistinct(
+            F.when(F.col("t1").isNotNull(), F.col("user_id"))
+        ).cast("bigint").alias("n_view")
+    )
+    for win_s in _FUNNEL_WINDOWS_S:
+        def in_win(later, earlier):
+            if win_s == 0:
+                return F.lit(True)
+            return (
+                F.unix_micros(later) - F.unix_micros(earlier)
+                <= win_s * 1_000_000
+            )
+
+        s2 = staged.withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    is_("click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        ).withColumn(
+            "t2", F.when(in_win(F.col("t2"), F.col("t1")), F.col("t2"))
+        )
+        s3 = s2.withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    is_("purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        ).withColumn(
+            "t3", F.when(in_win(F.col("t3"), F.col("t2")), F.col("t3"))
+        )
+        counts = s3.agg(
+            F.countDistinct(
+                F.when(F.col("t2").isNotNull(), F.col("user_id"))
+            ).cast("bigint").alias("n_view_click"),
+            F.countDistinct(
+                F.when(F.col("t3").isNotNull(), F.col("user_id"))
+            ).cast("bigint").alias("n_full_funnel"),
+        )
+        row = (
+            counts.crossJoin(n_view)
+            .select(
+                F.lit(win_s).cast("int").alias("win_s"),
+                "n_view",
+                "n_view_click",
+                "n_full_funnel",
+                F.expr("n_view_click * 1000 DIV n_view")
+                .cast("bigint")
+                .alias("click_milli"),
+                F.expr(
+                    "n_full_funnel * 1000 DIV greatest(n_view_click, 1)"
+                )
+                .cast("bigint")
+                .alias("purchase_milli"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("win_s")

@@ -1292,3 +1292,142 @@ def similarity_graph_delete_repair(
         "degree_g int, beam_b int, arm string, n_edges bigint,"
         " n_probes bigint, n_hits bigint, hit_rate_milli bigint",
     ).orderBy("degree_g", "beam_b", "arm")
+
+
+# --------------------------------------------------------------------------
+# retrieval_mmr_diversify — Maximal Marginal Relevance (Carbonell &
+# Goldstein 1998), the serving-side DIVERSIFIER between retrieval and
+# context assembly: from probe 0's top-20 candidates (integer L2 over
+# the family's 1e6-quantized vectors — the distance form keeps every
+# comparison exact, where the cosine form would hash-gate on float
+# ULPs), greedily select 8, each step minimizing
+#   7·d(query, c) − 3·min_{s∈selected} d(c, s)        (λ = 0.7)
+# — relevance pulls toward the query, the subtracted nearest-selected
+# distance pushes AWAY from what's already picked. The full 8-step
+# trace (pick, its query distance, its nearest-selected distance, the
+# objective) is hash-gated, so every greedy decision is pinned, like
+# the graph family's walk traces.
+#
+# Scale: candidate generation is any ANN family upstream; MMR itself
+# is k·C distance lookups over a C=20 candidate set — bounded serving
+# arithmetic (the probe-batch control-data class), driver-side under
+# the same convention as the family's walks; the oracle unrolls the
+# same 8 decisions as CTEs.
+# --------------------------------------------------------------------------
+_MMR_C, _MMR_K = 20, 8
+_MMR_WREL, _MMR_WDIV = 7, 3
+
+
+def _mmr_oracle() -> str:
+    ctes = [
+        f"""cand AS (
+      SELECT vec_id, dq FROM cand0
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT 1 AS step, vec_id, dq, CAST(NULL AS BIGINT) AS dsel,
+             CAST(NULL AS BIGINT) AS obj
+      FROM cand ORDER BY dq, vec_id LIMIT 1
+    ),
+    selall1 AS MATERIALIZED (SELECT vec_id FROM sel1)"""
+    ]
+    for k in range(2, _MMR_K + 1):
+        ctes.append(
+            f"""sel{k} AS MATERIALIZED (
+      SELECT {k} AS step, vec_id, dq, dsel,
+             {_MMR_WREL} * dq - {_MMR_WDIV} * dsel AS obj
+      FROM (
+        SELECT c.vec_id, c.dq, m.dsel
+        FROM cand c
+        JOIN (
+          SELECT dd.node AS vec_id, min(dd.dist) AS dsel
+          FROM d dd JOIN selall{k - 1} s ON s.vec_id = dd.nbr
+          GROUP BY dd.node
+        ) m ON m.vec_id = c.vec_id
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM selall{k - 1})
+      ) ORDER BY {_MMR_WREL} * dq - {_MMR_WDIV} * dsel, vec_id LIMIT 1
+    ),
+    selall{k} AS MATERIALIZED (
+      SELECT vec_id FROM selall{k - 1}
+      UNION ALL SELECT vec_id FROM sel{k}
+    )"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT * FROM sel{k}" for k in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH gq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    dq0 AS MATERIALIZED (
+      SELECT b.vec_id AS nbr, {_GR_DIST} AS dist
+      FROM gq a JOIN gq b ON b.vec_id <> 0
+      WHERE a.vec_id = 0
+    ),
+    cand0 AS MATERIALIZED (
+      SELECT nbr AS vec_id, dist AS dq FROM dq0
+      ORDER BY dist, nbr LIMIT {_MMR_C}
+    ),
+    d AS MATERIALIZED (
+      SELECT a.vec_id AS node, b.vec_id AS nbr, {_GR_DIST} AS dist
+      FROM (SELECT g.* FROM gq g JOIN cand0 c ON c.vec_id = g.vec_id) a
+      JOIN (SELECT g.* FROM gq g JOIN cand0 c ON c.vec_id = g.vec_id) b
+        ON a.vec_id <> b.vec_id
+    ),
+    {",".join(ctes)}
+    SELECT CAST(step AS INT) AS step, vec_id,
+           CAST(dq AS BIGINT) AS d_query,
+           CAST(dsel AS BIGINT) AS d_sel,
+           CAST(obj AS BIGINT) AS mmr_obj
+    FROM ({sel})
+    ORDER BY step
+    """
+
+
+@query("retrieval_mmr_diversify", oracle=_mmr_oracle())
+def retrieval_mmr_diversify(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from data_ingestion_din_spark.functions.vectors import quantize
+
+    _, pdist, _, _ = _gr_collected(spark, sf_dir)
+    cand = sorted((d, c) for (p, c), d in pdist.items() if p == 0)[:_MMR_C]
+    dq = {c: d for d, c in cand}
+    ids = sorted(dq)
+    qv = {
+        int(r.vec_id): np.array(list(r.qv), dtype=np.int64)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(ids))
+        .select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        .collect()
+    }
+
+    def dd(a: int, b: int) -> int:
+        diff = qv[a] - qv[b]
+        return int((diff * diff).sum())
+
+    first = min((d, c) for c, d in dq.items())
+    rows = [(1, first[1], first[0], None, None)]
+    sel = [first[1]]
+    for k in range(2, _MMR_K + 1):
+        best = None
+        for c in dq:
+            if c in sel:
+                continue
+            dsel = min(dd(c, s) for s in sel)
+            obj = _MMR_WREL * dq[c] - _MMR_WDIV * dsel
+            if best is None or (obj, c) < (best[0], best[1]):
+                best = (obj, c, dsel)
+        rows.append((k, best[1], dq[best[1]], best[2], best[0]))
+        sel.append(best[1])
+    return spark.createDataFrame(
+        rows,
+        "step int, vec_id bigint, d_query bigint, d_sel bigint,"
+        " mmr_obj bigint",
+    ).orderBy("step")
