@@ -59,6 +59,8 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_unigram_prune",
     "events_funnel_windowed",
     "retrieval_mmr_diversify",
+    "events_anomaly_mad",
+    "dedup_simhash_band_grid",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

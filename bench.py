@@ -341,6 +341,8 @@ BENCH_QUERIES = [
     "corpus_unigram_prune",
     "events_funnel_windowed",
     "retrieval_mmr_diversify",
+    "events_anomaly_mad",
+    "dedup_simhash_band_grid",
 ]
 
 

@@ -2313,3 +2313,194 @@ def dedup_substring_w_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash_band_grid — the (band width × Hamming radius) OPERATING
+# GRID for bit-slice SimHash banding, the same measured-knob discipline
+# as dedup_minhash_br_grid applied to the OTHER near-dup family: 64-bit
+# fingerprints sliced into 64/w bands of width w ∈ {8, 16, 32}; a pair
+# within Hamming radius r is GUARANTEED caught only while r < n_bands
+# (pigeonhole), so the grid measures both sides of the trade — recall
+# against the guarded all-pairs Hamming truth (r ∈ {1, 2, 3}) and the
+# candidate fan-out the width buys. The PRODUCTION banded join is
+# dedup_simhash_near (distributed, benched); this grid is the audit of
+# its width knob, so — like the graph family's walks — it runs over
+# the collected 64-bit fingerprints (8 bytes/doc of control data,
+# session-staged) under the family's ≤20k all-pairs guard: the first
+# distributed draft (9 joins + a distinct at w=8) measured 13 s at
+# sf0.1; the staged-fingerprint + table-lookup-popcount form reads
+# 2.7 s steady, with the truth scan the remaining cost.
+#
+# Measured (sf0.01, 500 docs): w=8 (8 bands) holds recall 1000‰ at
+# every radius but costs 39,329 candidates (0‰ precision); w=16 (4
+# bands, the dedup_simhash_near production choice) also holds 1000‰
+# through r=3 at 1,844 candidates — the knee, now a measurement; and
+# w=32 (2 bands) is the pigeonhole failure made visible: guaranteed
+# r≤1 (1000‰), then 833‰ at r=2 and 777‰ at r=3 (2 and 4 true pairs
+# split 1+1 across both bands) at just 21 candidates. The grid is the
+# whole width trade on one screen, like the MinHash (b×r) S-curve.
+#
+# Scale: the fan-out column is the whole story — candidates per band
+# width is what the self-join costs at corpus scale; the truth side
+# is audit-only and guarded.
+# --------------------------------------------------------------------------
+_SHG_WIDTHS = (8, 16, 32)
+_SHG_RADII = (1, 2, 3)
+# (applicationId, sf_dir) -> collected (ids, fingerprints) arrays
+_SHG_STATE: dict[tuple[str, str], tuple] = {}
+
+
+def _shg_oracle() -> str:
+    band_ctes, rows = [], []
+    for w in _SHG_WIDTHS:
+        nb = 64 // w
+        band_ctes.append(
+            f"""bands{w} AS (
+      SELECT doc_id, simhash,
+             CAST(j AS VARCHAR) || ':'
+               || CAST((simhash >> (j * {w})) & {(1 << w) - 1} AS VARCHAR)
+               AS band_key
+      FROM shfp, range(0, {nb}) t(j)
+    ),
+    cand{w} AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands{w} a JOIN bands{w} b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )"""
+        )
+        for r in _SHG_RADII:
+            rows.append(
+                f"""SELECT {w} AS band_w, {nb} AS n_bands, {r} AS radius,
+             (SELECT count(*) FROM tp WHERE h <= {r}) AS truth_pairs,
+             (SELECT count(*) FROM cand{w}) AS cand_pairs,
+             (SELECT count(*) FROM cand{w} c
+              JOIN tp ON tp.doc_a = c.doc_a AND tp.doc_b = c.doc_b
+              WHERE tp.h <= {r}) AS caught_pairs"""
+            )
+    body = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    h AS ({_H2_SQL}),
+    s AS (SELECT doc_id, {_NEAR_BIT_SUMS} FROM h GROUP BY doc_id),
+    shfp AS MATERIALIZED (
+      SELECT doc_id, CAST({_NEAR_BIT_ASSEMBLE} AS BIGINT) AS simhash FROM s
+    ),
+    tp AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) AS h
+      FROM shfp a JOIN shfp b ON a.doc_id < b.doc_id
+      WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT))
+            <= {max(_SHG_RADII)}
+    ),
+    {",".join(band_ctes)}
+    SELECT CAST(band_w AS INT) AS band_w, CAST(n_bands AS INT) AS n_bands,
+           CAST(radius AS INT) AS radius,
+           CAST(truth_pairs AS BIGINT) AS truth_pairs,
+           CAST(cand_pairs AS BIGINT) AS cand_pairs,
+           CAST(caught_pairs AS BIGINT) AS caught_pairs,
+           CAST(CASE WHEN truth_pairs = 0 THEN 1000
+                ELSE caught_pairs * 1000 // truth_pairs END AS BIGINT)
+             AS recall_milli,
+           CAST(caught_pairs * 1000 // greatest(cand_pairs, 1) AS BIGINT)
+             AS precision_milli
+    FROM ({body})
+    ORDER BY band_w, radius
+    """
+
+
+@query("dedup_simhash_band_grid", oracle=_shg_oracle())
+def dedup_simhash_band_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from data_ingestion_din_spark.operators.dedup import _refuse_all_pairs
+
+    app = spark.sparkContext.applicationId
+    for kk in [kk for kk in _SHG_STATE if kk[0] != app]:
+        del _SHG_STATE[kk]
+    key = (app, sf_dir)
+    if key not in _SHG_STATE:
+        docs = load_table(spark, sf_dir, "documents")
+        _refuse_all_pairs(
+            docs, 20_000, "the distributed banded join (dedup_simhash_near)"
+        )
+        rows = D.simhash(docs, bits=64).collect()
+        ids = np.array([int(r.doc_id) for r in rows], dtype=np.int64)
+        hv = np.array([int(r.simhash) for r in rows], dtype=np.int64)
+        order = np.argsort(ids)
+        _SHG_STATE[key] = (ids[order], hv[order])
+    ids, hv = _SHG_STATE[key]
+    u = hv.view(np.uint64)
+    n = len(ids)
+    # all-pairs Hamming truth (audit side, guarded): uint16-view xor +
+    # 65536-entry popcount table, chunked; pairs keyed by position (i<j)
+    pop16 = np.array(
+        [bin(v).count("1") for v in range(1 << 16)], np.uint8
+    )
+    uw = u.view(np.uint16).reshape(n, 4)
+    truth_h = {}
+    for i0 in range(0, n, 256):
+        i1 = min(i0 + 256, n)
+        x = uw[i0:i1, None, :] ^ uw[None, :, :]
+        h = pop16[x].sum(axis=2, dtype=np.int64)
+        ii, jj = np.nonzero(h <= max(_SHG_RADII))
+        for a, b in zip(ii, jj):
+            gi = i0 + int(a)
+            if gi < int(b):
+                truth_h[(gi, int(b))] = int(h[a, b])
+    tpk = np.array(
+        [a * n + b for (a, b) in truth_h], dtype=np.int64
+    )
+    tph = np.array(list(truth_h.values()), dtype=np.int64)
+    grid = []
+    for w in _SHG_WIDTHS:
+        nb = 64 // w
+        mask = np.uint64((1 << w) - 1)
+        packed = []
+        for j in range(nb):
+            bv = (u >> np.uint64(j * w)) & mask
+            srt = np.argsort(bv, kind="stable")
+            sv = bv[srt]
+            starts = np.nonzero(np.r_[True, sv[1:] != sv[:-1]])[0]
+            ends = np.r_[starts[1:], len(sv)]
+            for st, en in zip(starts, ends):
+                if en - st > 1:
+                    grp = np.sort(srt[st:en]).astype(np.int64)
+                    a_i, b_i = np.triu_indices(len(grp), k=1)
+                    packed.append(grp[a_i] * n + grp[b_i])
+        cand = (
+            np.unique(np.concatenate(packed))
+            if packed
+            else np.empty(0, dtype=np.int64)
+        )
+        caught_mask = np.isin(tpk, cand) if len(tpk) else tpk
+        for r in _SHG_RADII:
+            within = tph <= r
+            t = int(within.sum())
+            c = int((within & caught_mask).sum()) if len(tpk) else 0
+            grid.append(
+                (
+                    w, nb, r, t, len(cand), c,
+                    1000 if t == 0 else c * 1000 // t,
+                    c * 1000 // max(len(cand), 1),
+                )
+            )
+    return spark.createDataFrame(
+        grid,
+        "band_w int, n_bands int, radius int, truth_pairs bigint,"
+        " cand_pairs bigint, caught_pairs bigint, recall_milli bigint,"
+        " precision_milli bigint",
+    ).orderBy("band_w", "radius")
+
+
+def _shg_popcount(x):
+    """Vectorized 64-bit popcount over a uint64 numpy array."""
+    import numpy as np
+
+    h = np.zeros(len(x), dtype=np.int64)
+    for b in range(8):
+        byte = np.bitwise_and(x >> np.uint64(8 * b), np.uint64(0xFF))
+        h += np.unpackbits(
+            byte.astype(np.uint8)[:, None], axis=1
+        ).sum(axis=1).astype(np.int64)
+    return h

@@ -110,6 +110,10 @@ BUDGETS = {
     "similarity_graph_delete_repair": 5.5,  # 2.9-3.1 s steady (two
     # distributed bridge-repair builds + six driver walks off the
     # staged edge artifact)
+    "events_anomaly_mad": 3.5,  # 1.8-2.3 s steady (two exact-median
+    # window passes + the z-gate stats re-scan)
+    "dedup_simhash_band_grid": 5.0,  # 2.7 s steady (staged
+    # fingerprints; guarded all-pairs popcount truth is the cost)
 }
 
 
