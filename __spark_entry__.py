@@ -61,6 +61,7 @@ _DRIVER_PRIORITY: list[str] = [
     "retrieval_mmr_diversify",
     "events_anomaly_mad",
     "dedup_simhash_band_grid",
+    "similarity_filtered_ann",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -343,6 +343,7 @@ BENCH_QUERIES = [
     "retrieval_mmr_diversify",
     "events_anomaly_mad",
     "dedup_simhash_band_grid",
+    "similarity_filtered_ann",
 ]
 
 

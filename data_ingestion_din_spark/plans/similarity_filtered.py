@@ -1,0 +1,239 @@
+"""Filtered ANN — vector search under a metadata predicate, the
+production problem every vector store names "filtered search": the
+index routes by geometry alone, so a filter applied AFTER retrieval
+starves as it gets selective, while applying it inside the probed cell
+(filter-aware search) keeps whatever the routing kept. This module
+measures that gap on the staged IVF(k=8) index at three selectivity
+levels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_din_spark.functions.vectors import (
+    cosine_exact,
+    cosine_exact_sql,
+)
+from data_ingestion_din_spark.plans.registry import query
+from data_ingestion_din_spark.plans.similarity_queries import (
+    _SWEEP_N,
+    _km8,
+    _km_ctes,
+)
+from data_ingestion_din_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# similarity_filtered_ann — post-filter vs filter-aware recall under
+# label predicates of ~50% / ~10% / ~2% selectivity, against the exact
+# filtered truth (top-10 over all filter-passing rows, 20 probes). One
+# scored candidate pass (the probes' own IVF cells, exact cosine)
+# feeds both arms of every filter:
+#   post  — top-10 of the UNFILTERED cell, filter applied after (what
+#           a bolted-on filter does): the filter eats the result list;
+#   aware — cell members filtered BEFORE the top-10 (what engines with
+#           first-class filtered search do): recall is bounded only by
+#           routing (did the survivors' cell match the probe's?).
+#
+# Measured (sf0.01, 20 probes, recall@10 vs filtered truth):
+#   sel 508‰: aware 450 vs post 345
+#   sel 118‰: aware 310 vs post 140
+#   sel  26‰: aware 165 vs post  20
+# The unfiltered routing ceiling at nprobe=1/k=8 is 485‰ (the nlist
+# sweep's row): the aware arm degrades gracefully from it as the
+# filtered truth spreads over unprobed cells, while the post arm
+# multiplies that routing loss by the filter's pass rate INSIDE its
+# fixed top-10 — an 8× gap at 2.6% selectivity. The measured case for
+# pushing predicates into the index scan (and, one knob further, for
+# selectivity-scaled nprobe).
+#
+# Scale: the aware arm costs nothing extra — the predicate pushes into
+# the same cell scan (Catalyst folds it under the join); the post
+# arm's damage is the measurement. Truth is the audit-side exact pass
+# (probes × filtered corpus), the family's standing denominator shape.
+# --------------------------------------------------------------------------
+# {e} expands to the candidate-row alias in joined oracle contexts
+# (and to '' for the bare selectivity count / the Spark DataFrame side)
+_FANN_FILTERS = [
+    ("f50", "{e}label < 5"),
+    ("f10", "{e}label = 3"),
+    ("f2", "{e}label = 3 AND {e}vec_id % 5 = 0"),
+]
+
+
+def _fann_oracle() -> str:
+    blocks, rows = [], []
+    for name, rawpred in _FANN_FILTERS:
+        pred = rawpred.format(e="e.")
+        selpred = rawpred.format(e="")
+        blocks.append(
+            f"""tr{name} AS MATERIALIZED (
+      SELECT probe, vec_id FROM (
+        SELECT p.vec_id AS probe, e.vec_id,
+               {cosine_exact_sql('e.embedding', 'p.embedding')} AS cos,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY {cosine_exact_sql('e.embedding', 'p.embedding')}
+                          DESC, e.vec_id) AS rk
+        FROM embeddings e CROSS JOIN probes p
+        WHERE e.vec_id <> p.vec_id AND ({pred})
+      ) WHERE rk <= 10
+    ),
+    aw{name} AS MATERIALIZED (
+      SELECT probe, vec_id FROM (
+        SELECT s.probe, s.vec_id,
+               row_number() OVER (
+                 PARTITION BY s.probe ORDER BY s.cos DESC, s.vec_id
+               ) AS rk
+        FROM scored s JOIN embeddings e ON e.vec_id = s.vec_id
+        WHERE ({pred})
+      ) WHERE rk <= 10
+    )"""
+        )
+        for arm, src in (("post", f"""(SELECT t.probe, t.vec_id FROM ptop t
+              JOIN embeddings e ON e.vec_id = t.vec_id
+              WHERE ({pred}))"""),
+                         ("aware", f"aw{name}")):
+            rows.append(
+                f"""SELECT '{name}' AS filter,
+             (SELECT count(*) * 1000 // (SELECT count(*) FROM embeddings)
+              FROM embeddings WHERE ({selpred})) AS sel_milli,
+             '{arm}' AS arm,
+             (SELECT count(*) FROM tr{name}) AS n_truth,
+             (SELECT count(*) FROM {src} a
+              JOIN tr{name} t ON t.probe = a.probe
+                             AND t.vec_id = a.vec_id) AS n_overlap"""
+            )
+    body = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH {_km_ctes(p="km")},
+    probes AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_SWEEP_N}
+    ),
+    scored AS MATERIALIZED (
+      SELECT pa.vec_id AS probe, a.vec_id,
+             {cosine_exact_sql('e.embedding', 'pe.embedding')} AS cos
+      FROM kma2 pa
+      JOIN kma2 a ON a.cluster = pa.cluster AND a.vec_id <> pa.vec_id
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN embeddings pe ON pe.vec_id = pa.vec_id
+      WHERE pa.vec_id < {_SWEEP_N}
+    ),
+    ptop AS MATERIALIZED (
+      SELECT probe, vec_id FROM (
+        SELECT probe, vec_id, row_number() OVER (
+          PARTITION BY probe ORDER BY cos DESC, vec_id) AS rk
+        FROM scored
+      ) WHERE rk <= 10
+    ),
+    {",".join(blocks)}
+    SELECT filter, CAST(sel_milli AS BIGINT) AS sel_milli, arm,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           CAST(n_overlap * 1000 // greatest(n_truth, 1) AS BIGINT)
+             AS recall_milli
+    FROM ({body})
+    ORDER BY sel_milli DESC, filter, arm
+    """
+
+
+@query("similarity_filtered_ann", oracle=_fann_oracle())
+def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _km8(spark, sf_dir)
+    pa = assigned.filter(F.col("vec_id") < _SWEEP_N).select(
+        F.col("vec_id").alias("probe"), F.col("cluster").alias("pc")
+    )
+    pemb = F.broadcast(
+        emb.filter(F.col("vec_id") < _SWEEP_N).select(
+            F.col("vec_id").alias("probe"),
+            F.col("embedding").alias("p_embedding"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(pa), F.col("cluster") == F.col("pc"))
+        .filter(F.col("vec_id") != F.col("probe"))
+        .join(emb.select("vec_id", "embedding", "label"), "vec_id")
+        .join(pemb, "probe")
+        .select(
+            "probe",
+            "vec_id",
+            "label",
+            cosine_exact(F.col("embedding"), F.col("p_embedding")).alias(
+                "cos"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wtop = W.partitionBy("probe").orderBy(F.desc("cos"), "vec_id")
+    ptop = (
+        scored.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 10)
+        .select("probe", "vec_id", "label")
+    )
+    n_corpus = emb.count()
+    # ONE probes × corpus exact pass feeds every filter's truth — the
+    # single-scan shape (measured ~equal wall-clock to three per-filter
+    # scans at sf0.1, where the small-job overhead dominates; at real
+    # corpus sizes the scan count is what matters)
+    exall = (
+        emb.select("vec_id", "embedding", "label")
+        .crossJoin(pemb)
+        .filter(F.col("vec_id") != F.col("probe"))
+        .select(
+            "probe",
+            "vec_id",
+            "label",
+            cosine_exact(F.col("embedding"), F.col("p_embedding")).alias(
+                "cos"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grid = None
+    for name, rawpred in _FANN_FILTERS:
+        pred = rawpred.format(e="")
+        sel = emb.filter(F.expr(pred)).count() * 1000 // n_corpus
+        truth = (
+            exall.filter(F.expr(pred))
+            .withColumn("rk", F.row_number().over(wtop))
+            .filter(F.col("rk") <= 10)
+            .select("probe", "vec_id")
+        )
+        arms = {
+            "post": ptop.filter(F.expr(pred)).select("probe", "vec_id"),
+            "aware": scored.filter(F.expr(pred))
+            .withColumn("rk", F.row_number().over(wtop))
+            .filter(F.col("rk") <= 10)
+            .select("probe", "vec_id"),
+        }
+        for arm in ("post", "aware"):
+            row = (
+                truth.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_truth")
+                )
+                .crossJoin(
+                    arms[arm]
+                    .join(truth, ["probe", "vec_id"])
+                    .agg(
+                        F.count(F.lit(1))
+                        .cast("bigint")
+                        .alias("n_overlap")
+                    )
+                )
+                .select(
+                    F.lit(name).alias("filter"),
+                    F.lit(sel).cast("bigint").alias("sel_milli"),
+                    F.lit(arm).alias("arm"),
+                    "n_truth",
+                    "n_overlap",
+                    F.expr("n_overlap * 1000 DIV greatest(n_truth, 1)")
+                    .cast("bigint")
+                    .alias("recall_milli"),
+                )
+            )
+            grid = row if grid is None else grid.unionByName(row)
+    return grid.orderBy(F.desc("sel_milli"), "filter", "arm")

@@ -114,6 +114,8 @@ BUDGETS = {
     # window passes + the z-gate stats re-scan)
     "dedup_simhash_band_grid": 5.0,  # 2.7 s steady (staged
     # fingerprints; guarded all-pairs popcount truth is the cost)
+    "similarity_filtered_ann": 6.0,  # 3.4-3.8 s steady (shared exact
+    # pass + 12 small per-arm aggregates)
 }
 
 
