@@ -62,6 +62,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_anomaly_mad",
     "dedup_simhash_band_grid",
     "similarity_filtered_ann",
+    "similarity_filtered_nprobe",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -344,6 +344,7 @@ BENCH_QUERIES = [
     "events_anomaly_mad",
     "dedup_simhash_band_grid",
     "similarity_filtered_ann",
+    "similarity_filtered_nprobe",
 ]
 
 

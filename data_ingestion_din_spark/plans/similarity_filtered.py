@@ -237,3 +237,196 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             grid = row if grid is None else grid.unionByName(row)
     return grid.orderBy(F.desc("sel_milli"), "filter", "arm")
+
+
+# --------------------------------------------------------------------------
+# similarity_filtered_nprobe — the REMEDY the grid above points at:
+# under the harshest filter (f2, ~2.6% selectivity), sweep the probe
+# width nprobe ∈ {1, 2, 4, 8} with filter-aware search. Routing is the
+# only loss the aware arm has, so widening the probe buys recall
+# directly — and the nprobe=8 row probes every cell, which MUST read
+# 1000‰ (it IS exact filtered search): the sweep's built-in
+# consistency gate. This is the selectivity-scaled-nprobe rule made
+# measurable: at 2.6% selectivity a cell holds ~1.6 expected matches,
+# so a fixed top-10 needs ~6 cells' worth of survivors before recall
+# can saturate.
+#
+# Measured (sf0.01, 20 probes): recall 165 / 295 / 530 / 1000 ‰ at
+# nprobe 1 / 2 / 4 / 8 — tracking the probed fraction (125 / 250 /
+# 500 / 1000 proportional) with a small routing bonus, the honest
+# null-geometry baseline for the scaling rule: on structure-free data
+# a filtered index earns recall almost exactly per cell probed, so
+# nprobe must scale ~1/selectivity to hold a recall target.
+#
+# Scale: nprobe widens the cell scan linearly; everything else is the
+# same filtered cell-scan plan (predicate pushed into the scan).
+# --------------------------------------------------------------------------
+_FNP_GRID = (1, 2, 4, 8)
+_FNP_NAME, _FNP_PRED = _FANN_FILTERS[2][0], _FANN_FILTERS[2][1]
+
+
+def _fnp_oracle() -> str:
+    from data_ingestion_din_spark.plans.similarity_queries import _KM_DIST
+
+    pred = _FNP_PRED.format(e="e.")
+    blocks, rows = [], []
+    for np_ in _FNP_GRID:
+        blocks.append(
+            f"""pc{np_} AS (
+      SELECT probe, cluster FROM (
+        SELECT q.vec_id AS probe, s.cluster,
+               row_number() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster
+               ) AS pr
+        FROM kmq q CROSS JOIN kmc1f s
+        WHERE q.vec_id < {_SWEEP_N}
+      ) WHERE pr <= {np_}
+    ),
+    aw{np_} AS MATERIALIZED (
+      SELECT probe, vec_id FROM (
+        SELECT p.probe, a.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.probe
+                 ORDER BY {cosine_exact_sql('e.embedding', 'pe.embedding')}
+                          DESC, a.vec_id
+               ) AS rk
+        FROM pc{np_} p
+        JOIN kma2 a ON a.cluster = p.cluster AND a.vec_id <> p.probe
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings pe ON pe.vec_id = p.probe
+        WHERE ({pred})
+      ) WHERE rk <= 10
+    )"""
+        )
+        rows.append(
+            f"""SELECT {np_} AS nprobe,
+             (SELECT count(*) FROM trf) AS n_truth,
+             (SELECT count(*) FROM aw{np_} a
+              JOIN trf t ON t.probe = a.probe AND t.vec_id = a.vec_id)
+               AS n_overlap"""
+        )
+    body = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH {_km_ctes(p="km")},
+    probes AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_SWEEP_N}
+    ),
+    trf AS MATERIALIZED (
+      SELECT probe, vec_id FROM (
+        SELECT p.vec_id AS probe, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY {cosine_exact_sql('e.embedding', 'p.embedding')}
+                          DESC, e.vec_id) AS rk
+        FROM embeddings e CROSS JOIN probes p
+        WHERE e.vec_id <> p.vec_id AND ({pred})
+      ) WHERE rk <= 10
+    ),
+    {",".join(blocks)}
+    SELECT CAST(nprobe AS INT) AS nprobe,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           CAST(n_overlap * 1000 // greatest(n_truth, 1) AS BIGINT)
+             AS recall_milli
+    FROM ({body})
+    ORDER BY nprobe
+    """
+
+
+@query("similarity_filtered_nprobe", oracle=_fnp_oracle())
+def similarity_filtered_nprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.plans.similarity_queries import _km8_cents
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _km8(spark, sf_dir)
+    cents = _km8_cents(spark, sf_dir)
+    pred = _FNP_PRED.format(e="")
+    pemb = F.broadcast(
+        emb.filter(F.col("vec_id") < _SWEEP_N).select(
+            F.col("vec_id").alias("probe"),
+            F.col("embedding").alias("p_embedding"),
+        )
+    )
+    wtop = W.partitionBy("probe").orderBy(F.desc("cos"), "vec_id")
+    truth = (
+        emb.filter(F.expr(pred))
+        .select("vec_id", "embedding")
+        .crossJoin(pemb)
+        .filter(F.col("vec_id") != F.col("probe"))
+        .select(
+            "probe",
+            "vec_id",
+            cosine_exact(F.col("embedding"), F.col("p_embedding")).alias(
+                "cos"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 10)
+        .select("probe", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    # probe→cell ranking on the frozen centroids (bounded control data,
+    # the _ivfpq_sweep multiprobe shape)
+    probe_rows = (
+        emb.filter(F.col("vec_id") < _SWEEP_N)
+        .select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        .collect()
+    )
+    ranked = {
+        int(r.vec_id): sorted(
+            (
+                sum((int(r.qv[i]) - c[i]) ** 2 for i in range(len(c))),
+                cl + 1,
+            )
+            for cl, c in enumerate(cents)
+        )
+        for r in probe_rows
+    }
+    grid = None
+    for np_ in _FNP_GRID:
+        pc_rows = [
+            (p, cl) for p, rk in ranked.items() for _, cl in rk[:np_]
+        ]
+        pcells = spark.createDataFrame(pc_rows, "probe bigint, pcell int")
+        itop = (
+            assigned.join(
+                F.broadcast(pcells), F.col("cluster") == F.col("pcell")
+            )
+            .filter(F.col("vec_id") != F.col("probe"))
+            .join(emb.select("vec_id", "embedding", "label"), "vec_id")
+            .filter(F.expr(pred))
+            .join(pemb, "probe")
+            .select(
+                "probe",
+                "vec_id",
+                cosine_exact(
+                    F.col("embedding"), F.col("p_embedding")
+                ).alias("cos"),
+            )
+            .withColumn("rk", F.row_number().over(wtop))
+            .filter(F.col("rk") <= 10)
+            .select("probe", "vec_id")
+        )
+        row = (
+            truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+            .crossJoin(
+                itop.join(truth, ["probe", "vec_id"]).agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+                )
+            )
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "n_truth",
+                "n_overlap",
+                F.expr("n_overlap * 1000 DIV greatest(n_truth, 1)")
+                .cast("bigint")
+                .alias("recall_milli"),
+            )
+        )
+        grid = row if grid is None else grid.unionByName(row)
+    return grid.orderBy("nprobe")

@@ -116,6 +116,8 @@ BUDGETS = {
     # fingerprints; guarded all-pairs popcount truth is the cost)
     "similarity_filtered_ann": 6.0,  # 3.4-3.8 s steady (shared exact
     # pass + 12 small per-arm aggregates)
+    "similarity_filtered_nprobe": 6.0,  # 3.1-3.7 s steady (truth pass
+    # + four widened filtered cell scans)
 }
 
 
