@@ -63,6 +63,8 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_simhash_band_grid",
     "similarity_filtered_ann",
     "similarity_filtered_nprobe",
+    "events_ewma_halving",
+    "dq_freshness_sla",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -345,6 +345,8 @@ BENCH_QUERIES = [
     "dedup_simhash_band_grid",
     "similarity_filtered_ann",
     "similarity_filtered_nprobe",
+    "events_ewma_halving",
+    "dq_freshness_sla",
 ]
 
 

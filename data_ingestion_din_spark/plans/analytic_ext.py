@@ -683,3 +683,99 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# events_ewma_halving — integer EWMA (α = 1/2) per user in event-time
+# order: e₀ = v₀, eₙ = (eₙ₋₁ + vₙ) // 2 on cent-quantized values — the
+# classic streaming smoother in the one fixed-point form whose floor
+# arithmetic both engines reproduce bit-exactly (a float α would gate
+# on accumulated ULPs). The accumulator depends on every prior row, so
+# (like pack_sequences / W5 chunking) it is not a window function: the
+# engine runs the per-key mapInPandas walk, the oracle re-walks each
+# user's stream with a RECURSIVE CTE, and EVERY row's smoothed value
+# is hash-gated — 10k rows of pinned carry arithmetic, not a summary.
+#
+# Scale: one shuffle on user_id, sort within partitions, one Arrow
+# pass with state carried across batches — the walker key bounds
+# parallelism by user count, which at event scale is ample.
+# --------------------------------------------------------------------------
+@query(
+    "events_ewma_halving",
+    oracle="""
+    WITH numbered AS MATERIALIZED (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS vc,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    walk AS (
+      WITH RECURSIVE w AS (
+        SELECT user_id, event_id, ts_us, vc, rn, vc AS ewma_c
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.event_id, b.ts_us, b.vc, b.rn,
+               (w.ewma_c + b.vc) // 2
+        FROM w JOIN numbered b
+          ON b.user_id = w.user_id AND b.rn = w.rn + 1
+      )
+      SELECT * FROM w
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(ts_us AS BIGINT) AS ts_us,
+           CAST(vc AS BIGINT) AS vc,
+           CAST(ewma_c AS BIGINT) AS ewma_c
+    FROM walk
+    ORDER BY user_id, event_id
+    """,
+)
+def events_ewma_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("value").cast("decimal(18,4)") * 100)
+        .cast("bigint")
+        .alias("vc"),
+    )
+
+    def walk(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        state = {"key": None, "ewma": 0}
+        out: list[tuple] = []
+        cols = ["user_id", "event_id", "ts_us", "vc", "ewma_c"]
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.user_id != state["key"]:
+                    state.update(key=row.user_id, ewma=int(row.vc))
+                else:
+                    state["ewma"] = (state["ewma"] + int(row.vc)) // 2
+                out.append(
+                    (
+                        int(row.user_id),
+                        int(row.event_id),
+                        int(row.ts_us),
+                        int(row.vc),
+                        state["ewma"],
+                    )
+                )
+            if len(out) >= 10_000:
+                yield pd.DataFrame(out, columns=cols)
+                out = []
+        yield pd.DataFrame(out, columns=cols)
+
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .mapInPandas(
+            walk,
+            "user_id bigint, event_id bigint, ts_us bigint, vc bigint,"
+            " ewma_c bigint",
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -963,3 +963,90 @@ def dq_salt_factor_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_salts")
     )
+
+
+# --------------------------------------------------------------------------
+# dq_freshness_sla — the FRESHNESS gate, the dq dimension the family
+# still lacked (profile drift ✓ skew ✓ volume-at-ingest ✓ — this is
+# the table-level "is the source still landing?" check every pipeline
+# pages on): per event_type, the last-landed event time, its lag
+# behind the corpus watermark (the newest event anywhere — the only
+# deterministic "now" a fixture has), SLA flags at 1 h and 1 d, and
+# volume freshness — events in the trailing 24 h vs the per-type mean
+# daily rate, as an exact per-mille ratio (a source can keep landing
+# a trickle and still be stale in volume).
+#
+# Scale: one scan, one groupBy(event_type) — the global watermark is a
+# 1-row broadcast; every output column rides the same aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "dq_freshness_sla",
+    oracle="""
+    WITH wm AS (
+      SELECT max(epoch_us(ts)) AS wm_us,
+             min(epoch_us(ts)) AS t0_us
+      FROM events
+    ),
+    per AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             max(epoch_us(ts)) AS last_us,
+             sum(CASE WHEN epoch_us(ts)
+                        >= (SELECT wm_us FROM wm) - 86400000000
+                      THEN 1 ELSE 0 END) AS n_last_day
+      FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, p.n,
+           CAST(p.last_us AS BIGINT) AS last_us,
+           CAST((w.wm_us - p.last_us) // 1000000 AS BIGINT) AS lag_s,
+           (w.wm_us - p.last_us) > 3600000000 AS breach_1h,
+           (w.wm_us - p.last_us) > 86400000000 AS breach_1d,
+           CAST(p.n_last_day AS BIGINT) AS n_last_day,
+           CAST(p.n_last_day * 1000
+                // greatest(p.n * 86400000000
+                            // greatest(w.wm_us - w.t0_us, 1), 1)
+                AS BIGINT) AS day_rate_milli
+    FROM per p CROSS JOIN wm w
+    ORDER BY p.event_type
+    """,
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    wm = ev.agg(
+        F.max("ts_us").alias("wm_us"), F.min("ts_us").alias("t0_us")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(wm))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("ts_us").alias("last_us"),
+            F.sum(
+                F.when(
+                    F.col("ts_us") >= F.col("wm_us") - 86_400_000_000, 1
+                ).otherwise(0)
+            ).alias("n_last_day"),
+            F.first("wm_us").alias("wm_us"),
+            F.first("t0_us").alias("t0_us"),
+        )
+    )
+    lag = F.col("wm_us") - F.col("last_us")
+    return per.select(
+        "event_type",
+        "n",
+        F.col("last_us").cast("bigint").alias("last_us"),
+        F.expr("(wm_us - last_us) DIV 1000000").cast("bigint").alias(
+            "lag_s"
+        ),
+        (lag > 3_600_000_000).alias("breach_1h"),
+        (lag > 86_400_000_000).alias("breach_1d"),
+        F.col("n_last_day").cast("bigint").alias("n_last_day"),
+        F.expr(
+            "n_last_day * 1000 DIV greatest(n * 86400000000"
+            " DIV greatest(wm_us - t0_us, 1), 1)"
+        )
+        .cast("bigint")
+        .alias("day_rate_milli"),
+    ).orderBy("event_type")
