@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_filtered_nprobe",
     "events_ewma_halving",
     "dq_freshness_sla",
+    "dq_quantile_sketch_grid",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

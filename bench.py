@@ -347,6 +347,7 @@ BENCH_QUERIES = [
     "similarity_filtered_nprobe",
     "events_ewma_halving",
     "dq_freshness_sla",
+    "dq_quantile_sketch_grid",
 ]
 
 
