@@ -348,6 +348,7 @@ BENCH_QUERIES = [
     "events_ewma_halving",
     "dq_freshness_sla",
     "dq_quantile_sketch_grid",
+    "corpus_mg_heavy_hitters",
 ]
 
 

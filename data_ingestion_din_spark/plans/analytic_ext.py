@@ -779,3 +779,239 @@ def events_ewma_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_mg_heavy_hitters — Misra-Gries, the DETERMINISTIC heavy-hitter
+# summary next to the Count-Min sketch above (CMS overestimates with
+# randomized hashing; MG underestimates with NO randomness, which is
+# why its walk and its merge can sit under a hash gate at all): k = 8
+# counters maintained over each of 4 logical shards of the word stream
+# (docs 0..99, (doc_id, position) order — MG is order-dependent, so
+# the stream order IS part of the contract), then the Agarwal et al.
+# 2012 mergeable-summaries rule: sum counters across shards and, if
+# more than k survive, subtract the (k+1)-th largest combined count.
+# Per surviving word the output pins the estimate, the exact count,
+# the error, and the n/(k+1) guarantee; a trailing anti-join emits any
+# word whose true count EXCEEDS the guarantee yet is missing from the
+# summary — rows that must never exist (their absence is hash-pinned).
+#
+# Scale: per-shard state is k counters regardless of stream length
+# (the mapInPandas walker yields 4×≤8 rows); the merge is driver-side
+# control data; only the exact audit side scans the corpus.
+# --------------------------------------------------------------------------
+_MG_K = 8
+_MG_SHARDS = 4
+_MG_DOCS = 100
+
+
+def _mg_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_CMS_SQL}) AS w,
+             generate_subscripts({_TOKS_CMS_SQL}, 1) AS pos
+      FROM documents WHERE doc_id < {_MG_DOCS}
+    ),
+    numbered AS MATERIALIZED (
+      SELECT doc_id % {_MG_SHARDS} AS shard, w,
+             row_number() OVER (PARTITION BY doc_id % {_MG_SHARDS}
+                                ORDER BY doc_id, pos) AS rn
+      FROM toks
+    ),
+    walk AS MATERIALIZED (
+      WITH RECURSIVE mg AS (
+        SELECT shard, rn,
+               [{{'w': w, 'c': CAST(1 AS BIGINT)}}] AS st
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT b.shard, b.rn,
+          CASE
+            WHEN len(list_filter(mg.st, s -> s.w = b.w)) > 0
+              THEN list_transform(mg.st, s -> CASE WHEN s.w = b.w
+                     THEN {{'w': s.w, 'c': s.c + 1}} ELSE s END)
+            WHEN len(mg.st) < {_MG_K}
+              THEN list_append(mg.st, {{'w': b.w, 'c': CAST(1 AS BIGINT)}})
+            ELSE list_filter(
+                   list_transform(mg.st, s -> {{'w': s.w, 'c': s.c - 1}}),
+                   s -> s.c > 0)
+          END
+        FROM mg JOIN numbered b ON b.shard = mg.shard AND b.rn = mg.rn + 1
+      )
+      SELECT shard, st FROM (
+        SELECT shard, st,
+               row_number() OVER (PARTITION BY shard ORDER BY rn DESC)
+                 AS rk
+        FROM mg
+      ) WHERE rk = 1
+    ),
+    combined AS MATERIALIZED (
+      SELECT e.w, CAST(sum(e.c) AS BIGINT) AS c
+      FROM walk, unnest(walk.st) t(e)
+      GROUP BY e.w
+    ),
+    thr AS (
+      SELECT CASE WHEN (SELECT count(*) FROM combined) > {_MG_K}
+        THEN (SELECT c FROM combined
+              ORDER BY c DESC, w LIMIT 1 OFFSET {_MG_K})
+        ELSE 0 END AS t
+    ),
+    summary AS (
+      SELECT w, c - thr.t AS est FROM combined CROSS JOIN thr
+      WHERE c - thr.t > 0
+    ),
+    exact AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY w
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+    SELECT CAST(-1 AS INT) AS shard, s.w AS word,
+           CAST(s.est AS BIGINT) AS est,
+           e.true_cnt, CAST(e.true_cnt - s.est AS BIGINT) AS err,
+           CAST(nn.n // {_MG_K + 1} AS BIGINT) AS bound,
+           (e.true_cnt - s.est) <= nn.n // {_MG_K + 1} AS within_bound,
+           FALSE AS missed_heavy
+    FROM summary s JOIN exact e ON e.w = s.w CROSS JOIN nn
+    UNION ALL
+    SELECT CAST(-1 AS INT), e.w, CAST(NULL AS BIGINT), e.true_cnt,
+           CAST(NULL AS BIGINT),
+           CAST(nn.n // {_MG_K + 1} AS BIGINT),
+           CAST(NULL AS BOOLEAN), TRUE
+    FROM exact e CROSS JOIN nn
+    WHERE e.true_cnt > nn.n // {_MG_K + 1}
+      AND e.w NOT IN (SELECT w FROM summary)
+    UNION ALL
+    SELECT CAST(walk.shard AS INT), t.e.w, CAST(t.e.c AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN), FALSE
+    FROM walk, unnest(walk.st) t(e)
+    ORDER BY shard, missed_heavy, est DESC NULLS LAST, word
+    """
+
+
+@query("corpus_mg_heavy_hitters", oracle=_mg_oracle())
+def corpus_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _MG_DOCS
+    )
+    stream = docs.select(
+        (F.col("doc_id") % _MG_SHARDS).alias("shard"),
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "w"),
+    )
+
+    def walk(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        state: dict = {"key": None, "mg": {}}
+        out: list[tuple] = []
+
+        def flush() -> None:
+            for w, c in state["mg"].items():
+                out.append((state["key"], w, c))
+            state["mg"] = {}
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.shard != state["key"]:
+                    if state["key"] is not None:
+                        flush()
+                    state["key"] = row.shard
+                mg = state["mg"]
+                w = row.w
+                if w in mg:
+                    mg[w] += 1
+                elif len(mg) < _MG_K:
+                    mg[w] = 1
+                else:
+                    for kk in list(mg):
+                        mg[kk] -= 1
+                        if mg[kk] == 0:
+                            del mg[kk]
+            # state carries across Arrow batches; flush only at key
+            # change / end
+        if state["key"] is not None:
+            flush()
+        import pandas as pd
+
+        yield pd.DataFrame(out, columns=["shard", "w", "c"])
+
+    summaries = (
+        stream.repartition("shard")
+        .sortWithinPartitions("shard", "doc_id", "pos")
+        .mapInPandas(walk, "shard bigint, w string, c bigint")
+        .collect()
+    )
+    shard_rows = spark.createDataFrame(
+        [(int(r.shard), r.w, int(r.c)) for r in summaries],
+        "shard int, word string, est bigint",
+    ).select(
+        "shard",
+        "word",
+        "est",
+        F.lit(None).cast("bigint").alias("true_cnt"),
+        F.lit(None).cast("bigint").alias("err"),
+        F.lit(None).cast("bigint").alias("bound"),
+        F.lit(None).cast("boolean").alias("within_bound"),
+        F.lit(False).alias("missed_heavy"),
+    )
+    combined: dict[str, int] = {}
+    for r in summaries:
+        combined[r.w] = combined.get(r.w, 0) + int(r.c)
+    if len(combined) > _MG_K:
+        t = sorted(
+            combined.items(), key=lambda kv: (-kv[1], kv[0])
+        )[_MG_K][1]
+    else:
+        t = 0
+    summary = {w: c - t for w, c in combined.items() if c - t > 0}
+    exact = (
+        stream.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    n = int(
+        exact.agg(F.sum("true_cnt").cast("bigint").alias("n")).first()[0]
+    )
+    bound = n // (_MG_K + 1)
+    sdf = spark.createDataFrame(
+        [(w, c) for w, c in summary.items()], "w string, est bigint"
+    )
+    hit = (
+        sdf.join(exact, "w")
+        .select(
+            F.lit(-1).cast("int").alias("shard"),
+            F.col("w").alias("word"),
+            "est",
+            "true_cnt",
+            (F.col("true_cnt") - F.col("est")).cast("bigint").alias("err"),
+            F.lit(bound).cast("bigint").alias("bound"),
+            ((F.col("true_cnt") - F.col("est")) <= bound).alias(
+                "within_bound"
+            ),
+            F.lit(False).alias("missed_heavy"),
+        )
+    )
+    missed = (
+        exact.filter(F.col("true_cnt") > bound)
+        .join(sdf, "w", "left_anti")
+        .select(
+            F.lit(-1).cast("int").alias("shard"),
+            F.col("w").alias("word"),
+            F.lit(None).cast("bigint").alias("est"),
+            "true_cnt",
+            F.lit(None).cast("bigint").alias("err"),
+            F.lit(bound).cast("bigint").alias("bound"),
+            F.lit(None).cast("boolean").alias("within_bound"),
+            F.lit(True).alias("missed_heavy"),
+        )
+    )
+    return (
+        hit.unionByName(missed)
+        .unionByName(shard_rows)
+        .orderBy(
+            "shard", "missed_heavy", F.desc_nulls_last("est"), "word"
+        )
+    )
