@@ -349,6 +349,7 @@ BENCH_QUERIES = [
     "dq_freshness_sla",
     "dq_quantile_sketch_grid",
     "corpus_mg_heavy_hitters",
+    "streaming_mg_maintenance",
 ]
 
 
@@ -484,6 +485,9 @@ def main() -> None:
 
     stage("sjoin_outer_landings", lambda: _sjo_out_dir(spark, sf_dir))
     stage("sjoin_full_landings", lambda: _sjf_out_dir(spark, sf_dir))
+    from data_ingestion_din_spark.plans.streaming_sketches import _smg_out_dir
+
+    stage("smg_landings", lambda: _smg_out_dir(spark, sf_dir))
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}

@@ -1073,3 +1073,231 @@ def streaming_cms_maintenance(
     return est.select(
         "tok", F.col("n").alias("exact_count"), "cms_estimate"
     ).orderBy(F.desc("exact_count"), "tok")
+
+
+# --------------------------------------------------------------------------
+# streaming_mg_maintenance — Misra-Gries MAINTAINED AT INGEST, closing
+# the sketch-at-ingest family's last gap (HLL ✓ Bloom ✓ quantile ✓
+# CMS ✓ — the deterministic heavy-hitter summary was batch-only). The
+# maintenance rule is the stream's own: MG is a streaming algorithm,
+# so appending a landing just CONTINUES the counter walk from the
+# prior epoch's state (no merge step, no associativity caveat — the
+# state after epoch e is bit-identical to the batch walk over the
+# concatenated prefix, which is exactly what the oracle computes).
+# Four landings (docs 0..99 split doc_id % 4, each walked in
+# (doc_id, position) order), state = ≤ k counters epoch-committed;
+# the readback emits every epoch's counter state (the maintenance
+# trajectory) plus the final state audited against exact counts with
+# the n/(k+1) guarantee.
+#
+# Scale: the carried state is k counters regardless of stream length
+# (collected per epoch as bounded control data); each landing is one
+# ordered single-partition walk — at production the walker key is the
+# shard, exactly as corpus_mg_heavy_hitters distributes it.
+# --------------------------------------------------------------------------
+_SMG_DONE: dict[tuple[str, str], str] = {}
+_SMG_K = 8
+_SMG_DOCS = 100
+_SMG_EPOCHS = 4
+
+
+def _smg_processor(out: str):
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        # prior state = the FULL snapshot of the latest prior epoch —
+        # NOT a per-word latest-epoch read (_latest_epoch_rows), which
+        # would resurrect words the decrement churn already dropped
+        mg: dict[str, int] = {}
+        if os.path.isdir(out):
+            hist = (
+                spark_l.read.option("basePath", out)
+                .parquet(out)
+                .filter(F.col("epoch") < epoch_id)
+            )
+            maxe = hist.agg(F.max("epoch")).first()[0]
+            if maxe is not None:
+                mg = {
+                    r.word: int(r.c)
+                    for r in hist.filter(
+                        (F.col("epoch") == maxe)
+                        & F.col("word").isNotNull()
+                    ).collect()
+                }
+        rows = (
+            batch_df.orderBy("doc_id", "pos")
+            .select("w")
+            .coalesce(1)
+            .collect()
+        )
+        for r in rows:
+            w = r.w
+            if w in mg:
+                mg[w] += 1
+            elif len(mg) < _SMG_K:
+                mg[w] = 1
+            else:
+                for kk in list(mg):
+                    mg[kk] -= 1
+                    if mg[kk] == 0:
+                        del mg[kk]
+        # the None sentinel keeps an EMPTY snapshot addressable: an
+        # all-churned state must still advance the latest-prior-epoch
+        # pointer, or the next epoch resumes from a stale snapshot
+        spark_l.createDataFrame(
+            [(w, c, epoch_id) for w, c in mg.items()]
+            or [(None, None, epoch_id)],
+            "word string, c bigint, epoch_src bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"epoch={epoch_id}")
+        )
+
+    return _process
+
+
+def _smg_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SMG_DONE, key[0])
+    if key in _SMG_DONE:
+        if _dir_ok(_SMG_DONE[key]):
+            return _SMG_DONE[key]
+        del _SMG_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_smg")
+    out = os.path.join(base, "out")
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SMG_DOCS
+    )
+    stream = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    _run_split_landings(
+        spark,
+        base,
+        "doc_id bigint, pos int, w string",
+        [
+            stream.filter(F.col("doc_id") % _SMG_EPOCHS == e)
+            for e in range(_SMG_EPOCHS)
+        ],
+        _smg_processor(out),
+    )
+    _SMG_DONE[key] = out
+    return out
+
+
+def _smg_oracle() -> str:
+    # cumulative boundaries: epoch e's state = the single concatenated
+    # walk read at the last row of shard e (shard-major order)
+    epoch_states = []
+    for e in range(_SMG_EPOCHS):
+        epoch_states.append(
+            f"""SELECT {e} AS epoch, t.e.w AS word, CAST(t.e.c AS BIGINT) AS c
+      FROM (
+        SELECT st FROM mgw
+        WHERE rn = (SELECT max(rn) FROM numbered WHERE shard <= {e})
+      ) w0, unnest(w0.st) t(e)"""
+        )
+    states = "\n      UNION ALL ".join(epoch_states)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS w,
+             generate_subscripts(
+               list_filter(string_split(text, ' '), x -> x <> ''), 1)
+               AS pos
+      FROM documents WHERE doc_id < {_SMG_DOCS}
+    ),
+    numbered AS MATERIALIZED (
+      SELECT doc_id % {_SMG_EPOCHS} AS shard, w,
+             row_number() OVER (
+               ORDER BY doc_id % {_SMG_EPOCHS}, doc_id, pos) AS rn
+      FROM toks
+    ),
+    mgw AS MATERIALIZED (
+      WITH RECURSIVE mg AS (
+        SELECT rn, [{{'w': w, 'c': CAST(1 AS BIGINT)}}] AS st
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT b.rn,
+          CASE
+            WHEN len(list_filter(mg.st, s -> s.w = b.w)) > 0
+              THEN list_transform(mg.st, s -> CASE WHEN s.w = b.w
+                     THEN {{'w': s.w, 'c': s.c + 1}} ELSE s END)
+            WHEN len(mg.st) < {_SMG_K}
+              THEN list_append(mg.st, {{'w': b.w, 'c': CAST(1 AS BIGINT)}})
+            ELSE list_filter(
+                   list_transform(mg.st, s -> {{'w': s.w, 'c': s.c - 1}}),
+                   s -> s.c > 0)
+          END
+        FROM mg JOIN numbered b ON b.rn = mg.rn + 1
+      )
+      SELECT rn, st FROM mg
+    ),
+    states AS (
+      {states}
+    ),
+    exact AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY w
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+    SELECT CAST(s.epoch AS INT) AS epoch, s.word, s.c,
+           CASE WHEN s.epoch = {_SMG_EPOCHS - 1} THEN e.true_cnt END
+             AS true_cnt,
+           CASE WHEN s.epoch = {_SMG_EPOCHS - 1}
+                THEN (e.true_cnt - s.c) <= nn.n // {_SMG_K + 1} END
+             AS within_bound
+    FROM states s
+    JOIN exact e ON e.w = s.word
+    CROSS JOIN nn
+    ORDER BY epoch, word
+    """
+
+
+@query("streaming_mg_maintenance", oracle=_smg_oracle())
+def streaming_mg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back every epoch's maintained counter state; the final
+    epoch's rows carry the exact-count audit. The oracle is the single
+    concatenated-stream walk read at each shard boundary — stream
+    continuation means maintained state ≡ batch prefix state."""
+    out = _smg_out_dir(spark, sf_dir)
+    hist = (
+        spark.read.option("basePath", out)
+        .parquet(out)
+        .filter(F.col("word").isNotNull())
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SMG_DOCS
+    )
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    toks = docs.select(
+        F.explode(tokens(F.col("text"))).alias("w")
+    )
+    exact = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    n = toks.count()
+    last = _SMG_EPOCHS - 1
+    return (
+        hist.join(exact, hist.word == exact.w)
+        .select(
+            F.col("epoch").cast("int").alias("epoch"),
+            "word",
+            F.col("c").cast("bigint").alias("c"),
+            F.when(F.col("epoch") == last, F.col("true_cnt"))
+            .cast("bigint")
+            .alias("true_cnt"),
+            F.when(
+                F.col("epoch") == last,
+                (F.col("true_cnt") - F.col("c")) <= n // (_SMG_K + 1),
+            ).alias("within_bound"),
+        )
+        .orderBy("epoch", "word")
+    )
