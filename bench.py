@@ -350,6 +350,7 @@ BENCH_QUERIES = [
     "dq_quantile_sketch_grid",
     "corpus_mg_heavy_hitters",
     "streaming_mg_maintenance",
+    "streaming_cdc_merge",
 ]
 
 
@@ -488,6 +489,9 @@ def main() -> None:
     from data_ingestion_din_spark.plans.streaming_sketches import _smg_out_dir
 
     stage("smg_landings", lambda: _smg_out_dir(spark, sf_dir))
+    from data_ingestion_din_spark.plans.streaming_cdc import _cdcm_out_dir
+
+    stage("cdcm_landings", lambda: _cdcm_out_dir(spark, sf_dir))
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}

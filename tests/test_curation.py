@@ -180,3 +180,46 @@ def test_dsir_select_matches_pure_python(spark):
     assert got == [
         (doc_id, w, i + 1) for i, (doc_id, w) in enumerate(expect)
     ]
+
+
+def test_pack_bins_order_reset_and_overflow(spark):
+    """The generic walker behind corpus_compaction_ab: bins never
+    straddle the budget, an over-budget item gets its own bin, and the
+    caller's ordering is honored (size-desc packs differently than
+    arrival on the same items)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_din_spark.operators.curation import pack_bins
+
+    rows = [(0, i, n) for i, n in enumerate([60, 60, 100, 10, 120, 30])]
+    base = spark.createDataFrame(rows, "grp bigint, doc_id int, n bigint")
+
+    arrival = {
+        (r.bin_id): (r.n_items, r.total_n)
+        for r in pack_bins(base, [F.col("doc_id")], 100).collect()
+    }
+    # 60 | 60+10(? no: 60+60>100 → flush) — walk: [60], [60,? 60+100>100
+    # → flush], [100 exactly? 100 > budget? == budget fits], ...
+    # arrival: [60] [60] [100] [10,? +120>100 → [10]] [120] [30]
+    assert arrival == {
+        1: (1, 60),
+        2: (1, 60),
+        3: (1, 100),
+        4: (1, 10),
+        5: (1, 120),  # over-budget item = its own bin
+        6: (1, 30),
+    }
+    sizedesc = {
+        (r.bin_id): (r.n_items, r.total_n)
+        for r in pack_bins(
+            base, [F.col("n").desc(), F.col("doc_id")], 100
+        ).collect()
+    }
+    # desc order 120,100,60,60,30,10: [120] [100] [60,? +60>100 → flush]
+    # [60,30,10]
+    assert sizedesc == {
+        1: (1, 120),
+        2: (1, 100),
+        3: (1, 60),
+        4: (3, 100),
+    }
