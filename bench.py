@@ -351,6 +351,7 @@ BENCH_QUERIES = [
     "corpus_mg_heavy_hitters",
     "streaming_mg_maintenance",
     "streaming_cdc_merge",
+    "similarity_bq_recall_grid",
 ]
 
 

@@ -118,6 +118,8 @@ BUDGETS = {
     # pass + 12 small per-arm aggregates)
     "similarity_filtered_nprobe": 6.0,  # 3.1-3.7 s steady (truth pass
     # + four widened filtered cell scans)
+    "similarity_bq_recall_grid": 5.5,  # 3.1-3.2 s steady (one scored
+    # pass checkpointed, four rank/rerank arms)
 }
 
 
