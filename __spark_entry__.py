@@ -70,6 +70,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_mg_heavy_hitters",
     "streaming_mg_maintenance",
     "similarity_bq_recall_grid",
+    "retrieval_late_interaction",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

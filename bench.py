@@ -352,6 +352,7 @@ BENCH_QUERIES = [
     "streaming_mg_maintenance",
     "streaming_cdc_merge",
     "similarity_bq_recall_grid",
+    "retrieval_late_interaction",
 ]
 
 

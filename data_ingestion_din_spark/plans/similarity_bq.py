@@ -273,3 +273,223 @@ def similarity_bq_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = _recall_row(etop, itop, F.lit(arm).alias("arm"))
         grid = row if grid is None else grid.unionByName(row)
     return grid.orderBy("arm")
+
+
+# --------------------------------------------------------------------------
+# retrieval_late_interaction — MULTI-VECTOR retrieval (the ColBERT
+# family's MaxSim), the one retrieval shape the registry lacked: a
+# document is a SET of vectors (here: each label's ≥40 member vectors
+# — the multi-vector stand-in the fixture affords), the query is a set
+# of 5 probe vectors, and three scoring strategies are ranked side by
+# side, every score an exact integer (per-pair cosines floored to
+# micro units BEFORE any aggregation — double summation order would
+# gate on ULPs otherwise):
+#   maxsim   — Σ_q max_d cos(q,d)   (late interaction: each query
+#              vector finds its own best doc vector);
+#   meanpool — Σ_q mean_d cos(q,d)  (all-pairs pooling — the strawman
+#              MaxSim is usually compared against);
+#   centroid — Σ_q cos(q, c_L) with c_L the floor-mean QUANTIZED
+#              member centroid (single-vector-per-doc serving — what a
+#              plain index does to a multi-vector document).
+# One hash-gated row per (strategy, label) with the score and rank —
+# the full ranking of every strategy is pinned, so the A/B cannot
+# drift silently.
+#
+# Measured (sf0.01): centroid and meanpool produce the IDENTICAL
+# ranking (on near-orthogonal members, the mean of cosines ≈ the
+# cosine to the mean), while maxsim re-orders it wholesale (its top
+# pick ranks 4th under pooling) — the measured statement of what late
+# interaction buys: a document is rewarded for its single best match
+# per query vector, not its average, which single-vector serving
+# structurally cannot express.
+#
+# Scale: maxsim/meanpool is one members × 5-probe scan with a
+# groupBy(probe, label) max/mean then a label sum — the standard
+# late-interaction aggregation tree; centroid is a 10-row artifact.
+# --------------------------------------------------------------------------
+_LI_NPROBES = 5
+
+
+def _li_oracle() -> str:
+    from data_ingestion_din_spark.functions.vectors import cosine_exact_sql
+
+    cdot = (
+        "CAST(list_sum(list_transform(range(1, {ub}), i -> "
+        "p.qv[i] * c.cq[i])) AS DOUBLE)"
+    ).format(ub=_DIMS_UB)
+    cnq = (
+        "sqrt(CAST(list_sum(list_transform(range(1, {ub}), i -> "
+        "p.qv[i] * p.qv[i])) AS DOUBLE))"
+    ).format(ub=_DIMS_UB)
+    cnc = (
+        "sqrt(CAST(list_sum(list_transform(range(1, {ub}), i -> "
+        "c.cq[i] * c.cq[i])) AS DOUBLE))"
+    ).format(ub=_DIMS_UB)
+    return f"""
+    WITH probes AS MATERIALIZED (
+      SELECT vec_id AS probe, embedding,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id < {_LI_NPROBES}
+    ),
+    members AS MATERIALIZED (
+      SELECT vec_id, label, embedding,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id >= {_LI_NPROBES}
+    ),
+    pair AS MATERIALIZED (
+      SELECT p.probe, m.label,
+             CAST(floor(
+               {cosine_exact_sql('m.embedding', 'p.embedding')} * 1000000
+             ) AS BIGINT) AS cos_micro
+      FROM members m CROSS JOIN probes p
+    ),
+    perq AS (
+      SELECT probe, label,
+             max(cos_micro) AS mx,
+             CAST(sum(cos_micro) // count(*) AS BIGINT) AS mean_micro
+      FROM pair GROUP BY probe, label
+    ),
+    centu AS (
+      SELECT label, i, CAST(sum(qv[i]) // count(*) AS BIGINT) AS cv
+      FROM members, range(1, {_DIMS_UB}) t(i)
+      GROUP BY label, i
+    ),
+    centf AS MATERIALIZED (
+      SELECT label, list(cv ORDER BY i) AS cq FROM centu GROUP BY label
+    ),
+    cscore AS (
+      SELECT p.probe, c.label,
+             CAST(floor({cdot} / ({cnq} * {cnc}) * 1000000) AS BIGINT)
+               AS cos_micro
+      FROM centf c CROSS JOIN probes p
+    ),
+    scores AS (
+      SELECT 'maxsim' AS strategy, label,
+             CAST(sum(mx) AS BIGINT) AS score_micro
+      FROM perq GROUP BY label
+      UNION ALL
+      SELECT 'meanpool', label, CAST(sum(mean_micro) AS BIGINT)
+      FROM perq GROUP BY label
+      UNION ALL
+      SELECT 'centroid', label, CAST(sum(cos_micro) AS BIGINT)
+      FROM cscore GROUP BY label
+    )
+    SELECT strategy, CAST(label AS INT) AS label, score_micro,
+           CAST(row_number() OVER (
+             PARTITION BY strategy
+             ORDER BY score_micro DESC, label) AS INT) AS rank
+    FROM scores
+    ORDER BY strategy, rank
+    """
+
+
+@query("retrieval_late_interaction", oracle=_li_oracle())
+def retrieval_late_interaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.vectors import cosine_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id") < _LI_NPROBES).select(
+            F.col("vec_id").alias("probe"),
+            F.col("embedding").alias("p_embedding"),
+            quantize(F.col("embedding")).alias("pqv"),
+        )
+    )
+    members = emb.filter(F.col("vec_id") >= _LI_NPROBES).select(
+        "label", "embedding", quantize(F.col("embedding")).alias("qv")
+    )
+    pair = members.crossJoin(probes).select(
+        "probe",
+        "label",
+        F.floor(
+            cosine_exact(F.col("embedding"), F.col("p_embedding"))
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+    perq = pair.groupBy("probe", "label").agg(
+        F.max("cos_micro").alias("mx"),
+        F.expr("sum(cos_micro) DIV count(*)")
+        .cast("bigint")
+        .alias("mean_micro"),
+    )
+    # floor-mean quantized centroid per label (10-row frozen artifact)
+    cents = (
+        members.select(
+            "label", F.posexplode(F.col("qv")).alias("i", "v")
+        )
+        .groupBy("label", "i")
+        .agg(F.expr("sum(v) DIV count(*)").cast("bigint").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "cv"))
+            ).alias("pairs")
+        )
+        .select(
+            "label",
+            F.expr("transform(pairs, s -> s.cv)").alias("cq"),
+        )
+    )
+    cdot = F.expr(
+        "aggregate(zip_with(pqv, cq, (a, b) -> a * b),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    ).cast("double")
+    nq = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(pqv, pqv, (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).cast("double")
+    )
+    nc = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(cq, cq, (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).cast("double")
+    )
+    cscore = cents.crossJoin(probes).select(
+        "probe",
+        "label",
+        F.floor(cdot / (nq * nc) * 1_000_000)
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+    scores = (
+        perq.groupBy("label")
+        .agg(F.sum("mx").cast("bigint").alias("score_micro"))
+        .select(F.lit("maxsim").alias("strategy"), "label", "score_micro")
+        .unionByName(
+            perq.groupBy("label")
+            .agg(F.sum("mean_micro").cast("bigint").alias("score_micro"))
+            .select(
+                F.lit("meanpool").alias("strategy"),
+                "label",
+                "score_micro",
+            )
+        )
+        .unionByName(
+            cscore.groupBy("label")
+            .agg(F.sum("cos_micro").cast("bigint").alias("score_micro"))
+            .select(
+                F.lit("centroid").alias("strategy"),
+                "label",
+                "score_micro",
+            )
+        )
+    )
+    wr = W.partitionBy("strategy").orderBy(
+        F.desc("score_micro"), "label"
+    )
+    return scores.select(
+        "strategy",
+        F.col("label").cast("int").alias("label"),
+        "score_micro",
+        F.row_number().over(wr).cast("int").alias("rank"),
+    ).orderBy("strategy", "rank")

@@ -120,6 +120,8 @@ BUDGETS = {
     # + four widened filtered cell scans)
     "similarity_bq_recall_grid": 5.5,  # 3.1-3.2 s steady (one scored
     # pass checkpointed, four rank/rerank arms)
+    "retrieval_late_interaction": 5.5,  # 3.1-3.3 s steady (members x
+    # 5-probe scan + centroid artifact build)
 }
 
 
