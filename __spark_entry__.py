@@ -71,6 +71,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_mg_maintenance",
     "similarity_bq_recall_grid",
     "retrieval_late_interaction",
+    "layout_zonemap_audit",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

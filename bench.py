@@ -353,6 +353,7 @@ BENCH_QUERIES = [
     "streaming_cdc_merge",
     "similarity_bq_recall_grid",
     "retrieval_late_interaction",
+    "layout_zonemap_audit",
 ]
 
 

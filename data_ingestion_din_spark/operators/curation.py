@@ -314,3 +314,45 @@ def pack_bins(base: DataFrame, order_cols: list, budget: int) -> DataFrame:
         .sortWithinPartitions("grp", *order_cols)
         .mapInPandas(walk, schema=BIN_PACK_SCHEMA)
     )
+
+
+PACK_ASSIGN_SCHEMA = "grp bigint, item_id bigint, bin_id int"
+
+
+def pack_assign(base: DataFrame, order_cols: list, budget: int) -> DataFrame:
+    """:func:`pack_bins` emitting the per-ITEM assignment instead of
+    per-bin totals — rows ``(grp, item_id, n, …)`` walked per ``grp``
+    in ``order_cols`` order, one output row per item: (grp, item_id,
+    bin_id). The layout auditors join this back to the items to compute
+    per-bin statistics (min/max zone maps) declaratively."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    cols = ["grp", "item_id", "bin_id"]
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = {"key": None, "bin": 0, "cum": 0, "items": 0}
+        out: list[tuple] = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.grp != state["key"]:
+                    state.update(key=row.grp, bin=0, cum=0, items=0)
+                n = int(row.n)
+                if state["items"] and state["cum"] + n > budget:
+                    state.update(cum=0, items=0)
+                if not state["items"]:
+                    state["bin"] += 1
+                state["cum"] += n
+                state["items"] += 1
+                out.append((row.grp, int(row.item_id), state["bin"]))
+            if len(out) >= 10_000:
+                yield pd.DataFrame(out, columns=cols)
+                out = []
+        yield pd.DataFrame(out, columns=cols)
+
+    return (
+        base.repartition("grp")
+        .sortWithinPartitions("grp", *order_cols)
+        .mapInPandas(walk, schema=PACK_ASSIGN_SCHEMA)
+    )

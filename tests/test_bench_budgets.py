@@ -122,6 +122,8 @@ BUDGETS = {
     # pass checkpointed, four rank/rerank arms)
     "retrieval_late_interaction": 5.5,  # 3.1-3.3 s steady (members x
     # 5-probe scan + centroid artifact build)
+    "layout_zonemap_audit": 7.0,  # 3.4-4.6 s steady (two assignment
+    # walks + six metadata aggregates)
 }
 
 
