@@ -72,6 +72,7 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_bq_recall_grid",
     "retrieval_late_interaction",
     "layout_zonemap_audit",
+    "layout_zorder_pruning",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

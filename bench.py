@@ -354,6 +354,7 @@ BENCH_QUERIES = [
     "similarity_bq_recall_grid",
     "retrieval_late_interaction",
     "layout_zonemap_audit",
+    "layout_zorder_pruning",
 ]
 
 

@@ -1935,3 +1935,203 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("win_s")
+
+
+# --------------------------------------------------------------------------
+# layout_zorder_pruning — the 2-D zone-map comparison as an ORACLE-
+# CHECKED relation (events_zorder_box exercises the z-ordered layout
+# and tests/test_colocate.py reads real parquet footers; this makes
+# the pruning arithmetic itself hash-gated): events bucketed to 8-bit
+# (user, time) coordinates, laid out in fixed 256-row bins under three
+# orderings — time-sorted, user-sorted, and Morton (bit-interleaved
+# z-order) — and probed with three box predicates (narrow-u × wide-t,
+# wide-u × narrow-t, narrow × narrow). A bin is touched iff its
+# per-bin [min,max] box overlaps the predicate box on BOTH dims. One
+# row per (ordering, box): bins touched, rows scanned vs matching,
+# amplification.
+#
+# Measured (sf0.01, 40 bins): each single-column sort reads 4/40 bins
+# on its own orientation and 39/40 on the transpose (amplification
+# 1235‰ vs 12637‰); z-order reads 9 and 12 — it does not beat a sort
+# at its own game, it BOUNDS THE WORST CASE (≤12/40 everywhere, incl.
+# 8/40 on the small box) — which is the actual operational claim for
+# interleaved layout when query boxes come in both orientations.
+#
+# Scale: bins are pure window arithmetic (rank DIV 256) — the audit is
+# metadata-sized; the Morton code is a 16-term integer expression.
+# --------------------------------------------------------------------------
+_ZP_BIN_ROWS = 256
+_ZP_BOXES = [
+    ("narrow_u", 100, 120, 0, 255),
+    ("narrow_t", 0, 255, 100, 120),
+    ("small", 100, 140, 100, 140),
+]
+
+
+def _zp_morton_sql(u: str, t: str) -> str:
+    terms = []
+    for b in range(8):
+        terms.append(f"((({u} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({t} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_pruning",
+    oracle=f"""
+    WITH st AS (
+      SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+             min(epoch_us(ts)) AS lo_t, max(epoch_us(ts)) AS hi_t
+      FROM events
+    ),
+    pts AS MATERIALIZED (
+      SELECT event_id,
+             CAST((user_id - lo_u) * 256 // (hi_u - lo_u + 1) AS BIGINT)
+               AS ub,
+             CAST((epoch_us(ts) - lo_t) * 256 // (hi_t - lo_t + 1)
+                  AS BIGINT) AS tb
+      FROM events, st
+    ),
+    laid AS MATERIALIZED (
+      SELECT 'tsort' AS ordering, ub, tb,
+             (row_number() OVER (ORDER BY tb, ub, event_id) - 1)
+               // {_ZP_BIN_ROWS} AS bin
+      FROM pts
+      UNION ALL
+      SELECT 'usort', ub, tb,
+             (row_number() OVER (ORDER BY ub, tb, event_id) - 1)
+               // {_ZP_BIN_ROWS}
+      FROM pts
+      UNION ALL
+      SELECT 'zorder', ub, tb,
+             (row_number() OVER (
+                ORDER BY {_zp_morton_sql('ub', 'tb')}, event_id) - 1)
+               // {_ZP_BIN_ROWS}
+      FROM pts
+    ),
+    zones AS (
+      SELECT ordering, bin,
+             min(ub) AS u_mn, max(ub) AS u_mx,
+             min(tb) AS t_mn, max(tb) AS t_mx,
+             count(*) AS n_rows
+      FROM laid GROUP BY ordering, bin
+    ),
+    boxes AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"('{nm}', {ul}, {uh}, {tl}, {th})" for nm, ul, uh, tl, th in _ZP_BOXES)}
+      ) b(box, u_lo, u_hi, t_lo, t_hi)
+    ),
+    match AS (
+      SELECT b.box, CAST(count(*) AS BIGINT) AS rows_matching
+      FROM pts p JOIN boxes b
+        ON p.ub BETWEEN b.u_lo AND b.u_hi
+       AND p.tb BETWEEN b.t_lo AND b.t_hi
+      GROUP BY b.box
+    )
+    SELECT z.ordering, b.box AS box,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(CASE WHEN z.u_mx >= b.u_lo AND z.u_mn <= b.u_hi
+                          AND z.t_mx >= b.t_lo AND z.t_mn <= b.t_hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS bins_touched,
+           any_value(m.rows_matching) AS rows_matching,
+           CAST(sum(CASE WHEN z.u_mx >= b.u_lo AND z.u_mn <= b.u_hi
+                          AND z.t_mx >= b.t_lo AND z.t_mn <= b.t_hi
+                     THEN z.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(sum(CASE WHEN z.u_mx >= b.u_lo AND z.u_mn <= b.u_hi
+                          AND z.t_mx >= b.t_lo AND z.t_mn <= b.t_hi
+                     THEN z.n_rows ELSE 0 END) * 1000
+                // greatest(any_value(m.rows_matching), 1) AS BIGINT)
+             AS amplification_milli
+    FROM zones z
+    CROSS JOIN boxes b
+    JOIN match m ON m.box = b.box
+    GROUP BY z.ordering, b.box
+    ORDER BY 1, 2
+    """,
+)
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.agg(
+        F.min("user_id").alias("lo_u"),
+        F.max("user_id").alias("hi_u"),
+        F.min(F.unix_micros("ts")).alias("lo_t"),
+        F.max(F.unix_micros("ts")).alias("hi_t"),
+    )
+    pts = (
+        ev.crossJoin(F.broadcast(st))
+        .select(
+            "event_id",
+            F.expr("(user_id - lo_u) * 256 DIV (hi_u - lo_u + 1)")
+            .cast("bigint")
+            .alias("ub"),
+            F.expr(
+                "(unix_micros(ts) - lo_t) * 256 DIV (hi_t - lo_t + 1)"
+            )
+            .cast("bigint")
+            .alias("tb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    laid = None
+    for ordering, order in (
+        ("tsort", "tb, ub, event_id"),
+        ("usort", "ub, tb, event_id"),
+        ("zorder", f"{_zp_morton_sql('ub', 'tb')}, event_id"),
+    ):
+        arm = pts.select(
+            F.lit(ordering).alias("ordering"),
+            "ub",
+            "tb",
+            F.expr(
+                f"(row_number() OVER (ORDER BY {order}) - 1)"
+                f" DIV {_ZP_BIN_ROWS}"
+            )
+            .cast("bigint")
+            .alias("bin"),
+        )
+        laid = arm if laid is None else laid.unionByName(arm)
+    zones = laid.groupBy("ordering", "bin").agg(
+        F.min("ub").alias("u_mn"),
+        F.max("ub").alias("u_mx"),
+        F.min("tb").alias("t_mn"),
+        F.max("tb").alias("t_mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    grid = None
+    for box, ul, uh, tl, th in _ZP_BOXES:
+        rows_matching = pts.filter(
+            F.col("ub").between(ul, uh) & F.col("tb").between(tl, th)
+        ).count()
+        touched = (
+            (F.col("u_mx") >= ul)
+            & (F.col("u_mn") <= uh)
+            & (F.col("t_mx") >= tl)
+            & (F.col("t_mn") <= th)
+        )
+        row = (
+            zones.groupBy("ordering")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+                F.sum(touched.cast("int")).cast("bigint").alias(
+                    "bins_touched"
+                ),
+                F.sum(F.when(touched, F.col("n_rows")).otherwise(0))
+                .cast("bigint")
+                .alias("rows_scanned"),
+            )
+            .select(
+                "ordering",
+                F.lit(box).alias("box"),
+                "n_bins",
+                "bins_touched",
+                F.lit(rows_matching).cast("bigint").alias("rows_matching"),
+                "rows_scanned",
+                F.expr(
+                    f"rows_scanned * 1000 DIV greatest({rows_matching}, 1)"
+                )
+                .cast("bigint")
+                .alias("amplification_milli"),
+            )
+        )
+        grid = row if grid is None else grid.unionByName(row)
+    return grid.orderBy("ordering", "box")

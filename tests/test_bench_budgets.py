@@ -124,6 +124,8 @@ BUDGETS = {
     # 5-probe scan + centroid artifact build)
     "layout_zonemap_audit": 7.0,  # 3.4-4.6 s steady (two assignment
     # walks + six metadata aggregates)
+    "layout_zorder_pruning": 5.0,  # 2.5-2.9 s steady (three global
+    # rank windows + metadata aggregates)
 }
 
 
