@@ -355,6 +355,7 @@ BENCH_QUERIES = [
     "retrieval_late_interaction",
     "layout_zonemap_audit",
     "layout_zorder_pruning",
+    "layout_hilbert_vs_zorder",
 ]
 
 

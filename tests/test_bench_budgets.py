@@ -126,6 +126,8 @@ BUDGETS = {
     # walks + six metadata aggregates)
     "layout_zorder_pruning": 5.0,  # 2.5-2.9 s steady (three global
     # rank windows + metadata aggregates)
+    "layout_hilbert_vs_zorder": 5.0,  # 2.6-3.0 s steady (8-step
+    # integer chain + two rank windows)
 }
 
 

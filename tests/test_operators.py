@@ -139,3 +139,36 @@ def test_lsh_bucket_raises_on_oversized_vectors(spark):
         [(0, [0.5] * 8)], "vec_id long, embedding array<float>"
     )
     assert lsh_bucket(short, n_planes=2, dims=64).count() == 1
+
+
+def test_hilbert_chain_reference_values(spark):
+    """The 8-step xy2d column chain reproduces the classical Hilbert
+    indices (n=256): corners and an interior point, reference values
+    from the textbook iterative algorithm."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_din_spark.plans.events import (
+        _HB_STEPS,
+        _hb_step_sql,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 255, 0), (3, 0, 255), (4, 255, 255), (5, 100, 120)],
+        "event_id bigint, ub bigint, tb bigint",
+    )
+    hb = pts.select(
+        "event_id",
+        F.col("ub").alias("hx"),
+        F.col("tb").alias("hy"),
+        F.lit(0).cast("bigint").alias("hd"),
+    )
+    for s in _HB_STEPS:
+        x_new, y_new, d_new = _hb_step_sql(s)
+        hb = hb.select(
+            "event_id",
+            F.expr(x_new).cast("bigint").alias("hx"),
+            F.expr(y_new).cast("bigint").alias("hy"),
+            F.expr(d_new).cast("bigint").alias("hd"),
+        )
+    got = {int(r.event_id): int(r.hd) for r in hb.collect()}
+    assert got == {1: 0, 2: 65535, 3: 21845, 4: 43690, 5: 11216}
