@@ -73,6 +73,7 @@ _DRIVER_PRIORITY: list[str] = [
     "layout_zonemap_audit",
     "layout_zorder_pruning",
     "layout_hilbert_vs_zorder",
+    "events_theta_set_ops",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -356,6 +356,7 @@ BENCH_QUERIES = [
     "layout_zonemap_audit",
     "layout_zorder_pruning",
     "layout_hilbert_vs_zorder",
+    "events_theta_set_ops",
 ]
 
 

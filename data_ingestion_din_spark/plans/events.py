@@ -2384,3 +2384,188 @@ def layout_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         grid = row if grid is None else grid.unionByName(row)
     return grid.orderBy("ordering", "box")
+
+
+# --------------------------------------------------------------------------
+# events_theta_set_ops — SET ALGEBRA ON SKETCHES (the Theta-sketch
+# capability that makes KMV the analytics workhorse: union AND
+# intersection estimates from k-sized summaries, no raw data): set A =
+# users with ≥15 error events, set B = users with ≥15 purchases
+# (count thresholds — the value column is too tail-skewed for a
+# quantile slice to be non-degenerate; these give genuinely partial
+# overlap, unlike the per-type user sets which all coincide).
+# k = 32 smallest 60-bit hashes per set; union = k smallest of the
+# merged hashes; intersection = common hashes below θ = min(θ_A, θ_B)
+# scaled by θ (the DataSketches a-priori intersection rule). Every
+# estimate is integer arithmetic over the deterministic h64 order
+# statistics — the whole sketch algebra sits under the hash gate,
+# including each op's signed error against the exact answer.
+#
+# Measured (sf0.01; |A|=57, |B|=50, |A∩B|=18, |A∪B|=89): estimates
+# 59 / 44 / 15 / 78 → errors +35‰ / −120‰ / −166‰ / −123‰ at k=32 —
+# the intersection reads worst, exactly the DataSketches caveat (its
+# effective sample is only the common hashes below θ, so error grows
+# as the overlap fraction shrinks).
+#
+# Scale: sketches are k rows per set (mergeable, shippable); the exact
+# sides are the fixture-only audit columns.
+# --------------------------------------------------------------------------
+_THETA_K = 32
+
+
+@query(
+    "events_theta_set_ops",
+    oracle=f"""
+    WITH seta AS MATERIALIZED (
+      SELECT user_id FROM events WHERE event_type = 'error'
+      GROUP BY user_id HAVING count(*) >= 15
+    ),
+    setb AS MATERIALIZED (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id HAVING count(*) >= 15
+    ),
+    ha AS (
+      SELECT CAST(('0x' || substr(md5('theta:' || CAST(user_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) AS h
+      FROM seta
+    ),
+    hb AS (
+      SELECT CAST(('0x' || substr(md5('theta:' || CAST(user_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) AS h
+      FROM setb
+    ),
+    ska AS MATERIALIZED (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha
+      QUALIFY rn <= {_THETA_K}
+    ),
+    skb AS MATERIALIZED (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb
+      QUALIFY rn <= {_THETA_K}
+    ),
+    sku AS MATERIALIZED (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+      QUALIFY rn <= {_THETA_K}
+    ),
+    thetas AS (
+      SELECT (SELECT max(h) FROM ska) AS ta,
+             (SELECT max(h) FROM skb) AS tb,
+             (SELECT max(h) FROM sku) AS tu
+    ),
+    inter AS (
+      SELECT CAST(count(*) AS BIGINT) AS common
+      FROM ska JOIN skb USING (h), thetas
+      WHERE ska.h < least(thetas.ta, thetas.tb)
+    ),
+    exact AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM seta) AS na,
+        (SELECT CAST(count(*) AS BIGINT) FROM setb) AS nb,
+        (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT user_id FROM seta UNION SELECT user_id FROM setb))
+          AS nu,
+        (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT user_id FROM seta INTERSECT SELECT user_id FROM setb))
+          AS ni
+    ),
+    ests AS (
+      SELECT 'a' AS op, e.na AS n_exact,
+             t.ta // {(1 << 60) // 10**6} AS theta_ppm,
+             CAST({_THETA_K - 1} AS BIGINT) AS cnt
+      FROM thetas t, exact e
+      UNION ALL
+      SELECT 'b', e.nb, t.tb // {(1 << 60) // 10**6},
+             CAST({_THETA_K - 1} AS BIGINT)
+      FROM thetas t, exact e
+      UNION ALL
+      SELECT 'union', e.nu, t.tu // {(1 << 60) // 10**6},
+             CAST({_THETA_K - 1} AS BIGINT)
+      FROM thetas t, exact e
+      UNION ALL
+      SELECT 'intersection', e.ni,
+             least(t.ta, t.tb) // {(1 << 60) // 10**6},
+             i.common
+      FROM thetas t, exact e, inter i
+    )
+    SELECT op, n_exact,
+           CAST({_THETA_K} AS INT) AS k,
+           CAST(theta_ppm AS BIGINT) AS theta_ppm,
+           CAST(cnt * 1000000 // theta_ppm AS BIGINT) AS est_users,
+           CAST((cnt * 1000000 // theta_ppm - n_exact) * 1000
+                // greatest(n_exact, 1) AS BIGINT) AS err_milli
+    FROM ests
+    ORDER BY op
+    """,
+)
+def events_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def users_with(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 15)
+            .select("user_id")
+        )
+
+    sets = {"a": users_with("error"), "b": users_with("purchase")}
+    wk = W.orderBy("h")
+    sk = {}
+    exact = {}
+    for name, df in sets.items():
+        exact[name] = df.count()
+        sk[name] = (
+            df.select(
+                h64(F.concat(F.lit("theta:"), F.col("user_id").cast("string")))
+                .alias("h")
+            )
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= _THETA_K)
+            .select("h")
+            .localCheckpoint(eager=True)
+        )
+    exact["union"] = sets["a"].unionByName(sets["b"]).distinct().count()
+    exact["intersection"] = sets["a"].join(sets["b"], "user_id").count()
+    sku = (
+        sk["a"]
+        .unionByName(sk["b"])
+        .distinct()
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _THETA_K)
+        .select("h")
+    )
+    ta = sk["a"].agg(F.max("h")).first()[0]
+    tb = sk["b"].agg(F.max("h")).first()[0]
+    tu = sku.agg(F.max("h")).first()[0]
+    common = (
+        sk["a"]
+        .join(sk["b"], "h")
+        .filter(F.col("h") < min(ta, tb))
+        .count()
+    )
+    ppm_div = (1 << 60) // 10**6
+    rows = []
+    for op, n_ex, theta, cnt in (
+        ("a", exact["a"], ta, _THETA_K - 1),
+        ("b", exact["b"], tb, _THETA_K - 1),
+        ("union", exact["union"], tu, _THETA_K - 1),
+        ("intersection", exact["intersection"], min(ta, tb), common),
+    ):
+        theta_ppm = theta // ppm_div
+        est = cnt * 10**6 // theta_ppm
+        # DuckDB's integer // truncates toward zero on negatives where
+        # Python's floors — match the oracle's truncation
+        num = (est - n_ex) * 1000
+        den = max(n_ex, 1)
+        err = abs(num) // den * (1 if num >= 0 else -1)
+        rows.append((op, n_ex, _THETA_K, theta_ppm, est, err))
+    return spark.createDataFrame(
+        rows,
+        "op string, n_exact bigint, k int, theta_ppm bigint,"
+        " est_users bigint, err_milli bigint",
+    ).orderBy("op")

@@ -128,6 +128,8 @@ BUDGETS = {
     # rank windows + metadata aggregates)
     "layout_hilbert_vs_zorder": 5.0,  # 2.6-3.0 s steady (8-step
     # integer chain + two rank windows)
+    "events_theta_set_ops": 5.0,  # 2.4-3.3 s steady (four sketch
+    # builds + exact audit counts)
 }
 
 
