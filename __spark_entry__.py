@@ -74,6 +74,7 @@ _DRIVER_PRIORITY: list[str] = [
     "layout_zorder_pruning",
     "layout_hilbert_vs_zorder",
     "events_theta_set_ops",
+    "streaming_theta_index",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

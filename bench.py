@@ -357,6 +357,7 @@ BENCH_QUERIES = [
     "layout_zorder_pruning",
     "layout_hilbert_vs_zorder",
     "events_theta_set_ops",
+    "streaming_theta_index",
 ]
 
 
@@ -498,6 +499,9 @@ def main() -> None:
     from data_ingestion_din_spark.plans.streaming_cdc import _cdcm_out_dir
 
     stage("cdcm_landings", lambda: _cdcm_out_dir(spark, sf_dir))
+    from data_ingestion_din_spark.plans.streaming_sketches import _sth_out_dir
+
+    stage("sth_landings", lambda: _sth_out_dir(spark, sf_dir))
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}

@@ -1301,3 +1301,207 @@ def streaming_mg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "word")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_theta_index — the SET-ALGEBRA sketch maintained at ingest,
+# the production shape behind events_theta_set_ops: each landing
+# epoch-commits its own k=32 KMV sketch of the users it saw (epoch 0 =
+# even event_ids, epoch 1 = odd — a distributive set definition, so
+# per-landing sketches ARE the per-set sketches), and the readback
+# MERGES the committed sketches (union = k smallest of both, theta
+# intersection below min-θ) into estimates for "active in landing 0 /
+# landing 1 / either / both" against exact counts. This is exactly how
+# theta sketches are deployed — built per partition/day, merged at
+# query time — with the merge arithmetic hash-gated and the landings
+# replay-safe (each epoch's sketch is an idempotent overwrite).
+#
+# Scale: state is k rows per epoch; merge is metadata-sized; the exact
+# sides are the fixture-only audit columns.
+# --------------------------------------------------------------------------
+_STH_DONE: dict[tuple[str, str], str] = {}
+_STH_K = 32
+
+
+def _theta_index_processor(out: str):
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
+        sk = (
+            batch_df.select("user_id")
+            .distinct()
+            .select(
+                h64(
+                    F.concat(
+                        F.lit("theta:"), F.col("user_id").cast("string")
+                    )
+                ).alias("h")
+            )
+            .withColumn("rn", F.row_number().over(W.orderBy("h")))
+            .filter(F.col("rn") <= _STH_K)
+            .select("h")
+        )
+        sk.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"epoch={epoch_id}")
+        )
+
+    return _process
+
+
+def _sth_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_STH_DONE, key[0])
+    if key in _STH_DONE:
+        if _dir_ok(_STH_DONE[key]):
+            return _STH_DONE[key]
+        del _STH_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_sth")
+    out = os.path.join(base, "out")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    _run_split_landings(
+        spark,
+        base,
+        "event_id bigint, user_id bigint",
+        [ev.filter(F.col("event_id") % 2 == p) for p in (0, 1)],
+        _theta_index_processor(out),
+    )
+    _STH_DONE[key] = out
+    return out
+
+
+@query(
+    "streaming_theta_index",
+    oracle=f"""
+    WITH seta AS MATERIALIZED (
+      SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0
+    ),
+    setb AS MATERIALIZED (
+      SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1
+    ),
+    ska AS MATERIALIZED (
+      SELECT h FROM (
+        SELECT CAST(('0x' || substr(md5('theta:' ||
+                     CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+               row_number() OVER (ORDER BY CAST(('0x' ||
+                 substr(md5('theta:' || CAST(user_id AS VARCHAR)), 1, 15))
+                 AS BIGINT)) AS rn
+        FROM seta
+      ) WHERE rn <= {_STH_K}
+    ),
+    skb AS MATERIALIZED (
+      SELECT h FROM (
+        SELECT CAST(('0x' || substr(md5('theta:' ||
+                     CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+               row_number() OVER (ORDER BY CAST(('0x' ||
+                 substr(md5('theta:' || CAST(user_id AS VARCHAR)), 1, 15))
+                 AS BIGINT)) AS rn
+        FROM setb
+      ) WHERE rn <= {_STH_K}
+    ),
+    sku AS MATERIALIZED (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+      QUALIFY rn <= {_STH_K}
+    ),
+    thetas AS (
+      SELECT (SELECT max(h) FROM ska) AS ta,
+             (SELECT max(h) FROM skb) AS tb,
+             (SELECT max(h) FROM sku) AS tu
+    ),
+    inter AS (
+      SELECT CAST(count(*) AS BIGINT) AS common
+      FROM ska JOIN skb USING (h), thetas
+      WHERE ska.h < least(thetas.ta, thetas.tb)
+    ),
+    exact AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM seta) AS na,
+        (SELECT CAST(count(*) AS BIGINT) FROM setb) AS nb,
+        (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT user_id FROM seta UNION SELECT user_id FROM setb))
+          AS nu,
+        (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT user_id FROM seta INTERSECT SELECT user_id FROM setb))
+          AS ni
+    ),
+    ests AS (
+      SELECT 'epoch0' AS op, e.na AS n_exact,
+             t.ta // {(1 << 60) // 10**6} AS theta_ppm,
+             CAST({_STH_K - 1} AS BIGINT) AS cnt
+      FROM thetas t, exact e
+      UNION ALL
+      SELECT 'epoch1', e.nb, t.tb // {(1 << 60) // 10**6},
+             CAST({_STH_K - 1} AS BIGINT)
+      FROM thetas t, exact e
+      UNION ALL
+      SELECT 'either', e.nu, t.tu // {(1 << 60) // 10**6},
+             CAST({_STH_K - 1} AS BIGINT)
+      FROM thetas t, exact e
+      UNION ALL
+      SELECT 'both', e.ni,
+             least(t.ta, t.tb) // {(1 << 60) // 10**6},
+             i.common
+      FROM thetas t, exact e, inter i
+    )
+    SELECT op, n_exact, CAST({_STH_K} AS INT) AS k,
+           CAST(theta_ppm AS BIGINT) AS theta_ppm,
+           CAST(cnt * 1000000 // theta_ppm AS BIGINT) AS est_users,
+           CAST((cnt * 1000000 // theta_ppm - n_exact) * 1000
+                // greatest(n_exact, 1) AS BIGINT) AS err_milli
+    FROM ests
+    ORDER BY op
+    """,
+)
+def streaming_theta_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge the epoch-committed sketches at read: union = k smallest
+    of both epochs' hashes, intersection = common hashes below the
+    smaller theta — the per-partition-sketch merge production runs."""
+    out = _sth_out_dir(spark, sf_dir)
+    hist = spark.read.option("basePath", out).parquet(out)
+    sk = {
+        e: sorted(
+            int(r.h) for r in hist.filter(F.col("epoch") == e).collect()
+        )
+        for e in (0, 1)
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    seta = ev.filter(F.col("event_id") % 2 == 0).select("user_id").distinct()
+    setb = ev.filter(F.col("event_id") % 2 == 1).select("user_id").distinct()
+    exact = {
+        "epoch0": seta.count(),
+        "epoch1": setb.count(),
+        "either": seta.unionByName(setb).distinct().count(),
+        "both": seta.join(setb, "user_id").count(),
+    }
+    ta, tb = max(sk[0]), max(sk[1])
+    sku = sorted(set(sk[0]) | set(sk[1]))[:_STH_K]
+    tu = max(sku)
+    common = sum(
+        1 for h in set(sk[0]) & set(sk[1]) if h < min(ta, tb)
+    )
+    ppm_div = (1 << 60) // 10**6
+    rows = []
+    for op, n_ex, theta, cnt in (
+        ("epoch0", exact["epoch0"], ta, _STH_K - 1),
+        ("epoch1", exact["epoch1"], tb, _STH_K - 1),
+        ("either", exact["either"], tu, _STH_K - 1),
+        ("both", exact["both"], min(ta, tb), common),
+    ):
+        theta_ppm = theta // ppm_div
+        est = cnt * 10**6 // theta_ppm
+        num = (est - n_ex) * 1000
+        err = abs(num) // max(n_ex, 1) * (1 if num >= 0 else -1)
+        rows.append((op, n_ex, _STH_K, theta_ppm, est, err))
+    return spark.createDataFrame(
+        rows,
+        "op string, n_exact bigint, k int, theta_ppm bigint,"
+        " est_users bigint, err_milli bigint",
+    ).orderBy("op")
