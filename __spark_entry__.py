@@ -26,10 +26,10 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # the head — the invariant, not a per-round cleanup), then the full
 # 43-query block whose latest driver sample is round 6 (computed from
 # CORRECTNESS_r0{6..10}.json, registration order). The head holds
-# 2 + 38 + 43 = 83 names against a ~50 window: new queries outrank
+# 2 + 40 + 43 = 85 names against a ~50 window: new queries outrank
 # stale ones (never-sampled is the worse state), so the window covers
-# the 40 never-sampled entries plus ~10 of the round-6 block; the
-# remaining ~33 round-6-stale entries must lead the round-12 head.
+# the 42 never-sampled entries plus ~8 of the round-6 block; the
+# remaining ~35 round-6-stale entries must lead the round-12 head.
 _DRIVER_PRIORITY: list[str] = [
     # Never driver-sampled (absent from every CORRECTNESS_r*.json) — lead.
     "similarity_graph_insert",

@@ -253,6 +253,68 @@ def pack_sequences(
 
 
 BIN_PACK_SCHEMA = "grp bigint, bin_id int, n_items bigint, total_n bigint"
+PACK_ASSIGN_SCHEMA = "grp bigint, item_id bigint, bin_id int"
+
+
+def _pack_walk(
+    base: DataFrame, order_cols: list, budget: int, per_item: bool
+) -> DataFrame:
+    """ONE next-fit state machine behind :func:`pack_bins` (per-bin
+    totals) and :func:`pack_assign` (per-item assignment) — the budget
+    rule (a bin never straddles; an over-budget item gets its own bin),
+    the group reset, and the Arrow-batch chunking live exactly once so
+    the compaction planner and the layout auditors can never
+    desynchronize on packing semantics."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    cols = (
+        ["grp", "item_id", "bin_id"]
+        if per_item
+        else ["grp", "bin_id", "n_items", "total_n"]
+    )
+    schema = PACK_ASSIGN_SCHEMA if per_item else BIN_PACK_SCHEMA
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = {"key": None, "bin": 0, "cum": 0, "items": 0}
+        out: list[tuple] = []
+
+        def flush() -> None:
+            if not per_item and state["items"]:
+                out.append(
+                    (state["key"], state["bin"], state["items"],
+                     state["cum"])
+                )
+            state["cum"], state["items"] = 0, 0
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.grp != state["key"]:
+                    flush()
+                    state.update(key=row.grp, bin=0)
+                n = int(row.n)
+                if state["items"] and state["cum"] + n > budget:
+                    flush()
+                if not state["items"]:
+                    state["bin"] += 1
+                state["cum"] += n
+                state["items"] += 1
+                if per_item:
+                    out.append(
+                        (row.grp, int(row.item_id), state["bin"])
+                    )
+            if len(out) >= 10_000:
+                yield pd.DataFrame(out, columns=cols)
+                out = []
+        flush()
+        yield pd.DataFrame(out, columns=cols)
+
+    return (
+        base.repartition("grp")
+        .sortWithinPartitions("grp", *order_cols)
+        .mapInPandas(walk, schema=schema)
+    )
 
 
 def pack_bins(base: DataFrame, order_cols: list, budget: int) -> DataFrame:
@@ -269,54 +331,7 @@ def pack_bins(base: DataFrame, order_cols: list, budget: int) -> DataFrame:
     shard lever as pack_sequences), sort within partitions, one
     mapInPandas pass with state carried across Arrow batches.
     """
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    cols = ["grp", "bin_id", "n_items", "total_n"]
-
-    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        state = {"key": None, "bin": 0, "cum": 0, "items": 0}
-        out: list[dict] = []
-
-        def flush() -> None:
-            if state["items"]:
-                out.append(
-                    dict(
-                        grp=state["key"],
-                        bin_id=state["bin"],
-                        n_items=state["items"],
-                        total_n=state["cum"],
-                    )
-                )
-            state["cum"], state["items"] = 0, 0
-
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                if row.grp != state["key"]:
-                    flush()
-                    state.update(key=row.grp, bin=0)
-                n = int(row.n)
-                if state["items"] and state["cum"] + n > budget:
-                    flush()
-                if not state["items"]:
-                    state["bin"] += 1
-                state["cum"] += n
-                state["items"] += 1
-            if len(out) >= 10_000:
-                yield pd.DataFrame(out, columns=cols)
-                out = []
-        flush()
-        yield pd.DataFrame(out, columns=cols)
-
-    return (
-        base.repartition("grp")
-        .sortWithinPartitions("grp", *order_cols)
-        .mapInPandas(walk, schema=BIN_PACK_SCHEMA)
-    )
-
-
-PACK_ASSIGN_SCHEMA = "grp bigint, item_id bigint, bin_id int"
+    return _pack_walk(base, order_cols, budget, per_item=False)
 
 
 def pack_assign(base: DataFrame, order_cols: list, budget: int) -> DataFrame:
@@ -325,34 +340,4 @@ def pack_assign(base: DataFrame, order_cols: list, budget: int) -> DataFrame:
     in ``order_cols`` order, one output row per item: (grp, item_id,
     bin_id). The layout auditors join this back to the items to compute
     per-bin statistics (min/max zone maps) declaratively."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    cols = ["grp", "item_id", "bin_id"]
-
-    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        state = {"key": None, "bin": 0, "cum": 0, "items": 0}
-        out: list[tuple] = []
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                if row.grp != state["key"]:
-                    state.update(key=row.grp, bin=0, cum=0, items=0)
-                n = int(row.n)
-                if state["items"] and state["cum"] + n > budget:
-                    state.update(cum=0, items=0)
-                if not state["items"]:
-                    state["bin"] += 1
-                state["cum"] += n
-                state["items"] += 1
-                out.append((row.grp, int(row.item_id), state["bin"]))
-            if len(out) >= 10_000:
-                yield pd.DataFrame(out, columns=cols)
-                out = []
-        yield pd.DataFrame(out, columns=cols)
-
-    return (
-        base.repartition("grp")
-        .sortWithinPartitions("grp", *order_cols)
-        .mapInPandas(walk, schema=PACK_ASSIGN_SCHEMA)
-    )
+    return _pack_walk(base, order_cols, budget, per_item=True)

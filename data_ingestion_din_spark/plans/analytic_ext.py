@@ -754,7 +754,11 @@ def events_ewma_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if row.user_id != state["key"]:
                     state.update(key=row.user_id, ewma=int(row.vc))
                 else:
-                    state["ewma"] = (state["ewma"] + int(row.vc)) // 2
+                    # DuckDB's integer // truncates toward zero on
+                    # negatives where Python floors — truncate to match
+                    # the oracle (latent only: fixture values are >= 0)
+                    acc = state["ewma"] + int(row.vc)
+                    state["ewma"] = abs(acc) // 2 * (1 if acc >= 0 else -1)
                 out.append(
                     (
                         int(row.user_id),

@@ -2121,6 +2121,12 @@ def layout_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("item_id"),
         F.length("text").cast("bigint").alias("n"),
     ).localCheckpoint(eager=False)
+    # rows_matching depends only on the predicate — count once per
+    # predicate, not once per (ordering, predicate)
+    matching = {
+        pred: items.filter(F.col("n").between(lo, hi)).count()
+        for pred, lo, hi in _ZM_PREDS
+    }
     grid = None
     for ordering, order in (
         ("arrival", [F.col("item_id")]),
@@ -2138,9 +2144,7 @@ def layout_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for pred, lo, hi in _ZM_PREDS:
             touched = (F.col("mx") >= lo) & (F.col("mn") <= hi)
-            rows_matching = items.filter(
-                F.col("n").between(lo, hi)
-            ).count()
+            rows_matching = matching[pred]
             row = zones.agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_bins"),
                 F.sum(touched.cast("int")).cast("bigint").alias(

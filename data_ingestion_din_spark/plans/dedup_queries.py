@@ -2493,14 +2493,3 @@ def dedup_simhash_band_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("band_w", "radius")
 
 
-def _shg_popcount(x):
-    """Vectorized 64-bit popcount over a uint64 numpy array."""
-    import numpy as np
-
-    h = np.zeros(len(x), dtype=np.int64)
-    for b in range(8):
-        byte = np.bitwise_and(x >> np.uint64(8 * b), np.uint64(0xFF))
-        h += np.unpackbits(
-            byte.astype(np.uint8)[:, None], axis=1
-        ).sum(axis=1).astype(np.int64)
-    return h

@@ -1639,7 +1639,7 @@ def events_dynamic_gap_sessions(
 # events_cdc_merge — MERGE INTO with tombstones, the change-data-capture
 # apply step events_latest_snapshot only gestures at (latest-per-key is
 # upsert compaction; real CDC also DELETES). Base = the latest-per-key
-# snapshot of events with event_id < 8000; the CDC batch = the remaining
+# snapshot of events with event_id < 2000; the CDC batch = the remaining
 # rows THINNED to every third event_id (so some base keys see no batch
 # row at all — the MERGE's untouched-key path), each carrying an op
 # derived deterministically from its payload (props.k % 5 = 0 → 'D'
@@ -1968,48 +1968,11 @@ _ZP_BOXES = [
 ]
 
 
-def _zp_morton_sql(u: str, t: str) -> str:
-    terms = []
-    for b in range(8):
-        terms.append(f"((({u} >> {b}) & 1) << {2 * b})")
-        terms.append(f"((({t} >> {b}) & 1) << {2 * b + 1})")
-    return " + ".join(terms)
-
-
-@query(
-    "layout_zorder_pruning",
-    oracle=f"""
-    WITH st AS (
-      SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
-             min(epoch_us(ts)) AS lo_t, max(epoch_us(ts)) AS hi_t
-      FROM events
-    ),
-    pts AS MATERIALIZED (
-      SELECT event_id,
-             CAST((user_id - lo_u) * 256 // (hi_u - lo_u + 1) AS BIGINT)
-               AS ub,
-             CAST((epoch_us(ts) - lo_t) * 256 // (hi_t - lo_t + 1)
-                  AS BIGINT) AS tb
-      FROM events, st
-    ),
-    laid AS MATERIALIZED (
-      SELECT 'tsort' AS ordering, ub, tb,
-             (row_number() OVER (ORDER BY tb, ub, event_id) - 1)
-               // {_ZP_BIN_ROWS} AS bin
-      FROM pts
-      UNION ALL
-      SELECT 'usort', ub, tb,
-             (row_number() OVER (ORDER BY ub, tb, event_id) - 1)
-               // {_ZP_BIN_ROWS}
-      FROM pts
-      UNION ALL
-      SELECT 'zorder', ub, tb,
-             (row_number() OVER (
-                ORDER BY {_zp_morton_sql('ub', 'tb')}, event_id) - 1)
-               // {_ZP_BIN_ROWS}
-      FROM pts
-    ),
-    zones AS (
+def _zp_audit_tail_sql() -> str:
+    """zones → boxes → match → final-projection oracle tail shared by
+    layout_zorder_pruning and layout_hilbert_vs_zorder (expects a
+    ``laid`` CTE of (ordering, ub, tb, bin) and a ``pts`` CTE)."""
+    return f"""zones AS (
       SELECT ordering, bin,
              min(ub) AS u_mn, max(ub) AS u_mx,
              min(tb) AS t_mn, max(tb) AS t_mx,
@@ -2046,10 +2009,12 @@ def _zp_morton_sql(u: str, t: str) -> str:
     CROSS JOIN boxes b
     JOIN match m ON m.box = b.box
     GROUP BY z.ordering, b.box
-    ORDER BY 1, 2
-    """,
-)
-def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ORDER BY 1, 2"""
+
+
+def _zp_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, ub, tb) 8-bit bucket coordinates for the layout
+    audits."""
     ev = load_table(spark, sf_dir, "events")
     st = ev.agg(
         F.min("user_id").alias("lo_u"),
@@ -2057,7 +2022,7 @@ def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("lo_t"),
         F.max(F.unix_micros("ts")).alias("hi_t"),
     )
-    pts = (
+    return (
         ev.crossJoin(F.broadcast(st))
         .select(
             "event_id",
@@ -2072,24 +2037,11 @@ def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    laid = None
-    for ordering, order in (
-        ("tsort", "tb, ub, event_id"),
-        ("usort", "ub, tb, event_id"),
-        ("zorder", f"{_zp_morton_sql('ub', 'tb')}, event_id"),
-    ):
-        arm = pts.select(
-            F.lit(ordering).alias("ordering"),
-            "ub",
-            "tb",
-            F.expr(
-                f"(row_number() OVER (ORDER BY {order}) - 1)"
-                f" DIV {_ZP_BIN_ROWS}"
-            )
-            .cast("bigint")
-            .alias("bin"),
-        )
-        laid = arm if laid is None else laid.unionByName(arm)
+
+
+def _zp_box_grid(pts: DataFrame, laid: DataFrame) -> DataFrame:
+    """zones aggregate + per-box touched/scanned/amplification rows —
+    the engine-side twin of :func:`_zp_audit_tail_sql`."""
     zones = laid.groupBy("ordering", "bin").agg(
         F.min("ub").alias("u_mn"),
         F.max("ub").alias("u_mx"),
@@ -2135,6 +2087,73 @@ def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         grid = row if grid is None else grid.unionByName(row)
     return grid.orderBy("ordering", "box")
+
+
+def _zp_morton_sql(u: str, t: str) -> str:
+    terms = []
+    for b in range(8):
+        terms.append(f"((({u} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({t} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_pruning",
+    oracle=f"""
+    WITH st AS (
+      SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+             min(epoch_us(ts)) AS lo_t, max(epoch_us(ts)) AS hi_t
+      FROM events
+    ),
+    pts AS MATERIALIZED (
+      SELECT event_id,
+             CAST((user_id - lo_u) * 256 // (hi_u - lo_u + 1) AS BIGINT)
+               AS ub,
+             CAST((epoch_us(ts) - lo_t) * 256 // (hi_t - lo_t + 1)
+                  AS BIGINT) AS tb
+      FROM events, st
+    ),
+    laid AS MATERIALIZED (
+      SELECT 'tsort' AS ordering, ub, tb,
+             (row_number() OVER (ORDER BY tb, ub, event_id) - 1)
+               // {_ZP_BIN_ROWS} AS bin
+      FROM pts
+      UNION ALL
+      SELECT 'usort', ub, tb,
+             (row_number() OVER (ORDER BY ub, tb, event_id) - 1)
+               // {_ZP_BIN_ROWS}
+      FROM pts
+      UNION ALL
+      SELECT 'zorder', ub, tb,
+             (row_number() OVER (
+                ORDER BY {_zp_morton_sql('ub', 'tb')}, event_id) - 1)
+               // {_ZP_BIN_ROWS}
+      FROM pts
+    ),
+    {_zp_audit_tail_sql()}
+    """,
+)
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _zp_pts(spark, sf_dir)
+    laid = None
+    for ordering, order in (
+        ("tsort", "tb, ub, event_id"),
+        ("usort", "ub, tb, event_id"),
+        ("zorder", f"{_zp_morton_sql('ub', 'tb')}, event_id"),
+    ):
+        arm = pts.select(
+            F.lit(ordering).alias("ordering"),
+            "ub",
+            "tb",
+            F.expr(
+                f"(row_number() OVER (ORDER BY {order}) - 1)"
+                f" DIV {_ZP_BIN_ROWS}"
+            )
+            .cast("bigint")
+            .alias("bin"),
+        )
+        laid = arm if laid is None else laid.unionByName(arm)
+    return _zp_box_grid(pts, laid)
 
 
 # --------------------------------------------------------------------------
@@ -2231,69 +2250,11 @@ def _hb_chain_sql(src: str) -> str:
                // {_ZP_BIN_ROWS}
       FROM hb{len(_HB_STEPS)}
     ),
-    zones AS (
-      SELECT ordering, bin,
-             min(ub) AS u_mn, max(ub) AS u_mx,
-             min(tb) AS t_mn, max(tb) AS t_mx,
-             count(*) AS n_rows
-      FROM laid GROUP BY ordering, bin
-    ),
-    boxes AS (
-      SELECT * FROM (VALUES
-        {", ".join(f"('{nm}', {ul}, {uh}, {tl}, {th})" for nm, ul, uh, tl, th in _ZP_BOXES)}
-      ) b(box, u_lo, u_hi, t_lo, t_hi)
-    ),
-    match AS (
-      SELECT b.box, CAST(count(*) AS BIGINT) AS rows_matching
-      FROM pts p JOIN boxes b
-        ON p.ub BETWEEN b.u_lo AND b.u_hi
-       AND p.tb BETWEEN b.t_lo AND b.t_hi
-      GROUP BY b.box
-    )
-    SELECT z.ordering, b.box AS box,
-           CAST(count(*) AS BIGINT) AS n_bins,
-           CAST(sum(CASE WHEN z.u_mx >= b.u_lo AND z.u_mn <= b.u_hi
-                          AND z.t_mx >= b.t_lo AND z.t_mn <= b.t_hi
-                     THEN 1 ELSE 0 END) AS BIGINT) AS bins_touched,
-           any_value(m.rows_matching) AS rows_matching,
-           CAST(sum(CASE WHEN z.u_mx >= b.u_lo AND z.u_mn <= b.u_hi
-                          AND z.t_mx >= b.t_lo AND z.t_mn <= b.t_hi
-                     THEN z.n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
-           CAST(sum(CASE WHEN z.u_mx >= b.u_lo AND z.u_mn <= b.u_hi
-                          AND z.t_mx >= b.t_lo AND z.t_mn <= b.t_hi
-                     THEN z.n_rows ELSE 0 END) * 1000
-                // greatest(any_value(m.rows_matching), 1) AS BIGINT)
-             AS amplification_milli
-    FROM zones z
-    CROSS JOIN boxes b
-    JOIN match m ON m.box = b.box
-    GROUP BY z.ordering, b.box
-    ORDER BY 1, 2
+    {_zp_audit_tail_sql()}
     """,
 )
 def layout_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    st = ev.agg(
-        F.min("user_id").alias("lo_u"),
-        F.max("user_id").alias("hi_u"),
-        F.min(F.unix_micros("ts")).alias("lo_t"),
-        F.max(F.unix_micros("ts")).alias("hi_t"),
-    )
-    pts = (
-        ev.crossJoin(F.broadcast(st))
-        .select(
-            "event_id",
-            F.expr("(user_id - lo_u) * 256 DIV (hi_u - lo_u + 1)")
-            .cast("bigint")
-            .alias("ub"),
-            F.expr(
-                "(unix_micros(ts) - lo_t) * 256 DIV (hi_t - lo_t + 1)"
-            )
-            .cast("bigint")
-            .alias("tb"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    pts = _zp_pts(spark, sf_dir)
     hb = pts.select(
         "event_id",
         "ub",
@@ -2339,51 +2300,7 @@ def layout_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    zones = laid.groupBy("ordering", "bin").agg(
-        F.min("ub").alias("u_mn"),
-        F.max("ub").alias("u_mx"),
-        F.min("tb").alias("t_mn"),
-        F.max("tb").alias("t_mx"),
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-    )
-    grid = None
-    for box, ul, uh, tl, th in _ZP_BOXES:
-        rows_matching = pts.filter(
-            F.col("ub").between(ul, uh) & F.col("tb").between(tl, th)
-        ).count()
-        touched = (
-            (F.col("u_mx") >= ul)
-            & (F.col("u_mn") <= uh)
-            & (F.col("t_mx") >= tl)
-            & (F.col("t_mn") <= th)
-        )
-        row = (
-            zones.groupBy("ordering")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_bins"),
-                F.sum(touched.cast("int")).cast("bigint").alias(
-                    "bins_touched"
-                ),
-                F.sum(F.when(touched, F.col("n_rows")).otherwise(0))
-                .cast("bigint")
-                .alias("rows_scanned"),
-            )
-            .select(
-                "ordering",
-                F.lit(box).alias("box"),
-                "n_bins",
-                "bins_touched",
-                F.lit(rows_matching).cast("bigint").alias("rows_matching"),
-                "rows_scanned",
-                F.expr(
-                    f"rows_scanned * 1000 DIV greatest({rows_matching}, 1)"
-                )
-                .cast("bigint")
-                .alias("amplification_milli"),
-            )
-        )
-        grid = row if grid is None else grid.unionByName(row)
-    return grid.orderBy("ordering", "box")
+    return _zp_box_grid(pts, laid)
 
 
 # --------------------------------------------------------------------------
@@ -2410,42 +2327,35 @@ def layout_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: sketches are k rows per set (mergeable, shippable); the exact
 # sides are the fixture-only audit columns.
 # --------------------------------------------------------------------------
-_THETA_K = 32
-
-
-@query(
-    "events_theta_set_ops",
-    oracle=f"""
-    WITH seta AS MATERIALIZED (
-      SELECT user_id FROM events WHERE event_type = 'error'
-      GROUP BY user_id HAVING count(*) >= 15
-    ),
-    setb AS MATERIALIZED (
-      SELECT user_id FROM events WHERE event_type = 'purchase'
-      GROUP BY user_id HAVING count(*) >= 15
-    ),
-    ha AS (
-      SELECT CAST(('0x' || substr(md5('theta:' || CAST(user_id AS VARCHAR)),
-                   1, 15)) AS BIGINT) AS h
-      FROM seta
-    ),
-    hb AS (
-      SELECT CAST(('0x' || substr(md5('theta:' || CAST(user_id AS VARCHAR)),
-                   1, 15)) AS BIGINT) AS h
-      FROM setb
-    ),
+def _theta_algebra_sql(k: int, labels: tuple[str, str, str, str]) -> str:
+    """The sketch-algebra CTE tail shared by events_theta_set_ops and
+    streaming_theta_index's oracles: given ``seta`` / ``setb`` CTEs of
+    ``user_id`` rows, build both k-sized sketches, the union sketch,
+    the min-theta intersection, the exact audit, and the final
+    estimate/err projection (DuckDB // truncation semantics — the one
+    place the algebra's integer arithmetic is written)."""
+    la, lb, lu, li = labels
+    ppm = (1 << 60) // 10**6
+    hash_sql = (
+        "CAST(('0x' || substr(md5('theta:' || CAST(user_id AS VARCHAR)),"
+        " 1, 15)) AS BIGINT)"
+    )
+    return f"""ha AS (SELECT {hash_sql} AS h FROM seta),
+    hb AS (SELECT {hash_sql} AS h FROM setb),
     ska AS MATERIALIZED (
-      SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha
-      QUALIFY rn <= {_THETA_K}
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha
+      ) WHERE rn <= {k}
     ),
     skb AS MATERIALIZED (
-      SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb
-      QUALIFY rn <= {_THETA_K}
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb
+      ) WHERE rn <= {k}
     ),
     sku AS MATERIALIZED (
       SELECT h, row_number() OVER (ORDER BY h) AS rn
       FROM (SELECT h FROM ska UNION SELECT h FROM skb)
-      QUALIFY rn <= {_THETA_K}
+      QUALIFY rn <= {k}
     ),
     thetas AS (
       SELECT (SELECT max(h) FROM ska) AS ta,
@@ -2469,32 +2379,59 @@ _THETA_K = 32
           AS ni
     ),
     ests AS (
-      SELECT 'a' AS op, e.na AS n_exact,
-             t.ta // {(1 << 60) // 10**6} AS theta_ppm,
-             CAST({_THETA_K - 1} AS BIGINT) AS cnt
+      SELECT '{la}' AS op, e.na AS n_exact,
+             t.ta // {ppm} AS theta_ppm,
+             CAST({k - 1} AS BIGINT) AS cnt
       FROM thetas t, exact e
       UNION ALL
-      SELECT 'b', e.nb, t.tb // {(1 << 60) // 10**6},
-             CAST({_THETA_K - 1} AS BIGINT)
+      SELECT '{lb}', e.nb, t.tb // {ppm}, CAST({k - 1} AS BIGINT)
       FROM thetas t, exact e
       UNION ALL
-      SELECT 'union', e.nu, t.tu // {(1 << 60) // 10**6},
-             CAST({_THETA_K - 1} AS BIGINT)
+      SELECT '{lu}', e.nu, t.tu // {ppm}, CAST({k - 1} AS BIGINT)
       FROM thetas t, exact e
       UNION ALL
-      SELECT 'intersection', e.ni,
-             least(t.ta, t.tb) // {(1 << 60) // 10**6},
-             i.common
+      SELECT '{li}', e.ni, least(t.ta, t.tb) // {ppm}, i.common
       FROM thetas t, exact e, inter i
     )
-    SELECT op, n_exact,
-           CAST({_THETA_K} AS INT) AS k,
+    SELECT op, n_exact, CAST({k} AS INT) AS k,
            CAST(theta_ppm AS BIGINT) AS theta_ppm,
            CAST(cnt * 1000000 // theta_ppm AS BIGINT) AS est_users,
            CAST((cnt * 1000000 // theta_ppm - n_exact) * 1000
                 // greatest(n_exact, 1) AS BIGINT) AS err_milli
     FROM ests
-    ORDER BY op
+    ORDER BY op"""
+
+
+def _theta_est_rows(items: list, k: int) -> list:
+    """Driver-side twin of the estimate projection above — integer
+    arithmetic with DuckDB's truncate-toward-zero division (Python //
+    floors on negatives, the documented divergence)."""
+    ppm_div = (1 << 60) // 10**6
+    rows = []
+    for op, n_ex, theta, cnt in items:
+        theta_ppm = theta // ppm_div
+        est = cnt * 10**6 // theta_ppm
+        num = (est - n_ex) * 1000
+        err = abs(num) // max(n_ex, 1) * (1 if num >= 0 else -1)
+        rows.append((op, n_ex, k, theta_ppm, est, err))
+    return rows
+
+
+_THETA_K = 32
+
+
+@query(
+    "events_theta_set_ops",
+    oracle=f"""
+    WITH seta AS MATERIALIZED (
+      SELECT user_id FROM events WHERE event_type = 'error'
+      GROUP BY user_id HAVING count(*) >= 15
+    ),
+    setb AS MATERIALIZED (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id HAVING count(*) >= 15
+    ),
+    {_theta_algebra_sql(_THETA_K, ('a', 'b', 'union', 'intersection'))}
     """,
 )
 def events_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2548,22 +2485,15 @@ def events_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("h") < min(ta, tb))
         .count()
     )
-    ppm_div = (1 << 60) // 10**6
-    rows = []
-    for op, n_ex, theta, cnt in (
-        ("a", exact["a"], ta, _THETA_K - 1),
-        ("b", exact["b"], tb, _THETA_K - 1),
-        ("union", exact["union"], tu, _THETA_K - 1),
-        ("intersection", exact["intersection"], min(ta, tb), common),
-    ):
-        theta_ppm = theta // ppm_div
-        est = cnt * 10**6 // theta_ppm
-        # DuckDB's integer // truncates toward zero on negatives where
-        # Python's floors — match the oracle's truncation
-        num = (est - n_ex) * 1000
-        den = max(n_ex, 1)
-        err = abs(num) // den * (1 if num >= 0 else -1)
-        rows.append((op, n_ex, _THETA_K, theta_ppm, est, err))
+    rows = _theta_est_rows(
+        [
+            ("a", exact["a"], ta, _THETA_K - 1),
+            ("b", exact["b"], tb, _THETA_K - 1),
+            ("union", exact["union"], tu, _THETA_K - 1),
+            ("intersection", exact["intersection"], min(ta, tb), common),
+        ],
+        _THETA_K,
+    )
     return spark.createDataFrame(
         rows,
         "op string, n_exact bigint, k int, theta_ppm bigint,"

@@ -262,7 +262,7 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same filtered cell-scan plan (predicate pushed into the scan).
 # --------------------------------------------------------------------------
 _FNP_GRID = (1, 2, 4, 8)
-_FNP_NAME, _FNP_PRED = _FANN_FILTERS[2][0], _FANN_FILTERS[2][1]
+_FNP_PRED = _FANN_FILTERS[2][1]
 
 
 def _fnp_oracle() -> str:

@@ -13,6 +13,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_din_spark.plans.events import (
+    _theta_algebra_sql,
+    _theta_est_rows,
+)
 from data_ingestion_din_spark.plans.registry import query
 from data_ingestion_din_spark.plans.streaming_core import (
     _await_or_raise,
@@ -1386,78 +1390,7 @@ def _sth_out_dir(spark: SparkSession, sf_dir: str) -> str:
     setb AS MATERIALIZED (
       SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1
     ),
-    ska AS MATERIALIZED (
-      SELECT h FROM (
-        SELECT CAST(('0x' || substr(md5('theta:' ||
-                     CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
-               row_number() OVER (ORDER BY CAST(('0x' ||
-                 substr(md5('theta:' || CAST(user_id AS VARCHAR)), 1, 15))
-                 AS BIGINT)) AS rn
-        FROM seta
-      ) WHERE rn <= {_STH_K}
-    ),
-    skb AS MATERIALIZED (
-      SELECT h FROM (
-        SELECT CAST(('0x' || substr(md5('theta:' ||
-                     CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
-               row_number() OVER (ORDER BY CAST(('0x' ||
-                 substr(md5('theta:' || CAST(user_id AS VARCHAR)), 1, 15))
-                 AS BIGINT)) AS rn
-        FROM setb
-      ) WHERE rn <= {_STH_K}
-    ),
-    sku AS MATERIALIZED (
-      SELECT h, row_number() OVER (ORDER BY h) AS rn
-      FROM (SELECT h FROM ska UNION SELECT h FROM skb)
-      QUALIFY rn <= {_STH_K}
-    ),
-    thetas AS (
-      SELECT (SELECT max(h) FROM ska) AS ta,
-             (SELECT max(h) FROM skb) AS tb,
-             (SELECT max(h) FROM sku) AS tu
-    ),
-    inter AS (
-      SELECT CAST(count(*) AS BIGINT) AS common
-      FROM ska JOIN skb USING (h), thetas
-      WHERE ska.h < least(thetas.ta, thetas.tb)
-    ),
-    exact AS (
-      SELECT
-        (SELECT CAST(count(*) AS BIGINT) FROM seta) AS na,
-        (SELECT CAST(count(*) AS BIGINT) FROM setb) AS nb,
-        (SELECT CAST(count(*) AS BIGINT) FROM
-          (SELECT user_id FROM seta UNION SELECT user_id FROM setb))
-          AS nu,
-        (SELECT CAST(count(*) AS BIGINT) FROM
-          (SELECT user_id FROM seta INTERSECT SELECT user_id FROM setb))
-          AS ni
-    ),
-    ests AS (
-      SELECT 'epoch0' AS op, e.na AS n_exact,
-             t.ta // {(1 << 60) // 10**6} AS theta_ppm,
-             CAST({_STH_K - 1} AS BIGINT) AS cnt
-      FROM thetas t, exact e
-      UNION ALL
-      SELECT 'epoch1', e.nb, t.tb // {(1 << 60) // 10**6},
-             CAST({_STH_K - 1} AS BIGINT)
-      FROM thetas t, exact e
-      UNION ALL
-      SELECT 'either', e.nu, t.tu // {(1 << 60) // 10**6},
-             CAST({_STH_K - 1} AS BIGINT)
-      FROM thetas t, exact e
-      UNION ALL
-      SELECT 'both', e.ni,
-             least(t.ta, t.tb) // {(1 << 60) // 10**6},
-             i.common
-      FROM thetas t, exact e, inter i
-    )
-    SELECT op, n_exact, CAST({_STH_K} AS INT) AS k,
-           CAST(theta_ppm AS BIGINT) AS theta_ppm,
-           CAST(cnt * 1000000 // theta_ppm AS BIGINT) AS est_users,
-           CAST((cnt * 1000000 // theta_ppm - n_exact) * 1000
-                // greatest(n_exact, 1) AS BIGINT) AS err_milli
-    FROM ests
-    ORDER BY op
+    {_theta_algebra_sql(_STH_K, ("epoch0", "epoch1", "either", "both"))}
     """,
 )
 def streaming_theta_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1487,19 +1420,15 @@ def streaming_theta_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = sum(
         1 for h in set(sk[0]) & set(sk[1]) if h < min(ta, tb)
     )
-    ppm_div = (1 << 60) // 10**6
-    rows = []
-    for op, n_ex, theta, cnt in (
-        ("epoch0", exact["epoch0"], ta, _STH_K - 1),
-        ("epoch1", exact["epoch1"], tb, _STH_K - 1),
-        ("either", exact["either"], tu, _STH_K - 1),
-        ("both", exact["both"], min(ta, tb), common),
-    ):
-        theta_ppm = theta // ppm_div
-        est = cnt * 10**6 // theta_ppm
-        num = (est - n_ex) * 1000
-        err = abs(num) // max(n_ex, 1) * (1 if num >= 0 else -1)
-        rows.append((op, n_ex, _STH_K, theta_ppm, est, err))
+    rows = _theta_est_rows(
+        [
+            ("epoch0", exact["epoch0"], ta, _STH_K - 1),
+            ("epoch1", exact["epoch1"], tb, _STH_K - 1),
+            ("either", exact["either"], tu, _STH_K - 1),
+            ("both", exact["both"], min(ta, tb), common),
+        ],
+        _STH_K,
+    )
     return spark.createDataFrame(
         rows,
         "op string, n_exact bigint, k int, theta_ppm bigint,"
