@@ -25,11 +25,14 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # LAND (tests/test_rotation.py enforces that every never-sampled name is in
 # the head — the invariant, not a per-round cleanup), then the full
 # 43-query block whose latest driver sample is round 6 (computed from
-# CORRECTNESS_r0{6..10}.json, registration order). The head holds
-# 2 + 40 + 43 = 85 names against a ~50 window: new queries outrank
-# stale ones (never-sampled is the worse state), so the window covers
-# the 42 never-sampled entries plus ~8 of the round-6 block; the
-# remaining ~35 round-6-stale entries must lead the round-12 head.
+# CORRECTNESS_r0{6..10}.json, registration order). The head now holds
+# more names than the ~50 window: new queries outrank stale ones
+# (never-sampled is the worse state), so the window covers every
+# never-sampled entry first and only the remainder of the round-6
+# block; whatever round-6 names the window misses — roughly
+# len(head) − 50 of them — must lead the round-12 head. (Counts are
+# deliberately not hard-coded here; a prior exact tally went stale
+# twice as late additions landed.)
 _DRIVER_PRIORITY: list[str] = [
     # Never driver-sampled (absent from every CORRECTNESS_r*.json) — lead.
     "similarity_graph_insert",
@@ -75,6 +78,7 @@ _DRIVER_PRIORITY: list[str] = [
     "layout_hilbert_vs_zorder",
     "events_theta_set_ops",
     "streaming_theta_index",
+    "corpus_pack_split_ab",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

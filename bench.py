@@ -358,6 +358,7 @@ BENCH_QUERIES = [
     "layout_hilbert_vs_zorder",
     "events_theta_set_ops",
     "streaming_theta_index",
+    "corpus_pack_split_ab",
 ]
 
 

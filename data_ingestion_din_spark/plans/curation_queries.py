@@ -2173,3 +2173,130 @@ def layout_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             grid = row if grid is None else grid.unionByName(row)
     return grid.orderBy("ordering", "lo")
+
+
+# --------------------------------------------------------------------------
+# corpus_pack_split_ab — the OTHER sequence-packing discipline, A/B'd:
+# corpus_pack_sequences never splits a document (sequences underfill;
+# every doc stays contiguous), while GPT-style pretraining CONCATENATES
+# the token stream and cuts at exact budget boundaries (zero waste;
+# documents split across sequence borders and pay attention-boundary
+# cost). One hash-gated row per mode over the same global doc_id-order
+# token stream and the same 1024-token budget: sequences produced,
+# fill, and the number of documents split — the waste-vs-splits trade
+# as one relation.
+#
+# Measured (sf0.01): no-split packs 28 sequences at 947‰ fill; split
+# packs 27 at 982‰ with 25 documents crossing a boundary — on short
+# docs (mean ~54 tokens vs the 1024 budget) no-split wastes only 5%,
+# so concatenation buys one sequence in twenty-eight at the cost of
+# 25 attention-boundary splits; the trade flips as documents approach
+# the budget length.
+#
+# Scale: the no-split arm is the pack_bins walker (one grp=0 stream —
+# the deliberately UNsharded audit form; the sharded production form
+# is corpus_pack_sequences_sharded); the split arm is pure window
+# cumsum arithmetic (a boundary crossing is a comparison of
+# floor-divided cumulative sums, no walker at all).
+# --------------------------------------------------------------------------
+@query(
+    "corpus_pack_split_ab",
+    oracle=f"""
+    WITH items AS MATERIALIZED (
+      SELECT CAST(0 AS BIGINT) AS grp, doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n
+      FROM documents
+    ),
+    na AS MATERIALIZED (
+      SELECT grp, n,
+             row_number() OVER (ORDER BY doc_id) AS rn
+      FROM items
+    ),
+    nosplit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+             CAST(sum(bin_bytes) AS BIGINT) AS total_tokens
+      FROM {_compact_walk_sql("na")}
+    ),
+    cum AS (
+      SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id) AS c
+      FROM items
+    ),
+    split AS (
+      SELECT CAST((sum(n) + {_COMPACT_BUDGET} - 1)
+                  // {_COMPACT_BUDGET} AS BIGINT) AS n_seqs,
+             CAST(sum(n) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN (c - n) // {_COMPACT_BUDGET}
+                             <> (c - 1) // {_COMPACT_BUDGET}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+      FROM cum
+    )
+    SELECT 'nosplit' AS mode, n_seqs, total_tokens,
+           CAST(total_tokens * 1000
+                // (n_seqs * {_COMPACT_BUDGET}) AS BIGINT)
+             AS fill_permille,
+           CAST(0 AS BIGINT) AS n_split_docs
+    FROM nosplit
+    UNION ALL
+    SELECT 'split', n_seqs, total_tokens,
+           CAST(total_tokens * 1000
+                // (n_seqs * {_COMPACT_BUDGET}) AS BIGINT),
+           n_split_docs
+    FROM split
+    ORDER BY mode
+    """,
+)
+def corpus_pack_split_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(
+        F.lit(0).cast("bigint").alias("grp"),
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n"),
+    )
+    bins = C.pack_bins(items, [F.col("doc_id")], _COMPACT_BUDGET)
+    nosplit = bins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seqs"),
+        F.sum("total_n").cast("bigint").alias("total_tokens"),
+    ).select(
+        F.lit("nosplit").alias("mode"),
+        "n_seqs",
+        "total_tokens",
+        F.expr(f"total_tokens * 1000 DIV (n_seqs * {_COMPACT_BUDGET})")
+        .cast("bigint")
+        .alias("fill_permille"),
+        F.lit(0).cast("bigint").alias("n_split_docs"),
+    )
+    cum = items.select(
+        "doc_id", "n", F.sum("n").over(W.orderBy("doc_id")).alias("c")
+    )
+    split = cum.agg(
+        F.expr(
+            f"CAST((sum(n) + {_COMPACT_BUDGET} - 1)"
+            f" DIV {_COMPACT_BUDGET} AS BIGINT)"
+        ).alias("n_seqs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.when(
+                F.expr(
+                    f"(c - n) DIV {_COMPACT_BUDGET}"
+                    f" <> (c - 1) DIV {_COMPACT_BUDGET}"
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_split_docs"),
+    ).select(
+        F.lit("split").alias("mode"),
+        "n_seqs",
+        "total_tokens",
+        F.expr(f"total_tokens * 1000 DIV (n_seqs * {_COMPACT_BUDGET})")
+        .cast("bigint")
+        .alias("fill_permille"),
+        "n_split_docs",
+    )
+    return nosplit.unionByName(split).orderBy("mode")
