@@ -79,6 +79,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_theta_set_ops",
     "streaming_theta_index",
     "corpus_pack_split_ab",
+    "events_scd2_temporal_join",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

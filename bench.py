@@ -359,6 +359,7 @@ BENCH_QUERIES = [
     "events_theta_set_ops",
     "streaming_theta_index",
     "corpus_pack_split_ab",
+    "events_scd2_temporal_join",
 ]
 
 

@@ -2499,3 +2499,129 @@ def events_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op string, n_exact bigint, k int, theta_ppm bigint,"
         " est_users bigint, err_milli bigint",
     ).orderBy("op")
+
+
+# --------------------------------------------------------------------------
+# events_scd2_temporal_join — the CONSUMER of the SCD2 story (build ✓
+# events_scd2_intervals, maintain ✓ streaming_scd2_maintenance — this
+# is the join they exist for): facts joined to the dimension VERSION
+# valid at each fact's event time. Dimension = each user's status
+# stream (signup/error events change-detected into [valid_from,
+# valid_to) versions); facts = the same users' purchases; the join is
+# user_id equi + ts∈[from,to) range — the dimensional-modeling join
+# every warehouse runs, with the late-arriving wrinkle kept honest:
+# purchases before a user's first status version join to NULL and are
+# reported as the 'unknown' bucket instead of being dropped. Output:
+# per joined status, purchase count, decimal-exact revenue, distinct
+# buyers.
+#
+# Scale: the range condition rides the user_id equi-join (no interval
+# explosion needed at per-user version counts); one shuffle each side.
+# --------------------------------------------------------------------------
+@query(
+    "events_scd2_temporal_join",
+    oracle=f"""
+    WITH dim0 AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type IN ('signup', 'error')
+    ),
+    chg AS (
+      SELECT user_id, event_type, ts_us,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS opens
+      FROM dim0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    ver AS (
+      SELECT user_id, event_type, ts_us,
+             sum(opens) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS version
+      FROM chg
+    ),
+    dim AS (
+      SELECT user_id, version, any_value(event_type) AS status,
+             min(ts_us) AS valid_from,
+             lead(min(ts_us)) OVER (PARTITION BY user_id
+                                    ORDER BY version) AS valid_to
+      FROM ver GROUP BY user_id, version
+    ),
+    fact AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT coalesce(d.status, 'unknown') AS status,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           {dec_to_double_sql("sum(f.v)", 2)} AS revenue,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_buyers
+    FROM fact f
+    LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.ts_us >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts_us < d.valid_to)
+    GROUP BY coalesce(d.status, 'unknown')
+    ORDER BY status
+    """,
+)
+def events_scd2_temporal_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dim0 = ev.filter(
+        F.col("event_type").isin("signup", "error")
+    ).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = dim0.withColumn(
+        "opens",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    wv = W.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ver = chg.withColumn("version", F.sum("opens").over(wv))
+    dim = (
+        ver.groupBy("user_id", "version")
+        .agg(
+            F.first("event_type").alias("status"),
+            F.min("ts_us").alias("valid_from"),
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                W.partitionBy("user_id").orderBy("version")
+            ),
+        )
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    joined = fact.alias("f").join(
+        dim.alias("d"),
+        (F.col("d.user_id") == F.col("f.user_id"))
+        & (F.col("f.ts_us") >= F.col("d.valid_from"))
+        & (
+            F.col("d.valid_to").isNull()
+            | (F.col("f.ts_us") < F.col("d.valid_to"))
+        ),
+        "left",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("d.status"), F.lit("unknown")).alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            dec_to_double(F.sum("f.v"), 2).alias("revenue"),
+            F.countDistinct(F.col("f.user_id"))
+            .cast("bigint")
+            .alias("n_buyers"),
+        )
+        .orderBy("status")
+    )
