@@ -80,6 +80,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_theta_index",
     "corpus_pack_split_ab",
     "events_scd2_temporal_join",
+    "retrieval_prf_expansion",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

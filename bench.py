@@ -360,6 +360,7 @@ BENCH_QUERIES = [
     "streaming_theta_index",
     "corpus_pack_split_ab",
     "events_scd2_temporal_join",
+    "retrieval_prf_expansion",
 ]
 
 

@@ -1063,3 +1063,249 @@ def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("system")
     )
+
+
+# --------------------------------------------------------------------------
+# retrieval_prf_expansion — pseudo-relevance feedback (RM3-lite), the
+# classic lexical-retrieval upgrade the family lacked: run BM25 for
+# the standing query, treat its top-3 documents as pseudo-relevant,
+# mine the top-3 expansion terms from them (non-query, non-stopword,
+# weighted tf-in-feedback × the integer idf the BM25 recipe already
+# uses), and re-run BM25 with the expanded term set. Everything —
+# both top-10 rankings, the mined terms with their weights, and which
+# round-2 docs are NEW (reachable only through expansion) — is one
+# hash-gated relation, so the feedback loop's every decision is
+# pinned. Fully declarative in BOTH engines: round 2's term set stays
+# a DataFrame/CTE joined into the tf aggregation (no driver collect —
+# the expansion is data, not code).
+#
+# Measured (sf0.01): expansion mines big/filter/key from the feedback
+# docs; round 2 keeps the three feedback documents at ranks 1-3 and
+# pulls SEVEN new documents into ranks 4-10 — the recall-expansion
+# effect PRF exists for, visible in one relation.
+#
+# Scale: two BM25 passes (each the retrieval_bm25 plan: filtered
+# explode, broadcast df/stats) + one term-mining aggregate over the
+# 3 feedback docs; the expansion set is broadcast-sized by construction.
+# --------------------------------------------------------------------------
+_PRF_FEEDBACK_K = 3
+_PRF_EXPAND_E = 3
+_STOP_SQL = "[" + ", ".join(f"'{t}'" for t in STOPWORDS) + "]"
+
+
+def _prf_bm25_sql(terms_cte: str, tag: str) -> str:
+    """BM25 CTE chain scoring against the term set in ``{terms_cte}``
+    (a (tok) relation) — the retrieval_bm25 arithmetic verbatim, with
+    the literal term list swapped for a join."""
+    return f"""tf{tag} AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      WHERE tok IN (SELECT tok FROM {terms_cte})
+      GROUP BY doc_id, tok
+    ),
+    dfr{tag} AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf{tag} GROUP BY tok
+    ),
+    sc{tag} AS (
+      SELECT t.doc_id,
+             CAST(sum((CAST({_BM25_SCALE} AS BIGINT)
+               * length(bin(st.n // d.df)) * 22 * t.tf * st.tt)
+               // (10 * t.tf * st.tt + 3 * st.tt + 9 * dl.dl * st.n))
+               AS BIGINT) AS bm25_scaled
+      FROM tf{tag} t
+      JOIN dfr{tag} d USING (tok)
+      JOIN dl ON dl.doc_id = t.doc_id
+      CROSS JOIN st
+      GROUP BY t.doc_id
+    ),
+    top{tag} AS (
+      SELECT doc_id, bm25_scaled,
+             row_number() OVER (ORDER BY bm25_scaled DESC, doc_id)
+               AS rank
+      FROM sc{tag}
+    )"""
+
+
+@query(
+    "retrieval_prf_expansion",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    dl AS MATERIALIZED (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+    ),
+    st AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tt
+      FROM dl
+    ),
+    q1 AS (SELECT unnest({_TERMS_SQL}) AS tok),
+    {_prf_bm25_sql("q1", "1")},
+    fb AS (SELECT doc_id FROM top1 WHERE rank <= {_PRF_FEEDBACK_K}),
+    cand AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS ftf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      WHERE doc_id IN (SELECT doc_id FROM fb)
+        AND NOT list_contains({_TERMS_SQL}, tok)
+        AND NOT list_contains({_STOP_SQL}, tok)
+      GROUP BY tok
+    ),
+    cdf AS (
+      SELECT c.tok, c.ftf,
+             CAST(count(*) AS BIGINT) AS df
+      FROM cand c
+      JOIN (SELECT doc_id, unnest(t) AS tok FROM toks) a
+        ON a.tok = c.tok
+      GROUP BY c.tok, c.ftf
+    ),
+    exp0 AS (
+      SELECT tok, ftf * length(bin((SELECT n FROM st) // df)) AS w,
+             row_number() OVER (
+               ORDER BY ftf * length(bin((SELECT n FROM st) // df))
+                        DESC, tok) AS rank
+      FROM cdf
+    ),
+    expt AS (SELECT tok, w, rank FROM exp0 WHERE rank <= {_PRF_EXPAND_E}),
+    q2 AS (
+      SELECT tok FROM q1 UNION SELECT tok FROM expt
+    ),
+    {_prf_bm25_sql("q2", "2")}
+    SELECT * FROM (
+      SELECT 'terms' AS round, CAST(rank AS INT) AS rank,
+             CAST(NULL AS BIGINT) AS doc_id, tok AS term,
+             CAST(w AS BIGINT) AS score_scaled,
+             CAST(NULL AS BOOLEAN) AS is_new
+      FROM expt
+      UNION ALL
+      SELECT 'r1', CAST(rank AS INT), doc_id, CAST(NULL AS VARCHAR),
+             bm25_scaled, CAST(NULL AS BOOLEAN)
+      FROM top1 WHERE rank <= 10
+      UNION ALL
+      SELECT 'r2', CAST(rank AS INT), t2.doc_id, CAST(NULL AS VARCHAR),
+             t2.bm25_scaled,
+             t2.doc_id NOT IN (SELECT doc_id FROM top1 WHERE rank <= 10)
+      FROM top2 t2 WHERE t2.rank <= 10
+    )
+    ORDER BY round, rank
+    """,
+)
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    dl = toks.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("tt"),
+    )
+    exploded = toks.select(
+        "doc_id", F.explode("t").alias("tok")
+    ).localCheckpoint(eager=False)
+
+    def bm25(terms_df: DataFrame) -> DataFrame:
+        tf = (
+            exploded.join(F.broadcast(terms_df), "tok")
+            .groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        )
+        dfr = tf.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df")
+        )
+        sc = (
+            tf.join(F.broadcast(dfr), "tok")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(st))
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"(CAST({_BM25_SCALE} AS BIGINT)"
+                        " * length(bin(n div df)) * 22 * tf * tt)"
+                        " div (10 * tf * tt + 3 * tt + 9 * dl * n)"
+                    )
+                )
+                .cast("bigint")
+                .alias("bm25_scaled")
+            )
+        )
+        return sc.withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.desc("bm25_scaled"), "doc_id")
+            ),
+        )
+
+    q1 = spark.createDataFrame([(t,) for t in QUERY_TERMS], "tok string")
+    top1 = bm25(q1).localCheckpoint(eager=True)
+    fb = top1.filter(F.col("rank") <= _PRF_FEEDBACK_K).select("doc_id")
+    cand = (
+        exploded.join(F.broadcast(fb), "doc_id")
+        .filter(
+            ~F.col("tok").isin(*QUERY_TERMS)
+            & ~F.col("tok").isin(*STOPWORDS)
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ftf"))
+    )
+    cdf = (
+        exploded.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(
+            F.first("ftf").alias("ftf"),
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+        )
+    )
+    expt = (
+        cdf.crossJoin(F.broadcast(st))
+        .select(
+            "tok",
+            F.expr("ftf * length(bin(n div df))")
+            .cast("bigint")
+            .alias("w"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("w"), "tok")),
+        )
+        .filter(F.col("rank") <= _PRF_EXPAND_E)
+        .localCheckpoint(eager=True)
+    )
+    q2 = q1.unionByName(expt.select("tok")).distinct()
+    top2 = bm25(q2)
+    t1_ids = top1.filter(F.col("rank") <= 10).select("doc_id")
+    terms_rows = expt.select(
+        F.lit("terms").alias("round"),
+        F.col("rank").cast("int").alias("rank"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.col("tok").alias("term"),
+        F.col("w").alias("score_scaled"),
+        F.lit(None).cast("boolean").alias("is_new"),
+    )
+    r1_rows = top1.filter(F.col("rank") <= 10).select(
+        F.lit("r1").alias("round"),
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.col("bm25_scaled").alias("score_scaled"),
+        F.lit(None).cast("boolean").alias("is_new"),
+    )
+    r2_rows = (
+        top2.filter(F.col("rank") <= 10)
+        .join(
+            t1_ids.withColumn("in_r1", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .select(
+            F.lit("r2").alias("round"),
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.lit(None).cast("string").alias("term"),
+            F.col("bm25_scaled").alias("score_scaled"),
+            F.col("in_r1").isNull().alias("is_new"),
+        )
+    )
+    return (
+        terms_rows.unionByName(r1_rows)
+        .unionByName(r2_rows)
+        .orderBy("round", "rank")
+    )

@@ -130,6 +130,8 @@ BUDGETS = {
     # integer chain + two rank windows)
     "events_theta_set_ops": 5.0,  # 2.4-3.3 s steady (four sketch
     # builds + exact audit counts)
+    "retrieval_prf_expansion": 7.0,  # 3.8-4.2 s steady (two BM25
+    # passes + the feedback-term mining aggregate)
 }
 
 
