@@ -81,6 +81,8 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_pack_split_ab",
     "events_scd2_temporal_join",
     "retrieval_prf_expansion",
+    "similarity_rp_dim_grid",
+    "corpus_line_dedup",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

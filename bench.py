@@ -361,6 +361,8 @@ BENCH_QUERIES = [
     "corpus_pack_split_ab",
     "events_scd2_temporal_join",
     "retrieval_prf_expansion",
+    "similarity_rp_dim_grid",
+    "corpus_line_dedup",
 ]
 
 

@@ -15,6 +15,7 @@ from data_ingestion_din_spark.plans import similarity_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import graph_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import similarity_filtered  # noqa: F401,E402
 from data_ingestion_din_spark.plans import similarity_bq  # noqa: F401,E402
+from data_ingestion_din_spark.plans import similarity_proj  # noqa: F401,E402
 from data_ingestion_din_spark.plans import doc_blocks  # noqa: F401,E402
 from data_ingestion_din_spark.plans import table_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import retrieval_queries  # noqa: F401,E402

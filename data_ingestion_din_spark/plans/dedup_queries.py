@@ -2493,3 +2493,143 @@ def dedup_simhash_band_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("band_w", "radius")
 
 
+
+
+# --------------------------------------------------------------------------
+# corpus_line_dedup — CCNet-style LINE-level boilerplate removal
+# (Wenzek et al. 2020 §3.1: paragraph/line hashes shared across
+# documents mark navigation menus, cookie banners, boilerplate — the
+# first filter the CCNet pipeline runs, and a different operator from
+# pairwise near-dup: the unit is a corpus-frequency-thresholded LINE,
+# not a document pair). The fixture has no newlines, so a "line" is a
+# non-overlapping 10-token segment (the substring family's W-token
+# convention transplanted to a disjoint segmentation); each line is
+# keyed by its portable h64 and a line is boilerplate at threshold T
+# when it occurs in >= T DISTINCT documents.
+#
+# One row per document, with the threshold sweep embedded as columns
+# (the measured surface: the fixture's line-frequency histogram is
+# nd=6:2, 4:3, 3:10, 2:112, 1:2671 distinct lines, so T ∈ {2, 3, 4}
+# genuinely discriminates — T=2 removes every duplicated line, T=4
+# only the 5 heaviest boilerplate lines) plus the md5 fingerprint of
+# the ACTUAL kept text at the production T=2 (removal is gated, not
+# just counted). Removal semantics: boilerplate lines are dropped from
+# ALL documents (the header/footer disposition — reference parity:
+# ingestion/pdf_parser.py's repeated-header suppression does the same
+# per page); CCNet's alternative keep-first form is the documented
+# variant, not implemented here because keep-one-copy of a cookie
+# banner is never what a training corpus wants.
+#
+# Scale: split + slice are per-row HOFs (no explode until the line
+# table, which is ~n_tokens/10 rows); the frequency table is corpus-
+# derived GROWING state, so the lines->freq join is a plain hint-free
+# equi-join on the line hash (never broadcast); per-doc reassembly is
+# one groupBy over the line table. At 100 TB every stage is linear and
+# shuffle-keyed on (lh) then (doc_id) — the same two-shuffle shape as
+# the substring-removal family.
+# --------------------------------------------------------------------------
+_LINE_W = 10
+_LINE_TS = (2, 3, 4)
+
+
+def _line_dedup_oracle() -> str:
+    rm_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN nd >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_rm_t{t},"
+        f" CAST(sum(CASE WHEN nd >= {t} THEN 1 ELSE 0 END) * 1000"
+        f" // count(*) AS BIGINT) AS rm_t{t}_milli"
+        for t in _LINE_TS
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+    lines AS (
+      SELECT doc_id, k.k AS line_no,
+             array_to_string(
+               list_slice(toks, k.k * {_LINE_W} + 1,
+                          k.k * {_LINE_W} + {_LINE_W}), ' ') AS line
+      FROM tk CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(
+          0, (len(toks) - 1) // {_LINE_W})) AS k) k
+    ),
+    hl AS (
+      SELECT doc_id, line_no, line, {h64_sql('line')} AS lh FROM lines
+    ),
+    freq AS (
+      SELECT lh, count(DISTINCT doc_id) AS nd FROM hl GROUP BY lh
+    ),
+    j AS (SELECT hl.doc_id, hl.line_no, hl.line, freq.nd
+          FROM hl JOIN freq USING (lh))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {rm_cols},
+           md5(coalesce(string_agg(CASE WHEN nd < 2 THEN line END,
+                                   ' ' ORDER BY line_no), ''))
+             AS kept_fp_t2
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("corpus_line_dedup", oracle=_line_dedup_oracle())
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    lines = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    ((F.size("toks") - F.lit(1)) / _LINE_W).cast("int"),
+                ),
+                lambda k: F.concat_ws(
+                    " ", F.slice(F.col("toks"), k * _LINE_W + 1, _LINE_W)
+                ),
+            )
+        ),
+    ).select(
+        "doc_id", F.col("pos").alias("line_no"), F.col("col").alias("line")
+    )
+    hl = lines.withColumn("lh", h64(F.col("line")))
+    # corpus-derived growing state: plain hint-free equi-join on lh
+    freq = hl.groupBy("lh").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    j = hl.join(freq, "lh")
+    rm_aggs = []
+    for t in _LINE_TS:
+        n_rm = F.sum(
+            F.when(F.col("nd") >= t, 1).otherwise(0)
+        ).cast("bigint")
+        rm_aggs += [
+            n_rm.alias(f"n_rm_t{t}"),
+            (n_rm * 1000 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias(f"rm_t{t}_milli"),
+        ]
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            *rm_aggs,
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("nd") < 2,
+                                    F.struct("line_no", "line"),
+                                )
+                            )
+                        ),
+                        lambda x: x.line,
+                    ),
+                )
+            ).alias("kept_fp_t2"),
+        )
+        .orderBy("doc_id")
+    )

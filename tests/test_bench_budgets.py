@@ -132,6 +132,10 @@ BUDGETS = {
     # builds + exact audit counts)
     "retrieval_prf_expansion": 7.0,  # 3.8-4.2 s steady (two BM25
     # passes + the feedback-term mining aggregate)
+    "similarity_rp_dim_grid": 9.0,  # 5.4-5.5 s steady (projection
+    # groupBy + two checkpointed prefix-distance passes, 12 rank arms)
+    "corpus_line_dedup": 3.0,  # 1.3-1.7 s steady (two shuffles:
+    # line-hash frequency, per-doc rollup)
 }
 
 
