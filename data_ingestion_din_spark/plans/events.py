@@ -2625,3 +2625,205 @@ def events_scd2_temporal_join(
         )
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------------------
+# events_hll_sliding_merge — the TIME-AXIS merge that is HLL's whole
+# reason to exist in a warehouse: registers built once per (event_type,
+# day) partition (the shape a daily ETL materializes), then a trailing
+# 3-day sliding estimate served by MERGING the daily registers
+# (windowed max per bucket) — never re-touching the raw events. The
+# family's last missing disposition: build ✓ (events_hll_distinct),
+# precision grid ✓ (events_hll_precision_grid), at-ingest maintenance ✓
+# (streaming_hll_registers), merge-at-read across partitions ✓ (this).
+#
+# Two gates per row: (1) s_merged — the scaled-integer harmonic sum off
+# the MERGED registers (integer-exact, the hash gate's subject), and
+# (2) merge_eq — merged registers reproduce the from-scratch sketch
+# built over the window's unioned hashes bit for bit (max is
+# associative and idempotent: the distributive-aggregation contract,
+# stated as a computed column rather than a comment). n_exact_3d sits
+# beside the estimate as the accuracy readout (~134 distinct users/day
+# of 150 total, so the 3-day window nearly saturates — the raw
+# estimator's small-range bias measured in events_hll_precision_grid
+# applies here too and is visible per row).
+#
+# Scale: the daily register table is (types × days × m) rows — bounded
+# metadata, NOT the raw events; the sliding merge joins that table to
+# its own day list (3× fan-out, constant per window) and never reads
+# events again. The from-scratch twin and the exact column are the
+# audit side, corpus-priced, exactly like every recall sweep's truth.
+# --------------------------------------------------------------------------
+_HSM_W = 3  # trailing window, days
+
+
+def _hll_slide_oracle() -> str:
+    est = f"round({_HLL_NUM!r} / CAST(s_merged AS DOUBLE), 4)"
+    return f"""
+    WITH uh AS (
+      SELECT DISTINCT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    br AS (
+      SELECT event_type, day, h % {_HLL_M} AS bucket,
+             CASE WHEN h // {_HLL_M} = 0 THEN 55
+                  ELSE 55 - length(bin(h // {_HLL_M})) END AS rnk
+      FROM uh
+    ),
+    regd AS (
+      SELECT event_type, day, bucket, max(rnk) AS r
+      FROM br GROUP BY event_type, day, bucket
+    ),
+    days AS (SELECT DISTINCT event_type, day FROM regd),
+    mreg AS (
+      SELECT d.event_type, d.day, r.bucket, max(r.r) AS r
+      FROM days d JOIN regd r
+        ON r.event_type = d.event_type
+       AND r.day BETWEEN d.day - {_HSM_W - 1} AND d.day
+      GROUP BY d.event_type, d.day, r.bucket
+    ),
+    ms AS (
+      SELECT event_type, day,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             sum(CAST(1 AS BIGINT) << (32 - least(r, 32)))
+               + ({_HLL_M} - count(*)) * 4294967296 AS s_merged
+      FROM mreg GROUP BY event_type, day
+    ),
+    sreg AS (
+      SELECT d.event_type, d.day, u.h % {_HLL_M} AS bucket,
+             max(CASE WHEN u.h // {_HLL_M} = 0 THEN 55
+                      ELSE 55 - length(bin(u.h // {_HLL_M})) END) AS r
+      FROM days d JOIN uh u
+        ON u.event_type = d.event_type
+       AND u.day BETWEEN d.day - {_HSM_W - 1} AND d.day
+      GROUP BY d.event_type, d.day, u.h % {_HLL_M}
+    ),
+    ss AS (
+      SELECT event_type, day,
+             sum(CAST(1 AS BIGINT) << (32 - least(r, 32)))
+               + ({_HLL_M} - count(*)) * 4294967296 AS s_scratch
+      FROM sreg GROUP BY event_type, day
+    ),
+    du AS (
+      SELECT DISTINCT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    ex AS (
+      SELECT d.event_type, d.day,
+             CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_exact_3d
+      FROM days d JOIN du u
+        ON u.event_type = d.event_type
+       AND u.day BETWEEN d.day - {_HSM_W - 1} AND d.day
+      GROUP BY d.event_type, d.day
+    )
+    SELECT ms.event_type, ms.day, ms.n_buckets,
+           CAST(ms.s_merged AS BIGINT) AS s_merged,
+           ms.s_merged = ss.s_scratch AS merge_eq,
+           {est} AS hll_estimate,
+           ex.n_exact_3d
+    FROM ms
+    JOIN ss ON ss.event_type = ms.event_type AND ss.day = ms.day
+    JOIN ex ON ex.event_type = ms.event_type AND ex.day = ms.day
+    ORDER BY ms.event_type, ms.day
+    """
+
+
+@query("events_hll_sliding_merge", oracle=_hll_slide_oracle())
+def events_hll_sliding_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    ev = load_table(spark, sf_dir, "events")
+    uh = ev.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        h64(
+            F.concat(F.lit("hll:"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    ).distinct()
+    w = F.expr(f"h div {_HLL_M}")
+    rnk = F.when(w == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(w))
+    )
+    br = uh.select(
+        "event_type",
+        "day",
+        F.pmod(F.col("h"), F.lit(_HLL_M)).alias("bucket"),
+        rnk.alias("rnk"),
+    )
+    regd = br.groupBy("event_type", "day", "bucket").agg(
+        F.max("rnk").alias("r")
+    )
+    days = regd.select("event_type", "day").distinct()
+
+    def _window_join(right: DataFrame) -> DataFrame:
+        d = days.select(
+            F.col("event_type").alias("w_type"), F.col("day").alias("w_day")
+        )
+        return d.join(
+            right,
+            (right["event_type"] == F.col("w_type"))
+            & (
+                right["day"].between(
+                    F.date_sub(F.col("w_day"), _HSM_W - 1), F.col("w_day")
+                )
+            ),
+        )
+
+    s_expr = (
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 32 - least(r, 32))"))
+        + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(4294967296)
+    ).cast("bigint")
+    mreg = (
+        _window_join(regd)
+        .groupBy("w_type", "w_day", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    ms = mreg.groupBy("w_type", "w_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        s_expr.alias("s_merged"),
+    )
+    sreg = (
+        _window_join(uh)
+        .select(
+            "w_type",
+            "w_day",
+            F.pmod(F.col("h"), F.lit(_HLL_M)).alias("bucket"),
+            rnk.alias("rnk"),
+        )
+        .groupBy("w_type", "w_day", "bucket")
+        .agg(F.max("rnk").alias("r"))
+    )
+    ss = sreg.groupBy("w_type", "w_day").agg(s_expr.alias("s_scratch"))
+    du = ev.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "user_id",
+    ).distinct()
+    ex = (
+        _window_join(du)
+        .groupBy("w_type", "w_day")
+        .agg(
+            F.count_distinct(F.col("user_id"))
+            .cast("bigint")
+            .alias("n_exact_3d")
+        )
+    )
+    return (
+        ms.join(ss, ["w_type", "w_day"])
+        .join(ex, ["w_type", "w_day"])
+        .select(
+            F.col("w_type").alias("event_type"),
+            F.col("w_day").alias("day"),
+            "n_buckets",
+            "s_merged",
+            (F.col("s_merged") == F.col("s_scratch")).alias("merge_eq"),
+            F.round(
+                F.lit(_HLL_NUM) / F.col("s_merged").cast("double"), 4
+            ).alias("hll_estimate"),
+            "n_exact_3d",
+        )
+        .orderBy("event_type", "day")
+    )

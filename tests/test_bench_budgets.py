@@ -136,6 +136,10 @@ BUDGETS = {
     # groupBy + two checkpointed prefix-distance passes, 12 rank arms)
     "corpus_line_dedup": 3.0,  # 1.3-1.7 s steady (two shuffles:
     # line-hash frequency, per-doc rollup)
+    "corpus_doremi_step": 5.5,  # 2.7-3.4 s steady (two LM trainings +
+    # two held-out scoring joins, 5-row weight arithmetic)
+    "events_hll_sliding_merge": 2.5,  # 1.3-1.5 s steady (daily register
+    # build + 3x window fan-out merges)
 }
 
 
