@@ -365,6 +365,7 @@ BENCH_QUERIES = [
     "corpus_line_dedup",
     "corpus_doremi_step",
     "events_hll_sliding_merge",
+    "similarity_graph_vamana_grid",
 ]
 
 

@@ -140,6 +140,8 @@ BUDGETS = {
     # two held-out scoring joins, 5-row weight arithmetic)
     "events_hll_sliding_merge": 2.5,  # 1.3-1.5 s steady (daily register
     # build + 3x window fan-out merges)
+    "similarity_graph_vamana_grid": 4.5,  # 2.3-2.5 s steady on the
+    # staged edge artifact (prunes + 14 walks are driver-side control)
 }
 
 
