@@ -366,6 +366,7 @@ BENCH_QUERIES = [
     "corpus_doremi_step",
     "events_hll_sliding_merge",
     "similarity_graph_vamana_grid",
+    "similarity_vamana_clustered_ab",
 ]
 
 

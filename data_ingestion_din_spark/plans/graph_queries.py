@@ -1675,3 +1675,278 @@ def similarity_graph_vamana_grid(
         " n_edges bigint, mean_deg_milli bigint, n_hits bigint,"
         " hit_rate_milli bigint, knn_hits bigint, delta_milli bigint",
     ).orderBy("alpha_tenths", "sym", "beam_b")
+
+
+# --------------------------------------------------------------------------
+# similarity_vamana_clustered_ab — the vamana grid's explanation turned
+# into its own gated measurement (the house rule: a hypothesis written
+# into a comment must become a measured row). The grid above found
+# RobustPrune occludes NOTHING on this i.i.d. fixture and blamed
+# concentration of measure; the testable converse is that occlusion
+# SHOULD fire when candidate pools span real clusters — a kept edge
+# toward a foreign cluster occludes that cluster's other members
+# (d(c, v) = within-cluster ≪ d(p, v) = cross-cluster). This query
+# plants that structure deterministically and runs the identical prune
+# on both spaces:
+#
+#   clustered qv'(v) = 3·qv(v mod 64) + qv(v)  — 64 planted clusters
+#   of ~8 members each (integer mix, exact in both engines), so each
+#   node's 16-candidate pool is ~half own-cluster, ~half foreign and
+#   the occlusion geometry has something to bite on; raw = qv as-is.
+#
+# One row per (α × space): total occluded candidates while below the
+# degree cap (the FIRE-RATE, per-mille of the 500×16 pool), resulting
+# edge count, and recall of the (G=8, B=4) beam walk against each
+# space's OWN exact-L2 top-1 — so the A/B isolates what structure does
+# to both the pruning and the serving.
+#
+# Measured (sf0.01, fire-rate ‰ of the 8000-candidate pool / edges /
+# hits of 20 at B=4):
+#   raw:       α=1.0: 107‰ / 3998 / 3    α=1.2: 5‰ / 4000 / 6
+#              α=2.0:   0‰ / 4000 / 6
+#   clustered: α=1.0: 739‰ / 2080 / 14   α=1.2: 398‰ / 3616 / 9
+#              α=2.0:  14‰ / 4000 / 2
+# Occlusion wakes up exactly when clusters exist (739‰ vs 107‰), and
+# the second-order finding is the DiskANN thesis itself, measured: on
+# clustered data the UNPRUNED top-G graph is nearly unwalkable (2/20 —
+# every neighbor is same-cluster, so a fixed-entry walk cannot cross
+# clusters) while α=1 pruning, by occluding same-cluster redundancy,
+# frees edge budget for cross-cluster highways and recall jumps to
+# 14/20 at HALF the edges. Diversification IS reachability — the
+# planted-structure converse of the raw rows, where pruning has
+# nothing to diversify. Numbers pinned by the gate, not this comment.
+#
+# Scale: both spaces run under the same ≤20k _refuse_all_pairs audit
+# guard and driver-side walk discipline as the rest of the family; the
+# clustered transform itself is one broadcast-free per-row expression
+# (3·centroid + vector over a vec_id%64 equi-join) at production scale.
+# --------------------------------------------------------------------------
+_VCA_K = 64  # planted clusters: centroid = qv(vec_id % 64)
+_VCA_B = 4
+
+
+def _vca_space_ctes(p: str, src: str) -> str:
+    """d/cand/pd/ent/exl2 + per-alpha prune CTEs for one vector space
+    CTE ``src`` (vec_id, qv), all names prefixed with ``p``."""
+    dist = (
+        f"list_sum(list_transform(range(1, {_DIMS_UB}),"
+        " i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])))"
+    )
+    prunes = []
+    for a in _VAM_ALPHAS:
+        prunes.append(
+            f"""{p}pr{a} AS MATERIALIZED (
+      WITH RECURSIVE w{a} AS (
+        SELECT node, 0 AS r, CAST([] AS BIGINT[]) AS kept,
+               CAST(0 AS BIGINT) AS occl
+        FROM (SELECT DISTINCT node FROM {p}d)
+        UNION ALL
+        SELECT w.node, w.r + 1,
+          CASE WHEN len(w.kept) >= {_VAM_G} THEN w.kept
+               WHEN c.nbr IS NULL THEN w.kept
+               WHEN EXISTS (
+                 SELECT 1 FROM unnest(w.kept) AS u(k)
+                 JOIN {p}d dd ON dd.node = u.k AND dd.nbr = c.nbr
+                 WHERE {a} * dd.dist <= 10 * c.dist
+               ) THEN w.kept
+               ELSE list_append(w.kept, c.nbr) END,
+          w.occl + CASE WHEN len(w.kept) < {_VAM_G}
+                         AND c.nbr IS NOT NULL
+                         AND EXISTS (
+                 SELECT 1 FROM unnest(w.kept) AS u(k)
+                 JOIN {p}d dd ON dd.node = u.k AND dd.nbr = c.nbr
+                 WHERE {a} * dd.dist <= 10 * c.dist
+               ) THEN 1 ELSE 0 END
+        FROM w{a} w
+        LEFT JOIN (SELECT node, nbr, dist, rk FROM {p}d
+                   WHERE rk <= {_VAM_C}) c
+          ON c.node = w.node AND c.rk = w.r + 1
+        WHERE w.r < {_VAM_C}
+      )
+      SELECT node, kept, occl FROM w{a} WHERE r = {_VAM_C}
+    ),
+    {p}vg{a}g{_VAM_G} AS MATERIALIZED (
+      SELECT node, unnest(kept) AS nbr FROM {p}pr{a}
+    )"""
+        )
+    return f"""{p}d AS MATERIALIZED (
+      SELECT node, nbr, dist,
+             row_number() OVER (PARTITION BY node ORDER BY dist, nbr)
+               AS rk
+      FROM (
+        SELECT a.vec_id AS node, b.vec_id AS nbr, {dist} AS dist
+        FROM {src} a JOIN {src} b ON a.vec_id <> b.vec_id
+      )
+    ),
+    {p}pd AS MATERIALIZED (
+      SELECT node AS probe, nbr AS cnode, dist AS cdist
+      FROM {p}d WHERE node < {_SWEEP_N}
+    ),
+    {p}exl2 AS MATERIALIZED (
+      SELECT node AS probe, nbr AS nn FROM {p}d
+      WHERE node < {_SWEEP_N} AND rk = 1
+    ),
+    {p}ent AS (SELECT max(vec_id) AS cnode FROM {src}),
+    {",".join(prunes)}"""
+
+
+def _vca_oracle() -> str:
+    spaces = [("raw", "r_", "gq"), ("clustered", "c_", "cq")]
+    chains, rows = [], []
+    for label, p, _src in spaces:
+        for a in _VAM_ALPHAS:
+            tag = f"{p}w{a}_"
+            chains.append(
+                _gr_step_ctes(
+                    _VAM_G,
+                    _VCA_B,
+                    tag,
+                    graph=f"{p}vg{a}g",
+                    pd=f"{p}pd",
+                    ent=f"{p}ent",
+                )
+            )
+            rows.append(
+                f"""SELECT '{label}' AS space, {a} AS alpha_tenths,
+             (SELECT sum(occl) FROM {p}pr{a}) AS n_occluded,
+             (SELECT count(*) FROM {p}vg{a}g{_VAM_G}) AS n_edges,
+             (SELECT count(*) FROM s{tag}{_GR_H} f
+              JOIN {p}exl2 x ON x.probe = f.probe
+              WHERE f.node = x.nn) AS n_hits"""
+            )
+    body = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH gq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    cq AS MATERIALIZED (
+      SELECT a.vec_id,
+             list_transform(range(1, {_DIMS_UB}),
+                            i -> 3 * c.qv[i] + a.qv[i]) AS qv
+      FROM gq a JOIN gq c ON c.vec_id = a.vec_id % {_VCA_K}
+    ),
+    {_vca_space_ctes('r_', 'gq')},
+    {_vca_space_ctes('c_', 'cq')},
+    {",".join(chains)}
+    SELECT space,
+           CAST(alpha_tenths AS INT) AS alpha_tenths,
+           CAST({_SWEEP_N} AS BIGINT) AS n_probes,
+           CAST(n_occluded AS BIGINT) AS n_occluded,
+           CAST(n_occluded * 1000 // (SELECT count(*) FROM r_d
+                                      WHERE rk <= {_VAM_C}) AS BIGINT)
+             AS fire_milli,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits * 1000 // {_SWEEP_N} AS BIGINT) AS hit_rate_milli
+    FROM ({body})
+    ORDER BY space, alpha_tenths
+    """
+
+
+@query("similarity_vamana_clustered_ab", oracle=_vca_oracle())
+def similarity_vamana_clustered_ab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.operators.dedup import _refuse_all_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _refuse_all_pairs(
+        emb, 20_000, "banded candidate generation + per-pool prune"
+    )
+    vrows = (
+        emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        .collect()
+    )
+    ids = np.array(sorted(int(r.vec_id) for r in vrows), dtype=np.int64)
+    by_id = {int(r.vec_id): np.array(list(r.qv), dtype=np.int64) for r in vrows}
+    raw = np.stack([by_id[i] for i in ids])
+    clus = 3 * np.stack([by_id[i % _VCA_K] for i in ids]) + raw
+    pool_rows = len(ids) * _VAM_C
+    rows = []
+    for label, m in (("raw", raw), ("clustered", clus)):
+        nsq = (m * m).sum(axis=1)
+        dmat = nsq[:, None] + nsq[None, :] - 2 * (m @ m.T)
+        # ranked candidate pools + probe tables, same tie-break as the
+        # oracle's (dist, nbr) window
+        pools: dict[int, list[tuple[int, int]]] = {}
+        for ri, node in enumerate(ids):
+            order = np.lexsort((ids, dmat[ri]))
+            order = order[ids[order] != node]
+            pools[int(node)] = [
+                (int(dmat[ri][j]), int(ids[j])) for j in order[:_VAM_C]
+            ]
+        pdist = {
+            (int(ids[ri]), int(ids[j])): int(dmat[ri][j])
+            for ri in range(len(ids))
+            if ids[ri] < _SWEEP_N
+            for j in range(len(ids))
+            if ids[j] != ids[ri]
+        }
+        probes = [int(i) for i in ids if i < _SWEEP_N]
+        entry = int(ids.max())
+        nnm = {
+            p: min((d, c) for (pp, c), d in pdist.items() if pp == p)[1]
+            for p in probes
+        }
+        idx = {int(v): k for k, v in enumerate(ids)}
+
+        def d2(u: int, v: int) -> int:
+            return int(dmat[idx[u]][idx[v]])
+
+        for a in _VAM_ALPHAS:
+            occl = 0
+            adj: dict[int, set[int]] = {}
+            for node, lst in pools.items():
+                kept: list[int] = []
+                for dist, nbr in lst:
+                    if len(kept) >= _VAM_G:
+                        break
+                    if any(a * d2(k, nbr) <= 10 * dist for k in kept):
+                        occl += 1
+                        continue
+                    kept.append(nbr)
+                adj[node] = set(kept)
+            n_edges = sum(len(v) for v in adj.values())
+            beams = {p: [(pdist[(p, entry)], entry)] for p in probes}
+            for _ in range(_GR_H):
+                nxt = {}
+                for p, bm in beams.items():
+                    cs = {n for _, n in bm}
+                    for _, n in bm:
+                        cs.update(adj.get(n, ()))
+                    cs.discard(p)
+                    nxt[p] = sorted((pdist[(p, c)], c) for c in cs)[
+                        :_VCA_B
+                    ]
+                beams = nxt
+            hits = sum(
+                1
+                for p, bm in beams.items()
+                if any(n == nnm[p] for _, n in bm)
+            )
+            rows.append(
+                (
+                    label,
+                    a,
+                    _SWEEP_N,
+                    occl,
+                    occl * 1000 // pool_rows,
+                    n_edges,
+                    hits,
+                    hits * 1000 // _SWEEP_N,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "space string, alpha_tenths int, n_probes bigint,"
+        " n_occluded bigint, fire_milli bigint, n_edges bigint,"
+        " n_hits bigint, hit_rate_milli bigint",
+    ).orderBy("space", "alpha_tenths")

@@ -142,6 +142,8 @@ BUDGETS = {
     # build + 3x window fan-out merges)
     "similarity_graph_vamana_grid": 4.5,  # 2.3-2.5 s steady on the
     # staged edge artifact (prunes + 14 walks are driver-side control)
+    "similarity_vamana_clustered_ab": 5.5,  # 2.9-3.1 s steady (one
+    # guarded collect + numpy GEMM per space, walks driver-side)
 }
 
 
