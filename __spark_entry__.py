@@ -87,6 +87,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_hll_sliding_merge",
     "similarity_graph_vamana_grid",
     "similarity_vamana_clustered_ab",
+    "streaming_line_dedup_gate",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

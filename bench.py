@@ -367,6 +367,7 @@ BENCH_QUERIES = [
     "events_hll_sliding_merge",
     "similarity_graph_vamana_grid",
     "similarity_vamana_clustered_ab",
+    "streaming_line_dedup_gate",
 ]
 
 

@@ -2532,16 +2532,10 @@ _LINE_W = 10
 _LINE_TS = (2, 3, 4)
 
 
-def _line_dedup_oracle() -> str:
-    rm_cols = ",\n           ".join(
-        f"CAST(sum(CASE WHEN nd >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
-        f" AS n_rm_t{t},"
-        f" CAST(sum(CASE WHEN nd >= {t} THEN 1 ELSE 0 END) * 1000"
-        f" // count(*) AS BIGINT) AS rm_t{t}_milli"
-        for t in _LINE_TS
-    )
-    return f"""
-    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+def _line_ctes() -> str:
+    """tk/lines/hl oracle CTEs for the W-token pseudo-line segmentation
+    — shared with the streaming gate's oracle."""
+    return f"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks
                 FROM documents),
     lines AS (
       SELECT doc_id, k.k AS line_no,
@@ -2554,7 +2548,19 @@ def _line_dedup_oracle() -> str:
     ),
     hl AS (
       SELECT doc_id, line_no, line, {h64_sql('line')} AS lh FROM lines
-    ),
+    )"""
+
+
+def _line_dedup_oracle() -> str:
+    rm_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN nd >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_rm_t{t},"
+        f" CAST(sum(CASE WHEN nd >= {t} THEN 1 ELSE 0 END) * 1000"
+        f" // count(*) AS BIGINT) AS rm_t{t}_milli"
+        for t in _LINE_TS
+    )
+    return f"""
+    WITH {_line_ctes()},
     freq AS (
       SELECT lh, count(DISTINCT doc_id) AS nd FROM hl GROUP BY lh
     ),
@@ -2570,29 +2576,45 @@ def _line_dedup_oracle() -> str:
     """
 
 
-@query("corpus_line_dedup", oracle=_line_dedup_oracle())
-def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, line_no, line, lh): the disjoint W-token pseudo-line
+    segmentation + portable line hash, shared by the batch query and
+    the streaming_line_dedup_gate processor so the two can never
+    drift on the segmentation rule."""
     from data_ingestion_din_spark.functions.hashing import h64
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    lines = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    ((F.size("toks") - F.lit(1)) / _LINE_W).cast("int"),
-                ),
-                lambda k: F.concat_ws(
-                    " ", F.slice(F.col("toks"), k * _LINE_W + 1, _LINE_W)
-                ),
-            )
-        ),
-    ).select(
-        "doc_id", F.col("pos").alias("line_no"), F.col("col").alias("line")
+    return (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        ((F.size("toks") - F.lit(1)) / _LINE_W).cast(
+                            "int"
+                        ),
+                    ),
+                    lambda k: F.concat_ws(
+                        " ",
+                        F.slice(F.col("toks"), k * _LINE_W + 1, _LINE_W),
+                    ),
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").alias("line_no"),
+            F.col("col").alias("line"),
+        )
+        .withColumn("lh", h64(F.col("line")))
     )
-    hl = lines.withColumn("lh", h64(F.col("line")))
+
+
+@query("corpus_line_dedup", oracle=_line_dedup_oracle())
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hl = _doc_lines(docs)
     # corpus-derived growing state: plain hint-free equi-join on lh
     freq = hl.groupBy("lh").agg(
         F.countDistinct("doc_id").alias("nd")

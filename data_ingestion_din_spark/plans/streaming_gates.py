@@ -2165,3 +2165,151 @@ def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# streaming_line_dedup_gate — corpus_line_dedup's at-ingest twin: the
+# CCNet line-frequency boilerplate filter maintained across checkpointed
+# landings. Unlike the frozen-artifact gates above, line frequency is
+# CORPUS-DERIVED GROWING STATE (the semdedup/member-index disposition):
+# each landing (a) reads the prior epochs' per-landing frequency
+# partials (nd is additive across landings because a doc lands exactly
+# once, so distinct-docs-per-line = Σ per-landing distinct counts),
+# (b) gates its own docs against prior + own counts — a doc's verdict
+# reflects the corpus AS OF ITS LANDING, the only definition an ingest
+# pipeline can honor — and (c) epoch-commits its own partial
+# (replay-idempotent: the epoch dir is overwritten, not appended).
+# Every frequency join is a plain hint-free equi-join on the line hash
+# (growing state is never broadcast — plan-asserted like the siblings).
+#
+# The oracle restates the landing-prefix semantics in SQL: even docs
+# (landing 1) gated against line frequency over evens only, odd docs
+# against frequency over the whole corpus — so hash parity proves the
+# additive state survived the checkpointed restart AND that verdicts
+# are prefix-consistent (the Misra-Gries "state ≡ batch prefix"
+# contract, transplanted to dedup).
+# --------------------------------------------------------------------------
+_SLDG_DONE: dict[tuple[str, str], str] = {}
+_SLDG_T = 2  # production boilerplate threshold (corpus_line_dedup's grid)
+
+
+def _line_gate_processor(out: str, freq_state: str):
+    """foreachBatch processor over (verdicts, additive-frequency-state)
+    dirs — module-level for the replay test, like the sibling gates."""
+    from data_ingestion_din_spark.plans.dedup_queries import _doc_lines
+
+    def _plan(batch_df: DataFrame, epoch_id: int):
+        spark_l = batch_df.sparkSession
+        hl = _doc_lines(batch_df).localCheckpoint(eager=True)
+        own = hl.groupBy("lh").agg(
+            F.countDistinct("doc_id").cast("bigint").alias("nd")
+        )
+        parts = [own]
+        if os.path.isdir(freq_state):
+            parts.append(
+                spark_l.read.option("basePath", freq_state)
+                .parquet(freq_state)
+                .filter(F.col("epoch") < epoch_id)
+                .select("lh", "nd")
+            )
+        freq = (
+            parts[0].unionByName(parts[1]) if len(parts) > 1 else parts[0]
+        ).groupBy("lh").agg(F.sum("nd").cast("bigint").alias("nd_cum"))
+        verdicts = (
+            hl.join(freq, "lh")  # growing state: plain, hint-free
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                F.sum(
+                    F.when(F.col("nd_cum") >= _SLDG_T, 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_boiler"),
+            )
+            .withColumn(
+                "rm_milli",
+                F.expr("n_boiler * 1000 DIV n_lines").cast("bigint"),
+            )
+        )
+        return {"verdicts": verdicts, "new_state": own}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dfs = _plan(batch_df, epoch_id)
+        ep = f"epoch={epoch_id}"
+        dfs["verdicts"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, ep)
+        )
+        dfs["new_state"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(freq_state, ep)
+        )
+
+    _process.plan = _plan
+    return _process
+
+
+def _sldg_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SLDG_DONE, key[0])
+    if key in _SLDG_DONE:
+        if _dir_ok(_SLDG_DONE[key]):
+            return _SLDG_DONE[key]
+        del _SLDG_DONE[key]
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_sldg")
+    out = os.path.join(base, "out")
+    _process = _line_gate_processor(out, os.path.join(base, "freq"))
+    _run_doc_parity_landings(spark, sf_dir, base, _process)
+    _SLDG_DONE[key] = out
+    return out
+
+
+def _sldg_oracle() -> str:
+    from data_ingestion_din_spark.plans.dedup_queries import _line_ctes
+
+    return f"""
+    WITH {_line_ctes()},
+    f0 AS (
+      SELECT lh, count(DISTINCT doc_id) AS nd FROM hl
+      WHERE doc_id % 2 = 0 GROUP BY lh
+    ),
+    f1 AS (
+      SELECT lh, count(DISTINCT doc_id) AS nd FROM hl GROUP BY lh
+    ),
+    j AS (
+      SELECT hl.doc_id,
+             CASE WHEN hl.doc_id % 2 = 0
+               THEN coalesce(f0.nd, 0) ELSE f1.nd END AS nd_cum
+      FROM hl
+      LEFT JOIN f0 ON f0.lh = hl.lh
+      JOIN f1 ON f1.lh = hl.lh
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN nd_cum >= {_SLDG_T} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           CAST(sum(CASE WHEN nd_cum >= {_SLDG_T} THEN 1 ELSE 0 END)
+                * 1000 // count(*) AS BIGINT) AS rm_milli
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("streaming_line_dedup_gate", oracle=_sldg_oracle())
+def streaming_line_dedup_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Read back both landings' line-boilerplate verdicts; the oracle
+    restates the landing-prefix frequency semantics (evens gated vs
+    evens, odds vs the whole corpus), so hash parity proves the
+    additive line-frequency state survived the checkpointed restart."""
+    out = _sldg_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", "n_lines", "n_boiler", "rm_milli")
+        .orderBy("doc_id")
+    )

@@ -144,6 +144,8 @@ BUDGETS = {
     # staged edge artifact (prunes + 14 walks are driver-side control)
     "similarity_vamana_clustered_ab": 5.5,  # 2.9-3.1 s steady (one
     # guarded collect + numpy GEMM per space, walks driver-side)
+    "streaming_line_dedup_gate": 1.0,  # 0.23-0.25 s steady readback
+    # (landings staged once per session like the sibling gates)
 }
 
 

@@ -1203,3 +1203,21 @@ def test_cdc_merge_processor_batch_plan(spark, tmp_path):
     # prior-state window read + semi-join + winner window + in_base
     # agg + final key join
     assert s["exchange"] <= 7, s
+
+
+def test_line_gate_processor_batch_plan(spark, tmp_path):
+    from data_ingestion_din_spark.plans.streaming_gates import (
+        _line_gate_processor,
+    )
+
+    p = _line_gate_processor(str(tmp_path / "o"), str(tmp_path / "freq"))
+    b0, b1 = _batch_fixtures(spark)
+    p(b0, 0)
+    dfs = p.plan(b1, 1)
+    # line-frequency state GROWS with the corpus: both the prior-state
+    # union and the verdict join must stay hint-free plain equi-joins,
+    # and nothing in the gating path is a cartesian
+    assert _hint_count(dfs["verdicts"]) == 0
+    assert _hint_count(dfs["new_state"]) == 0
+    s = _plan_stats(dfs["verdicts"])
+    assert s["cartesian"] == 0, s

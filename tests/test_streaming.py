@@ -1824,3 +1824,47 @@ def test_stream_outer_join_null_emission_boundaries(spark, tmp_path):
         (4, None),
         (900, None),
     ]
+
+
+def test_line_dedup_gate_replay_idempotent(spark, tmp_path):
+    """Additive line-frequency contract: replaying an epoch leaves
+    verdicts and the frequency state identical (epoch dirs are
+    overwritten, not appended), and prefix semantics hold — a line
+    landing once per landing flags only from the second landing on."""
+    import os
+
+    from data_ingestion_din_spark.plans.streaming_gates import (
+        _line_gate_processor,
+    )
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "freq")
+    process = _line_gate_processor(out, state)
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    uniq1 = "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    uniq2 = "v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"
+    b0 = spark.createDataFrame(
+        [(0, f"{boiler} {uniq1}")], "doc_id bigint, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, f"{boiler} {uniq2}")], "doc_id bigint, text string"
+    )
+
+    def snapshot():
+        v = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        w = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+        return v, w
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    # landing 1: the shared line is not yet boilerplate (nd = 1)
+    assert rows[0].n_boiler == 0
+    # landing 2: prior + own counts reach the T=2 threshold
+    assert rows[1].n_lines == 2 and rows[1].n_boiler == 1
+    assert rows[1].rm_milli == 500
+    assert os.path.isdir(os.path.join(state, "epoch=1"))
