@@ -88,6 +88,7 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_graph_vamana_grid",
     "similarity_vamana_clustered_ab",
     "streaming_line_dedup_gate",
+    "retrieval_ql_dirichlet",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -368,6 +368,7 @@ BENCH_QUERIES = [
     "similarity_graph_vamana_grid",
     "similarity_vamana_clustered_ab",
     "streaming_line_dedup_gate",
+    "retrieval_ql_dirichlet",
 ]
 
 

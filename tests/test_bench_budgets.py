@@ -146,6 +146,8 @@ BUDGETS = {
     # guarded collect + numpy GEMM per space, walks driver-side)
     "streaming_line_dedup_gate": 1.0,  # 0.23-0.25 s steady readback
     # (landings staged once per session like the sibling gates)
+    "retrieval_ql_dirichlet": 3.5,  # 1.4-2.2 s steady (one tf shuffle,
+    # corpus x |q| probability grid, two rank windows)
 }
 
 
