@@ -89,6 +89,7 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_vamana_clustered_ab",
     "streaming_line_dedup_gate",
     "retrieval_ql_dirichlet",
+    "dq_benford_audit",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

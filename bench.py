@@ -369,6 +369,7 @@ BENCH_QUERIES = [
     "similarity_vamana_clustered_ab",
     "streaming_line_dedup_gate",
     "retrieval_ql_dirichlet",
+    "dq_benford_audit",
 ]
 
 

@@ -1187,3 +1187,155 @@ def dq_quantile_sketch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "base int, pct int, n bigint, exact_c bigint, est_c bigint,"
         " n_bins bigint, over_milli bigint",
     ).orderBy("base", "pct")
+
+
+# --------------------------------------------------------------------------
+# dq_benford_audit — first-digit (Benford's law) conformance audit, the
+# classic numeric-column anomaly screen (fraud/ETL-bug detection:
+# naturally-grown multiplicative quantities follow P(d) = log10(1+1/d);
+# fabricated, clipped, or uniformly-generated values do not). One row
+# per (column, digit): observed count and per-mille share next to the
+# Benford expectation (the nine log10 constants pre-computed as integer
+# per-mille literals — no libm anywhere), plus the column's total-
+# variation distance from Benford and the flag at TV > 50‰ (the
+# dq_t_closeness_audit recipe transplanted to digit space).
+#
+# Honest fixture verdict: ALL THREE audited money columns flag —
+# l_extendedprice and o_totalprice are uniform-ish over fixed ranges
+# (digit 1 over-represented only by range truncation), c_acctbal is
+# uniform over [-999, 9999] — exactly what a Benford audit SHOULD say
+# about synthetic uniform data (a screen that passes everything
+# screens nothing; the reference's generated fixtures are the
+# adversarial case).
+#
+# Scale: one scan per audited column, a 9-bucket groupBy each — the
+# cheapest audit in the dq family; the digit extraction is string-head
+# of the integer cent value (exact, no float log).
+# --------------------------------------------------------------------------
+# P(d) = log10(1 + 1/d) in per-mille (Benford 1938), rounded literals:
+_BENFORD_MILLI = (301, 176, 125, 97, 79, 67, 58, 51, 46)
+_BENFORD_TV_MAX = 50  # flag threshold, per-mille total variation
+_BENFORD_COLS = (
+    ("lineitem", "l_extendedprice"),
+    ("orders", "o_totalprice"),
+    ("customer", "c_acctbal"),
+)
+
+
+def _benford_oracle() -> str:
+    exp = "VALUES " + ", ".join(
+        f"({d + 1}, {m})" for d, m in enumerate(_BENFORD_MILLI)
+    )
+    unions = "\n      UNION ALL\n      ".join(
+        f"""SELECT '{t}.{c}' AS col,
+             CAST(substr(CAST(CAST(floor(abs({c}) * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM {t} WHERE abs({c}) >= 0.01"""
+        for t, c in _BENFORD_COLS
+    )
+    return f"""
+    WITH digits AS (
+      {unions}
+    ),
+    obs AS (
+      SELECT col, digit, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) * 1000 // sum(count(*)) OVER (PARTITION BY col)
+                  AS BIGINT) AS obs_milli
+      FROM digits GROUP BY col, digit
+    ),
+    exp AS (SELECT * FROM ({exp}) e(digit, exp_milli)),
+    jj AS (
+      SELECT cols.col, e.digit,
+             coalesce(o.n, 0) AS n,
+             coalesce(o.obs_milli, 0) AS obs_milli,
+             e.exp_milli
+      FROM (SELECT DISTINCT col FROM obs) cols
+      CROSS JOIN exp e
+      LEFT JOIN obs o ON o.col = cols.col AND o.digit = e.digit
+    ),
+    tv AS (
+      SELECT col,
+             CAST(sum(abs(obs_milli - exp_milli)) // 2 AS BIGINT)
+               AS tv_milli
+      FROM jj GROUP BY col
+    )
+    SELECT jj.col, CAST(jj.digit AS INT) AS digit, jj.n,
+           jj.obs_milli, CAST(jj.exp_milli AS BIGINT) AS exp_milli,
+           tv.tv_milli, tv.tv_milli > {_BENFORD_TV_MAX} AS flagged
+    FROM jj JOIN tv USING (col)
+    ORDER BY jj.col, jj.digit
+    """
+
+
+@query("dq_benford_audit", oracle=_benford_oracle())
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    parts = []
+    for t, c in _BENFORD_COLS:
+        tb = load_table(spark, sf_dir, t)
+        parts.append(
+            tb.filter(F.abs(F.col(c)) >= 0.01).select(
+                F.lit(f"{t}.{c}").alias("col"),
+                F.substring(
+                    F.floor(F.abs(F.col(c)) * 100)
+                    .cast("bigint")
+                    .cast("string"),
+                    1,
+                    1,
+                )
+                .cast("int")
+                .alias("digit"),
+            )
+        )
+    digits = parts[0]
+    for p in parts[1:]:
+        digits = digits.unionByName(p)
+    obs = (
+        digits.groupBy("col", "digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "obs_milli",
+            F.expr(
+                "CAST(n * 1000 DIV sum(n) OVER (PARTITION BY col)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    exp = F.broadcast(
+        digits.sparkSession.createDataFrame(
+            [(d + 1, m) for d, m in enumerate(_BENFORD_MILLI)],
+            "digit int, exp_milli bigint",
+        )
+    )
+    cols = obs.select("col").distinct()
+    jj = (
+        cols.crossJoin(exp)
+        .join(obs, ["col", "digit"], "left")
+        .select(
+            "col",
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce(F.col("obs_milli"), F.lit(0))
+            .cast("bigint")
+            .alias("obs_milli"),
+            "exp_milli",
+        )
+    )
+    tv = jj.groupBy("col").agg(
+        F.expr("CAST(sum(abs(obs_milli - exp_milli)) DIV 2 AS BIGINT)")
+        .alias("tv_milli")
+    )
+    return (
+        jj.join(tv, "col")
+        .select(
+            "col",
+            "digit",
+            "n",
+            "obs_milli",
+            "exp_milli",
+            "tv_milli",
+            (F.col("tv_milli") > _BENFORD_TV_MAX).alias("flagged"),
+        )
+        .orderBy("col", "digit")
+    )

@@ -148,6 +148,8 @@ BUDGETS = {
     # (landings staged once per session like the sibling gates)
     "retrieval_ql_dirichlet": 3.5,  # 1.4-2.2 s steady (one tf shuffle,
     # corpus x |q| probability grid, two rank windows)
+    "dq_benford_audit": 3.5,  # 1.6-2.1 s steady (three column scans,
+    # 9-bucket rollups)
 }
 
 
