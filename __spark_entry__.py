@@ -90,6 +90,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_line_dedup_gate",
     "retrieval_ql_dirichlet",
     "dq_benford_audit",
+    "similarity_pq_subspace_ab",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -370,6 +370,7 @@ BENCH_QUERIES = [
     "streaming_line_dedup_gate",
     "retrieval_ql_dirichlet",
     "dq_benford_audit",
+    "similarity_pq_subspace_ab",
 ]
 
 

@@ -337,3 +337,351 @@ def similarity_rp_dim_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         grid = row if grid is None else grid.unionByName(row)
     return grid.orderBy("dims")
+
+
+# --------------------------------------------------------------------------
+# similarity_pq_subspace_ab — the OPQ question (Ge et al. 2013: OPQ's
+# entire premise is that PQ distortion depends on how VARIANCE is
+# allocated across subspaces) isolated to its allocation half, with the
+# variance imbalance PLANTED so the answer is measurable on this
+# fixture (the vamana_clustered_ab playbook): scale dimension i of the
+# quantized vector by (1 + (i-1) div 16), giving four 16-dim blocks of
+# 1x/4x/9x/16x variance that align EXACTLY with the contiguous PQ
+# subspace split — the adversarial layout OPQ exists to fix — then
+# train the identical k=4 PQ twice:
+#
+#   contiguous: natural dim order — subspace m sees uniform scale m+1,
+#               so codebook 3 must cover 16x the energy of codebook 0;
+#   balanced:   round-robin permutation (subspace m takes dims
+#               m*4+1..m*4+4 of every block) — each subspace sees all
+#               four scales, equal total variance. The permutation is
+#               a PLAN-TIME literal because the planted scales are
+#               known by construction; production estimates per-dim
+#               variance first (one pass) and sorts/round-robins — the
+#               documented difference, not a semantic one.
+#
+# Full-dim distances are permutation-invariant, so both layouts serve
+# the SAME scaled space against ONE exact truth — the A/B isolates the
+# subspace grouping. One row per (layout, subspace): the subspace's
+# total quantization error (the OPQ diagnostic: where the distortion
+# lives), its per-layout share, and the layout's ADC recall@10 over
+# the 20-probe sweep.
+#
+# Measured (sf0.01): contiguous distortion is the planted staircase —
+# error shares 34/136/304/524‰ (subspace 3 alone carries 52% of all
+# quantization error) — while balanced flattens it to 246-254‰ each;
+# ADC recall@10 is 95‰ contiguous vs 150‰ balanced (+58% relative):
+# with k=4 codes per subspace the codebooks are variance-starved
+# everywhere, so the gain is real but bounded — the measured magnitude
+# of the OPQ allocation effect at this code budget, next to the
+# distortion table that explains it. (Pinned by the gate, not this
+# comment.)
+#
+# Scale: two PQ trainings (the pq_assign iteration-control shape), the
+# distortion rollup is one (m, code)-joined scan per layout, and the
+# probe ADC tables are 20·4·4-row broadcast control data — same
+# posture as every PQ sweep.
+# --------------------------------------------------------------------------
+_PQS_SCALES = 4  # variance blocks: dim i scaled by 1 + (i-1)//16
+_PQS_PERM = [
+    b * 16 + m * 4 + t + 1
+    for m in range(4)
+    for b in range(4)
+    for t in range(4)
+]  # balanced layout: subspace m takes 4 dims of every scale block
+
+
+def _pqs_ctes(p: str, qsrc: str) -> str:
+    """Prefixed PQ train/encode chain over CTE ``qsrc`` (vec_id, qv) —
+    the _pq_ctes machinery with a namespace prefix so the A/B can
+    instantiate it twice in one statement, plus per-subspace error and
+    the 20-probe ADC serving CTEs."""
+    from data_ingestion_din_spark.plans.similarity_queries import (
+        _PQ_D,
+        _PQ_DIST,
+        _PQ_K,
+        _PQ_SUB,
+    )
+
+    return f"""{p}sub AS (
+      SELECT vec_id, m,
+             list_slice(qv, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D}) AS sv
+      FROM {qsrc}, range(0, {_PQ_SUB}) t(m)
+    ),
+    {p}seeds AS (
+      SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id)
+                     AS INT) AS code, sv
+      FROM {p}sub
+      QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id)
+        <= {_PQ_K}
+    ),
+    {p}a1 AS (
+      SELECT s.vec_id, s.m, s.sv, c.code
+      FROM {p}sub s JOIN {p}seeds c ON c.m = s.m
+      QUALIFY row_number() OVER (
+        PARTITION BY s.vec_id, s.m ORDER BY {_PQ_DIST}, c.code) = 1
+    ),
+    {p}m1 AS (
+      SELECT m, code, i AS dim, sum(sv[i]) // count(*) AS cv
+      FROM {p}a1, range(1, {_PQ_D + 1}) t(i)
+      GROUP BY m, code, i
+    ),
+    {p}c1 AS (SELECT m, code, list(cv ORDER BY dim) AS sv FROM {p}m1
+              GROUP BY m, code),
+    {p}c1f AS (
+      SELECT s.m, s.code, coalesce(c.sv, s.sv) AS sv
+      FROM {p}seeds s LEFT JOIN {p}c1 c
+        ON s.m = c.m AND s.code = c.code
+    ),
+    {p}codes AS (
+      SELECT s.vec_id, s.m, c.code
+      FROM {p}sub s JOIN {p}c1f c ON c.m = s.m
+      QUALIFY row_number() OVER (
+        PARTITION BY s.vec_id, s.m ORDER BY {_PQ_DIST}, c.code) = 1
+    ),
+    {p}err AS (
+      SELECT s.m,
+             CAST(sum(list_sum(list_transform(range(1, {_PQ_D + 1}),
+               i -> (s.sv[i] - c.sv[i]) * (s.sv[i] - c.sv[i]))))
+               AS BIGINT) AS sq_err
+      FROM {p}codes k
+      JOIN {p}sub s ON s.vec_id = k.vec_id AND s.m = k.m
+      JOIN {p}c1f c ON c.m = k.m AND c.code = k.code
+      GROUP BY s.m
+    ),
+    {p}adcp AS (
+      SELECT s.vec_id AS probe, c.m, c.code, {_PQ_DIST} AS dpart
+      FROM (SELECT vec_id, m, sv FROM {p}sub
+            WHERE vec_id < {_SWEEP_N}) s
+      JOIN {p}c1f c ON c.m = s.m
+    ),
+    {p}sh AS (
+      SELECT probe, vec_id FROM (
+        SELECT a.probe, k.vec_id,
+               sum(a.dpart) AS adc_dist,
+               row_number() OVER (
+                 PARTITION BY a.probe
+                 ORDER BY sum(a.dpart), k.vec_id) AS rk
+        FROM {p}codes k
+        JOIN {p}adcp a ON a.m = k.m AND a.code = k.code
+        WHERE k.vec_id <> a.probe
+        GROUP BY a.probe, k.vec_id
+      ) WHERE rk <= 10
+    )"""
+
+
+def _pqs_oracle() -> str:
+    perm = ", ".join(str(i) for i in _PQS_PERM)
+    rows = []
+    for label, p in (("contiguous", "pc_"), ("balanced", "pb_")):
+        rows.append(
+            f"""SELECT '{label}' AS layout, e.m, e.sq_err,
+             (SELECT count(*) FROM setop t
+              JOIN {p}sh s ON s.probe = t.probe AND s.vec_id = t.vec_id)
+               AS n_overlap
+      FROM {p}err e"""
+        )
+    body = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH gq AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    sq AS (
+      SELECT vec_id,
+             list_transform(range(1, {_DIMS_UB}),
+               i -> qv[i] * (1 + (i - 1) // 16)) AS qv
+      FROM gq
+    ),
+    bq AS (
+      SELECT vec_id,
+             list_transform([{perm}], i -> qv[i]) AS qv
+      FROM sq
+    ),
+    sdist AS (
+      SELECT p.vec_id AS probe, e.vec_id,
+             list_sum(list_transform(range(1, {_DIMS_UB}),
+               i -> (e.qv[i] - p.qv[i]) * (e.qv[i] - p.qv[i]))) AS d2
+      FROM sq e
+      CROSS JOIN (SELECT vec_id, qv FROM sq
+                  WHERE vec_id < {_SWEEP_N}) p
+      WHERE e.vec_id <> p.vec_id
+    ),
+    setop AS (
+      SELECT probe, vec_id FROM sdist
+      QUALIFY row_number() OVER (
+        PARTITION BY probe ORDER BY d2, vec_id) <= 10
+    ),
+    {_pqs_ctes('pc_', 'sq')},
+    {_pqs_ctes('pb_', 'bq')},
+    tot AS (SELECT layout, sum(sq_err) AS t
+            FROM ({body}) GROUP BY layout)
+    SELECT b.layout, CAST(b.m AS INT) AS subspace,
+           b.sq_err,
+           CAST(b.sq_err * 1000 // tot.t AS BIGINT) AS err_share_milli,
+           CAST({_SWEEP_N} AS BIGINT) AS n_probes,
+           CAST(b.n_overlap * 1000 // (10 * {_SWEEP_N}) AS BIGINT)
+             AS recall_milli
+    FROM ({body}) b JOIN tot ON tot.layout = b.layout
+    ORDER BY b.layout, b.m
+    """
+
+
+@query("similarity_pq_subspace_ab", oracle=_pqs_oracle())
+def similarity_pq_subspace_ab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.operators.similarity import pq_assign_qv
+    from data_ingestion_din_spark.plans.similarity_queries import _PQ_D
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = emb.select(
+        "vec_id",
+        F.transform(
+            quantize(F.col("embedding")),
+            lambda x, i: x * (1 + F.floor(i / 16).cast("bigint")),
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+    perm_lit = "array(" + ",".join(str(i) for i in _PQS_PERM) + ")"
+    bq = sq.select(
+        "vec_id",
+        F.expr(f"transform({perm_lit}, i -> qv[i - 1])").alias("qv"),
+    )
+    # one exact truth on the scaled space (permutation-invariant),
+    # computed as a 20×N integer GEMM over collected control data —
+    # the graph family's guarded audit form (the interpreted HOF
+    # crossJoin cost ~3× as much, measured)
+    import numpy as np
+
+    from data_ingestion_din_spark.operators.dedup import _refuse_all_pairs
+
+    _refuse_all_pairs(emb, 20_000, "staged exact-topk (audit truth)")
+    srows = sq.collect()
+    sids = np.array([int(r.vec_id) for r in srows], dtype=np.int64)
+    smat = np.stack([list(r.qv) for r in srows]).astype(np.int64)
+    order = np.argsort(sids)
+    sids, smat = sids[order], smat[order]
+    pmask = sids < _SWEEP_N
+    pm = smat[pmask]
+    nsq = (smat * smat).sum(axis=1)
+    psq = (pm * pm).sum(axis=1)
+    dmat = psq[:, None] + nsq[None, :] - 2 * (pm @ smat.T)
+    etop_rows = []
+    for ri, pid in enumerate(sids[pmask]):
+        row = dmat[ri]
+        cand = np.lexsort((sids, row))
+        cand = cand[sids[cand] != pid][:10]
+        etop_rows += [(int(pid), int(sids[j])) for j in cand]
+    setop = spark.createDataFrame(
+        etop_rows, "probe bigint, vec_id bigint"
+    ).localCheckpoint(eager=True)
+    probes = {
+        int(pid): [int(v) for v in smat[ri]]
+        for ri, pid in enumerate(sids)
+        if pid < _SWEEP_N
+    }
+    out = None
+    for label, src in (("contiguous", sq), ("balanced", bq)):
+        codes, cb = pq_assign_qv(src, n_sub=4, k=4, iters=1)
+        # two consumers below (distortion rollup + ADC serving) — one
+        # eager checkpoint so the Lloyd DAG runs once per layout
+        codes = codes.localCheckpoint(eager=True)
+        cb_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (m, c + 1, [int(v) for v in cb[m][c]])
+                    for m in range(4)
+                    for c in range(len(cb[m]))
+                ],
+                "m int, code int, cv array<bigint>",
+            )
+        )
+        sub = src.select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, 3), m -> struct(m AS m,"
+                    f" slice(qv, m * {_PQ_D} + 1, {_PQ_D}) AS sv))"
+                )
+            ).alias("x"),
+        ).select("vec_id", "x.m", "x.sv")
+        serr = (
+            codes.join(sub, ["vec_id", "m"])
+            .join(cb_df, ["m", "code"])
+            .select(
+                "m",
+                F.expr(
+                    "aggregate(zip_with(sv, cv,"
+                    " (a, b) -> (a - b) * (a - b)),"
+                    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                ).alias("e"),
+            )
+            .groupBy("m")
+            .agg(F.sum("e").cast("bigint").alias("sq_err"))
+        )
+        if label == "balanced":
+            pv = {
+                k: [v[i - 1] for i in _PQS_PERM] for k, v in probes.items()
+            }
+        else:
+            pv = probes
+        adc_rows = []
+        for pid, vec in pv.items():
+            for m in range(4):
+                svp = vec[m * _PQ_D : (m + 1) * _PQ_D]
+                for c in range(len(cb[m])):
+                    adc_rows.append(
+                        (
+                            pid,
+                            m,
+                            c + 1,
+                            sum(
+                                (a - b) * (a - b)
+                                for a, b in zip(svp, cb[m][c])
+                            ),
+                        )
+                    )
+        adc = F.broadcast(
+            spark.createDataFrame(
+                adc_rows, "probe bigint, m int, code int, dpart bigint"
+            )
+        )
+        wsh = W.partitionBy("probe").orderBy("adc_dist", "vec_id")
+        sh = (
+            codes.join(adc, ["m", "code"])
+            .filter(F.col("vec_id") != F.col("probe"))
+            .groupBy("probe", "vec_id")
+            .agg(F.sum("dpart").cast("bigint").alias("adc_dist"))
+            .withColumn("rk", F.row_number().over(wsh))
+            .filter(F.col("rk") <= 10)
+            .select("probe", "vec_id")
+        )
+        ov = setop.join(sh, ["probe", "vec_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+        )
+        tot = serr.agg(F.sum("sq_err").cast("bigint").alias("t"))
+        row = (
+            serr.crossJoin(tot)
+            .crossJoin(ov)
+            .select(
+                F.lit(label).alias("layout"),
+                F.col("m").cast("int").alias("subspace"),
+                "sq_err",
+                F.expr("sq_err * 1000 DIV t")
+                .cast("bigint")
+                .alias("err_share_milli"),
+                F.lit(_SWEEP_N).cast("bigint").alias("n_probes"),
+                F.expr(f"n_overlap * 1000 DIV (10 * {_SWEEP_N})")
+                .cast("bigint")
+                .alias("recall_milli"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("layout", "subspace")

@@ -150,6 +150,8 @@ BUDGETS = {
     # corpus x |q| probability grid, two rank windows)
     "dq_benford_audit": 3.5,  # 1.6-2.1 s steady (three column scans,
     # 9-bucket rollups)
+    "similarity_pq_subspace_ab": 9.0,  # 4.8-5.3 s steady (two Lloyd
+    # PQ trainings; truth + probe tables are guarded control data)
 }
 
 
