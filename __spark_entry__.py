@@ -91,6 +91,9 @@ _DRIVER_PRIORITY: list[str] = [
     "retrieval_ql_dirichlet",
     "dq_benford_audit",
     "similarity_pq_subspace_ab",
+    "streaming_watermark_lateness_grid",
+    "events_asof_tolerance_grid",
+    "events_gini_concentration",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

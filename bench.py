@@ -371,6 +371,9 @@ BENCH_QUERIES = [
     "retrieval_ql_dirichlet",
     "dq_benford_audit",
     "similarity_pq_subspace_ab",
+    "streaming_watermark_lateness_grid",
+    "events_asof_tolerance_grid",
+    "events_gini_concentration",
 ]
 
 
@@ -515,6 +518,12 @@ def main() -> None:
     from data_ingestion_din_spark.plans.streaming_sketches import _sth_out_dir
 
     stage("sth_landings", lambda: _sth_out_dir(spark, sf_dir))
+    # watermark-lateness grid: nine checkpointed availableNow runs
+    # (3 delays x 3 landings) staged once; the benched row times the
+    # sink readback + per-day rollup
+    from data_ingestion_din_spark.plans.streaming_cdc import _swl_out_dir
+
+    stage("swl_landings", lambda: _swl_out_dir(spark, sf_dir))
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}

@@ -2827,3 +2827,114 @@ def events_hll_sliding_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# events_gini_concentration — value-concentration audit (Lorenz curve +
+# Gini coefficient) over per-user event value: the "is 80% of the
+# volume coming from 2% of the keys" number that sizes skew handling
+# (the dq_key_skew_profile / salt-factor recipes need exactly this
+# statistic to decide WHETHER to salt) and flags whale-dominated
+# corpora before they skew a training mixture. All exact integer
+# arithmetic: per-user totals in DECIMAL cents, users ranked ascending
+# (value, then user_id — the deterministic tie-break), one row per
+# decile of the user count with the cumulative value share in
+# per-mille, plus the exact integer Gini
+#   G·1000 = (2·Σ_i i·v_i − (n+1)·Σ v) · 1000 // (n · Σ v)
+# (the rank-covariance identity — no area integration, no floats)
+# repeated on each row for the single-statistic read.
+#
+# Scale: one user_id shuffle for the totals, one global sort for the
+# ranks (the same global-rank window the layout audits use), decile
+# rollup over n rows of metadata.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_gini_concentration",
+    oracle="""
+    WITH ut AS (
+      SELECT user_id,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id
+    ),
+    rk AS (
+      SELECT user_id, cents,
+             row_number() OVER (ORDER BY cents, user_id) AS r
+      FROM ut
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS tv,
+             CAST(sum(r * cents) AS BIGINT) AS rv
+      FROM rk
+    ),
+    cum AS (
+      SELECT r, cents,
+             sum(cents) OVER (ORDER BY r) AS cum_cents
+      FROM rk
+    ),
+    dec AS (
+      SELECT CAST(r * 10 // tot.n AS INT) AS decile, r, cum_cents
+      FROM cum CROSS JOIN tot
+      QUALIFY r = max(r) OVER (PARTITION BY CAST(r * 10 // tot.n AS INT))
+    )
+    SELECT CAST(dec.decile AS INT) AS decile,
+           CAST(dec.r AS BIGINT) AS n_users_cum,
+           CAST(dec.cum_cents AS BIGINT) AS cum_value_cents,
+           CAST(dec.cum_cents * 1000 // tot.tv AS BIGINT)
+             AS cum_share_milli,
+           CAST((2 * tot.rv - (tot.n + 1) * tot.tv) * 1000
+                // (tot.n * tot.tv) AS BIGINT) AS gini_milli
+    FROM dec CROSS JOIN tot
+    WHERE dec.decile >= 1
+    ORDER BY decile
+    """,
+)
+def events_gini_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    rk = ut.withColumn(
+        "r", F.row_number().over(W.orderBy("cents", "user_id"))
+    )
+    tot = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("tv"),
+        F.sum(F.col("r") * F.col("cents")).cast("bigint").alias("rv"),
+    )
+    cum = rk.withColumn(
+        "cum_cents",
+        F.sum("cents").over(
+            W.orderBy("r").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    dec = (
+        cum.crossJoin(tot)
+        .withColumn(
+            "decile", F.expr("CAST(r * 10 DIV n AS INT)")
+        )
+        .withColumn(
+            "rmax", F.max("r").over(W.partitionBy("decile"))
+        )
+        .filter((F.col("r") == F.col("rmax")) & (F.col("decile") >= 1))
+    )
+    return dec.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("r").cast("bigint").alias("n_users_cum"),
+        F.col("cum_cents").cast("bigint").alias("cum_value_cents"),
+        F.expr("cum_cents * 1000 DIV tv")
+        .cast("bigint")
+        .alias("cum_share_milli"),
+        F.expr("(2 * rv - (n + 1) * tv) * 1000 DIV (n * tv)")
+        .cast("bigint")
+        .alias("gini_milli"),
+    ).orderBy("decile")

@@ -1472,3 +1472,252 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("action").isNotNull())
         .orderBy("user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_watermark_lateness_grid — the WATERMARK DELAY operating
+# surface for windowed aggregation: the one knob every Structured
+# Streaming deployment must size (too small drops real late data, too
+# large holds state forever), measured as data instead of sized by
+# lore. Three parquet-sinked append-mode streams run the identical
+# 5-minute tumbling count over three checkpointed landings:
+#
+#   landing 1: odd event_ids (full time range) — advances the
+#              watermark to max(odd ts) − delay;
+#   landing 2: even event_ids — EVERY row is late relative to run 1's
+#              watermark by 0..30 days; Spark's late filter (evaluated
+#              against the BATCH-START watermark) drops rows whose
+#              window can no longer change and merges the rest;
+#   landing 3: one far-future sentinel (event_id −1, max ts + 60 d) —
+#              pushes the watermark past every real window so the
+#              append sink flushes ALL surviving state (the outer-join
+#              family's sentinel trick; without it the merged late
+#              rows sit in state forever and the sink under-reports).
+#
+# Delays: 1 day, 10 days, and an ALIGNED ~20-day delay constructed so
+# run 1's watermark lands EXACTLY on a 5-minute window boundary
+# (delay_ms = max_odd_ms − floor_5min(max_odd_ms) + 20 d) — the
+# boundary case the 1 d / 10 d rows cannot exercise (their watermark
+# falls mid-window): the gate pins Spark's equality convention — a row
+# whose window END equals the watermark is DROPPED (the window is
+# already finalized; window.end > wm is the keep condition), the
+# aggregation twin of the join family's strict ms-floored eviction.
+#
+# Readback: per (delay, window-day) — windows emitted, total events
+# absorbed, even (late) rows kept vs dropped; the per-day rows make
+# the lateness cliff visible (all-dropped below the watermark day,
+# all-kept above it). Oracle restates: counts = all odds + evens whose
+# window_end_us > wm1_us, wm1_us = (epoch_us(max odd ts) // 1000 −
+# delay_ms) · 1000 (the family's pinned ms-floor arithmetic).
+#
+# Scale: event-time windowed aggregation with watermarked state — the
+# canonical Structured Streaming shape; state is bounded by the delay
+# horizon (the trade this grid prices), shuffle keyed on the window.
+# --------------------------------------------------------------------------
+_SWL_DONE: dict[tuple[str, str], str] = {}
+_SWL_WIN_US = 300_000_000  # 5-minute tumbling window
+_SWL_D1_MS = 86_400_000  # 1 day
+_SWL_D2_MS = 864_000_000  # 10 days
+_SWL_D3_BASE_MS = 1_728_000_000  # 20 days (5-min-aligned), + alignment
+_SWL_LABELS = ("1d", "10d", "aligned20d")
+
+
+def _swl_delay_ms(label: str, max_odd_us: int) -> int:
+    if label == "1d":
+        return _SWL_D1_MS
+    if label == "10d":
+        return _SWL_D2_MS
+    max_ms = max_odd_us // 1000
+    floor5 = (max_ms // 300_000) * 300_000
+    return max_ms - floor5 + _SWL_D3_BASE_MS
+
+
+def _swl_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SWL_DONE, key[0])
+    if key in _SWL_DONE:
+        if _dir_ok(_SWL_DONE[key]):
+            return _SWL_DONE[key]
+        del _SWL_DONE[key]
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_swl")
+    landing = os.path.join(base, "landing")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    max_all_us, max_odd_us = ev.agg(
+        F.max(F.unix_micros("ts")),
+        F.max(
+            F.when(F.col("event_id") % 2 == 1, F.unix_micros("ts"))
+        ),
+    ).first()
+    odds = ev.filter(F.col("event_id") % 2 == 1)
+    evens = ev.filter(F.col("event_id") % 2 == 0)
+    sentinel = spark.createDataFrame(
+        [(-1, "sentinel")], "event_id bigint, event_type string"
+    ).select(
+        "event_id",
+        F.timestamp_micros(
+            F.lit(max_all_us + 60 * 86_400_000_000)
+        ).alias("ts"),
+        "event_type",
+    ).select("event_id", "ts", "event_type")
+    schema = "event_id bigint, ts timestamp, event_type string"
+    for label in _SWL_LABELS:
+        d_ms = _swl_delay_ms(label, int(max_odd_us))
+        lnd = os.path.join(landing, label)
+        ckpt = os.path.join(base, "ckpt", label)
+        sink = os.path.join(base, "out", f"delay={label}")
+
+        def run_once() -> None:
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(lnd + "/*")
+                .withWatermark("ts", f"{d_ms} milliseconds")
+                .groupBy(F.window("ts", "5 minutes").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.unix_micros("w.start").alias("w_start_us"),
+                    F.unix_micros("w.end").alias("w_end_us"),
+                    "n",
+                )
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_or_raise(q)
+
+        for i, batch in enumerate((odds, evens, sentinel)):
+            batch.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(lnd, f"b{i}")
+            )
+            run_once()
+    _SWL_DONE[key] = os.path.join(base, "out")
+    return _SWL_DONE[key]
+
+
+def _swl_oracle() -> str:
+    per_delay = []
+    for label in _SWL_LABELS:
+        if label == "1d":
+            dms = str(_SWL_D1_MS)
+        elif label == "10d":
+            dms = str(_SWL_D2_MS)
+        else:
+            dms = (
+                "(mx.odd_ms - (mx.odd_ms // 300000) * 300000"
+                f" + {_SWL_D3_BASE_MS})"
+            )
+        per_delay.append(
+            f"""SELECT '{label}' AS delay, ew.w_end_us,
+             ew.day, ew.is_even,
+             CASE WHEN NOT ew.is_even THEN 1
+                  WHEN ew.w_end_us > (mx.odd_ms - {dms}) * 1000 THEN 1
+                  ELSE 0 END AS kept
+      FROM ew CROSS JOIN mx"""
+        )
+    body = "\n      UNION ALL\n      ".join(per_delay)
+    return f"""
+    WITH ew AS (
+      SELECT event_id % 2 = 0 AS is_even,
+             (epoch_us(ts) // {_SWL_WIN_US}) * {_SWL_WIN_US}
+               + {_SWL_WIN_US} AS w_end_us,
+             CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    mx AS (
+      SELECT epoch_us(max(ts)) // 1000 AS odd_ms FROM events
+      WHERE event_id % 2 = 1
+    ),
+    verdicts AS (
+      {body}
+    )
+    SELECT delay, day,
+           CAST(count(DISTINCT CASE WHEN kept = 1 THEN w_end_us END)
+                AS BIGINT) AS n_windows,
+           CAST(sum(kept) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN is_even AND kept = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_even_kept,
+           CAST(sum(CASE WHEN is_even AND kept = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_even_dropped
+    FROM verdicts
+    GROUP BY delay, day
+    ORDER BY delay, day
+    """
+
+
+@query("streaming_watermark_lateness_grid", oracle=_swl_oracle())
+def streaming_watermark_lateness_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Read back the three sinks; each emitted window's count is
+    odds + accepted evens, so the per-day rollup against the oracle's
+    restated accept rule proves both the late-filter arithmetic and
+    that the sentinel flushed every surviving window."""
+    out = _swl_out_dir(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    )
+    emitted = spark.read.option("basePath", out).parquet(out)
+    # the sentinel's own window never emits (its end exceeds even the
+    # final watermark at these delays), so `emitted` is real data only
+    rows = ev.withColumn(
+        "w_end_us",
+        F.expr(f"ts_us DIV {_SWL_WIN_US}") * _SWL_WIN_US + _SWL_WIN_US,
+    )
+    # per (delay, day): the sink's absorbed totals vs the raw per-day
+    # row counts give kept/dropped evens without re-deriving the
+    # accept rule (that restatement is the oracle's job); 5-min
+    # windows never span days on this fixture's grid
+    win_day = rows.groupBy("w_end_us", "day").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)).alias(
+            "n_even_all"
+        ),
+    )
+    # dropped evens must come from the RAW per-day totals, not from
+    # emitted windows: an all-even window whose rows were all dropped
+    # never creates state and never emits, so it is invisible in the
+    # sink — deriving drops as (raw evens that day) − (kept evens)
+    # counts those windows too (the first draft missed 49 of 182 on
+    # day one — caught by the hash gate)
+    day_tot = rows.groupBy("day").agg(
+        F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_even_day")
+    )
+    per = (
+        emitted.join(win_day, "w_end_us")
+        .groupBy("delay", "day")
+        .agg(
+            F.count_distinct(F.col("w_end_us"))
+            .cast("bigint")
+            .alias("n_windows"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            (F.sum("n") - F.sum(F.col("n_all") - F.col("n_even_all")))
+            .cast("bigint")
+            .alias("n_even_kept"),
+        )
+        .join(day_tot, "day")
+        .withColumn(
+            "n_even_dropped",
+            (F.col("n_even_day") - F.col("n_even_kept")).cast("bigint"),
+        )
+    )
+    return per.select(
+        "delay",
+        "day",
+        "n_windows",
+        "n_events",
+        "n_even_kept",
+        "n_even_dropped",
+    ).orderBy("delay", "day")

@@ -152,6 +152,12 @@ BUDGETS = {
     # 9-bucket rollups)
     "similarity_pq_subspace_ab": 9.0,  # 4.8-5.3 s steady (two Lloyd
     # PQ trainings; truth + probe tables are guarded control data)
+    "streaming_watermark_lateness_grid": 2.5,  # 1.1-1.2 s steady
+    # readback (nine availableNow landings staged once per session)
+    "events_asof_tolerance_grid": 3.5,  # 1.9-2.2 s steady (one as-of
+    # pass checkpointed, four tolerance aggregations)
+    "events_gini_concentration": 1.5,  # 0.6-0.8 s steady (one user
+    # rollup + one global rank window)
 }
 
 
