@@ -94,6 +94,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_watermark_lateness_grid",
     "events_asof_tolerance_grid",
     "events_gini_concentration",
+    "corpus_cms_width_grid",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -374,6 +374,7 @@ BENCH_QUERIES = [
     "streaming_watermark_lateness_grid",
     "events_asof_tolerance_grid",
     "events_gini_concentration",
+    "corpus_cms_width_grid",
 ]
 
 

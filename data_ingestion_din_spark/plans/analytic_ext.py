@@ -1019,3 +1019,183 @@ def corpus_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard", "missed_heavy", F.desc_nulls_last("est"), "word"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_cms_width_grid — the CMS WIDTH knob measured, completing the
+# sketch-knob grids (HLL registers ✓ events_hll_precision_grid,
+# quantile bits-per-bin ✓ dq_quantile_sketch_grid, Bloom threshold ✓
+# the t-sweep, MinHash b×r ✓, SimHash band width ✓ — CMS's w was the
+# one sketch parameter still fixed by fiat at 256). One row per
+# w ∈ {64, 256, 1024} at the production d=4: the top-30 probe's total
+# overestimate mass, its per-mille share of the exact mass, the count
+# of EXACT estimates (min-row collision-free), the worst single
+# overestimate, and the standard ε·N guarantee rendered integer-safe
+# as 3·N // w (3 > e, so the bound column is conservative in the same
+# direction as the theorem; libm's e is the documented exclusion) with
+# the count of probes violating it — which the Cormode-Muthukrishnan
+# guarantee says should be ~0 at d=4 (failure prob (1/2)^4 per probe).
+#
+# The point of the grid: CMS error scales as 1/w (linear state for
+# linear error — unlike HLL's 1/√m). Measured (sf0.01, ~2.8k distinct
+# tokens): w=64 puts 64‰ overestimate mass on the top-30 (two probes
+# carry it: max_over 886 of sum_over 1740; 28/30 still exact), while
+# w=256 and w=1024 are ALREADY lossless on the probe set — at a
+# 2.8k-token vocabulary, 4×256 counters leave heavy hitters
+# collision-free with high probability, so the production w=256 is
+# validated as "exact here, 1/w beyond"; zero bound violations at any
+# width (the d=4 guarantee holds with room).
+#
+# Scale: the sketch is d·w rows regardless of corpus size; the three
+# widths share ONE exact per-token aggregation (the grid adds columns
+# and 3 tiny shuffles, not corpus scans).
+# --------------------------------------------------------------------------
+_CMSG_WS = (64, 256, 1024)
+
+
+def _cms_grid_oracle() -> str:
+    per_w = []
+    for w in _CMSG_WS:
+        per_w.append(
+            f"""SELECT {w} AS w,
+             (SELECT CAST(sum(n) AS BIGINT) FROM exact) AS n_total,
+             CAST(sum(e.n) AS BIGINT) AS sum_exact_top,
+             CAST(sum(e.est - e.n) AS BIGINT) AS sum_over,
+             CAST(sum(e.est - e.n) * 1000 // sum(e.n) AS BIGINT)
+               AS over_milli,
+             CAST(sum(CASE WHEN e.est = e.n THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_exact_est,
+             CAST(max(e.est - e.n) AS BIGINT) AS max_over,
+             CAST(3 * (SELECT sum(n) FROM exact) // {w} AS BIGINT)
+               AS bound_3n_w,
+             CAST(sum(CASE WHEN e.est - e.n >
+                    3 * (SELECT sum(n) FROM exact) // {w}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bound_violations
+      FROM (
+        SELECT p.tok, p.n, min(c.counter) AS est
+        FROM probe p
+        JOIN (
+          SELECT r.r,
+                 {h64_sql("'cms' || CAST(r.r AS VARCHAR) || ':' || e.tok")}
+                   % {w} AS bucket,
+                 e.tok
+          FROM exact e, rows_ r
+        ) pc ON pc.tok = p.tok
+        JOIN (
+          SELECT r, bucket, CAST(sum(n) AS BIGINT) AS counter
+          FROM (
+            SELECT r.r AS r,
+                   {h64_sql("'cms' || CAST(r.r AS VARCHAR) || ':' || e.tok")}
+                     % {w} AS bucket,
+                   e.n
+            FROM exact e, rows_ r
+          ) GROUP BY r, bucket
+        ) c ON c.r = pc.r AND c.bucket = pc.bucket
+        GROUP BY p.tok, p.n
+      ) e"""
+        )
+    body = "\n      UNION ALL\n      ".join(per_w)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_CMS_SQL} AS toks FROM documents),
+    occ AS (SELECT unnest(toks) AS tok FROM t),
+    exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n FROM occ GROUP BY tok
+    ),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    probe AS (
+      SELECT tok, n FROM exact ORDER BY n DESC, tok LIMIT {_CMS_TOPK}
+    )
+    SELECT CAST(w AS INT) AS w, n_total, sum_exact_top, sum_over,
+           over_milli, n_exact_est, max_over, bound_3n_w,
+           n_bound_violations
+    FROM ({body})
+    ORDER BY w
+    """
+
+
+@query("corpus_cms_width_grid", oracle=_cms_grid_oracle())
+def corpus_cms_width_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)  # three widths, one scan
+    )
+    n_total = exact.agg(F.sum("n").cast("bigint").alias("n_total"))
+    probe = exact.orderBy(F.desc("n"), "tok").limit(_CMS_TOPK)
+    base_cells = exact.select(
+        "tok",
+        "n",
+        F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r"),
+    ).withColumn(
+        "h",
+        h64(
+            F.concat(
+                F.lit("cms"),
+                F.col("r").cast("string"),
+                F.lit(":"),
+                F.col("tok"),
+            )
+        ),
+    )
+    grid = None
+    for w in _CMSG_WS:
+        cells = base_cells.withColumn(
+            "bucket", F.pmod(F.col("h"), F.lit(w))
+        )
+        cms = cells.groupBy("r", "bucket").agg(
+            F.sum("n").cast("bigint").alias("counter")
+        )
+        est = (
+            probe.join(cells.select("tok", "r", "bucket"), "tok")
+            .join(F.broadcast(cms), ["r", "bucket"])
+            .groupBy("tok", "n")
+            .agg(F.min("counter").cast("bigint").alias("est"))
+        )
+        row = (
+            est.crossJoin(n_total)
+            .agg(
+                F.first("n_total").alias("n_total"),
+                F.sum("n").cast("bigint").alias("sum_exact_top"),
+                F.sum(F.col("est") - F.col("n"))
+                .cast("bigint")
+                .alias("sum_over"),
+                F.sum(
+                    F.when(F.col("est") == F.col("n"), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_exact_est"),
+                F.max(F.col("est") - F.col("n"))
+                .cast("bigint")
+                .alias("max_over"),
+                F.sum(
+                    F.when(
+                        F.col("est") - F.col("n")
+                        > F.expr(f"3 * n_total DIV {w}"),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_bound_violations"),
+            )
+            .select(
+                F.lit(w).cast("int").alias("w"),
+                "n_total",
+                "sum_exact_top",
+                "sum_over",
+                F.expr("sum_over * 1000 DIV sum_exact_top")
+                .cast("bigint")
+                .alias("over_milli"),
+                "n_exact_est",
+                "max_over",
+                F.expr(f"3 * n_total DIV {w}")
+                .cast("bigint")
+                .alias("bound_3n_w"),
+                "n_bound_violations",
+            )
+        )
+        grid = row if grid is None else grid.unionByName(row)
+    return grid.orderBy("w")

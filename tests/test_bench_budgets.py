@@ -158,6 +158,8 @@ BUDGETS = {
     # pass checkpointed, four tolerance aggregations)
     "events_gini_concentration": 1.5,  # 0.6-0.8 s steady (one user
     # rollup + one global rank window)
+    "corpus_cms_width_grid": 6.5,  # 2.2-3.9 s steady (one token scan
+    # checkpointed, three width shuffles over the distinct vocabulary)
 }
 
 
