@@ -97,6 +97,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_cms_width_grid",
     "corpus_decontam_n_grid",
     "doc_mattr_diversity",
+    "similarity_kmeans_convergence",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -377,6 +377,7 @@ BENCH_QUERIES = [
     "corpus_cms_width_grid",
     "corpus_decontam_n_grid",
     "doc_mattr_diversity",
+    "similarity_kmeans_convergence",
 ]
 
 

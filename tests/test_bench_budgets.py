@@ -163,6 +163,9 @@ BUDGETS = {
     "corpus_decontam_n_grid": 6.0,  # 3.5-3.7 s steady (three shingle
     # passes off one checkpointed tokenization, broadcast eval sides)
     "doc_mattr_diversity": 3.0,  # 1.9-2.0 s steady (map-only HOF scan)
+    "similarity_kmeans_convergence": 12.0,  # 6.6-8.3 s steady (four
+    # checkpointed assignment passes + three M-step collects — job
+    # count, not data volume)
 }
 
 
