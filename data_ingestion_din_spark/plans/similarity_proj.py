@@ -1,15 +1,15 @@
-"""Projection-based dimensionality reduction for vector serving — the
-third member of the "serve at fewer dimensions" axis next to MRL
-truncation (plans/similarity_queries.py: similarity_mrl_dim_grid) and
-binary quantization (plans/similarity_bq.py): a Johnson-Lindenstrauss
-random signed projection, measured on the same probes, the same exact
-truth, and the same prefix dims as the truncation grid so the two
-strategies read as ONE table.
+"""Vector-space TRANSFORM measurements: how the coordinate system is
+cut, mixed, or trained before an index sees it — Johnson-Lindenstrauss
+random projection vs MRL prefix truncation (the dim-reduction axis
+next to plans/similarity_bq.py's bit-depth axis), PQ subspace
+ALLOCATION (the OPQ question, planted and measured), and the Lloyd
+training-budget convergence curve behind every quantizer in the
+similarity family.
 
 Reference scope note: the reference serves full-dimension vectors via
-Chroma (backend/services/vector_store.py); the dim-reduction surface is
-the beyond-reference training-data-pipeline requirement (100 TB corpora
-index at reduced width or not at all).
+Chroma (backend/services/vector_store.py); this surface is the
+beyond-reference training-data-pipeline requirement (100 TB corpora
+index at reduced width and trained quantizers, or not at all).
 """
 
 from __future__ import annotations
