@@ -98,6 +98,9 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_decontam_n_grid",
     "doc_mattr_diversity",
     "similarity_kmeans_convergence",
+    "dq_order_consistency_audit",
+    "events_markov_transitions",
+    "events_session_gap_grid",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

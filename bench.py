@@ -378,6 +378,9 @@ BENCH_QUERIES = [
     "corpus_decontam_n_grid",
     "doc_mattr_diversity",
     "similarity_kmeans_convergence",
+    "dq_order_consistency_audit",
+    "events_markov_transitions",
+    "events_session_gap_grid",
 ]
 
 

@@ -1339,3 +1339,154 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col", "digit")
     )
+
+
+# --------------------------------------------------------------------------
+# dq_order_consistency_audit — CROSS-TABLE consistency: the TPC-H
+# business rule o_totalprice = Σ l_extendedprice·(1−disc)·(1+tax) over
+# the order's lineitems, audited as data instead of assumed (the
+# referential-integrity sibling of dq_expectations' single-table
+# checks). DECIMAL-exact recomputation (the registry's money recipe:
+# DECIMAL(18,4) inputs, DECIMAL(30,8) products) against the stored
+# total, with the relative deviation bucketed in per-mille bands, plus
+# the two structural violations: childless orders (no lineitems) and
+# orphan lineitems (no order).
+#
+# Honest fixture verdict (the audit's reason to exist): the synthetic
+# generator does NOT maintain the invariant — 0 of 15,000 orders match
+# the recomputation at sf0.01 and 257 orders are childless — so every
+# row of this audit FIRES, exactly what a consistency check should
+# report about this fixture (and the per-band histogram shows HOW
+# wrong: most orders sit in the >100‰ band, i.e. the stored totals are
+# not a rounding artifact but an independent column).
+#
+# Scale: one l_orderkey shuffle for the recomputation, one join to
+# orders, constant-size output; orphan detection is the same join
+# anti-directions.
+# --------------------------------------------------------------------------
+_OCA_BANDS = (10, 100, 1000)  # per-mille relative-deviation band edges
+
+
+@query(
+    "dq_order_consistency_audit",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                 * (1 + CAST(l_tax AS DECIMAL(18,4)))
+                 AS DECIMAL(30,8))) AS recomputed
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(floor(o.o_totalprice * 100) AS BIGINT) AS stored_c,
+             CAST(floor(li.recomputed * 100) AS BIGINT) AS recomp_c
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    ),
+    dev AS (
+      SELECT o_orderkey, stored_c, recomp_c,
+             CASE WHEN recomp_c IS NULL THEN NULL
+                  ELSE abs(stored_c - recomp_c) * 1000
+                       // greatest(stored_c, 1) END AS dev_milli
+      FROM j
+    ),
+    orphans AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orphan_lineitems
+      FROM lineitem l LEFT JOIN orders o
+        ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IS NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN recomp_c IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_childless,
+           (SELECT n_orphan_lineitems FROM orphans)
+             AS n_orphan_lineitems,
+           CAST(sum(CASE WHEN dev_milli = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN dev_milli > 0 AND dev_milli <= 10
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dev_le_10,
+           CAST(sum(CASE WHEN dev_milli > 10 AND dev_milli <= 100
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dev_le_100,
+           CAST(sum(CASE WHEN dev_milli > 100 AND dev_milli <= 1000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dev_le_1000,
+           CAST(sum(CASE WHEN dev_milli > 1000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dev_gt_1000,
+           sum(CASE WHEN dev_milli = 0 THEN 1 ELSE 0 END)
+             = count(*) - sum(CASE WHEN recomp_c IS NULL
+                              THEN 1 ELSE 0 END) AS invariant_holds
+    FROM dev
+    """,
+)
+def dq_order_consistency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+                * (F.lit(1) + F.col("l_tax").cast("decimal(18,4)"))
+            ).cast("decimal(30,8)")
+        ).alias("recomputed")
+    )
+    j = orders.join(
+        recomputed,
+        orders["o_orderkey"] == recomputed["l_orderkey"],
+        "left",
+    ).select(
+        F.floor(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("stored_c"),
+        F.floor(F.col("recomputed") * 100)
+        .cast("bigint")
+        .alias("recomp_c"),
+    )
+    dev = j.withColumn(
+        "dev_milli",
+        F.when(
+            F.col("recomp_c").isNotNull(),
+            F.expr(
+                "abs(stored_c - recomp_c) * 1000"
+                " DIV greatest(stored_c, 1)"
+            ),
+        ),
+    )
+    orphans = (
+        li.join(
+            orders.select("o_orderkey"),
+            li["l_orderkey"] == orders["o_orderkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphan_lineitems"))
+    )
+    n_exact = F.sum(F.when(F.col("dev_milli") == 0, 1).otherwise(0))
+    n_childless = F.sum(
+        F.when(F.col("recomp_c").isNull(), 1).otherwise(0)
+    )
+
+    def band(lo: int, hi: int):
+        return F.sum(
+            F.when(
+                (F.col("dev_milli") > lo) & (F.col("dev_milli") <= hi),
+                1,
+            ).otherwise(0)
+        ).cast("bigint")
+
+    return dev.crossJoin(orphans).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        n_childless.cast("bigint").alias("n_childless"),
+        F.first("n_orphan_lineitems").alias("n_orphan_lineitems"),
+        n_exact.cast("bigint").alias("n_exact"),
+        band(0, 10).alias("n_dev_le_10"),
+        band(10, 100).alias("n_dev_le_100"),
+        band(100, 1000).alias("n_dev_le_1000"),
+        F.sum(F.when(F.col("dev_milli") > 1000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dev_gt_1000"),
+        (n_exact == F.count(F.lit(1)) - n_childless).alias(
+            "invariant_holds"
+        ),
+    )

@@ -2938,3 +2938,211 @@ def events_gini_concentration(
         .cast("bigint")
         .alias("gini_milli"),
     ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# events_markov_transitions — first-order event-type transition matrix,
+# the sequence-analytics operator the session/funnel family implies but
+# never materializes: per user in (ts, event_id) order, count each
+# (from_type → to_type) step, emit the full matrix with per-mille row
+# shares (the empirical Markov kernel P(next | current)) and each
+# from-type's modal successor flagged — the table behind "what do
+# users do after an error", churn-path mining, and synthetic-sequence
+# generation. Transitions never cross users; the deterministic
+# (ts, event_id) order is the family's standard tie-break.
+#
+# Scale: one user_id shuffle for the lead() window, then a (from, to)
+# rollup — k² output rows regardless of corpus size.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    tr AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    rt AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n FROM tr
+      GROUP BY from_type
+    ),
+    mm AS (
+      SELECT from_type, max(n) AS mx FROM tr GROUP BY from_type
+    ),
+    md AS (
+      SELECT tr.from_type, min(tr.to_type) AS modal_to
+      FROM tr JOIN mm USING (from_type)
+      WHERE tr.n = mm.mx GROUP BY tr.from_type
+    )
+    SELECT tr.from_type, tr.to_type, tr.n,
+           CAST(tr.n * 1000 // rt.row_n AS BIGINT) AS row_milli,
+           tr.n = mm.mx AND tr.to_type = md.modal_to AS modal_successor
+    FROM tr
+    JOIN rt USING (from_type)
+    JOIN mm USING (from_type)
+    JOIN md USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def events_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(wseq).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wrow = W.partitionBy("from_type")
+    out = (
+        tr.withColumn("row_n", F.sum("n").over(wrow))
+        .withColumn("mx", F.max("n").over(wrow))
+        .withColumn(
+            "modal_to",
+            F.min(
+                F.when(F.col("n") == F.col("mx"), F.col("to_type"))
+            ).over(wrow),
+        )
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000 DIV row_n").cast("bigint").alias("row_milli"),
+            (
+                (F.col("n") == F.col("mx"))
+                & (F.col("to_type") == F.col("modal_to"))
+            ).alias("modal_successor"),
+        )
+    )
+    return out.orderBy("from_type", "to_type")
+
+
+# --------------------------------------------------------------------------
+# events_session_gap_grid — the inactivity-gap knob of sessionization
+# measured (events_sessionized fixed 30 min by fiat; the dynamic-gap
+# query varies it per TYPE but not over a sweep): one row per gap ∈
+# {10, 20, 30, 60} minutes with the session count, mean events per
+# session (milli), mean session duration (seconds), and the share of
+# single-event sessions — the four numbers that show WHERE the knob
+# bites (halving the gap fragments sessions into singletons; doubling
+# it glues visits together). The lag/break-flag pass is shared: all
+# four gaps read ONE ordered scan (the grid adds CASE columns over the
+# same lag value, not window passes).
+#
+# Scale: one user_id shuffle for the lag window; per-gap rollups are
+# metadata-sized.
+# --------------------------------------------------------------------------
+_SGG_GAPS_MIN = (10, 20, 30, 60)
+
+
+def _sgg_oracle() -> str:
+    per_gap = []
+    for g in _SGG_GAPS_MIN:
+        gus = g * 60_000_000
+        per_gap.append(
+            f"""SELECT {g} AS gap_min,
+             CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(n_ev) * 1000 // count(*) AS BIGINT)
+               AS mean_events_milli,
+             CAST(sum(dur_us) // (count(*) * 1000000) AS BIGINT)
+               AS mean_dur_s,
+             CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000
+                  // count(*) AS BIGINT) AS single_milli
+      FROM (
+        SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_ev,
+               max(ts_us) - min(ts_us) AS dur_us
+        FROM (
+          SELECT user_id, ts_us,
+                 sum(CASE WHEN gap_us IS NULL OR gap_us > {gus}
+                     THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS sid
+          FROM lagged
+        ) GROUP BY user_id, sid
+      )"""
+        )
+    body = "\n      UNION ALL\n      ".join(per_gap)
+    return f"""
+    WITH lagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT CAST(gap_min AS INT) AS gap_min, n_sessions,
+           mean_events_milli, mean_dur_s, single_milli
+    FROM ({body})
+    ORDER BY gap_min
+    """
+
+
+@query("events_session_gap_grid", oracle=_sgg_oracle())
+def events_session_gap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    word = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lagged = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    ).withColumn(
+        "gap_us", F.col("ts_us") - F.lag("ts_us").over(word)
+    ).localCheckpoint(eager=False)  # four gap rollups, one scan
+    grid = None
+    for g in _SGG_GAPS_MIN:
+        gus = g * 60_000_000
+        wcum = word.rowsBetween(W.unboundedPreceding, W.currentRow)
+        sess = (
+            lagged.withColumn(
+                "sid",
+                F.sum(
+                    F.when(
+                        F.col("gap_us").isNull()
+                        | (F.col("gap_us") > gus),
+                        1,
+                    ).otherwise(0)
+                ).over(wcum),
+            )
+            .groupBy("user_id", "sid")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+                (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+            )
+        )
+        row = sess.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_ev").cast("bigint").alias("tot_ev"),
+            F.sum("dur_us").cast("bigint").alias("tot_dur"),
+            F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_single"),
+        ).select(
+            F.lit(g).cast("int").alias("gap_min"),
+            "n_sessions",
+            F.expr("tot_ev * 1000 DIV n_sessions")
+            .cast("bigint")
+            .alias("mean_events_milli"),
+            F.expr("tot_dur DIV (n_sessions * 1000000)")
+            .cast("bigint")
+            .alias("mean_dur_s"),
+            F.expr("n_single * 1000 DIV n_sessions")
+            .cast("bigint")
+            .alias("single_milli"),
+        )
+        grid = row if grid is None else grid.unionByName(row)
+    return grid.orderBy("gap_min")

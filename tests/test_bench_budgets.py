@@ -166,6 +166,12 @@ BUDGETS = {
     "similarity_kmeans_convergence": 12.0,  # 6.6-8.3 s steady (four
     # checkpointed assignment passes + three M-step collects — job
     # count, not data volume)
+    "dq_order_consistency_audit": 4.0,  # 2.2-2.4 s steady (one
+    # orderkey rollup + two audit joins)
+    "events_markov_transitions": 1.5,  # 0.7-0.9 s steady (one lead
+    # window + k^2 rollup)
+    "events_session_gap_grid": 2.5,  # 1.1-1.3 s steady (one lag scan
+    # checkpointed, four break-flag rollups)
 }
 
 
