@@ -101,6 +101,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dq_order_consistency_audit",
     "events_markov_transitions",
     "events_session_gap_grid",
+    "events_cusum_changepoint",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -381,6 +381,7 @@ BENCH_QUERIES = [
     "dq_order_consistency_audit",
     "events_markov_transitions",
     "events_session_gap_grid",
+    "events_cusum_changepoint",
 ]
 
 

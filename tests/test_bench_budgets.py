@@ -172,6 +172,8 @@ BUDGETS = {
     # window + k^2 rollup)
     "events_session_gap_grid": 2.5,  # 1.1-1.3 s steady (one lag scan
     # checkpointed, four break-flag rollups)
+    "events_cusum_changepoint": 7.0,  # 2.0-4.4 s steady (hourly rollup
+    # + numbered checkpointed, one Arrow walk over 10x720 rows)
 }
 
 
