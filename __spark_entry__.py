@@ -102,6 +102,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_markov_transitions",
     "events_session_gap_grid",
     "events_cusum_changepoint",
+    "events_dispersion_audit",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -382,6 +382,7 @@ BENCH_QUERIES = [
     "events_markov_transitions",
     "events_session_gap_grid",
     "events_cusum_changepoint",
+    "events_dispersion_audit",
 ]
 
 

@@ -174,6 +174,8 @@ BUDGETS = {
     # checkpointed, four break-flag rollups)
     "events_cusum_changepoint": 7.0,  # 2.0-4.4 s steady (hourly rollup
     # + numbered checkpointed, one Arrow walk over 10x720 rows)
+    "events_dispersion_audit": 1.5,  # 0.8-1.0 s steady (one hourly
+    # rollup + 5-row stats)
 }
 
 
