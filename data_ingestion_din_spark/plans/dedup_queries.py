@@ -482,9 +482,6 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_near_dup — embedding-cosine near-duplicate pairs (≥ 0.4;
 # fixture max ≈ 0.51). Exact decimal dot products on both sides.
 # --------------------------------------------------------------------------
-from data_ingestion_din_spark.functions.vectors import cosine_exact_sql  # noqa: E402
-
-
 _PAIR_DOT = "CAST((SELECT sum(a.qv[i] * b.qv[i]) FROM range(1, 65) r(i)) AS DOUBLE)"
 
 
