@@ -103,6 +103,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_session_gap_grid",
     "events_cusum_changepoint",
     "events_dispersion_audit",
+    "streaming_cusum_gate",
+    "corpus_ccnet_buckets",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

@@ -383,6 +383,8 @@ BENCH_QUERIES = [
     "events_session_gap_grid",
     "events_cusum_changepoint",
     "events_dispersion_audit",
+    "streaming_cusum_gate",
+    "corpus_ccnet_buckets",
 ]
 
 

@@ -2802,3 +2802,189 @@ def doc_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("dsum * 1000 DIV (w_eff * n_windows)") < _MATTR_MIN
         ).alias("low_diversity"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# corpus_ccnet_buckets — the CCNet SHARDING step itself (Wenzek et al.
+# 2020 §4.3): after the perplexity filter scores every document, CCNet
+# does not drop the tail — it splits each LANGUAGE into head / middle /
+# tail tertiles by LM perplexity and ships them as separate shards (so
+# a downstream mixture can sample quality deliberately). This query
+# materializes that artifact: per-doc bigram Stupid-Backoff ppl (the
+# doc_ngram_perplexity recipe, %4 trainer, integer octaves), per-lang
+# tertile assignment by exact rank ((rk−1)·3 // n_lang over the
+# deterministic (ppl, doc_id) order — head = most-fluent third), and
+# one row per (lang, bucket): doc count, the bucket's ppl range (the
+# shard boundaries a consumer needs), its token count and token share
+# of the language in per-mille.
+#
+# Scale: the ppl chain is the documented pair-key-shuffle shape; the
+# tertile rank is one window per lang; output is 3·n_langs rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_ccnet_buckets",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents),
+    prs AS (
+      SELECT doc_id, t[i] AS head, t[i + 1] AS next
+      FROM t, unnest(range(1, len(t))) r(i) WHERE i < len(t)
+    ),
+    pc AS (
+      SELECT head, next, CAST(count(*) AS BIGINT) AS pair_n
+      FROM prs WHERE doc_id % 4 = 0 GROUP BY head, next
+    ),
+    hn AS (
+      SELECT *, CAST(sum(pair_n) OVER (PARTITION BY head) AS BIGINT)
+                  AS head_n
+      FROM pc
+    ),
+    trtok AS (SELECT unnest(t) AS tok FROM t WHERE doc_id % 4 = 0),
+    uc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS tok_n FROM trtok
+      GROUP BY tok
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM trtok),
+    q AS (
+      SELECT p.doc_id,
+             CASE WHEN h.pair_n IS NOT NULL
+               THEN CAST(length(bin(h.head_n + 1)) AS BIGINT)
+                    - CAST(length(bin(h.pair_n)) AS BIGINT)
+               ELSE 1 + CAST(length(bin(tot.tt + 1)) AS BIGINT)
+                    - CAST(length(bin(coalesce(u.tok_n, 0) + 1))
+                           AS BIGINT)
+             END AS q
+      FROM prs p
+      LEFT JOIN hn h ON h.head = p.head AND h.next = p.next
+      LEFT JOIN uc u ON u.tok = p.next
+      CROSS JOIN tot
+    ),
+    ppl AS (
+      SELECT q.doc_id, t.lang, CAST(len(t.t) AS BIGINT) AS n_tok,
+             CAST(sum(q.q) * 1000 // count(*) AS BIGINT) AS ppl_milli
+      FROM q JOIN t ON t.doc_id = q.doc_id
+      GROUP BY q.doc_id, t.lang, len(t.t)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY lang ORDER BY ppl_milli, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM ppl
+    ),
+    bucketed AS (
+      SELECT lang,
+             CASE (rk - 1) * 3 // n_lang
+               WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+               ELSE 'tail' END AS bucket,
+             ppl_milli, n_tok
+      FROM ranked
+    ),
+    lt AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS lang_tok
+           FROM bucketed GROUP BY lang)
+    SELECT b.lang, b.bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(b.ppl_milli) AS BIGINT) AS ppl_lo,
+           CAST(max(b.ppl_milli) AS BIGINT) AS ppl_hi,
+           CAST(sum(b.n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(b.n_tok) * 1000 // any_value(lt.lang_tok) AS BIGINT)
+             AS tok_share_milli
+    FROM bucketed b JOIN lt ON lt.lang = b.lang
+    GROUP BY b.lang, b.bucket
+    ORDER BY b.lang, b.bucket
+    """,
+)
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.functions.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    intlog2 = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
+    t0 = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
+    t = t0.filter(F.size("t") >= 2)
+    prs = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS head, t[i] AS next))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.head", "p.next")
+    train = prs.filter(F.col("doc_id") % 4 == 0)
+    pc = train.groupBy("head", "next").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_n")
+    )
+    hn = pc.withColumn(
+        "head_n",
+        F.sum("pair_n").over(W.partitionBy("head")).cast("bigint"),
+    )
+    trtok = t0.filter(F.col("doc_id") % 4 == 0).select(
+        F.explode("t").alias("tok")
+    )
+    uc = trtok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tok_n")
+    )
+    tot = trtok.agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
+    scored = (
+        prs.join(hn, ["head", "next"], "left")
+        .join(uc.withColumnRenamed("tok", "next"), "next", "left")
+        .crossJoin(tot)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("pair_n").isNotNull(),
+                intlog2(F.col("head_n") + 1) - intlog2(F.col("pair_n")),
+            )
+            .otherwise(
+                F.lit(1)
+                + intlog2(F.col("tt") + 1)
+                - intlog2(F.coalesce(F.col("tok_n"), F.lit(0)) + 1)
+            )
+            .alias("q"),
+        )
+    )
+    ppl = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.expr("CAST(sum(q) * 1000 DIV count(*) AS BIGINT)")
+            .alias("ppl_milli")
+        )
+        .join(
+            t0.select(
+                "doc_id", "lang", F.size("t").cast("bigint").alias("n_tok")
+            ),
+            "doc_id",
+        )
+    )
+    wl = W.partitionBy("lang").orderBy("ppl_milli", "doc_id")
+    ranked = ppl.withColumn("rk", F.row_number().over(wl)).withColumn(
+        "n_lang", F.count(F.lit(1)).over(W.partitionBy("lang"))
+    )
+    bucketed = ranked.withColumn(
+        "bucket",
+        F.expr(
+            "CASE (rk - 1) * 3 DIV n_lang WHEN 0 THEN 'head'"
+            " WHEN 1 THEN 'middle' ELSE 'tail' END"
+        ),
+    )
+    lt = bucketed.groupBy("lang").agg(
+        F.sum("n_tok").cast("bigint").alias("lang_tok")
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("ppl_milli").cast("bigint").alias("ppl_lo"),
+            F.max("ppl_milli").cast("bigint").alias("ppl_hi"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .join(lt, "lang")
+        .withColumn(
+            "tok_share_milli",
+            F.expr("n_tokens * 1000 DIV lang_tok").cast("bigint"),
+        )
+        .drop("lang_tok")
+        .orderBy("lang", "bucket")
+    )

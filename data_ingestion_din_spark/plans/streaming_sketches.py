@@ -1434,3 +1434,234 @@ def streaming_theta_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op string, n_exact bigint, k int, theta_ppm bigint,"
         " est_users bigint, err_milli bigint",
     ).orderBy("op")
+
+
+# --------------------------------------------------------------------------
+# streaming_cusum_gate — CUSUM drift detection MAINTAINED AT INGEST,
+# completing the dq-at-ingest judge family (profile drift ✓ key skew ✓
+# volume spikes ✓ quantiles ✓ CMS ✓ MG ✓ theta ✓ — persistent drift
+# was the missing judge; events_cusum_changepoint is its batch twin).
+# Landing 1 (all hours before the in-control cutoff) both computes and
+# FREEZES the per-type mean μ (the batch query's lesson: a mean that
+# includes the drift absorbs it) and walks its own hours from S = 0;
+# landing 2 continues each type's walk from the epoch-committed
+# (s_up, s_dn) — stream concatenation, so maintained state ≡ the batch
+# prefix walk with NO merge-associativity caveat (the Misra-Gries
+# disposition, transplanted to a sequential statistic). Every hour's
+# (s_up, s_dn, alarms) is hash-gated against the oracle's recursive
+# re-walk of the full series — ~3,400 rows of pinned carry arithmetic
+# proving the state survived the checkpointed restart bit-for-bit.
+#
+# Same integer recipe as the batch twin: k = μ//4, h = 5·μ, milli
+# units throughout; the fixture's raw series alarms nowhere (measured
+# there), so every gated alarm column is exact zeros — the verdicts'
+# VALUE here is the carried S trajectory itself.
+# --------------------------------------------------------------------------
+_SCSM_DONE: dict[tuple[str, str], str] = {}
+_SCSM_CUT = "2024-01-16"  # in-control cutoff == the landing split
+
+
+def _cusum_gate_processor(out: str, state: str):
+    """foreachBatch processor over (verdicts, walk-state) dirs —
+    module-level for the replay test, like the sibling gates."""
+
+    def _plan(batch_df: DataFrame, epoch_id: int):
+        from collections.abc import Iterator
+
+        spark_l = batch_df.sparkSession
+        partials = (
+            batch_df.groupBy(
+                "event_type",
+                F.date_trunc("hour", F.col("ts")).alias("hr"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+            .localCheckpoint(eager=True)
+        )
+        prior = None
+        if os.path.isdir(state):
+            prior = _latest_epoch_rows(
+                spark_l, state, ["event_type"], before_epoch=epoch_id
+            ).localCheckpoint(eager=True)
+            if prior.limit(1).count() == 0:
+                prior = None
+        if prior is None:
+            mu = partials.groupBy("event_type").agg(
+                F.expr("CAST(sum(x) * 1000 DIV count(*) AS BIGINT)")
+                .alias("mu_milli")
+            ).withColumn("p_up", F.lit(0).cast("bigint")).withColumn(
+                "p_dn", F.lit(0).cast("bigint")
+            )
+        else:
+            mu = prior.select(
+                "event_type",
+                "mu_milli",
+                F.col("s_up").alias("p_up"),
+                F.col("s_dn").alias("p_dn"),
+            )
+        seeded = partials.join(mu, "event_type")  # per-type scalars:
+        # hint-free (the state is type-cardinality, bounded — but the
+        # family convention keeps every state join plain)
+
+        def walk(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            st = {"key": None, "up": 0, "dn": 0}
+            rows: list[tuple] = []
+            cols = [
+                "event_type", "hr", "x", "mu_milli", "s_up", "s_dn"
+            ]
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    if r.event_type != st["key"]:
+                        st.update(
+                            key=r.event_type,
+                            up=int(r.p_up),
+                            dn=int(r.p_dn),
+                        )
+                    m = int(r.mu_milli)
+                    k = m // 4
+                    st["up"] = max(0, st["up"] + int(r.x) * 1000 - m - k)
+                    st["dn"] = max(0, st["dn"] + m - k - int(r.x) * 1000)
+                    rows.append(
+                        (r.event_type, r.hr, int(r.x), m,
+                         st["up"], st["dn"])
+                    )
+                if len(rows) >= 10_000:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+            yield pd.DataFrame(rows, columns=cols)
+
+        walked = (
+            seeded.repartition("event_type")
+            .sortWithinPartitions("event_type", "hr")
+            .mapInPandas(
+                walk,
+                "event_type string, hr timestamp, x bigint,"
+                " mu_milli bigint, s_up bigint, s_dn bigint",
+            )
+            .localCheckpoint(eager=True)  # verdicts + final-state reads
+        )
+        verdicts = walked.select(
+            "event_type",
+            "hr",
+            "x",
+            "s_up",
+            "s_dn",
+            (F.col("s_up") > 5 * F.col("mu_milli")).alias("alarm_up"),
+            (F.col("s_dn") > 5 * F.col("mu_milli")).alias("alarm_dn"),
+        )
+        from pyspark.sql.window import Window as W
+
+        wlast = W.partitionBy("event_type").orderBy(F.desc("hr"))
+        new_state = (
+            walked.withColumn("rk", F.row_number().over(wlast))
+            .filter(F.col("rk") == 1)
+            .select("event_type", "mu_milli", "s_up", "s_dn")
+        )
+        return {"verdicts": verdicts, "new_state": new_state}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dfs = _plan(batch_df, epoch_id)
+        ep = f"epoch={epoch_id}"
+        dfs["verdicts"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, ep)
+        )
+        dfs["new_state"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state, ep)
+        )
+
+    _process.plan = _plan
+    return _process
+
+
+def _scsm_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SCSM_DONE, key[0])
+    if key in _SCSM_DONE:
+        if _dir_ok(_SCSM_DONE[key]):
+            return _SCSM_DONE[key]
+        del _SCSM_DONE[key]
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_scsm")
+    out = os.path.join(base, "out")
+    _process = _cusum_gate_processor(out, os.path.join(base, "walkstate"))
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    cut = F.lit(_SCSM_CUT).cast("timestamp")
+    _run_split_landings(
+        spark,
+        base,
+        "event_type string, ts timestamp",
+        [ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)],
+        _process,
+    )
+    _SCSM_DONE[key] = out
+    return out
+
+
+def _scsm_oracle() -> str:
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    numbered AS MATERIALIZED (
+      SELECT event_type, hr, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY hr)
+               AS rn
+      FROM hourly
+    ),
+    mu AS (
+      SELECT event_type,
+             CAST(sum(x) * 1000 // count(*) AS BIGINT) AS mu_milli
+      FROM hourly WHERE hr < TIMESTAMP '{_SCSM_CUT}'
+      GROUP BY event_type
+    ),
+    walk AS (
+      WITH RECURSIVE w AS (
+        SELECT n.event_type, n.hr, n.x, n.rn, m.mu_milli,
+               greatest(CAST(0 AS BIGINT),
+                 n.x * 1000 - m.mu_milli - m.mu_milli // 4) AS s_up,
+               greatest(CAST(0 AS BIGINT),
+                 m.mu_milli - m.mu_milli // 4 - n.x * 1000) AS s_dn
+        FROM numbered n JOIN mu m ON m.event_type = n.event_type
+        WHERE n.rn = 1
+        UNION ALL
+        SELECT b.event_type, b.hr, b.x, b.rn, w.mu_milli,
+               greatest(CAST(0 AS BIGINT),
+                 w.s_up + b.x * 1000 - w.mu_milli - w.mu_milli // 4),
+               greatest(CAST(0 AS BIGINT),
+                 w.s_dn + w.mu_milli - w.mu_milli // 4 - b.x * 1000)
+        FROM w JOIN numbered b
+          ON b.event_type = w.event_type AND b.rn = w.rn + 1
+      )
+      SELECT * FROM w
+    )
+    SELECT event_type, hr, x, s_up, s_dn,
+           s_up > 5 * mu_milli AS alarm_up,
+           s_dn > 5 * mu_milli AS alarm_dn
+    FROM walk
+    ORDER BY event_type, hr
+    """
+
+
+@query("streaming_cusum_gate", oracle=_scsm_oracle())
+def streaming_cusum_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back both landings' per-hour CUSUM verdicts; the oracle
+    re-walks the FULL series with the frozen pre-cutoff mean, so hash
+    parity proves the carried (s_up, s_dn) state crossed the
+    checkpointed restart bit-for-bit (stream concatenation == batch
+    prefix — the Misra-Gries contract for sequential statistics)."""
+    out = _scsm_out_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .select("event_type", "hr", "x", "s_up", "s_dn",
+                "alarm_up", "alarm_dn")
+        .orderBy("event_type", "hr")
+    )

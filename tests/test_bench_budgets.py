@@ -176,6 +176,10 @@ BUDGETS = {
     # + numbered checkpointed, one Arrow walk over 10x720 rows)
     "events_dispersion_audit": 1.5,  # 0.8-1.0 s steady (one hourly
     # rollup + 5-row stats)
+    "streaming_cusum_gate": 1.0,  # 0.25 s steady readback (landings
+    # staged once per session like the sibling gates)
+    "corpus_ccnet_buckets": 3.5,  # 1.6-2.1 s steady (the ppl chain +
+    # one per-lang rank window)
 }
 
 

@@ -1221,3 +1221,27 @@ def test_line_gate_processor_batch_plan(spark, tmp_path):
     assert _hint_count(dfs["new_state"]) == 0
     s = _plan_stats(dfs["verdicts"])
     assert s["cartesian"] == 0, s
+
+
+def test_cusum_gate_processor_batch_plan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_din_spark.plans.streaming_sketches import (
+        _cusum_gate_processor,
+    )
+
+    p = _cusum_gate_processor(str(tmp_path / "o"), str(tmp_path / "s"))
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "event_type string, ts_s string"
+        ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    p(ev([("click", "2024-01-01 08:05:00"), ("click", "2024-01-01 09:05:00")]), 0)
+    dfs = p.plan(ev([("click", "2024-01-16 10:05:00")]), 1)
+    # per-type walk state is bounded but joins stay hint-free (family
+    # convention); no cartesian anywhere in the gating path
+    assert _hint_count(dfs["verdicts"]) == 0
+    assert _hint_count(dfs["new_state"]) == 0
+    s = _plan_stats(dfs["verdicts"])
+    assert s["cartesian"] == 0, s

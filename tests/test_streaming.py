@@ -1868,3 +1868,51 @@ def test_line_dedup_gate_replay_idempotent(spark, tmp_path):
     assert rows[1].n_lines == 2 and rows[1].n_boiler == 1
     assert rows[1].rm_milli == 500
     assert os.path.isdir(os.path.join(state, "epoch=1"))
+
+
+def test_cusum_gate_replay_idempotent(spark, tmp_path):
+    """Carried-walk contract: replaying an epoch leaves verdicts and
+    walk state identical; landing 2 CONTINUES landing 1's S (stream
+    concatenation == batch prefix) and uses the FROZEN landing-1 mean,
+    not its own."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_din_spark.plans.streaming_sketches import (
+        _cusum_gate_processor,
+    )
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "walkstate")
+    process = _cusum_gate_processor(out, state)
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "event_type string, ts_s string"
+        ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    # landing 1: two hours of 2 events each -> mu = 2000 milli
+    b0 = ev(
+        [("click", f"2024-01-01 {h:02d}:{m:02d}:00") for h in (8, 9) for m in (5, 25)]
+    )
+    # landing 2: one 6-event spike hour (continues the walk)
+    b1 = ev([("click", f"2024-01-16 10:{m:02d}:00") for m in range(1, 7)])
+
+    def snapshot():
+        v = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        w = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+        return v, w
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first
+    st = {r.event_type: r for r in spark.read.parquet(state).collect()}
+    # frozen mean from landing 1 (2 events/hour), NOT landing 2's 6
+    assert st["click"].mu_milli == 2000
+    # landing-1 walk: each hour adds 2000 - 2000 - 500 < 0 -> S stays 0;
+    # landing 2's spike: 6000 - 2000 - 500 = 3500 carried from 0
+    assert st["click"].s_up == 3500
+    rows = {r.hr.hour: r for r in spark.read.parquet(out).collect()}
+    assert rows[10].s_up == 3500 and not rows[10].alarm_up  # h = 10000
