@@ -105,6 +105,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_dispersion_audit",
     "streaming_cusum_gate",
     "corpus_ccnet_buckets",
+    "dedup_semdedup_eps_grid",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

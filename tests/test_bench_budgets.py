@@ -180,6 +180,8 @@ BUDGETS = {
     # staged once per session like the sibling gates)
     "corpus_ccnet_buckets": 3.5,  # 1.6-2.1 s steady (the ppl chain +
     # one per-lang rank window)
+    "dedup_semdedup_eps_grid": 4.0,  # 2.0-2.4 s steady (guarded GEMM
+    # audit + staged k=8 assignment read)
 }
 
 
