@@ -106,6 +106,7 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_cusum_gate",
     "corpus_ccnet_buckets",
     "dedup_semdedup_eps_grid",
+    "dq_completeness_matrix",
     # Latest driver sample is round 6 (all 43, registration order).
     "tables_clean_shape",
     "tables_header_election",

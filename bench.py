@@ -386,6 +386,7 @@ BENCH_QUERIES = [
     "streaming_cusum_gate",
     "corpus_ccnet_buckets",
     "dedup_semdedup_eps_grid",
+    "dq_completeness_matrix",
 ]
 
 

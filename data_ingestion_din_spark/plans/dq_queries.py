@@ -1490,3 +1490,143 @@ def dq_order_consistency_audit(
             "invariant_holds"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# dq_completeness_matrix — the per-(table, column) COMPLETENESS /
+# CARDINALITY profile, the first artifact any dq platform (Deequ, GE's
+# data-docs, dbt source freshness) renders and the one flat report
+# this module's targeted audits (expectations, schema drift, skew,
+# freshness) presuppose: for EVERY column of every fixture table, the
+# row count, null count/share, blank count/share (string columns:
+# trimmed-empty), and distinct share in per-mille — distinct_milli =
+# 1000 flags candidate keys, tiny values flag enums/constants. The
+# column inventory is a declared literal (the fixture catalog is
+# fixed; schema DRIFT against it is dq_schema_drift's job, not this
+# report's).
+#
+# Scale: one scan per table computing all its per-column aggregates in
+# a single pass (null/blank are cheap counters; the distinct counts
+# are the expensive half — at 100 TB production swaps them for the
+# HLL registers this repo already maintains (events_hll_* family), a
+# documented substitution, not a plan change). Output is
+# metadata-sized (one row per column).
+# --------------------------------------------------------------------------
+_DQCM_COLS: dict[str, list[tuple[str, bool]]] = {
+    # table -> [(column, is_string)]
+    "region": [("r_regionkey", False), ("r_name", True)],
+    "nation": [("n_nationkey", False), ("n_name", True),
+               ("n_regionkey", False)],
+    "customer": [("c_custkey", False), ("c_name", True),
+                 ("c_nationkey", False), ("c_acctbal", False),
+                 ("c_mktsegment", True)],
+    "supplier": [("s_suppkey", False), ("s_name", True),
+                 ("s_nationkey", False), ("s_acctbal", False)],
+    "part": [("p_partkey", False), ("p_name", True), ("p_brand", True),
+             ("p_type", True), ("p_size", False),
+             ("p_retailprice", False)],
+    "orders": [("o_orderkey", False), ("o_custkey", False),
+               ("o_orderstatus", True), ("o_totalprice", False),
+               ("o_orderdate", False), ("o_orderpriority", True)],
+    "lineitem": [("l_orderkey", False), ("l_partkey", False),
+                 ("l_suppkey", False), ("l_linenumber", False),
+                 ("l_quantity", False), ("l_extendedprice", False),
+                 ("l_discount", False), ("l_tax", False),
+                 ("l_returnflag", True), ("l_linestatus", True),
+                 ("l_shipdate", False)],
+    "events": [("event_id", False), ("ts", False), ("user_id", False),
+               ("event_type", True), ("value", False), ("props", True)],
+    "documents": [("doc_id", False), ("text", True), ("lang", True),
+                  ("source", True), ("n_chars", False)],
+    "embeddings": [("vec_id", False), ("embedding", False),
+                   ("label", False)],
+}
+
+
+def _dqcm_oracle() -> str:
+    branches = []
+    for t, cols in _DQCM_COLS.items():
+        for c, is_str in cols:
+            blank = (
+                f"sum(CASE WHEN trim({c}) = '' THEN 1 ELSE 0 END)"
+                if is_str
+                else "0"
+            )
+            branches.append(
+                f"""SELECT '{t}' AS tbl, '{c}' AS col,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null,
+             CAST({blank} AS BIGINT) AS n_blank,
+             CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+      FROM {t}"""
+            )
+    body = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    SELECT tbl, col, n_rows, n_null,
+           CAST(n_null * 1000 // n_rows AS BIGINT) AS null_milli,
+           n_blank,
+           CAST(n_blank * 1000 // n_rows AS BIGINT) AS blank_milli,
+           n_distinct,
+           CAST(n_distinct * 1000 // n_rows AS BIGINT) AS distinct_milli
+    FROM ({body})
+    ORDER BY tbl, col
+    """
+
+
+@query("dq_completeness_matrix", oracle=_dqcm_oracle())
+def dq_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, cols in _DQCM_COLS.items():
+        tb = load_table(spark, sf_dir, t)
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+        for c, is_str in cols:
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"null__{c}")
+            )
+            aggs.append(
+                (
+                    F.sum(
+                        F.when(F.trim(F.col(c)) == "", 1).otherwise(0)
+                    ).cast("bigint")
+                    if is_str
+                    else F.lit(0).cast("bigint")
+                ).alias(f"blank__{c}")
+            )
+            aggs.append(
+                F.countDistinct(F.col(c))
+                .cast("bigint")
+                .alias(f"dist__{c}")
+            )
+        one = tb.agg(*aggs)
+        stack = ", ".join(
+            f"'{c}', null__{c}, blank__{c}, dist__{c}" for c, _ in cols
+        )
+        rows = one.select(
+            F.lit(t).alias("tbl"),
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack})"
+                " AS (col, n_null, n_blank, n_distinct)"
+            ),
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out.select(
+        "tbl",
+        "col",
+        "n_rows",
+        "n_null",
+        F.expr("n_null * 1000 DIV n_rows").cast("bigint").alias(
+            "null_milli"
+        ),
+        "n_blank",
+        F.expr("n_blank * 1000 DIV n_rows").cast("bigint").alias(
+            "blank_milli"
+        ),
+        "n_distinct",
+        F.expr("n_distinct * 1000 DIV n_rows").cast("bigint").alias(
+            "distinct_milli"
+        ),
+    ).orderBy("tbl", "col")

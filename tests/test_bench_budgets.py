@@ -182,6 +182,11 @@ BUDGETS = {
     # one per-lang rank window)
     "dedup_semdedup_eps_grid": 4.0,  # 2.0-2.4 s steady (guarded GEMM
     # audit + staged k=8 assignment read)
+    "dq_completeness_matrix": 20.0,  # 11-14 s steady: the exact
+    # per-column distinct counts ARE the cost (Spark expands one copy
+    # per distinct aggregate) — the documented production substitution
+    # is the maintained HLL registers; the nightly-profile role
+    # tolerates the exact form at audit scale
 }
 
 
