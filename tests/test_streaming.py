@@ -1908,7 +1908,16 @@ def test_cusum_gate_replay_idempotent(spark, tmp_path):
     process(b0, 0)
     process(b1, 1)
     assert snapshot() == first
-    st = {r.event_type: r for r in spark.read.parquet(state).collect()}
+    # The state dir holds BOTH epoch snapshots; mirror the production
+    # read (filter to the latest epoch) — a raw collect would keep the
+    # last row per key in parquet file-listing order, which is not
+    # deterministic under suite load.
+    st_df = spark.read.parquet(state)
+    latest = st_df.agg(F.max("epoch")).collect()[0][0]
+    st = {
+        r.event_type: r
+        for r in st_df.filter(F.col("epoch") == latest).collect()
+    }
     # frozen mean from landing 1 (2 events/hour), NOT landing 2's 6
     assert st["click"].mu_milli == 2000
     # landing-1 walk: each hour adds 2000 - 2000 - 500 < 0 -> S stays 0;
