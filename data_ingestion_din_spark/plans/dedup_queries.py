@@ -2326,8 +2326,20 @@ def dedup_substring_w_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the collected 64-bit fingerprints (8 bytes/doc of control data,
 # session-staged) under the family's ≤20k all-pairs guard: the first
 # distributed draft (9 joins + a distinct at w=8) measured 13 s at
-# sf0.1; the staged-fingerprint + table-lookup-popcount form reads
-# 2.7 s steady, with the truth scan the remaining cost.
+# sf0.1; a driver-side numpy rewrite read 2.7 s on the builder host
+# but 12–13 s on the bench host (single-threaded, BLAS/allocator-
+# sensitive — the r11 weak mark), so the compute is now task-parallel:
+# the all-pairs Hamming truth runs as row-chunked Arrow mapInPandas
+# tasks over the broadcast fingerprint array (each task: uint16 XOR +
+# popcount-table gather for its chunk vs all j>i), and the per-width
+# candidate count runs as one task per (width, band) that counts only
+# pairs whose FIRST matching band is that band (earlier-band mismatch
+# checked vectorized per pair) — summing first-match counts per width
+# IS the distinct-union cardinality, so the former driver-side
+# np.unique over millions of packed pair keys disappears entirely.
+# Only counts and the tiny (≤ guard-bounded) truth pair list reach the
+# driver; caught_pairs is a vectorized band-equality check over that
+# truth list.
 #
 # Measured (sf0.01, 500 docs): w=8 (8 bands) holds recall 1000‰ at
 # every radius but costs 39,329 candidates (0‰ precision); w=16 (4
@@ -2344,7 +2356,9 @@ def dedup_substring_w_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _SHG_WIDTHS = (8, 16, 32)
 _SHG_RADII = (1, 2, 3)
-# (applicationId, sf_dir) -> collected (ids, fingerprints) arrays
+# (applicationId, sf_dir) -> (ids, fingerprints, truth_pos_a, truth_pos_b,
+# truth_hamming) — the session-staged audit inputs (fingerprints are
+# 8 bytes/doc; the truth list is radius-bounded, a few hundred pairs)
 _SHG_STATE: dict[tuple[str, str], tuple] = {}
 
 
@@ -2425,61 +2439,130 @@ def dedup_simhash_band_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = np.array([int(r.doc_id) for r in rows], dtype=np.int64)
         hv = np.array([int(r.simhash) for r in rows], dtype=np.int64)
         order = np.argsort(ids)
-        _SHG_STATE[key] = (ids[order], hv[order])
-    ids, hv = _SHG_STATE[key]
+        ids, hv = ids[order], hv[order]
+        n = len(ids)
+        rmax = max(_SHG_RADII)
+        bc = spark.sparkContext.broadcast(hv)
+        # all-pairs Hamming truth (audit side, guarded): row-chunked
+        # across executor tasks; each task XORs its i-chunk against all
+        # j and keeps (i, j>i) pairs within rmax via a 65536-entry
+        # popcount-table gather. Chunk starts are one-int control rows.
+        chunk = 256
+        n_tasks = max(1, (n + chunk - 1) // chunk)
+        starts_df = spark.createDataFrame(
+            [(i,) for i in range(0, n, chunk)], "i0 int"
+        ).repartition(n_tasks)
+
+        def _truth_tasks(batches):
+            import pandas as pd
+
+            fp = bc.value
+            nn = len(fp)
+            uw = fp.view(np.uint64).view(np.uint16).reshape(nn, 4)
+            v = np.arange(1 << 16, dtype=np.int64)
+            pop16 = np.zeros(1 << 16, dtype=np.uint8)
+            for s in range(16):
+                pop16 += ((v >> s) & 1).astype(np.uint8)
+            for pdf in batches:
+                for i0 in pdf["i0"].tolist():
+                    i1 = min(i0 + chunk, nn)
+                    x = uw[i0:i1, None, :] ^ uw[None, :, :]
+                    h = pop16[x].sum(axis=2, dtype=np.int64)
+                    ii, jj = np.nonzero(h <= rmax)
+                    gi = ii + i0
+                    keep = gi < jj
+                    yield pd.DataFrame(
+                        {
+                            "pa": gi[keep],
+                            "pb": jj[keep],
+                            "h": h[ii[keep], jj[keep]],
+                        }
+                    )
+
+        tp = starts_df.mapInPandas(
+            _truth_tasks, "pa long, pb long, h long"
+        ).collect()
+        tpa = np.array([r.pa for r in tp], dtype=np.int64)
+        tpb = np.array([r.pb for r in tp], dtype=np.int64)
+        tph = np.array([r.h for r in tp], dtype=np.int64)
+        _SHG_STATE[key] = (ids, hv, tpa, tpb, tph)
+    ids, hv, tpa, tpb, tph = _SHG_STATE[key]
     u = hv.view(np.uint64)
     n = len(ids)
-    # all-pairs Hamming truth (audit side, guarded): uint16-view xor +
-    # 65536-entry popcount table, chunked; pairs keyed by position (i<j)
-    pop16 = np.array(
-        [bin(v).count("1") for v in range(1 << 16)], np.uint8
-    )
-    uw = u.view(np.uint16).reshape(n, 4)
-    truth_h = {}
-    for i0 in range(0, n, 256):
-        i1 = min(i0 + 256, n)
-        x = uw[i0:i1, None, :] ^ uw[None, :, :]
-        h = pop16[x].sum(axis=2, dtype=np.int64)
-        ii, jj = np.nonzero(h <= max(_SHG_RADII))
-        for a, b in zip(ii, jj):
-            gi = i0 + int(a)
-            if gi < int(b):
-                truth_h[(gi, int(b))] = int(h[a, b])
-    tpk = np.array(
-        [a * n + b for (a, b) in truth_h], dtype=np.int64
-    )
-    tph = np.array(list(truth_h.values()), dtype=np.int64)
+    # candidate fan-out per width: one task per (width, band); each
+    # counts pairs sharing THIS band whose earlier bands all mismatch
+    # (first-match counting — summing per width equals the distinct
+    # union over bands without materializing pair keys anywhere)
+    bc2 = spark.sparkContext.broadcast(hv)
+    band_tasks = [(w, j) for w in _SHG_WIDTHS for j in range(64 // w)]
+    tasks_df = spark.createDataFrame(
+        band_tasks, "w int, j int"
+    ).repartition(len(band_tasks))
+
+    def _cand_tasks(batches):
+        import pandas as pd
+
+        fp = bc2.value.view(np.uint64)
+        nn = len(fp)
+        for pdf in batches:
+            out_w, out_cnt = [], []
+            for w, j in zip(pdf["w"].tolist(), pdf["j"].tolist()):
+                mask = np.uint64((1 << w) - 1)
+                bv = (fp >> np.uint64(j * w)) & mask
+                srt = np.argsort(bv, kind="stable")
+                sv = bv[srt]
+                starts = np.nonzero(np.r_[True, sv[1:] != sv[:-1]])[0]
+                ends = np.r_[starts[1:], len(sv)]
+                total = 0
+                for st, en in zip(starts, ends):
+                    if en - st < 2:
+                        continue
+                    grp = np.sort(srt[st:en]).astype(np.int64)
+                    a_i, b_i = np.triu_indices(len(grp), k=1)
+                    pa, pb = grp[a_i], grp[b_i]
+                    if j:
+                        ua, ub = fp[pa], fp[pb]
+                        keep = np.ones(len(pa), dtype=bool)
+                        for jj in range(j):
+                            sh = np.uint64(jj * w)
+                            keep &= ((ua >> sh) & mask) != (
+                                (ub >> sh) & mask
+                            )
+                        total += int(keep.sum())
+                    else:
+                        total += len(pa)
+                out_w.append(int(w))
+                out_cnt.append(total)
+            yield pd.DataFrame({"w": out_w, "cnt": out_cnt})
+
+    cand_rows = tasks_df.mapInPandas(_cand_tasks, "w int, cnt long").collect()
+    cand_by_w = {w: 0 for w in _SHG_WIDTHS}
+    for r in cand_rows:
+        cand_by_w[r.w] += int(r.cnt)
     grid = []
     for w in _SHG_WIDTHS:
         nb = 64 // w
         mask = np.uint64((1 << w) - 1)
-        packed = []
-        for j in range(nb):
-            bv = (u >> np.uint64(j * w)) & mask
-            srt = np.argsort(bv, kind="stable")
-            sv = bv[srt]
-            starts = np.nonzero(np.r_[True, sv[1:] != sv[:-1]])[0]
-            ends = np.r_[starts[1:], len(sv)]
-            for st, en in zip(starts, ends):
-                if en - st > 1:
-                    grp = np.sort(srt[st:en]).astype(np.int64)
-                    a_i, b_i = np.triu_indices(len(grp), k=1)
-                    packed.append(grp[a_i] * n + grp[b_i])
-        cand = (
-            np.unique(np.concatenate(packed))
-            if packed
-            else np.empty(0, dtype=np.int64)
-        )
-        caught_mask = np.isin(tpk, cand) if len(tpk) else tpk
+        # caught = truth pairs sharing >=1 band at this width (the truth
+        # list is guard-bounded control data; this is a few vector ops)
+        if len(tpa):
+            ua, ub = u[tpa], u[tpb]
+            share = np.zeros(len(tpa), dtype=bool)
+            for j in range(nb):
+                sh = np.uint64(j * w)
+                share |= ((ua >> sh) & mask) == ((ub >> sh) & mask)
+        else:
+            share = np.zeros(0, dtype=bool)
         for r in _SHG_RADII:
             within = tph <= r
             t = int(within.sum())
-            c = int((within & caught_mask).sum()) if len(tpk) else 0
+            c = int((within & share).sum())
+            nc = cand_by_w[w]
             grid.append(
                 (
-                    w, nb, r, t, len(cand), c,
+                    w, nb, r, t, nc, c,
                     1000 if t == 0 else c * 1000 // t,
-                    c * 1000 // max(len(cand), 1),
+                    c * 1000 // max(nc, 1),
                 )
             )
     return spark.createDataFrame(

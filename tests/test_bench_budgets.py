@@ -112,8 +112,11 @@ BUDGETS = {
     # staged edge artifact)
     "events_anomaly_mad": 3.5,  # 1.8-2.3 s steady (two exact-median
     # window passes + the z-gate stats re-scan)
-    "dedup_simhash_band_grid": 5.0,  # 2.7 s steady (staged
-    # fingerprints; guarded all-pairs popcount truth is the cost)
+    "dedup_simhash_band_grid": 4.0,  # 1.4-1.7 s steady on the bench
+    # host (r12: truth + band counting moved into task-parallel
+    # mapInPandas after the driver-side numpy form read 12-13 s on the
+    # driver host vs 2.7 s on the builder host; warm-session cold
+    # ~4.5 s, staged truth makes steady ~1.5 s)
     "similarity_filtered_ann": 6.0,  # 3.4-3.8 s steady (shared exact
     # pass + 12 small per-arm aggregates)
     "similarity_filtered_nprobe": 6.0,  # 3.1-3.7 s steady (truth pass
