@@ -2684,9 +2684,21 @@ def corpus_decontam_n_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(W.orderBy("n_hits", "doc_id")).alias("rk"),
             F.count(F.lit(1)).over(W.partitionBy()).alias("cnt"),
         )
-        med = ranked.filter(
-            F.col("rk") == F.greatest(F.lit(1), F.expr("(cnt + 1) DIV 2"))
-        ).select(F.col("n_hits").cast("bigint").alias("median_hits"))
+        # aggregate (not filter) so an n that flags ZERO corpus docs
+        # still yields one row with NULL median_hits — a filter here
+        # made med empty and the crossJoin silently dropped that n's
+        # grid row while the oracle kept it (r12 ADVICE fix)
+        med = ranked.agg(
+            F.max(
+                F.when(
+                    F.col("rk")
+                    == F.greatest(F.lit(1), F.expr("(cnt + 1) DIV 2")),
+                    F.col("n_hits"),
+                )
+            )
+            .cast("bigint")
+            .alias("median_hits")
+        )
         agg = hits.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs_flagged"),
             F.sum("n_hits").cast("bigint").alias("n_hit_instances"),

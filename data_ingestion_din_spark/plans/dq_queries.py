@@ -1346,9 +1346,13 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # business rule o_totalprice = Σ l_extendedprice·(1−disc)·(1+tax) over
 # the order's lineitems, audited as data instead of assumed (the
 # referential-integrity sibling of dq_expectations' single-table
-# checks). DECIMAL-exact recomputation (the registry's money recipe:
-# DECIMAL(18,4) inputs, DECIMAL(30,8) products) against the stored
-# total, with the relative deviation bucketed in per-mille bands, plus
+# checks). Integer-exact recomputation (the registry's money recipe:
+# 4-dp inputs snapped to e4 BIGINTs, per-line products exact at scale
+# e12 inside DECIMAL(30,0), cents via floor division — no decimal
+# rounding anywhere, since Spark and DuckDB disagree on both overflow
+# handling and tie rounding of wide decimal products) against the
+# stored total, with the relative deviation bucketed in per-mille
+# bands, plus
 # the two structural violations: childless orders (no lineitems) and
 # orphan lineitems (no order).
 #
@@ -1372,16 +1376,18 @@ _OCA_BANDS = (10, 100, 1000)  # per-mille relative-deviation band edges
     oracle=f"""
     WITH li AS (
       SELECT l_orderkey,
-             sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
-                 * (1 - CAST(l_discount AS DECIMAL(18,4)))
-                 * (1 + CAST(l_tax AS DECIMAL(18,4)))
-                 AS DECIMAL(30,8))) AS recomputed
+             sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                           * 10000 AS BIGINT) AS DECIMAL(30,0))
+                 * (10000 - CAST(CAST(l_discount AS DECIMAL(10,4))
+                                 * 10000 AS BIGINT))
+                 * (10000 + CAST(CAST(l_tax AS DECIMAL(10,4))
+                                 * 10000 AS BIGINT))) AS sum_e12
       FROM lineitem GROUP BY l_orderkey
     ),
     j AS (
       SELECT o.o_orderkey,
              CAST(floor(o.o_totalprice * 100) AS BIGINT) AS stored_c,
-             CAST(floor(li.recomputed * 100) AS BIGINT) AS recomp_c
+             CAST(li.sum_e12 // 10000000000 AS BIGINT) AS recomp_c
       FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
     ),
     dev AS (
@@ -1423,14 +1429,25 @@ def dq_order_consistency_audit(
 ) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # the recomputation runs in scaled-BIGINT integers (the registry's
+    # money recipe): price/discount/tax snapped at 4 dp to e4 integers,
+    # the per-line product exact at scale e12 inside DECIMAL(30,0),
+    # cents via integer floor-division. The earlier decimal chain
+    # diverged between engines twice — (18,4)x(19,4)x(19,4) overflowed
+    # precision 38 in Spark and was rounded at the adjusted scale, and
+    # even the within-38 form rounds scale-12 ties HALF_UP in Spark vs
+    # half-even in DuckDB — so no decimal rounding happens anywhere
     recomputed = li.groupBy("l_orderkey").agg(
         F.sum(
-            (
-                F.col("l_extendedprice").cast("decimal(18,4)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
-                * (F.lit(1) + F.col("l_tax").cast("decimal(18,4)"))
-            ).cast("decimal(30,8)")
-        ).alias("recomputed")
+            F.expr(
+                "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4))"
+                " * 10000 AS BIGINT) AS DECIMAL(30,0))"
+                " * (10000 - CAST(CAST(l_discount AS DECIMAL(10,4))"
+                " * 10000 AS BIGINT))"
+                " * (10000 + CAST(CAST(l_tax AS DECIMAL(10,4))"
+                " * 10000 AS BIGINT))"
+            )
+        ).alias("sum_e12")
     )
     j = orders.join(
         recomputed,
@@ -1440,8 +1457,7 @@ def dq_order_consistency_audit(
         F.floor(F.col("o_totalprice") * 100)
         .cast("bigint")
         .alias("stored_c"),
-        F.floor(F.col("recomputed") * 100)
-        .cast("bigint")
+        F.expr("CAST(sum_e12 DIV 10000000000 AS BIGINT)")
         .alias("recomp_c"),
     )
     dev = j.withColumn(

@@ -2842,7 +2842,10 @@ def events_hll_sliding_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-mille, plus the exact integer Gini
 #   G·1000 = (2·Σ_i i·v_i − (n+1)·Σ v) · 1000 // (n · Σ v)
 # (the rank-covariance identity — no area integration, no floats)
-# repeated on each row for the single-statistic read.
+# repeated on each row for the single-statistic read. Decile labels use
+# ceil(r*10/n) so decile d's row is the cumulative share at exactly
+# d*10% of users (the r12 ADVICE fix: the floor form put the 10% point
+# in a dropped decile-0 bucket and shifted every label by one).
 #
 # Scale: one user_id shuffle for the totals, one global sort for the
 # ranks (the same global-rank window the layout audits use), decile
@@ -2876,9 +2879,11 @@ def events_hll_sliding_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rk
     ),
     dec AS (
-      SELECT CAST(r * 10 // tot.n AS INT) AS decile, r, cum_cents
+      SELECT CAST((r * 10 + tot.n - 1) // tot.n AS INT) AS decile,
+             r, cum_cents
       FROM cum CROSS JOIN tot
-      QUALIFY r = max(r) OVER (PARTITION BY CAST(r * 10 // tot.n AS INT))
+      QUALIFY r = max(r) OVER (
+        PARTITION BY CAST((r * 10 + tot.n - 1) // tot.n AS INT))
     )
     SELECT CAST(dec.decile AS INT) AS decile,
            CAST(dec.r AS BIGINT) AS n_users_cum,
@@ -2888,7 +2893,6 @@ def events_hll_sliding_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((2 * tot.rv - (tot.n + 1) * tot.tv) * 1000
                 // (tot.n * tot.tv) AS BIGINT) AS gini_milli
     FROM dec CROSS JOIN tot
-    WHERE dec.decile >= 1
     ORDER BY decile
     """,
 )
@@ -2920,12 +2924,12 @@ def events_gini_concentration(
     dec = (
         cum.crossJoin(tot)
         .withColumn(
-            "decile", F.expr("CAST(r * 10 DIV n AS INT)")
+            "decile", F.expr("CAST((r * 10 + n - 1) DIV n AS INT)")
         )
         .withColumn(
             "rmax", F.max("r").over(W.partitionBy("decile"))
         )
-        .filter((F.col("r") == F.col("rmax")) & (F.col("decile") >= 1))
+        .filter(F.col("r") == F.col("rmax"))
     )
     return dec.select(
         F.col("decile").cast("int").alias("decile"),

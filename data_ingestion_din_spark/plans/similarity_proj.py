@@ -760,8 +760,8 @@ def _kmc_oracle() -> str:
     c{t} AS (SELECT cluster, list(c ORDER BY dim) AS qv FROM m{t}
              GROUP BY cluster),
     c{t}f AS (
-      SELECT s.cluster, coalesce(c.qv, s.qv) AS qv
-      FROM seeds s LEFT JOIN c{t} c ON s.cluster = c.cluster
+      SELECT p.cluster, coalesce(c.qv, p.qv) AS qv
+      FROM {src} p LEFT JOIN c{t} c ON p.cluster = c.cluster
     )"""
             )
     rows = []
@@ -860,6 +860,9 @@ def similarity_kmeans_convergence(
         for r in sums:
             new[r.cluster][r.dim] = tdiv(int(r.s), int(r.n))
             seen.add(r.cluster)
+        # empty-cluster convention (both engines): keep the PRIOR
+        # iteration's centroid — the oracle's c{t}f coalesces against
+        # the previous c{t-1}f/seeds, not the original seed
         cents = [
             new[c] if c in seen else cents[c - 1]
             for c in range(1, _KMC_K + 1)

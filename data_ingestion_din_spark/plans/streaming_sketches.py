@@ -1484,23 +1484,45 @@ def _cusum_gate_processor(out: str, state: str):
             ).localCheckpoint(eager=True)
             if prior.limit(1).count() == 0:
                 prior = None
+        # every landing computes its own per-type mean; it is used as
+        # the frozen mu ONLY for types with no prior state (landing 1
+        # for everyone, and — the r12 ADVICE fix — a type FIRST
+        # appearing in a later landing, which an inner join against
+        # prior state used to drop silently, leaving it invisible to
+        # the drift judge forever). Disposition: seed unseen types
+        # exactly like landing-1 types — freeze mu from their own
+        # first landing, start the walk at S = 0.
+        mu_cur = partials.groupBy("event_type").agg(
+            F.expr("CAST(sum(x) * 1000 DIV count(*) AS BIGINT)")
+            .alias("c_mu")
+        )
         if prior is None:
-            mu = partials.groupBy("event_type").agg(
-                F.expr("CAST(sum(x) * 1000 DIV count(*) AS BIGINT)")
-                .alias("mu_milli")
-            ).withColumn("p_up", F.lit(0).cast("bigint")).withColumn(
-                "p_dn", F.lit(0).cast("bigint")
+            mu = mu_cur.select(
+                "event_type",
+                F.col("c_mu").alias("mu_milli"),
+                F.lit(0).cast("bigint").alias("p_up"),
+                F.lit(0).cast("bigint").alias("p_dn"),
             )
         else:
-            mu = prior.select(
+            mu = mu_cur.join(
+                prior.select(
+                    "event_type",
+                    "mu_milli",
+                    F.col("s_up").alias("p_up"),
+                    F.col("s_dn").alias("p_dn"),
+                ),
                 "event_type",
-                "mu_milli",
-                F.col("s_up").alias("p_up"),
-                F.col("s_dn").alias("p_dn"),
+                "left",
+            ).select(
+                "event_type",
+                F.coalesce("mu_milli", "c_mu").alias("mu_milli"),
+                F.coalesce("p_up", F.lit(0)).cast("bigint").alias("p_up"),
+                F.coalesce("p_dn", F.lit(0)).cast("bigint").alias("p_dn"),
             )
         seeded = partials.join(mu, "event_type")  # per-type scalars:
         # hint-free (the state is type-cardinality, bounded — but the
-        # family convention keeps every state join plain)
+        # family convention keeps every state join plain); mu now
+        # covers every type in partials by construction
 
         def walk(batches: Iterator) -> Iterator:
             import pandas as pd
@@ -1618,9 +1640,18 @@ def _scsm_oracle() -> str:
       FROM hourly
     ),
     mu AS (
+      -- frozen pre-cutoff mean; a type with NO pre-cutoff hours (first
+      -- appears in landing 2) freezes mu from its own first landing —
+      -- here its post-cutoff hours — mirroring the gate's seeding of
+      -- prior-state-less types (r12 ADVICE fix; previously both sides
+      -- dropped such types)
       SELECT event_type,
-             CAST(sum(x) * 1000 // count(*) AS BIGINT) AS mu_milli
-      FROM hourly WHERE hr < TIMESTAMP '{_SCSM_CUT}'
+             CAST(coalesce(
+               sum(x) FILTER (WHERE hr < TIMESTAMP '{_SCSM_CUT}') * 1000
+                 // nullif(count(*) FILTER (
+                      WHERE hr < TIMESTAMP '{_SCSM_CUT}'), 0),
+               sum(x) * 1000 // count(*)) AS BIGINT) AS mu_milli
+      FROM hourly
       GROUP BY event_type
     ),
     walk AS (

@@ -1894,8 +1894,17 @@ def test_cusum_gate_replay_idempotent(spark, tmp_path):
     b0 = ev(
         [("click", f"2024-01-01 {h:02d}:{m:02d}:00") for h in (8, 9) for m in (5, 25)]
     )
-    # landing 2: one 6-event spike hour (continues the walk)
-    b1 = ev([("click", f"2024-01-16 10:{m:02d}:00") for m in range(1, 7)])
+    # landing 2: one 6-event spike hour (continues the walk), plus a
+    # type FIRST appearing post-cutoff — must be seeded (frozen mu
+    # from its own first landing, walk from S = 0), not dropped
+    b1 = ev(
+        [("click", f"2024-01-16 10:{m:02d}:00") for m in range(1, 7)]
+        + [
+            ("signup", f"2024-01-16 {h:02d}:{m:02d}:00")
+            for h, n in ((10, 2), (11, 8))
+            for m in range(1, n + 1)
+        ]
+    )
 
     def snapshot():
         v = sorted(tuple(r) for r in spark.read.parquet(out).collect())
@@ -1923,5 +1932,17 @@ def test_cusum_gate_replay_idempotent(spark, tmp_path):
     # landing-1 walk: each hour adds 2000 - 2000 - 500 < 0 -> S stays 0;
     # landing 2's spike: 6000 - 2000 - 500 = 3500 carried from 0
     assert st["click"].s_up == 3500
-    rows = {r.hr.hour: r for r in spark.read.parquet(out).collect()}
-    assert rows[10].s_up == 3500 and not rows[10].alarm_up  # h = 10000
+    # signup first appears post-cutoff: seeded, not dropped — frozen
+    # mu from its own first landing ((2+8)*1000//2 = 5000, k = 1250),
+    # walked from S = 0: h10 adds 2000-5000-1250 < 0 (s_dn 1750),
+    # h11 adds 8000-5000-1250 = 1750
+    assert st["signup"].mu_milli == 5000
+    assert st["signup"].s_up == 1750 and st["signup"].s_dn == 0
+    rows = {
+        (r.event_type, r.hr.hour): r
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows[("click", 10)].s_up == 3500
+    assert not rows[("click", 10)].alarm_up  # h = 10000
+    assert rows[("signup", 10)].s_dn == 1750
+    assert rows[("signup", 11)].s_up == 1750
