@@ -31,6 +31,10 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # the r6 block; whatever r6 names the window misses lead round 13.
 _DRIVER_PRIORITY: list[str] = [
     # Round-12 additions land here (never sampled — must lead).
+    "dq_completeness_hll_ab",
+    "similarity_graph_hnsw_layers",
+    "doc_5gram_perplexity",
+    "doc_lm_5gram_ab",
     # Never driver-sampled r11 additions (absent from every
     # CORRECTNESS_r*.json through r11).
     "events_gini_concentration",

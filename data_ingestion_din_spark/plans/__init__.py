@@ -9,9 +9,14 @@ from data_ingestion_din_spark.plans.registry import ORACLES, QUERIES, query  # n
 # Import for registration side effects.
 from data_ingestion_din_spark.plans import relational  # noqa: F401,E402
 from data_ingestion_din_spark.plans import events  # noqa: F401,E402
+from data_ingestion_din_spark.plans import events_ext  # noqa: F401,E402
 from data_ingestion_din_spark.plans import text_pipeline  # noqa: F401,E402
+from data_ingestion_din_spark.plans import lm_queries  # noqa: F401,E402
+from data_ingestion_din_spark.plans import unigram_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import dedup_queries  # noqa: F401,E402
+from data_ingestion_din_spark.plans import dedup_grids  # noqa: F401,E402
 from data_ingestion_din_spark.plans import similarity_queries  # noqa: F401,E402
+from data_ingestion_din_spark.plans import similarity_sq  # noqa: F401,E402
 from data_ingestion_din_spark.plans import graph_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import similarity_filtered  # noqa: F401,E402
 from data_ingestion_din_spark.plans import similarity_bq  # noqa: F401,E402
@@ -30,6 +35,7 @@ from data_ingestion_din_spark.plans import streaming_indexes  # noqa: F401,E402
 from data_ingestion_din_spark.plans import streaming_gates  # noqa: F401,E402
 from data_ingestion_din_spark.plans import streaming_sketches  # noqa: F401,E402
 from data_ingestion_din_spark.plans import curation_queries  # noqa: F401,E402
+from data_ingestion_din_spark.plans import curation_audits  # noqa: F401,E402
 from data_ingestion_din_spark.plans import partsupp_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import overlay_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import eval_queries  # noqa: F401,E402

@@ -1999,883 +1999,3 @@ def corpus_dedup_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_funnel_stage_row(4, "semantic_dedup", s4))
         .orderBy("stage_ord")
     )
-
-
-# --------------------------------------------------------------------------
-# dedup_minhash_br_grid — the (bands × rows) OPERATING GRID for banded
-# MinHash LSH, measured and hash-gated: at fixed 8 signature slots the
-# b×r split is the whole candidate-generation knob (P[candidate] =
-# 1−(1−j^r)^b — the Leskovec et al. S-curve), and dedup_minhash_banded's
-# (4,2) choice was convention, not measurement. One row per config
-# (8,1), (4,2), (2,4): candidate-pair count, true positives (candidates
-# whose EXACT shingle Jaccard ≥ 0.5), truth total, and integer per-mille
-# precision/recall — the Jaccard-family analogue of
-# similarity_ivfpq_k16_grid. Ground truth is the inverted-index
-# posting-list join (every pair with ≥1 shared shingle — any pair at
-# j ≥ 0.5 shares shingles, so truth is complete), guarded by
-# _refuse_all_pairs via ngram_jaccard_pairs: an audit construction, run
-# on a bounded slice at scale while the banded configs themselves stay
-# linear-ish. All output columns are integers, so the row is hash-gated
-# end to end.
-#
-# Measured (sf0.01, 500 docs, truth = 25 pairs at j >= 0.5):
-#   (8,1): cand=858  tp=25 precision 29‰  recall 1000‰ — high-recall,
-#          34× candidate overfetch (the S-curve's steep-left regime);
-#   (4,2): cand=30   tp=25 precision 833‰ recall 1000‰ — full recall
-#          at 1.2× overfetch: the knee, validating the production
-#          choice in dedup_minhash_banded as measurement, not lore;
-#   (2,4): cand=24   tp=24 precision 1000‰ recall 960‰ — zero waste
-#          but drops a true pair (r=4 demands 4 consecutive slot
-#          agreements; one j≈0.5 pair never lands a full band).
-# --------------------------------------------------------------------------
-_BR_CONFIGS = [(8, 1), (4, 2), (2, 4)]  # (bands, rows_per_band), b·r = 8
-_BR_THRESH_SQL = "0.5"
-
-
-def _br_band_sql(b: int, r: int, j: int) -> str:
-    slots = " || ',' || ".join(
-        f"CAST(mh{j * r + i} AS VARCHAR)" for i in range(r)
-    )
-    return f"md5('b{j}' || ',' || {slots})"
-
-
-def _br_grid_oracle() -> str:
-    cfg_ctes = []
-    rows = []
-    for b, r in _BR_CONFIGS:
-        union = "\n      UNION ALL ".join(
-            f"SELECT doc_id, {_br_band_sql(b, r, j)} AS band_key FROM sig"
-            for j in range(b)
-        )
-        cfg_ctes.append(f"bands_{b}_{r} AS ({union})")
-        cfg_ctes.append(
-            f"""cand_{b}_{r} AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands_{b}_{r} a JOIN bands_{b}_{r} b
-        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )"""
-        )
-        rows.append(
-            f"""SELECT {b} AS bands, {r} AS rows_per_band,
-             (SELECT count(*) FROM cand_{b}_{r}) AS cand_pairs,
-             (SELECT count(*) FROM cand_{b}_{r} c
-              JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
-               AS tp"""
-        )
-    body = "\n      UNION ALL\n      ".join(rows)
-    ctes = ",\n    ".join(cfg_ctes)
-    return f"""
-    WITH {_BANDED_CTES},
-    truth AS (
-      SELECT i.doc_a, i.doc_b
-      FROM inter i
-      JOIN sizes sa ON sa.doc_id = i.doc_a
-      JOIN sizes sb ON sb.doc_id = i.doc_b
-      WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter)
-            >= {_BR_THRESH_SQL}
-    ),
-    {ctes},
-    grid AS (
-      {body}
-    )
-    SELECT CAST(bands AS INT) AS bands,
-           CAST(rows_per_band AS INT) AS rows_per_band,
-           CAST(cand_pairs AS BIGINT) AS cand_pairs,
-           CAST(tp AS BIGINT) AS tp,
-           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_pairs,
-           CAST(tp * 1000 // greatest(cand_pairs, 1) AS BIGINT)
-             AS precision_milli,
-           CAST(tp * 1000 // greatest((SELECT count(*) FROM truth), 1)
-                AS BIGINT) AS recall_milli
-    FROM grid
-    ORDER BY bands DESC
-    """
-
-
-@query("dedup_minhash_br_grid", oracle=_br_grid_oracle())
-def dedup_minhash_br_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_ingestion_din_spark.functions.analysis import (
-        tokens,
-        word_shingles,
-    )
-    from data_ingestion_din_spark.functions.hashing import with_minhash
-    from data_ingestion_din_spark.sources.tables import scan_parallel
-
-    docs = load_table(spark, sf_dir, "documents")
-    sh_arr = F.array_distinct(word_shingles(tokens(F.col("text")), 3))
-    sh_base = (
-        scan_parallel(docs)
-        .select("doc_id", sh_arr.alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
-    # one signature pass feeds all three configs' band joins
-    sigs = with_minhash(sh_base, F.col("sh"), _NB_HASHES).localCheckpoint(
-        eager=False
-    )
-    # ground truth (audit-guarded all-pairs; 3 tp joins + 1 count read it)
-    truth = (
-        D.ngram_jaccard_pairs(docs, n=3)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
-    truth_cnt = truth.agg(
-        F.count(F.lit(1)).cast("bigint").alias("truth_pairs")
-    )
-    grid = None
-    for b, r in _BR_CONFIGS:
-        keys = F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.lit(f"b{j}"),
-                        *[
-                            F.col(f"mh{j * r + i}").cast("string")
-                            for i in range(r)
-                        ],
-                    )
-                )
-                for j in range(b)
-            ]
-        )
-        banded = sigs.select("doc_id", F.explode(keys).alias("band_key"))
-        cand = (
-            banded.alias("a")
-            .join(banded.alias("b"), "band_key")
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
-        )
-        row = (
-            cand.agg(F.count(F.lit(1)).cast("bigint").alias("cand_pairs"))
-            # 1-row aggregate × 1-row aggregate assembly
-            .crossJoin(
-                cand.join(truth, ["doc_a", "doc_b"]).agg(
-                    F.count(F.lit(1)).cast("bigint").alias("tp")
-                )
-            )
-            .select(
-                F.lit(b).cast("int").alias("bands"),
-                F.lit(r).cast("int").alias("rows_per_band"),
-                "cand_pairs",
-                "tp",
-            )
-        )
-        grid = row if grid is None else grid.unionByName(row)
-    return (
-        grid.crossJoin(truth_cnt)  # 3-row grid × 1-row truth count
-        .select(
-            "bands",
-            "rows_per_band",
-            "cand_pairs",
-            "tp",
-            "truth_pairs",
-            F.expr("tp * 1000 DIV greatest(cand_pairs, 1)").alias(
-                "precision_milli"
-            ),
-            F.expr("tp * 1000 DIV greatest(truth_pairs, 1)").alias(
-                "recall_milli"
-            ),
-        )
-        .orderBy(F.desc("bands"))
-    )
-
-
-# --------------------------------------------------------------------------
-# dedup_substring_w_grid — the WINDOW-LENGTH operating grid for substring
-# dedup, symmetrical to the (bands × rows) MinHash grid above: W=20 was
-# "sized to the fixture" (COVERAGE.md §r8); this query MEASURES the
-# W ∈ {10, 20, 50} surface (50 is Lee et al. 2021's production value)
-# instead of asserting it. Per W, one hash-gated row: how many docs and
-# spans fire, what token mass the spans cover (merged spans are disjoint,
-# so summing lengths is exact), and the FALSE-SPAN rate — the per-mille
-# share of W-spans that overlap NO W=50 span of the same doc, i.e.
-# detections not backed by a 50-token verbatim duplicate, the
-# common-phrase noise that shrinking W admits (0 at W=50 by
-# construction, the self-reference row). Everything is integer counts
-# and integer per-mille division, exact on both engines.
-#
-# Scale: three window-fingerprint passes (O(corpus tokens) each, one
-# wfp shuffle apiece) and a per-doc span-overlap join whose sides are
-# span tables (tiny vs the corpus) equi-joined on doc_id — no
-# broadcast hints (span tables grow with the corpus), no collects.
-# --------------------------------------------------------------------------
-_SSW_GRID = (10, _SSW, 50)
-
-
-def _w_grid_oracle() -> str:
-    chains = ",".join(
-        _win_ctes(include_toks=(i == 0), w=w, prefix=f"w{w}_")
-        for i, w in enumerate(_SSW_GRID)
-    )
-    per_w = "\n    UNION ALL\n".join(
-        f"""
-    SELECT {w} AS w,
-           CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
-           CAST(count(*) AS BIGINT) AS n_spans,
-           CAST(coalesce(sum(s.span_end - s.span_start + 1), 0) AS BIGINT)
-             AS covered_tokens,
-           CAST(coalesce(sum(s.span_end - s.span_start + 1), 0) * 1000
-                // greatest((SELECT n FROM tot), 1) AS BIGINT)
-             AS coverage_permille,
-           CAST(coalesce(sum(CASE WHEN NOT EXISTS (
-                  SELECT 1 FROM w50_spans f
-                  WHERE f.doc_id = s.doc_id
-                    AND f.span_start <= s.span_end
-                    AND f.span_end >= s.span_start
-                ) THEN 1 ELSE 0 END), 0) AS BIGINT) AS false_spans,
-           CAST(coalesce(sum(CASE WHEN NOT EXISTS (
-                  SELECT 1 FROM w50_spans f
-                  WHERE f.doc_id = s.doc_id
-                    AND f.span_start <= s.span_end
-                    AND f.span_end >= s.span_start
-                ) THEN 1 ELSE 0 END), 0) * 1000
-                // greatest(count(*), 1) AS BIGINT) AS false_permille
-    FROM w{w}_spans s"""
-        for w in _SSW_GRID
-    )
-    return f"""
-    WITH {chains},
-    tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n FROM toks)
-    SELECT * FROM ({per_w})
-    ORDER BY w
-    """
-
-
-@query("dedup_substring_w_grid", oracle=_w_grid_oracle())
-def dedup_substring_w_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_ingestion_din_spark.functions.analysis import tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    tot = docs.agg(
-        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("tot_n")
-    )  # 1-row corpus token count
-    span_ref = D.duplicated_spans(docs, 50).select(
-        F.col("doc_id").alias("fdoc"),
-        F.col("span_start").alias("fs"),
-        F.col("span_end").alias("fe"),
-    )
-    grid = None
-    for w in _SSW_GRID:
-        spans = (
-            _substring_spans(spark, sf_dir)
-            if w == _SSW
-            else D.duplicated_spans(docs, w)
-        )
-        confirmed = (
-            spans.join(
-                span_ref,
-                (F.col("doc_id") == F.col("fdoc"))
-                & (F.col("fs") <= F.col("span_end"))
-                & (F.col("fe") >= F.col("span_start")),
-                "left",
-            )
-            .groupBy("doc_id", "span_start", "span_end")
-            .agg(
-                F.max(F.col("fs").isNotNull().cast("int")).alias("conf")
-            )
-        )
-        row = confirmed.agg(
-            F.lit(w).cast("int").alias("w"),
-            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-            F.coalesce(
-                F.sum(F.col("span_end") - F.col("span_start") + 1), F.lit(0)
-            )
-            .cast("bigint")
-            .alias("covered_tokens"),
-            F.coalesce(F.sum(1 - F.col("conf")), F.lit(0))
-            .cast("bigint")
-            .alias("false_spans"),
-        )
-        grid = row if grid is None else grid.unionByName(row)
-    return (
-        grid.crossJoin(tot)  # 3-row grid × 1-row corpus total
-        .select(
-            "w",
-            "n_docs",
-            "n_spans",
-            "covered_tokens",
-            F.expr("covered_tokens * 1000 DIV greatest(tot_n, 1)")
-            .cast("bigint")
-            .alias("coverage_permille"),
-            "false_spans",
-            F.expr("false_spans * 1000 DIV greatest(n_spans, 1)")
-            .cast("bigint")
-            .alias("false_permille"),
-        )
-        .orderBy("w")
-    )
-
-
-# --------------------------------------------------------------------------
-# dedup_simhash_band_grid — the (band width × Hamming radius) OPERATING
-# GRID for bit-slice SimHash banding, the same measured-knob discipline
-# as dedup_minhash_br_grid applied to the OTHER near-dup family: 64-bit
-# fingerprints sliced into 64/w bands of width w ∈ {8, 16, 32}; a pair
-# within Hamming radius r is GUARANTEED caught only while r < n_bands
-# (pigeonhole), so the grid measures both sides of the trade — recall
-# against the guarded all-pairs Hamming truth (r ∈ {1, 2, 3}) and the
-# candidate fan-out the width buys. The PRODUCTION banded join is
-# dedup_simhash_near (distributed, benched); this grid is the audit of
-# its width knob, so — like the graph family's walks — it runs over
-# the collected 64-bit fingerprints (8 bytes/doc of control data,
-# session-staged) under the family's ≤20k all-pairs guard: the first
-# distributed draft (9 joins + a distinct at w=8) measured 13 s at
-# sf0.1; a driver-side numpy rewrite read 2.7 s on the builder host
-# but 12–13 s on the bench host (single-threaded, BLAS/allocator-
-# sensitive — the r11 weak mark), so the compute is now task-parallel:
-# the all-pairs Hamming truth runs as row-chunked Arrow mapInPandas
-# tasks over the broadcast fingerprint array (each task: uint16 XOR +
-# popcount-table gather for its chunk vs all j>i), and the per-width
-# candidate count runs as one task per (width, band) that counts only
-# pairs whose FIRST matching band is that band (earlier-band mismatch
-# checked vectorized per pair) — summing first-match counts per width
-# IS the distinct-union cardinality, so the former driver-side
-# np.unique over millions of packed pair keys disappears entirely.
-# Only counts and the tiny (≤ guard-bounded) truth pair list reach the
-# driver; caught_pairs is a vectorized band-equality check over that
-# truth list.
-#
-# Measured (sf0.01, 500 docs): w=8 (8 bands) holds recall 1000‰ at
-# every radius but costs 39,329 candidates (0‰ precision); w=16 (4
-# bands, the dedup_simhash_near production choice) also holds 1000‰
-# through r=3 at 1,844 candidates — the knee, now a measurement; and
-# w=32 (2 bands) is the pigeonhole failure made visible: guaranteed
-# r≤1 (1000‰), then 833‰ at r=2 and 777‰ at r=3 (2 and 4 true pairs
-# split 1+1 across both bands) at just 21 candidates. The grid is the
-# whole width trade on one screen, like the MinHash (b×r) S-curve.
-#
-# Scale: the fan-out column is the whole story — candidates per band
-# width is what the self-join costs at corpus scale; the truth side
-# is audit-only and guarded.
-# --------------------------------------------------------------------------
-_SHG_WIDTHS = (8, 16, 32)
-_SHG_RADII = (1, 2, 3)
-# (applicationId, sf_dir) -> (ids, fingerprints, truth_pos_a, truth_pos_b,
-# truth_hamming) — the session-staged audit inputs (fingerprints are
-# 8 bytes/doc; the truth list is radius-bounded, a few hundred pairs)
-_SHG_STATE: dict[tuple[str, str], tuple] = {}
-
-
-def _shg_oracle() -> str:
-    band_ctes, rows = [], []
-    for w in _SHG_WIDTHS:
-        nb = 64 // w
-        band_ctes.append(
-            f"""bands{w} AS (
-      SELECT doc_id, simhash,
-             CAST(j AS VARCHAR) || ':'
-               || CAST((simhash >> (j * {w})) & {(1 << w) - 1} AS VARCHAR)
-               AS band_key
-      FROM shfp, range(0, {nb}) t(j)
-    ),
-    cand{w} AS MATERIALIZED (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands{w} a JOIN bands{w} b
-        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )"""
-        )
-        for r in _SHG_RADII:
-            rows.append(
-                f"""SELECT {w} AS band_w, {nb} AS n_bands, {r} AS radius,
-             (SELECT count(*) FROM tp WHERE h <= {r}) AS truth_pairs,
-             (SELECT count(*) FROM cand{w}) AS cand_pairs,
-             (SELECT count(*) FROM cand{w} c
-              JOIN tp ON tp.doc_a = c.doc_a AND tp.doc_b = c.doc_b
-              WHERE tp.h <= {r}) AS caught_pairs"""
-            )
-    body = "\n      UNION ALL\n      ".join(rows)
-    return f"""
-    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
-    h AS ({_H2_SQL}),
-    s AS (SELECT doc_id, {_NEAR_BIT_SUMS} FROM h GROUP BY doc_id),
-    shfp AS MATERIALIZED (
-      SELECT doc_id, CAST({_NEAR_BIT_ASSEMBLE} AS BIGINT) AS simhash FROM s
-    ),
-    tp AS MATERIALIZED (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) AS h
-      FROM shfp a JOIN shfp b ON a.doc_id < b.doc_id
-      WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIT))
-            <= {max(_SHG_RADII)}
-    ),
-    {",".join(band_ctes)}
-    SELECT CAST(band_w AS INT) AS band_w, CAST(n_bands AS INT) AS n_bands,
-           CAST(radius AS INT) AS radius,
-           CAST(truth_pairs AS BIGINT) AS truth_pairs,
-           CAST(cand_pairs AS BIGINT) AS cand_pairs,
-           CAST(caught_pairs AS BIGINT) AS caught_pairs,
-           CAST(CASE WHEN truth_pairs = 0 THEN 1000
-                ELSE caught_pairs * 1000 // truth_pairs END AS BIGINT)
-             AS recall_milli,
-           CAST(caught_pairs * 1000 // greatest(cand_pairs, 1) AS BIGINT)
-             AS precision_milli
-    FROM ({body})
-    ORDER BY band_w, radius
-    """
-
-
-@query("dedup_simhash_band_grid", oracle=_shg_oracle())
-def dedup_simhash_band_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    from data_ingestion_din_spark.operators.dedup import _refuse_all_pairs
-
-    app = spark.sparkContext.applicationId
-    for kk in [kk for kk in _SHG_STATE if kk[0] != app]:
-        del _SHG_STATE[kk]
-    key = (app, sf_dir)
-    if key not in _SHG_STATE:
-        docs = load_table(spark, sf_dir, "documents")
-        _refuse_all_pairs(
-            docs, 20_000, "the distributed banded join (dedup_simhash_near)"
-        )
-        rows = D.simhash(docs, bits=64).collect()
-        ids = np.array([int(r.doc_id) for r in rows], dtype=np.int64)
-        hv = np.array([int(r.simhash) for r in rows], dtype=np.int64)
-        order = np.argsort(ids)
-        ids, hv = ids[order], hv[order]
-        n = len(ids)
-        rmax = max(_SHG_RADII)
-        bc = spark.sparkContext.broadcast(hv)
-        # all-pairs Hamming truth (audit side, guarded): row-chunked
-        # across executor tasks; each task XORs its i-chunk against all
-        # j and keeps (i, j>i) pairs within rmax via a 65536-entry
-        # popcount-table gather. Chunk starts are one-int control rows.
-        chunk = 256
-        n_tasks = max(1, (n + chunk - 1) // chunk)
-        starts_df = spark.createDataFrame(
-            [(i,) for i in range(0, n, chunk)], "i0 int"
-        ).repartition(n_tasks)
-
-        def _truth_tasks(batches):
-            import pandas as pd
-
-            fp = bc.value
-            nn = len(fp)
-            uw = fp.view(np.uint64).view(np.uint16).reshape(nn, 4)
-            v = np.arange(1 << 16, dtype=np.int64)
-            pop16 = np.zeros(1 << 16, dtype=np.uint8)
-            for s in range(16):
-                pop16 += ((v >> s) & 1).astype(np.uint8)
-            for pdf in batches:
-                for i0 in pdf["i0"].tolist():
-                    i1 = min(i0 + chunk, nn)
-                    x = uw[i0:i1, None, :] ^ uw[None, :, :]
-                    h = pop16[x].sum(axis=2, dtype=np.int64)
-                    ii, jj = np.nonzero(h <= rmax)
-                    gi = ii + i0
-                    keep = gi < jj
-                    yield pd.DataFrame(
-                        {
-                            "pa": gi[keep],
-                            "pb": jj[keep],
-                            "h": h[ii[keep], jj[keep]],
-                        }
-                    )
-
-        tp = starts_df.mapInPandas(
-            _truth_tasks, "pa long, pb long, h long"
-        ).collect()
-        tpa = np.array([r.pa for r in tp], dtype=np.int64)
-        tpb = np.array([r.pb for r in tp], dtype=np.int64)
-        tph = np.array([r.h for r in tp], dtype=np.int64)
-        _SHG_STATE[key] = (ids, hv, tpa, tpb, tph)
-    ids, hv, tpa, tpb, tph = _SHG_STATE[key]
-    u = hv.view(np.uint64)
-    n = len(ids)
-    # candidate fan-out per width: one task per (width, band); each
-    # counts pairs sharing THIS band whose earlier bands all mismatch
-    # (first-match counting — summing per width equals the distinct
-    # union over bands without materializing pair keys anywhere)
-    bc2 = spark.sparkContext.broadcast(hv)
-    band_tasks = [(w, j) for w in _SHG_WIDTHS for j in range(64 // w)]
-    tasks_df = spark.createDataFrame(
-        band_tasks, "w int, j int"
-    ).repartition(len(band_tasks))
-
-    def _cand_tasks(batches):
-        import pandas as pd
-
-        fp = bc2.value.view(np.uint64)
-        nn = len(fp)
-        for pdf in batches:
-            out_w, out_cnt = [], []
-            for w, j in zip(pdf["w"].tolist(), pdf["j"].tolist()):
-                mask = np.uint64((1 << w) - 1)
-                bv = (fp >> np.uint64(j * w)) & mask
-                srt = np.argsort(bv, kind="stable")
-                sv = bv[srt]
-                starts = np.nonzero(np.r_[True, sv[1:] != sv[:-1]])[0]
-                ends = np.r_[starts[1:], len(sv)]
-                total = 0
-                for st, en in zip(starts, ends):
-                    if en - st < 2:
-                        continue
-                    grp = np.sort(srt[st:en]).astype(np.int64)
-                    a_i, b_i = np.triu_indices(len(grp), k=1)
-                    pa, pb = grp[a_i], grp[b_i]
-                    if j:
-                        ua, ub = fp[pa], fp[pb]
-                        keep = np.ones(len(pa), dtype=bool)
-                        for jj in range(j):
-                            sh = np.uint64(jj * w)
-                            keep &= ((ua >> sh) & mask) != (
-                                (ub >> sh) & mask
-                            )
-                        total += int(keep.sum())
-                    else:
-                        total += len(pa)
-                out_w.append(int(w))
-                out_cnt.append(total)
-            yield pd.DataFrame({"w": out_w, "cnt": out_cnt})
-
-    cand_rows = tasks_df.mapInPandas(_cand_tasks, "w int, cnt long").collect()
-    cand_by_w = {w: 0 for w in _SHG_WIDTHS}
-    for r in cand_rows:
-        cand_by_w[r.w] += int(r.cnt)
-    grid = []
-    for w in _SHG_WIDTHS:
-        nb = 64 // w
-        mask = np.uint64((1 << w) - 1)
-        # caught = truth pairs sharing >=1 band at this width (the truth
-        # list is guard-bounded control data; this is a few vector ops)
-        if len(tpa):
-            ua, ub = u[tpa], u[tpb]
-            share = np.zeros(len(tpa), dtype=bool)
-            for j in range(nb):
-                sh = np.uint64(j * w)
-                share |= ((ua >> sh) & mask) == ((ub >> sh) & mask)
-        else:
-            share = np.zeros(0, dtype=bool)
-        for r in _SHG_RADII:
-            within = tph <= r
-            t = int(within.sum())
-            c = int((within & share).sum())
-            nc = cand_by_w[w]
-            grid.append(
-                (
-                    w, nb, r, t, nc, c,
-                    1000 if t == 0 else c * 1000 // t,
-                    c * 1000 // max(nc, 1),
-                )
-            )
-    return spark.createDataFrame(
-        grid,
-        "band_w int, n_bands int, radius int, truth_pairs bigint,"
-        " cand_pairs bigint, caught_pairs bigint, recall_milli bigint,"
-        " precision_milli bigint",
-    ).orderBy("band_w", "radius")
-
-
-
-
-# --------------------------------------------------------------------------
-# corpus_line_dedup — CCNet-style LINE-level boilerplate removal
-# (Wenzek et al. 2020 §3.1: paragraph/line hashes shared across
-# documents mark navigation menus, cookie banners, boilerplate — the
-# first filter the CCNet pipeline runs, and a different operator from
-# pairwise near-dup: the unit is a corpus-frequency-thresholded LINE,
-# not a document pair). The fixture has no newlines, so a "line" is a
-# non-overlapping 10-token segment (the substring family's W-token
-# convention transplanted to a disjoint segmentation); each line is
-# keyed by its portable h64 and a line is boilerplate at threshold T
-# when it occurs in >= T DISTINCT documents.
-#
-# One row per document, with the threshold sweep embedded as columns
-# (the measured surface: the fixture's line-frequency histogram is
-# nd=6:2, 4:3, 3:10, 2:112, 1:2671 distinct lines, so T ∈ {2, 3, 4}
-# genuinely discriminates — T=2 removes every duplicated line, T=4
-# only the 5 heaviest boilerplate lines) plus the md5 fingerprint of
-# the ACTUAL kept text at the production T=2 (removal is gated, not
-# just counted). Removal semantics: boilerplate lines are dropped from
-# ALL documents (the header/footer disposition — reference parity:
-# ingestion/pdf_parser.py's repeated-header suppression does the same
-# per page); CCNet's alternative keep-first form is the documented
-# variant, not implemented here because keep-one-copy of a cookie
-# banner is never what a training corpus wants.
-#
-# Scale: split + slice are per-row HOFs (no explode until the line
-# table, which is ~n_tokens/10 rows); the frequency table is corpus-
-# derived GROWING state, so the lines->freq join is a plain hint-free
-# equi-join on the line hash (never broadcast); per-doc reassembly is
-# one groupBy over the line table. At 100 TB every stage is linear and
-# shuffle-keyed on (lh) then (doc_id) — the same two-shuffle shape as
-# the substring-removal family.
-# --------------------------------------------------------------------------
-_LINE_W = 10
-_LINE_TS = (2, 3, 4)
-
-
-def _line_ctes() -> str:
-    """tk/lines/hl oracle CTEs for the W-token pseudo-line segmentation
-    — shared with the streaming gate's oracle."""
-    return f"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks
-                FROM documents),
-    lines AS (
-      SELECT doc_id, k.k AS line_no,
-             array_to_string(
-               list_slice(toks, k.k * {_LINE_W} + 1,
-                          k.k * {_LINE_W} + {_LINE_W}), ' ') AS line
-      FROM tk CROSS JOIN LATERAL (
-        SELECT unnest(generate_series(
-          0, (len(toks) - 1) // {_LINE_W})) AS k) k
-    ),
-    hl AS (
-      SELECT doc_id, line_no, line, {h64_sql('line')} AS lh FROM lines
-    )"""
-
-
-def _line_dedup_oracle() -> str:
-    rm_cols = ",\n           ".join(
-        f"CAST(sum(CASE WHEN nd >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
-        f" AS n_rm_t{t},"
-        f" CAST(sum(CASE WHEN nd >= {t} THEN 1 ELSE 0 END) * 1000"
-        f" // count(*) AS BIGINT) AS rm_t{t}_milli"
-        for t in _LINE_TS
-    )
-    return f"""
-    WITH {_line_ctes()},
-    freq AS (
-      SELECT lh, count(DISTINCT doc_id) AS nd FROM hl GROUP BY lh
-    ),
-    j AS (SELECT hl.doc_id, hl.line_no, hl.line, freq.nd
-          FROM hl JOIN freq USING (lh))
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(count(*) AS BIGINT) AS n_lines,
-           {rm_cols},
-           md5(coalesce(string_agg(CASE WHEN nd < 2 THEN line END,
-                                   ' ' ORDER BY line_no), ''))
-             AS kept_fp_t2
-    FROM j GROUP BY doc_id ORDER BY doc_id
-    """
-
-
-def _doc_lines(docs: DataFrame) -> DataFrame:
-    """(doc_id, line_no, line, lh): the disjoint W-token pseudo-line
-    segmentation + portable line hash, shared by the batch query and
-    the streaming_line_dedup_gate processor so the two can never
-    drift on the segmentation rule."""
-    from data_ingestion_din_spark.functions.hashing import h64
-
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    return (
-        toks.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        ((F.size("toks") - F.lit(1)) / _LINE_W).cast(
-                            "int"
-                        ),
-                    ),
-                    lambda k: F.concat_ws(
-                        " ",
-                        F.slice(F.col("toks"), k * _LINE_W + 1, _LINE_W),
-                    ),
-                )
-            ),
-        )
-        .select(
-            "doc_id",
-            F.col("pos").alias("line_no"),
-            F.col("col").alias("line"),
-        )
-        .withColumn("lh", h64(F.col("line")))
-    )
-
-
-@query("corpus_line_dedup", oracle=_line_dedup_oracle())
-def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    hl = _doc_lines(docs)
-    # corpus-derived growing state: plain hint-free equi-join on lh
-    freq = hl.groupBy("lh").agg(
-        F.countDistinct("doc_id").alias("nd")
-    )
-    j = hl.join(freq, "lh")
-    rm_aggs = []
-    for t in _LINE_TS:
-        n_rm = F.sum(
-            F.when(F.col("nd") >= t, 1).otherwise(0)
-        ).cast("bigint")
-        rm_aggs += [
-            n_rm.alias(f"n_rm_t{t}"),
-            (n_rm * 1000 / F.count(F.lit(1)))
-            .cast("bigint")
-            .alias(f"rm_t{t}_milli"),
-        ]
-    return (
-        j.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-            *rm_aggs,
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("nd") < 2,
-                                    F.struct("line_no", "line"),
-                                )
-                            )
-                        ),
-                        lambda x: x.line,
-                    ),
-                )
-            ).alias("kept_fp_t2"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-# --------------------------------------------------------------------------
-# dedup_semdedup_eps_grid — the EPSILON knob of semantic dedup measured,
-# completing the dedup operating grids (MinHash b×r ✓, SimHash w×r ✓,
-# substring W ✓ — SemDeDup's cosine threshold was still a convention:
-# 0.4 was chosen because the fixture's near-dup mass sits just above
-# it). One row per ε ∈ {0.3, 0.4, 0.5}: the TRUE near-pair count
-# (guarded all-pairs), the pairs the production k=8 cell-local
-# comparison actually sees, pair recall in per-mille (the cross-cell
-# miss rate SemDeDup's cluster-then-compare accepts — Abbas et al.
-# 2023's documented trade, now priced PER THRESHOLD), and the doc-level
-# consequence: how many docs each side would remove (any lower-id near
-# neighbor = removed, the funnel's rule).
-#
-# Exactness: cos ≥ c/10 as the integer predicate dot > 0 AND
-# 100·dot² ≥ c²·aa·bb over 1e3-quantized vectors (the semdedup gate's
-# recipe generalized to the sweep; every product fits int64 at
-# dims=64). The audit side runs driver-side over the guarded collected
-# matrix (the simhash-band-grid disposition); the oracle recomputes
-# both sides in SQL with the unrolled 2-iteration Lloyd.
-#
-# Measured (sf0.01, k=8 cells): ε=0.3 → 992 true pairs, cell recall
-# 314‰; ε=0.4 → 60 true, 433‰; ε=0.5 → 1 pair, caught (1000‰). The
-# cross-cell miss is SEVERE at loose thresholds (weak similarity
-# reaches far beyond a Lloyd cell) and doc-level removal recall reads
-# better than pair recall (531/418‰ — a doc with several near
-# neighbors only needs ONE in-cell to be removed): the honest price
-# sheet of cluster-then-compare, per threshold. The production ε=0.4
-# choice sits where the fixture's planted near-dup mass lives.
-# --------------------------------------------------------------------------
-_SDE_EPS = (3, 4, 5)  # cosine thresholds in tenths
-
-
-def _sde_oracle() -> str:
-    from data_ingestion_din_spark.plans.similarity_queries import _km_ctes
-
-    per_eps = []
-    for c in _SDE_EPS:
-        cond = f"g.dot > 0 AND 100 * g.dot * g.dot >= {c * c} * g.ab"
-        per_eps.append(
-            f"""SELECT {c} AS eps_tenths,
-             (SELECT count(*) FROM pairs g WHERE {cond})
-               AS n_true_pairs,
-             (SELECT count(*) FROM pairs g
-              WHERE {cond} AND g.same_cell) AS n_cell_pairs,
-             (SELECT count(DISTINCT g.hi) FROM pairs g WHERE {cond})
-               AS n_removed_true,
-             (SELECT count(DISTINCT g.hi) FROM pairs g
-              WHERE {cond} AND g.same_cell) AS n_removed_cell"""
-        )
-    body = "\n      UNION ALL\n      ".join(per_eps)
-    return f"""
-    WITH {_km_ctes()},
-    q3 AS (
-      SELECT vec_id,
-             list_transform(
-               embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-             ) AS qv
-      FROM embeddings
-    ),
-    pairs AS MATERIALIZED (
-      SELECT a.vec_id AS lo, b.vec_id AS hi,
-             list_sum(list_transform(range(1, 65),
-               i -> a.qv[i] * b.qv[i])) AS dot,
-             list_sum(list_transform(range(1, 65),
-               i -> a.qv[i] * a.qv[i]))
-             * list_sum(list_transform(range(1, 65),
-               i -> b.qv[i] * b.qv[i])) AS ab,
-             ca.cluster = cb.cluster AS same_cell
-      FROM q3 a
-      JOIN q3 b ON b.vec_id > a.vec_id
-      JOIN a2 ca ON ca.vec_id = a.vec_id
-      JOIN a2 cb ON cb.vec_id = b.vec_id
-    )
-    SELECT CAST(eps_tenths AS INT) AS eps_tenths,
-           CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
-           CAST(n_cell_pairs AS BIGINT) AS n_cell_pairs,
-           CAST(CASE WHEN n_true_pairs = 0 THEN 1000
-                ELSE n_cell_pairs * 1000 // n_true_pairs END AS BIGINT)
-             AS pair_recall_milli,
-           CAST(n_removed_true AS BIGINT) AS n_removed_true,
-           CAST(n_removed_cell AS BIGINT) AS n_removed_cell,
-           CAST(CASE WHEN n_removed_true = 0 THEN 1000
-                ELSE n_removed_cell * 1000 // n_removed_true END
-                AS BIGINT) AS removed_recall_milli
-    FROM ({body})
-    ORDER BY eps_tenths
-    """
-
-
-@query("dedup_semdedup_eps_grid", oracle=_sde_oracle())
-def dedup_semdedup_eps_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    from data_ingestion_din_spark.functions.vectors import quantize_milli
-    from data_ingestion_din_spark.plans.similarity_queries import _km8
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    D._refuse_all_pairs(
-        emb, 20_000, "cell-local comparison (the production column here)"
-    )
-    rows = emb.select(
-        "vec_id", quantize_milli(F.col("embedding")).alias("qv")
-    ).collect()
-    ids = np.array(sorted(int(r.vec_id) for r in rows), dtype=np.int64)
-    by_id = {int(r.vec_id): list(r.qv) for r in rows}
-    m = np.array([by_id[i] for i in ids], dtype=np.int64)
-    cell = {
-        int(r.vec_id): int(r.cluster)
-        for r in _km8(spark, sf_dir).collect()
-    }
-    cells = np.array([cell[i] for i in ids], dtype=np.int64)
-    g = m @ m.T
-    nsq = np.diag(g).copy()
-    ab = nsq[:, None] * nsq[None, :]
-    upper = np.triu(np.ones_like(g, dtype=bool), k=1)
-    same = cells[:, None] == cells[None, :]
-    out = []
-    for c in _SDE_EPS:
-        near = (g > 0) & (100 * g * g >= c * c * ab) & upper
-        cellnear = near & same
-        n_true = int(near.sum())
-        n_cell = int(cellnear.sum())
-        rm_true = int(near.any(axis=0).sum())
-        rm_cell = int(cellnear.any(axis=0).sum())
-        out.append(
-            (
-                c,
-                n_true,
-                n_cell,
-                1000 if n_true == 0 else n_cell * 1000 // n_true,
-                rm_true,
-                rm_cell,
-                1000 if rm_true == 0 else rm_cell * 1000 // rm_true,
-            )
-        )
-    return spark.createDataFrame(
-        out,
-        "eps_tenths int, n_true_pairs bigint, n_cell_pairs bigint,"
-        " pair_recall_milli bigint, n_removed_true bigint,"
-        " n_removed_cell bigint, removed_recall_milli bigint",
-    ).orderBy("eps_tenths")

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_din_spark.functions.hashing import h64_sql
+from data_ingestion_din_spark.plans.events_ext import _hll_alpha
 from data_ingestion_din_spark.plans.registry import query
 from data_ingestion_din_spark.sources.tables import load_table
 
@@ -1646,3 +1648,191 @@ def dq_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_milli"
         ),
     ).orderBy("tbl", "col")
+
+
+_HAB_MONEY = {
+    "c_acctbal", "s_acctbal", "p_retailprice", "o_totalprice",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax", "value",
+}
+_HAB_MICROS = {"ts", "o_orderdate", "l_shipdate"}  # stored TIMESTAMP
+
+
+# --------------------------------------------------------------------------
+# dq_completeness_hll_ab — the PRICED substitution dq_completeness_matrix
+# only documents: that profile's expensive half is one exact
+# count(DISTINCT) per column, and its header asserts that at 100 TB
+# production swaps them for maintained HLL registers. This query IS the
+# swap, measured: for every profiled column, the exact distinct count
+# vs the raw-HLL estimate at m ∈ {64, 256} with the SIGNED per-mille
+# error — the events_hll_precision_grid machinery (same integer
+# register recipe: 60-bit portable md5 hash, rank = (61−p) −
+# length(bin(h div m)), scaled harmonic sum exact in BIGINT, one final
+# double division with the alpha literal) generalized from one stream
+# column to the whole catalog. The error column turns "HLL is fine for
+# profiling" into per-column evidence: keys with n ≫ m sit near the
+# 1.04/√m band while tiny enums (n/m < 1) show the raw estimator's
+# small-range bias — exactly the regime split the m knob buys.
+#
+# Values are canonicalized BEFORE hashing so both engines hash the
+# same byte strings: integers/strings/dates cast to their canonical
+# string form, money doubles to exact cents (floor(x·100) BIGINT — so
+# "distinct" here means distinct at cent precision, stated on the
+# tin), timestamps to integer microseconds. The embedding array column
+# is excluded (no portable canonical string; its key column vec_id
+# carries the table's cardinality signal).
+#
+# Scale: ONE hash-distinct pass per table feeds every (column, m) —
+# the per-m register tables are (n_cols × m) rows of metadata; the
+# exact side rides the same distinct pass the profile already paid,
+# so the A/B adds sketch arithmetic, not new corpus scans.
+# --------------------------------------------------------------------------
+_HAB_MS = (64, 256)
+# table -> [(column, kind)]; kind ∈ {raw, money, micros} picks the
+# canonical pre-hash string form (identical in both engines)
+_HAB_COLS: dict[str, list[tuple[str, str]]] = {
+    t: [
+        (c, "money" if c in _HAB_MONEY else ("micros" if c in _HAB_MICROS else "raw"))
+        for c, _ in cols
+        if c != "embedding"
+    ]
+    for t, cols in _DQCM_COLS.items()
+}
+
+
+def _hab_canon(col: str, kind: str, spark_side: bool) -> str:
+    if kind == "money":
+        return f"CAST(CAST(floor({col} * 100) AS BIGINT) AS STRING)"
+    if kind == "micros":
+        if spark_side:
+            # stored TIMESTAMP_NTZ; session TZ is pinned UTC so the
+            # NTZ->TZ cast is wall-clock identity
+            return f"CAST(unix_micros(CAST({col} AS TIMESTAMP)) AS STRING)"
+        return f"CAST(epoch_us({col}) AS STRING)"
+    return f"CAST({col} AS STRING)"
+
+
+def _hab_oracle() -> str:
+    branches = []
+    for t, cols in _HAB_COLS.items():
+        for c, kind in cols:
+            canon = _hab_canon(c, kind, spark_side=False)
+            branches.append(
+                f"""SELECT DISTINCT '{t}' AS tbl, '{c}' AS col,
+             {h64_sql(canon, seed=f"hab:{t}.{c}:")} AS h
+      FROM {t} WHERE {c} IS NOT NULL"""
+            )
+    uh = "\n      UNION ALL\n      ".join(branches)
+    per_m = []
+    for m in _HAB_MS:
+        p = m.bit_length() - 1
+        top = 61 - p
+        num = _hll_alpha(m) * m * m * 4294967296.0
+        per_m.append(
+            f"""SELECT tbl, col, {m} AS m,
+             CAST(sum(CAST(1 AS BIGINT) << (32 - least(r, 32)))
+                  + ({m} - count(*)) * 4294967296 AS BIGINT) AS s_scaled,
+             {num!r} AS est_num
+      FROM (SELECT tbl, col, h % {m} AS bucket,
+                   max(CASE WHEN h // {m} = 0 THEN {top}
+                        ELSE {top} - length(bin(h // {m})) END) AS r
+            FROM uh GROUP BY 1, 2, 3)
+      GROUP BY tbl, col"""
+        )
+    ms = "\n      UNION ALL\n      ".join(per_m)
+    return f"""
+    WITH uh AS MATERIALIZED (
+      {uh}
+    ),
+    ex AS (SELECT tbl, col, CAST(count(*) AS BIGINT) AS n_exact
+           FROM uh GROUP BY tbl, col),
+    sk AS (
+      {ms}
+    )
+    SELECT ex.tbl, ex.col, CAST(sk.m AS INT) AS m, ex.n_exact,
+           sk.s_scaled,
+           round(sk.est_num / CAST(sk.s_scaled AS DOUBLE), 4)
+             AS hll_estimate,
+           round((sk.est_num / CAST(sk.s_scaled AS DOUBLE) - ex.n_exact)
+                 * 1000.0 / ex.n_exact, 2) AS err_permille
+    FROM ex JOIN sk ON sk.tbl = ex.tbl AND sk.col = ex.col
+    ORDER BY ex.tbl, ex.col, m
+    """
+
+
+@query("dq_completeness_hll_ab", oracle=_hab_oracle())
+def dq_completeness_hll_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.functions.hashing import h64
+
+    uh = None
+    for t, cols in _HAB_COLS.items():
+        tb = load_table(spark, sf_dir, t)
+        part = None
+        for c, kind in cols:
+            one = tb.filter(F.col(c).isNotNull()).select(
+                F.lit(t).alias("tbl"),
+                F.lit(c).alias("col"),
+                h64(
+                    F.expr(_hab_canon(c, kind, spark_side=True)),
+                    seed=f"hab:{t}.{c}:",
+                ).alias("h"),
+            )
+            part = one if part is None else part.unionByName(one)
+        uh = part if uh is None else uh.unionByName(part)
+    uh = uh.distinct().localCheckpoint(eager=False)  # one pass, all (col, m)
+    ex = uh.groupBy("tbl", "col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    sk = None
+    for m in _HAB_MS:
+        p = m.bit_length() - 1
+        top = 61 - p
+        num = _hll_alpha(m) * m * m * 4294967296.0
+        w = F.expr(f"h div {m}")
+        reg = (
+            uh.select(
+                "tbl",
+                "col",
+                F.pmod(F.col("h"), F.lit(m)).alias("bucket"),
+                F.when(w == 0, F.lit(top))
+                .otherwise(F.lit(top) - F.length(F.bin(w)))
+                .alias("rnk"),
+            )
+            .groupBy("tbl", "col", "bucket")
+            .agg(F.max("rnk").alias("r"))
+        )
+        s = reg.groupBy("tbl", "col").agg(
+            F.lit(m).cast("int").alias("m"),
+            (
+                F.sum(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), 32 - least(r, 32))")
+                )
+                + (F.lit(m) - F.count(F.lit(1))) * F.lit(4294967296)
+            )
+            .cast("bigint")
+            .alias("s_scaled"),
+            F.lit(num).alias("est_num"),
+        )
+        sk = s if sk is None else sk.unionByName(s)
+    return (
+        ex.join(sk, ["tbl", "col"])
+        .select(
+            "tbl",
+            "col",
+            "m",
+            "n_exact",
+            "s_scaled",
+            F.round(
+                F.col("est_num") / F.col("s_scaled").cast("double"), 4
+            ).alias("hll_estimate"),
+            F.round(
+                (
+                    F.col("est_num") / F.col("s_scaled").cast("double")
+                    - F.col("n_exact")
+                )
+                * 1000.0
+                / F.col("n_exact"),
+                2,
+            ).alias("err_permille"),
+        )
+        .orderBy("tbl", "col", "m")
+    )

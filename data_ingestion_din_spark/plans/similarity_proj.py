@@ -22,10 +22,10 @@ from data_ingestion_din_spark.functions.vectors import cosine_exact_sql
 from data_ingestion_din_spark.plans.registry import query
 from data_ingestion_din_spark.plans.similarity_queries import (
     _DIMS_UB,
-    _MRL_DIMS,
     _SWEEP_N,
     _etop_staged,
 )
+from data_ingestion_din_spark.plans.similarity_sq import _MRL_DIMS
 from data_ingestion_din_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------

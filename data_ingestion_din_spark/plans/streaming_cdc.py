@@ -1347,7 +1347,7 @@ _CDCM_DONE: dict[tuple[str, str], str] = {}
 def _cdc_merge_processor(out: str):
     from pyspark.sql.window import Window as W
 
-    from data_ingestion_din_spark.plans.events import _CDC_SPLIT
+    from data_ingestion_din_spark.plans.events_ext import _CDC_SPLIT
 
     keys = ["user_id", "event_type"]
 
@@ -1405,7 +1405,7 @@ def _cdcm_out_dir(spark: SparkSession, sf_dir: str) -> str:
         _dir_ok,
         fresh_app_dir,
     )
-    from data_ingestion_din_spark.plans.events import _CDC_SPLIT
+    from data_ingestion_din_spark.plans.events_ext import _CDC_SPLIT
 
     key = (spark.sparkContext.applicationId, sf_dir)
     _evict_dead(_CDCM_DONE, key[0])

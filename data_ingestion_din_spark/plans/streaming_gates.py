@@ -2196,7 +2196,7 @@ _SLDG_T = 2  # production boilerplate threshold (corpus_line_dedup's grid)
 def _line_gate_processor(out: str, freq_state: str):
     """foreachBatch processor over (verdicts, additive-frequency-state)
     dirs — module-level for the replay test, like the sibling gates."""
-    from data_ingestion_din_spark.plans.dedup_queries import _doc_lines
+    from data_ingestion_din_spark.plans.dedup_grids import _doc_lines
 
     def _plan(batch_df: DataFrame, epoch_id: int):
         spark_l = batch_df.sparkSession
@@ -2270,7 +2270,7 @@ def _sldg_out_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _sldg_oracle() -> str:
-    from data_ingestion_din_spark.plans.dedup_queries import _line_ctes
+    from data_ingestion_din_spark.plans.dedup_grids import _line_ctes
 
     return f"""
     WITH {_line_ctes()},

@@ -13,7 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_din_spark.plans.events import (
+from data_ingestion_din_spark.plans.events_ext import (
     _theta_algebra_sql,
     _theta_est_rows,
 )

@@ -2045,1451 +2045,3 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").over(W.orderBy("bucket")).cast("bigint").alias("cum_tokens"),
         F.sum("new_types").over(W.orderBy("bucket")).cast("bigint").alias("cum_types"),
     ).orderBy("bucket")
-
-
-# --------------------------------------------------------------------------
-# doc_ngram_perplexity — the REAL CCNet/KenLM quality knob behind the
-# doc_rare_token_ratio / doc_bigram_lm_score stand-ins: per-document
-# length-normalized bigram negative-log-likelihood with Stupid-Backoff
-# (Brants et al. 2007) to the unigram model, in INTEGER octave
-# arithmetic (length(bin(x)) = floor(log2 x)+1 — the retrieval_bm25 /
-# DSIR recipe) so every per-doc score and the keep/drop DECISION sit
-# under the hash gate (libm log is the one primitive parity cannot
-# trust). The LM trains on the doc_id%4==0 quarter and scores EVERYONE,
-# so held-out docs genuinely exercise the backoff path (an LM trained on
-# the full corpus has pair_n >= 1 for every scored bigram and the
-# backoff branch would be dead code; the %2 half-trainer left only 7
-# backoff bigrams on this fixture vs the quarter-trainer's 58 across
-# 57 docs — measured, which is why the slice is %4):
-#
-#   q(h,x) = intlog2(head_n+1) - intlog2(pair_n)          seen bigram
-#          = 1 + intlog2(T+1)  - intlog2(tok_n(x)+1)      backoff
-#                (1 octave  ~= the Stupid-Backoff alpha=0.4 penalty)
-#   ppl_milli(d) = 1000 * sum(q) DIV n_bigrams            keep <= cutoff
-#
-# Scale: one (head,next) shuffle trains the pair table (map-side
-# partials), scoring is a pair-key shuffle join of corpus bigrams
-# against it (the bigram long tail — NOT broadcastable, honestly so) +
-# a vocab-key join for the backoff unigram, then one doc_id rollup; the
-# trained tables are staged artifacts reused across quality passes at
-# production, exactly like doc_rare_token_ratio's df table.
-# --------------------------------------------------------------------------
-_PPL_TRAIN_MOD = 4
-_PPL_KEEP_MAX = 4650  # milli-octaves/bigram ~= fixture median: the keep
-# decision splits the corpus instead of waving everyone through
-# (measured ppl_milli range 4208..5061, median 4654 under the %4 LM)
-
-
-@query(
-    "doc_ngram_perplexity",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-    prs AS (
-      SELECT doc_id, t[i] AS head, t[i + 1] AS next
-      FROM t, unnest(range(1, len(t))) r(i)
-      WHERE i < len(t)
-    ),
-    pc AS (
-      SELECT head, next, CAST(count(*) AS BIGINT) AS pair_n
-      FROM prs WHERE doc_id % {_PPL_TRAIN_MOD} = 0 GROUP BY head, next
-    ),
-    hn AS (
-      SELECT *, CAST(sum(pair_n) OVER (PARTITION BY head) AS BIGINT)
-                  AS head_n
-      FROM pc
-    ),
-    trtok AS (
-      SELECT unnest(t) AS tok FROM t WHERE doc_id % {_PPL_TRAIN_MOD} = 0
-    ),
-    uc AS (
-      SELECT tok, CAST(count(*) AS BIGINT) AS tok_n FROM trtok GROUP BY tok
-    ),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM trtok),
-    q AS (
-      SELECT p.doc_id,
-             CASE WHEN h.pair_n IS NOT NULL
-               THEN CAST(length(bin(h.head_n + 1)) AS BIGINT)
-                    - CAST(length(bin(h.pair_n)) AS BIGINT)
-               ELSE 1 + CAST(length(bin(tot.tt + 1)) AS BIGINT)
-                    - CAST(length(bin(coalesce(u.tok_n, 0) + 1)) AS BIGINT)
-             END AS q,
-             CASE WHEN h.pair_n IS NULL THEN 1 ELSE 0 END AS bo
-      FROM prs p
-      LEFT JOIN hn h ON h.head = p.head AND h.next = p.next
-      LEFT JOIN uc u ON u.tok = p.next
-      CROSS JOIN tot
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST(sum(bo) AS BIGINT) AS n_backoff,
-           CAST(sum(q) AS BIGINT) AS q_sum,
-           CAST(sum(q) * 1000 // count(*) AS BIGINT) AS ppl_milli,
-           (sum(q) * 1000 // count(*)) <= {_PPL_KEEP_MAX} AS keep
-    FROM q GROUP BY doc_id ORDER BY doc_id
-    """,
-)
-def doc_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    docs = load_table(spark, sf_dir, "documents")
-    intlog2 = lambda c: F.length(F.bin(c)).cast("bigint")  # noqa: E731
-    # size >= 2 guard for the bigram generator (sequence() descends for
-    # shorter docs — see corpus_bigram_lm); unigram/total counts use the
-    # UNFILTERED token stream (1-token train docs still count).
-    t0 = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    t = t0.filter(F.size("t") >= 2)
-    prs = t.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1), "
-                "i -> struct(t[i - 1] AS head, t[i] AS next))"
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.head", "p.next")
-    train = prs.filter(F.col("doc_id") % _PPL_TRAIN_MOD == 0)
-    pc = train.groupBy("head", "next").agg(
-        F.count(F.lit(1)).cast("bigint").alias("pair_n")
-    )
-    hn = pc.withColumn(
-        "head_n", F.sum("pair_n").over(W.partitionBy("head")).cast("bigint")
-    )
-    trtok = (
-        t0.filter(F.col("doc_id") % _PPL_TRAIN_MOD == 0)
-        .select(F.explode("t").alias("tok"))
-    )
-    uc = trtok.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tok_n")
-    )
-    tot = trtok.agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
-    scored = (
-        prs.join(hn, ["head", "next"], "left")
-        .join(uc.withColumnRenamed("tok", "next"), "next", "left")
-        # 1-row scalar attach, hint-free (AQE broadcasts it on its own;
-        # the LM-side joins above must stay plain — vocabulary-sized)
-        .crossJoin(tot)
-        .select(
-            "doc_id",
-            F.when(
-                F.col("pair_n").isNotNull(),
-                intlog2(F.col("head_n") + 1) - intlog2(F.col("pair_n")),
-            )
-            .otherwise(
-                F.lit(1)
-                + intlog2(F.col("tt") + 1)
-                - intlog2(F.coalesce(F.col("tok_n"), F.lit(0)) + 1)
-            )
-            .alias("q"),
-            F.when(F.col("pair_n").isNull(), 1).otherwise(0).alias("bo"),
-        )
-    )
-    n = F.count(F.lit(1))
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            n.cast("bigint").alias("n_bigrams"),
-            F.sum("bo").cast("bigint").alias("n_backoff"),
-            F.sum("q").cast("bigint").alias("q_sum"),
-            F.expr("sum(q) * 1000 DIV count(*)")
-            .cast("bigint")
-            .alias("ppl_milli"),
-            (F.expr("sum(q) * 1000 DIV count(*)") <= _PPL_KEEP_MAX).alias(
-                "keep"
-            ),
-        )
-        .orderBy("doc_id")
-    )
-
-
-# --------------------------------------------------------------------------
-# doc_trigram_perplexity — one step from the bigram Stupid-Backoff above
-# toward the 5-gram KenLM CCNet runs: an INTERPOLATED trigram LM
-# (Jelinek-Mercer shape) in pure integer arithmetic. Component
-# probabilities live in fixed point (p·2^S, S=30, exact integer
-# division on both engines); the mixture is an integer-weighted sum
-# with octave weights summing to 8, and the per-gram NLL is its octave
-#
-#   q = intlog2(8·2^S) − intlog2(λ3·p3 + λ2·p2 + λ1·p1)
-#     = (S+4) − length(bin(mix))                    (mix ≥ 1: λ1 ≥ 1
-#       and the add-one unigram keeps p1 ≥ 1 while T+1 ≤ 2^S)
-#
-# so scores and keep/drop decisions stay under the hash gate. Same %4
-# trainer protocol as the bigram (train quarter, score everyone). The
-# λ grid was MEASURED before shipping (doc_lm_interp_ab below): on this
-# fixture held-out NLL is monotone TOWARD the bigram component —
-# (4,2,2)=5889, (2,4,2)=5605, (1,5,2)=5510, pure-bigram (0,7,1)=5486
-# milli-octaves/gram, all above Stupid-Backoff's 4683 — the %4 training
-# quarter is too sparse for trigram contexts to pay (10,580 of 26,165
-# scored trigrams hit a trained context at sf0.01). Production λ is
-# (1,5,2), the best setting whose trigram component is alive; the A/B
-# query keeps the whole surface gated rather than a hypothesis comment.
-#
-# Scale: one (h1,h2,x) shuffle trains the trigram table, scoring is
-# corpus trigrams shuffle-joined against it plus the bigram/unigram
-# tables (long-tail keys — NOT broadcastable, hint-free), one doc_id
-# rollup; the 1-row total attaches via crossJoin like the bigram.
-# 2^S fixed point caps exact counts at tri_n < 2^33 per key — fine for
-# any training slice whose single most frequent trigram is < 8.5e9.
-# --------------------------------------------------------------------------
-_PPL3_S = 30
-_PPL3_LAMBDAS = ((4, 2, 2), (2, 4, 2), (1, 5, 2), (0, 7, 1))  # sum = 8
-_PPL3_L = (1, 5, 2)  # production: measured knee with a live trigram term
-_PPL3_KEEP_MAX = 5470  # ~fixture median under the production lambda
-# (range 4235..6300, median 5473 at (1,5,2)): the keep decision splits
-# the corpus instead of waving everyone through, like _PPL_KEEP_MAX
-
-
-def _ppl3_ctes() -> str:
-    """Trigram/bigram/unigram component probabilities per scored trigram,
-    fixed point p·2^S — the shared head of both queries below."""
-    return f"""
-    t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-    tri AS (
-      SELECT doc_id, t[i] AS h1, t[i+1] AS h2, t[i+2] AS x
-      FROM t, unnest(range(1, len(t) - 1)) r(i) WHERE i + 2 <= len(t)
-    ),
-    tc AS (
-      SELECT h1, h2, x, CAST(count(*) AS BIGINT) AS tri_n
-      FROM tri WHERE doc_id % {_PPL_TRAIN_MOD} = 0 GROUP BY h1, h2, x
-    ),
-    ctx3 AS (
-      SELECT h1, h2, CAST(sum(tri_n) AS BIGINT) AS ctx_n
-      FROM tc GROUP BY h1, h2
-    ),
-    prs3 AS (
-      SELECT doc_id, t[i] AS head, t[i + 1] AS next
-      FROM t, unnest(range(1, len(t))) r(i) WHERE i < len(t)
-    ),
-    pc3 AS (
-      SELECT head, next, CAST(count(*) AS BIGINT) AS pair_n
-      FROM prs3 WHERE doc_id % {_PPL_TRAIN_MOD} = 0 GROUP BY head, next
-    ),
-    hn3 AS (
-      SELECT *, CAST(sum(pair_n) OVER (PARTITION BY head) AS BIGINT)
-                  AS head_n
-      FROM pc3
-    ),
-    trtok3 AS (
-      SELECT unnest(t) AS tok FROM t WHERE doc_id % {_PPL_TRAIN_MOD} = 0
-    ),
-    uc3 AS (
-      SELECT tok, CAST(count(*) AS BIGINT) AS tok_n FROM trtok3 GROUP BY tok
-    ),
-    tot3 AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM trtok3),
-    comps AS (
-      SELECT g.doc_id, g.h2, g.x,
-        CASE WHEN c.tri_n IS NOT NULL
-          THEN c.tri_n * {1 << _PPL3_S} // x3.ctx_n ELSE 0 END AS p3,
-        CASE WHEN h.pair_n IS NOT NULL
-          THEN h.pair_n * {1 << _PPL3_S} // h.head_n ELSE 0 END AS p2,
-        (coalesce(u.tok_n, 0) + 1) * {1 << _PPL3_S} // (tot3.tt + 1) AS p1,
-        CASE WHEN c.tri_n IS NOT NULL THEN 1 ELSE 0 END AS tri_hit,
-        CASE WHEN h.pair_n IS NOT NULL THEN 1 ELSE 0 END AS bi_hit,
-        h.pair_n AS pair_n, h.head_n AS head_n
-      FROM tri g
-      LEFT JOIN tc c ON c.h1 = g.h1 AND c.h2 = g.h2 AND c.x = g.x
-      LEFT JOIN ctx3 x3 ON x3.h1 = g.h1 AND x3.h2 = g.h2
-      LEFT JOIN hn3 h ON h.head = g.h2 AND h.next = g.x
-      LEFT JOIN uc3 u ON u.tok = g.x
-      CROSS JOIN tot3
-    )"""
-
-
-def _ppl3_q_sql(lams: tuple[int, int, int]) -> str:
-    l3, l2, l1 = lams
-    return (
-        f"{_PPL3_S + 4} - length(bin({l3} * p3 + {l2} * p2 + {l1} * p1))"
-    )
-
-
-def _tri_comps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of the ``comps`` CTE: per scored trigram, the fixed
-    point component probabilities and hit flags."""
-    docs = load_table(spark, sf_dir, "documents")
-    t0 = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    t = t0.filter(F.size("t") >= 3)
-    tri = t.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 2), "
-                "i -> struct(t[i - 1] AS h1, t[i] AS h2, t[i + 1] AS x))"
-            )
-        ).alias("g"),
-    ).select("doc_id", "g.h1", "g.h2", "g.x")
-    train3 = tri.filter(F.col("doc_id") % _PPL_TRAIN_MOD == 0)
-    tc = train3.groupBy("h1", "h2", "x").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tri_n")
-    )
-    ctx3 = tc.groupBy("h1", "h2").agg(
-        F.sum("tri_n").cast("bigint").alias("ctx_n")
-    )
-    t2 = t0.filter(F.size("t") >= 2)
-    prs = t2.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1), "
-                "i -> struct(t[i - 1] AS head, t[i] AS next))"
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.head", "p.next")
-    pc = (
-        prs.filter(F.col("doc_id") % _PPL_TRAIN_MOD == 0)
-        .groupBy("head", "next")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_n"))
-    )
-    from pyspark.sql.window import Window as W
-
-    hn = pc.withColumn(
-        "head_n", F.sum("pair_n").over(W.partitionBy("head")).cast("bigint")
-    )
-    trtok = t0.filter(F.col("doc_id") % _PPL_TRAIN_MOD == 0).select(
-        F.explode("t").alias("tok")
-    )
-    uc = trtok.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tok_n")
-    )
-    tot = trtok.agg(F.count(F.lit(1)).cast("bigint").alias("tt"))
-    two = F.lit(1 << _PPL3_S)
-    return (
-        tri.join(tc, ["h1", "h2", "x"], "left")
-        .join(ctx3, ["h1", "h2"], "left")
-        .join(
-            hn.select(
-                F.col("head").alias("h2"),
-                F.col("next").alias("x"),
-                "pair_n",
-                "head_n",
-            ),
-            ["h2", "x"],
-            "left",
-        )
-        .join(uc.withColumnRenamed("tok", "x"), "x", "left")
-        .crossJoin(tot)  # 1-row scalar attach, hint-free (as the bigram)
-        .select(
-            "doc_id",
-            "h2",
-            "x",
-            F.when(
-                F.col("tri_n").isNotNull(),
-                F.expr(f"tri_n * {1 << _PPL3_S} DIV ctx_n"),
-            )
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("p3"),
-            F.when(
-                F.col("pair_n").isNotNull(),
-                F.expr(f"pair_n * {1 << _PPL3_S} DIV head_n"),
-            )
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("p2"),
-            F.expr(
-                f"(coalesce(tok_n, 0) + 1) * {1 << _PPL3_S} DIV (tt + 1)"
-            )
-            .cast("bigint")
-            .alias("p1"),
-            F.col("tri_n").isNotNull().cast("int").alias("tri_hit"),
-            F.col("pair_n").isNotNull().cast("int").alias("bi_hit"),
-            # raw bigram counts for the smoothing A/B's KN/backoff rows
-            F.col("pair_n").cast("bigint").alias("pair_n"),
-            F.col("head_n").cast("bigint").alias("head_n"),
-        )
-    )
-
-
-def _ppl3_q_col(lams: tuple[int, int, int]):
-    l3, l2, l1 = lams
-    return F.lit(_PPL3_S + 4) - F.length(
-        F.bin(
-            F.lit(l3) * F.col("p3")
-            + F.lit(l2) * F.col("p2")
-            + F.lit(l1) * F.col("p1")
-        )
-    ).cast("bigint")
-
-
-@query(
-    "doc_trigram_perplexity",
-    oracle=f"""
-    WITH {_ppl3_ctes()}
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_trigrams,
-           CAST(sum(tri_hit) AS BIGINT) AS n_tri_hit,
-           CAST(sum(bi_hit) AS BIGINT) AS n_bi_hit,
-           CAST(sum({_ppl3_q_sql(_PPL3_L)}) AS BIGINT) AS q_sum,
-           CAST(sum({_ppl3_q_sql(_PPL3_L)}) * 1000 // count(*) AS BIGINT)
-             AS ppl_milli,
-           (sum({_ppl3_q_sql(_PPL3_L)}) * 1000 // count(*))
-             <= {_PPL3_KEEP_MAX} AS keep
-    FROM comps GROUP BY doc_id ORDER BY doc_id
-    """,
-)
-def doc_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    comps = _tri_comps(spark, sf_dir).withColumn("q", _ppl3_q_col(_PPL3_L))
-    return (
-        comps.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
-            F.sum("tri_hit").cast("bigint").alias("n_tri_hit"),
-            F.sum("bi_hit").cast("bigint").alias("n_bi_hit"),
-            F.sum("q").cast("bigint").alias("q_sum"),
-            F.expr("sum(q) * 1000 DIV count(*)")
-            .cast("bigint")
-            .alias("ppl_milli"),
-            (F.expr("sum(q) * 1000 DIV count(*)") <= _PPL3_KEEP_MAX).alias(
-                "keep"
-            ),
-        )
-        .orderBy("doc_id")
-    )
-
-
-# --------------------------------------------------------------------------
-# doc_lm_interp_ab — the λ-GRID A/B for the interpolated trigram vs the
-# bigram Stupid-Backoff, on HELD-OUT docs (doc_id%4 != 0 — the docs the
-# %4 trainer never saw), one hash-gated row per λ: held-out per-gram
-# NLL for the mixture, the bigram baseline on the same doc set, and the
-# keep/drop deltas (trigram keep at _PPL3_KEEP_MAX vs the bigram gate
-# at _PPL_KEEP_MAX; n_flip = docs the two gates disagree on). The
-# measured surface is the honest headline: every mixture trails the
-# backoff baseline on this fixture, monotonically in trigram weight —
-# shipping the measurement instead of the assumption (the IVFPQ
-# residual-crossover precedent).
-# --------------------------------------------------------------------------
-def _ab_oracle() -> str:
-    lam_qs = ",\n           ".join(
-        f"CAST(sum({_ppl3_q_sql(l)}) AS BIGINT) AS qs_{i},\n           "
-        f"CAST(sum({_ppl3_q_sql(l)}) * 1000 // count(*) AS BIGINT)"
-        f" AS ppl_{i}"
-        for i, l in enumerate(_PPL3_LAMBDAS)
-    )
-    rows = "\n    UNION ALL\n".join(
-        f"""
-    SELECT {l[0]} AS l3, {l[1]} AS l2, {l[2]} AS l1,
-           CAST(sum(qs_{i}) * 1000 // sum(n3) AS BIGINT) AS tri_nll_milli,
-           CAST(sum(b.q_sum) * 1000 // sum(b.n_bigrams) AS BIGINT)
-             AS bi_nll_milli,
-           CAST(count(*) AS BIGINT) AS n_heldout,
-           CAST(sum(CASE WHEN ppl_{i} <= {_PPL3_KEEP_MAX}
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_tri,
-           CAST(sum(CASE WHEN b.ppl_milli <= {_PPL_KEEP_MAX}
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_bi,
-           CAST(sum(CASE WHEN (ppl_{i} <= {_PPL3_KEEP_MAX})
-                         <> (b.ppl_milli <= {_PPL_KEEP_MAX})
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flip
-    FROM per3 JOIN b USING (doc_id)
-    WHERE doc_id % {_PPL_TRAIN_MOD} <> 0"""
-        for i, l in enumerate(_PPL3_LAMBDAS)
-    )
-    return f"""
-    WITH {_ppl3_ctes()},
-    per3 AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n3,
-           {lam_qs}
-      FROM comps GROUP BY doc_id
-    ),
-    bq AS (
-      SELECT p.doc_id,
-             CASE WHEN h.pair_n IS NOT NULL
-               THEN CAST(length(bin(h.head_n + 1)) AS BIGINT)
-                    - CAST(length(bin(h.pair_n)) AS BIGINT)
-               ELSE 1 + CAST(length(bin(tot3.tt + 1)) AS BIGINT)
-                    - CAST(length(bin(coalesce(u.tok_n, 0) + 1)) AS BIGINT)
-             END AS q
-      FROM prs3 p
-      LEFT JOIN hn3 h ON h.head = p.head AND h.next = p.next
-      LEFT JOIN uc3 u ON u.tok = p.next
-      CROSS JOIN tot3
-    ),
-    b AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-             CAST(sum(q) AS BIGINT) AS q_sum,
-             CAST(sum(q) * 1000 // count(*) AS BIGINT) AS ppl_milli
-      FROM bq GROUP BY doc_id
-    )
-    SELECT * FROM ({rows})
-    ORDER BY l3 DESC, l2
-    """
-
-
-@query("doc_lm_interp_ab", oracle=_ab_oracle())
-def doc_lm_interp_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    comps = _tri_comps(spark, sf_dir)
-    for i, lams in enumerate(_PPL3_LAMBDAS):
-        comps = comps.withColumn(f"q_{i}", _ppl3_q_col(lams))
-    per3 = comps.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n3"),
-        *[
-            c
-            for i in range(len(_PPL3_LAMBDAS))
-            for c in (
-                F.sum(f"q_{i}").cast("bigint").alias(f"qs_{i}"),
-                F.expr(f"sum(q_{i}) * 1000 DIV count(*)")
-                .cast("bigint")
-                .alias(f"ppl_{i}"),
-            )
-        ],
-    )
-    bi = doc_ngram_perplexity(spark, sf_dir).select(
-        "doc_id", "n_bigrams", "q_sum", "ppl_milli"
-    )
-    joined = per3.join(
-        bi.withColumnRenamed("q_sum", "bqs").withColumnRenamed(
-            "ppl_milli", "bppl"
-        ),
-        "doc_id",
-    ).filter(F.col("doc_id") % _PPL_TRAIN_MOD != 0)
-    grid = None
-    for i, (l3, l2, l1) in enumerate(_PPL3_LAMBDAS):
-        keep_t = F.col(f"ppl_{i}") <= _PPL3_KEEP_MAX
-        keep_b = F.col("bppl") <= _PPL_KEEP_MAX
-        row = joined.agg(
-            F.lit(l3).cast("int").alias("l3"),
-            F.lit(l2).cast("int").alias("l2"),
-            F.lit(l1).cast("int").alias("l1"),
-            F.expr(f"sum(qs_{i}) * 1000 DIV sum(n3)")
-            .cast("bigint")
-            .alias("tri_nll_milli"),
-            F.expr("sum(bqs) * 1000 DIV sum(n_bigrams)")
-            .cast("bigint")
-            .alias("bi_nll_milli"),
-            F.count(F.lit(1)).cast("bigint").alias("n_heldout"),
-            F.sum(keep_t.cast("int")).cast("bigint").alias("n_keep_tri"),
-            F.sum(keep_b.cast("int")).cast("bigint").alias("n_keep_bi"),
-            F.sum((keep_t != keep_b).cast("int"))
-            .cast("bigint")
-            .alias("n_flip"),
-        )
-        grid = row if grid is None else grid.unionByName(row)
-    return grid.orderBy(F.desc("l3"), "l2")
-
-# --------------------------------------------------------------------------
-# doc_lm_smoothing_ab — the SMOOTHING A/B the interp grid above makes
-# necessary: its bi_nll_milli baseline is the production gate's own
-# difference-of-bitlengths score, whose double floor biases LOW by
-# ~0.8 octave/gram vs the mixtures' single-floor fixed-point octave —
-# cross-RECIPE NLLs are only comparable under ONE quantization. This
-# query scores four smoothing recipes on the SAME gram stream (the
-# trigram positions; bigram models condition on h2) under the SAME
-# quantization q = (S+1) − length(bin(p·2^S)):
-#
-#   sb     Stupid-Backoff (p2 if the pair trained, else unigram/2)
-#   jm_bi  Jelinek-Mercer bigram     (7·p2 + 1·p1) / 8
-#   jm_tri Jelinek-Mercer trigram    (1·p3 + 5·p2 + 2·p1) / 8
-#   kn     interpolated Kneser-Ney, absolute discount D=1:
-#          (c(h,x)−1)+/c(h) + (N1+(h,·)/c(h)) · (N1+(·,x)+1)/(N1+(·,·)+1)
-#          (continuation probability — THE production n-gram smoothing)
-#
-# Measured held-out (sf0.01, %4 trainer): jm_bi 5486 < jm_tri 5510 <
-# sb 5517 ≈ kn 5518 — ONCE FAIRLY QUANTIZED, interpolation beats
-# backoff (reversing the interp grid's apparent 4683-vs-5510 verdict,
-# which was quantization bias), and KN's discount is a dead heat with
-# backoff on a quarter-sized trainer (continuation mass needs more
-# bigram types than 7k tokens provide). Keep/flip columns use one
-# shared cutoff so gate deltas are recipe-only.
-#
-# Scale: the trigram component tables are shared with doc_trigram_
-# perplexity; KN adds two head/next-keyed aggregates of the trained
-# pair table (vocabulary-sized, hint-free) and a 1-row total.
-# --------------------------------------------------------------------------
-def _smooth_oracle() -> str:
-    S = _PPL3_S
-    two = 1 << S
-    models = {
-        "sb": f"""CASE WHEN c.bi_hit = 1 THEN c.p2
-                 ELSE c.p1 // 2 END""",
-        "jm_bi": "(7 * c.p2 + c.p1) // 8",
-        "jm_tri": "(c.p3 + 5 * c.p2 + 2 * c.p1) // 8",
-        "kn": f"""CASE WHEN hd.hn IS NOT NULL THEN
-                   (CASE WHEN c.pair_n IS NOT NULL
-                         THEN (c.pair_n - 1) * {two} // hd.hn
-                         ELSE 0 END)
-                   + (hd.n1p * {two} // hd.hn)
-                     * (coalesce(k.cont_n, 0) + 1) // (ctot.ct + 1)
-                 ELSE (coalesce(k.cont_n, 0) + 1) * {two} // (ctot.ct + 1)
-                 END""",
-    }
-    per = ",\n      ".join(
-        f"CAST(sum(CASE WHEN doc_id % {_PPL_TRAIN_MOD} <> 0 THEN q_{m}"
-        f" ELSE 0 END) AS BIGINT) AS ho_{m},\n      "
-        f"CAST(sum(q_{m}) * 1000 // count(*) AS BIGINT) AS ppl_{m}"
-        for m in models
-    )
-    scored = ",\n        ".join(
-        f"{S + 1} - length(bin(greatest(({expr}), 1))) AS q_{m}"
-        for m, expr in models.items()
-    )
-    rows = "\n    UNION ALL\n".join(
-        f"""
-    SELECT '{m}' AS model,
-           CAST(sum(ho_{m}) * 1000 // sum(ho_n) AS BIGINT)
-             AS heldout_nll_milli,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN ppl_{m} <= {_PPL3_KEEP_MAX}
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-           CAST(sum(CASE WHEN (ppl_{m} <= {_PPL3_KEEP_MAX})
-                         <> (ppl_sb <= {_PPL3_KEEP_MAX})
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flip_vs_sb
-    FROM per"""
-        for m in models
-    )
-    return f"""
-    WITH {_ppl3_ctes()},
-    heads AS (
-      SELECT head, CAST(sum(pair_n) AS BIGINT) AS hn,
-             CAST(count(*) AS BIGINT) AS n1p
-      FROM pc3 GROUP BY head
-    ),
-    cont AS (
-      SELECT next, CAST(count(*) AS BIGINT) AS cont_n
-      FROM pc3 GROUP BY next
-    ),
-    ctot AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM pc3),
-    scored AS (
-      SELECT c.doc_id,
-        {scored}
-      FROM comps c
-      LEFT JOIN heads hd ON hd.head = c.h2
-      LEFT JOIN cont k ON k.next = c.x
-      CROSS JOIN ctot
-    ),
-    per AS (
-      SELECT doc_id,
-      CAST(CASE WHEN doc_id % {_PPL_TRAIN_MOD} <> 0 THEN count(*)
-           ELSE 0 END AS BIGINT) AS ho_n,
-      {per}
-      FROM scored GROUP BY doc_id
-    )
-    SELECT * FROM ({rows})
-    ORDER BY model
-    """
-
-
-@query("doc_lm_smoothing_ab", oracle=_smooth_oracle())
-def doc_lm_smoothing_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    S = _PPL3_S
-    two = 1 << S
-    comps = _tri_comps(spark, sf_dir)
-    # KN side tables off the trained pair table (vocabulary-sized)
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
-        F.size("t") >= 2
-    )
-    pc = (
-        t.filter(F.col("doc_id") % _PPL_TRAIN_MOD == 0)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1), "
-                    "i -> struct(t[i - 1] AS head, t[i] AS next))"
-                )
-            ).alias("p")
-        )
-        .groupBy("p.head", "p.next")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("pn"))
-    )
-    heads = pc.groupBy("head").agg(
-        F.sum("pn").cast("bigint").alias("hn"),
-        F.count(F.lit(1)).cast("bigint").alias("n1p"),
-    )
-    cont = pc.groupBy("next").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cont_n")
-    )
-    ctot = pc.agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
-    p_sb = F.when(F.col("bi_hit") == 1, F.col("p2")).otherwise(
-        F.expr("p1 DIV 2")
-    )
-    p_jm_bi = F.expr("(7 * p2 + p1) DIV 8")
-    p_jm_tri = F.expr("(p3 + 5 * p2 + 2 * p1) DIV 8")
-    scored = (
-        comps.join(heads.withColumnRenamed("head", "h2"), "h2", "left")
-        .join(cont.withColumnRenamed("next", "x"), "x", "left")
-        .crossJoin(ctot)  # 1-row scalar attach
-    )
-    qcol = lambda p: (  # noqa: E731
-        F.lit(S + 1)
-        - F.length(F.bin(F.greatest(p, F.lit(1)))).cast("bigint")
-    )
-    kn_seen = F.when(
-        F.col("pair_n").isNotNull(),
-        F.expr(f"(pair_n - 1) * {two} DIV hn"),
-    ).otherwise(F.lit(0)) + F.expr(
-        f"(n1p * {two} DIV hn) * (coalesce(cont_n, 0) + 1) DIV (ct + 1)"
-    )
-    kn_unseen = F.expr(f"(coalesce(cont_n, 0) + 1) * {two} DIV (ct + 1)")
-    scored = scored.select(
-        "doc_id",
-        qcol(p_sb).alias("q_sb"),
-        qcol(p_jm_bi).alias("q_jm_bi"),
-        qcol(p_jm_tri).alias("q_jm_tri"),
-        qcol(
-            F.when(F.col("hn").isNotNull(), kn_seen).otherwise(kn_unseen)
-        ).alias("q_kn"),
-    )
-    ho = F.col("doc_id") % _PPL_TRAIN_MOD != 0
-    per = scored.groupBy("doc_id").agg(
-        F.when(ho, F.count(F.lit(1)))
-        .otherwise(0)
-        .cast("bigint")
-        .alias("ho_n"),
-        *[
-            c
-            for m in ("sb", "jm_bi", "jm_tri", "kn")
-            for c in (
-                F.when(ho, F.sum(f"q_{m}"))
-                .otherwise(0)
-                .cast("bigint")
-                .alias(f"ho_{m}"),
-                F.expr(f"sum(q_{m}) * 1000 DIV count(*)")
-                .cast("bigint")
-                .alias(f"ppl_{m}"),
-            )
-        ],
-    )
-    grid = None
-    for m in ("sb", "jm_bi", "jm_tri", "kn"):
-        keep = F.col(f"ppl_{m}") <= _PPL3_KEEP_MAX
-        keep_sb = F.col("ppl_sb") <= _PPL3_KEEP_MAX
-        row = per.agg(
-            F.lit(m).alias("model"),
-            F.expr(f"sum(ho_{m}) * 1000 DIV sum(ho_n)")
-            .cast("bigint")
-            .alias("heldout_nll_milli"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(keep.cast("int")).cast("bigint").alias("n_keep"),
-            F.sum((keep != keep_sb).cast("int"))
-            .cast("bigint")
-            .alias("n_flip_vs_sb"),
-        )
-        grid = row if grid is None else grid.unionByName(row)
-    return grid.orderBy("model")
-
-
-# --------------------------------------------------------------------------
-# corpus_unigram_tokenize — the UNIGRAM-LM tokenizer (SentencePiece /
-# Kudo 2018 shape) next to BPE: the tokenizer A/B every LLM data team
-# runs. Candidate pieces are the corpus's substrings of length
-# 1.._UNI_LMAX (8)
-# over the distinct-word table, scored by occurrence frequency
-# (wn-weighted); the vocabulary is the top-K pieces by (freq desc,
-# piece asc) PLUS every single character (the coverage guarantee that
-# makes Viterbi total), each carrying the INTEGER octave score
-# intlog2(freq) = length(bin(freq)) — the retrieval_bm25/DSIR recipe,
-# so the segmentation objective has no float anywhere (no EM: seed
-# scores from frequencies, the standard initialization, kept frozen).
-# Each word is segmented by Viterbi MINIMIZING the quantized negative
-# log-likelihood — cost(piece) = NORM − score(piece) with NORM =
-# intlog2(total piece mass), the octave twin of −log p(piece) =
-# log(total) − log(freq):
-#
-#   obj(w) = Σ_pieces (64·cost(piece) + 1)
-#
-# — the "+1" makes the minimizer prefer FEWER pieces among equal-cost
-# segmentations and packs (cost_sum, n_pieces) into ONE integer
-# (n_pieces = obj mod 64, cost_sum = obj div 64 — exact while
-# n_pieces < 64, guaranteed by the _UNI_WMAX word cap), so the
-# per-word DECISION is a single hash-gated BIGINT with no tie
-# ambiguity (min over ints is path-independent). A first draft
-# MAXIMIZED Σ(64·score−1), which rewards splitting (every extra piece
-# adds another large positive score term) and degenerated to
-# characters — the sign matters: it is the per-piece normalizer that
-# makes longer pieces pay. The oracle unrolls the dp over 1..WMAX
-# as CTEs (the corpus_bpe_train unrolled-loop pattern); the Spark side
-# runs the identical integer dp as a vocab-sized Arrow kernel
-# (mapInPandas — the r8 playbook for tokenizer work) with the top-K
-# vocabulary collected as a frozen artifact (the bounded broadcast
-# class: k·4-char strings + one int each).
-#
-# Scale: everything is vocabulary-sized (distinct words), never
-# corpus-sized — piece counting is one substring-explode shuffle of the
-# word table, the dp touches each word once; applying the tokenizer to
-# the corpus would be one words→pieces join, exactly like
-# doc_bpe_token_stats.
-# --------------------------------------------------------------------------
-_UNI_WMAX = 8  # word-length cap (fixture max is 8 at every SF); words
-# beyond the cap are excluded on BOTH sides — at production the tail
-# above the cap falls back to character pieces
-_UNI_LMAX = 8  # pieces long enough to hold whole frequent words
-_UNI_VSIZE = 64
-
-
-def _uni_ctes() -> str:
-    """CTE chain documents → uwrd (capped distinct words) → uvocab
-    (frozen score table) → udp1..udp{WMAX} → uni (per-word verdicts).
-    Shared by the tokenize oracle and the fertility-comparison oracle."""
-    ctes = [
-        f"""uw0 AS (SELECT unnest({_TOKS_SQL}) AS w FROM documents),
-    uwrd AS MATERIALIZED (
-      SELECT w, CAST(count(*) AS BIGINT) AS wn FROM uw0
-      WHERE length(w) <= {_UNI_WMAX} GROUP BY w
-    ),
-    usub AS (
-      SELECT substr(w, i, l) AS piece, wn
-      FROM uwrd,
-           unnest(range(1, {_UNI_LMAX + 1})) t(l),
-           unnest(range(1, length(w) - l + 2)) r(i)
-      WHERE l <= length(w)
-    ),
-    upf AS MATERIALIZED (
-      SELECT piece, CAST(sum(wn) AS BIGINT) AS pf FROM usub GROUP BY piece
-    ),
-    utop AS (
-      SELECT piece, pf FROM upf ORDER BY pf DESC, piece LIMIT {_UNI_VSIZE}
-    ),
-    uvocab AS MATERIALIZED (
-      SELECT piece, CAST(length(bin(pf)) AS BIGINT) AS score
-      FROM (SELECT * FROM utop
-            UNION
-            SELECT piece, pf FROM upf WHERE length(piece) = 1)
-    ),
-    unorm AS MATERIALIZED (
-      SELECT CAST(length(bin(sum(pf))) AS BIGINT) AS nrm FROM upf
-    ),
-    udp0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS obj FROM uwrd)"""
-    ]
-    for k in range(1, _UNI_WMAX + 1):
-        branches = []
-        for l in range(1, min(_UNI_LMAX, k) + 1):
-            branches.append(
-                f"""SELECT d.w, d.obj + 64 * (n.nrm - v.score) + 1 AS cand
-        FROM udp{k - l} d
-        JOIN uvocab v ON v.piece = substr(d.w, {k - l + 1}, {l})
-        CROSS JOIN unorm n
-        WHERE length(d.w) >= {k}"""
-            )
-        body = "\n        UNION ALL ".join(branches)
-        ctes.append(
-            f"""udp{k} AS MATERIALIZED (
-      SELECT w, CAST(min(cand) AS BIGINT) AS obj FROM (
-        {body}
-      ) GROUP BY w
-    )"""
-        )
-    fin = "\n      UNION ALL ".join(
-        f"SELECT w, obj FROM udp{k} WHERE length(w) = {k}"
-        for k in range(1, _UNI_WMAX + 1)
-    )
-    ctes.append(f"ufin AS (\n      {fin}\n    )")
-    ctes.append(
-        """uni AS (
-      SELECT f.w, r.wn,
-             CAST(f.obj % 64 AS INT) AS n_pieces,
-             CAST(f.obj // 64 AS BIGINT) AS cost_sum,
-             f.obj AS obj
-      FROM ufin f JOIN uwrd r USING (w)
-    )"""
-    )
-    return ",\n    ".join(ctes)
-
-
-# (vocab dict, normalizer octave, per-word verdict DF) staged per
-# (SparkContext, sf_dir) — consumed by corpus_unigram_tokenize,
-# corpus_unigram_fertility, corpus_unigram_encode and the EM step.
-_UNI_STATE: dict[tuple[str, str], tuple[dict, int, DataFrame]] = {}
-
-
-def _uni_run(
-    spark: SparkSession, sf_dir: str
-) -> tuple[dict, int, DataFrame]:
-    app = spark.sparkContext.applicationId
-    for k in [k for k in _UNI_STATE if k[0] != app]:
-        del _UNI_STATE[k]  # dead-context eviction
-    key = (app, sf_dir)
-    if key in _UNI_STATE:
-        return _UNI_STATE[key]
-
-    docs = load_table(spark, sf_dir, "documents")
-    wrd = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
-        .filter(F.length("w") <= _UNI_WMAX)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("wn"))
-        # vocab-sized (bounded): one partition, one Arrow batch, one
-        # Python worker — not 32 workers for 31 rows
-        .coalesce(1)
-        .localCheckpoint(eager=True)  # feeds piece counting AND the dp
-    )
-    sub = wrd.select(
-        "wn",
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(1, {_UNI_LMAX}), "
-                "l -> CASE WHEN l <= length(w) THEN "
-                "transform(sequence(1, length(w) - l + 1), "
-                "i -> substring(w, i, l)) "
-                "ELSE array() END))"
-            )
-        ).alias("piece"),
-    )
-    pf = sub.groupBy("piece").agg(F.sum("wn").cast("bigint").alias("pf"))
-    top = pf.orderBy(F.desc("pf"), "piece").limit(_UNI_VSIZE)
-    chars = pf.filter(F.length("piece") == 1)
-    # frozen artifact: top-K pieces + the single-char closure — bounded
-    # control data (the kmeans-centroid-literal class); nrm is the
-    # octave of the total piece mass (the per-piece normalizer)
-    vocab = {
-        r.piece: r.pf.bit_length()  # == length(bin(pf)), exact
-        for r in top.unionByName(chars).distinct().collect()
-    }
-    nrm = pf.agg(F.sum("pf")).collect()[0][0].bit_length()
-
-    def _viterbi(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out = {"w": [], "wn": [], "n_pieces": [], "cost_sum": [],
-                   "obj": []}
-            for w, wn in zip(pdf["w"], pdf["wn"]):
-                n = len(w)
-                dp = [0] + [None] * n
-                for k in range(1, n + 1):
-                    best = None
-                    for l in range(1, min(_UNI_LMAX, k) + 1):
-                        sc = vocab.get(w[k - l : k])
-                        if sc is None or dp[k - l] is None:
-                            continue
-                        cand = dp[k - l] + 64 * (nrm - sc) + 1
-                        if best is None or cand < best:
-                            best = cand
-                    dp[k] = best
-                obj = dp[n]
-                out["w"].append(w)
-                out["wn"].append(int(wn))
-                out["n_pieces"].append(obj % 64)
-                out["cost_sum"].append(obj // 64)
-                out["obj"].append(obj)
-            yield pd.DataFrame(out)
-
-    verdicts = wrd.mapInPandas(
-        _viterbi,
-        "w string, wn bigint, n_pieces int, cost_sum bigint, obj bigint",
-    ).localCheckpoint(eager=True)
-    _UNI_STATE[key] = (vocab, nrm, verdicts)
-    return _UNI_STATE[key]
-
-
-@query(
-    "corpus_unigram_tokenize",
-    oracle=f"""
-    WITH {_uni_ctes()}
-    SELECT w, wn, n_pieces, cost_sum, obj FROM uni ORDER BY w
-    """,
-)
-def corpus_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, _, verdicts = _uni_run(spark, sf_dir)
-    return verdicts.orderBy("w")
-
-
-# --------------------------------------------------------------------------
-# corpus_unigram_fertility — the tokenizer A/B row: unigram-LM vs BPE
-# fertility on the identical (capped) word domain, corpus-weighted, in
-# one hash-gated row — integer subword sums and two deterministic
-# double divisions, joining the staged unigram verdicts against the
-# staged BPE training run (neither tokenizer re-trains). Measured
-# (sf0.01): fertility_uni 3.127 vs fertility_bpe 4.040 over 27,165
-# word occurrences — the 4-round BPE has barely left the character
-# baseline while the unigram vocabulary seats whole frequent words
-# ('batch' = 1 piece) though its top-64 cutoff still splits some
-# ('agg' loses the alphabetical tie at the pf cutoff and re-segments);
-# the gap IS the A/B signal the row exists to measure.
-# --------------------------------------------------------------------------
-@query(
-    "corpus_unigram_fertility",
-    oracle=f"""
-    WITH {_bpe_train_ctes()[0]},
-    {_uni_ctes()}
-    SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,
-           CAST(sum(u.wn) AS BIGINT) AS n_word_occurrences,
-           CAST(sum(u.wn * u.n_pieces) AS BIGINT) AS uni_corpus_subwords,
-           CAST(sum(u.wn * len(b.toks)) AS BIGINT) AS bpe_corpus_subwords,
-           round(CAST(sum(u.wn * u.n_pieces) AS DOUBLE)
-                 / CAST(sum(u.wn) AS DOUBLE), 6) AS fertility_uni,
-           round(CAST(sum(u.wn * len(b.toks)) AS DOUBLE)
-                 / CAST(sum(u.wn) AS DOUBLE), 6) AS fertility_bpe
-    FROM uni u JOIN tok{_BPE_TRAIN_STEPS} b ON b.w = u.w
-    """,
-)
-def corpus_unigram_fertility(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    _, _, uni = _uni_run(spark, sf_dir)
-    _, bpe = _bpe_train_run(spark, sf_dir)
-    j = uni.join(
-        bpe.select("w", F.size("toks").alias("bpe_pieces")), "w"
-    )
-    return j.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_vocab_words"),
-        F.sum("wn").cast("bigint").alias("n_word_occurrences"),
-        F.sum(F.col("wn") * F.col("n_pieces"))
-        .cast("bigint")
-        .alias("uni_corpus_subwords"),
-        F.sum(F.col("wn") * F.col("bpe_pieces"))
-        .cast("bigint")
-        .alias("bpe_corpus_subwords"),
-        F.round(
-            F.sum(F.col("wn") * F.col("n_pieces")).cast("double")
-            / F.sum("wn").cast("double"),
-            6,
-        ).alias("fertility_uni"),
-        F.round(
-            F.sum(F.col("wn") * F.col("bpe_pieces")).cast("double")
-            / F.sum("wn").cast("double"),
-            6,
-        ).alias("fertility_bpe"),
-    )
-
-
-# --------------------------------------------------------------------------
-# corpus_unigram_encode — the APPLY half of the unigram tokenizer
-# (corpus_unigram_tokenize trains/segments the vocabulary; this encodes
-# the CORPUS with it, the doc_bpe_token_stats lens for the unigram
-# model): every document's whitespace words join the staged per-word
-# Viterbi verdicts — a plain hint-free equi-join on the word (the
-# verdict table is vocabulary-sized, the growing class) — and roll up
-# to per-doc subword counts, total quantized NLL cost, and fertility.
-# The per-doc total cost is the integer document NLL under the unigram
-# LM — the same quantity doc_ngram_perplexity computes under the
-# bigram LM, so the two quality lenses are directly comparable.
-#
-# Scale: one word-keyed join of the exploded corpus against the
-# vocab-sized verdict table + one doc_id rollup — the
-# doc_rare_token_ratio shape exactly.
-# --------------------------------------------------------------------------
-@query(
-    "corpus_unigram_encode",
-    oracle=f"""
-    WITH {_uni_ctes()},
-    dw AS (
-      SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
-    )
-    SELECT d.doc_id,
-           CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(u.n_pieces) AS BIGINT) AS n_subwords,
-           CAST(sum(u.cost_sum) AS BIGINT) AS total_cost,
-           round(CAST(sum(u.n_pieces) AS DOUBLE) / count(*), 6)
-             AS fertility
-    FROM dw d JOIN uni u ON u.w = d.w
-    GROUP BY d.doc_id
-    ORDER BY d.doc_id
-    """,
-)
-def corpus_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    _, _, verdicts = _uni_run(spark, sf_dir)
-    dw = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
-    )
-    n = F.count(F.lit(1))
-    return (
-        dw.join(verdicts.select("w", "n_pieces", "cost_sum"), "w")
-        .groupBy("doc_id")
-        .agg(
-            n.cast("bigint").alias("n_words"),
-            F.sum("n_pieces").cast("bigint").alias("n_subwords"),
-            F.sum("cost_sum").cast("bigint").alias("total_cost"),
-            F.round(
-                F.sum("n_pieces").cast("double") / n, 6
-            ).alias("fertility"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-# --------------------------------------------------------------------------
-# corpus_unigram_em_step — one full EM round of unigram-LM tokenizer
-# TRAINING (the step SentencePiece actually iterates; the seed-scored
-# corpus_unigram_tokenize is its initialization): E-step = Viterbi-
-# segment every word under the current scores and count piece USAGE
-# (wn-weighted; the Viterbi posterior approximation of the E-step, as
-# in Kudo 2018 §3.2's practical variant); M-step = re-score pieces by
-# intlog2(usage) with the normalizer rebuilt from total usage (pieces
-# the segmenter never used fall out of the vocabulary — the prune
-# step; single chars are floor-scored so coverage survives); then
-# re-segment under the new scores. The output row compares round 0 vs
-# round 1 — measured (sf0.01): vocabulary 65 → 42 (24 never-used
-# pieces pruned + 1 coverage-floor char), corpus NLL cost 558,904 →
-# 446,784 (−20%: the M-step concentrates mass on used pieces, the EM
-# guarantee), fertility unchanged at 3.127 (the seed segmentation was
-# already Viterbi-stable) — textbook EM behavior, hash-gated.
-#
-# Backtracking determinism: at each backward position, the SMALLEST
-# piece length l whose dp predecessor explains the cell's objective is
-# chosen — the same rule in the Arrow kernel and the oracle's unrolled
-# backtrack CTEs, so the usage table (and hence the M-step and the
-# whole round-1 segmentation) is bit-identical in both engines.
-#
-# Scale: everything stays vocabulary-sized (the E-step is one pass
-# over the distinct-word table; usage is a piece-keyed aggregate of
-# it; round 1 is a second pass) — the corpus is never touched.
-# --------------------------------------------------------------------------
-def _uni_segment(w: str, vocab: dict, nrm: int) -> tuple[int, list[str]]:
-    """Viterbi obj + backtracked pieces under (vocab, nrm) — the one
-    segmentation routine both EM kernels and (logically) the tokenize
-    kernel implement; smallest-l backtrack tie-break."""
-    n = len(w)
-    dp = [0] + [None] * n
-    for k in range(1, n + 1):
-        best = None
-        for l in range(1, min(_UNI_LMAX, k) + 1):
-            sc = vocab.get(w[k - l : k])
-            if sc is None or dp[k - l] is None:
-                continue
-            cand = dp[k - l] + 64 * (nrm - sc) + 1
-            if best is None or cand < best:
-                best = cand
-        dp[k] = best
-    pieces = []
-    pos = n
-    while pos > 0:
-        for l in range(1, min(_UNI_LMAX, pos) + 1):
-            piece = w[pos - l : pos]
-            sc = vocab.get(piece)
-            if sc is None or dp[pos - l] is None:
-                continue
-            if dp[pos - l] + 64 * (nrm - sc) + 1 == dp[pos]:
-                pieces.append(piece)
-                pos -= l
-                break
-    pieces.reverse()
-    return dp[n], pieces
-
-
-def _uni_usage_sql() -> str:
-    """dpall → backtrack bk0..bk{WMAX} → ``usage`` CTE text: the
-    wn-weighted piece-usage table of the round-0 Viterbi segmentation
-    (smallest-l backtrack tie-break, matching the Arrow kernel) —
-    shared by the EM-step and the prune oracles."""
-    dpall = " UNION ALL ".join(
-        f"SELECT w, {k} AS pos, obj FROM udp{k}"
-        for k in range(0, _UNI_WMAX + 1)
-    )
-    bks = []
-    for j in range(1, _UNI_WMAX + 1):
-        bks.append(
-            f"""bk{j} AS MATERIALIZED (
-      SELECT w, piece, pos, obj FROM (
-        SELECT b.w, substr(b.w, b.pos - l + 1, l) AS piece,
-               b.pos - l AS pos, d.obj,
-               row_number() OVER (PARTITION BY b.w ORDER BY l) AS rkb
-        FROM bk{j - 1} b
-        CROSS JOIN unnest(range(1, {_UNI_LMAX + 1})) t(l)
-        JOIN uvocab v ON v.piece = substr(b.w, b.pos - l + 1, l)
-        JOIN dpall d ON d.w = b.w AND d.pos = b.pos - l
-        CROSS JOIN unorm n
-        WHERE b.pos > 0 AND l <= b.pos
-          AND d.obj + 64 * (n.nrm - v.score) + 1 = b.obj
-      ) WHERE rkb = 1
-    )"""
-        )
-    used = " UNION ALL ".join(
-        f"SELECT w, piece FROM bk{j} WHERE piece IS NOT NULL"
-        for j in range(1, _UNI_WMAX + 1)
-    )
-    return f"""dpall AS MATERIALIZED ({dpall}),
-    bk0 AS MATERIALIZED (
-      SELECT f.w, CAST(NULL AS VARCHAR) AS piece,
-             length(f.w) AS pos, f.obj
-      FROM ufin f
-    ),
-    {",".join(bks)},
-    usage AS MATERIALIZED (
-      SELECT u.piece, CAST(sum(r.wn) AS BIGINT) AS usage
-      FROM ({used}) u JOIN uwrd r USING (w)
-      GROUP BY u.piece
-    )"""
-
-
-def _uni_em_oracle() -> str:
-    intlog2 = lambda x: f"CAST(length(bin({x})) AS BIGINT)"  # noqa: E731
-    vdps = [
-        "vdp0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS obj FROM uwrd)"
-    ]
-    for k in range(1, _UNI_WMAX + 1):
-        branches = []
-        for l in range(1, min(_UNI_LMAX, k) + 1):
-            branches.append(
-                f"""SELECT d.w, d.obj + 64 * (n.nrm - v.score) + 1 AS cand
-        FROM vdp{k - l} d
-        JOIN vocab2 v ON v.piece = substr(d.w, {k - l + 1}, {l})
-        CROSS JOIN unorm2 n
-        WHERE length(d.w) >= {k}"""
-            )
-        body = "\n        UNION ALL ".join(branches)
-        vdps.append(
-            f"""vdp{k} AS MATERIALIZED (
-      SELECT w, CAST(min(cand) AS BIGINT) AS obj FROM (
-        {body}
-      ) GROUP BY w
-    )"""
-        )
-    vfin = "\n      UNION ALL ".join(
-        f"SELECT w, obj FROM vdp{k} WHERE length(w) = {k}"
-        for k in range(1, _UNI_WMAX + 1)
-    )
-    return f"""
-    WITH {_uni_ctes()},
-    {_uni_usage_sql()},
-    vocab2 AS MATERIALIZED (
-      SELECT piece, {intlog2('usage')} AS score FROM usage
-      UNION ALL
-      SELECT v.piece, CAST(1 AS BIGINT) AS score
-      FROM uvocab v
-      WHERE length(v.piece) = 1
-        AND v.piece NOT IN (SELECT piece FROM usage)
-    ),
-    unorm2 AS MATERIALIZED (
-      SELECT {intlog2('sum(usage)')} AS nrm FROM usage
-    ),
-    {",".join(vdps)},
-    vfinu AS (
-      {vfin}
-    ),
-    uni2 AS (
-      SELECT f.w, r.wn,
-             CAST(f.obj % 64 AS INT) AS n_pieces,
-             CAST(f.obj // 64 AS BIGINT) AS cost_sum
-      FROM vfinu f JOIN uwrd r USING (w)
-    )
-    SELECT
-      (SELECT CAST(count(*) AS BIGINT) FROM uvocab) AS n_vocab_r0,
-      (SELECT CAST(count(*) AS BIGINT) FROM usage) AS n_pieces_used,
-      (SELECT CAST(count(*) AS BIGINT) FROM vocab2) AS n_vocab_r1,
-      (SELECT CAST(sum(wn * n_pieces) AS BIGINT) FROM uni)
-        AS corpus_subwords_r0,
-      (SELECT CAST(sum(wn * n_pieces) AS BIGINT) FROM uni2)
-        AS corpus_subwords_r1,
-      (SELECT CAST(sum(wn * cost_sum) AS BIGINT) FROM uni)
-        AS corpus_cost_r0,
-      (SELECT CAST(sum(wn * cost_sum) AS BIGINT) FROM uni2)
-        AS corpus_cost_r1,
-      round((SELECT CAST(sum(wn * n_pieces) AS DOUBLE) / sum(wn) FROM uni),
-            6) AS fertility_r0,
-      round((SELECT CAST(sum(wn * n_pieces) AS DOUBLE) / sum(wn) FROM uni2),
-            6) AS fertility_r1
-    """
-
-
-@query("corpus_unigram_em_step", oracle=_uni_em_oracle())
-def corpus_unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vocab, nrm, verdicts = _uni_run(spark, sf_dir)
-    wrd = verdicts.select("w", "wn")
-
-    def _pieces_kernel(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = {"w": [], "wn": [], "piece": []}
-            for w, wn in zip(pdf["w"], pdf["wn"]):
-                _, pieces = _uni_segment(w, vocab, nrm)
-                for p in pieces:
-                    rows["w"].append(w)
-                    rows["wn"].append(int(wn))
-                    rows["piece"].append(p)
-            yield pd.DataFrame(rows)
-
-    used = wrd.mapInPandas(
-        _pieces_kernel, "w string, wn bigint, piece string"
-    )
-    # M-step artifacts: piece usage (vocabulary-bounded — the frozen
-    # control-data class) collected, re-scored, normalizer rebuilt
-    usage = {
-        r.piece: int(r.usage)
-        for r in used.groupBy("piece")
-        .agg(F.sum("wn").alias("usage"))
-        .collect()
-    }
-    vocab2 = {p: u.bit_length() for p, u in usage.items()}
-    for p, sc in vocab.items():
-        if len(p) == 1 and p not in vocab2:
-            vocab2[p] = 1  # coverage floor
-    nrm2 = sum(usage.values()).bit_length()
-
-    def _round1_kernel(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out = {"w": [], "wn": [], "n_pieces": [], "cost_sum": []}
-            for w, wn in zip(pdf["w"], pdf["wn"]):
-                obj, pieces = _uni_segment(w, vocab2, nrm2)
-                out["w"].append(w)
-                out["wn"].append(int(wn))
-                out["n_pieces"].append(obj % 64)
-                out["cost_sum"].append(obj // 64)
-            yield pd.DataFrame(out)
-
-    uni2 = wrd.mapInPandas(
-        _round1_kernel, "w string, wn bigint, n_pieces int, cost_sum bigint"
-    )
-
-    def agg_row(df: DataFrame, suffix: str) -> DataFrame:
-        return df.agg(
-            F.sum(F.col("wn") * F.col("n_pieces"))
-            .cast("bigint")
-            .alias(f"corpus_subwords_{suffix}"),
-            F.sum(F.col("wn") * F.col("cost_sum"))
-            .cast("bigint")
-            .alias(f"corpus_cost_{suffix}"),
-            F.round(
-                F.sum(F.col("wn") * F.col("n_pieces")).cast("double")
-                / F.sum("wn"),
-                6,
-            ).alias(f"fertility_{suffix}"),
-        )
-    # 1-row × 1-row audit assembly
-    return (
-        spark.createDataFrame(
-            [(len(vocab), len(usage), len(vocab2))],
-            "n_vocab_r0 bigint, n_pieces_used bigint, n_vocab_r1 bigint",
-        )
-        .crossJoin(agg_row(verdicts, "r0"))
-        .crossJoin(agg_row(uni2, "r1"))
-        .select(
-            "n_vocab_r0",
-            "n_pieces_used",
-            "n_vocab_r1",
-            "corpus_subwords_r0",
-            "corpus_subwords_r1",
-            "corpus_cost_r0",
-            "corpus_cost_r1",
-            "fertility_r0",
-            "fertility_r1",
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# corpus_unigram_prune — the PRUNE step of unigram-LM training (Kudo
-# 2018 §3.2 / SentencePiece's seed-shrinking loop; the EM step above
-# drops pieces the segmenter never USES, this drops the least USEFUL
-# of the used ones): for every used multi-char piece p, the loss delta
-# if p were removed is approximated in place — each of p's usage(p)
-# occurrences re-segments as p's own best Viterbi split under the
-# remaining vocabulary (alt_obj, excluding only the exact piece p),
-# versus keeping it whole (own_obj = its one-piece cost). The bottom
-# quarter by usage·(alt_obj − own_obj) is marked pruned; single chars
-# are protected (coverage). The WHOLE per-piece table — usage, both
-# costs, delta, rank, verdict — is hash-gated, so the re-segmentation
-# arithmetic and the ranking are pinned, not just the survivor list.
-#
-# Measured (sf0.01; 18 used multi-char pieces, 4 pruned): the pruned
-# set is exactly the low-usage bigrams (ro/at/ta/ca, delta ≈113-121k),
-# while whole-word pieces (join/batch/hash — expensive char-level alt
-# splits) and the highest-usage bigrams (er/st/or, usage 2.7k) rank
-# most protected — the objective separates "cheap to re-segment and
-# rarely used" from both kinds of keeper, which is the behavior the
-# prune step exists to have.
-#
-# Scale: vocabulary-sized end to end — the usage table is the
-# EM-step's aggregate over distinct words; the alt-cost Viterbi runs
-# over ≤64 strings of ≤8 chars (frozen-artifact control data).
-# --------------------------------------------------------------------------
-def _uni_prune_oracle() -> str:
-    adps = [
-        "adp0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS obj FROM apw)"
-    ]
-    for k in range(1, _UNI_LMAX + 1):
-        branches = []
-        for l in range(1, min(_UNI_LMAX, k) + 1):
-            branches.append(
-                f"""SELECT d.w, d.obj + 64 * (n.nrm - v.score) + 1 AS cand
-        FROM adp{k - l} d
-        JOIN uvocab v ON v.piece = substr(d.w, {k - l + 1}, {l})
-                     AND v.piece <> d.w
-        CROSS JOIN unorm n
-        WHERE length(d.w) >= {k}"""
-            )
-        body = "\n        UNION ALL ".join(branches)
-        adps.append(
-            f"""adp{k} AS MATERIALIZED (
-      SELECT w, CAST(min(cand) AS BIGINT) AS obj FROM (
-        {body}
-      ) GROUP BY w
-    )"""
-        )
-    afin = "\n      UNION ALL ".join(
-        f"SELECT w, obj FROM adp{k} WHERE length(w) = {k}"
-        for k in range(2, _UNI_LMAX + 1)
-    )
-    return f"""
-    WITH {_uni_ctes()},
-    {_uni_usage_sql()},
-    apw AS MATERIALIZED (
-      SELECT piece AS w FROM usage WHERE length(piece) > 1
-    ),
-    {",".join(adps)},
-    afin AS (
-      {afin}
-    ),
-    pbase AS (
-      SELECT u.piece, u.usage,
-             64 * (n.nrm - v.score) + 1 AS own_obj,
-             f.obj AS alt_obj
-      FROM usage u
-      JOIN uvocab v USING (piece)
-      JOIN afin f ON f.w = u.piece
-      CROSS JOIN unorm n
-      WHERE length(u.piece) > 1
-    ),
-    ranked AS (
-      SELECT piece, usage, own_obj, alt_obj,
-             usage * (alt_obj - own_obj) AS loss_delta,
-             row_number() OVER (
-               ORDER BY usage * (alt_obj - own_obj), piece) AS rk,
-             count(*) OVER () AS nm
-      FROM pbase
-    )
-    SELECT piece, CAST(usage AS BIGINT) AS usage,
-           CAST(own_obj AS BIGINT) AS own_obj,
-           CAST(alt_obj AS BIGINT) AS alt_obj,
-           CAST(loss_delta AS BIGINT) AS loss_delta,
-           CAST(rk AS INT) AS rk,
-           rk <= nm // 4 AS pruned
-    FROM ranked
-    ORDER BY rk
-    """
-
-
-@query("corpus_unigram_prune", oracle=_uni_prune_oracle())
-def corpus_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vocab, nrm, verdicts = _uni_run(spark, sf_dir)
-
-    def _pieces_kernel(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = {"wn": [], "piece": []}
-            for w, wn in zip(pdf["w"], pdf["wn"]):
-                _, pieces = _uni_segment(w, vocab, nrm)
-                for p in pieces:
-                    rows["wn"].append(int(wn))
-                    rows["piece"].append(p)
-            yield pd.DataFrame(rows)
-
-    usage = {
-        r.piece: int(r.usage)
-        for r in verdicts.select("w", "wn")
-        .mapInPandas(_pieces_kernel, "wn bigint, piece string")
-        .groupBy("piece")
-        .agg(F.sum("wn").alias("usage"))
-        .collect()
-    }
-    rows = []
-    for p, u in usage.items():
-        if len(p) <= 1:
-            continue
-        own = 64 * (nrm - vocab[p]) + 1
-        alt, _ = _uni_segment(p, {q: s for q, s in vocab.items() if q != p}, nrm)
-        rows.append((p, u, own, alt, u * (alt - own)))
-    rows.sort(key=lambda r: (r[4], r[0]))
-    nm = len(rows)
-    out = [
-        (p, u, own, alt, delta, i + 1, (i + 1) <= nm // 4)
-        for i, (p, u, own, alt, delta) in enumerate(rows)
-    ]
-    return spark.createDataFrame(
-        out,
-        "piece string, usage bigint, own_obj bigint, alt_obj bigint,"
-        " loss_delta bigint, rk int, pruned boolean",
-    ).orderBy("rk")

@@ -147,7 +147,7 @@ def test_hilbert_chain_reference_values(spark):
     from the textbook iterative algorithm."""
     from pyspark.sql import functions as F
 
-    from data_ingestion_din_spark.plans.events import (
+    from data_ingestion_din_spark.plans.events_ext import (
         _HB_STEPS,
         _hb_step_sql,
     )

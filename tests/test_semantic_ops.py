@@ -239,7 +239,7 @@ def test_unigram_viterbi_optimality_bruteforce(spark):
     WMAX=8), using the same frozen vocab/normalizer the kernel got."""
     from itertools import product
 
-    from data_ingestion_din_spark.plans.text_pipeline import (
+    from data_ingestion_din_spark.plans.unigram_queries import (
         _UNI_LMAX,
         _uni_run,
     )
