@@ -1778,9 +1778,13 @@ def dq_completeness_hll_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             part = one if part is None else part.unionByName(one)
         uh = part if uh is None else uh.unionByName(part)
-    uh = uh.distinct().localCheckpoint(eager=False)  # one pass, all (col, m)
+    # NO global distinct: the register max is duplicate-insensitive and
+    # the exact side dedups inside its own aggregate (map-side partial
+    # dedup) — a full-stream distinct shuffle here measured 10-15 s at
+    # sf0.1 vs ~6 s without, for identical output
+    uh = uh.localCheckpoint(eager=False)  # one pass, all (col, m)
     ex = uh.groupBy("tbl", "col").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+        F.countDistinct("h").cast("bigint").alias("n_exact")
     )
     sk = None
     for m in _HAB_MS:

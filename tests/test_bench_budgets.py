@@ -112,6 +112,14 @@ BUDGETS = {
     # staged edge artifact)
     "events_anomaly_mad": 3.5,  # 1.8-2.3 s steady (two exact-median
     # window passes + the z-gate stats re-scan)
+    "dq_completeness_hll_ab": 13.0,  # 7.3-9.0 s steady (the priced
+    # column-profiling A/B: one 50-column hash stream per run feeding
+    # exact countDistinct + two register rollups — the cost IS the
+    # measurement, like its dq_completeness_matrix sibling)
+    "doc_lm_5gram_ab": 3.5,  # 1.5-2.2 s steady off the staged
+    # five-order component pass (doc_5gram_perplexity stages it)
+    "similarity_graph_hnsw_layers": 2.5,  # ~1.0 s steady (driver
+    # walks off the staged edge artifact + tiny L2 build)
     "dedup_simhash_band_grid": 4.0,  # 1.4-1.7 s steady on the bench
     # host (r12: truth + band counting moved into task-parallel
     # mapInPandas after the driver-side numpy form read 12-13 s on the
