@@ -37,3 +37,74 @@ def rank_topk(
     return top.withColumn(
         rk_col, F.row_number().over(W.orderBy(*order)).cast("int")
     )
+
+
+def ranked_prefix(
+    df: DataFrame,
+    order: list[Column | str],
+    sums: dict[str, str] | None = None,
+    rk_col: str = "r",
+) -> DataFrame:
+    """Distributed global rank (and optional global prefix sums)
+    WITHOUT a partition-less window.
+
+    A global ``row_number()``/running-sum moves the whole input to one
+    partition — fine for vocab-sized streams, a scale-killer for
+    corpus-sized ones (the Lorenz/exact-quantile shape). The
+    distributed idiom: ``repartitionByRange`` on the order keys (range
+    partitions are ordered by ``spark_partition_id``), per-partition
+    ``row_number``/cumsum (the window PARTITIONS by pid — parallel),
+    and per-partition offsets attached via a broadcast of the
+    pid-count/sum table (one small aggregate; N = shuffle partitions
+    rows of control data).
+
+    ``order`` must be a deterministic total order (unique tiebreak
+    key): ranks are then exactly the partition-less window's output.
+    ``sums`` maps output column name -> input column to prefix-sum
+    (inclusive, same order).
+    """
+    d = df.repartitionByRange(*order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    sums = sums or {}
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_cnt")] + [
+        F.sum(src).cast("bigint").alias(f"_tot_{out}")
+        for out, src in sums.items()
+    ]
+    woff = (
+        W.orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )  # single-partition window over N-partition control rows — bounded
+    offsets = (
+        d.groupBy("_pid")
+        .agg(*aggs)
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
+            .cast("bigint")
+            .alias("_off"),
+            *[
+                F.coalesce(F.sum(f"_tot_{out}").over(woff), F.lit(0))
+                .cast("bigint")
+                .alias(f"_soff_{out}")
+                for out in sums
+            ],
+        )
+    )
+    win = W.partitionBy("_pid").orderBy(*order)
+    wrun = win.rowsBetween(W.unboundedPreceding, W.currentRow)
+    out_df = d.join(F.broadcast(offsets), "_pid").withColumn(
+        rk_col,
+        (F.col("_off") + F.row_number().over(win)).cast("bigint"),
+    )
+    for out, src in sums.items():
+        out_df = out_df.withColumn(
+            out,
+            (
+                F.col(f"_soff_{out}")
+                + F.sum(src).over(wrun).cast("bigint")
+            ).cast("bigint"),
+        )
+    return out_df.drop(
+        "_pid", "_off", *[f"_soff_{out}" for out in sums]
+    )

@@ -530,9 +530,13 @@ def corpus_pack_split_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fill_permille"),
         F.lit(0).cast("bigint").alias("n_split_docs"),
     )
-    cum = items.select(
-        "doc_id", "n", F.sum("n").over(W.orderBy("doc_id")).alias("c")
-    )
+    from data_ingestion_din_spark.operators.ranking import ranked_prefix
+
+    # range-partitioned two-phase prefix sum (r12: the partition-less
+    # window here pulled the whole doc stream into one partition)
+    cum = ranked_prefix(
+        items, ["doc_id"], sums={"c": "n"}, rk_col="_rk"
+    ).select("doc_id", "n", "c")
     split = cum.agg(
         F.expr(
             f"CAST((sum(n) + {_COMPACT_BUDGET} - 1)"

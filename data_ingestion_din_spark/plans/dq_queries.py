@@ -1142,11 +1142,13 @@ def dq_quantile_sketch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ev.count()
     ranks = {pct: (n * pct + 99) // 100 for pct in _QSG_PCTS}
+    from data_ingestion_din_spark.operators.ranking import ranked_prefix
+
+    # range-partitioned two-phase rank (r12: the partition-less window
+    # here sorted the whole event table into one partition)
     exact = {
         int(r.rn): int(r.vc)
-        for r in ev.withColumn(
-            "rn", F.row_number().over(W.orderBy("vc", "event_id"))
-        )
+        for r in ranked_prefix(ev, ["vc", "event_id"], rk_col="rn")
         .filter(F.col("rn").isin(list(ranks.values())))
         .collect()
     }

@@ -1064,19 +1064,20 @@ def events_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     sets = {"a": users_with("error"), "b": users_with("purchase")}
-    wk = W.orderBy("h")
     sk = {}
     exact = {}
     for name, df in sets.items():
         exact[name] = df.count()
+        # K-smallest hashes via orderBy+limit (TakeOrderedAndProject —
+        # per-task heaps; r12 replaced the partition-less row_number
+        # window that sorted the whole hash stream into one partition)
         sk[name] = (
             df.select(
                 h64(F.concat(F.lit("theta:"), F.col("user_id").cast("string")))
                 .alias("h")
             )
-            .withColumn("rn", F.row_number().over(wk))
-            .filter(F.col("rn") <= _THETA_K)
-            .select("h")
+            .orderBy("h")
+            .limit(_THETA_K)
             .localCheckpoint(eager=True)
         )
     exact["union"] = sets["a"].unionByName(sets["b"]).distinct().count()
@@ -1085,9 +1086,8 @@ def events_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk["a"]
         .unionByName(sk["b"])
         .distinct()
-        .withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= _THETA_K)
-        .select("h")
+        .orderBy("h")
+        .limit(_THETA_K)
     )
     ta = sk["a"].agg(F.max("h")).first()[0]
     tb = sk["b"].agg(F.max("h")).first()[0]
@@ -1460,9 +1460,11 @@ def events_hll_sliding_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d*10% of users (the r12 ADVICE fix: the floor form put the 10% point
 # in a dropped decile-0 bucket and shifted every label by one).
 #
-# Scale: one user_id shuffle for the totals, one global sort for the
-# ranks (the same global-rank window the layout audits use), decile
-# rollup over n rows of metadata.
+# Scale: one user_id shuffle for the totals, then a RANGE-partitioned
+# two-phase rank/prefix-sum (operators/ranking.ranked_prefix — per-
+# partition windows + broadcast offsets; r12 replaced the partition-
+# less window that sorted the whole user table into one partition),
+# decile rollup over n rows of metadata.
 # --------------------------------------------------------------------------
 
 
@@ -1514,25 +1516,26 @@ def events_gini_concentration(
 ) -> DataFrame:
     from pyspark.sql.window import Window as W
 
+    from data_ingestion_din_spark.operators.ranking import ranked_prefix
+
     ev = load_table(spark, sf_dir, "events")
     ut = ev.groupBy("user_id").agg(
         F.sum(F.floor(F.col("value") * 100).cast("bigint"))
         .cast("bigint")
         .alias("cents")
     )
-    rk = ut.withColumn(
-        "r", F.row_number().over(W.orderBy("cents", "user_id"))
-    )
+    # distributed global rank + Lorenz prefix sum (range-partitioned
+    # two-phase — the r12 fix for the partition-less window this audit
+    # used to ship; the user table is corpus-keyed, so the global sort
+    # to ONE partition was the 100 TB hazard the header now avoids)
+    cum = ranked_prefix(
+        ut, ["cents", "user_id"], sums={"cum_cents": "cents"}, rk_col="r"
+    ).localCheckpoint(eager=False)  # two consumers: totals + deciles
+    rk = cum
     tot = rk.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("tv"),
         F.sum(F.col("r") * F.col("cents")).cast("bigint").alias("rv"),
-    )
-    cum = rk.withColumn(
-        "cum_cents",
-        F.sum("cents").over(
-            W.orderBy("r").rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
     )
     dec = (
         cum.crossJoin(tot)

@@ -878,12 +878,15 @@ def streaming_quantile_maintenance(
     ).localCheckpoint(eager=True)  # ≤ ~20 rows: serves every pct row
     docs = load_table(spark, sf_dir, "documents")
     tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    ranked = docs.select(
-        F.col("n_chars").cast("bigint").alias("len"),
-        F.row_number()
-        .over(W.orderBy("n_chars", "doc_id"))
-        .alias("rk"),
-    ).localCheckpoint(eager=False)
+    from data_ingestion_din_spark.operators.ranking import ranked_prefix
+
+    # range-partitioned two-phase rank (r12: the partition-less window
+    # here sorted the whole doc table into one partition)
+    ranked = (
+        ranked_prefix(docs, ["n_chars", "doc_id"], rk_col="rk")
+        .select(F.col("n_chars").cast("bigint").alias("len"), "rk")
+        .localCheckpoint(eager=False)
+    )
     out = None
     for p in _SQM_PCTS:
         target = F.greatest(
@@ -1343,9 +1346,9 @@ def _theta_index_processor(out: str):
                     )
                 ).alias("h")
             )
-            .withColumn("rn", F.row_number().over(W.orderBy("h")))
-            .filter(F.col("rn") <= _STH_K)
-            .select("h")
+            .orderBy("h")
+            .limit(_STH_K)  # K-smallest via per-task heaps (r12: was a
+            # partition-less row_number window — single-partition sort)
         )
         sk.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out, f"epoch={epoch_id}")

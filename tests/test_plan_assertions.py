@@ -1245,3 +1245,60 @@ def test_cusum_gate_processor_batch_plan(spark, tmp_path):
     assert _hint_count(dfs["new_state"]) == 0
     s = _plan_stats(dfs["verdicts"])
     assert s["cartesian"] == 0, s
+
+
+def _plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
+
+
+def test_ranked_prefix_matches_global_window(spark):
+    """ranked_prefix == the partition-less window it replaces, on a
+    multi-partition input with an awkward row count; and its plan is
+    the range-partitioned two-phase shape (no whole-input single
+    partition sort)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_din_spark.operators.ranking import ranked_prefix
+
+    df = spark.range(0, 997, 1, 8).select(
+        (F.col("id") * 37 % 1000).alias("k"),
+        F.col("id").alias("tie"),
+        (F.col("id") % 7).alias("v"),
+    )
+    got = (
+        ranked_prefix(df, ["k", "tie"], sums={"cv": "v"}, rk_col="r")
+        .select("k", "tie", "r", "cv")
+        .collect()
+    )
+    w = W.orderBy("k", "tie")
+    exp = (
+        df.withColumn("r", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cv",
+            F.sum("v")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("bigint"),
+        )
+        .select("k", "tie", "r", "cv")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    plan = _plan_text(ranked_prefix(df, ["k", "tie"], rk_col="r"))
+    assert "rangepartitioning" in plan, plan
+
+
+def test_global_window_rewrites_are_range_partitioned(spark):
+    """The r12 partition-less-window rewrites stay two-phase: the
+    corpus-sized rank/prefix consumers plan a range partitioning, and
+    the theta K-smallest builders plan TakeOrderedAndProject heaps
+    instead of a whole-stream single-partition sort."""
+    for name in (
+        "events_gini_concentration",
+        "corpus_pack_split_ab",
+    ):
+        plan = _plan_text(QUERIES[name](spark, SF))
+        assert "rangepartitioning" in plan, (name, plan)
