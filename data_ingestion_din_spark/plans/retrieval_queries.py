@@ -202,14 +202,25 @@ def context_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(toks), F.array(*[F.lit(t) for t in QUERY_TERMS])
         )
     ).cast("bigint")
-    s = docs.select("doc_id", "n_chars", score.alias("score")).filter(
-        F.col("score") >= 1
-    )
-    w = W.orderBy(F.desc("score"), "doc_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    from data_ingestion_din_spark.operators.ranking import ranked_prefix
+
+    s = docs.select(
+        "doc_id",
+        "n_chars",
+        score.alias("score"),
+        # ranked_prefix range-partitions on ASCENDING keys; negating
+        # the score encodes the DESC order as data (r12: the
+        # partition-less cumsum window pulled every matched doc into
+        # one partition — on a common query term that set is
+        # corpus-scale)
+        (-score).alias("neg_score"),
+    ).filter(F.col("score") >= 1)
+    cum = ranked_prefix(
+        s, ["neg_score", "doc_id"], sums={"cum_chars": "n_chars"},
+        rk_col="_rk",
     )
     return (
-        s.withColumn("cum_chars", F.sum("n_chars").over(w).cast("bigint"))
+        cum.withColumn("cum_chars", F.col("cum_chars").cast("bigint"))
         .filter(F.col("cum_chars") <= 4000)
         .select("doc_id", "score", "cum_chars")
         .orderBy(F.desc("score"), "doc_id")
@@ -1190,6 +1201,8 @@ def _prf_bm25_sql(terms_cte: str, tag: str) -> str:
     """,
 )
 def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.operators.ranking import rank_topk
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     dl = toks.select("doc_id", F.size("t").cast("bigint").alias("dl"))
@@ -1227,11 +1240,15 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("bm25_scaled")
             )
         )
-        return sc.withColumn(
-            "rank",
-            F.row_number().over(
-                W.orderBy(F.desc("bm25_scaled"), "doc_id")
-            ),
+        # every consumer cuts at rank <= max(_PRF_FEEDBACK_K, 10),
+        # so the scored stream never needs a full global rank — per-
+        # task heaps + a bounded window (r12: was partition-less)
+        return rank_topk(
+            sc,
+            max(_PRF_FEEDBACK_K, 10),
+            F.desc("bm25_scaled"),
+            "doc_id",
+            rk_col="rank",
         )
 
     q1 = spark.createDataFrame([(t,) for t in QUERY_TERMS], "tok string")
@@ -1262,13 +1279,10 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("w"),
         )
-        .withColumn(
-            "rank",
-            F.row_number().over(W.orderBy(F.desc("w"), "tok")),
-        )
-        .filter(F.col("rank") <= _PRF_EXPAND_E)
-        .localCheckpoint(eager=True)
     )
+    expt = rank_topk(
+        expt, _PRF_EXPAND_E, F.desc("w"), "tok", rk_col="rank"
+    ).localCheckpoint(eager=True)
     q2 = q1.unionByName(expt.select("tok")).distinct()
     top2 = bm25(q2)
     t1_ids = top1.filter(F.col("rank") <= 10).select("doc_id")
@@ -1487,16 +1501,23 @@ def retrieval_ql_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("s").cast("bigint").alias("bm25_scaled"))
     )
-    brk = bsc.select(
-        "doc_id",
-        F.row_number()
-        .over(W.orderBy(F.desc("bm25_scaled"), "doc_id"))
-        .alias("rank_bm25"),
+    from data_ingestion_din_spark.operators.ranking import (
+        rank_topk,
+        ranked_prefix,
     )
-    top = ql.withColumn(
-        "rank_ql",
-        F.row_number().over(W.orderBy(F.desc("ql_score"), "doc_id")),
-    ).filter(F.col("rank_ql") <= 20)
+
+    # the BM25 rank of ANY doc in QL's top-20 may be arbitrarily deep,
+    # so the full rank relation is genuinely needed — two-phase ranked
+    # (r12: was a partition-less window over every scored doc)
+    brk = ranked_prefix(
+        bsc.withColumn("neg_b", -F.col("bm25_scaled")),
+        ["neg_b", "doc_id"],
+        rk_col="rank_bm25",
+    ).select("doc_id", "rank_bm25")
+    # the QL side is a top-20 cut: per-task heaps + a bounded window
+    top = rank_topk(
+        ql, 20, F.desc("ql_score"), "doc_id", rk_col="rank_ql"
+    )
     return (
         top.join(brk, "doc_id", "left")
         .select(
