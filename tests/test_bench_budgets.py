@@ -141,8 +141,10 @@ BUDGETS = {
     # integer chain + two rank windows)
     "events_theta_set_ops": 5.0,  # 2.4-3.3 s steady (four sketch
     # builds + exact audit counts)
-    "retrieval_prf_expansion": 7.0,  # 3.8-4.2 s steady (two BM25
-    # passes + the feedback-term mining aggregate)
+    "retrieval_prf_expansion": 8.0,  # 4.8-6.4 s steady on the r12
+    # host (two BM25 passes + relational term mining; r12 converted
+    # the full global ranks to rank_topk cuts — plan strictly lighter,
+    # but the host reads 1.5-3x noisier than the r11 3.8-4.2 s pin)
     "similarity_rp_dim_grid": 9.0,  # 5.4-5.5 s steady (projection
     # groupBy + two checkpointed prefix-distance passes, 12 rank arms)
     "corpus_line_dedup": 3.0,  # 1.3-1.7 s steady (two shuffles:
@@ -157,8 +159,9 @@ BUDGETS = {
     # guarded collect + numpy GEMM per space, walks driver-side)
     "streaming_line_dedup_gate": 1.0,  # 0.23-0.25 s steady readback
     # (landings staged once per session like the sibling gates)
-    "retrieval_ql_dirichlet": 3.5,  # 1.4-2.2 s steady (one tf shuffle,
-    # corpus x |q| probability grid, two rank windows)
+    "retrieval_ql_dirichlet": 4.5,  # 2.9-3.4 s steady on the r12 host
+    # (one tf shuffle; the BM25 rank relation is two-phase ranked and
+    # the QL top-20 is a rank_topk cut since r12)
     "dq_benford_audit": 3.5,  # 1.6-2.1 s steady (three column scans,
     # 9-bucket rollups)
     "similarity_pq_subspace_ab": 9.0,  # 4.8-5.3 s steady (two Lloyd
@@ -167,8 +170,11 @@ BUDGETS = {
     # readback (nine availableNow landings staged once per session)
     "events_asof_tolerance_grid": 3.5,  # 1.9-2.2 s steady (one as-of
     # pass checkpointed, four tolerance aggregations)
-    "events_gini_concentration": 1.5,  # 0.6-0.8 s steady (one user
-    # rollup + one global rank window)
+    "events_gini_concentration": 3.0,  # 1.7-1.9 s steady (r12: the
+    # Lorenz rank/prefix went range-partitioned two-phase — an extra
+    # sampling job + broadcast join that COSTS ~1 s at sf0.1 and is
+    # the whole point at 100 TB, where the old partition-less window
+    # sorted every user onto one core)
     "corpus_cms_width_grid": 6.5,  # 2.2-3.9 s steady (one token scan
     # checkpointed, three width shuffles over the distinct vocabulary)
     "corpus_decontam_n_grid": 6.0,  # 3.5-3.7 s steady (three shingle
