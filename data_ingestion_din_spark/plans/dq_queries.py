@@ -1683,6 +1683,11 @@ _HAB_MICROS = {"ts", "o_orderdate", "l_shipdate"}  # stored TIMESTAMP
 # is excluded (no portable canonical string; its key column vec_id
 # carries the table's cardinality signal).
 #
+# Edge semantics (both engines, by construction): an all-NULL column
+# contributes no hashes, so it has no ex/sk rows and silently drops
+# from this A/B — its emptiness is dq_completeness_matrix's null_milli
+# = 1000 row, not this table's job.
+#
 # Scale: ONE hash-distinct pass per table feeds every (column, m) —
 # the per-m register tables are (n_cols × m) rows of metadata; the
 # exact side rides the same distinct pass the profile already paid,

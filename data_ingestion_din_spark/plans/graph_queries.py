@@ -2200,9 +2200,13 @@ def similarity_graph_hnsw_layers(
     }
 
     def walk(p, start, adj_of, b, steps):
-        """Beam frames + CUMULATIVE expanded-edge count per step."""
+        """Beam frames + CUMULATIVE expanded-edge count per step.
+        start == p (possible when a tiny corpus leaves the layer's
+        max-id entry inside the probe set) mirrors the oracle's
+        empty-s0 semantics: the walk yields empty frames and the
+        probe contributes nothing downstream."""
         frames, ecum = [], []
-        beam = [(pdist[(p, start)], start)]
+        beam = [] if start == p else [(pdist[(p, start)], start)]
         e = 0
         for _ in range(steps):
             cand = {n for _, n in beam}
@@ -2227,15 +2231,23 @@ def similarity_graph_hnsw_layers(
             elif mode == "layer1":
                 fr, ec = walk(p, entry1, l1_adj, _GR_L1_B, _GR_L1_H)
                 hier_e += ec[-1]
-                start = fr[-1][0][1]
+                start = fr[-1][0][1] if fr[-1] else None
             else:
                 fr2, ec2 = walk(p, entry2, l2_adj, _GR_L2_B, _GR_L2_H)
                 hier_e += ec2[-1]
-                frm, ecm = walk(
-                    p, fr2[-1][0][1], l1_adj, _GR_L1_B, _GR_L12_H
-                )
-                hier_e += ecm[-1]
-                start = frm[-1][0][1]
+                if fr2[-1]:
+                    frm, ecm = walk(
+                        p, fr2[-1][0][1], l1_adj, _GR_L1_B, _GR_L12_H
+                    )
+                    hier_e += ecm[-1]
+                    start = frm[-1][0][1] if frm[-1] else None
+                else:
+                    start = None
+            if start is None or start == p:
+                # empty hierarchy walk (oracle: no seed row) — the
+                # probe contributes no entry distance and never hits
+                f0[p] = ([[] for _ in range(_GR_H)], [0] * _GR_H)
+                continue
             ed += pdist[(p, start)]
             f0[p] = walk(p, start, adj0, _GR_HE_B, _GR_H)
         per_mode[mode] = (f0, hier_e, {"ed": ed})
