@@ -544,9 +544,28 @@ def dedup_simhash_band_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if en - st < 2:
                         continue
                     grp = np.sort(srt[st:en]).astype(np.int64)
-                    a_i, b_i = np.triu_indices(len(grp), k=1)
-                    pa, pb = grp[a_i], grp[b_i]
-                    if j:
+                    gl = len(grp)
+                    if j == 0:
+                        total += gl * (gl - 1) // 2
+                        continue
+                    # blocked pair expansion: a degenerate band value
+                    # can hold every doc under the <=20k guard, and a
+                    # single triu_indices there allocates O(gl^2)
+                    # int64s (~3 GB at the boundary) — cap each
+                    # block's pair count instead (same counts)
+                    blk = max(1, 4_000_000 // gl)
+                    for lo in range(0, gl - 1, blk):
+                        hi = min(lo + blk, gl - 1)
+                        reps = gl - 1 - np.arange(lo, hi)
+                        pa = np.repeat(grp[lo:hi], reps)
+                        pb = grp[
+                            np.concatenate(
+                                [
+                                    np.arange(a + 1, gl)
+                                    for a in range(lo, hi)
+                                ]
+                            )
+                        ]
                         ua, ub = fp[pa], fp[pb]
                         keep = np.ones(len(pa), dtype=bool)
                         for jj in range(j):
@@ -555,8 +574,6 @@ def dedup_simhash_band_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (ub >> sh) & mask
                             )
                         total += int(keep.sum())
-                    else:
-                        total += len(pa)
                 out_w.append(int(w))
                 out_cnt.append(total)
             yield pd.DataFrame({"w": out_w, "cnt": out_cnt})
