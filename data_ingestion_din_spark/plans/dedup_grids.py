@@ -548,24 +548,42 @@ def dedup_simhash_band_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if j == 0:
                         total += gl * (gl - 1) // 2
                         continue
-                    # blocked pair expansion: a degenerate band value
-                    # can hold every doc under the <=20k guard, and a
-                    # single triu_indices there allocates O(gl^2)
-                    # int64s (~3 GB at the boundary) — cap each
-                    # block's pair count instead (same counts)
-                    blk = max(1, 4_000_000 // gl)
-                    for lo in range(0, gl - 1, blk):
-                        hi = min(lo + blk, gl - 1)
-                        reps = gl - 1 - np.arange(lo, hi)
-                        pa = np.repeat(grp[lo:hi], reps)
-                        pb = grp[
-                            np.concatenate(
-                                [
-                                    np.arange(a + 1, gl)
-                                    for a in range(lo, hi)
-                                ]
+                    # normal groups take the one-shot triu; a
+                    # degenerate band value can hold every doc under
+                    # the <=20k guard, where one triu_indices
+                    # allocates O(gl^2) int64s (~3 GB at the
+                    # boundary) — those fall back to blocked
+                    # expansion capped at ~4M pairs (same counts)
+                    if gl <= 2000:
+                        a_i, b_i = np.triu_indices(gl, k=1)
+                        blocks = [(grp[a_i], grp[b_i])]
+                    else:
+                        blk = max(1, 4_000_000 // gl)
+                        blocks = (
+                            (
+                                np.repeat(
+                                    grp[lo : min(lo + blk, gl - 1)],
+                                    gl
+                                    - 1
+                                    - np.arange(
+                                        lo, min(lo + blk, gl - 1)
+                                    ),
+                                ),
+                                grp[
+                                    np.concatenate(
+                                        [
+                                            np.arange(a + 1, gl)
+                                            for a in range(
+                                                lo,
+                                                min(lo + blk, gl - 1),
+                                            )
+                                        ]
+                                    )
+                                ],
                             )
-                        ]
+                            for lo in range(0, gl - 1, blk)
+                        )
+                    for pa, pb in blocks:
                         ua, ub = fp[pa], fp[pb]
                         keep = np.ones(len(pa), dtype=bool)
                         for jj in range(j):
