@@ -19,71 +19,16 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # last sample is oldest) are listed first so a bounded driver window covers
 # them before re-checking recently-green entries. Names not in the registry
 # are ignored; registered queries not listed here follow in registration
-# order. Rotation state entering round 12 (CORRECTNESS_r11 green for all 50
-# sampled): the 21 round-11 late additions the r11 window missed lead
-# (never sampled, computed from all CORRECTNESS_r*.json), round-12
-# additions are inserted into that head AS THEY LAND
-# (tests/test_rotation.py enforces that every never-sampled name precedes
-# every sampled one — the invariant, not a per-round cleanup), then the
-# full 43-query block whose latest driver sample is round 6. Registry
-# growth is deliberately paused this round (a handful of additions at
-# most) so the ~50 window retires the never-sampled set plus the front of
-# the r6 block; whatever r6 names the window misses lead round 13.
+# order. Rotation state entering round 13 (CORRECTNESS_r12 green for all 50
+# sampled, zero never-sampled anywhere): round-13 additions land at the
+# very head AS THEY LAND (tests/test_rotation.py enforces that every
+# never-sampled name precedes every sampled one), then the 18-query block
+# whose latest driver sample is round 6, then the 50-query round-7 block in
+# registration order. Registry growth stays small this round so the ~50
+# window retires the whole r6 block plus the front of r7.
 _DRIVER_PRIORITY: list[str] = [
-    # Round-12 additions land here (never sampled — must lead).
-    "dq_completeness_hll_ab",
-    "similarity_graph_hnsw_layers",
-    "doc_5gram_perplexity",
-    "doc_lm_5gram_ab",
-    # Never driver-sampled r11 additions (absent from every
-    # CORRECTNESS_r*.json through r11).
-    "events_gini_concentration",
-    "events_markov_transitions",
-    "events_session_gap_grid",
-    "dedup_semdedup_eps_grid",
-    "similarity_vamana_clustered_ab",
-    "similarity_pq_subspace_ab",
-    "similarity_kmeans_convergence",
-    "retrieval_ql_dirichlet",
-    "events_asof_tolerance_grid",
-    "corpus_cms_width_grid",
-    "events_cusum_changepoint",
-    "events_dispersion_audit",
-    "streaming_watermark_lateness_grid",
-    "corpus_decontam_n_grid",
-    "doc_mattr_diversity",
-    "corpus_ccnet_buckets",
-    "streaming_line_dedup_gate",
-    "streaming_cusum_gate",
-    "dq_benford_audit",
-    "dq_order_consistency_audit",
-    "dq_completeness_matrix",
-    # Latest driver sample is round 6 (all 43, registration order).
-    "tables_clean_shape",
-    "tables_header_election",
-    "tables_dedup_conflicts",
-    "tables_subtable_split",
-    "table_trust_aggregate",
-    "validation_issues",
-    "keyword_relevance",
-    "context_budget_cut",
-    "qna_pairs_extract",
-    "qna_best_match",
-    "doc_semantic_chunks",
-    "media_phash_near_dup",
-    "media_phash_clusters",
-    "media_phash_recall",
-    "media_resize_plan",
-    "media_frame_samples",
-    "q13_customer_distribution",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q22_idle_customers",
-    "q12_priority_shipping",
-    "q16_supplier_part_variety",
-    "q21_waiting_suppliers",
-    "customer_spend_quartiles",
-    "q7_nation_volume",
+    # Round-13 additions land here (never sampled - must lead).
+    # Latest driver sample is round 6 (all 18, registration order).
     "q15_top_supplier",
     "q8_market_share",
     "doc_classification",
@@ -102,6 +47,57 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_pack_sequences",
     "training_shard_manifest",
     "dq_expectations",
+    # Latest driver sample is round 7 (all 50, registration order).
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "customer_running_revenue",
+    "parts_never_discounted",
+    "late_shipment_orders",
+    "nation_customer_rollup",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "events_tumbling_5min",
+    "events_sliding_10min",
+    "events_sessionized",
+    "events_json_props",
+    "events_type_pivot",
+    "clicks_on_error_free_days",
+    "events_daily_retention",
+    "events_funnel",
+    "events_kmv_distinct",
+    "events_trailing_hour",
+    "doc_token_stats",
+    "doc_language_quality",
+    "doc_clean_roundtrip",
+    "doc_fixed_chunks",
+    "corpus_word_freq",
+    "dedup_exact",
+    "dedup_wordset",
+    "minhash_signatures",
+    "dedup_minhash_groups",
+    "dedup_simhash_near",
+    "dedup_simhash_groups",
+    "ngram_jaccard_top20",
+    "embedding_near_dup",
+    "dedup_clusters",
+    "embedding_label_centroids",
+    "blocks_reading_order",
+    "blocks_sections",
+    "blocks_merged",
+    "html_tables_parse",
+    "qna_best_match_seq",
+    "ask_pipeline",
+    "events_asof_attribution",
+    "events_error_burst",
+    "multimodal_media_stats",
+    "q3_bucketed_colocated",
+    "revenue_cube",
+    "events_value_quartiles",
+    "repeat_buyers_96_not_97",
+    "streaming_ingest_chunks",
+    "streaming_phash_index",
+    "training_shard_incremental",
 ]
 
 
