@@ -814,9 +814,12 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exactness: cos ≥ c/10 as the integer predicate dot > 0 AND
 # 100·dot² ≥ c²·aa·bb over 1e3-quantized vectors (the semdedup gate's
 # recipe generalized to the sweep; every product fits int64 at
-# dims=64). The audit side runs driver-side over the guarded collected
-# matrix (the simhash-band-grid disposition); the oracle recomputes
-# both sides in SQL with the unrolled 2-iteration Lloyd.
+# dims=64). The audit side runs task-parallel: row-chunked mapInPandas
+# GEMM against the broadcast quantized matrix (the simhash-band-grid
+# disposition at :476 — the r12 verdict flagged the previous
+# driver-side single-threaded m @ m.T as host-BLAS-sensitive); the
+# oracle recomputes both sides in SQL with the unrolled 2-iteration
+# Lloyd.
 #
 # Measured (sf0.01, k=8 cells): ε=0.3 → 992 true pairs, cell recall
 # 314‰; ε=0.4 → 60 true, 433‰; ε=0.5 → 1 pair, caught (1000‰). The
@@ -910,19 +913,73 @@ def dedup_semdedup_eps_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in _km8(spark, sf_dir).collect()
     }
     cells = np.array([cell[i] for i in ids], dtype=np.int64)
-    g = m @ m.T
-    nsq = np.diag(g).copy()
-    ab = nsq[:, None] * nsq[None, :]
-    upper = np.triu(np.ones_like(g, dtype=bool), k=1)
-    same = cells[:, None] == cells[None, :]
+    nsq = (m * m).sum(axis=1)
+    n = len(ids)
+    # all-pairs cosine truth (audit side, guarded): row-chunked across
+    # executor tasks — each task runs one (chunk x n) integer GEMM
+    # against the broadcast quantized matrix and evaluates the three
+    # eps predicates, emitting per-(chunk, eps) pair counts plus the
+    # removed-column index lists (hi removed when ANY lower-index row
+    # is near). Counts are additive across chunks; removed sets union.
+    # Driver-side single-threaded GEMM was the r12 perf weak mark
+    # (host-BLAS-sensitive); this is the simhash-band-grid disposition
+    # at dedup_grids.py:476 ported to the cosine truth.
+    bc = spark.sparkContext.broadcast((m, cells, nsq))
+    chunk = 256
+    n_tasks = max(1, (n + chunk - 1) // chunk)
+    starts_df = spark.createDataFrame(
+        [(i,) for i in range(0, n, chunk)], "i0 int"
+    ).repartition(n_tasks)
+
+    def _truth_tasks(batches):
+        import pandas as pd
+
+        mm, cl, ns = bc.value
+        nn = len(cl)
+        for pdf in batches:
+            rec = {
+                "eps": [], "npair": [], "ncell": [],
+                "rm_true": [], "rm_cell": [],
+            }
+            for i0 in pdf["i0"].tolist():
+                i1 = min(i0 + chunk, nn)
+                g = mm[i0:i1] @ mm.T
+                ab = ns[i0:i1, None] * ns[None, :]
+                upper = np.arange(nn)[None, :] > np.arange(i0, i1)[:, None]
+                same = cl[i0:i1, None] == cl[None, :]
+                pos = (g > 0) & upper
+                g2 = 100 * g * g
+                for c in _SDE_EPS:
+                    near = pos & (g2 >= c * c * ab)
+                    cn = near & same
+                    rec["eps"].append(int(c))
+                    rec["npair"].append(int(near.sum()))
+                    rec["ncell"].append(int(cn.sum()))
+                    rec["rm_true"].append(
+                        np.nonzero(near.any(axis=0))[0].tolist()
+                    )
+                    rec["rm_cell"].append(
+                        np.nonzero(cn.any(axis=0))[0].tolist()
+                    )
+            yield pd.DataFrame(rec)
+
+    agg = starts_df.mapInPandas(
+        _truth_tasks,
+        "eps int, npair long, ncell long,"
+        " rm_true array<long>, rm_cell array<long>",
+    ).collect()
+    pair_cnt = {c: [0, 0] for c in _SDE_EPS}
+    rm_t = {c: set() for c in _SDE_EPS}
+    rm_c = {c: set() for c in _SDE_EPS}
+    for r in agg:
+        pair_cnt[r.eps][0] += int(r.npair)
+        pair_cnt[r.eps][1] += int(r.ncell)
+        rm_t[r.eps].update(r.rm_true)
+        rm_c[r.eps].update(r.rm_cell)
     out = []
     for c in _SDE_EPS:
-        near = (g > 0) & (100 * g * g >= c * c * ab) & upper
-        cellnear = near & same
-        n_true = int(near.sum())
-        n_cell = int(cellnear.sum())
-        rm_true = int(near.any(axis=0).sum())
-        rm_cell = int(cellnear.any(axis=0).sum())
+        n_true, n_cell = pair_cnt[c]
+        rm_true, rm_cell = len(rm_t[c]), len(rm_c[c])
         out.append(
             (
                 c,
