@@ -28,6 +28,7 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # window retires the whole r6 block plus the front of r7.
 _DRIVER_PRIORITY: list[str] = [
     # Round-13 additions land here (never sampled - must lead).
+    "ranked_prefix_ab",
     # Latest driver sample is round 6 (all 18, registration order).
     "q15_top_supplier",
     "q8_market_share",
@@ -86,7 +87,6 @@ _DRIVER_PRIORITY: list[str] = [
     "blocks_sections",
     "blocks_merged",
     "html_tables_parse",
-    "qna_best_match_seq",
     "ask_pipeline",
     "events_asof_attribution",
     "events_error_burst",

@@ -22,7 +22,11 @@ ContextCleaner pause landing in that execution (observed: 16.6 s second
 run vs 3.4 s first and 2.8-3.3 s in isolation for
 embedding_near_dup_lsh) — best-of-two is the stable plan-quality
 estimator at zero extra runtime; cold is kept so a genuine cold-path
-regression still shows.
+regression still shows. When the two executions disagree by >2x (and
+the worse one exceeds 1 s), a bounded THIRD run breaks the tie and the
+steady number is min-of-three — r12 showed five of six apparent budget
+breaches in the committed artifact were single-run host noise; per-entry
+``n_runs`` records which entries needed it.
 
 Query selection: every operator family with a scale story — wide agg,
 join+top-k, star join, windows, sessionization, dedup (exact/normalized/
@@ -397,6 +401,8 @@ BENCH_QUERIES = [
     "similarity_graph_hnsw_layers",
     "doc_5gram_perplexity",
     "doc_lm_5gram_ab",
+    # round-13 additions
+    "ranked_prefix_ab",
 ]
 
 
@@ -613,6 +619,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     steady: dict[str, float] = {}
+    n_runs: dict[str, int] = {}
     for name in BENCH_QUERIES:
         cold[name] = round(run(name), 3)
         # Both raw executions are emitted (not just min): a regression
@@ -621,6 +628,19 @@ def main() -> None:
         # even though the headline uses best-of-two (ADVICE r5).
         warm[name] = round(run(name), 3)
         steady[name] = min(cold[name], warm[name])
+        n_runs[name] = 2
+        # Noise guard (VERDICT r12): on a loaded host byte-identical
+        # entries swing >2x between the two executions (five of six
+        # apparent r12 budget breaches were pure host noise confirmed
+        # by idle isolation probes). When cold/warm disagree >2x AND
+        # the worse reading is non-trivial, pay one bounded third run
+        # and take the min-of-three, so the committed artifact stops
+        # poisoning round-over-round comparison.
+        hi, lo = max(cold[name], warm[name]), steady[name]
+        if hi > 2.0 * lo and hi > 1.0:
+            third = round(run(name), 3)
+            steady[name] = min(steady[name], third)
+            n_runs[name] = 3
 
     total = round(sum(steady.values()), 3)
     full = {
@@ -630,6 +650,7 @@ def main() -> None:
         "queries": steady,
         "queries_cold": cold,
         "queries_warm": warm,
+        "n_runs": n_runs,
         "setup": setup,
         "setup_total": round(sum(setup.values()), 3),
         "sf": sf,

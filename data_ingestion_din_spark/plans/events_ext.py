@@ -1561,6 +1561,144 @@ def events_gini_concentration(
 
 
 # --------------------------------------------------------------------------
+# ranked_prefix_ab — the two-phase-window trade PRICED (VERDICT r12 ask
+# #6): the r12 sweep converted five corpus-sized partition-less windows
+# to operators/ranking.ranked_prefix and asserted in prose that the
+# extra range-sampling job "pays at 100x". This audit runs the SAME
+# ranked computation (the Lorenz shape: global rank + prefix sum of
+# per-user cents) BOTH ways and emits, per arm, (a) bit-exact checksums
+# of the full ranked relation — proving the two-phase output IS the
+# partition-less window's output — and (b) the arm's Exchange counts
+# read from its own executed physical plan (total / SinglePartition /
+# rangepartitioning), hash-gated against pinned expectations so a
+# future plan change that degrades either arm fails the oracle gate,
+# not just a unit test.
+#
+# The price sheet the counts encode: global_window = (2, 1, 0) — its
+# ONE SinglePartition exchange carries the CORPUS-SIZED relation to a
+# single task (the 100 TB scale-killer); two_phase = (8, 1, 2) — more
+# exchanges, but every corpus-sized one is distributed (the range
+# shuffle + the per-pid window), and its single SinglePartition
+# exchange carries only the N-partition offsets control table (N =
+# shuffle partitions, ~32 rows). Count parity across sf0.001/sf0.01
+# verified; wall timings are bench.py's job (the entry times both arms
+# back-to-back).
+#
+# Scale: arm A is deliberately the anti-pattern under audit — safe
+# here only because the fixture is small; production code never calls
+# it (the r12 sweep removed every corpus-sized site).
+# --------------------------------------------------------------------------
+_RPA_PINS = {"global_window": (2, 1, 0), "two_phase": (8, 1, 2)}
+
+
+def _exchange_counts(df: DataFrame) -> tuple[int, int, int]:
+    """(total Exchange nodes, SinglePartition exchanges,
+    rangepartitioning exchanges) from the plan's explain text — the
+    same token counting tests/test_plan_assertions.py uses, exposed to
+    the gated query so the plan shape itself is oracle-checked."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    ex = [ln for ln in buf.getvalue().splitlines() if "Exchange" in ln]
+    return (
+        len(ex),
+        sum(1 for ln in ex if "SinglePartition" in ln),
+        sum(1 for ln in ex if "rangepartitioning" in ln),
+    )
+
+
+def _rpa_oracle() -> str:
+    arms_sql = ", ".join(
+        f"('{arm}', {t[0]}, {t[1]}, {t[2]})"
+        for arm, t in sorted(_RPA_PINS.items())
+    )
+    return f"""
+    WITH ut AS (
+      SELECT user_id,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id
+    ),
+    rk AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, user_id) AS r,
+             sum(cents) OVER (ORDER BY cents, user_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM ut
+    ),
+    chk AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(r * cents) AS BIGINT) AS sum_r_cents,
+             CAST(sum(cum) AS BIGINT) AS sum_cum,
+             CAST(max(cum) AS BIGINT) AS max_cum
+      FROM rk
+    )
+    SELECT arms.arm AS arm, n_rows, sum_r_cents, sum_cum, max_cum,
+           CAST(arms.nx AS INT) AS n_exchanges,
+           CAST(arms.nsp AS INT) AS n_single_partition,
+           CAST(arms.nrp AS INT) AS n_range_partitioning
+    FROM chk CROSS JOIN (VALUES {arms_sql}) arms(arm, nx, nsp, nrp)
+    ORDER BY arm
+    """
+
+
+@query("ranked_prefix_ab", oracle=_rpa_oracle())
+def ranked_prefix_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_ingestion_din_spark.operators.ranking import ranked_prefix
+
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    wa = W.orderBy("cents", "user_id")
+    arm_a = ut.select(
+        F.row_number().over(wa).cast("bigint").alias("r"),
+        F.sum("cents")
+        .over(wa.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("cum"),
+        "cents",
+    )
+    arm_b = ranked_prefix(
+        ut, ["cents", "user_id"], sums={"cum": "cents"}, rk_col="r"
+    ).select("r", "cum", "cents")
+    rows = []
+    for arm, df in (("global_window", arm_a), ("two_phase", arm_b)):
+        nx, nsp, nrp = _exchange_counts(df)
+        chk = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("r") * F.col("cents"))
+            .cast("bigint")
+            .alias("sum_r_cents"),
+            F.sum("cum").cast("bigint").alias("sum_cum"),
+            F.max("cum").cast("bigint").alias("max_cum"),
+        ).collect()[0]
+        rows.append(
+            (
+                arm,
+                int(chk.n_rows),
+                int(chk.sum_r_cents),
+                int(chk.sum_cum),
+                int(chk.max_cum),
+                nx,
+                nsp,
+                nrp,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "arm string, n_rows bigint, sum_r_cents bigint, sum_cum bigint,"
+        " max_cum bigint, n_exchanges int, n_single_partition int,"
+        " n_range_partitioning int",
+    ).orderBy("arm")
+
+
+# --------------------------------------------------------------------------
 # events_markov_transitions — first-order event-type transition matrix,
 # the sequence-analytics operator the session/funnel family implies but
 # never materializes: per user in (ts, event_id) order, count each

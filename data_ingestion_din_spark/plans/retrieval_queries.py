@@ -373,7 +373,6 @@ def qna_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("qna_best_match_seq")  # no oracle: difflib is not SQL-expressible
 def qna_best_match_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 bit-parity variant: same retrieval + argmax pipeline as
     ``qna_best_match`` but scored with ``seq_ratio`` — the Arrow-batched
@@ -383,7 +382,16 @@ def qna_best_match_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein gate can flip near the threshold; see
     tests/test_text_functions.py::test_lev_ratio_vs_difflib_divergence).
     Python boundary is one vectorized batch per partition of the
-    (already guard-filtered, small) candidate set."""
+    (already guard-filtered, small) candidate set.
+
+    Operator-level (NOT in the query registry): difflib's
+    matching-blocks recursion is not SQL-expressible, so this was the
+    registry's single rows-only row for five rounds. It is now gated by
+    the driver-side difflib golden test
+    (tests/test_plans_smoke.py::test_qna_best_match_seq_golden_vs_difflib)
+    instead, and ``qna_best_match`` (normalized Levenshtein, hash-exact
+    vs DuckDB) is the registered form — so ``oracle_sql()`` covers 100%
+    of ``queries()`` (VERDICT r12 ask #5, option B)."""
     from data_ingestion_din_spark.functions.text import seq_ratio
 
     docs = load_table(spark, sf_dir, "documents")

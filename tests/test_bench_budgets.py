@@ -197,6 +197,8 @@ BUDGETS = {
     # rollup + 5-row stats)
     "streaming_cusum_gate": 1.0,  # 0.25 s steady readback (landings
     # staged once per session like the sibling gates)
+    "ranked_prefix_ab": 4.0,  # 2.3-2.6 s steady (both window arms run
+    # back-to-back: global-window rank + the two-phase range shuffle)
     "corpus_ccnet_buckets": 3.5,  # 1.6-2.1 s steady (the ppl chain +
     # one per-lang rank window)
     "dedup_semdedup_eps_grid": 4.5,  # 2.9-3.1 s steady (r13: truth

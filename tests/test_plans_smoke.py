@@ -53,11 +53,12 @@ def test_entry_contract(spark):
 
 
 def test_qna_best_match_seq_golden_vs_difflib(spark):
-    """Driver-side golden check for the one registered query with no
-    DuckDB oracle: recompute the J6 argmax with plain-Python
-    ``difflib.SequenceMatcher`` over the collected candidate set (small
-    by construction — the F8 guard filters first) and pin the query's
-    (doc_id, score) to it bit-for-bit."""
+    """Driver-side golden check for the difflib-scored J6 variant
+    (operator-level since r13 — demoted from the registry so every
+    registered query is oracle-backed): recompute the argmax with
+    plain-Python ``difflib.SequenceMatcher`` over the collected
+    candidate set (small by construction — the F8 guard filters first)
+    and pin the operator's (doc_id, score) to it bit-for-bit."""
     import difflib
 
     from data_ingestion_din_spark.plans.retrieval_queries import (
@@ -83,7 +84,12 @@ def test_qna_best_match_seq_golden_vs_difflib(spark):
     gated = [(s, d) for s, d in scored if s >= 0.75]
     expected = max(gated, key=lambda t: (t[0], -t[1])) if gated else None
 
-    out = QUERIES["qna_best_match_seq"](spark, sf).collect()
+    from data_ingestion_din_spark.plans.retrieval_queries import (
+        qna_best_match_seq,
+    )
+
+    assert "qna_best_match_seq" not in QUERIES  # registry is 100% oracle-backed
+    out = qna_best_match_seq(spark, sf).collect()
     if expected is None:
         assert out == []
     else:
