@@ -29,6 +29,7 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 _DRIVER_PRIORITY: list[str] = [
     # Round-13 additions land here (never sampled - must lead).
     "ranked_prefix_ab",
+    "similarity_pq_aniso_ab",
     # Latest driver sample is round 6 (all 18, registration order).
     "q15_top_supplier",
     "q8_market_share",

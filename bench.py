@@ -403,6 +403,7 @@ BENCH_QUERIES = [
     "doc_lm_5gram_ab",
     # round-13 additions
     "ranked_prefix_ab",
+    "similarity_pq_aniso_ab",
 ]
 
 

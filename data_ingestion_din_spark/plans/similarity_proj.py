@@ -916,3 +916,438 @@ def similarity_kmeans_convergence(
         )
         grid = row if grid is None else grid.unionByName(row)
     return grid.orderBy("iter")
+
+
+# --------------------------------------------------------------------------
+# similarity_pq_aniso_ab — score-aware (anisotropic) quantization, the
+# ScaNN insight (Guo et al. 2020, "Accelerating Large-Scale Inference
+# with Anisotropic Vector Quantization") measured against the repo's
+# reconstruction-MSE PQ at EQUAL code budget (n_sub=4, k=4 — the
+# similarity_pq_topk configuration). ScaNN's premise: for
+# maximum-inner-product serving, quantization error PARALLEL to the
+# datapoint direction biases every query's score, while orthogonal
+# error averages out — so the assignment loss should weight the
+# parallel residual component more than MSE does.
+#
+# Integer-exact per-subspace form: for subvector x and codeword c with
+# residual r = x − c, the anisotropic loss
+#   L = η·‖r_par‖² + ‖r_orth‖²  (η = parallel weight > 1)
+# scaled through by ‖x‖² (positive per-row constant — argmin over c is
+# unchanged) becomes the pure-integer comparator
+#   L' = ‖r‖²·‖x‖² + (η−1)·(r·x)²
+# exact in BIGINT at milli quantization (dims=64, d_sub=16: every
+# product ≤ ~3e15). η = 4 is the fixed integer stand-in for ScaNN's
+# threshold-derived h_par/h_orth ratio; the per-subspace application
+# (weighting against the SUBvector direction, not the full vector) and
+# the mean M-step (codewords are not re-optimized for the weighted
+# loss) are the documented approximations — the A/B isolates the
+# ASSIGNMENT rule, everything else equal.
+#
+# Both arms train the identical 1-iteration Lloyd (same lowest-vec_id
+# seeds, same truncating-mean M-step, same lowest-code tie-break) —
+# only the argmin comparator differs (mse: ‖r‖²; aniso: L'). One row
+# per arm: total plain reconstruction error (sq_err), total
+# anisotropic loss (aniso_err), and ADC recall@10 against the exact
+# DOT-PRODUCT top-10 (the MIPS truth ScaNN targets, not L2) over the
+# 20-probe sweep, estimated dot = Σ_m probe_m·cb[m][code] per arm.
+#
+# Measured (sf0.01): aniso_err 4.598e14 vs mse's 4.610e14 — the
+# weighted assignment does descend its own objective — but recall@10
+# reads 95‰ aniso vs 100‰ mse: on this fixture the ScaNN reweighting
+# BUYS NOTHING, and the reason is the measurement's point (the RP
+# grid's lesson again): hash embeddings are isotropic, so there is no
+# dominant score direction for the parallel weighting to protect, and
+# at k=4 the codebooks are too variance-starved for a 4× parallel
+# weight to move assignments except on near-ties, where it trades away
+# reconstruction breadth. ScaNN's gains live on real embedding spectra
+# (correlated dims, concentrated energy); the A/B prices the rule, the
+# fixture supplies the null case. Note sq_err: neither arm is at an
+# MSE optimum after one iteration from shared seeds, so no ordering is
+# guaranteed (measured: aniso 450.3M vs mse 452.1M — aniso happens to
+# read LOWER). Numbers pinned by the gate, not this comment.
+#
+# Scale: two 1-iteration PQ trainings (narrow per-row argmin
+# expressions against a 4×4×16-int literal codebook, one (m, code,
+# dim) partial-sum shuffle each); the ADC probe tables are 20·4·4-row
+# broadcast control data; the exact-dot truth is the guarded collected
+# GEMM (audit side only — production serves through the banded/celled
+# paths). Same posture as similarity_pq_subspace_ab.
+# --------------------------------------------------------------------------
+_PQA_W = 3  # η − 1 with η = 4: parallel error weighted 4× orthogonal
+
+
+def _pqa_loss_sql(p: str) -> dict[str, str]:
+    from data_ingestion_din_spark.plans.similarity_queries import _PQ_D
+
+    rng = f"range(1, {_PQ_D + 1})"
+    rr = (
+        f"list_sum(list_transform({rng},"
+        " i -> (s.sv[i] - c.sv[i]) * (s.sv[i] - c.sv[i])))"
+    )
+    xx = f"list_sum(list_transform({rng}, i -> s.sv[i] * s.sv[i]))"
+    rx = (
+        f"list_sum(list_transform({rng},"
+        " i -> (s.sv[i] - c.sv[i]) * s.sv[i]))"
+    )
+    loss = rr if p == "am_" else f"({rr}) * ({xx}) + {_PQA_W} * ({rx}) * ({rx})"
+    return {"rr": rr, "xx": xx, "rx": rx, "loss": loss}
+
+
+def _pqa_ctes(p: str) -> str:
+    """Prefixed 1-iteration PQ chain assigned by the arm's loss
+    (am_ = plain MSE, aa_ = anisotropic), over shared CTEs ``sub`` and
+    ``seeds``; emits {p}err (both error totals) and {p}sh (ADC
+    dot-product top-10 per probe)."""
+    from data_ingestion_din_spark.plans.similarity_queries import _PQ_D
+
+    e = _pqa_loss_sql(p)
+    rng = f"range(1, {_PQ_D + 1})"
+    return f"""{p}a1 AS (
+      SELECT s.vec_id, s.m, s.sv, c.code
+      FROM sub s JOIN seeds c ON c.m = s.m
+      QUALIFY row_number() OVER (
+        PARTITION BY s.vec_id, s.m ORDER BY {e['loss']}, c.code) = 1
+    ),
+    {p}m1 AS (
+      SELECT m, code, i AS dim, sum(sv[i]) // count(*) AS cv
+      FROM {p}a1, {rng} t(i)
+      GROUP BY m, code, i
+    ),
+    {p}c1 AS (SELECT m, code, list(cv ORDER BY dim) AS sv FROM {p}m1
+              GROUP BY m, code),
+    {p}cf AS (
+      SELECT s.m, s.code, coalesce(c.sv, s.sv) AS sv
+      FROM seeds s LEFT JOIN {p}c1 c
+        ON s.m = c.m AND s.code = c.code
+    ),
+    {p}codes AS (
+      SELECT s.vec_id, s.m, c.code
+      FROM sub s JOIN {p}cf c ON c.m = s.m
+      QUALIFY row_number() OVER (
+        PARTITION BY s.vec_id, s.m ORDER BY {e['loss']}, c.code) = 1
+    ),
+    {p}err AS (
+      SELECT CAST(sum({e['rr']}) AS BIGINT) AS sq_err,
+             CAST(sum(({e['rr']}) * ({e['xx']})
+                      + {_PQA_W} * ({e['rx']}) * ({e['rx']}))
+               AS BIGINT) AS aniso_err
+      FROM {p}codes k
+      JOIN sub s ON s.vec_id = k.vec_id AND s.m = k.m
+      JOIN {p}cf c ON c.m = k.m AND c.code = k.code
+    ),
+    {p}adcp AS (
+      SELECT s.vec_id AS probe, c.m, c.code,
+             list_sum(list_transform({rng}, i -> s.sv[i] * c.sv[i]))
+               AS dpart
+      FROM (SELECT vec_id, m, sv FROM sub WHERE vec_id < {_SWEEP_N}) s
+      JOIN {p}cf c ON c.m = s.m
+    ),
+    {p}sh AS (
+      SELECT probe, vec_id FROM (
+        SELECT a.probe, k.vec_id,
+               row_number() OVER (
+                 PARTITION BY a.probe
+                 ORDER BY sum(a.dpart) DESC, k.vec_id) AS rk
+        FROM {p}codes k
+        JOIN {p}adcp a ON a.m = k.m AND a.code = k.code
+        WHERE k.vec_id <> a.probe
+        GROUP BY a.probe, k.vec_id
+      ) WHERE rk <= 10
+    )"""
+
+
+def _pqa_oracle() -> str:
+    from data_ingestion_din_spark.plans.similarity_queries import (
+        _PQ_D,
+        _PQ_K,
+        _PQ_SUB,
+        _SWEEP_N,
+    )
+
+    arms = []
+    for label, p in (("aniso", "aa_"), ("mse", "am_")):
+        arms.append(
+            f"""SELECT '{label}' AS arm, e.sq_err, e.aniso_err,
+             (SELECT count(*) FROM setop t
+              JOIN {p}sh s ON s.probe = t.probe AND s.vec_id = t.vec_id)
+               AS n_overlap
+      FROM {p}err e"""
+        )
+    body = "\n      UNION ALL\n      ".join(arms)
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, m,
+             list_slice(qv, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D}) AS sv
+      FROM q, range(0, {_PQ_SUB}) t(m)
+    ),
+    seeds AS (
+      SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id)
+                     AS INT) AS code, sv
+      FROM sub
+      QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id)
+        <= {_PQ_K}
+    ),
+    sdot AS (
+      SELECT p.vec_id AS probe, e.vec_id,
+             list_sum(list_transform(range(1, {_DIMS_UB}),
+               i -> e.qv[i] * p.qv[i])) AS dp
+      FROM q e
+      CROSS JOIN (SELECT vec_id, qv FROM q WHERE vec_id < {_SWEEP_N}) p
+      WHERE e.vec_id <> p.vec_id
+    ),
+    setop AS (
+      SELECT probe, vec_id FROM sdot
+      QUALIFY row_number() OVER (
+        PARTITION BY probe ORDER BY dp DESC, vec_id) <= 10
+    ),
+    {_pqa_ctes('aa_')},
+    {_pqa_ctes('am_')}
+    SELECT arm, sq_err, aniso_err,
+           CAST({_SWEEP_N} AS BIGINT) AS n_probes,
+           CAST(n_overlap * 1000 // (10 * {_SWEEP_N}) AS BIGINT)
+             AS recall_milli
+    FROM ({body})
+    ORDER BY arm
+    """
+
+
+@query("similarity_pq_aniso_ab", oracle=_pqa_oracle())
+def similarity_pq_aniso_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from data_ingestion_din_spark.functions.vectors import quantize_milli
+    from data_ingestion_din_spark.operators.dedup import _refuse_all_pairs
+    from data_ingestion_din_spark.plans.similarity_queries import (
+        _PQ_D,
+        _PQ_K,
+        _PQ_SUB,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _refuse_all_pairs(emb, 20_000, "staged exact-topk (audit truth)")
+    # fixture-size coalesce: the guarded audit set is ≤20k rows, and the
+    # dozen control jobs below otherwise pay 32-task scheduling overhead
+    # each (measured 11.5 s → ~6 s steady at sf0.1); production encoding
+    # keeps the corpus partitioning (pq_encode_qv), this is audit-only
+    qm = (
+        emb.select(
+            "vec_id", quantize_milli(F.col("embedding")).alias("qv")
+        )
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
+    sub = qm.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUB - 1}), m -> struct(m AS m,"
+                f" slice(qv, m * {_PQ_D} + 1, {_PQ_D}) AS sv))"
+            )
+        ).alias("x"),
+    ).select(
+        "vec_id",
+        F.col("x.m").alias("m"),
+        F.col("x.sv").alias("sv"),
+        F.aggregate(
+            F.col("x.sv"),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v * v,
+        ).alias("xx"),
+    ).localCheckpoint(eager=True)
+    seed_rows = qm.orderBy("vec_id").limit(_PQ_K).collect()
+    cb0 = [
+        [list(r.qv)[m * _PQ_D : (m + 1) * _PQ_D] for r in seed_rows]
+        for m in range(_PQ_SUB)
+    ]
+
+    def cb_lit(cbm):
+        return F.expr(
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(
+                    "array(" + ",".join(f"{v}L" for v in c) + ")"
+                    for c in codes
+                )
+                + ")"
+                for codes in cbm
+            )
+            + ")"
+        )
+
+    def tdiv(s: int, n: int) -> int:  # truncating div (DuckDB `//`)
+        return s // n if (s >= 0) == (n >= 0) or s % n == 0 else s // n + 1
+
+    def _assign(cbm, mode):
+        def per_code(c):
+            rr = F.aggregate(
+                F.zip_with(F.col("sv"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            )
+            if mode == "mse":
+                return rr
+            rx = F.aggregate(
+                F.zip_with(F.col("sv"), c, lambda x, y: (x - y) * x),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            )
+            return rr * F.col("xx") + F.lit(_PQA_W) * rx * rx
+
+        losses = F.transform(
+            F.element_at(cb_lit(cbm), F.col("m") + 1), per_code
+        )
+        return sub.select(
+            "vec_id", "m", "sv", losses.alias("_l")
+        ).select(
+            "vec_id",
+            "m",
+            "sv",
+            F.array_position(F.col("_l"), F.array_min(F.col("_l")))
+            .cast("int")
+            .alias("code"),
+        )
+
+    def _train(mode):
+        a1 = _assign(cb0, mode)
+        sums = (
+            a1.select("m", "code", F.posexplode("sv").alias("dim", "v"))
+            .groupBy("m", "code", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {
+            (m, c): list(cb0[m][c - 1])
+            for m in range(_PQ_SUB)
+            for c in range(1, _PQ_K + 1)
+        }
+        seen = set()
+        for r in sums:
+            if (r.m, r.code) not in seen:
+                new[(r.m, r.code)] = [0] * _PQ_D
+                seen.add((r.m, r.code))
+            new[(r.m, r.code)][r.dim] = tdiv(int(r.s), int(r.n))
+        cb = [
+            [new[(m, c)] for c in range(1, _PQ_K + 1)]
+            for m in range(_PQ_SUB)
+        ]
+        return _assign(cb, mode).select("vec_id", "m", "code"), cb
+
+    # exact MIPS truth (guarded GEMM over collected control data —
+    # the similarity_pq_subspace_ab audit form, dot instead of L2)
+    srows = qm.collect()
+    sids = np.array([int(r.vec_id) for r in srows], dtype=np.int64)
+    smat = np.stack([list(r.qv) for r in srows]).astype(np.int64)
+    order = np.argsort(sids)
+    sids, smat = sids[order], smat[order]
+    pmask = sids < _SWEEP_N
+    dmat = smat[pmask] @ smat.T
+    etop_rows = []
+    for ri, pid in enumerate(sids[pmask]):
+        row = dmat[ri]
+        cand = np.lexsort((sids, -row))
+        cand = cand[sids[cand] != pid][:10]
+        etop_rows += [(int(pid), int(sids[j])) for j in cand]
+    setop = spark.createDataFrame(
+        etop_rows, "probe bigint, vec_id bigint"
+    ).localCheckpoint(eager=True)
+    probes = {
+        int(pid): [int(v) for v in smat[ri]]
+        for ri, pid in enumerate(sids)
+        if pid < _SWEEP_N
+    }
+
+    from pyspark.sql.window import Window as W
+
+    out_rows = []
+    for arm, mode in (("aniso", "aniso"), ("mse", "mse")):
+        codes, cb = _train(mode)
+        codes = codes.localCheckpoint(eager=True)
+        cb_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (m, c + 1, [int(v) for v in cb[m][c]])
+                    for m in range(_PQ_SUB)
+                    for c in range(_PQ_K)
+                ],
+                "m int, code int, cv array<bigint>",
+            )
+        )
+        errs = (
+            codes.join(sub, ["vec_id", "m"])
+            .join(cb_df, ["m", "code"])
+            .select(
+                F.expr(
+                    "aggregate(zip_with(sv, cv,"
+                    " (a, b) -> (a - b) * (a - b)),"
+                    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                ).alias("rr"),
+                F.col("xx"),
+                F.expr(
+                    "aggregate(zip_with(sv, cv,"
+                    " (a, b) -> (a - b) * a),"
+                    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+                ).alias("rx"),
+            )
+            .agg(
+                F.sum("rr").cast("bigint").alias("sq_err"),
+                F.sum(
+                    F.col("rr") * F.col("xx")
+                    + F.lit(_PQA_W) * F.col("rx") * F.col("rx")
+                )
+                .cast("bigint")
+                .alias("aniso_err"),
+            )
+            .collect()[0]
+        )
+        adc_rows = []
+        for pid, vec in probes.items():
+            for m in range(_PQ_SUB):
+                svp = vec[m * _PQ_D : (m + 1) * _PQ_D]
+                for c in range(_PQ_K):
+                    adc_rows.append(
+                        (
+                            pid,
+                            m,
+                            c + 1,
+                            sum(a * b for a, b in zip(svp, cb[m][c])),
+                        )
+                    )
+        adc = F.broadcast(
+            spark.createDataFrame(
+                adc_rows, "probe bigint, m int, code int, dpart bigint"
+            )
+        )
+        wsh = W.partitionBy("probe").orderBy(F.desc("est"), "vec_id")
+        sh = (
+            codes.join(adc, ["m", "code"])
+            .filter(F.col("vec_id") != F.col("probe"))
+            .groupBy("probe", "vec_id")
+            .agg(F.sum("dpart").cast("bigint").alias("est"))
+            .withColumn("rk", F.row_number().over(wsh))
+            .filter(F.col("rk") <= 10)
+            .select("probe", "vec_id")
+        )
+        n_ov = setop.join(sh, ["probe", "vec_id"]).count()
+        out_rows.append(
+            (
+                arm,
+                int(errs.sq_err),
+                int(errs.aniso_err),
+                _SWEEP_N,
+                n_ov * 1000 // (10 * _SWEEP_N),
+            )
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "arm string, sq_err bigint, aniso_err bigint, n_probes bigint,"
+        " recall_milli bigint",
+    ).orderBy("arm")

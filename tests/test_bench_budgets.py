@@ -199,6 +199,9 @@ BUDGETS = {
     # staged once per session like the sibling gates)
     "ranked_prefix_ab": 4.0,  # 2.3-2.6 s steady (both window arms run
     # back-to-back: global-window rank + the two-phase range shuffle)
+    "similarity_pq_aniso_ab": 10.0,  # 6.6-7.0 s steady (two 1-iter PQ
+    # trainings + two ADC serves + the guarded exact-dot truth; the
+    # deliberate A/B price, same class as the smoothing/subspace A/Bs)
     "corpus_ccnet_buckets": 3.5,  # 1.6-2.1 s steady (the ppl chain +
     # one per-lang rank window)
     "dedup_semdedup_eps_grid": 4.5,  # 2.9-3.1 s steady (r13: truth
