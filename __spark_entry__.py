@@ -30,6 +30,7 @@ _DRIVER_PRIORITY: list[str] = [
     # Round-13 additions land here (never sampled - must lead).
     "ranked_prefix_ab",
     "similarity_pq_aniso_ab",
+    "streaming_asof_attribution",
     # Latest driver sample is round 6 (all 18, registration order).
     "q15_top_supplier",
     "q8_market_share",

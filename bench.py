@@ -404,6 +404,7 @@ BENCH_QUERIES = [
     # round-13 additions
     "ranked_prefix_ab",
     "similarity_pq_aniso_ab",
+    "streaming_asof_attribution",
 ]
 
 
@@ -560,6 +561,7 @@ def main() -> None:
     # own recorded setup row (ivfpq_stream_index above already covers
     # streaming_ivfpq_index / streaming_ivfpq_serve)
     from data_ingestion_din_spark.plans.streaming_cdc import (
+        _asofs_out_dir,
         _ddw_out_dir,
         _first_seen_out_dir,
         _ingested_corpus_dir,
@@ -578,6 +580,7 @@ def main() -> None:
     )
     stage("dedup_watermark_landings", lambda: _ddw_out_dir(spark, sf_dir))
     stage("scd2_stream_landings", lambda: _scd2s_out_dir(spark, sf_dir))
+    stage("asof_stream_landings", lambda: _asofs_out_dir(spark, sf_dir))
     stage("snapshot_landings", lambda: _snap_out_dir(spark, sf_dir))
     from data_ingestion_din_spark.plans.streaming_gates import (
         _sbg_out_dir,

@@ -1721,3 +1721,201 @@ def streaming_watermark_lateness_grid(
         "n_even_kept",
         "n_even_dropped",
     ).orderBy("delay", "day")
+
+
+# --------------------------------------------------------------------------
+# streaming_asof_attribution — STREAM-STREAM AS-OF JOIN (VERDICT r12 ask
+# #8): the batch as-of (plans/asof_range.py:55 — union + last-carried-
+# forward, no join) and the watermark interval join
+# (streaming_stream_join) both exist; this is their composition — every
+# click attributed to the LATEST AT-OR-BEFORE error of the same user,
+# maintained incrementally across checkpointed landings. Spark's native
+# stream-stream join cannot express as-of (interval joins need a
+# bounded time range; as-of is unbounded-precedence), so the operator
+# is built on the SCD2-maintenance state pattern (_scd2_processor
+# above): per landing, the per-user LATEST-ERROR state from prior
+# epochs is seeded for touched users only, unioned with the landing's
+# own deduped errors, and the landing's clicks are attributed by the
+# batch as-of's own (ts, is_probe) last-carried-forward window; the
+# refreshed latest-error state lands epoch-keyed next to the attributed
+# clicks (replay-safe: state reads are before_epoch-filtered, writes
+# are epoch-keyed overwrites).
+#
+# THE PROOF: landings are time-ordered (split at the time midpoint), so
+# every error at-or-before a click is visible to that click's landing —
+# either in-batch or through the carried state — and incremental
+# attribution must equal the one-shot batch ASOF. The oracle IS
+# events_asof_attribution's DuckDB ASOF LEFT JOIN, verbatim, and the
+# two availableNow drains on one checkpoint make hash parity a
+# restart-survival proof.
+#
+# Scale: per landing one user_id shuffle for the LCF window + a
+# left-semi state seed join on touched users; state is one row per user
+# WITH an error history (never the corpus), and attributed clicks are
+# written once each — O(batch) output per landing.
+# --------------------------------------------------------------------------
+_ASOFS_DONE: dict[tuple[str, str], str] = {}
+
+
+def _asof_processor(out: str):
+    """foreachBatch as-of attributor — module-level for the replay
+    test, like the SCD2/funnel/index processors."""
+    from pyspark.sql.window import Window as W
+
+    state_cols = "user_id bigint, err_ts_us bigint, err_id bigint"
+
+    def _plan(batch_df: DataFrame, epoch_id: int):
+        spark_l = batch_df.sparkSession
+        b = batch_df.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        berr = (
+            b.filter(F.col("event_type") == "error")
+            .groupBy("user_id", "ts_us")
+            .agg(F.max("event_id").cast("bigint").alias("err_id"))
+        )
+        bclk = b.filter(F.col("event_type") == "click").select(
+            "user_id", "ts_us", F.col("event_id").alias("click_id")
+        )
+        sdir = os.path.join(out, "state")
+        if os.path.isdir(sdir):
+            touched = b.select("user_id").distinct()
+            prior = (
+                _latest_epoch_rows(
+                    spark_l, sdir, ["user_id"], before_epoch=epoch_id
+                )
+                .join(touched, "user_id", "left_semi")
+                .select(
+                    "user_id",
+                    F.col("err_ts_us").alias("ts_us"),
+                    "err_id",
+                )
+            )
+        else:
+            prior = spark_l.createDataFrame([], state_cols).select(
+                "user_id", F.col("err_ts_us").alias("ts_us"), "err_id"
+            )
+        # prior state + batch errors; re-dedup per (user, ts) so the
+        # LCF pick stays deterministic even under a replayed landing
+        allerr = (
+            prior.unionByName(berr)
+            .groupBy("user_id", "ts_us")
+            .agg(F.max("err_id").cast("bigint").alias("err_id"))
+        )
+        e = allerr.select(
+            "user_id",
+            "ts_us",
+            F.lit(0).alias("is_probe"),
+            "err_id",
+            F.lit(None).cast("bigint").alias("click_id"),
+        )
+        c = bclk.select(
+            "user_id",
+            "ts_us",
+            F.lit(1).alias("is_probe"),
+            F.lit(None).cast("bigint").alias("err_id"),
+            "click_id",
+        )
+        w = (
+            W.partitionBy("user_id")
+            .orderBy("ts_us", "is_probe", "click_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        att = (
+            e.unionByName(c)
+            .withColumn(
+                "last_err", F.last("err_id", ignorenulls=True).over(w)
+            )
+            .filter(F.col("is_probe") == 1)
+            .select(
+                "click_id",
+                "user_id",
+                "ts_us",
+                F.col("last_err").alias("err_id"),
+            )
+        )
+        ws = W.partitionBy("user_id").orderBy(
+            F.desc("ts_us"), F.desc("err_id")
+        )
+        nstate = (
+            allerr.withColumn("rk", F.row_number().over(ws))
+            .filter(F.col("rk") == 1)
+            .select(
+                "user_id", F.col("ts_us").alias("err_ts_us"), "err_id"
+            )
+        )
+        return att, nstate
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        att, nstate = _plan(batch_df, epoch_id)
+        att.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, "clicks", f"epoch={epoch_id}")
+        )
+        nstate.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, "state", f"epoch={epoch_id}")
+        )
+
+    _process.plan = _plan
+    return _process
+
+
+def _asofs_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_ASOFS_DONE, key[0])
+    if key in _ASOFS_DONE:
+        if _dir_ok(os.path.join(_ASOFS_DONE[key], "clicks")):
+            return _ASOFS_DONE[key]
+        del _ASOFS_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_asofs")
+    out = os.path.join(base, "out")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = lo + (hi - lo) // 2  # setup-stage scalar: time-split point
+    _run_split_landings(
+        spark,
+        base,
+        "user_id bigint, event_id bigint, event_type string, ts timestamp",
+        [
+            ev.filter(F.unix_micros("ts") <= mid),
+            ev.filter(F.unix_micros("ts") > mid),
+        ],
+        _asof_processor(out),
+    )
+    _ASOFS_DONE[key] = out
+    return out
+
+
+@query("streaming_asof_attribution", oracle_ref="events_asof_attribution")
+def streaming_asof_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Read back the incrementally attributed clicks (each click lands
+    exactly once, in its own landing's epoch); the oracle is the batch
+    ASOF LEFT JOIN verbatim — time-ordered landings make the stateful
+    stream-stream as-of provably equal to the one-shot batch join, and
+    hash parity enforces it across the checkpointed restart."""
+    out = _asofs_out_dir(spark, sf_dir)
+    cdir = os.path.join(out, "clicks")
+    return (
+        spark.read.option("basePath", cdir)
+        .parquet(cdir)
+        .drop("epoch")
+        .select("click_id", "user_id", "ts_us", "err_id")
+        .orderBy("click_id")
+    )

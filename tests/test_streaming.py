@@ -1946,3 +1946,66 @@ def test_cusum_gate_replay_idempotent(spark, tmp_path):
     assert not rows[("click", 10)].alarm_up  # h = 10000
     assert rows[("signup", 10)].s_dn == 1750
     assert rows[("signup", 11)].s_up == 1750
+
+
+def test_streaming_asof_replay_and_boundary(spark, tmp_path):
+    """Stream-stream as-of contract: (a) replaying an epoch is a no-op
+    (epoch-keyed idempotence of both the clicks and the state sink);
+    (b) a click in a later landing is attributed to the latest error
+    carried over from an EARLIER landing (the cross-landing state
+    path); (c) an error at exactly the click's timestamp is visible to
+    it (ASOF's <= bound); (d) a click before any error attributes
+    NULL."""
+    from datetime import datetime
+
+    from data_ingestion_din_spark.plans.streaming_cdc import _asof_processor
+    from pyspark.sql import functions as F2
+
+    out = str(tmp_path / "asof")
+    process = _asof_processor(out)
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    schema = "user_id bigint, event_id bigint, event_type string, ts timestamp"
+
+    b0 = spark.createDataFrame(
+        [
+            (1, 10, "click", t("2024-01-01 10:00:00")),  # before any err
+            (1, 11, "error", t("2024-01-01 10:05:00")),
+            (1, 12, "click", t("2024-01-01 10:05:00")),  # tie: sees 11
+            (2, 13, "error", t("2024-01-01 10:06:00")),
+        ],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            # attributed to err 11 carried across the landing boundary
+            (1, 20, "click", t("2024-01-01 11:00:00")),
+            (1, 21, "error", t("2024-01-01 11:30:00")),
+            (1, 22, "click", t("2024-01-01 11:31:00")),  # in-batch err 21
+            (2, 23, "click", t("2024-01-01 11:32:00")),  # state err 13
+        ],
+        schema,
+    )
+
+    def snapshot():
+        cdir = out + "/clicks"
+        rows = (
+            spark.read.option("basePath", cdir)
+            .parquet(cdir)
+            .drop("epoch")
+            .collect()
+        )
+        return sorted((r.click_id, r.user_id, r.err_id) for r in rows)
+
+    process(b0, 0)
+    process(b1, 1)
+    first = snapshot()
+    process(b0, 0)
+    process(b1, 1)
+    assert snapshot() == first  # replay is a no-op
+
+    att = {c: e for c, _, e in first}
+    assert att[10] is None  # no error yet
+    assert att[12] == 11  # tie at the same ts is visible (<= bound)
+    assert att[20] == 11  # carried across the landing boundary
+    assert att[22] == 21  # in-batch error wins over carried state
+    assert att[23] == 13  # other user's state isolated
