@@ -1302,3 +1302,38 @@ def test_global_window_rewrites_are_range_partitioned(spark):
     ):
         plan = _plan_text(QUERIES[name](spark, SF))
         assert "rangepartitioning" in plan, (name, plan)
+
+
+def test_asof_processor_batch_plan(spark, tmp_path):
+    from datetime import datetime
+
+    from data_ingestion_din_spark.plans.streaming_cdc import _asof_processor
+
+    p = _asof_processor(str(tmp_path / "o"))
+    schema = (
+        "user_id bigint, event_id bigint, event_type string, ts timestamp"
+    )
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    p(
+        spark.createDataFrame(
+            [
+                (1, 1, "error", t("2024-01-01 10:00:00")),
+                (1, 2, "click", t("2024-01-01 10:01:00")),
+            ],
+            schema,
+        ),
+        0,
+    )
+    att, nstate = p.plan(
+        spark.createDataFrame(
+            [(1, 3, "click", t("2024-01-01 11:00:00"))], schema
+        ),
+        1,
+    )
+    # per-user latest-error state GROWS with the user population: the
+    # state seed join and the attribution union must stay hint-free
+    # plain equi-joins (family convention), no cartesian anywhere
+    assert _hint_count(att) == 0
+    assert _hint_count(nstate) == 0
+    s = _plan_stats(att)
+    assert s["cartesian"] == 0, s
