@@ -512,8 +512,10 @@ BUDGETS = {
     # build + 3x window fan-out merges)
     "similarity_graph_vamana_grid": 4.5,  # 2.3-2.5 s steady on the
     # staged edge artifact (prunes + 14 walks are driver-side control)
-    "similarity_vamana_clustered_ab": 5.5,  # 2.9-3.1 s steady (one
-    # guarded collect + numpy GEMM per space, walks driver-side)
+    "similarity_vamana_clustered_ab": 5.5,  # 3.5-4.8 s steady (r13:
+    # pool GEMMs task-parallel per (space, chunk); the prune/walks
+    # stay driver-side over n×C control data — Python-loop bound,
+    # host-BLAS-insensitive)
     "streaming_line_dedup_gate": 1.0,  # 0.23-0.25 s steady readback
     # (landings staged once per session like the sibling gates)
     "retrieval_ql_dirichlet": 4.5,  # 2.9-3.4 s steady on the r12 host

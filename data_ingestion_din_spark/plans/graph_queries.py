@@ -1870,49 +1870,121 @@ def similarity_vamana_clustered_ab(
     raw = np.stack([by_id[i] for i in ids])
     clus = 3 * np.stack([by_id[i % _VCA_K] for i in ids]) + raw
     pool_rows = len(ids) * _VAM_C
-    rows = []
-    for label, m in (("raw", raw), ("clustered", clus)):
-        nsq = (m * m).sum(axis=1)
-        dmat = nsq[:, None] + nsq[None, :] - 2 * (m @ m.T)
-        # ranked candidate pools + probe tables, same tie-break as the
-        # oracle's (dist, nbr) window
-        pools: dict[int, list[tuple[int, int]]] = {}
-        for ri, node in enumerate(ids):
-            order = np.lexsort((ids, dmat[ri]))
-            order = order[ids[order] != node]
-            pools[int(node)] = [
-                (int(dmat[ri][j]), int(ids[j])) for j in order[:_VAM_C]
-            ]
-        pdist = {
-            (int(ids[ri]), int(ids[j])): int(dmat[ri][j])
-            for ri in range(len(ids))
-            if ids[ri] < _SWEEP_N
-            for j in range(len(ids))
-            if ids[j] != ids[ri]
-        }
-        probes = [int(i) for i in ids if i < _SWEEP_N]
-        entry = int(ids.max())
-        nnm = {
-            p: min((d, c) for (pp, c), d in pdist.items() if pp == p)[1]
-            for p in probes
-        }
-        idx = {int(v): k for k, v in enumerate(ids)}
+    n = len(ids)
+    # candidate pools TASK-PARALLEL (r13: the driver-side full n² GEMM
+    # + per-node lexsort here was the same host-BLAS-sensitive pattern
+    # as the r12 semdedup weak mark): each (space, row-chunk) task runs
+    # one (chunk × n) integer GEMM against the broadcast matrices and
+    # emits only bounded per-node pool data — the top-C (dist, nbr)
+    # list in oracle tie-break order plus the C×C pool-member distance
+    # submatrix the α-prune's occlusion test needs. The sequential
+    # Vamana prune and beam walks below then touch ONLY this n×C
+    # control data (plus a 20×n probe GEMM — bounded by _SWEEP_N).
+    bc = spark.sparkContext.broadcast((ids, raw, clus))
+    chunk = 256
+    task_list = [
+        (s, i0) for s in (0, 1) for i0 in range(0, n, chunk)
+    ]
+    tasks_df = spark.createDataFrame(
+        task_list, "s int, i0 int"
+    ).repartition(len(task_list))
 
-        def d2(u: int, v: int) -> int:
-            return int(dmat[idx[u]][idx[v]])
+    def _pool_tasks(batches):
+        import pandas as pd
+
+        aids, araw, aclus = bc.value
+        nn = len(aids)
+        mats = (araw, aclus)
+        for pdf in batches:
+            rec = {"s": [], "node": [], "pd": [], "pn": [], "pp": []}
+            for s, i0 in zip(pdf["s"].tolist(), pdf["i0"].tolist()):
+                mm = mats[s]
+                nsq = (mm * mm).sum(axis=1)
+                i1 = min(i0 + chunk, nn)
+                d = (
+                    nsq[i0:i1, None]
+                    + nsq[None, :]
+                    - 2 * (mm[i0:i1] @ mm.T)
+                )
+                for ri in range(i1 - i0):
+                    node = int(aids[i0 + ri])
+                    order = np.lexsort((aids, d[ri]))
+                    order = order[aids[order] != node][:_VAM_C]
+                    sub = mm[order]
+                    snsq = nsq[order]
+                    pg = (
+                        snsq[:, None]
+                        + snsq[None, :]
+                        - 2 * (sub @ sub.T)
+                    )
+                    rec["s"].append(int(s))
+                    rec["node"].append(node)
+                    rec["pd"].append(
+                        d[ri][order].astype(np.int64).tolist()
+                    )
+                    rec["pn"].append(aids[order].tolist())
+                    rec["pp"].append(
+                        pg.astype(np.int64).reshape(-1).tolist()
+                    )
+            yield pd.DataFrame(rec)
+
+    prows = tasks_df.mapInPandas(
+        _pool_tasks,
+        "s int, node long, pd array<long>, pn array<long>,"
+        " pp array<long>",
+    ).collect()
+    pools_by_s: dict[int, dict[int, list[tuple[int, int]]]] = {0: {}, 1: {}}
+    ppair_by_s: dict[int, dict[int, list[int]]] = {0: {}, 1: {}}
+    for r in prows:
+        pools_by_s[r.s][int(r.node)] = [
+            (int(d), int(c)) for d, c in zip(r.pd, r.pn)
+        ]
+        ppair_by_s[r.s][int(r.node)] = [int(x) for x in r.pp]
+    rows = []
+    for si, (label, m) in enumerate((("raw", raw), ("clustered", clus))):
+        nsq = (m * m).sum(axis=1)
+        pools = pools_by_s[si]
+        ppair = ppair_by_s[si]
+        # probe-side exact distances: one bounded 20×n GEMM
+        pmask = ids < _SWEEP_N
+        pdm = (
+            nsq[pmask][:, None]
+            + nsq[None, :]
+            - 2 * (m[pmask] @ m.T)
+        )
+        probes = [int(i) for i in ids[pmask]]
+        pdist: dict[tuple[int, int], int] = {}
+        nnm: dict[int, int] = {}
+        for pi, p in enumerate(probes):
+            drow = pdm[pi]
+            # len(ids), not the outer n: the beam loop below rebinds n
+            for j in range(len(ids)):
+                if int(ids[j]) != p:
+                    pdist[(p, int(ids[j]))] = int(drow[j])
+            order = np.lexsort((ids, drow))
+            order = order[ids[order] != p]
+            nnm[p] = int(ids[order[0]])
+        entry = int(ids.max())
 
         for a in _VAM_ALPHAS:
             occl = 0
             adj: dict[int, set[int]] = {}
             for node, lst in pools.items():
+                pp = ppair[node]
+                cw = len(lst)
                 kept: list[int] = []
-                for dist, nbr in lst:
+                kept_pos: list[int] = []
+                for ci, (dist, nbr) in enumerate(lst):
                     if len(kept) >= _VAM_G:
                         break
-                    if any(a * d2(k, nbr) <= 10 * dist for k in kept):
+                    if any(
+                        a * pp[kp * cw + ci] <= 10 * dist
+                        for kp in kept_pos
+                    ):
                         occl += 1
                         continue
                     kept.append(nbr)
+                    kept_pos.append(ci)
                 adj[node] = set(kept)
             n_edges = sum(len(v) for v in adj.values())
             beams = {p: [(pdist[(p, entry)], entry)] for p in probes}
