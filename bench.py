@@ -430,7 +430,10 @@ BUDGETS = {
     "doc_winnow_fingerprints": 2.9,  # 1.9 s
     "embedding_hard_negatives": 2.8,  # 1.8 s
     "doc_cdc_chunks": 2.6,  # 1.7 s
-    "corpus_bigram_generate": 2.5,  # 1.6 s (staged 1-row probes)
+    "corpus_bigram_generate": 4.5,  # 1.7 s in-bench / 3.0-3.6 s in a
+    # fresh session (the budget suite's context: the bigram-LM staging
+    # warmed by sibling bench entries is paid here instead) — r13
+    # re-pin at ~1.5x the fresh-session steady
     "media_phash_clusters": 2.6,  # 1.3 s (was 5.3: CC rounds -> one
     # collect under the cap; pairs+CC resolution is what remains)
     # r10 re-calibration (clean-host pin 171.3 s/196, median per-query
