@@ -430,10 +430,12 @@ BUDGETS = {
     "doc_winnow_fingerprints": 2.9,  # 1.9 s
     "embedding_hard_negatives": 2.8,  # 1.8 s
     "doc_cdc_chunks": 2.6,  # 1.7 s
-    "corpus_bigram_generate": 4.5,  # 1.7 s in-bench / 3.0-3.6 s in a
+    "corpus_bigram_generate": 6.0,  # 1.7 s in-bench; 3.0-4.9 s in a
     # fresh session (the budget suite's context: the bigram-LM staging
-    # warmed by sibling bench entries is paid here instead) — r13
-    # re-pin at ~1.5x the fresh-session steady
+    # and codegen warmup that sibling bench entries amortize are paid
+    # by this entry's own two runs) — r13 re-pin at ~1.5x the worst
+    # fresh-session steady observed; the regression class this pin
+    # guards (un-staged re-execution) reads 12 s+
     "media_phash_clusters": 2.6,  # 1.3 s (was 5.3: CC rounds -> one
     # collect under the cap; pairs+CC resolution is what remains)
     # r10 re-calibration (clean-host pin 171.3 s/196, median per-query
