@@ -204,18 +204,18 @@ def _rp_oracle() -> str:
 
 @query("similarity_rp_dim_grid", oracle=_rp_oracle())
 def similarity_rp_dim_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     from pyspark.sql.window import Window as W
 
     from data_ingestion_din_spark.functions.vectors import quantize
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qd = emb.select(
-        "vec_id", F.posexplode(quantize(F.col("embedding")))
-    ).select(
-        "vec_id", (F.col("pos") + 1).alias("i"), F.col("col").alias("v")
-    )
+    qm = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    # Sign matrix: the identical portable-h64 expression evaluated once
+    # over the bounded 64×64 grid and collected — 4096 control rows.
     dims = spark.range(1, _DIMS_UB).select(F.col("id").cast("int"))
-    signs = F.broadcast(
+    signs_df = (
         dims.select(F.col("id").alias("i"))
         .crossJoin(dims.select(F.col("id").alias("j")))
         .select(
@@ -238,57 +238,81 @@ def similarity_rp_dim_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s"),
         )
     )
-    proj = (
-        qd.join(signs, "i")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("s") * F.col("v")).cast("bigint").alias("pv"))
+    nd = _DIMS_UB - 1
+    S = np.zeros((nd, nd), dtype=np.int64)
+    for r in signs_df.collect():
+        S[r.i - 1, r.j - 1] = int(r.s)
+    # Probe side: bounded collect (_SWEEP_N rows), projected locally.
+    prow = sorted(
+        qm.filter(F.col("vec_id") < _SWEEP_N).collect(),
+        key=lambda r: int(r.vec_id),
     )
-    pp = F.broadcast(
-        proj.filter(F.col("vec_id") < _SWEEP_N).select(
-            F.col("vec_id").alias("probe"), "j", F.col("pv").alias("qpv")
-        )
+    pids = np.array([int(r.vec_id) for r in prow], dtype=np.int64)
+    PV = np.stack([list(r.qv) for r in prow]).astype(np.int64)
+    PP = PV @ S
+    bc = spark.sparkContext.broadcast((pids, PV, PP, S))
+    # ONE Arrow GEMM pass over the corpus (r13: the production apply
+    # form the header below documents, now used by the audit itself —
+    # the per-dim explode joined to the broadcast sign matrix cost
+    # corpus × 4096 intermediate rows plus two (probe × vec × dim)
+    # shuffle aggregations; each batch here computes V @ S and emits
+    # the per-probe PREFIX distances directly via axis-1 cumsums, so
+    # the first shuffle the query pays is the 20·n-row rank window).
+    # Integer-exact: pv ≤ 64·1e6, squared-diff prefix sums < 2^60 —
+    # identical arithmetic to the oracle's SQL sums.
+    d_cols = (
+        [f"d{d} long, g{d} long" for d in _MRL_DIMS]
+        + [f"t{d} long" for d in _MRL_DIMS]
     )
+    out_schema = "probe long, vec_id long, " + ", ".join(d_cols)
 
-    def _prefix_dists(
-        base: DataFrame, key: str, val: str, pval: str, dots: bool = False
-    ):
-        aggs = [
-            F.sum(
-                F.when(
-                    F.col(key) <= d,
-                    (F.col(pval) - F.col(val))
-                    * (F.col(pval) - F.col(val)),
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias(f"d{d}")
-            for d in _MRL_DIMS
-        ]
-        if dots:
-            aggs += [
-                F.sum(
-                    F.when(
-                        F.col(key) <= d, F.col(pval) * F.col(val)
-                    ).otherwise(0)
-                )
-                .cast("bigint")
-                .alias(f"g{d}")
-                for d in _MRL_DIMS
-            ]
-        return (
-            base.filter(F.col("vec_id") != F.col("probe"))
-            .groupBy("probe", "vec_id")
-            .agg(*aggs)
-            .localCheckpoint(eager=False)  # many rank passes, one scan
-        )
+    def _dist_batches(batches):
+        import pandas as pd
 
-    rdist = _prefix_dists(proj.join(pp, "j"), "j", "pv", "qpv", dots=True)
-    tp = F.broadcast(
-        qd.filter(F.col("vec_id") < _SWEEP_N).select(
-            F.col("vec_id").alias("probe"), "i", F.col("v").alias("tv")
-        )
+        apids, aPV, aPP, aS = bc.value
+        didx = [d - 1 for d in _MRL_DIMS]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_b = pdf["vec_id"].to_numpy().astype(np.int64)
+            V = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            P = V @ aS
+            parts = []
+            for pi, pid in enumerate(apids):
+                mask = ids_b != pid
+                if not mask.any():
+                    continue
+                dp = aPP[pi][None, :] - P[mask]
+                csq = np.cumsum(dp * dp, axis=1)
+                cdot = np.cumsum(P[mask] * aPP[pi][None, :], axis=1)
+                dt = aPV[pi][None, :] - V[mask]
+                ctr = np.cumsum(dt * dt, axis=1)
+                rec = {
+                    "probe": np.full(int(mask.sum()), pid, dtype=np.int64),
+                    "vec_id": ids_b[mask],
+                }
+                for d, j in zip(_MRL_DIMS, didx):
+                    rec[f"d{d}"] = csq[:, j]
+                    rec[f"g{d}"] = cdot[:, j]
+                    rec[f"t{d}"] = ctr[:, j]
+                parts.append(pd.DataFrame(rec))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    dist = qm.mapInPandas(_dist_batches, out_schema).localCheckpoint(
+        eager=True
+    )  # 20·n control-sized rows; 12 rank passes below share one scan
+    rdist = dist.select(
+        "probe",
+        "vec_id",
+        *[F.col(f"d{d}") for d in _MRL_DIMS],
+        *[F.col(f"g{d}") for d in _MRL_DIMS],
     )
-    tdist = _prefix_dists(qd.join(tp, "i"), "i", "v", "tv")
+    tdist = dist.select(
+        "probe",
+        "vec_id",
+        *[F.col(f"t{d}").alias(f"d{d}") for d in _MRL_DIMS],
+    )
     etop = _etop_staged(spark, sf_dir)
     n_exact = etop.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact_total")
@@ -542,13 +566,20 @@ def similarity_pq_subspace_ab(
     from data_ingestion_din_spark.plans.similarity_queries import _PQ_D
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sq = emb.select(
-        "vec_id",
-        F.transform(
-            quantize(F.col("embedding")),
-            lambda x, i: x * (1 + F.floor(i / 16).cast("bigint")),
-        ).alias("qv"),
-    ).localCheckpoint(eager=False)
+    # fixture-size coalesce (the pq_aniso_ab disposition): the guarded
+    # audit set is ≤20k rows and the dozen control jobs below otherwise
+    # pay 32-task scheduling overhead each
+    sq = (
+        emb.select(
+            "vec_id",
+            F.transform(
+                quantize(F.col("embedding")),
+                lambda x, i: x * (1 + F.floor(i / 16).cast("bigint")),
+            ).alias("qv"),
+        )
+        .coalesce(4)
+        .localCheckpoint(eager=False)
+    )
     perm_lit = "array(" + ",".join(str(i) for i in _PQS_PERM) + ")"
     bq = sq.select(
         "vec_id",
