@@ -1569,10 +1569,13 @@ def events_gini_concentration(
 # per-user cents) BOTH ways and emits, per arm, (a) bit-exact checksums
 # of the full ranked relation — proving the two-phase output IS the
 # partition-less window's output — and (b) the arm's Exchange counts
-# read from its own executed physical plan (total / SinglePartition /
-# rangepartitioning), hash-gated against pinned expectations so a
-# future plan change that degrades either arm fails the oracle gate,
-# not just a unit test.
+# read from its ADAPTIVE INITIAL physical plan (total / SinglePartition
+# / rangepartitioning) — the tests/test_plan_assertions.py convention:
+# AQE can only coalesce or remove exchanges at runtime, so the pinned
+# counts are exact for the planned shape and upper bounds on the
+# executed one — hash-gated against pinned expectations so a future
+# plan change that degrades either arm fails the oracle gate, not just
+# a unit test.
 #
 # The price sheet the counts encode: global_window = (2, 1, 0) — its
 # ONE SinglePartition exchange carries the CORPUS-SIZED relation to a
@@ -1593,9 +1596,10 @@ _RPA_PINS = {"global_window": (2, 1, 0), "two_phase": (8, 1, 2)}
 
 def _exchange_counts(df: DataFrame) -> tuple[int, int, int]:
     """(total Exchange nodes, SinglePartition exchanges,
-    rangepartitioning exchanges) from the plan's explain text — the
-    same token counting tests/test_plan_assertions.py uses, exposed to
-    the gated query so the plan shape itself is oracle-checked."""
+    rangepartitioning exchanges) from the ADAPTIVE INITIAL plan's
+    explain text — the same token counting (and the same initial-plan
+    basis) tests/test_plan_assertions.py uses, exposed to the gated
+    query so the planned shape itself is oracle-checked."""
     import contextlib
     import io
 

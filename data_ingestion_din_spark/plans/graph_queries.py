@@ -179,6 +179,19 @@ def _gr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GR_WALK_IN: dict[tuple[str, str], tuple] = {}
 
 
+def _seed_beams(probes, entry, pdist):
+    """Per-probe beam seeded at the graph entry. A probe that IS the
+    entry (possible only on corpora small enough that the max-id node
+    sits inside the probe set) gets an EMPTY beam, mirroring the
+    oracle's self-excluded seed join (its walk emits no rows and the
+    probe never hits) — the hnsw_layers empty-seed convention
+    (r12 final addendum) applied family-wide."""
+    return {
+        p: ([] if entry == p else [(pdist[(p, entry)], entry)])
+        for p in probes
+    }
+
+
 def _gr_collected(spark: SparkSession, sf_dir: str):
     app = spark.sparkContext.applicationId
     for kk in [kk for kk in _GR_WALK_IN if kk[0] != app]:
@@ -210,7 +223,7 @@ def _gr_beam_walk(
     to the oracle's window tie-break)."""
     adj, pdist, entry, probes = _gr_collected(spark, sf_dir)
     frames = []
-    beams = {p: [(pdist[(p, entry)], entry)] for p in probes}
+    beams = _seed_beams(probes, entry, pdist)
     frames.append(
         sorted((p, n, d) for p, bm in beams.items() for d, n in bm)
     )
@@ -559,7 +572,7 @@ def _gr_nsw_beam_walk(
     the kNN walk's per-hop cap)."""
     adj = _gr_nsw_collected(spark, sf_dir)[g]
     _, pdist, entry, probes = _gr_collected(spark, sf_dir)
-    beams = {p: [(pdist[(p, entry)], entry)] for p in probes}
+    beams = _seed_beams(probes, entry, pdist)
     for _ in range(_GR_H):
         nxt = {}
         for p, bm in beams.items():
@@ -1262,7 +1275,7 @@ def similarity_graph_delete_repair(
         }
         for arm in ("tombstone", "naive", "repaired"):
             a = arms[arm]
-            beams = {p: [(pdist[(p, entry)], entry)] for p in probes}
+            beams = _seed_beams(probes, entry, pdist)
             for _ in range(_GR_H):
                 nxt = {}
                 for p, bm in beams.items():
@@ -1615,7 +1628,7 @@ def similarity_graph_vamana_grid(
     }
 
     def walk(adj: dict[int, set[int]], b: int) -> int:
-        beams = {p: [(pdist[(p, entry)], entry)] for p in probes}
+        beams = _seed_beams(probes, entry, pdist)
         for _ in range(_GR_H):
             nxt = {}
             for p, bm in beams.items():
@@ -1987,7 +2000,7 @@ def similarity_vamana_clustered_ab(
                     kept_pos.append(ci)
                 adj[node] = set(kept)
             n_edges = sum(len(v) for v in adj.values())
-            beams = {p: [(pdist[(p, entry)], entry)] for p in probes}
+            beams = _seed_beams(probes, entry, pdist)
             for _ in range(_GR_H):
                 nxt = {}
                 for p, bm in beams.items():
