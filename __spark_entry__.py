@@ -19,67 +19,16 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # last sample is oldest) are listed first so a bounded driver window covers
 # them before re-checking recently-green entries. Names not in the registry
 # are ignored; registered queries not listed here follow in registration
-# order. Rotation state entering round 13 (CORRECTNESS_r12 green for all 50
-# sampled, zero never-sampled anywhere): round-13 additions land at the
+# order. Rotation state entering round 14 (CORRECTNESS_r13 green for all 50
+# sampled, zero never-sampled anywhere): round-14 additions land at the
 # very head AS THEY LAND (tests/test_rotation.py enforces that every
-# never-sampled name precedes every sampled one), then the 18-query block
-# whose latest driver sample is round 6, then the 50-query round-7 block in
-# registration order. Registry growth stays small this round so the ~50
-# window retires the whole r6 block plus the front of r7.
+# never-sampled name precedes every sampled one), then the 20-query block
+# whose latest driver sample is round 7, then the 50-query round-8 block in
+# registration order. Registry growth stays <=5 this round so the ~50
+# window retires the whole r7 block plus ~the front half of r8.
 _DRIVER_PRIORITY: list[str] = [
-    # Round-13 additions land here (never sampled - must lead).
-    "ranked_prefix_ab",
-    "similarity_pq_aniso_ab",
-    "streaming_asof_attribution",
-    # Latest driver sample is round 6 (all 18, registration order).
-    "q15_top_supplier",
-    "q8_market_share",
-    "doc_classification",
-    "doc_enrichment",
-    "block_type_detection",
-    "similarity_batch_topk",
-    "doc_sanitize_normalize",
-    "streaming_scd2_maintenance",
-    "streaming_latest_snapshot",
-    "streaming_minhash_index",
-    "streaming_curation_funnel",
-    "corpus_decontaminate",
-    "pii_redaction",
-    "doc_repetition_quality",
-    "corpus_stratified_sample",
-    "corpus_pack_sequences",
-    "training_shard_manifest",
-    "dq_expectations",
-    # Latest driver sample is round 7 (all 50, registration order).
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "customer_running_revenue",
-    "parts_never_discounted",
-    "late_shipment_orders",
-    "nation_customer_rollup",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "events_tumbling_5min",
-    "events_sliding_10min",
-    "events_sessionized",
-    "events_json_props",
-    "events_type_pivot",
-    "clicks_on_error_free_days",
-    "events_daily_retention",
-    "events_funnel",
-    "events_kmv_distinct",
-    "events_trailing_hour",
-    "doc_token_stats",
-    "doc_language_quality",
-    "doc_clean_roundtrip",
-    "doc_fixed_chunks",
-    "corpus_word_freq",
-    "dedup_exact",
-    "dedup_wordset",
-    "minhash_signatures",
-    "dedup_minhash_groups",
-    "dedup_simhash_near",
+    # Round-14 additions land here (never sampled - must lead).
+    # Latest driver sample is round 7 (all 20, registration order).
     "dedup_simhash_groups",
     "ngram_jaccard_top20",
     "embedding_near_dup",
@@ -100,6 +49,57 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_ingest_chunks",
     "streaming_phash_index",
     "training_shard_incremental",
+    # Latest driver sample is round 8 (all 50, registration order).
+    "segment_median_order",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "events_hourly_rollup",
+    "events_scd2_intervals",
+    "events_histogram_quantiles",
+    "corpus_curation",
+    "corpus_bpe_encode",
+    "corpus_bpe_train",
+    "dedup_minhash_banded",
+    "ngram_jaccard_capped",
+    "embedding_near_dup_lsh",
+    "dedup_keep_best",
+    "chunk_level_dedup",
+    "doc_cdc_chunks",
+    "doc_winnow_fingerprints",
+    "doc_tfidf_cosine_topk",
+    "dedup_substring_spans",
+    "dedup_substring_stats",
+    "dedup_substring_removal",
+    "corpus_leakage_safe_split",
+    "corpus_dedup_funnel",
+    "similarity_topk",
+    "similarity_ivf_label",
+    "similarity_lsh_topk",
+    "similarity_ivf_incremental",
+    "similarity_ivfpq_topk",
+    "similarity_ivfpq_recall",
+    "similarity_ivfpq_multiprobe",
+    "similarity_ivfpq_mp_recall",
+    "table_transactions",
+    "table_transactions_dated",
+    "retrieval_bm25",
+    "bloom_join_prune",
+    "streaming_first_seen",
+    "streaming_dedup_watermark",
+    "streaming_ivf_index",
+    "streaming_quality_gate",
+    "corpus_lang_pruned_stats",
+    "corpus_length_buckets",
+    "corpus_mixture_epochs",
+    "corpus_distinctive_terms",
+    "doc_quality_classifier",
+    "url_canonicalize",
+    "corpus_snapshot_diff",
+    "corpus_dsir_select",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_potential_promotion",
 ]
 
 
