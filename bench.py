@@ -214,6 +214,12 @@ BENCH_QUERIES = [
     "media_phash_near_dup",
     "media_phash_clusters",
     "media_phash_recall",
+    # r14: the two r12 media additions were registered but never
+    # benched (VERDICT r13 "What's missing" #2) — cheap decode-plan
+    # queries, included so n_queries = registry minus only the named
+    # all-pairs exclusions.
+    "media_resize_plan",
+    "media_frame_samples",
     "training_shard_manifest",
     "dq_expectations",
     # round 7: the composed /ask serving path; incremental shard
@@ -442,7 +448,11 @@ BUDGETS = {
     # 1.05x of the r9 driver detail): budgets added for the queries
     # that now top BENCH_DETAIL.json — each ~1.8x its in-suite time
     # (in-suite numbers run high vs best-of-two steady).
-    "similarity_ivfpq_k16_grid": 7.0,  # 4.0 s in-suite (4-cell grid)
+    "similarity_ivfpq_k16_grid": 9.0,  # 4.4 s calm / 5.8-7.4 s steady
+    # across idle fresh-session probes (r13 adjudication) — re-pinned
+    # at ~1.5x the worst idle steady per the headroom convention; the
+    # regression class this guards (a fifth training or an unstaged
+    # exact side) reads 12 s+
     "dedup_simhash_near": 6.0,  # 3.5 s in-suite (r9 steady 3.1)
     "embedding_near_dup_lsh": 6.0,  # 3.2 s in-suite (noise canary)
     "html_tables_parse": 5.0,  # 2.8 s in-suite
@@ -570,6 +580,9 @@ BUDGETS = {
     "dedup_semdedup_eps_grid": 4.5,  # 2.9-3.1 s steady (r13: truth
     # GEMM moved off the driver to chunked mapInPandas tasks — the r12
     # driver-side numpy read 10.4 s on the idle driver host)
+    "corpus_mg_heavy_hitters": 3.5,  # 2.1 s calm steady (one token
+    # scan + the Misra-Gries merge rollup; r14 pin closes the last
+    # >2 s bench entry without a budget)
     "dq_completeness_matrix": 20.0,  # 11-14 s steady: the exact
     # per-column distinct counts ARE the cost (Spark expands one copy
     # per distinct aggregate) — the documented production substitution
@@ -794,6 +807,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     steady: dict[str, float] = {}
     n_runs: dict[str, int] = {}
+    extra_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         cold[name] = round(run(name), 3)
         # Both raw executions are emitted (not just min): a regression
@@ -819,7 +833,13 @@ def main() -> None:
             (extra == 0 and hi > 2.0 * lo and hi > 1.0)
             or steady[name] > BUDGETS.get(name, float("inf"))
         ):
-            steady[name] = min(steady[name], round(run(name), 3))
+            # Record the RAW extra-run times (not just the running min)
+            # so post-hoc adjudication can distinguish a lucky min from
+            # a settled steady (ADVICE r13): a real ~1.1x regression
+            # reads high on every retry; noise reads high once.
+            t = round(run(name), 3)
+            extra_runs.setdefault(name, []).append(t)
+            steady[name] = min(steady[name], t)
             extra += 1
             n_runs[name] = 2 + extra
 
@@ -832,6 +852,7 @@ def main() -> None:
         "queries_cold": cold,
         "queries_warm": warm,
         "n_runs": n_runs,
+        "queries_extra_runs": extra_runs,
         "setup": setup,
         "setup_total": round(sum(setup.values()), 3),
         "sf": sf,

@@ -291,9 +291,17 @@ def similarity_rp_dim_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "probe": np.full(int(mask.sum()), pid, dtype=np.int64),
                     "vec_id": ids_b[mask],
                 }
+                # Build columns in the DECLARED schema order (all d/g
+                # pairs, then all t columns) so the output is correct
+                # under both by-name and by-position pandas column
+                # assignment (spark.sql.legacy.execution.pandas
+                # .groupedMap.assignColumnsByName) — all fields are
+                # long, so a by-position mismatch would transpose
+                # silently rather than raise.
                 for d, j in zip(_MRL_DIMS, didx):
                     rec[f"d{d}"] = csq[:, j]
                     rec[f"g{d}"] = cdot[:, j]
+                for d, j in zip(_MRL_DIMS, didx):
                     rec[f"t{d}"] = ctr[:, j]
                 parts.append(pd.DataFrame(rec))
             if parts:
