@@ -28,6 +28,7 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # window retires the whole r7 block plus ~the front half of r8.
 _DRIVER_PRIORITY: list[str] = [
     # Round-14 additions land here (never sampled - must lead).
+    "pipeline_e2e",
     # Latest driver sample is round 7 (all 20, registration order).
     "dedup_simhash_groups",
     "ngram_jaccard_top20",

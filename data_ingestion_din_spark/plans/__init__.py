@@ -26,6 +26,7 @@ from data_ingestion_din_spark.plans import table_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import retrieval_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import asof_range  # noqa: F401,E402
 from data_ingestion_din_spark.plans import chunk_queries  # noqa: F401,E402
+from data_ingestion_din_spark.plans import pipeline_e2e  # noqa: F401,E402
 from data_ingestion_din_spark.plans import multimodal_queries  # noqa: F401,E402
 from data_ingestion_din_spark.plans import relational_ext  # noqa: F401,E402
 from data_ingestion_din_spark.plans import enrichment_queries  # noqa: F401,E402

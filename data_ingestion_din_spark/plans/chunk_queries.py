@@ -23,10 +23,10 @@ from data_ingestion_din_spark.plans.registry import query
 from data_ingestion_din_spark.sources.entities import text_blocks
 
 
-@query(
-    "doc_semantic_chunks",
-    oracle=f"""{_PIPE_CTES},
-    numbered AS MATERIALIZED (
+# Shared oracle CTE chain for the W5 walk (numbered -> walk -> chunks):
+# factored out so composed pipelines (plans/pipeline_e2e.py) chain the
+# SAME chunk derivation the standalone gate checks.
+CHUNK_CTES = f"""numbered AS MATERIALIZED (
       SELECT doc_id, content, section, heading_level,
              row_number() OVER (PARTITION BY doc_id ORDER BY page, ord) AS rn
       FROM sectioned WHERE NOT noise
@@ -60,7 +60,13 @@ from data_ingestion_din_spark.sources.entities import text_blocks
              CAST(count(*) AS INT) AS n_blocks
       FROM walk
       GROUP BY doc_id, seq
-    )
+    )"""
+
+
+@query(
+    "doc_semantic_chunks",
+    oracle=f"""{_PIPE_CTES},
+    {CHUNK_CTES}
     SELECT doc_id,
            CAST(chunk_seq AS INT) AS chunk_seq,
            doc_id || '::' || substr(md5(content), 1, 8) AS chunk_id,
