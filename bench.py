@@ -598,6 +598,157 @@ BUDGETS = {
 }
 
 
+# --------------------------------------------------------------------------
+# --scaling mode (VERDICT r13 ask #2): measure how query cost SCALES
+# across sf0.001 / sf0.01 / sf0.1 (a 100x data span) so a hidden
+# superlinear plan is caught mechanically instead of by per-round code
+# audit. For each query: best-of-two noop-sink runs per sf, then the
+# log-log slope between each adjacent sf pair. The headline slope is
+# the LARGEST pair (0.01 -> 0.1), where per-job fixed overhead
+# (scheduling, codegen residue — ~0.2-0.5 s per run regardless of sf)
+# distorts least; the small pair is recorded but not flagged on, since
+# at sf0.001 most entries are overhead-dominated and read near-flat.
+# slope > SCALING_FLAG_SLOPE and not exempt => flagged in SCALING.json.
+# --------------------------------------------------------------------------
+
+# The ~25 most expensive families from BENCH_DETAIL.json (the entries
+# whose plans the per-round audits have been eyeballing), plus the
+# composed lifecycle flagship. Streaming gates are excluded: their bench
+# time is a readback of staged landings, so a cross-sf slope would
+# measure the staging convention, not an operator's data scaling. The
+# all-pairs baselines (embedding_near_dup, ngram_jaccard_top20) stay
+# excluded exactly as in the headline bench — their O(n^2) is the
+# documented point of comparison, their scale path (LSH) is measured.
+SCALING_QUERIES = [
+    "similarity_ivfpq_k16_grid",
+    "dq_completeness_matrix",
+    "dq_completeness_hll_ab",
+    "similarity_pq_aniso_ab",
+    "similarity_sq8_recall_sweep",
+    "dedup_minhash_br_grid",
+    "doc_lm_interp_ab",
+    "dedup_substring_w_grid",
+    "similarity_pq_subspace_ab",
+    "embedding_near_dup_lsh",
+    "corpus_langid_confusion",
+    "similarity_ivf_nlist_sweep",
+    "ngram_jaccard_capped",
+    "corpus_curation_funnel",
+    "html_tables_parse",
+    "dedup_incremental_batch",
+    "similarity_lsh_recall_sweep",
+    "similarity_filtered_ann",
+    "doc_lm_smoothing_ab",
+    "retrieval_prf_expansion",
+    "similarity_rp_dim_grid",
+    "dedup_simhash_near",
+    "dedup_semdedup_eps_grid",
+    "similarity_vamana_clustered_ab",
+    "corpus_decontam_n_grid",
+    "pipeline_e2e",
+    "q1_pricing_summary",
+]
+
+SCALING_FLAG_SLOPE = 1.3
+
+# Named exemptions (the scaling twin of the bench exclusion note): a
+# query whose headline slope may legitimately exceed the flag because a
+# deliberately-priced quadratic/guarded truth component grows faster
+# than the production path it audits. Populated from measured evidence,
+# not pre-emptively — an entry here must name the component. Empty as
+# of the r14 run: every candidate (incl. the semdedup/simhash guarded
+# O(n^2) truths) measured sublinear across sf0.001-0.1, because the
+# <=20k audit guards keep the truth term bounded at these scales.
+SCALING_EXEMPT: dict[str, str] = {}
+
+
+def scaling_main() -> None:
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    root = os.path.dirname(base.rstrip("/"))
+    sf_dirs = [os.path.join(root, f"sf{s}") for s in ("0.001", "0.01", "0.1")]
+    sfs = [0.001, 0.01, 0.1]
+
+    from data_ingestion_din_spark.plans import QUERIES
+    from data_ingestion_din_spark.session import get_spark
+
+    unknown = [n for n in SCALING_QUERIES if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"bench.py --scaling: unregistered {unknown}")
+
+    spark = get_spark("bench-scaling")
+    import gc
+    import math
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        del df
+        gc.collect()
+        return dt
+
+    times: dict[str, dict[str, float]] = {n: {} for n in SCALING_QUERIES}
+    errs: dict[str, str] = {}
+    for sf_dir, sf in zip(sf_dirs, sfs):
+        run("q1_pricing_summary", sf_dir)  # per-sf warmup (footer cache)
+        for name in SCALING_QUERIES:
+            try:
+                t = min(run(name, sf_dir), run(name, sf_dir))
+                times[name][str(sf)] = round(t, 3)
+            except Exception as e:  # noqa: BLE001 - recorded, not raised
+                errs[f"{name}@{sf}"] = f"{type(e).__name__}: {e}"[:300]
+
+    def slope(t1: float, t2: float, s1: float, s2: float) -> float:
+        return round(
+            math.log(max(t2, 1e-3) / max(t1, 1e-3)) / math.log(s2 / s1), 3
+        )
+
+    slopes: dict[str, dict[str, float]] = {}
+    flagged: list[str] = []
+    for name, ts in times.items():
+        if len(ts) < 2:
+            continue
+        rec: dict[str, float] = {}
+        if "0.001" in ts and "0.01" in ts:
+            rec["small_pair"] = slope(ts["0.001"], ts["0.01"], 0.001, 0.01)
+        if "0.01" in ts and "0.1" in ts:
+            rec["headline"] = slope(ts["0.01"], ts["0.1"], 0.01, 0.1)
+        slopes[name] = rec
+        if (
+            rec.get("headline", 0.0) > SCALING_FLAG_SLOPE
+            and name not in SCALING_EXEMPT
+        ):
+            flagged.append(name)
+
+    out = {
+        "metric": "scaling_curve",
+        "sfs": sfs,
+        "flag_slope": SCALING_FLAG_SLOPE,
+        "times": times,
+        "slopes": slopes,
+        "flagged": sorted(flagged),
+        "exempt": SCALING_EXEMPT,
+        "errors": errs,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_curve",
+                "n_queries": len(slopes),
+                "flagged": sorted(flagged),
+                "errors": len(errs),
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -892,4 +1043,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv[1:]:
+        scaling_main()
+    else:
+        main()
