@@ -416,6 +416,10 @@ BENCH_QUERIES = [
     "ranked_prefix_ab",
     "similarity_pq_aniso_ab",
     "streaming_asof_attribution",
+    # round-14 additions (pipeline_e2e + the media pair are inserted at
+    # their family groups above)
+    "similarity_pq_opq_ab",
+    "streaming_ivf_rebalance",
 ]
 
 
@@ -575,6 +579,10 @@ BUDGETS = {
     # staged once per session like the sibling gates)
     "ranked_prefix_ab": 4.0,  # 2.3-2.6 s steady (both window arms run
     # back-to-back: global-window rank + the two-phase range shuffle)
+    "similarity_pq_opq_ab": 10.0,  # 6.5-7.4 s steady fresh-session
+    # (structurally the subspace A/B: two PQ trainings + two ADC
+    # serves + the shared guarded truth, plus the 64-term rotation
+    # projection)
     "similarity_pq_aniso_ab": 10.0,  # 6.6-7.0 s steady (two 1-iter PQ
     # trainings + two ADC serves + the guarded exact-dot truth; the
     # deliberate A/B price, same class as the smoothing/subspace A/Bs)
