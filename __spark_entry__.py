@@ -30,6 +30,7 @@ _DRIVER_PRIORITY: list[str] = [
     # Round-14 additions land here (never sampled - must lead).
     "pipeline_e2e",
     "similarity_pq_opq_ab",
+    "streaming_ivf_rebalance",
     # Latest driver sample is round 7 (all 20, registration order).
     "dedup_simhash_groups",
     "ngram_jaccard_top20",

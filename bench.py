@@ -950,6 +950,7 @@ def main() -> None:
     stage("tmix_gate_landings", lambda: _stg_out_dir(spark, sf_dir))
     from data_ingestion_din_spark.plans.streaming_indexes import (
         _sii_out_dir,
+        _sir_out_dir,
         _smi_out_dir,
         _spi_out_dir,
         _ssi_out_dir,
@@ -958,6 +959,7 @@ def main() -> None:
     stage("minhash_index_landings", lambda: _smi_out_dir(spark, sf_dir))
     stage("phash_index_landings", lambda: _spi_out_dir(spark, sf_dir))
     stage("ivf_index_landings", lambda: _sii_out_dir(spark, sf_dir))
+    stage("ivf_rebalance_landings", lambda: _sir_out_dir(spark, sf_dir))
     stage("substring_index_landings", lambda: _ssi_out_dir(spark, sf_dir))
     from data_ingestion_din_spark.plans.streaming_sketches import (
         _hll_out_dir,

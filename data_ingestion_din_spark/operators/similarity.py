@@ -251,10 +251,22 @@ def kmeans_train(
     and route appends with."""
     from data_ingestion_din_spark.functions.vectors import quantize
 
-    base = (
-        emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
-        .localCheckpoint(eager=True)
+    return kmeans_train_qv(
+        emb.select("vec_id", quantize(F.col("embedding")).alias("qv")),
+        k=k,
+        iters=iters,
     )
+
+
+def kmeans_train_qv(
+    qv_df: DataFrame, k: int = 8, iters: int = 2
+) -> tuple[DataFrame, list[list[int]]]:
+    """:func:`kmeans_train` over an ALREADY-QUANTIZED ``(vec_id, qv)``
+    relation — the loop factored out so retrain paths that hold their
+    vectors as integer state (the streaming IVF cell split reads an
+    oversized cell's members back from the assignment state) reuse the
+    exact gated training instead of round-tripping through floats."""
+    base = qv_df.localCheckpoint(eager=True)
     cents = [list(r.qv) for r in base.orderBy("vec_id").limit(k).collect()]
     if len(cents) < k:
         raise ValueError(

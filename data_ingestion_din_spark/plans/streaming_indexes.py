@@ -1266,3 +1266,367 @@ def streaming_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# streaming_ivf_rebalance — IVF cell maintenance under CHURN, the ops
+# gap every production ANN service hits that the at-ingest index family
+# above leaves open: streaming_ivf_index freezes its k=8 quantizer at
+# the first landing and only ever routes appends, so a drifting corpus
+# concentrates mass into a few cells and probe cost degrades. This
+# query adds the incremental SPLIT: landing 1 trains the quantizer on a
+# quarter of the corpus (vec_id % 4 = 0) and commits epoch-keyed
+# (assignments + qv, centroids, per-cell masses); landing 2 routes the
+# remaining 75% against the frozen centroids (O(batch × k·dims) argmin,
+# no shuffle), merges the bounded per-cell mass counters (k rows of
+# state + k rows from the batch — never a corpus rescan), and when the
+# largest cell's mass exceeds _SIR_TRIG_MILLI per-mille of the mean
+# cell mass, splits THAT CELL ONLY: its members are read back from the
+# assignment state with a cluster-pushed parquet filter (the
+# no-full-corpus-retrain property, plan-asserted in
+# tests/test_streaming_rebalance.py), trained k=2 with the exact gated
+# Lloyd (operators/similarity.kmeans_train_qv — the same truncating
+# integer M-step as every quantizer here), and reassigned to fresh
+# sub-cell ids parent*10+{1,2}; the parent id is RETIRED and never
+# reused, which is what makes the filter-then-resolve member read sound
+# (no vector can leave a cell except through the split that retires it,
+# so within the cluster=c slice the latest epoch per vec_id is the
+# truth). Split rows land at the same epoch as the landing's routed
+# rows and supersede the members' earlier rows under the family's
+# latest-epoch resolution; replay of either landing is idempotent
+# (epoch-keyed overwrites, prior-epoch-only reads).
+#
+# The oracle is the batch re-walk verbatim: train-on-quarter
+# (_km_ctes), route-the-rest, count masses, pick the offender
+# (largest, lowest-id tie-break), unrolled k=2 Lloyd over exactly that
+# cell's members, reassign — so hash parity proves the split decision,
+# the sub-training and the supersede semantics all survived the
+# checkpointed restart.
+#
+# Scale: per landing O(batch × k·dims) routing + O(k) mass bookkeeping;
+# a split costs O(|cell| × 2·dims) training + |cell| rewrite rows —
+# never O(corpus). At 100 TB the assignment state is a cluster-
+# partitioned table and the same cluster-pushed read serves the split.
+# --------------------------------------------------------------------------
+_SIR_K = 8
+_SIR_TRIG_MILLI = 1150  # split when mass > 1.15x mean cell mass
+_SIR_DONE: dict[tuple[str, str], str] = {}
+
+
+def _ivf_rebalance_processor(
+    out: str,
+    cent_state: str,
+    mass_state: str,
+    k: int = _SIR_K,
+    trig_milli: int = _SIR_TRIG_MILLI,
+):
+    """foreachBatch processor over (assignments+qv, centroids, masses)
+    epoch-keyed dirs — module-level for the replay/plan tests."""
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_train,
+        kmeans_train_qv,
+    )
+    from data_ingestion_din_spark.plans.streaming_core import (
+        _latest_epoch_rows,
+    )
+
+    def _plan(batch_df: DataFrame, epoch_id: int) -> dict:
+        spark_l = batch_df.sparkSession
+        qv_b = batch_df.select(
+            "vec_id", quantize(F.col("embedding")).alias("qv")
+        )
+        # replay-safe state probe (the _ivf_index_processor rule): the
+        # training path is taken when no PRIOR-epoch centroids exist —
+        # a replayed first landing sees its own epoch's rows on disk
+        # but must still re-train, not route against nothing
+        crows = []
+        if os.path.isdir(cent_state):
+            crows = (
+                _latest_epoch_rows(
+                    spark_l, cent_state, ["cluster"], before_epoch=epoch_id
+                )
+                .filter(~F.col("retired"))
+                .orderBy("cluster")
+                .collect()
+            )
+        if not crows:
+            # first landing: train the coarse quantizer on itself
+            assigned, cents = kmeans_train(batch_df, k=k, iters=2)
+            rows = assigned.join(qv_b, "vec_id").select(
+                "vec_id", "cluster", "qv", F.lit("trained").alias("phase")
+            )
+            masses = {
+                int(r.cluster): int(r.n)
+                for r in assigned.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            cent_rows = [(c + 1, cents[c], False) for c in range(len(cents))]
+            return {
+                "assignments": rows,
+                "cent_rows": cent_rows,
+                "masses": masses,
+                "split_cell": None,
+                "members": None,
+            }
+        # later landing: route against the live (non-retired) centroids
+        ids = [int(r.cluster) for r in crows]
+        id_map = F.array(*[F.lit(i) for i in ids])
+        routed = (
+            assign_to_centroids(qv_b, [list(r.qv) for r in crows])
+            .select(
+                "vec_id",
+                F.element_at(id_map, F.col("cluster"))
+                .cast("int")
+                .alias("cluster"),
+                "qv",
+            )
+            .localCheckpoint(eager=True)
+        )
+        # bounded mass bookkeeping: k prior counters + k batch counts
+        prior_mass = {
+            int(r.cluster): int(r.mass)
+            for r in _latest_epoch_rows(
+                spark_l, mass_state, ["cluster"], before_epoch=epoch_id
+            ).collect()
+        }
+        for r in (
+            routed.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+        ).collect():
+            prior_mass[int(r.cluster)] = (
+                prior_mass.get(int(r.cluster), 0) + int(r.n)
+            )
+        masses = prior_mass
+        total = sum(masses.values())
+        n_cells = len(masses)
+        offenders = [
+            c
+            for c, m in masses.items()
+            if m * n_cells * 1000 > total * trig_milli
+        ]
+        if not offenders:
+            return {
+                "assignments": routed.withColumn(
+                    "phase", F.lit("incremental")
+                ),
+                "cent_rows": [],
+                "masses": masses,
+                "split_cell": None,
+                "members": None,
+            }
+        c_split = sorted(offenders, key=lambda c: (-masses[c], c))[0]
+        # members of the oversized cell ONLY: cluster-pushed parquet
+        # filter on the state (sound under retired-ids-never-reused —
+        # see header), plus this landing's routed members
+        prior_members = (
+            spark_l.read.option("basePath", out)
+            .parquet(out)
+            .filter(F.col("epoch") < epoch_id)
+            .filter(F.col("cluster") == c_split)
+            .select("vec_id", "qv")
+        )
+        members = prior_members.unionByName(
+            routed.filter(F.col("cluster") == c_split).select(
+                "vec_id", "qv"
+            )
+        )
+        sub_assigned, sub_cents = kmeans_train_qv(members, k=2, iters=2)
+        split_rows = (
+            sub_assigned.withColumn(
+                "cluster",
+                (F.lit(c_split * 10) + F.col("cluster")).cast("int"),
+            )
+            .join(members, "vec_id")
+            .select("vec_id", "cluster", "qv", F.lit("split").alias("phase"))
+        )
+        sub_mass = {
+            c_split * 10 + int(r.cluster): int(r.n)
+            for r in sub_assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        del masses[c_split]
+        masses.update(sub_mass)
+        cent_rows = [
+            (c_split * 10 + 1, sub_cents[0], False),
+            (c_split * 10 + 2, sub_cents[1], False),
+            (c_split, [], True),  # retire the parent id, never reused
+        ]
+        return {
+            "assignments": routed.filter(F.col("cluster") != c_split)
+            .withColumn("phase", F.lit("incremental"))
+            .unionByName(split_rows),
+            "cent_rows": cent_rows,
+            "masses": masses,
+            "split_cell": c_split,
+            "members": members,
+        }
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark_l = batch_df.sparkSession
+        dfs = _plan(batch_df, epoch_id)
+        ep = f"epoch={epoch_id}"
+        dfs["assignments"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, ep)
+        )
+        if dfs["cent_rows"]:
+            spark_l.createDataFrame(
+                dfs["cent_rows"],
+                "cluster int, qv array<bigint>, retired boolean",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(cent_state, ep)
+            )
+        spark_l.createDataFrame(
+            sorted(dfs["masses"].items()),
+            "cluster int, mass bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(mass_state, ep)
+        )
+
+    _process.plan = _plan
+    return _process
+
+
+def _sir_out_dir(spark: SparkSession, sf_dir: str) -> str:
+    from data_ingestion_din_spark.operators.colocate import (
+        _dir_ok,
+        fresh_app_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_dead(_SIR_DONE, key[0])
+    if key in _SIR_DONE:
+        if _dir_ok(_SIR_DONE[key]):
+            return _SIR_DONE[key]
+        del _SIR_DONE[key]
+
+    base = fresh_app_dir(spark, sf_dir, "spark_graft_sir")
+    out = os.path.join(base, "out")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    _run_split_landings(
+        spark,
+        base,
+        "vec_id bigint, embedding array<float>",
+        [
+            emb.filter(F.col("vec_id") % 4 == 0),
+            emb.filter(F.col("vec_id") % 4 != 0),
+        ],
+        _ivf_rebalance_processor(
+            out,
+            os.path.join(base, "cents"),
+            os.path.join(base, "mass"),
+        ),
+    )
+    _SIR_DONE[key] = out
+    return out
+
+
+def _sir_oracle() -> str:
+    from data_ingestion_din_spark.plans.similarity_queries import (
+        _DIMS_UB,
+        _KM_DIST,
+        _km_ctes,
+    )
+
+    return f"""
+    WITH {_km_ctes("(SELECT * FROM embeddings WHERE vec_id % 4 = 0)")},
+    batch AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             ) AS qv
+      FROM embeddings WHERE vec_id % 4 <> 0
+    ),
+    ab AS (
+      SELECT q.vec_id, q.qv, s.cluster
+      FROM batch q CROSS JOIN c1f s
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) = 1
+    ),
+    allr AS (
+      SELECT a.vec_id, a.cluster, q.qv, 'trained' AS phase
+      FROM a2 a JOIN q USING (vec_id)
+      UNION ALL
+      SELECT vec_id, cluster, qv, 'incremental' AS phase FROM ab
+    ),
+    mass AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n
+      FROM allr GROUP BY cluster
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS nc FROM mass),
+    trig AS (
+      SELECT cluster AS c FROM mass, tot
+      WHERE n * nc * 1000 > t * {_SIR_TRIG_MILLI}
+      ORDER BY n DESC, cluster LIMIT 1
+    ),
+    members AS (
+      SELECT vec_id, qv FROM allr
+      WHERE cluster = (SELECT c FROM trig)
+    ),
+    sseeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster,
+             qv
+      FROM (SELECT * FROM members ORDER BY vec_id LIMIT 2)
+    ),
+    sa1 AS (
+      SELECT q.vec_id, q.qv, s.cluster
+      FROM members q CROSS JOIN sseeds s
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) = 1
+    ),
+    sm1 AS (
+      SELECT cluster, i AS dim, sum(qv[i]) // count(*) AS c
+      FROM sa1, range(1, {_DIMS_UB}) t(i)
+      GROUP BY cluster, i
+    ),
+    sc1 AS (SELECT cluster, list(c ORDER BY dim) AS qv FROM sm1
+            GROUP BY cluster),
+    sc1f AS (
+      SELECT s.cluster, coalesce(c.qv, s.qv) AS qv
+      FROM sseeds s LEFT JOIN sc1 c ON s.cluster = c.cluster
+    ),
+    sa2 AS (
+      SELECT q.vec_id, s.cluster
+      FROM members q CROSS JOIN sc1f s
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {_KM_DIST}, s.cluster) = 1
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, phase FROM allr
+    WHERE cluster <> coalesce((SELECT c FROM trig), -1)
+    UNION ALL
+    SELECT vec_id,
+           CAST((SELECT c FROM trig) * 10 + cluster AS INT) AS cluster,
+           'split' AS phase
+    FROM sa2
+    ORDER BY vec_id
+    """
+
+
+@query("streaming_ivf_rebalance", oracle=_sir_oracle())
+def streaming_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back the latest-epoch assignment per vector after the two
+    landings; the oracle re-walks train → route → trigger → cell-local
+    k=2 split in batch SQL, so parity proves the rebalance decision and
+    the split reassignment survived the checkpointed restart."""
+    from data_ingestion_din_spark.plans.streaming_core import (
+        _latest_epoch_rows,
+    )
+
+    out = _sir_out_dir(spark, sf_dir)
+    return (
+        _latest_epoch_rows(spark, out, ["vec_id"])
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            "phase",
+        )
+        .orderBy("vec_id")
+    )
