@@ -31,6 +31,9 @@ _DRIVER_PRIORITY: list[str] = [
     "pipeline_e2e",
     "similarity_pq_opq_ab",
     "streaming_ivf_rebalance",
+    # r14 schema change (plan pins moved to the plan test, ADVICE r13):
+    # re-sample ahead of the stale blocks
+    "ranked_prefix_ab",
     # Latest driver sample is round 7 (all 20, registration order).
     "dedup_simhash_groups",
     "ngram_jaccard_top20",

@@ -1573,9 +1573,15 @@ def events_gini_concentration(
 # / rangepartitioning) — the tests/test_plan_assertions.py convention:
 # AQE can only coalesce or remove exchanges at runtime, so the pinned
 # counts are exact for the planned shape and upper bounds on the
-# executed one — hash-gated against pinned expectations so a future
-# plan change that degrades either arm fails the oracle gate, not just
-# a unit test.
+# executed one — pinned in tests/test_plan_assertions.py
+# (test_ranked_prefix_ab_plan_pins) since r14. The counts previously
+# rode inside the DuckDB oracle string, which conflated plan drift
+# with data-correctness regressions: a Spark upgrade that legitimately
+# replans an arm would have surfaced as an apparent hash-parity
+# failure (ADVICE r13). Now the ORACLE gates only the data checksums
+# (bit-exact equality of both arms' ranked relations) and the PLAN
+# TEST gates the exchange shape — planner drift fails as a plan-pin
+# failure, a wrong answer as a correctness failure.
 #
 # The price sheet the counts encode: global_window = (2, 1, 0) — its
 # ONE SinglePartition exchange carries the CORPUS-SIZED relation to a
@@ -1614,43 +1620,9 @@ def _exchange_counts(df: DataFrame) -> tuple[int, int, int]:
     )
 
 
-def _rpa_oracle() -> str:
-    arms_sql = ", ".join(
-        f"('{arm}', {t[0]}, {t[1]}, {t[2]})"
-        for arm, t in sorted(_RPA_PINS.items())
-    )
-    return f"""
-    WITH ut AS (
-      SELECT user_id,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-               AS cents
-      FROM events GROUP BY user_id
-    ),
-    rk AS (
-      SELECT cents,
-             row_number() OVER (ORDER BY cents, user_id) AS r,
-             sum(cents) OVER (ORDER BY cents, user_id
-                              ROWS UNBOUNDED PRECEDING) AS cum
-      FROM ut
-    ),
-    chk AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(sum(r * cents) AS BIGINT) AS sum_r_cents,
-             CAST(sum(cum) AS BIGINT) AS sum_cum,
-             CAST(max(cum) AS BIGINT) AS max_cum
-      FROM rk
-    )
-    SELECT arms.arm AS arm, n_rows, sum_r_cents, sum_cum, max_cum,
-           CAST(arms.nx AS INT) AS n_exchanges,
-           CAST(arms.nsp AS INT) AS n_single_partition,
-           CAST(arms.nrp AS INT) AS n_range_partitioning
-    FROM chk CROSS JOIN (VALUES {arms_sql}) arms(arm, nx, nsp, nrp)
-    ORDER BY arm
-    """
-
-
-@query("ranked_prefix_ab", oracle=_rpa_oracle())
-def ranked_prefix_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rpa_arms(spark: SparkSession, sf_dir: str) -> list[tuple[str, DataFrame]]:
+    """Both arms of the ranked-prefix trade, shared by the gated query
+    (data checksums) and the plan test (exchange pins)."""
     from data_ingestion_din_spark.operators.ranking import ranked_prefix
 
     ev = load_table(spark, sf_dir, "events")
@@ -1671,9 +1643,41 @@ def ranked_prefix_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm_b = ranked_prefix(
         ut, ["cents", "user_id"], sums={"cum": "cents"}, rk_col="r"
     ).select("r", "cum", "cents")
+    return [("global_window", arm_a), ("two_phase", arm_b)]
+
+
+def _rpa_oracle() -> str:
+    return """
+    WITH ut AS (
+      SELECT user_id,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id
+    ),
+    rk AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, user_id) AS r,
+             sum(cents) OVER (ORDER BY cents, user_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM ut
+    ),
+    chk AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(r * cents) AS BIGINT) AS sum_r_cents,
+             CAST(sum(cum) AS BIGINT) AS sum_cum,
+             CAST(max(cum) AS BIGINT) AS max_cum
+      FROM rk
+    )
+    SELECT arms.arm AS arm, n_rows, sum_r_cents, sum_cum, max_cum
+    FROM chk CROSS JOIN (VALUES ('global_window'), ('two_phase')) arms(arm)
+    ORDER BY arm
+    """
+
+
+@query("ranked_prefix_ab", oracle=_rpa_oracle())
+def ranked_prefix_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
-    for arm, df in (("global_window", arm_a), ("two_phase", arm_b)):
-        nx, nsp, nrp = _exchange_counts(df)
+    for arm, df in _rpa_arms(spark, sf_dir):
         chk = df.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.sum(F.col("r") * F.col("cents"))
@@ -1689,16 +1693,12 @@ def ranked_prefix_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(chk.sum_r_cents),
                 int(chk.sum_cum),
                 int(chk.max_cum),
-                nx,
-                nsp,
-                nrp,
             )
         )
     return spark.createDataFrame(
         rows,
         "arm string, n_rows bigint, sum_r_cents bigint, sum_cum bigint,"
-        " max_cum bigint, n_exchanges int, n_single_partition int,"
-        " n_range_partitioning int",
+        " max_cum bigint",
     ).orderBy("arm")
 
 

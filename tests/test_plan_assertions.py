@@ -1337,3 +1337,21 @@ def test_asof_processor_batch_plan(spark, tmp_path):
     assert _hint_count(nstate) == 0
     s = _plan_stats(att)
     assert s["cartesian"] == 0, s
+
+
+def test_ranked_prefix_ab_plan_pins(spark):
+    """The ranked-prefix price sheet (ADVICE r13 relocation): the
+    exchange counts that used to ride inside ranked_prefix_ab's DuckDB
+    oracle — (total Exchange, SinglePartition, rangepartitioning) per
+    arm from the adaptive INITIAL plan — are pinned HERE, so a Spark
+    upgrade that replans an arm fails as a plan-pin failure instead of
+    an apparent data-correctness failure. The oracle now gates only the
+    data checksums."""
+    from data_ingestion_din_spark.plans.events_ext import (
+        _RPA_PINS,
+        _exchange_counts,
+        _rpa_arms,
+    )
+
+    for arm, df in _rpa_arms(spark, SF):
+        assert _exchange_counts(df) == _RPA_PINS[arm], arm
