@@ -1770,62 +1770,91 @@ def _hab_oracle() -> str:
 def dq_completeness_hll_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_din_spark.functions.hashing import h64
 
+    # Columns travel the heavy path keyed by a dense INT id; the two
+    # name strings re-attach from a 50-row broadcast at the end
+    # (narrower group keys and shuffle rows over the corpus-sized
+    # stream). The raw hash stream is deduplicated ONCE on (cid, h) and
+    # that single exchange feeds BOTH the exact count and the register
+    # rollup (ReuseExchange): the register max is duplicate-insensitive
+    # and the exact count needs the dedup anyway, so the corpus is
+    # scanned/hashed once and shuffled once — the old shape
+    # (localCheckpoint + 3 full scans: exact + one per m) paid the
+    # block-manager materialization plus two extra passes over the
+    # un-deduplicated stream. Both m register tables come out of one
+    # pass over the deduped hashes via a 2-way explode.
+    ids = []
     uh = None
+    cid = 0
     for t, cols in _HAB_COLS.items():
         tb = load_table(spark, sf_dir, t)
         part = None
         for c, kind in cols:
             one = tb.filter(F.col(c).isNotNull()).select(
-                F.lit(t).alias("tbl"),
-                F.lit(c).alias("col"),
+                F.lit(cid).cast("int").alias("cid"),
                 h64(
                     F.expr(_hab_canon(c, kind, spark_side=True)),
                     seed=f"hab:{t}.{c}:",
                 ).alias("h"),
             )
+            ids.append((cid, t, c))
+            cid += 1
             part = one if part is None else part.unionByName(one)
         uh = part if uh is None else uh.unionByName(part)
-    # NO global distinct: the register max is duplicate-insensitive and
-    # the exact side dedups inside its own aggregate (map-side partial
-    # dedup) — a full-stream distinct shuffle here measured 10-15 s at
-    # sf0.1 vs ~6 s without, for identical output
-    uh = uh.localCheckpoint(eager=False)  # one pass, all (col, m)
-    ex = uh.groupBy("tbl", "col").agg(
-        F.countDistinct("h").cast("bigint").alias("n_exact")
+    names = F.broadcast(
+        spark.createDataFrame(ids, "cid int, tbl string, col string")
     )
-    sk = None
+    dh = uh.distinct()  # the one corpus-sized exchange, shared below
+    ex = dh.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    # Register pass: ONE scan of the deduped hashes emits both m
+    # register streams via a 2-way explode (per-(cid, m, bucket) max is
+    # map-side partial, so the shuffle stays metadata-sized). A
+    # two-level variant that derived the m=64 registers from the m=256
+    # bucket partials measured SLOWER (8.1 s vs 5.0 s min, alternating
+    # in-session): the second consumer of the bucket rollup defeated
+    # AQE's exchange-stage reuse and re-ran the corpus-sized dedup.
+    structs = []
+    est_num = None
     for m in _HAB_MS:
-        p = m.bit_length() - 1
-        top = 61 - p
+        top = 61 - (m.bit_length() - 1)
         num = _hll_alpha(m) * m * m * 4294967296.0
         w = F.expr(f"h div {m}")
-        reg = (
-            uh.select(
-                "tbl",
-                "col",
+        structs.append(
+            F.struct(
+                F.lit(m).cast("int").alias("m"),
                 F.pmod(F.col("h"), F.lit(m)).alias("bucket"),
                 F.when(w == 0, F.lit(top))
                 .otherwise(F.lit(top) - F.length(F.bin(w)))
                 .alias("rnk"),
             )
-            .groupBy("tbl", "col", "bucket")
-            .agg(F.max("rnk").alias("r"))
         )
-        s = reg.groupBy("tbl", "col").agg(
-            F.lit(m).cast("int").alias("m"),
-            (
-                F.sum(
-                    F.expr("shiftleft(CAST(1 AS BIGINT), 32 - least(r, 32))")
-                )
-                + (F.lit(m) - F.count(F.lit(1))) * F.lit(4294967296)
+        cond = F.col("m") == m
+        est_num = (
+            F.when(cond, F.lit(num))
+            if est_num is None
+            else est_num.when(cond, F.lit(num))
+        )
+    reg = (
+        dh.select("cid", F.explode(F.array(*structs)).alias("x"))
+        .select("cid", "x.m", "x.bucket", "x.rnk")
+        .groupBy("cid", "m", "bucket")
+        .agg(F.max("rnk").alias("r"))
+    )
+    sk = reg.groupBy("cid", "m").agg(
+        (
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), 32 - least(r, 32))")
             )
-            .cast("bigint")
-            .alias("s_scaled"),
-            F.lit(num).alias("est_num"),
+            + (F.col("m").cast("bigint") - F.count(F.lit(1)))
+            * F.lit(4294967296)
         )
-        sk = s if sk is None else sk.unionByName(s)
+        .cast("bigint")
+        .alias("s_scaled"),
+    ).withColumn("est_num", est_num)
     return (
-        ex.join(sk, ["tbl", "col"])
+        ex.join(sk, "cid")
+        .join(names, "cid")
         .select(
             "tbl",
             "col",
