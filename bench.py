@@ -867,6 +867,20 @@ def main() -> None:
     stage("pq_index_raw16", lambda: _pq_trained(spark, sf_dir, "raw", k=_GRID_K)[0].count())
     stage("pq_index_res16", lambda: _pq_trained(spark, sf_dir, "res", k=_GRID_K)[0].count())
     stage("sweep_etop", lambda: _etop_staged(spark, sf_dir).count())
+    # staircase PQ-A/B space + guarded truth + the shared baseline arm
+    # (subspace_ab's "contiguous" = opq_ab's "identity" training) —
+    # staged once per session like the PQ indexes; two consumers
+    from data_ingestion_din_spark.plans.similarity_proj import (
+        _pqs_base_trained,
+        _pqs_space,
+    )
+
+    stage(
+        "pqs_space",
+        lambda: _pqs_base_trained(
+            spark, sf_dir, _pqs_space(spark, sf_dir)[0]
+        )[0].count(),
+    )
     # streamed IVFPQ index: the two availableNow landings run once here
     # so streaming_ivfpq_serve times the read path, not the ingest
     from data_ingestion_din_spark.plans.streaming_indexes import _siq_out_dir

@@ -577,12 +577,49 @@ def _pqs_oracle() -> str:
     )
 
 
+# (applicationId, sf_dir) -> (sq, setop, probes) — the staircase space,
+# its guarded exact truth and the collected probe vectors are shared by
+# similarity_pq_subspace_ab AND similarity_pq_opq_ab (both A/Bs isolate
+# one PQ design knob on the SAME planted-variance space against the
+# SAME transform-invariant truth), so they are staged once per session
+# like _etop_staged / the trained PQ indexes; bench.py records the
+# staging as its own setup row. The baseline arm (PQ trained on the
+# untransformed sq — "contiguous" in the subspace A/B, "identity" in
+# the OPQ A/B) is byte-identical between the two queries, so its
+# trained (codes, codebook) pair is staged under the same key.
+_PQS_STATE: dict[tuple[str, str], tuple] = {}
+_PQS_BASE_STATE: dict[tuple[str, str], tuple] = {}
+
+
 def _pqs_space(spark: SparkSession, sf_dir: str):
+    """Session-staged ``(sq, setop, probes)`` — see _PQS_STATE above."""
+    app = spark.sparkContext.applicationId
+    for kk in [kk for kk in _PQS_STATE if kk[0] != app]:
+        del _PQS_STATE[kk]
+    key = (app, sf_dir)
+    if key not in _PQS_STATE:
+        _PQS_STATE[key] = _pqs_space_build(spark, sf_dir)
+    return _PQS_STATE[key]
+
+
+def _pqs_base_trained(spark: SparkSession, sf_dir: str, src: DataFrame):
+    """Session-staged baseline-arm PQ training over the staircase space
+    ``src`` (= the staged sq): (checkpointed codes, codebooks)."""
+    from data_ingestion_din_spark.operators.similarity import pq_assign_qv
+
+    app = spark.sparkContext.applicationId
+    for kk in [kk for kk in _PQS_BASE_STATE if kk[0] != app]:
+        del _PQS_BASE_STATE[kk]
+    key = (app, sf_dir)
+    if key not in _PQS_BASE_STATE:
+        codes, cb = pq_assign_qv(src, n_sub=4, k=4, iters=1)
+        _PQS_BASE_STATE[key] = (codes.localCheckpoint(eager=True), cb)
+    return _PQS_BASE_STATE[key]
+
+
+def _pqs_space_build(spark: SparkSession, sf_dir: str):
     """Staircase-scaled quantized space, its guarded exact truth and the
-    driver-side probe vectors — shared by similarity_pq_subspace_ab and
-    similarity_pq_opq_ab (both A/Bs isolate one PQ design knob on the
-    SAME planted-variance space against one orthogonal-transform-
-    invariant truth). Returns ``(sq, setop, probes)``."""
+    driver-side probe vectors. Returns ``(sq, setop, probes)``."""
     from data_ingestion_din_spark.functions.vectors import quantize
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -637,23 +674,33 @@ def _pqs_space(spark: SparkSession, sf_dir: str):
 
 
 def _pq_arm_rows(
-    spark: SparkSession, label: str, src: DataFrame, pv: dict, setop: DataFrame
+    spark: SparkSession,
+    label: str,
+    src: DataFrame,
+    pv: dict,
+    setop: DataFrame,
+    trained: tuple | None = None,
 ) -> DataFrame:
     """One PQ A/B arm: train the k=4 / 4-subspace / 1-iter PQ on ``src``
     (vec_id, qv), roll up per-subspace quantization error, serve the
     probes by broadcast ADC and count truth overlap — the per-(layout,
     subspace) rows every PQ A/B emits. ``pv`` maps probe id to its
     vector IN THE ARM'S SPACE (the caller applies the arm transform to
-    both ``src`` and the probe vectors)."""
+    both ``src`` and the probe vectors). ``trained`` short-circuits the
+    training with a pre-staged (checkpointed codes, codebooks) pair —
+    the session-staged baseline arm both A/Bs share."""
     from pyspark.sql.window import Window as W
 
     from data_ingestion_din_spark.operators.similarity import pq_assign_qv
     from data_ingestion_din_spark.plans.similarity_queries import _PQ_D
 
-    codes, cb = pq_assign_qv(src, n_sub=4, k=4, iters=1)
-    # two consumers below (distortion rollup + ADC serving) — one
-    # eager checkpoint so the Lloyd DAG runs once per arm
-    codes = codes.localCheckpoint(eager=True)
+    if trained is not None:
+        codes, cb = trained
+    else:
+        codes, cb = pq_assign_qv(src, n_sub=4, k=4, iters=1)
+        # two consumers below (distortion rollup + ADC serving) — one
+        # eager checkpoint so the Lloyd DAG runs once per arm
+        codes = codes.localCheckpoint(eager=True)
     cb_df = F.broadcast(
         spark.createDataFrame(
             [
@@ -751,12 +798,13 @@ def similarity_pq_subspace_ab(
         F.expr(f"transform({perm_lit}, i -> qv[i - 1])").alias("qv"),
     )
     pvb = {k: [v[i - 1] for i in _PQS_PERM] for k, v in probes.items()}
+    base = _pqs_base_trained(spark, sf_dir, sq)
     out = None
-    for label, src, pv in (
-        ("contiguous", sq, probes),
-        ("balanced", bq, pvb),
+    for label, src, pv, trained in (
+        ("contiguous", sq, probes, base),
+        ("balanced", bq, pvb, None),
     ):
-        row = _pq_arm_rows(spark, label, src, pv, setop)
+        row = _pq_arm_rows(spark, label, src, pv, setop, trained=trained)
         out = row if out is None else out.unionByName(row)
     return out.orderBy("layout", "subspace")
 
@@ -849,9 +897,13 @@ def similarity_pq_opq_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         k: [s * v[p - 1] for p, s in zip(_OPQ_PERM, _OPQ_SIGN)]
         for k, v in probes.items()
     }
+    base = _pqs_base_trained(spark, sf_dir, sq)
     out = None
-    for label, src, pv in (("identity", sq, probes), ("rotated", rq, pvr)):
-        row = _pq_arm_rows(spark, label, src, pv, setop)
+    for label, src, pv, trained in (
+        ("identity", sq, probes, base),
+        ("rotated", rq, pvr, None),
+    ):
+        row = _pq_arm_rows(spark, label, src, pv, setop, trained=trained)
         out = row if out is None else out.unionByName(row)
     return out.orderBy("layout", "subspace")
 
