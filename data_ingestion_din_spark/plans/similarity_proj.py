@@ -1357,14 +1357,15 @@ def similarity_pq_aniso_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture-size coalesce: the guarded audit set is ≤20k rows, and the
     # dozen control jobs below otherwise pay 32-task scheduling overhead
     # each (measured 11.5 s → ~6 s steady at sf0.1); production encoding
-    # keeps the corpus partitioning (pq_encode_qv), this is audit-only
-    qm = (
-        emb.select(
-            "vec_id", quantize_milli(F.col("embedding")).alias("qv")
-        )
-        .coalesce(4)
-        .localCheckpoint(eager=True)
-    )
+    # keeps the corpus partitioning (pq_encode_qv), this is audit-only.
+    # qm itself is NOT checkpointed: its only consumers are the sub
+    # checkpoint below (the one materialization of the quantize pass)
+    # and the single driver collect that feeds seeds + the guarded GEMM
+    # truth — an eager checkpoint here was one more serial job for data
+    # each consumer touches once.
+    qm = emb.select(
+        "vec_id", quantize_milli(F.col("embedding")).alias("qv")
+    ).coalesce(4)
     sub = qm.select(
         "vec_id",
         F.explode(
@@ -1383,7 +1384,10 @@ def similarity_pq_aniso_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, v: a + v * v,
         ).alias("xx"),
     ).localCheckpoint(eager=True)
-    seed_rows = qm.orderBy("vec_id").limit(_PQ_K).collect()
+    # ONE driver collect serves seeds, the guarded GEMM truth and the
+    # probe vectors (three separate jobs before this round)
+    srows = sorted(qm.collect(), key=lambda r: int(r.vec_id))
+    seed_rows = srows[:_PQ_K]
     cb0 = [
         [list(r.qv)[m * _PQ_D : (m + 1) * _PQ_D] for r in seed_rows]
         for m in range(_PQ_SUB)
@@ -1462,13 +1466,12 @@ def similarity_pq_aniso_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return _assign(cb, mode).select("vec_id", "m", "code"), cb
 
-    # exact MIPS truth (guarded GEMM over collected control data —
-    # the similarity_pq_subspace_ab audit form, dot instead of L2)
-    srows = qm.collect()
+    # exact MIPS truth (guarded GEMM over the already-collected control
+    # data — the similarity_pq_subspace_ab audit form, dot instead of
+    # L2). setop stays a plain LocalRelation: 20×10 driver rows need no
+    # checkpoint job to join against.
     sids = np.array([int(r.vec_id) for r in srows], dtype=np.int64)
     smat = np.stack([list(r.qv) for r in srows]).astype(np.int64)
-    order = np.argsort(sids)
-    sids, smat = sids[order], smat[order]
     pmask = sids < _SWEEP_N
     dmat = smat[pmask] @ smat.T
     etop_rows = []
@@ -1479,7 +1482,7 @@ def similarity_pq_aniso_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         etop_rows += [(int(pid), int(sids[j])) for j in cand]
     setop = spark.createDataFrame(
         etop_rows, "probe bigint, vec_id bigint"
-    ).localCheckpoint(eager=True)
+    )
     probes = {
         int(pid): [int(v) for v in smat[ri]]
         for ri, pid in enumerate(sids)
@@ -1491,7 +1494,6 @@ def similarity_pq_aniso_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_rows = []
     for arm, mode in (("aniso", "aniso"), ("mse", "mse")):
         codes, cb = _train(mode)
-        codes = codes.localCheckpoint(eager=True)
         cb_df = F.broadcast(
             spark.createDataFrame(
                 [
@@ -1502,7 +1504,7 @@ def similarity_pq_aniso_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "m int, code int, cv array<bigint>",
             )
         )
-        errs = (
+        errs_agg = (
             codes.join(sub, ["vec_id", "m"])
             .join(cb_df, ["m", "code"])
             .select(
@@ -1527,7 +1529,6 @@ def similarity_pq_aniso_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("aniso_err"),
             )
-            .collect()[0]
         )
         adc_rows = []
         for pid, vec in probes.items():
@@ -1557,14 +1558,19 @@ def similarity_pq_aniso_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= 10)
             .select("probe", "vec_id")
         )
-        n_ov = setop.join(sh, ["probe", "vec_id"]).count()
+        ov_agg = setop.join(sh, ["probe", "vec_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ov")
+        )
+        # one action per arm: error totals and truth overlap together
+        # (two separate collect/count jobs before this round)
+        errs = errs_agg.crossJoin(ov_agg).collect()[0]
         out_rows.append(
             (
                 arm,
                 int(errs.sq_err),
                 int(errs.aniso_err),
                 _SWEEP_N,
-                n_ov * 1000 // (10 * _SWEEP_N),
+                int(errs.n_ov) * 1000 // (10 * _SWEEP_N),
             )
         )
     return spark.createDataFrame(
