@@ -1720,6 +1720,33 @@ _SWEEP_N = 20
 # so every (k, nprobe, space) sweep shares ONE computation of it.
 _ETOP_STATE: dict[tuple[str, str], DataFrame] = {}
 
+# (applicationId, sf_dir, space) -> the collected 20 probe vectors
+# (quantized for 'raw', residualized for 'res'). Probe vectors depend
+# only on the embeddings and the staged k=8 quantizer — not on the PQ
+# codebook capacity or nprobe — so every sweep/grid cell shares one
+# collect per space (the k16 grid alone paid this job five times).
+_PROBE_QV_STATE: dict[tuple[str, str, str], list] = {}
+
+
+def _probe_qv_staged(spark: SparkSession, sf_dir: str, space: str) -> list:
+    from data_ingestion_din_spark.functions.vectors import quantize
+
+    app = spark.sparkContext.applicationId
+    for kk in [kk for kk in _PROBE_QV_STATE if kk[0] != app]:
+        del _PROBE_QV_STATE[kk]
+    key = (app, sf_dir, space)
+    if key not in _PROBE_QV_STATE:
+        if space == "res":
+            pv = _residual_qv(spark, sf_dir).select("vec_id", "qv")
+        else:
+            pv = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", quantize(F.col("embedding")).alias("qv")
+            )
+        _PROBE_QV_STATE[key] = pv.filter(
+            F.col("vec_id") < _SWEEP_N
+        ).collect()
+    return _PROBE_QV_STATE[key]
+
 
 def _etop_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -1794,18 +1821,14 @@ def _ivfpq_sweep(
 ) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    from data_ingestion_din_spark.functions.vectors import quantize
-
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = _km8(spark, sf_dir)
     codes, cb = _pq_trained(spark, sf_dir, space, k=k)
     # probe-side control data: 20 (residualized for 'res') vectors →
-    # the 20×n_sub×k ADC rows, shipped as a small broadcast DataFrame
-    if space == "res":
-        pv = _residual_qv(spark, sf_dir).select("vec_id", "qv")
-    else:
-        pv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
-    probe_rows = pv.filter(F.col("vec_id") < _SWEEP_N).collect()
+    # the 20×n_sub×k ADC rows, shipped as a small broadcast DataFrame.
+    # The collect is session-staged per space (_probe_qv_staged): every
+    # sweep/grid cell shares it instead of re-running the probe job.
+    probe_rows = _probe_qv_staged(spark, sf_dir, space)
     if nprobe == 1:
         pcells = assigned.filter(F.col("vec_id") < _SWEEP_N).select(
             F.col("vec_id").alias("probe"), F.col("cluster").alias("pcell")
@@ -1817,13 +1840,11 @@ def _ivfpq_sweep(
         # serving queries; the residual space affects only the ADC)
         cents = _km8_cents(spark, sf_dir)
         # in the raw space probe_rows ARE the raw quantized vectors;
-        # only the residual space needs a separate raw collect
+        # the residual space reuses the staged raw-probe collect
         raw_rows = (
             probe_rows
             if space == "raw"
-            else emb.filter(F.col("vec_id") < _SWEEP_N)
-            .select("vec_id", quantize(F.col("embedding")).alias("qv"))
-            .collect()
+            else _probe_qv_staged(spark, sf_dir, "raw")
         )
         pc_rows = []
         for r in raw_rows:
