@@ -1599,6 +1599,14 @@ def dq_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for t, cols in _DQCM_COLS.items():
         tb = load_table(spark, sf_dir, t)
+        # Row/null/blank counters ride ONE narrow agg pass; each
+        # column's exact distinct count is its own column-pruned
+        # subtree. A single agg carrying every countDistinct plans as
+        # Expand — one copy of the row stream per distinct column
+        # (12x for lineitem) through the shuffle — and measured 3x
+        # slower at sf0.1 (4.8-5.9 s vs 1.6-1.9 s for lineitem alone);
+        # at scale the per-column form shuffles only per-partition
+        # distinct values instead of the expanded stream.
         aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
         for c, is_str in cols:
             aggs.append(
@@ -1615,12 +1623,15 @@ def dq_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else F.lit(0).cast("bigint")
                 ).alias(f"blank__{c}")
             )
-            aggs.append(
-                F.countDistinct(F.col(c))
-                .cast("bigint")
-                .alias(f"dist__{c}")
-            )
         one = tb.agg(*aggs)
+        for c, _ in cols:
+            one = one.crossJoin(
+                tb.select(c).agg(
+                    F.countDistinct(F.col(c))
+                    .cast("bigint")
+                    .alias(f"dist__{c}")
+                )
+            )
         stack = ", ".join(
             f"'{c}', null__{c}, blank__{c}, dist__{c}" for c, _ in cols
         )
