@@ -259,15 +259,33 @@ def kmeans_train(
 
 
 def kmeans_train_qv(
-    qv_df: DataFrame, k: int = 8, iters: int = 2
+    qv_df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    base_staged: bool = False,
+    seed_cents: list[list[int]] | None = None,
 ) -> tuple[DataFrame, list[list[int]]]:
     """:func:`kmeans_train` over an ALREADY-QUANTIZED ``(vec_id, qv)``
     relation — the loop factored out so retrain paths that hold their
     vectors as integer state (the streaming IVF cell split reads an
     oversized cell's members back from the assignment state) reuse the
-    exact gated training instead of round-tripping through floats."""
-    base = qv_df.localCheckpoint(eager=True)
-    cents = [list(r.qv) for r in base.orderBy("vec_id").limit(k).collect()]
+    exact gated training instead of round-tripping through floats.
+
+    ``base_staged=True`` promises ``qv_df`` is already materialized
+    (checkpointed) narrow ``(vec_id, qv)`` data, and ``seed_cents``
+    supplies the ``k`` lowest-vec_id seed vectors the default path
+    would collect — callers training several capacities over ONE
+    staged base (the nlist sweep) share the checkpoint and a single
+    max-k seed collect instead of paying both per capacity. Both
+    shortcuts are exact: the training they skip is byte-identical."""
+    base = qv_df if base_staged else qv_df.localCheckpoint(eager=True)
+    cents = (
+        [list(c) for c in seed_cents]
+        if seed_cents is not None
+        else [
+            list(r.qv) for r in base.orderBy("vec_id").limit(k).collect()
+        ]
+    )
     if len(cents) < k:
         raise ValueError(
             f"kmeans_assign: need at least k={k} vectors, got {len(cents)}"

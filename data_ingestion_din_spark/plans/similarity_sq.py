@@ -874,7 +874,10 @@ def similarity_ivf_nlist_sweep(
 ) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    from data_ingestion_din_spark.operators.similarity import kmeans_train
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.operators.similarity import (
+        kmeans_train_qv,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     etop = _etop_staged(spark, sf_dir)
@@ -884,12 +887,27 @@ def similarity_ivf_nlist_sweep(
             F.col("embedding").alias("p_embedding"),
         )
     )
+    # one quantize checkpoint + one max-k seed collect feed every
+    # fresh training in the grid (each capacity paid both before)
+    fresh = [k for k in _NLIST_GRID if k != 8]
+    qv = emb.select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    ).localCheckpoint(eager=True)
+    seed_rows = (
+        qv.orderBy("vec_id").limit(max(fresh)).collect() if fresh else []
+    )
     grid = None
     for k in _NLIST_GRID:
         if k == 8:
             assigned = _km8_pair(spark, sf_dir)[0]
         else:
-            assigned = kmeans_train(emb, k=k, iters=2)[0]
+            assigned = kmeans_train_qv(
+                qv,
+                k=k,
+                iters=2,
+                base_staged=True,
+                seed_cents=[list(r.qv) for r in seed_rows[:k]],
+            )[0]
         pa = assigned.filter(F.col("vec_id") < _SWEEP_N).select(
             F.col("vec_id").alias("probe"), F.col("cluster").alias("pc")
         )

@@ -277,3 +277,32 @@ def test_unigram_em_step_improves_likelihood(spark):
     assert r.n_pieces_used <= r.n_vocab_r1
     assert r.corpus_cost_r1 <= r.corpus_cost_r0
     assert r.fertility_r1 <= r.fertility_r0 + 1e-9
+
+
+def test_kmeans_train_qv_staged_base_and_seeds_exact(spark):
+    """The nlist sweep's shared-staging shortcuts (pre-checkpointed
+    base + caller-supplied max-k seed slice) must reproduce the default
+    training byte-for-byte: same assignments, same centroids."""
+    from data_ingestion_din_spark.functions.vectors import quantize
+    from data_ingestion_din_spark.operators.similarity import (
+        kmeans_train_qv,
+    )
+    from data_ingestion_din_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    qv = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    base = qv.localCheckpoint(eager=True)
+    seed_rows = base.orderBy("vec_id").limit(16).collect()
+    for k in (4, 16):
+        a_def, c_def = kmeans_train_qv(qv, k=k, iters=2)
+        a_st, c_st = kmeans_train_qv(
+            base,
+            k=k,
+            iters=2,
+            base_staged=True,
+            seed_cents=[list(r.qv) for r in seed_rows[:k]],
+        )
+        assert c_def == c_st
+        assert sorted(map(tuple, a_def.collect())) == sorted(
+            map(tuple, a_st.collect())
+        )
