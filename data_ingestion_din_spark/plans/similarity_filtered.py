@@ -166,7 +166,10 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cos"
             ),
         )
-        .localCheckpoint(eager=True)
+        # lazy: materialized inside the final action's first consumer
+        # stage and shared from there (an eager checkpoint here was a
+        # serial driver barrier before any result work started)
+        .localCheckpoint(eager=False)
     )
     wtop = W.partitionBy("probe").orderBy(F.desc("cos"), "vec_id")
     ptop = (
@@ -174,7 +177,19 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("probe", "vec_id", "label")
     )
-    n_corpus = emb.count()
+    # ONE agg job returns the corpus size and every filter's
+    # selectivity count (was one count job per filter plus one for the
+    # corpus)
+    sel_row = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.expr(rawpred.format(e="")), 1).otherwise(0)
+            ).alias(f"s{i}")
+            for i, (_, rawpred) in enumerate(_FANN_FILTERS)
+        ],
+    ).collect()[0]
+    n_corpus = int(sel_row.n)
     # ONE probes × corpus exact pass feeds every filter's truth — the
     # single-scan shape (measured ~equal wall-clock to three per-filter
     # scans at sf0.1, where the small-job overhead dominates; at real
@@ -191,12 +206,12 @@ def similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cos"
             ),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     grid = None
-    for name, rawpred in _FANN_FILTERS:
+    for i, (name, rawpred) in enumerate(_FANN_FILTERS):
         pred = rawpred.format(e="")
-        sel = emb.filter(F.expr(pred)).count() * 1000 // n_corpus
+        sel = int(sel_row[f"s{i}"]) * 1000 // n_corpus
         truth = (
             exall.filter(F.expr(pred))
             .withColumn("rk", F.row_number().over(wtop))
