@@ -354,7 +354,6 @@ def similarity_filtered_nprobe(
 ) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    from data_ingestion_din_spark.functions.vectors import quantize
     from data_ingestion_din_spark.plans.similarity_queries import _km8_cents
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -383,15 +382,18 @@ def similarity_filtered_nprobe(
         .withColumn("rk", F.row_number().over(wtop))
         .filter(F.col("rk") <= 10)
         .select("probe", "vec_id")
-        .localCheckpoint(eager=True)
+        # lazy: materialized inside the final action and shared by the
+        # four nprobe arms' overlap joins
+        .localCheckpoint(eager=False)
     )
     # probe→cell ranking on the frozen centroids (bounded control data,
-    # the _ivfpq_sweep multiprobe shape)
-    probe_rows = (
-        emb.filter(F.col("vec_id") < _SWEEP_N)
-        .select("vec_id", quantize(F.col("embedding")).alias("qv"))
-        .collect()
+    # the _ivfpq_sweep multiprobe shape); the quantized probe collect
+    # is the session-staged one every sweep shares
+    from data_ingestion_din_spark.plans.similarity_queries import (
+        _probe_qv_staged,
     )
+
+    probe_rows = _probe_qv_staged(spark, sf_dir, "raw")
     ranked = {
         int(r.vec_id): sorted(
             (
