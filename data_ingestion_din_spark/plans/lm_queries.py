@@ -270,7 +270,28 @@ def _ppl3_q_sql(lams: tuple[int, int, int]) -> str:
     )
 
 
+# (applicationId, sf_dir) -> scored trigram component DF, lazily
+# localCheckpointed — the _P5_STATE convention one order down: the
+# trained component tables are staged artifacts at production, and
+# THREE queries (doc_trigram_perplexity, doc_lm_interp_ab,
+# doc_lm_smoothing_ab) read the same scored pass instead of each
+# rebuilding the tokenize + three-gram-table + four-join pipeline.
+_TRI_STATE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _tri_comps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for kk in [kk for kk in _TRI_STATE if kk[0] != app]:
+        del _TRI_STATE[kk]
+    key = (app, sf_dir)
+    if key not in _TRI_STATE:
+        _TRI_STATE[key] = _tri_comps_build(spark, sf_dir).localCheckpoint(
+            eager=False
+        )
+    return _TRI_STATE[key]
+
+
+def _tri_comps_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of the ``comps`` CTE: per scored trigram, the fixed
     point component probabilities and hit flags."""
     docs = load_table(spark, sf_dir, "documents")
