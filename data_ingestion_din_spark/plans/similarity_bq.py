@@ -200,7 +200,9 @@ def similarity_bq_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     codes = qv.select(
         "vec_id", code_col().cast("bigint").alias("code")
-    ).localCheckpoint(eager=True)
+        # lazy: materialized inside the final action, shared by the
+        # probe broadcast and the scored pass
+    ).localCheckpoint(eager=False)
     probes = F.broadcast(
         qv.filter(F.col("vec_id") < _SWEEP_N)
         .join(codes, "vec_id")
@@ -229,7 +231,7 @@ def similarity_bq_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ham"),
             asym.alias("adot"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # one scored pass, four arms read it
     )
     wham = W.partitionBy("probe").orderBy("ham", "vec_id")
     wasym = W.partitionBy("probe").orderBy(F.desc("adot"), "vec_id")
