@@ -1260,7 +1260,9 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     q1 = spark.createDataFrame([(t,) for t in QUERY_TERMS], "tok string")
-    top1 = bm25(q1).localCheckpoint(eager=True)
+    # lazy: both checkpoints materialize inside the final action
+    # (they were serial driver barriers; consumers all live in one plan)
+    top1 = bm25(q1).localCheckpoint(eager=False)
     fb = top1.filter(F.col("rank") <= _PRF_FEEDBACK_K).select("doc_id")
     cand = (
         exploded.join(F.broadcast(fb), "doc_id")
@@ -1290,7 +1292,7 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     expt = rank_topk(
         expt, _PRF_EXPAND_E, F.desc("w"), "tok", rk_col="rank"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     q2 = q1.unionByName(expt.select("tok")).distinct()
     top2 = bm25(q2)
     t1_ids = top1.filter(F.col("rank") <= 10).select("doc_id")
