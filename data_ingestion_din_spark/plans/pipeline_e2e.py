@@ -133,8 +133,9 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_fp",
         )
         # three consumers below (dedup window, counts, serve join) —
-        # stage the walk once instead of re-running it per consumer
-        .localCheckpoint(eager=True)
+        # stage the walk once instead of re-running it per consumer;
+        # lazy: materializes inside the final action's first consumer
+        .localCheckpoint(eager=False)
     )
     # stage 4: U4 fingerprint dedup, lowest (doc_id, chunk_seq) wins
     wd = W.partitionBy("content_fp").orderBy("doc_id", "chunk_seq")
