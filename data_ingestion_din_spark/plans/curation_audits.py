@@ -381,18 +381,25 @@ def layout_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("item_id"),
         F.length("text").cast("bigint").alias("n"),
     ).localCheckpoint(eager=False)
-    # rows_matching depends only on the predicate — count once per
-    # predicate, not once per (ordering, predicate)
-    matching = {
-        pred: items.filter(F.col("n").between(lo, hi)).count()
-        for pred, lo, hi in _ZM_PREDS
-    }
-    grid = None
+    # one pass, no driver round-trips (the oracle's own zones × preds
+    # shape): the 3-row predicate table broadcasts into both the match
+    # count and the per-bin rollup, replacing three serial items.count()
+    # jobs and six duplicate aggregate subtrees over two zones subtrees
+    preds = spark.createDataFrame(
+        list(_ZM_PREDS), "pred string, lo bigint, hi bigint"
+    )
+    match = (
+        items.crossJoin(F.broadcast(preds))
+        .filter(F.col("n").between(F.col("lo"), F.col("hi")))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_matching"))
+    )
+    zones = None
     for ordering, order in (
         ("arrival", [F.col("item_id")]),
         ("sorted", [F.col("n"), F.col("item_id")]),
     ):
-        zones = (
+        arm = (
             C.pack_assign(items, order, _COMPACT_BUDGET)
             .join(items, ["grp", "item_id"])
             .groupBy("grp", "bin_id")
@@ -401,38 +408,39 @@ def layout_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("n").alias("mx"),
                 F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             )
+            .select(F.lit(ordering).alias("ordering"), "*")
         )
-        for pred, lo, hi in _ZM_PREDS:
-            touched = (F.col("mx") >= lo) & (F.col("mn") <= hi)
-            rows_matching = matching[pred]
-            row = zones.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_bins"),
-                F.sum(touched.cast("int")).cast("bigint").alias(
-                    "bins_touched"
-                ),
-                F.sum(F.when(touched, F.col("n_docs")).otherwise(0))
-                .cast("bigint")
-                .alias("rows_scanned"),
-            ).select(
-                F.lit(ordering).alias("ordering"),
-                F.lit(pred).alias("pred"),
-                F.lit(lo).cast("bigint").alias("lo"),
-                F.lit(hi).cast("bigint").alias("hi"),
-                "n_bins",
-                "bins_touched",
-                F.expr("bins_touched * 1000 DIV n_bins")
-                .cast("bigint")
-                .alias("touched_milli"),
-                F.lit(rows_matching).cast("bigint").alias("rows_matching"),
-                "rows_scanned",
-                F.expr(
-                    f"rows_scanned * 1000 DIV greatest({rows_matching}, 1)"
-                )
-                .cast("bigint")
-                .alias("amplification_milli"),
-            )
-            grid = row if grid is None else grid.unionByName(row)
-    return grid.orderBy("ordering", "lo")
+        zones = arm if zones is None else zones.unionByName(arm)
+    touched = (F.col("mx") >= F.col("lo")) & (F.col("mn") <= F.col("hi"))
+    return (
+        zones.crossJoin(F.broadcast(preds))
+        .groupBy("ordering", "pred", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum(touched.cast("int")).cast("bigint").alias("bins_touched"),
+            F.sum(F.when(touched, F.col("n_docs")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+        .join(F.broadcast(match), "pred")
+        .select(
+            "ordering",
+            "pred",
+            "lo",
+            "hi",
+            "n_bins",
+            "bins_touched",
+            F.expr("bins_touched * 1000 DIV n_bins")
+            .cast("bigint")
+            .alias("touched_milli"),
+            "rows_matching",
+            "rows_scanned",
+            F.expr("rows_scanned * 1000 DIV greatest(rows_matching, 1)")
+            .cast("bigint")
+            .alias("amplification_milli"),
+        )
+        .orderBy("ordering", "lo")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -662,44 +662,53 @@ def _zp_box_grid(pts: DataFrame, laid: DataFrame) -> DataFrame:
         F.max("tb").alias("t_mx"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
-    grid = None
-    for box, ul, uh, tl, th in _ZP_BOXES:
-        rows_matching = pts.filter(
-            F.col("ub").between(ul, uh) & F.col("tb").between(tl, th)
-        ).count()
-        touched = (
-            (F.col("u_mx") >= ul)
-            & (F.col("u_mn") <= uh)
-            & (F.col("t_mx") >= tl)
-            & (F.col("t_mn") <= th)
+    # one pass, no driver round-trips (the oracle's own zones × boxes
+    # shape): the 3-row box table broadcasts into both the match count
+    # and the zones rollup, replacing three serial pts.count() jobs and
+    # three duplicate aggregate subtrees over zones with one groupBy
+    boxes = pts.sparkSession.createDataFrame(
+        list(_ZP_BOXES),
+        "box string, u_lo bigint, u_hi bigint, t_lo bigint, t_hi bigint",
+    )
+    match = (
+        pts.crossJoin(F.broadcast(boxes))
+        .filter(
+            F.col("ub").between(F.col("u_lo"), F.col("u_hi"))
+            & F.col("tb").between(F.col("t_lo"), F.col("t_hi"))
         )
-        row = (
-            zones.groupBy("ordering")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_bins"),
-                F.sum(touched.cast("int")).cast("bigint").alias(
-                    "bins_touched"
-                ),
-                F.sum(F.when(touched, F.col("n_rows")).otherwise(0))
-                .cast("bigint")
-                .alias("rows_scanned"),
-            )
-            .select(
-                "ordering",
-                F.lit(box).alias("box"),
-                "n_bins",
-                "bins_touched",
-                F.lit(rows_matching).cast("bigint").alias("rows_matching"),
-                "rows_scanned",
-                F.expr(
-                    f"rows_scanned * 1000 DIV greatest({rows_matching}, 1)"
-                )
-                .cast("bigint")
-                .alias("amplification_milli"),
-            )
+        .groupBy("box")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_matching"))
+    )
+    touched = (
+        (F.col("u_mx") >= F.col("u_lo"))
+        & (F.col("u_mn") <= F.col("u_hi"))
+        & (F.col("t_mx") >= F.col("t_lo"))
+        & (F.col("t_mn") <= F.col("t_hi"))
+    )
+    return (
+        zones.crossJoin(F.broadcast(boxes))
+        .groupBy("ordering", "box")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum(touched.cast("int")).cast("bigint").alias("bins_touched"),
+            F.sum(F.when(touched, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
         )
-        grid = row if grid is None else grid.unionByName(row)
-    return grid.orderBy("ordering", "box")
+        .join(F.broadcast(match), "box")
+        .select(
+            "ordering",
+            "box",
+            "n_bins",
+            "bins_touched",
+            "rows_matching",
+            "rows_scanned",
+            F.expr("rows_scanned * 1000 DIV greatest(rows_matching, 1)")
+            .cast("bigint")
+            .alias("amplification_milli"),
+        )
+        .orderBy("ordering", "box")
+    )
 
 
 def _zp_morton_sql(u: str, t: str) -> str:
@@ -1078,7 +1087,8 @@ def events_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("h")
             .limit(_THETA_K)
-            .localCheckpoint(eager=True)
+            # lazy: every consumer sits in the final action
+            .localCheckpoint(eager=False)
         )
     exact["union"] = sets["a"].unionByName(sets["b"]).distinct().count()
     exact["intersection"] = sets["a"].join(sets["b"], "user_id").count()
