@@ -97,6 +97,31 @@ _PPL_KEEP_MAX = 4650  # milli-octaves/bigram ~= fixture median: the keep
     """,
 )
 def doc_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bi_perdoc(spark, sf_dir).orderBy("doc_id")
+
+
+# Per-session staged per-doc bigram score table — the _TRI_STATE/_P5_STATE
+# convention one order further down: the trained bigram LM is a staged
+# artifact at production, and TWO queries (doc_ngram_perplexity itself and
+# doc_lm_interp_ab's bi_nll baseline) read the same per-doc rollup instead
+# of each rebuilding the tokenize + pair-table + two-join pipeline. Lazy
+# checkpoint: the first consumer's action materializes it.
+_BI_STATE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bi_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for kk in [kk for kk in _BI_STATE if kk[0] != app]:
+        del _BI_STATE[kk]
+    key = (app, sf_dir)
+    if key not in _BI_STATE:
+        _BI_STATE[key] = _bi_perdoc_build(spark, sf_dir).localCheckpoint(
+            eager=False
+        )
+    return _BI_STATE[key]
+
+
+def _bi_perdoc_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -165,7 +190,6 @@ def doc_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "keep"
             ),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -521,7 +545,7 @@ def doc_lm_interp_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
-    bi = doc_ngram_perplexity(spark, sf_dir).select(
+    bi = _bi_perdoc(spark, sf_dir).select(
         "doc_id", "n_bigrams", "q_sum", "ppl_milli"
     )
     joined = per3.join(
@@ -1050,7 +1074,9 @@ def _p5_comps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n3").isNotNull().cast("int").alias("hit3"),
             F.col("n2").isNotNull().cast("int").alias("hit2"),
         )
-    ).localCheckpoint(eager=True)
+        # lazy: the first consumer query's action materializes it (the
+        # staging happens inside that same query's run either way)
+    ).localCheckpoint(eager=False)
     _P5_STATE[key] = out
     return out
 

@@ -1117,12 +1117,18 @@ def test_dedup_minhash_br_grid_plan(spark):
 
 
 def test_doc_ngram_perplexity_plan(spark):
-    s = _stats("doc_ngram_perplexity", spark)
+    # the registered query reads the session-staged _bi_perdoc checkpoint
+    # (a Scan ExistingRDD), so assert on the unstaged build — the plan
+    # that actually materializes it
+    from data_ingestion_din_spark.plans.lm_queries import _bi_perdoc_build
+
+    s = _plan_stats(_bi_perdoc_build(spark, SF))
     # pair-table train shuffle + two scoring equi-joins (pair table and
     # backoff unigram table — both corpus-vocabulary-sized, so NOTHING
     # is broadcast-forced) + the doc rollup; the only nested loop is
     # the 1-row total-token scalar attach
     assert s["cartesian"] <= 1, s
+    assert _hint_count(_bi_perdoc_build(spark, SF)) == 0
     df = QUERIES["doc_ngram_perplexity"](spark, SF)
     assert _hint_count(df) == 0
 
