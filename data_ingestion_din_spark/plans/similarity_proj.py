@@ -699,8 +699,9 @@ def _pq_arm_rows(
     else:
         codes, cb = pq_assign_qv(src, n_sub=4, k=4, iters=1)
         # two consumers below (distortion rollup + ADC serving) — one
-        # eager checkpoint so the Lloyd DAG runs once per arm
-        codes = codes.localCheckpoint(eager=True)
+        # checkpoint so the Lloyd DAG runs once per arm; lazy, both
+        # consumers sit in the final action
+        codes = codes.localCheckpoint(eager=False)
     cb_df = F.broadcast(
         spark.createDataFrame(
             [
@@ -1030,9 +1031,11 @@ def similarity_kmeans_convergence(
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # lazy checkpoint: the seed collect below is the first consumer and
+    # materializes it (one fewer serial driver job than eager)
     base = emb.select(
         "vec_id", quantize(F.col("embedding")).alias("qv")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     cents = [
         list(r.qv) for r in base.orderBy("vec_id").limit(_KMC_K).collect()
     ]
@@ -1061,7 +1064,11 @@ def similarity_kmeans_convergence(
                 .alias("cluster"),
                 F.array_min(F.col("_d")).cast("bigint").alias("d"),
             )
-            .localCheckpoint(eager=True)  # history: 3 consumers per a_t
+            # lazy checkpoint (history: 3 consumers per a_t share the
+            # blocks): for t < T the M-step collect is the first consumer
+            # and materializes it; for t = T the final action does — four
+            # fewer serial driver jobs than the eager form, same plan
+            .localCheckpoint(eager=False)
         )
 
     hist: list[DataFrame] = []
@@ -1383,7 +1390,8 @@ def similarity_pq_aniso_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda a, v: a + v * v,
         ).alias("xx"),
-    ).localCheckpoint(eager=True)
+        # lazy: the collect below is the first consumer
+    ).localCheckpoint(eager=False)
     # ONE driver collect serves seeds, the guarded GEMM truth and the
     # probe vectors (three separate jobs before this round)
     srows = sorted(qm.collect(), key=lambda r: int(r.vec_id))
