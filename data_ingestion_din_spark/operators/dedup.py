@@ -585,7 +585,7 @@ def connected_components(
     """
     edges = pairs.select(
         F.col(a).alias("src"), F.col(b).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # the cap count materializes it
     if edges.count() <= driver_cap_edges:
         # Arrow transfer: two flat columns (~16 B/edge for int64) instead
         # of collect()'s per-edge Row objects (~0.5 kB each near the cap)
@@ -652,7 +652,9 @@ def connected_components(
                 F.coalesce("l_label", "label").alias("label"),
                 "old",
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count below is the first consumer
+            # and materializes it (one driver job per round, not two)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("label") < F.col("old")).count()
         labels = new_labels.select("node", "label")

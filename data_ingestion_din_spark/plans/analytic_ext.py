@@ -974,7 +974,8 @@ def corpus_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         stream.groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
-        .localCheckpoint(eager=True)
+        # lazy: the n collect below is the first consumer
+        .localCheckpoint(eager=False)
     )
     n = int(
         exact.agg(F.sum("true_cnt").cast("bigint").alias("n")).first()[0]

@@ -1342,7 +1342,8 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "source", "bkt")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .localCheckpoint(eager=True)  # feeds ball + per-doc weights
+        # lazy: both consumers sit in the final action
+        .localCheckpoint(eager=False)  # feeds ball + per-doc weights
     )
     is_tgt = F.col("source").isin(*_DSIR_TARGET)
     ball = db.groupBy("bkt").agg(

@@ -1294,8 +1294,9 @@ def doc_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # staged: feeds three branches (norms + both join sides); without
         # the checkpoint each branch recomputes the tf/df pipeline (plan
-        # audit showed 30 Exchanges -> 4 after staging)
-        .localCheckpoint(eager=True)
+        # audit showed 30 Exchanges -> 4 after staging); lazy — all three
+        # consumers sit in the final action, which materializes it once
+        .localCheckpoint(eager=False)
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")
@@ -1673,7 +1674,8 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         split_of(F.col("grp")).alias("split"),
         split_of(F.col("doc_id")).alias("naive_split"),
-    ).localCheckpoint(eager=True)  # feeds the counts and both audit sides
+    ).localCheckpoint(eager=False)  # feeds the counts and both audit
+    # sides — all in the final action (lazy: no separate driver job)
     sa = s.select(F.col("doc_id").alias("doc_a"),
                   F.col("split").alias("sa"),
                   F.col("naive_split").alias("na"))
@@ -1848,14 +1850,15 @@ def _funnel_stages(
         "n_chars",
         F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
         fingerprint(F.col("text")).alias("fp"),
-    ).localCheckpoint(eager=True)  # feeds all four stage audits
+    ).localCheckpoint(eager=False)  # feeds all four stage audits
+    # (lazy: the CC edge count or the final action materializes it)
     s1 = (
         base.withColumn(
             "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
         )
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     pairs = _banded_pairs(spark, sf_dir)
     surv = s1.select("doc_id")
@@ -1873,7 +1876,9 @@ def _funnel_stages(
         ),
     )
     dropped = ranked.filter(F.col("rk") > 1).select("doc_id")
-    s2 = s1.join(dropped, "doc_id", "left_anti").localCheckpoint(eager=True)
+    s2 = s1.join(dropped, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     per_doc = (
         _substring_spans(spark, sf_dir)
         .groupBy("doc_id")
@@ -1957,7 +1962,8 @@ def corpus_dedup_funnel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_din_spark.plans.similarity_queries import _km8
 
     base, s1, s2, s3 = _funnel_stages(spark, sf_dir)
-    s3 = s3.localCheckpoint(eager=True)  # feeds its audit + the sem pass
+    s3 = s3.localCheckpoint(eager=False)  # feeds its audit + the sem
+    # pass — both in the final action (lazy: no separate driver job)
     q3t = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"),
         quantize_milli(F.col("embedding")).alias("q3"),

@@ -249,7 +249,8 @@ def _skew_branch(df: DataFrame, key: str, label: str) -> DataFrame:
     c = (
         df.groupBy(F.col(key).alias("k"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .localCheckpoint(eager=True)
+        # lazy: all three consumers sit in the final action
+        .localCheckpoint(eager=False)
     )
     top = c.orderBy(F.desc("n"), "k").limit(10)
     t = top.agg(F.sum("n").cast("bigint").alias("top10_rows"))

@@ -162,7 +162,9 @@ def _gr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         _GR_STATE[key] = qv.mapInPandas(
             _topg, "node bigint, nbr bigint, dist bigint, rk int, prk int, bprk int, l1rk int"
-        ).localCheckpoint(eager=True)
+            # lazy: the walk-input collect is the first consumer and
+            # materializes it in the same staging run
+        ).localCheckpoint(eager=False)
     return _GR_STATE[key]
 
 

@@ -791,8 +791,9 @@ def media_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"CAST((height - 1) DIV {_SEG_STRIDE} AS INT)") + 1
             ).alias("n_frames"),
         )
-        # two consumers (window table + per-media verdict): one decode
-        .localCheckpoint(eager=True)
+        # two consumers (window table + per-media verdict): one decode;
+        # lazy — both sit in the final action
+        .localCheckpoint(eager=False)
     )
     pos = base.filter(
         (F.col("n_frames") >= _SEG_W) & (F.col("n_tok") > 0)
@@ -815,7 +816,7 @@ def media_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-media hit count — one wfp shuffle, computed once
     wfps = pos.select(
         "path", F.md5(F.concat_ws("|", ft(0), ft(1), ft(2))).alias("wfp")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: both consumers in final action
     dup = (
         wfps.groupBy("wfp")
         .agg(F.countDistinct("path").alias("nd"))

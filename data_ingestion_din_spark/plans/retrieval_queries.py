@@ -985,7 +985,8 @@ def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("rel"),
-    ).localCheckpoint(eager=True)  # feeds 3 system DCGs + ideal + kw ranking
+    ).localCheckpoint(eager=False)  # feeds 3 system DCGs + ideal + kw
+    # ranking — all in the final action (lazy: no separate driver job)
     disc = int_array_lit(list(_NDCG_DISC))
 
     def dcg_of(ranked: DataFrame, name: str) -> DataFrame:

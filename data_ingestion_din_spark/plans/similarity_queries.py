@@ -305,7 +305,9 @@ def _km8_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
         assigned, cents = kmeans_train(
             load_table(spark, sf_dir, "embeddings"), k=8, iters=2
         )
-        _KM8_STATE[key] = (assigned.localCheckpoint(eager=True), cents)
+        # lazy: the first consumer query's action materializes it (the
+        # staging happens inside that same query's run either way)
+        _KM8_STATE[key] = (assigned.localCheckpoint(eager=False), cents)
     return _KM8_STATE[key]
 
 
@@ -1933,7 +1935,8 @@ def _ivfpq_sweep(
         # (20 probes × one cell's rows) instead of recomputing per C
         shd = shd.withColumn(
             "rk", F.row_number().over(wsh)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # all depth arms sit in the final
+        # action, which materializes it once
     grid = None
     for c in shortlists or (_IVFPQ_SHORTLIST,):
         if shortlists is not None:

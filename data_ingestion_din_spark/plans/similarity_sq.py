@@ -892,7 +892,7 @@ def similarity_ivf_nlist_sweep(
     fresh = [k for k in _NLIST_GRID if k != 8]
     qv = emb.select(
         "vec_id", quantize(F.col("embedding")).alias("qv")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # the seed collect materializes it
     seed_rows = (
         qv.orderBy("vec_id").limit(max(fresh)).collect() if fresh else []
     )

@@ -1576,9 +1576,10 @@ def _decode_step(pc: DataFrame, cur: DataFrame, stage: bool = True) -> DataFrame
         .limit(1)
         .select(F.col("next").alias("token"), F.col("pair_n").alias("cnt"))
     )
-    # each step staged eagerly: 1 row, and without it every later step's
-    # lineage re-inlines all earlier probes (O(steps²) plan)
-    return nxt.localCheckpoint(eager=True) if stage else nxt
+    # each step staged: 1 row, and without it every later step's
+    # lineage re-inlines all earlier probes (O(steps²) plan); lazy — the
+    # next step's broadcast collect (or the final action) materializes it
+    return nxt.localCheckpoint(eager=False) if stage else nxt
 
 
 @query("corpus_bigram_generate", oracle=_gen_oracle())
@@ -1598,8 +1599,9 @@ def corpus_bigram_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = prs.groupBy("head", "next").agg(
         F.count(F.lit(1)).cast("bigint").alias("pair_n")
     )
-    # staged: probed once per decode step
-    pc = pc.localCheckpoint(eager=True)
+    # staged: probed once per decode step (lazy: step 1's broadcast
+    # probe materializes it inside the final action)
+    pc = pc.localCheckpoint(eager=False)
     un = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
     seed = (
         un.groupBy("tok")
@@ -1611,8 +1613,11 @@ def corpus_bigram_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus-wide seed aggregation (the union'd plan held 7 copies of
         # the token shuffle and 28 TakeOrderedAndProject branches —
         # O(steps²) probes); each step below is likewise staged so the
-        # decode is genuinely O(steps) 1-row probes
-        .localCheckpoint(eager=True)
+        # decode is genuinely O(steps) 1-row probes. Lazy everywhere:
+        # the checkpoint truncates the logical plan either way, and the
+        # broadcast collect of each step materializes the 1-row RDDs —
+        # no separate driver job per step
+        .localCheckpoint(eager=False)
     )
     steps = [seed.select(F.lit(0).alias("step"), "token", "cnt")]
     cur = seed
@@ -1772,9 +1777,13 @@ def _bpe_train_run(
             .collect()[0]  # 1-row argmax — iteration control data
         )
         merges.append((step, top.lft, top.rgt, top.n))
+        # intermediate folds lazy (the next step's argmax collect
+        # materializes them); the LAST fold stays eager so the staged
+        # artifact's materialization cost remains inside this run, not
+        # shifted onto the first _BPE_TRAIN_STATE consumer
         cur = cur.withColumn(
             "toks", bpe_merge_fold(top.lft, top.rgt)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=(step == _BPE_TRAIN_STEPS - 1))
     _BPE_TRAIN_STATE[key] = (merges, cur)
     return _BPE_TRAIN_STATE[key]
 
@@ -2023,7 +2032,8 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("bucket", F.explode("toks").alias("tok"))
         .groupBy("tok", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
+        # lazy: both consumers sit in the final action
+        .localCheckpoint(eager=False)
     )
     first_seen = g.groupBy("tok").agg(F.min("bucket").alias("bucket"))
     new_types = first_seen.groupBy("bucket").agg(

@@ -161,7 +161,8 @@ def _uni_run(
         # vocab-sized (bounded): one partition, one Arrow batch, one
         # Python worker — not 32 workers for 31 rows
         .coalesce(1)
-        .localCheckpoint(eager=True)  # feeds piece counting AND the dp
+        # lazy: the vocab collect below is the first consumer
+        .localCheckpoint(eager=False)  # feeds piece counting AND the dp
     )
     sub = wrd.select(
         "wn",
@@ -217,7 +218,9 @@ def _uni_run(
     verdicts = wrd.mapInPandas(
         _viterbi,
         "w string, wn bigint, n_pieces int, cost_sum bigint, obj bigint",
-    ).localCheckpoint(eager=True)
+        # lazy: the first consumer query's action materializes it (the
+        # staging happens inside that same query's run either way)
+    ).localCheckpoint(eager=False)
     _UNI_STATE[key] = (vocab, nrm, verdicts)
     return _UNI_STATE[key]
 
