@@ -1449,30 +1449,43 @@ def similarity_pq_aniso_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("code"),
         )
 
-    def _train(mode):
-        a1 = _assign(cb0, mode)
-        sums = (
-            a1.select("m", "code", F.posexplode("sv").alias("dim", "v"))
-            .groupBy("m", "code", "dim")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
+    # ONE merged M-step for both arms: the two comparators' seed
+    # assignments union under an arm tag into a single
+    # (arm, m, code, dim) rollup — one collect instead of one per arm
+    # (the arms read the same sub checkpoint; only the argmin differs)
+    a_tagged = None
+    for mode in ("aniso", "mse"):
+        a1 = _assign(cb0, mode).select(
+            F.lit(mode).alias("arm"),
+            "m",
+            "code",
+            F.posexplode("sv").alias("dim", "v"),
         )
+        a_tagged = a1 if a_tagged is None else a_tagged.unionByName(a1)
+    msums = (
+        a_tagged.groupBy("arm", "m", "code", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    def _mstep(mode):
         new = {
             (m, c): list(cb0[m][c - 1])
             for m in range(_PQ_SUB)
             for c in range(1, _PQ_K + 1)
         }
         seen = set()
-        for r in sums:
+        for r in msums:
+            if r.arm != mode:
+                continue
             if (r.m, r.code) not in seen:
                 new[(r.m, r.code)] = [0] * _PQ_D
                 seen.add((r.m, r.code))
             new[(r.m, r.code)][r.dim] = tdiv(int(r.s), int(r.n))
-        cb = [
+        return [
             [new[(m, c)] for c in range(1, _PQ_K + 1)]
             for m in range(_PQ_SUB)
         ]
-        return _assign(cb, mode).select("vec_id", "m", "code"), cb
 
     # exact MIPS truth (guarded GEMM over the already-collected control
     # data — the similarity_pq_subspace_ab audit form, dot instead of
@@ -1499,9 +1512,10 @@ def similarity_pq_aniso_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window as W
 
-    out_rows = []
+    stats = None
     for arm, mode in (("aniso", "aniso"), ("mse", "mse")):
-        codes, cb = _train(mode)
+        cb = _mstep(mode)
+        codes = _assign(cb, mode).select("vec_id", "m", "code")
         cb_df = F.broadcast(
             spark.createDataFrame(
                 [
@@ -1569,18 +1583,24 @@ def similarity_pq_aniso_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ov_agg = setop.join(sh, ["probe", "vec_id"]).agg(
             F.count(F.lit(1)).cast("bigint").alias("n_ov")
         )
-        # one action per arm: error totals and truth overlap together
-        # (two separate collect/count jobs before this round)
-        errs = errs_agg.crossJoin(ov_agg).collect()[0]
-        out_rows.append(
-            (
-                arm,
-                int(errs.sq_err),
-                int(errs.aniso_err),
-                _SWEEP_N,
-                int(errs.n_ov) * 1000 // (10 * _SWEEP_N),
-            )
+        row = errs_agg.crossJoin(ov_agg).select(
+            F.lit(arm).alias("arm"), "sq_err", "aniso_err", "n_ov"
         )
+        stats = row if stats is None else stats.unionByName(row)
+    # ONE action for BOTH arms: error totals and truth overlaps union
+    # under the arm tag (one collect per arm before this round, and a
+    # collect + count per arm before that)
+    by_arm = {r.arm: r for r in stats.collect()}
+    out_rows = [
+        (
+            arm,
+            int(by_arm[arm].sq_err),
+            int(by_arm[arm].aniso_err),
+            _SWEEP_N,
+            int(by_arm[arm].n_ov) * 1000 // (10 * _SWEEP_N),
+        )
+        for arm in ("aniso", "mse")
+    ]
     return spark.createDataFrame(
         out_rows,
         "arm string, sq_err bigint, aniso_err bigint, n_probes bigint,"
