@@ -508,7 +508,12 @@ BUDGETS = {
     # pass + 12 small per-arm aggregates)
     "similarity_filtered_nprobe": 6.0,  # 3.1-3.7 s steady (truth pass
     # + four widened filtered cell scans)
-    "similarity_bq_recall_grid": 5.5,  # 3.1-3.2 s steady (one scored
+    "similarity_bq_recall_grid": 8.0,  # 3.1-3.2 s steady on the r12
+    # host; 4.0-5.8 s idle steady on the r14 continuation host (1.4-
+    # 1.9x slower) — re-pinned at ~1.5x the slower host's steady per
+    # the headroom convention after a 5.87 s in-suite read breached
+    # the old 5.5 pin (interleaved A/B: no code regression, host
+    # calibration only) (one scored
     # pass checkpointed, four rank/rerank arms)
     "retrieval_late_interaction": 5.5,  # 3.1-3.3 s steady (members x
     # 5-probe scan + centroid artifact build)
