@@ -19,69 +19,17 @@ from data_ingestion_din_spark.plans import ORACLES, QUERIES
 # last sample is oldest) are listed first so a bounded driver window covers
 # them before re-checking recently-green entries. Names not in the registry
 # are ignored; registered queries not listed here follow in registration
-# order. Rotation state entering round 14 (CORRECTNESS_r13 green for all 50
-# sampled, zero never-sampled anywhere): round-14 additions land at the
-# very head AS THEY LAND (tests/test_rotation.py enforces that every
-# never-sampled name precedes every sampled one), then the 20-query block
-# whose latest driver sample is round 7, then the 50-query round-8 block in
-# registration order. Registry growth stays <=5 this round so the ~50
-# window retires the whole r7 block plus ~the front half of r8.
+# order. Rotation state entering round 15 (CORRECTNESS_r14 green for all 50
+# sampled, zero never-sampled anywhere; the r14 window retired the whole r7
+# block plus the front 26 of r8): no new queries this round (optimization
+# round), so the head is the 24-query r8 remainder, then the 50-query
+# round-9 block, both in registration order — the ~50 window retires r8
+# entirely plus ~the front half of r9, keeping every query's latest sample
+# within ~6 rounds (tests/test_rotation.py enforces that any never-sampled
+# name would have to precede all of these).
 _DRIVER_PRIORITY: list[str] = [
-    # Round-14 additions land here (never sampled - must lead).
-    "pipeline_e2e",
-    "similarity_pq_opq_ab",
-    "streaming_ivf_rebalance",
-    # r14 schema change (plan pins moved to the plan test, ADVICE r13):
-    # re-sample ahead of the stale blocks
-    "ranked_prefix_ab",
-    # Latest driver sample is round 7 (all 20, registration order).
-    "dedup_simhash_groups",
-    "ngram_jaccard_top20",
-    "embedding_near_dup",
-    "dedup_clusters",
-    "embedding_label_centroids",
-    "blocks_reading_order",
-    "blocks_sections",
-    "blocks_merged",
-    "html_tables_parse",
-    "ask_pipeline",
-    "events_asof_attribution",
-    "events_error_burst",
-    "multimodal_media_stats",
-    "q3_bucketed_colocated",
-    "revenue_cube",
-    "events_value_quartiles",
-    "repeat_buyers_96_not_97",
-    "streaming_ingest_chunks",
-    "streaming_phash_index",
-    "training_shard_incremental",
-    # Latest driver sample is round 8 (all 50, registration order).
-    "segment_median_order",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "events_hourly_rollup",
-    "events_scd2_intervals",
-    "events_histogram_quantiles",
-    "corpus_curation",
-    "corpus_bpe_encode",
-    "corpus_bpe_train",
-    "dedup_minhash_banded",
-    "ngram_jaccard_capped",
-    "embedding_near_dup_lsh",
-    "dedup_keep_best",
-    "chunk_level_dedup",
-    "doc_cdc_chunks",
-    "doc_winnow_fingerprints",
-    "doc_tfidf_cosine_topk",
-    "dedup_substring_spans",
-    "dedup_substring_stats",
-    "dedup_substring_removal",
-    "corpus_leakage_safe_split",
-    "corpus_dedup_funnel",
-    "similarity_topk",
-    "similarity_ivf_label",
-    "similarity_lsh_topk",
-    "similarity_ivf_incremental",
+    # Latest driver sample is round 8 (the 24 not re-sampled in r14,
+    # registration order).
     "similarity_ivfpq_topk",
     "similarity_ivfpq_recall",
     "similarity_ivfpq_multiprobe",
@@ -106,6 +54,57 @@ _DRIVER_PRIORITY: list[str] = [
     "q9_product_profit",
     "q11_important_stock",
     "q20_potential_promotion",
+    # Latest driver sample is round 9 (all 50, registration order).
+    "q4_order_priority",
+    "events_latest_snapshot",
+    "events_cohort_ltv",
+    "events_dau_wau",
+    "events_hll_distinct",
+    "events_zorder_box",
+    "events_interval_overlap_join",
+    "doc_rare_token_ratio",
+    "corpus_bigram_lm",
+    "corpus_langid_confusion",
+    "corpus_curation_funnel",
+    "doc_bigram_lm_score",
+    "corpus_bpe_merge_step",
+    "corpus_phrase_mining",
+    "corpus_textrank_keywords",
+    "ingest_quarantine",
+    "corpus_bigram_generate",
+    "corpus_bpe_pipeline",
+    "corpus_bpe_fertility",
+    "corpus_zipf_fit",
+    "corpus_heaps_law",
+    "dedup_incremental_batch",
+    "similarity_ivfpq_residual_topk",
+    "similarity_ivfpq_residual_recall",
+    "similarity_ivfpq_recall_sweep",
+    "similarity_ivfpq_residual_recall_sweep",
+    "similarity_ivfpq_incremental",
+    "similarity_range_search",
+    "similarity_ivfpq_k16_grid",
+    "corpus_dedup_funnel_full",
+    "similarity_lsh_recall_sweep",
+    "retrieval_ndcg_audit",
+    "multimodal_clip_gate",
+    "media_segment_dedup",
+    "salted_skew_join",
+    "streaming_substring_index",
+    "streaming_ivfpq_index",
+    "streaming_ivfpq_serve",
+    "corpus_temperature_mixture",
+    "corpus_eval_attribution",
+    "streaming_dsir_gate",
+    "streaming_bpe_gate",
+    "streaming_decontam_gate",
+    "streaming_semdedup_gate",
+    "streaming_tmix_gate",
+    "streaming_rollup_maintenance",
+    "streaming_profile_gate",
+    "dq_key_skew_profile",
+    "dq_k_anonymity_audit",
+    "dq_schema_drift",
 ]
 
 

@@ -886,6 +886,24 @@ def main() -> None:
             spark, sf_dir, _pqs_space(spark, sf_dir)[0]
         )[0].count(),
     )
+    # trained-LM staged artifacts (the _P5/_TRI/_BI convention): the
+    # scored component passes are session-staged and shared by 2-3
+    # consumers each; staging them here prices the build as its own
+    # visible setup row so the consumers' headline entries time the
+    # serve path, not a cold-run build (VERDICT r14 ask #3 — these two
+    # previously staged on first touch inside a query, hiding the build
+    # in an excluded cold run; pqs_space set the honest convention).
+    # The .count() materializes the lazy localCheckpoint (the logical
+    # plan is cut at the checkpoint RDD, so no column pruning skips it).
+    from data_ingestion_din_spark.plans.lm_queries import (
+        _bi_perdoc,
+        _p5_comps,
+        _tri_comps,
+    )
+
+    stage("lm_bi_perdoc", lambda: _bi_perdoc(spark, sf_dir).count())
+    stage("lm_tri_comps", lambda: _tri_comps(spark, sf_dir).count())
+    stage("lm_p5_comps", lambda: _p5_comps(spark, sf_dir).count())
     # streamed IVFPQ index: the two availableNow landings run once here
     # so streaming_ivfpq_serve times the read path, not the ingest
     from data_ingestion_din_spark.plans.streaming_indexes import _siq_out_dir
@@ -1044,20 +1062,55 @@ def main() -> None:
         "setup_total": round(sum(setup.values()), 3),
         "sf": sf,
     }
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    full["cpus"] = cpus
     print(json.dumps(full))
-    # Full per-query record also goes to a FILE (overwritten per run):
-    # the driver's log capture keeps only the stdout tail, so per-query
-    # history across rounds is only reconstructable from this artifact.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
-        f.write("\n")
-    # The driver records only the TAIL of stdout; the full line above is
-    # ~8 KB and gets truncated past parseability (BENCH_r04/r05 both
-    # ended up "parsed": null). Repeat a compact summary as the FINAL
-    # line so the tail always contains one complete JSON record.
+    # Full per-query record also goes to FILES: the driver's log capture
+    # keeps only the stdout tail, so per-query history across rounds is
+    # only reconstructable from these artifacts. The cpus-stamped copy
+    # exists because the driver runs the bench at TWO core counts and the
+    # un-stamped file used to be clobbered by whichever ran last (the r14
+    # c8 run destroyed the only c32 per-query record — VERDICT r14 ask
+    # #2); BENCH_DETAIL.json stays as the latest-run convenience copy.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("BENCH_DETAIL.json", f"BENCH_DETAIL_c{cpus}.json"):
+        with open(os.path.join(repo, fname), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    # The driver records only the LAST 2000 chars of stdout; the full
+    # line above is ~30 KB and gets truncated past parseability
+    # (BENCH_r04/r05 both ended up "parsed": null; PERF_r14 had an empty
+    # per_query for the same reason). Emit the steady per-query map as
+    # self-contained <=1900-char JSON chunk lines immediately before the
+    # final summary so whatever suffix of stdout survives still contains
+    # complete, parseable per-query records (the LAST chunks survive a
+    # tail cut; the stamped detail file above is the lossless record).
+    items = sorted(steady.items())
+    chunks: list[dict] = []
+    buf: dict[str, float] = {}
+    for k, v in items:
+        buf[k] = v
+        if len(json.dumps({"queries": buf})) > 1700:
+            chunks.append(buf)
+            buf = {}
+    if buf:
+        chunks.append(buf)
+    for i, ch in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "metric": "per_query_steady",
+                    "part": i + 1,
+                    "parts": len(chunks),
+                    "cpus": cpus,
+                    "sf": sf,
+                    "queries": ch,
+                },
+                separators=(",", ":"),
+            )
+        )
+    # Repeat a compact summary as the FINAL line so the tail always
+    # contains one complete JSON record.
     print(
         json.dumps(
             {
@@ -1065,6 +1118,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(steady),
+                "cpus": cpus,
                 "sf": sf,
             }
         )

@@ -422,6 +422,10 @@ def layout_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rows_scanned"),
         )
+        # INNER join by design: it mirrors the oracle's own inner JOIN on
+        # pred, so a predicate matching zero items drops from BOTH engines
+        # identically (the audit profiles selective predicates; a
+        # zero-match predicate has no amplification story to report).
         .join(F.broadcast(match), "pred")
         .select(
             "ordering",

@@ -1780,8 +1780,6 @@ def _hab_oracle() -> str:
 
 @query("dq_completeness_hll_ab", oracle=_hab_oracle())
 def dq_completeness_hll_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_ingestion_din_spark.functions.hashing import h64
-
     # Columns travel the heavy path keyed by a dense INT id; the two
     # name strings re-attach from a 50-row broadcast at the end
     # (narrower group keys and shuffle rows over the corpus-sized
@@ -1794,23 +1792,54 @@ def dq_completeness_hll_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # block-manager materialization plus two extra passes over the
     # un-deduplicated stream. Both m register tables come out of one
     # pass over the deduped hashes via a 2-way explode.
+    #
+    # Each TABLE is scanned once (r15): the per-(table, column) union of
+    # 50 single-column scans paid 50 FileScan subtrees — J passes over
+    # every table's row stream, J× the file-open/footer work, and a
+    # 50-branch plan for the optimizer and codegen to chew per run. One
+    # projection per table now emits every profiled column's seeded
+    # canonical string as an array entry (NULLs filtered array-side, the
+    # same rows the per-column isNotNull filters kept), explodes, and
+    # hashes — identical (cid, h) stream, one md5 per value as before,
+    # 6 scans instead of 50. The map-side partial dedup on (cid, h)
+    # sits above the explode and below the one exchange, unchanged.
     ids = []
     uh = None
     cid = 0
     for t, cols in _HAB_COLS.items():
         tb = load_table(spark, sf_dir, t)
-        part = None
+        entries = []
         for c, kind in cols:
-            one = tb.filter(F.col(c).isNotNull()).select(
-                F.lit(cid).cast("int").alias("cid"),
-                h64(
-                    F.expr(_hab_canon(c, kind, spark_side=True)),
-                    seed=f"hab:{t}.{c}:",
-                ).alias("h"),
+            canon = _hab_canon(c, kind, spark_side=True)
+            seed = f"hab:{t}.{c}:"
+            entries.append(
+                f"CASE WHEN {c} IS NOT NULL THEN named_struct("
+                f"'cid', CAST({cid} AS INT), "
+                f"'sv', concat('{seed}', {canon})) END"
             )
             ids.append((cid, t, c))
             cid += 1
-            part = one if part is None else part.unionByName(one)
+        part = (
+            tb.select(
+                F.explode(
+                    F.expr(
+                        "filter(array("
+                        + ", ".join(entries)
+                        + "), x -> x IS NOT NULL)"
+                    )
+                ).alias("e")
+            )
+            # h64 inlined over the pre-seeded string (functions.hashing
+            # recipe: first 15 md5 hex chars as a 60-bit BIGINT) — the
+            # seed is concatenated INTO the array entry so one explode
+            # feeds one md5 per (row, column) value, as before
+            .select(
+                F.col("e.cid").alias("cid"),
+                F.conv(F.substring(F.md5(F.col("e.sv")), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("h"),
+            )
+        )
         uh = part if uh is None else uh.unionByName(part)
     names = F.broadcast(
         spark.createDataFrame(ids, "cid int, tbl string, col string")

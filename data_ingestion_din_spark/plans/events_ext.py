@@ -1087,7 +1087,12 @@ def events_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("h")
             .limit(_THETA_K)
-            # lazy: every consumer sits in the final action
+            # lazy: the first action over this sketch — its threshold
+            # read (agg(max(h)).first(), or the sku union for tu) —
+            # materializes it; later consumers (the common-hash count
+            # and the final action) then read the checkpointed blocks.
+            # The exact union/intersection counts above run over `sets`,
+            # not the sketches, and never touch these RDDs.
             .localCheckpoint(eager=False)
         )
     exact["union"] = sets["a"].unionByName(sets["b"]).distinct().count()

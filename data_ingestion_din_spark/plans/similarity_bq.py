@@ -20,7 +20,6 @@ from data_ingestion_din_spark.plans.similarity_queries import (
     _DIMS_UB,
     _SWEEP_N,
     _etop_staged,
-    _recall_row,
 )
 from data_ingestion_din_spark.sources.tables import load_table
 
@@ -220,21 +219,54 @@ def similarity_bq_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         " OR (i = 64 AND code < 0)"
         " THEN element_at(pqv, i) ELSE -element_at(pqv, i) END)"
     )
-    scored = (
-        codes.crossJoin(probes)
-        .filter(F.col("vec_id") != F.col("probe"))
+    scored = codes.crossJoin(probes).filter(
+        F.col("vec_id") != F.col("probe")
+    ).select(
+        "probe",
+        "vec_id",
+        F.bit_count(
+            F.col("pcode").bitwiseXOR(F.col("code"))
+        ).alias("ham"),
+        asym.alias("adot"),
+    )
+    # ONE pass over the scored rows computes BOTH rankings (same probe
+    # partitioning — one exchange, two in-partition sorts), and each
+    # row explodes into the arm tags it belongs to; the four arms then
+    # share one shortlist table, one rerank pass (arm rides the window
+    # key) and ONE recall rollup — the aniso-ab merged-arm pattern.
+    # Before (r14): four window+filter subtrees re-read the scored
+    # checkpoint and eight per-arm aggregates crossJoined pairwise.
+    wham = W.partitionBy("probe").orderBy("ham", "vec_id")
+    wasym = W.partitionBy("probe").orderBy(F.desc("adot"), "vec_id")
+    _ARMS = ("ham@10", "ham@50+rr", "asym@10", "asym@50+rr")
+    ranked = scored.select(
+        "probe",
+        "vec_id",
+        F.row_number().over(wham).alias("rk_h"),
+        F.row_number().over(wasym).alias("rk_a"),
+    )
+    arm_tags = F.array(
+        F.when(F.col("rk_h") <= 10, F.lit("ham@10")),
+        F.when(F.col("rk_h") <= _BQ_RERANK_C, F.lit("ham@50+rr")),
+        F.when(F.col("rk_a") <= 10, F.lit("asym@10")),
+        F.when(F.col("rk_a") <= _BQ_RERANK_C, F.lit("asym@50+rr")),
+    )
+    tagged = (
+        ranked.filter(
+            (F.col("rk_h") <= _BQ_RERANK_C)
+            | (F.col("rk_a") <= _BQ_RERANK_C)
+        )
         .select(
             "probe",
             "vec_id",
-            F.bit_count(
-                F.col("pcode").bitwiseXOR(F.col("code"))
-            ).alias("ham"),
-            asym.alias("adot"),
+            F.explode(
+                F.filter(arm_tags, lambda x: x.isNotNull())
+            ).alias("arm"),
         )
-        .localCheckpoint(eager=False)  # one scored pass, four arms read it
+        # lazy: the raw-shortlist side of the final union materializes
+        # it inside the final action; the rerank side then reuses it
+        .localCheckpoint(eager=False)
     )
-    wham = W.partitionBy("probe").orderBy("ham", "vec_id")
-    wasym = W.partitionBy("probe").orderBy(F.desc("adot"), "vec_id")
     etop = _etop_staged(spark, sf_dir)
     pemb = F.broadcast(
         emb.filter(F.col("vec_id") < _SWEEP_N).select(
@@ -242,38 +274,52 @@ def similarity_bq_recall_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("p_embedding"),
         )
     )
-    wtop = W.partitionBy("probe").orderBy(F.desc("cos"), "vec_id")
-    grid = None
-    for arm, w, c in (
-        ("ham@10", wham, 10),
-        ("ham@50+rr", wham, _BQ_RERANK_C),
-        ("asym@10", wasym, 10),
-        ("asym@50+rr", wasym, _BQ_RERANK_C),
-    ):
-        sh = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= c)
-            .select("probe", "vec_id")
+    raw_arms = tagged.filter(~F.col("arm").endswith("+rr"))
+    wtop = W.partitionBy("arm", "probe").orderBy(F.desc("cos"), "vec_id")
+    rr_arms = (
+        tagged.filter(F.col("arm").endswith("+rr"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(pemb, "probe")
+        .select(
+            "arm",
+            "probe",
+            "vec_id",
+            cosine_exact(
+                F.col("embedding"), F.col("p_embedding")
+            ).alias("cos"),
         )
-        if "+rr" in arm:
-            itop = (
-                sh.join(emb.select("vec_id", "embedding"), "vec_id")
-                .join(pemb, "probe")
-                .select(
-                    "probe",
-                    "vec_id",
-                    cosine_exact(
-                        F.col("embedding"), F.col("p_embedding")
-                    ).alias("cos"),
-                )
-                .withColumn("rk2", F.row_number().over(wtop))
-                .filter(F.col("rk2") <= 10)
-                .select("probe", "vec_id")
+        .withColumn("rk2", F.row_number().over(wtop))
+        .filter(F.col("rk2") <= 10)
+        .select("probe", "vec_id", "arm")
+    )
+    itops = raw_arms.unionByName(rr_arms)
+    arms_df = spark.createDataFrame([(a,) for a in _ARMS], "arm string")
+    ovl = itops.join(etop, ["probe", "vec_id"]).groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap_total")
+    )
+    grid = (
+        arms_df.join(ovl, "arm", "left")
+        .crossJoin(
+            etop.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_exact_total")
             )
-        else:
-            itop = sh
-        row = _recall_row(etop, itop, F.lit(arm).alias("arm"))
-        grid = row if grid is None else grid.unionByName(row)
+        )
+        .select(
+            "arm",
+            F.lit(_SWEEP_N).cast("bigint").alias("n_probes"),
+            "n_exact_total",
+            F.coalesce(
+                F.col("n_overlap_total"), F.lit(0).cast("bigint")
+            ).alias("n_overlap_total"),
+            F.round(
+                F.coalesce(
+                    F.col("n_overlap_total"), F.lit(0).cast("bigint")
+                ).cast("double")
+                / F.col("n_exact_total"),
+                6,
+            ).alias("mean_recall"),
+        )
+    )
     return grid.orderBy("arm")
 
 

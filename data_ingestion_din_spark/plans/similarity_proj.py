@@ -1390,7 +1390,10 @@ def similarity_pq_aniso_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda a, v: a + v * v,
         ).alias("xx"),
-        # lazy: the collect below is the first consumer
+        # lazy: the merged M-step collect (msums, below) is the first
+        # consumer that runs over sub's own plan and materializes the
+        # checkpoint; the qm.collect() seed job reads the un-checkpointed
+        # upstream and does NOT touch sub's RDD
     ).localCheckpoint(eager=False)
     # ONE driver collect serves seeds, the guarded GEMM truth and the
     # probe vectors (three separate jobs before this round)

@@ -668,15 +668,22 @@ def corpus_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hit") >= 1)
     )
+    # per-doc argmax as min(struct(-hit, plang)) — lexicographic struct
+    # ordering IS the oracle window's (hit DESC, plang ASC) tie-break,
+    # and the aggregate gets map-side partial mins, so the exchange
+    # carries one candidate per (partition, doc) instead of every
+    # (doc, lang) hit row, and the per-doc Sort disappears (guide §2.3)
     pred = (
-        hits.withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy(F.desc("hit"), "plang")
-            ),
+        hits.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("hit")).alias("neg_hit"),
+                    F.col("plang").alias("plang"),
+                )
+            ).alias("best")
         )
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("plang").alias("predicted"))
+        .select("doc_id", F.col("best.plang").alias("predicted"))
     )
     all_docs = docs.select("doc_id", "lang").join(
         pred, "doc_id", "left"

@@ -45,6 +45,27 @@ def test_bench_detail_artifact_schema():
     assert d["setup_total"] == pytest.approx(sum(d["setup"].values()), abs=0.01)
 
 
+def test_scaling_exempt_policy():
+    """SCALING_EXEMPT's stated policy ("an entry here must name the
+    component", populated from measured evidence) enforced mechanically
+    (VERDICT r14 ask #9): every exemption key must be a registered query
+    that the scaling sweep actually runs, and every value a non-empty
+    reason naming the priced component."""
+    from bench import SCALING_EXEMPT, SCALING_QUERIES
+    from data_ingestion_din_spark.plans import QUERIES
+
+    for name, reason in SCALING_EXEMPT.items():
+        assert name in QUERIES, f"SCALING_EXEMPT names unregistered {name!r}"
+        assert name in SCALING_QUERIES, (
+            f"SCALING_EXEMPT names {name!r}, which the scaling sweep "
+            "never runs — an exemption there guards nothing"
+        )
+        assert isinstance(reason, str) and len(reason.strip()) >= 10, (
+            f"SCALING_EXEMPT[{name!r}] must carry a substantive reason "
+            "naming the deliberately-priced component"
+        )
+
+
 # Applied per-test (NOT module-wide pytestmark) so the artifact-schema
 # check above runs in the normal suite.
 _budget_gate = pytest.mark.skipif(
